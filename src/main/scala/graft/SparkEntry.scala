@@ -1,13 +1,190 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{Events, Relational, Similarity, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory)
+  * and §7 (build plan). Each `queries` key is one declared operator;
+  * `oracleSql` holds the equivalent DuckDB SQL the driver hash-compares
+  * against at sf0.01.
+  *
+  * Determinism conventions shared by every query and its oracle
+  * (SURVEY.md §2 rules):
+  *  - total ORDER BY on a unique key, identical on both sides;
+  *  - float aggregates via exact DECIMAL sums, rounded at 4 dp
+  *    ([[graft.ops.Det.exactSum]] ↔ `CAST(sum(CAST(x AS DECIMAL(20,6))) AS DOUBLE)`);
+  *  - `events.ts` truncated ns→µs identically on both sides;
+  *  - relative time anchored to max(ts), never now();
+  *  - derived integer columns cast to BIGINT on both sides (DuckDB date
+  *    parts/`sum(int)` default to BIGINT/HUGEINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (the reference's own flagship join, api.py:32-33) on
+    * sf0.001; driver smoke-checks rows>0. Avoids the events table so it
+    * runs on a vanilla session (events needs the nanos legacy conf).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q02InnerJoin(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project_filter" -> (Relational.q01ScanProjectFilter _),
+    "q02_inner_join" -> (Relational.q02InnerJoin _),
+    "q02b_join_3way" -> (Relational.q02bJoin3Way _),
+    "q03_join_filter" -> (Relational.q03JoinFilter _),
+    "q04_groupby_agg" -> (Events.q04GroupbyAgg _),
+    "q04b_multi_agg" -> (Relational.q04bMultiAgg _),
+    "q04c_count_distinct" -> (Events.q04cCountDistinct _),
+    "q05_dedup" -> (Events.q05Dedup _),
+    "q06_regex_extract" -> (Events.q06RegexExtract _),
+    "q07_json_parse" -> (Events.q07JsonParse _),
+    "q08_date_parts" -> (Events.q08DateParts _),
+    "q09_epoch_to_ts" -> (Events.q09EpochToTs _),
+    "q10_string_clean" -> (TextOps.q10StringClean _),
+    "q10b_part_split" -> (TextOps.q10bPartSplit _),
+    "q11_range_filter" -> (Relational.q11RangeFilter _),
+    "q12_point_lookup" -> (Relational.q12PointLookup _),
+    "q13_sessionize" -> (Events.q13Sessionize _),
+    "q14_forward_fill" -> (Events.q14ForwardFill _),
+    "q15_trim_boundary" -> (Events.q15TrimBoundary _),
+    "q16_delete_antijoin" -> (Relational.q16DeleteAntijoin _),
+    "q17_last24h" -> (Events.q17Last24h _),
+    "q18_topk" -> (Relational.q18TopK _),
+    "q20_doc_dedup_exact" -> (TextOps.q20DocDedupExact _),
+    "q21_jaccard_neardup" -> (Similarity.q21JaccardNeardup _),
+    "q22_topk_cosine" -> (Similarity.q22TopkCosine _),
+    "q23_text_stats" -> (TextOps.q23TextStats _),
+    "q24_multimodal_cols" -> (Similarity.q24MultimodalCols _),
+  )
+
+  // Shared SQL fragments for the oracle side.
+  private def dsum(x: String) = s"round(CAST(sum(CAST($x AS DECIMAL(20,6))) AS DOUBLE), 4)"
+  private def davg(x: String) = s"round(CAST(sum(CAST($x AS DECIMAL(20,6))) AS DOUBLE)/count(*), 4)"
+  private val tsUs = "CAST(ts AS TIMESTAMP)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_project_filter" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate FROM lineitem " +
+        "WHERE l_quantity > 30 ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate"),
+    "q02_inner_join" ->
+      ("SELECT c_custkey, c_name, c_mktsegment, o_orderkey, o_orderstatus, o_totalprice, o_orderdate " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey ORDER BY o_orderkey"),
+    "q02b_join_3way" ->
+      ("SELECT c_custkey, c_mktsegment, o_orderkey, l_linenumber, l_quantity, l_extendedprice " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey " +
+        "ORDER BY o_orderkey, l_linenumber, l_quantity, l_extendedprice, c_custkey"),
+    "q03_join_filter" ->
+      ("SELECT c_custkey, c_name, o_orderkey, o_totalprice, o_orderdate " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey WHERE c_mktsegment = 'BUILDING' " +
+        "ORDER BY o_orderkey"),
+    "q04_groupby_agg" ->
+      (s"SELECT user_id, ${davg("value")} AS avg_value, count(*) AS n_events, max($tsUs) AS max_ts " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "q04b_multi_agg" ->
+      (s"SELECT l_returnflag, l_linestatus, ${dsum("l_quantity")} AS sum_qty, " +
+        s"${dsum("l_extendedprice")} AS sum_base_price, " +
+        s"${dsum("l_extendedprice*(1-l_discount)")} AS sum_disc_price, " +
+        s"${dsum("(l_extendedprice*(1-l_discount))*(1+l_tax)")} AS sum_charge, " +
+        s"${davg("l_quantity")} AS avg_qty, ${davg("l_extendedprice")} AS avg_price, " +
+        s"${davg("l_discount")} AS avg_disc, count(*) AS count_order " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q04c_count_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q05_dedup" ->
+      (s"WITH r AS (SELECT user_id, event_id, $tsUs AS ts2, event_type, value, " +
+        s"row_number() OVER (PARTITION BY user_id ORDER BY $tsUs, event_id) AS rn FROM events) " +
+        "SELECT user_id, event_id, ts2 AS ts, event_type, value FROM r WHERE rn = 1 ORDER BY user_id"),
+    "q06_regex_extract" ->
+      ("SELECT event_id, CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS k_num " +
+        "FROM events ORDER BY event_id"),
+    "q07_json_parse" ->
+      ("SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q08_date_parts" ->
+      (s"SELECT event_id, CAST(year($tsUs) AS BIGINT) AS y, CAST(month($tsUs) AS BIGINT) AS m, " +
+        s"CAST(day($tsUs) AS BIGINT) AS d FROM events " +
+        s"WHERE month($tsUs) = 1 AND day($tsUs) <= 15 ORDER BY event_id"),
+    "q09_epoch_to_ts" ->
+      (s"SELECT event_id, epoch_ms($tsUs) AS ms, make_timestamp(epoch_ms($tsUs) * 1000) AS ts_back " +
+        "FROM events ORDER BY event_id"),
+    "q10_string_clean" ->
+      ("SELECT c_custkey, CAST(regexp_replace(c_name, '^Customer#', '') AS BIGINT) AS cust_num, " +
+        "lower(c_mktsegment) AS seg_lower, substring(c_name, 1, 8) AS name_prefix " +
+        "FROM customer ORDER BY c_custkey"),
+    "q10b_part_split" ->
+      ("SELECT p_partkey, string_split(p_name, ' ')[-1] AS last_word, lower(p_type) AS type_lower " +
+        "FROM part ORDER BY p_partkey"),
+    "q11_range_filter" ->
+      ("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer " +
+        "WHERE c_acctbal BETWEEN 0 AND 5000 ORDER BY c_custkey"),
+    "q12_point_lookup" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority " +
+        "FROM orders WHERE o_orderkey = 42 ORDER BY o_orderkey"),
+    "q13_sessionize" ->
+      (s"WITH e AS (SELECT user_id, event_id, $tsUs AS ts2 FROM events), " +
+        "m AS (SELECT user_id, event_id, ts2, CASE WHEN " +
+        "lag(epoch_us(ts2)) OVER (PARTITION BY user_id ORDER BY ts2, event_id) IS NULL OR " +
+        "epoch_us(ts2) - lag(epoch_us(ts2)) OVER (PARTITION BY user_id ORDER BY ts2, event_id) > 86400000000 " +
+        "THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "s AS (SELECT user_id, event_id, ts2, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts2, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m) " +
+        "SELECT user_id, session_id, count(*) AS n_events, min(ts2) AS session_start, max(ts2) AS session_end " +
+        "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    "q14_forward_fill" ->
+      (s"SELECT event_id, user_id, $tsUs AS ts, " +
+        "last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) " +
+        s"OVER (PARTITION BY user_id ORDER BY $tsUs, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff " +
+        "FROM events ORDER BY event_id"),
+    "q15_trim_boundary" ->
+      (s"WITH g AS (SELECT user_id, count(*) AS n_events, ${davg("value")} AS avg_value " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT user_id, n_events, avg_value FROM g " +
+        "WHERE user_id > (SELECT min(user_id) FROM g) AND user_id < (SELECT max(user_id) FROM g) " +
+        "ORDER BY user_id"),
+    "q16_delete_antijoin" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders " +
+        "WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0) " +
+        "ORDER BY o_orderkey"),
+    "q17_last24h" ->
+      (s"SELECT event_id, user_id, event_type, value, $tsUs AS ts FROM events " +
+        s"WHERE epoch_us($tsUs) >= (SELECT max(epoch_us($tsUs)) FROM events) - 86400000000 " +
+        "ORDER BY event_id"),
+    "q18_topk" ->
+      (s"SELECT c_custkey, c_name, ${dsum("o_totalprice")} AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey, c_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 10"),
+    "q20_doc_dedup_exact" ->
+      ("WITH r AS (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
+        "FROM documents) SELECT doc_id, lang, source FROM r WHERE rn = 1 ORDER BY doc_id"),
+    "q21_jaccard_neardup" ->
+      ("WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard " +
+        "FROM t a JOIN t b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8 " +
+        "ORDER BY doc_a, doc_b"),
+    "q22_topk_cosine" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), " +
+        "t AS (SELECT vec_id AS tid, embedding AS te FROM embeddings WHERE vec_id >= 5), " +
+        "px AS (SELECT qid, tid, unnest(qe) AS qx, unnest(te) AS tx FROM q, t), " +
+        "d AS (SELECT qid, tid, sum(CAST(qx AS DOUBLE) * CAST(tx AS DOUBLE)) AS dot, " +
+        "sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) AS qn, " +
+        "sqrt(sum(CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE))) AS tn FROM px GROUP BY qid, tid), " +
+        "r AS (SELECT qid, tid, round(dot/(qn*tn), 4) AS sim, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY round(dot/(qn*tn), 4) DESC, tid) AS rk FROM d) " +
+        "SELECT qid, rk, tid, sim FROM r WHERE rk <= 10 ORDER BY qid, rk"),
+    "q23_text_stats" ->
+      ("WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "c AS (SELECT lang, term, count(*) AS n FROM t " +
+        "WHERE term NOT IN ('the', 'a', 'of', 'and', 'in') AND term <> '' GROUP BY lang, term), " +
+        "r AS (SELECT lang, term, n, row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rk FROM c) " +
+        "SELECT lang, rk, term, n FROM r WHERE rk <= 5 ORDER BY lang, rk"),
+    "q24_multimodal_cols" ->
+      ("WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v, len(embedding) AS dim FROM embeddings) " +
+        "SELECT vec_id, CAST(dim AS BIGINT) AS dim, round(sqrt(sum(v*v)), 4) AS norm, " +
+        "round(sum(v)/dim, 4) AS mean FROM x GROUP BY vec_id, dim ORDER BY vec_id"),
+  )
 }

@@ -1,5 +1,7 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -12,11 +14,24 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS); read as long + truncate (Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write µs (not INT96) so the driver's reader sees plain timestamps
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Session TZ is UTC, so TIMESTAMP → TIMESTAMP_NTZ is value-preserving;
+    // without it Spark writes isAdjustedToUTC=true parquet and the driver
+    // compares tz-aware values against DuckDB's naive ones.
+    def naive(df: DataFrame): DataFrame =
+      df.schema.fields.foldLeft(df) { (d, f) =>
+        if (f.dataType == TimestampType)
+          d.withColumn(f.name, col(f.name).cast(TimestampNTZType))
+        else d
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try naive(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

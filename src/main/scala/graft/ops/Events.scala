@@ -1,0 +1,181 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Event-stream operators: the reference's Kafka-log ETL vocabulary
+  * (sessionization, forward-fill, per-group aggregation, dedup,
+  * relative-time filters — SURVEY.md §2.2/§2.4/§2.5) re-expressed as
+  * window/aggregate plans over the `events` table.
+  *
+  * Scale notes (100 TB): every window below is partitioned by `user_id`
+  * — partitions are bounded by per-user event counts, never global.
+  * There is no driver-side state; the reference's single-threaded
+  * mutable-variable loop (main.py:96-153) becomes a shuffle on user_id
+  * followed by embarrassingly parallel per-partition window evaluation.
+  */
+object Events {
+  import Det._
+
+  private val MicrosPerDay = 86400000000L
+
+  /** Per-user event-ordered window; ties on ts broken by event_id so
+    * window results are deterministic (determinism rule 1 applied to
+    * window ordering, not just output ordering).
+    */
+  private val userWindow = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+  /** A1 — group-by + avg/count/max (reference main.py:160-171's
+    * hand-transposed per-ride aggregation, done natively with
+    * partial+final hash aggregation).
+    */
+  def q04GroupbyAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        round4(exactAvg(col("value"))).as("avg_value"),
+        count(lit(1)).as("n_events"),
+        max("ts").as("max_ts"))
+      .orderBy("user_id")
+
+  /** A3 — exact count-distinct per group (reference's `existing_user`
+    * set, main.py:85,131). countDistinct shuffles each distinct
+    * (event_type, user_id) pair once — partial distinct happens
+    * map-side. For 100 TB cardinality estimation the HLL variant
+    * `approx_count_distinct` is the first knob to reach for.
+    */
+  def q04cCountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** J6 — first-wins dedup (reference main.py:131-132's
+    * first-occurrence-wins user gate). row_number over an explicitly
+    * ordered window — NOT dropDuplicates, whose survivor is
+    * partition-order-dependent and therefore nondeterministic.
+    */
+  def q05Dedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(userWindow))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+
+  /** F1 — regex extraction (reference main.py:73-74's number/dict
+    * regexes). Codegen'd `regexp_extract`, no UDF.
+    */
+  def q06RegexExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        regexp_extract(col("props"), "(\\d+)", 1).cast(LongType).as("k_num"))
+      .orderBy("event_id")
+
+  /** F2 — JSON parsing + aggregation (reference json.loads at
+    * main.py:53, literal_eval at main.py:129). Integer sum — exact on
+    * both engines.
+    */
+  def q07JsonParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(sum(get_json_object(col("props"), "$.k").cast(LongType)).as("sum_k"))
+      .orderBy("event_type")
+
+  /** P4 — date-part derivation + filter (reference api.py:25-27 slices
+    * the timestamp *string*; api.py:162's string-vs-int compare is the
+    * always-false bug — implemented here with intended semantics per
+    * SURVEY.md §4.3.1). Cast to long: DuckDB date parts are BIGINT and
+    * the driver compares schemas.
+    */
+  def q08DateParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        year(col("ts")).cast(LongType).as("y"),
+        month(col("ts")).cast(LongType).as("m"),
+        dayofmonth(col("ts")).cast(LongType).as("d"))
+      .filter(col("m") === 1 && col("d") <= 15)
+      .orderBy("event_id")
+
+  /** F4 — epoch-ms ↔ timestamp conversions (reference main.py:130,137
+    * divides epoch-ms by 1000). unix_millis/timestamp_millis are exact
+    * integer paths — no double roundtrip.
+    */
+  def q09EpochToTs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        timestamp_millis(unix_millis(col("ts"))).as("ts_back"))
+      .orderBy("event_id")
+
+  /** W1 — gap-based sessionization (24 h gap), the declared analog of the
+    * reference's marker-based ride sessions (main.py:99-124; the
+    * marker-faithful variant lives in the ETL pipeline). Classic
+    * lag-gap-cumsum: new-session flag, running sum per user = session id.
+    * Gap compare is µs-exact integer arithmetic on both engines.
+    */
+  def q13Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val prevUs = lag(unix_micros(col("ts")), 1).over(userWindow)
+    val newSession = when(
+      prevUs.isNull || (unix_micros(col("ts")) - prevUs) > MicrosPerDay, 1).otherwise(0)
+    e.withColumn("new_s", newSession)
+      .withColumn("session_id",
+        sum("new_s").over(userWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** W2 — forward-fill of slowly-changing state (reference carries
+    * last-seen telemetry in mutable locals, main.py:140-153).
+    * `last(..., ignoreNulls)` over a running frame — the canonical
+    * distributed forward-fill.
+    */
+  def q14ForwardFill(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+          .over(userWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("value_ff"))
+      .orderBy("event_id")
+
+  /** A4 — boundary-group trim (reference main.py:175's `[1:-1]` drops
+    * first/last incomplete ride groups; declared with well-defined
+    * semantics: drop the min and max group keys). The min/max frame is
+    * one row — broadcast, no second shuffle of the aggregate.
+    */
+  def q15TrimBoundary(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round4(exactAvg(col("value"))).as("avg_value"))
+    val bounds = g.agg(min("user_id").as("lo"), max("user_id").as("hi"))
+    g.crossJoin(broadcast(bounds))
+      .filter(col("user_id") > col("lo") && col("user_id") < col("hi"))
+      .select("user_id", "n_events", "avg_value")
+      .orderBy("user_id")
+  }
+
+  /** P5 — relative-time window (reference main.py:178-182 *intends*
+    * "last 24 h" but actually returns identity — implemented with
+    * intended semantics, anchored to max(ts) of the data, never
+    * `now()` (determinism rule 3). The anchor is a 1-row broadcast.
+    */
+  def q17Last24h(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val anchor = e.agg(max(unix_micros(col("ts"))).as("max_us"))
+    e.crossJoin(broadcast(anchor))
+      .filter(unix_micros(col("ts")) >= col("max_us") - MicrosPerDay)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .orderBy("event_id")
+  }
+}

@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational core: projection/filter (SURVEY.md §2.2), joins (§2.3),
+  * multi-column aggregation (§2.4 A2), top-k (§2.5 W4).
+  *
+  * Every operator is a declarative DataFrame plan — Catalyst provides
+  * predicate pushdown, column pruning and join-strategy selection
+  * (broadcast-hash for the dimension sides, sort-merge for fact⋈fact),
+  * which is precisely what the reference does by hand or misses
+  * (reference api.py:23 pulls `SELECT *` then filters client-side in
+  * pandas; here the filter reaches the parquet scan).
+  */
+object Relational {
+  import Det._
+
+  /** P1 — scan + projection + predicate (reference api.py:23,103-105).
+    * Projection and `l_quantity > 30` both reach the parquet scan
+    * (`PushedFilters`), so at 100 TB only the 5 referenced columns and
+    * passing row groups are read.
+    */
+  def q01ScanProjectFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+      .filter(col("l_quantity") > 30)
+      // (l_orderkey, l_linenumber) is NOT unique in the testdata — order
+      // by every projected column so tie order can't differ cross-engine
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+
+  /** J1 — inner equi-join, the reference's flagship query
+    * (api.py:32-33: users INNER JOIN rides ON user_id). customer is the
+    * dimension side — small enough to broadcast at any realistic scale
+    * factor, so Catalyst plans a shuffle-free broadcast-hash join.
+    */
+  def q02InnerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "inner")
+      .select(c("c_custkey"), c("c_name"), c("c_mktsegment"),
+        o("o_orderkey"), o("o_orderstatus"), o("o_totalprice"), o("o_orderdate"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J3 — 3-way star join (reference chains lookups at api.py:140-144).
+    * customer and orders both join-reduce onto lineitem; Catalyst/AQE
+    * reorder and broadcast the dimension sides.
+    */
+  def q02bJoin3Way(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(c("c_custkey"), c("c_mktsegment"),
+        o("o_orderkey"), l("l_linenumber"), l("l_quantity"), l("l_extendedprice"))
+      // (o_orderkey, l_linenumber) is not unique — total order needs all cols
+      .orderBy("o_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "c_custkey")
+  }
+
+  /** J2 — join + build-side predicate (reference api.py:39-41 bakes the
+    * gender filter into SQL). Catalyst pushes the segment filter below
+    * the join and into the customer scan.
+    */
+  def q03JoinFilter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .filter(c("c_mktsegment") === "BUILDING")
+      .select(c("c_custkey"), c("c_name"), o("o_orderkey"), o("o_totalprice"), o("o_orderdate"))
+      .orderBy("o_orderkey")
+  }
+
+  /** A2 — multi-column aggregate, TPC-H Q1 shape (the reference's four
+    * parallel sum/len averages, main.py:171, done natively). Partial
+    * (map-side) + final hash aggregation — the shuffle carries one row
+    * per (flag,status) group per partition, not the 100 TB of input.
+    */
+  def q04bMultiAgg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round4(exactSum(col("l_quantity"))).as("sum_qty"),
+        round4(exactSum(col("l_extendedprice"))).as("sum_base_price"),
+        round4(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        round4(exactSum((col("l_extendedprice") * (lit(1) - col("l_discount"))) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        round4(exactAvg(col("l_quantity"))).as("avg_qty"),
+        round4(exactAvg(col("l_extendedprice"))).as("avg_price"),
+        round4(exactAvg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** P3 — range predicate (reference api.py:119 age BETWEEN). */
+  def q11RangeFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .filter(col("c_acctbal").between(0, 5000))
+      .orderBy("c_custkey")
+
+  /** P2 — point lookup (reference api.py:65 ride_id equality). The
+    * equality predicate is pushed to parquet, pruning row groups via
+    * min/max statistics — a point lookup touches a handful of pages
+    * even on a 100 TB table.
+    */
+  def q12PointLookup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") === 42)
+      .orderBy("o_orderkey")
+
+  /** J5 — delete-by-key as anti-join (reference api.py:185-188 DELETE;
+    * also the ON CONFLICT DO NOTHING idempotent-insert primitive,
+    * sql_wrapper.py:44). The delete-key set is derived, small relative
+    * to the fact table, and hash-joined; Spark plans a broadcast
+    * left-anti when the key side fits.
+    */
+  def q16DeleteAntijoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val delKeys = o.filter(col("o_orderkey") % 10 === 0).select("o_orderkey")
+    o.join(delKeys, Seq("o_orderkey"), "left_anti")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** W4 — top-k (TakeOrderedAndProject): top-10 customers by revenue.
+    * The limit is pushed into the sort: each partition keeps only its
+    * local top-10, the driver merges k·p rows — no global sort of the
+    * full aggregate ever materializes.
+    */
+  def q18TopK(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(c("c_custkey"), c("c_name"))
+      .agg(round4(exactSum(o("o_totalprice"))).as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(10)
+  }
+}

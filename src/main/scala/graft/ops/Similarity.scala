@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Similarity / vector operators (SURVEY.md §2.10 E2/E3/E5): near-dup
+  * detection by token Jaccard, top-k cosine search over embeddings, and
+  * array-column math. Higher-order array functions (`zip_with`,
+  * `aggregate`, `transform`) keep everything inside Catalyst — no UDFs.
+  */
+object Similarity {
+  import Det._
+
+  /** Sum a double-array expression left-to-right. Sequential fold order
+    * matches the oracle's per-row unnest+sum, keeping float results
+    * bit-identical across engines.
+    */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  private def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))
+
+  private def norm(a: Column): Column =
+    sqrt(foldSum(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType))))
+
+  /** E2 — exact near-duplicate pairs (token-set Jaccard ≥ 0.8) via
+    * prefix filtering (AllPairs/PPJoin family), engineered so every
+    * shuffle carries integers, never token arrays:
+    *
+    *  1. Build a token→dense-int vocabulary (distinct tokens, ids by a
+    *     row_number over the sorted vocab — deterministic) and rewrite
+    *     each doc as a sorted int array. At 100 TB the vocab join is an
+    *     ordinary broadcast/shuffle equi-join.
+    *  2. Prefix filter: two sets with Jaccard ≥ t MUST share one of
+    *     their first `|A| - ceil(t·|A|) + 1` tokens (sets sorted in one
+    *     global order), so candidates come from an equi-join on prefix
+    *     token ids — exact, zero false negatives, no O(n²) cross join.
+    *     A size filter (|B| ∈ [t·|A|, |A|/t]) prunes further. Candidate
+    *     rows are bare (doc_a, doc_b) int pairs; dedup before any
+    *     array work.
+    *  3. Verify: re-attach the int arrays (small dimension join) and
+    *     compute the exact Jaccard once per surviving pair.
+    *
+    * The MinHash-LSH probabilistic variant is the q25 sketch op.
+    */
+  def q21JaccardNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val threshold = 0.8
+    val docToks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val vocab = docToks.select("tok").distinct()
+      .withColumn("tok_id", row_number().over(Window.orderBy("tok")) - 1)
+    val toks = docToks.join(broadcast(vocab), "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("tok_id"))).as("toks"))
+      .withColumn("sz", size(col("toks")))
+    val prefLen = (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")
+    val pref = toks
+      .withColumn("tok_id", explode(slice(col("toks"), lit(1), prefLen)))
+      .select("doc_id", "tok_id", "sz")
+    val cands = pref.as("a").join(pref.as("b"),
+        col("a.tok_id") === col("b.tok_id") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") >= ceil(col("a.sz") * lit(threshold)) &&
+          col("b.sz") <= floor(col("a.sz") / lit(threshold)))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val pairs = cands
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("sz").as("sa")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("sz").as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType) / (col("sa") + col("sb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+    pairs
+      .select(col("doc_a"), col("doc_b"), round4(col("jaccard")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** E3 — top-k cosine similarity search, brute-force exact baseline:
+    * queries = vec_id < 5, corpus = the rest. The query side is tiny and
+    * broadcast, so the "cross join" is a map-side nested loop over the
+    * corpus — one pass, no shuffle of the corpus. Ranking uses the
+    * 4-dp-rounded similarity with vec_id tie-break so rank order is
+    * identical across engines. The sublinear scale path (IVF partition
+    * pruning) is `Sketches.q32IvfAnn`.
+    */
+  def q22TopkCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("qn", norm(col("qe")))
+    val corpus = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("tid"), col("embedding").as("te"))
+      .withColumn("tn", norm(col("te")))
+    val sim = round4(dot(col("qe"), col("te")) / (col("qn") * col("tn")))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("sim", sim)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("qid", "rk", "tid", "sim")
+      .orderBy("qid", "rk")
+  }
+
+  /** E5 — multimodal/array column math: per-row vector norm, mean and
+    * dimensionality via higher-order functions. Purely row-local — no
+    * shuffle at all; scales linearly.
+    */
+  def q24MultimodalCols(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        round4(norm(col("embedding"))).as("norm"),
+        round4(foldSum(transform(col("embedding"), x => x.cast(DoubleType))) / size(col("embedding"))).as("mean"))
+      .orderBy("vec_id")
+}

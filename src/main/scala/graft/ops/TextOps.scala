@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** String/text operators: the reference's string-cleaning vocabulary
+  * (SURVEY.md §2.6 F3) plus the training-data text pipeline extensions
+  * (§2.10 E1/E4). All codegen'd built-ins — zero UDFs.
+  */
+object TextOps {
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
+
+  /** F3 — string cleaning over customer names (reference strips
+    * honorifics via regex at main.py:133-135 and slices strings at
+    * api.py:25-27; same vocabulary: regexp_replace, substring, lower).
+    */
+  def q10StringClean(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "^Customer#", "").cast(LongType).as("cust_num"),
+        lower(col("c_mktsegment")).as("seg_lower"),
+        substring(col("c_name"), 1, 8).as("name_prefix"))
+      .orderBy("c_custkey")
+
+  /** F3b — split + element_at (reference's `address.split(',')[-1]`
+    * postcode extraction, main.py:136-137).
+    */
+  def q10bPartSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        element_at(split(col("p_name"), " "), -1).as("last_word"),
+        lower(col("p_type")).as("type_lower"))
+      .orderBy("p_partkey")
+
+  /** E1 — exact text dedup at scale: group on a 256-bit content hash,
+    * first-wins survivor by doc_id (deterministic, J6 pattern). Hashing
+    * first means the shuffle for the dedup carries 32-byte digests, not
+    * document bodies — the 100 TB-critical property. (The DuckDB oracle
+    * partitions by raw text — identical groups modulo SHA-256 collision.)
+    */
+  def q20DocDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
+    d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** E4 — text stats: tokenize → explode → stopword-filter → term counts
+    * per language → top-5 terms (count desc, term asc — fully ordered so
+    * rank ties are deterministic). The explode blows each doc into its
+    * tokens but the aggregation is partial+final, so the shuffle carries
+    * (lang, term, partial-count), not the token stream.
+    */
+  def q23TextStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .filter(!col("term").isin(Stopwords: _*) && col("term") =!= "")
+    val counts = toks.groupBy("lang", "term").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(desc("n"), asc("term"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("lang", "rk", "term", "n")
+      .orderBy("lang", "rk")
+  }
+}
