@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** End-to-end smoke over the real sf0.001 testdata: every declared query
+  * runs and returns rows, and `queries`/`oracleSql` keys stay in sync
+  * (the driver's correctness gate needs both).
+  */
+class EngineSmokeSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every declared query has oracle SQL (or is explicitly oracle-free)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql without query impl: $orphans")
+    assert(missing.forall(OracleFree.contains),
+      s"queries without oracle SQL not declared oracle-free: ${missing -- OracleFree}")
+  }
+
+  /** Query keys intentionally without a DuckDB oracle (non-SQL-expressible
+    * sketch/sampling ops) — the driver records a weaker rows-only check.
+    */
+  private val OracleFree: Set[String] = Set()
+
+  test("entry returns rows on a vanilla session") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs at sf0.001 and returns rows") {
+      val rows: Array[Row] = fn(spark, sf).collect()
+      assert(rows.nonEmpty, s"$name returned no rows at sf0.001")
+    }
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.ops.Events
+
+/** Semantic unit specs for the event-stream operators (SURVEY.md §5.2.2),
+  * on hand-checkable fixtures including the §4.3 edge cases.
+  */
+class EventOpsSpec extends SparkSpecBase {
+
+  // 2024-01-01T00:00:00Z in nanos
+  private val T0 = 1704067200L * Ns
+
+  test("q13 sessionize: 24h gap splits sessions per user, ts ties broken by event_id") {
+    val dir = tmpDir()
+    writeEvents(dir,
+      // user 1: two events 1h apart, then a 30h gap -> 2 sessions
+      (1L, T0, 1L, "click", 1.0, "{}"),
+      (2L, T0 + Hour, 1L, "view", 2.0, "{}"),
+      (3L, T0 + 31 * Hour, 1L, "click", 3.0, "{}"),
+      // user 2: single event -> 1 session
+      (4L, T0, 2L, "view", 4.0, "{}"))
+    val out = Events.q13Sessionize(spark, dir).collect()
+    assert(out.length == 3)
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("q14 forward fill: carries last purchase value, null before first") {
+    val dir = tmpDir()
+    writeEvents(dir,
+      (1L, T0, 1L, "click", 9.0, "{}"), // before any purchase -> null
+      (2L, T0 + Hour, 1L, "purchase", 5.0, "{}"),
+      (3L, T0 + 2 * Hour, 1L, "click", 9.0, "{}"), // -> 5.0
+      (4L, T0 + 3 * Hour, 1L, "purchase", 7.0, "{}"),
+      (5L, T0 + 4 * Hour, 1L, "view", 9.0, "{}")) // -> 7.0
+    val out = Events.q14ForwardFill(spark, dir).collect()
+    val ff = out.map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(ff(1L).isEmpty)
+    assert(ff(3L).contains(5.0))
+    assert(ff(5L).contains(7.0))
+  }
+
+  test("q05 dedup: first event per user wins (ts order, event_id tiebreak)") {
+    val dir = tmpDir()
+    writeEvents(dir,
+      (10L, T0, 1L, "late", 1.0, "{}"),
+      (9L, T0, 1L, "first", 1.0, "{}"), // same ts, lower id wins
+      (11L, T0 - Hour, 2L, "only", 1.0, "{}"))
+    val out = Events.q05Dedup(spark, dir).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 9L), (2L, 11L)))
+  }
+
+  test("q15 trim: drops min and max group keys") {
+    val dir = tmpDir()
+    writeEvents(dir,
+      (1L, T0, 1L, "a", 1.0, "{}"),
+      (2L, T0, 2L, "a", 2.0, "{}"),
+      (3L, T0, 3L, "a", 3.0, "{}"),
+      (4L, T0, 2L, "a", 4.0, "{}"))
+    val out = Events.q15TrimBoundary(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(out.head.getLong(1) == 2L) // n_events
+    assert(out.head.getDouble(2) == 3.0) // avg of 2,4
+  }
+
+  test("q17 last24h anchors to max(ts), not wall clock") {
+    val dir = tmpDir()
+    writeEvents(dir,
+      (1L, T0, 1L, "old", 1.0, "{}"),
+      (2L, T0 + 100 * Hour, 1L, "in", 1.0, "{}"),
+      (3L, T0 + 110 * Hour, 1L, "anchor", 1.0, "{}"))
+    val out = Events.q17Last24h(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
+  test("q04 group agg: exact decimal avg, count, max ts") {
+    val dir = tmpDir()
+    writeEvents(dir,
+      (1L, T0, 1L, "a", 1.1, "{}"),
+      (2L, T0 + Ns, 1L, "a", 2.3, "{}"))
+    val r = Events.q04GroupbyAgg(spark, dir).collect().head
+    assert(r.getDouble(1) == 1.7)
+    assert(r.getLong(2) == 2L)
+    assert(r.getTimestamp(3).toInstant.getEpochSecond == T0 / Ns + 1)
+  }
+
+  test("q06/q07 extract the props payload") {
+    val dir = tmpDir()
+    writeEvents(dir,
+      (1L, T0, 1L, "a", 0.0, """{"k": 41}"""),
+      (2L, T0, 1L, "a", 0.0, """{"k": 1}"""))
+    assert(Events.q06RegexExtract(spark, dir).collect().map(_.getLong(1)).toSeq == Seq(41L, 1L))
+    val sums = Events.q07JsonParse(spark, dir).collect()
+    assert(sums.head.getLong(1) == 42L)
+  }
+
+  test("q09 epoch roundtrip truncates us -> ms consistently") {
+    val dir = tmpDir()
+    // 123456789 ns -> 123456 us -> 123 ms
+    writeEvents(dir, (1L, T0 + 123456789L, 1L, "a", 0.0, "{}"))
+    val r = Events.q09EpochToTs(spark, dir).collect().head
+    assert(r.getLong(1) == (T0 / Ns) * 1000L + 123L)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.ops.{Similarity, TextOps}
+
+/** Semantic specs for text/similarity extension operators, including the
+  * SURVEY.md §5.2.3 property-style invariants (jaccard bounds/symmetry,
+  * cosine(v,v)≈1, dedup idempotence) on hand-checkable fixtures.
+  */
+class SimilaritySpec extends SparkSpecBase {
+
+  test("q21 jaccard: identical docs = 1.0, 5/6 overlap kept, 4/6 dropped") {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (1L, "a b c d e", "en", "s", 9L),
+      (2L, "a b c d e", "en", "s", 9L), // j(1,2)=1.0
+      (3L, "a b c d f", "en", "s", 9L), // j(1,3)=4/6=0.667 < 0.8
+      (4L, "a b c d e f", "en", "s", 11L)) // j(1,4)=5/6=0.833
+    val out = Similarity.q21JaccardNeardup(spark, dir).collect()
+    val pairs = out.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // (3,4): {a,b,c,d,f} vs {a,b,c,d,e,f} = 5/6 ≥ 0.8 — also a pair
+    assert(pairs.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L), (3L, 4L)))
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 4L)) == 0.8333)
+    // bounds invariant
+    assert(out.forall(r => r.getDouble(2) >= 0.8 && r.getDouble(2) <= 1.0))
+  }
+
+  test("q21 jaccard: duplicate tokens in text don't affect the set semantics") {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (1L, "a a a b b c d e", "en", "s", 1L),
+      (2L, "e d c b a", "en", "s", 1L))
+    val out = Similarity.q21JaccardNeardup(spark, dir).collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 1.0)
+  }
+
+  test("q22 cosine: identical vector ranks first with sim 1.0") {
+    val dir = tmpDir()
+    val v = Seq.fill(4)(0.5f)
+    writeEmbeddings(dir,
+      (0L, v, 0), (1L, Seq(1f, 0f, 0f, 0f), 0), (2L, Seq(0f, 1f, 0f, 0f), 0),
+      (3L, Seq(-1f, -1f, -1f, -1f), 0), (4L, Seq(1f, 1f, 0f, 0f), 0),
+      (5L, v, 1), (6L, Seq(0.5f, 0.5f, 0f, 0f), 1), (7L, Seq(-0.5f, -0.5f, -0.5f, -0.5f), 1))
+    val out = Similarity.q22TopkCosine(spark, dir).collect()
+    val q0 = out.filter(_.getLong(0) == 0L).sortBy(_.getInt(1))
+    assert(q0.head.getLong(2) == 5L && q0.head.getDouble(3) == 1.0)
+    assert(q0.last.getDouble(3) >= -1.0 && q0.head.getDouble(3) <= 1.0)
+    // query 3 is the negation of vec 7 -> sim exactly 1.0 with 7
+    val q3 = out.filter(r => r.getLong(0) == 3L && r.getInt(1) == 1)
+    assert(q3.head.getLong(2) == 7L && q3.head.getDouble(3) == 1.0)
+  }
+
+  test("q24 array math: norm and mean") {
+    val dir = tmpDir()
+    writeEmbeddings(dir, (0L, Seq(3f, 4f), 0), (1L, Seq(0f, 0f), 0))
+    val out = Similarity.q24MultimodalCols(spark, dir).collect()
+    assert(out(0).getLong(1) == 2L && out(0).getDouble(2) == 5.0 && out(0).getDouble(3) == 3.5)
+    assert(out(1).getDouble(2) == 0.0)
+  }
+
+  test("q20 exact dedup: min doc_id survives per text; idempotent") {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (5L, "same text here", "en", "s1", 1L),
+      (2L, "same text here", "de", "s2", 1L),
+      (9L, "different", "en", "s3", 1L))
+    val out = TextOps.q20DocDedupExact(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 9L))
+    // idempotence: dedup of the surviving set changes nothing
+    val dir2 = tmpDir()
+    writeDocuments(dir2,
+      (2L, "same text here", "de", "s2", 1L), (9L, "different", "en", "s3", 1L))
+    assert(TextOps.q20DocDedupExact(spark, dir2).collect().map(_.getLong(0)).toSeq == Seq(2L, 9L))
+  }
+
+  test("q23 text stats: stopwords removed, rank by count desc then term") {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (1L, "the cat cat dog", "en", "s", 1L),
+      (2L, "dog cat the the", "en", "s", 1L))
+    val out = TextOps.q23TextStats(spark, dir).collect()
+    assert(out.map(r => (r.getInt(1), r.getString(2), r.getLong(3))).toSeq ==
+      Seq((1, "cat", 3L), (2, "dog", 2L)))
+  }
+}
