@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Events, Relational, Similarity, TextOps}
+import graft.ops.{Events, Relational, Similarity, Sketches, TextOps, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory)
   * and §7 (build plan). Each `queries` key is one declared operator;
@@ -55,6 +55,15 @@ object SparkEntry {
     "q22_topk_cosine" -> (Similarity.q22TopkCosine _),
     "q23_text_stats" -> (TextOps.q23TextStats _),
     "q24_multimodal_cols" -> (Similarity.q24MultimodalCols _),
+    "q25_minhash_neardup" -> (Sketches.q25MinhashNeardup _),
+    "q26_simhash_neardup" -> (Sketches.q26SimhashNeardup _),
+    "q27_lang_id" -> (TrainingData.q27LangId _),
+    "q28_quality_score" -> (TrainingData.q28QualityScore _),
+    "q29_token_count" -> (TrainingData.q29TokenCount _),
+    "q30_fingerprint" -> (TrainingData.q30Fingerprint _),
+    "q31_embed_neardup" -> (Similarity.q31EmbedNeardup _),
+    "q32_ivf_ann" -> (Similarity.q32IvfAnn _),
+    "q33_multimodal_stub" -> (TrainingData.q33MultimodalStub _),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -186,5 +195,76 @@ object SparkEntry {
       ("WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v, len(embedding) AS dim FROM embeddings) " +
         "SELECT vec_id, CAST(dim AS BIGINT) AS dim, round(sqrt(sum(v*v)), 4) AS norm, " +
         "round(sum(v)/dim, 4) AS mean FROM x GROUP BY vec_id, dim ORDER BY vec_id"),
+    // q25/q26 are xxhash64-sketch-based — not expressible in DuckDB SQL;
+    // declared without oracle (their exact-verify tail bounds them by q21).
+    "q27_lang_id" ->
+      ("WITH f AS (SELECT doc_id, lang, " +
+        "round(CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE) / " +
+        "length(regexp_replace(lower(text), '[^a-z]', '', 'g')), 4) AS vowel_ratio, " +
+        "round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / " +
+        "len(string_split(text, ' ')), 4) AS avg_tok_len FROM documents) " +
+        "SELECT doc_id, lang, vowel_ratio, avg_tok_len, " +
+        "CASE WHEN vowel_ratio >= 0.42 THEN 'vowel-heavy' WHEN vowel_ratio >= 0.36 THEN 'balanced' " +
+        "ELSE 'consonant-heavy' END AS pred_class FROM f ORDER BY doc_id"),
+    "q28_quality_score" ->
+      ("WITH f AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(length(text) AS BIGINT) AS n_chars_text, " +
+        "round(CAST(length(replace(text, ' ', '')) AS DOUBLE)/len(string_split(text, ' ')), 4) AS avg_tok_len, " +
+        "round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)" +
+        "/len(string_split(text, ' ')), 4) AS stop_ratio FROM documents) " +
+        "SELECT doc_id, n_tokens, n_chars_text, avg_tok_len, stop_ratio, " +
+        "round(2.0*stop_ratio + CASE WHEN avg_tok_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END + " +
+        "CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1.0 ELSE 0.0 END, 4) AS score FROM f ORDER BY doc_id"),
+    "q29_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_runs, " +
+        "CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS digit_runs, " +
+        "CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS other_chars " +
+        "FROM documents ORDER BY doc_id"),
+    "q30_fingerprint" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, " +
+        "generate_subscripts(string_split(text, ' '), 1) AS idx FROM documents), " +
+        "f AS (SELECT doc_id, CAST(sum(idx*(ascii(substring(tok, 1, 1))*31 + length(tok))) % 1000000007 AS BIGINT) AS fp " +
+        "FROM t GROUP BY doc_id) " +
+        "SELECT f.doc_id, fp, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM f JOIN documents d ON f.doc_id = d.doc_id ORDER BY f.doc_id"),
+    "q31_embed_neardup" ->
+      ("WITH p AS (SELECT a.vec_id va, b.vec_id vb, a.embedding ea, b.embedding eb " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id), " +
+        "x AS (SELECT va, vb, unnest(ea) ax, unnest(eb) bx FROM p), " +
+        "d AS (SELECT va, vb, sum(CAST(ax AS DOUBLE)*CAST(bx AS DOUBLE)) dot, " +
+        "sqrt(sum(CAST(ax AS DOUBLE)*CAST(ax AS DOUBLE))) na, " +
+        "sqrt(sum(CAST(bx AS DOUBLE)*CAST(bx AS DOUBLE))) nb FROM x GROUP BY va, vb) " +
+        "SELECT va AS vec_a, vb AS vec_b, round(dot/(na*nb), 4) AS sim FROM d " +
+        "ORDER BY sim DESC, vec_a, vec_b LIMIT 20"),
+    "q32_ivf_ann" ->
+      ("WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8), " +
+        "q0 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), " +
+        "t0 AS (SELECT vec_id AS tid, embedding AS te FROM embeddings WHERE vec_id >= 5), " +
+        "tcx AS (SELECT tid, cid, unnest(te) tx, unnest(ce) cx FROM t0, c), " +
+        "tc AS (SELECT tid, cid, sum(CAST(tx AS DOUBLE)*CAST(cx AS DOUBLE)) dot, " +
+        "sqrt(sum(CAST(tx AS DOUBLE)*CAST(tx AS DOUBLE))) tn, sqrt(sum(CAST(cx AS DOUBLE)*CAST(cx AS DOUBLE))) cn " +
+        "FROM tcx GROUP BY tid, cid), " +
+        "ta AS (SELECT tid, cid FROM (SELECT tid, cid, row_number() OVER (PARTITION BY tid " +
+        "ORDER BY round(dot/(tn*cn), 4) DESC, cid) rn FROM tc) WHERE rn = 1), " +
+        "qcx AS (SELECT qid, cid, unnest(qe) qx, unnest(ce) cx FROM q0, c), " +
+        "qc AS (SELECT qid, cid, sum(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE)) dot, " +
+        "sqrt(sum(CAST(qx AS DOUBLE)*CAST(qx AS DOUBLE))) qn, sqrt(sum(CAST(cx AS DOUBLE)*CAST(cx AS DOUBLE))) cn " +
+        "FROM qcx GROUP BY qid, cid), " +
+        "qa AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY round(dot/(qn*cn), 4) DESC, cid) rn FROM qc) WHERE rn = 1), " +
+        "px AS (SELECT q0.qid, t0.tid, unnest(q0.qe) qx, unnest(t0.te) tx " +
+        "FROM q0 JOIN qa USING (qid) JOIN ta ON qa.cid = ta.cid JOIN t0 ON t0.tid = ta.tid), " +
+        "d AS (SELECT qid, tid, sum(CAST(qx AS DOUBLE)*CAST(tx AS DOUBLE)) dot, " +
+        "sqrt(sum(CAST(qx AS DOUBLE)*CAST(qx AS DOUBLE))) qn, sqrt(sum(CAST(tx AS DOUBLE)*CAST(tx AS DOUBLE))) tn " +
+        "FROM px GROUP BY qid, tid), " +
+        "r AS (SELECT qid, tid, round(dot/(qn*tn), 4) AS sim, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY round(dot/(qn*tn), 4) DESC, tid) AS rk FROM d) " +
+        "SELECT qid, rk, tid, sim FROM r WHERE rk <= 10 ORDER BY qid, rk"),
+    "q33_multimodal_stub" ->
+      ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +
+        "CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte, " +
+        "round((octet_length(CAST(text AS BLOB)) % 97)/97.0, 4) AS feat0, " +
+        "round((ascii(substring(text, 1, 1)) % 31)/31.0, 4) AS feat1 FROM documents ORDER BY doc_id"),
   )
 }

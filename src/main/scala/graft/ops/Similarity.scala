@@ -18,14 +18,41 @@ object Similarity {
     * matches the oracle's per-row unnest+sum, keeping float results
     * bit-identical across engines.
     */
-  private def foldSum(arr: Column): Column =
+  private[ops] def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  private def dot(a: Column, b: Column): Column =
+  private[ops] def dot(a: Column, b: Column): Column =
     foldSum(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))
 
-  private def norm(a: Column): Column =
+  private[ops] def norm(a: Column): Column =
     sqrt(foldSum(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType))))
+
+  /** Docs as sorted dense-int token-set arrays (+ set size) — the shared
+    * front end of the exact (q21) and MinHash-LSH (q25) near-dup joins.
+    */
+  private[ops] def docTokenSets(spark: SparkSession, dir: String): DataFrame = {
+    val docToks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val vocab = docToks.select("tok").distinct()
+      .withColumn("tok_id", row_number().over(Window.orderBy("tok")) - 1)
+    docToks.join(broadcast(vocab), "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("tok_id"))).as("toks"))
+      .withColumn("sz", size(col("toks")))
+  }
+
+  /** Attach token sets to bare (doc_a, doc_b) candidate pairs and keep
+    * those with exact Jaccard ≥ threshold — the shared verification tail
+    * of q21/q25. Candidates must arrive deduplicated.
+    */
+  private[ops] def verifyJaccard(cands: DataFrame, toks: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("sz").as("sa")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("sz").as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType) / (col("sa") + col("sb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round4(col("jaccard")).as("jaccard"))
 
   /** E2 — exact near-duplicate pairs (token-set Jaccard ≥ 0.8) via
     * prefix filtering (AllPairs/PPJoin family), engineered so every
@@ -49,14 +76,7 @@ object Similarity {
     */
   def q21JaccardNeardup(spark: SparkSession, dir: String): DataFrame = {
     val threshold = 0.8
-    val docToks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val vocab = docToks.select("tok").distinct()
-      .withColumn("tok_id", row_number().over(Window.orderBy("tok")) - 1)
-    val toks = docToks.join(broadcast(vocab), "tok")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("tok_id"))).as("toks"))
-      .withColumn("sz", size(col("toks")))
+    val toks = docTokenSets(spark, dir)
     val prefLen = (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")
     val pref = toks
       .withColumn("tok_id", explode(slice(col("toks"), lit(1), prefLen)))
@@ -67,15 +87,7 @@ object Similarity {
           col("b.sz") <= floor(col("a.sz") / lit(threshold)))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val pairs = cands
-      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("sz").as("sa")), "doc_a")
-      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("sz").as("sb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
-      .withColumn("jaccard", col("inter").cast(DoubleType) / (col("sa") + col("sb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-    pairs
-      .select(col("doc_a"), col("doc_b"), round4(col("jaccard")).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    verifyJaccard(cands, toks, threshold).orderBy("doc_a", "doc_b")
   }
 
   /** E3 — top-k cosine similarity search, brute-force exact baseline:
@@ -98,6 +110,66 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
     corpus.crossJoin(broadcast(queries))
       .withColumn("sim", sim)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("qid", "rk", "tid", "sim")
+      .orderBy("qid", "rk")
+  }
+
+  /** Embedding-cosine near-dup: the top-20 most-similar vector pairs
+    * (global, exact). The testdata corpus has no pairs above any fixed
+    * threshold (max pairwise cosine ≈ 0.51), so the declared query ranks
+    * instead of thresholding — same operator, always-nonempty output.
+    * Exact all-pairs is O(n²) and gated to test scale; at 100 TB the
+    * same ranking runs over IVF/LSH buckets (q32's partition pruning) so
+    * only same-bucket pairs are scored.
+    */
+  def q31EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      .withColumn("na", norm(col("ea")))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      .withColumn("nb", norm(col("eb")))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", round4(dot(col("ea"), col("eb")) / (col("na") * col("nb"))))
+      .select("vec_a", "vec_b", "sim")
+      .orderBy(desc("sim"), col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  /** IVF-style approximate nearest neighbor: the 100 TB scale path for
+    * q22. Vectors vec_id < 8 act as fixed "trained" centroids; every
+    * vector is assigned to its nearest centroid (rounded-sim argmax,
+    * centroid-id tie-break — deterministic), and each query searches
+    * ONLY its own cluster: with K balanced clusters the scored candidate
+    * set shrinks K-fold, and on a real cluster the assignment becomes the
+    * partitioning key so a query touches one partition instead of all.
+    * Same output shape as q22; results may differ from exact — that is
+    * the accuracy/cost trade being demonstrated (and oracle-checked).
+    */
+  def q32IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .withColumn("cn", norm(col("ce")))
+    def assign(side: DataFrame, idCol: String, vecCol: String): DataFrame = {
+      val simToCent = round4(dot(col(vecCol), col("ce")) / (norm(col(vecCol)) * col("cn")))
+      val w = Window.partitionBy(idCol).orderBy(desc("csim"), asc("cid"))
+      side.crossJoin(broadcast(cents))
+        .withColumn("csim", simToCent)
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .drop("ce", "cn", "csim", "crn")
+    }
+    val queries = assign(
+      e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      "qid", "qe").withColumnRenamed("cid", "qcid").withColumn("qn", norm(col("qe")))
+    val targets = assign(
+      e.filter(col("vec_id") >= 5).select(col("vec_id").as("tid"), col("embedding").as("te")),
+      "tid", "te").withColumn("tn", norm(col("te")))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
+    targets.join(broadcast(queries), col("cid") === col("qcid"))
+      .withColumn("sim", round4(dot(col("qe"), col("te")) / (col("qn") * col("tn"))))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
       .select("qid", "rk", "tid", "sim")

@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType}
+
+/** Training-data pipeline text/multimodal operators beyond the
+  * reference's surface: language-ID heuristics, quality scoring, token
+  * counting, document fingerprinting, and the multimodal binary-column
+  * decode plumbing. All row-local (no shuffle) except the final
+  * ORDER BY — they scale linearly and pipeline inside one codegen stage.
+  */
+object TrainingData {
+  import Det._
+
+  /** q27 — n-gram-heuristic language ID: character-class profile
+    * features (vowel ratio, average token length) and a deterministic
+    * CASE classifier over the ROUNDED features (so the class boundary is
+    * computed on identical doubles in Spark and the oracle). A real
+    * system swaps the CASE for per-language n-gram profile tables —
+    * same plan shape: row-local feature extraction + lookup.
+    */
+  def q27LangId(spark: SparkSession, dir: String): DataFrame = {
+    val letters = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+    val vowels = length(regexp_replace(lower(col("text")), "[^aeiou]", ""))
+    val nTok = size(split(col("text"), " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        round4(vowels.cast("double") / letters).as("vowel_ratio"),
+        round4(letters.cast("double") / nTok).as("avg_tok_len"))
+      .withColumn("pred_class",
+        when(col("vowel_ratio") >= 0.42, "vowel-heavy")
+          .when(col("vowel_ratio") >= 0.36, "balanced")
+          .otherwise("consonant-heavy"))
+      .orderBy("doc_id")
+  }
+
+  /** q28 — document quality scoring: token/char counts, average token
+    * length, stopword ratio, and a composite score — the
+    * length/punct/stopword heuristics every pretraining-data filter
+    * starts from.
+    */
+  def q28QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val isStop = (t: org.apache.spark.sql.Column) =>
+      TextOps.Stopwords.map(t === _).reduce(_ || _)
+    val nTok = size(toks).cast(LongType)
+    val stopRatio = size(filter(toks, t => isStop(t))).cast("double") / size(toks)
+    val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("double") / size(toks)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        nTok.as("n_tokens"),
+        length(col("text")).cast(LongType).as("n_chars_text"),
+        round4(avgTokLen).as("avg_tok_len"),
+        round4(stopRatio).as("stop_ratio"))
+      .withColumn("score", round4(
+        lit(2.0) * col("stop_ratio")
+          + when(col("avg_tok_len").between(3.0, 8.0), 1.0).otherwise(0.0)
+          + when(col("n_tokens").between(20L, 500L), 1.0).otherwise(0.0)))
+      .orderBy("doc_id")
+  }
+
+  /** q29 — token counting: whitespace tokens plus a BPE-ish regex split
+    * (alpha runs / digit runs / single other-chars) — the standard cheap
+    * proxy for tokenizer cost before running a real BPE.
+    */
+  def q29TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).cast(LongType).as("alpha_runs"),
+        regexp_count(col("text"), lit("[0-9]+")).cast(LongType).as("digit_runs"),
+        regexp_count(col("text"), lit("[^a-z0-9 ]")).cast(LongType).as("other_chars"))
+      .orderBy("doc_id")
+
+  /** q30 — document fingerprint: position-weighted integer hash
+    * Σ (i+1)·(ascii(tok[0])·31 + len(tok)) mod 1e9+7 — order-sensitive
+    * (unlike a bag-of-words hash) yet exact-integer reproducible in any
+    * engine; the cheap building block for shingle/rolling-hash dedup.
+    */
+  def q30Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val terms = transform(toks, (t, i) =>
+      (i + 1).cast(LongType) * (ascii(substring(t, 1, 1)).cast(LongType) * 31L + length(t).cast(LongType)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (aggregate(terms, lit(0L), (acc, x) => acc + x) % 1000000007L).as("fp"),
+        size(toks).cast(LongType).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** q33 — multimodal binary-column plumbing: documents' text bytes stand
+    * in for an opaque media payload (`binary` column + typed metadata),
+    * processed per-partition through a typed Dataset — the exact shape a
+    * real image/audio decode takes on Spark (batch iterator in,
+    * feature rows out; at 100 TB the payload column never leaves the
+    * executor). The decode itself is a clearly-marked deterministic STUB
+    * (no codec libraries in this container); everything around it —
+    * schema, encoders, partition iteration, feature output — is real.
+    */
+  def q33MultimodalStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .as[(Long, Array[Byte])]
+    val decoded = bin.mapPartitions { it =>
+      it.map { case (docId, payload) =>
+        // STUB decode: a real implementation would run the media codec
+        // here (javax.imageio / ffmpeg bindings); features are derived
+        // deterministically from the bytes so the oracle can check the
+        // plumbing end-to-end.
+        val nBytes = payload.length.toLong
+        val firstByte = (if (payload.nonEmpty) payload(0) & 0xFF else 0).toLong
+        (docId, nBytes, firstByte, (nBytes % 97L) / 97.0, (firstByte % 31L) / 31.0)
+      }
+    }.toDF("doc_id", "n_bytes", "first_byte", "feat0", "feat1")
+    decoded
+      .withColumn("feat0", round4(col("feat0")))
+      .withColumn("feat1", round4(col("feat1")))
+      .orderBy("doc_id")
+  }
+}

@@ -21,7 +21,8 @@ class EngineSmokeSpec extends SparkSpecBase {
   /** Query keys intentionally without a DuckDB oracle (non-SQL-expressible
     * sketch/sampling ops) — the driver records a weaker rows-only check.
     */
-  private val OracleFree: Set[String] = Set()
+  private val OracleFree: Set[String] =
+    Set("q25_minhash_neardup", "q26_simhash_neardup")
 
   test("entry returns rows on a vanilla session") {
     assert(SparkEntry.entry(spark).count() > 0)

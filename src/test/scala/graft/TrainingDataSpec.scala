@@ -1,0 +1,111 @@
+package graft
+
+import graft.ops.{Similarity, Sketches, TrainingData}
+
+/** Specs for the sketch + training-data extension operators. */
+class TrainingDataSpec extends SparkSpecBase {
+
+  private def docsFixture(): String = {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (1L, "a b c d e f g h i j", "en", "s", 10L),
+      (2L, "a b c d e f g h i j", "en", "s", 10L), // identical to 1
+      (3L, "a b c d e f g h i k", "en", "s", 10L), // j=9/11=0.818
+      (4L, "z y x w v u t s r q", "en", "s", 10L)) // unrelated
+    dir
+  }
+
+  test("q25 minhash-lsh: identical docs always collide; output ⊆ exact q21") {
+    val dir = docsFixture()
+    val lsh = Sketches.q25MinhashNeardup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.q21JaccardNeardup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((1L, 2L))) // identical signature -> every band collides
+    assert(lsh.subsetOf(exact)) // exact-verify tail: zero false positives
+  }
+
+  test("q26 simhash: identical docs at hamming 0; unrelated docs absent") {
+    val dir = docsFixture()
+    val out = Sketches.q26SimhashNeardup(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out((1L, 2L)) == 0L)
+    assert(!out.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("q27 lang-id features are deterministic and bounded") {
+    val dir = tmpDir()
+    writeDocuments(dir, (1L, "aa bb ee oo", "en", "s", 1L))
+    val r = TrainingData.q27LangId(spark, dir).collect().head
+    assert(r.getDouble(2) == 0.75) // vowels aaeeoo / letters aabbeeoo
+    assert(r.getDouble(3) == 2.0)
+    assert(r.getString(4) == "vowel-heavy")
+  }
+
+  test("q28 quality score components") {
+    val dir = tmpDir()
+    // 4 tokens, 1 stopword, avg token len (3+3+3+3)/4=3.0
+    writeDocuments(dir, (1L, "the cat dog fox", "en", "s", 1L))
+    val r = TrainingData.q28QualityScore(spark, dir).collect().head
+    assert(r.getLong(1) == 4L)
+    assert(r.getDouble(3) == 3.0) // chars sans spaces = 12 / 4
+    assert(r.getDouble(4) == 0.25)
+    assert(r.getDouble(5) == 2.0 * 0.25 + 1.0 + 0.0)
+  }
+
+  test("q29 token counts: ws vs regex runs") {
+    val dir = tmpDir()
+    writeDocuments(dir, (1L, "ab1 cd2e f", "en", "s", 1L))
+    val r = TrainingData.q29TokenCount(spark, dir).collect().head
+    assert(r.getLong(1) == 3L) // ws tokens
+    assert(r.getLong(2) == 4L) // ab, cd, e, f
+    assert(r.getLong(3) == 2L) // 1, 2
+    assert(r.getLong(4) == 0L)
+  }
+
+  test("q30 fingerprint is position-sensitive") {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (1L, "ab cd", "en", "s", 1L),
+      (2L, "cd ab", "en", "s", 1L), // same bag, different order
+      (3L, "ab cd", "en", "s", 1L)) // same as 1
+    val out = TrainingData.q30Fingerprint(spark, dir).collect()
+    val fp = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L))
+    // hand-check doc 1: 1*(97*31+2) + 2*(99*31+2) = 3009 + 6142
+    assert(fp(1L) == (1L * (97 * 31 + 2) + 2L * (99 * 31 + 2)) % 1000000007L)
+  }
+
+  test("q31 top similar pairs finds an exact duplicate vector at sim 1.0") {
+    val dir = tmpDir()
+    val v = Seq(1f, 2f, 3f, 4f)
+    writeEmbeddings(dir, (0L, v, 0), (1L, v, 0), (2L, Seq(-4f, 3f, -2f, 1f), 0),
+      (3L, Seq(0.1f, 0.2f, 0.3f, 0.4f), 0))
+    val top = Similarity.q31EmbedNeardup(spark, dir).collect().head
+    // (0,1) identical and (0,3)/(1,3) colinear all have sim 1.0; (0,1) wins tie order
+    assert((top.getLong(0), top.getLong(1)) == (0L, 1L) && top.getDouble(2) == 1.0)
+  }
+
+  test("q32 ivf restricts search to the query's cluster") {
+    val dir = tmpDir()
+    // centroids are vec_id < 8 (here: all vectors); queries < 5; targets >= 5
+    val rows = (0L to 9L).map { i =>
+      val base = if (i % 2 == 0) Seq(1f, 0f, 0f, 0f) else Seq(0f, 1f, 0f, 0f)
+      (i, base.map(x => x + (i / 100.0f)), 0)
+    }
+    writeEmbeddings(dir, rows: _*)
+    val out = Similarity.q32IvfAnn(spark, dir).collect()
+    // queries on the even axis only ever see even-axis targets
+    for (r <- out if r.getLong(0) % 2 == 0) assert(r.getLong(2) % 2 == 0)
+    for (r <- out if r.getLong(0) % 2 == 1) assert(r.getLong(2) % 2 == 1)
+  }
+
+  test("q33 multimodal stub: byte metadata matches payload") {
+    val dir = tmpDir()
+    writeDocuments(dir, (1L, "abc", "en", "s", 3L))
+    val r = TrainingData.q33MultimodalStub(spark, dir).collect().head
+    assert(r.getLong(1) == 3L)
+    assert(r.getLong(2) == 'a'.toLong)
+  }
+}
