@@ -1,0 +1,158 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's full ingest pipeline (reference main.py:69-184
+  * `data_cleanser` + the surrounding lambda_handler flow) re-expressed as
+  * one declarative Spark plan: exercise-bike log lines in → `users` and
+  * `rides` tables out.
+  *
+  * The reference is a single-threaded Python loop carrying mutable
+  * session state across lines (main.py:77-94,107-114). Here every piece
+  * of that state becomes a window function over (stream, offset) order:
+  *
+  *  - ride separator marker (main.py:99)        → running marker count = ride_id (W1)
+  *  - last-seen duration/resistance/telemetry
+  *    variables (main.py:140-153)               → forward-fill windows (W2)
+  *  - `existing_user` first-wins set
+  *    (main.py:85,131-132)                      → row_number over user window (J6)
+  *  - `sql_list[1:-1]` boundary trim
+  *    (main.py:175)                             → min/max ride_id anti-filter (A4)
+  *
+  * INTENDED semantics are implemented, not the reference's bugs
+  * (SURVEY.md §4.3): per-ride averages use real samples only (not
+  * zero-seeded forward fills, main.py:153); start_time = session
+  * min(ts) (not the 2nd collected value, main.py:171); ages are
+  * anchored to the batch's max timestamp, never wall clock.
+  *
+  * Scale: the log is partitioned by `stream` (bike/source id — the
+  * Kafka partition key) and every window partitions by it, so state
+  * never crosses executors and no global ordering is required. The
+  * reference's whole-topic-in-memory drain (main.py:47) disappears.
+  */
+object DelotonPipeline {
+
+  /** Raw Kafka-batch schema: one row per message, offset-ordered within
+    * a stream (Kafka partition). `value` is the message JSON
+    * `{"log": "<line>"}` (main.py:53).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("stream", StringType),
+    StructField("offset", LongType),
+    StructField("value", StringType)))
+
+  private val honorifics = "^(Mr|Ms|Dr|Mrs|Miss)\\s+" // main.py:75 stop_words
+  private val numberRx = "\\d+\\.?\\d*" // main.py:74 numbers_regex
+
+  private def field(name: String): Column = // python-dict literal field
+    regexp_extract(col("log"), s"'$name': '([^']*)'", 1)
+  private def numField(name: String): Column =
+    regexp_extract(col("log"), s"'$name': (-?\\d+)", 1).cast(LongType)
+
+  /** Last number on the line (the reference's positional
+    * `numbers_regex.findall(...)[-k]`, main.py:141-150).
+    */
+  private def numAt(k: Int): Column =
+    element_at(regexp_extract_all(col("log"), lit(numberRx), lit(0)), k).cast(DoubleType)
+
+  /** Parse + sessionize the raw messages: adds line timestamp, line-type
+    * flags and the running `ride_id` (count of ride-separator markers so
+    * far within the stream).
+    */
+  def parsed(raw: DataFrame): DataFrame = {
+    val w = Window.partitionBy("stream").orderBy("offset")
+    raw
+      .withColumn("log", get_json_object(col("value"), "$.log"))
+      .withColumn("ts", to_timestamp(substring(col("log"), 1, 23), "yyyy-MM-dd HH:mm:ss.SSS"))
+      .withColumn("is_marker", col("log").contains("--------- beginning of a new ride"))
+      .withColumn("is_start", col("log").contains("Getting user data from server"))
+      .withColumn("is_user", col("log").contains("data = "))
+      .withColumn("is_ride", col("log").contains("Ride - "))
+      .withColumn("is_telemetry", col("log").contains("Telemetry -"))
+      .withColumn("ride_id",
+        sum(when(col("is_marker"), 1).otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** `users` table (reference main.py:127-137): parsed from the
+    * python-dict-literal user lines, honorific-stripped, postcode from
+    * the last address field, epoch-ms dates converted, first occurrence
+    * of each user_id wins.
+    */
+  def users(raw: DataFrame): DataFrame = {
+    val u = parsed(raw).filter(col("is_user"))
+      .select(col("stream"), col("offset"), col("ts"),
+        numField("user_id").as("user_id"),
+        regexp_replace(field("name"), honorifics, "").as("name"),
+        field("gender").as("gender"),
+        numField("date_of_birth").as("dob_ms"),
+        numField("height_cm").cast(IntegerType).as("height"),
+        numField("weight_kg").cast(IntegerType).as("weight"),
+        numField("account_create_date").as("acd_ms"),
+        field("original_source").as("original_source"),
+        element_at(split(field("address"), ","), -1).as("postcode"))
+    // age anchored to the batch max ts — wall-clock now() (main.py:130)
+    // would make the output nondeterministic
+    val anchor = u.agg(max(col("ts")).as("anchor_ts"))
+    val firstWins = Window.partitionBy("user_id").orderBy("ts", "offset")
+    u.crossJoin(broadcast(anchor))
+      .withColumn("rn", row_number().over(firstWins))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("name"), col("gender"),
+        (year(col("anchor_ts")) - year(timestamp_millis(col("dob_ms")))).as("age"),
+        col("height"), col("weight"),
+        timestamp_millis(col("acd_ms")).as("account_created"),
+        col("original_source"), col("postcode"))
+  }
+
+  /** `rides` table (reference main.py:140-182): one row per ride with
+    * intended semantics — start = session min(ts), duration = last
+    * 'Ride -' sample, averages over the real samples of each kind only,
+    * first and last ride of the batch trimmed (A4, main.py:175).
+    */
+  def rides(raw: DataFrame): DataFrame = {
+    val p = parsed(raw)
+    val byRide = p.filter(!col("is_marker"))
+      .withColumn("duration", when(col("is_ride"), numAt(-2)))
+      .withColumn("resistance", when(col("is_ride"), numAt(-1).cast(IntegerType)))
+      .withColumn("hrt", when(col("is_telemetry"), numAt(-3).cast(IntegerType)))
+      .withColumn("rpm", when(col("is_telemetry"), numAt(-2)))
+      .withColumn("power", when(col("is_telemetry"), numAt(-1)))
+      .withColumn("user_id", when(col("is_user"), numField("user_id")))
+    // full-frame window: every row of a ride sees the ride's final
+    // duration (a bare groupBy last() would be row-order-nondeterministic)
+    val fullRide = Window.partitionBy("stream", "ride_id").orderBy("ts", "offset")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val agg = byRide
+      .withColumn("final_duration", last(col("duration"), ignoreNulls = true).over(fullRide))
+      .groupBy("stream", "ride_id")
+      .agg(
+        min(col("ts")).as("start_time"),
+        max(col("final_duration")).as("duration"),
+        avg(col("resistance")).as("avg_resistance"),
+        avg(col("rpm")).as("avg_rpm"),
+        avg(col("power")).as("avg_power"),
+        avg(col("hrt")).as("avg_hrt"),
+        max(col("user_id")).as("user_id"))
+      .filter(col("user_id").isNotNull)
+    // boundary trim (main.py:175): first and last ride of each stream are
+    // potentially cut off by the batch window — drop them
+    val bounds = agg.groupBy("stream")
+      .agg(min("ride_id").as("lo"), max("ride_id").as("hi"))
+    agg.join(broadcast(bounds), "stream")
+      .filter(col("ride_id") > col("lo") && col("ride_id") < col("hi"))
+      .select("stream", "ride_id", "start_time", "duration",
+        "avg_resistance", "avg_rpm", "avg_power", "avg_hrt", "user_id")
+  }
+
+  /** Idempotent-insert primitive (reference sql_wrapper.py:44's
+    * ON CONFLICT DO NOTHING): keep only rows whose key is not already in
+    * the target — the J5 anti-join pattern; with a checkpointed source
+    * this gives effectively-once delivery.
+    */
+  def upsertNew(incoming: DataFrame, existing: DataFrame, key: String): DataFrame =
+    incoming.join(existing.select(key), Seq(key), "left_anti")
+}
