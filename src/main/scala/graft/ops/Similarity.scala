@@ -43,16 +43,21 @@ object Similarity {
 
   /** Attach token sets to bare (doc_a, doc_b) candidate pairs and keep
     * those with exact Jaccard ≥ threshold — the shared verification tail
-    * of q21/q25. Candidates must arrive deduplicated.
+    * of q21/q25. Candidates must arrive deduplicated. The intersection
+    * size uses the engine's native codegen'd merge-scan expression
+    * ([[graft.functions.SortedIntersectCount]]) — the token sets are
+    * sorted distinct ints by construction.
     */
-  private[ops] def verifyJaccard(cands: DataFrame, toks: DataFrame, threshold: Double): DataFrame =
+  private[ops] def verifyJaccard(cands: DataFrame, toks: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(cands.sparkSession)
     cands
       .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("sz").as("sa")), "doc_a")
       .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("sz").as("sb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("inter", call_function("sorted_intersect_count", col("ta"), col("tb")))
       .withColumn("jaccard", col("inter").cast(DoubleType) / (col("sa") + col("sb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round4(col("jaccard")).as("jaccard"))
+  }
 
   /** E2 — exact near-duplicate pairs (token-set Jaccard ≥ 0.8) via
     * prefix filtering (AllPairs/PPJoin family), engineered so every
