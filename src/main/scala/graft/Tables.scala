@@ -110,6 +110,13 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents", documentsSchema)
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings", embeddingsSchema)
 
+  /** All table loaders by name (catalog registration, generic tools). */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "region" -> (region _), "nation" -> (nation _), "customer" -> (customer _),
+    "supplier" -> (supplier _), "part" -> (part _), "orders" -> (orders _),
+    "lineitem" -> (lineitem _), "events" -> (events _),
+    "documents" -> (documents _), "embeddings" -> (embeddings _))
+
   /** `events` with `ts` converted to microsecond TimestampType.
     *
     * `ts div 1000` (integer division on longs) is deliberate: routing the

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming layer (SURVEY.md §2.8): the reference's
+  * Lambda-drains-Kafka-then-exits ingest (reference main.py:45-66,
+  * 200-209) and its session/state semantics, as checkpointed streaming
+  * jobs.
+  *
+  *  - bounded drain  → `Trigger.AvailableNow` + checkpoint (exactly the
+  *    reference's "consume everything then stop", but restartable and
+  *    effectively-once instead of at-least-once)
+  *  - ride sessions  → `session_window` gap sessions (the streaming
+  *    dual of the batch q13 window)
+  *  - mutable per-user state (main.py:77-94) → `flatMapGroupsWithState`
+  *
+  * Watermarks bound state: at 100 TB/day the session store only holds
+  * windows newer than the watermark delay; everything older is emitted
+  * and dropped.
+  */
+object StreamingOps {
+
+  /** One event row in the streaming-typed API. */
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  /** Bounded drain (S1/S2): stream a file-backed source into a parquet
+    * "bronze" table, processing all available input then stopping —
+    * the reference's poll-until-idle loop with a checkpoint instead of
+    * a manual offset commit. For a real Kafka topic, swap the source for
+    * `readStream.format("kafka")` — the sink/trigger/checkpoint are
+    * identical.
+    */
+  def drainToParquet(spark: SparkSession, srcDir: String, schema: StructType,
+                     outDir: String, checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** Streaming gap sessionization (q13's dual): per-user session
+    * windows closed `gap` after the last event, emitted once the
+    * watermark passes the session end. State per user is bounded by the
+    * watermark delay.
+    */
+  def sessionize(events: DataFrame, gap: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** State for [[forwardFillStream]] — primitive fields (an
+    * Option-typed private class breaks the state encoder's codegen).
+    */
+  case class FillState(hasValue: Boolean, lastPurchase: Double)
+
+  /** Streaming forward-fill (q14's dual): carries the last purchase
+    * value per user across micro-batches via explicit group state —
+    * the reference's mutable `duration/resistance/...` locals
+    * (main.py:140-153) made durable and partitioned. Events inside a
+    * batch are ordered by (ts, event_id) before folding; cross-batch
+    * order is the source's delivery order, as in the reference.
+    */
+  def forwardFillStream(events: Dataset[Ev]): Dataset[(Long, Long, Option[Double])] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FillState, (Long, Long, Option[Double])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[FillState]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption.filter(_.hasValue).map(_.lastPurchase)
+          val out = evs.map { e =>
+            if (e.event_type == "purchase") last = Some(e.value)
+            (e.event_id, uid, last)
+          }
+          state.update(FillState(last.isDefined, last.getOrElse(0.0)))
+          out.iterator
+      }
+  }
+}

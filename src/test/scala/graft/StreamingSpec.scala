@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+/** Real streaming-execution specs: MemoryStream micro-batches through
+  * the session-window and stateful forward-fill ops, and a file-source
+  * AvailableNow drain with checkpoint.
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("drainToParquet: AvailableNow drains everything then stops") {
+    val src = tmpDir(); val out = tmpDir(); val cp = tmpDir()
+    writeEvents(src,
+      (1L, 1704067200L * Ns, 1L, "click", 1.0, "{}"),
+      (2L, 1704067201L * Ns, 2L, "view", 2.0, "{}"))
+    val q = StreamingOps.drainToParquet(spark, s"$src/events.parquet",
+      Tables.eventsRawSchema, s"$out/bronze", s"$cp/cp")
+    q.awaitTermination(60000)
+    assert(!q.isActive) // AvailableNow terminates after the drain
+    assert(spark.read.parquet(s"$out/bronze").count() == 2)
+  }
+
+  test("streaming sessionize: gap windows close and emit past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.sessionize(ms.toDF(), "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    // user 1: two events 10 min apart (one session), then 2h later another
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 1, "view", 2.0),
+      Ev(3, ts("2024-01-01 12:00:00"), 1, "click", 3.0))
+    q.processAllAvailable()
+    // sentinel far in the future pushes the watermark past every session
+    ms.addData(Ev(99, ts("2024-02-01 00:00:00"), 2, "click", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("sessions")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set((1L, 2L), (1L, 1L)))
+  }
+
+  test("streaming forward-fill: state carries across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.forwardFillStream(ms.toDS())
+      .toDF("event_id", "user_id", "value_ff")
+      .writeStream.format("memory").queryName("ff").outputMode("append").start()
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 9.0), // before any purchase
+      Ev(2, ts("2024-01-01 10:01:00"), 1, "purchase", 5.0),
+      Ev(3, ts("2024-01-01 10:02:00"), 1, "click", 9.0))
+    q.processAllAvailable()
+    ms.addData( // second batch: state must remember 5.0
+      Ev(4, ts("2024-01-01 10:03:00"), 1, "view", 9.0),
+      Ev(5, ts("2024-01-01 10:04:00"), 1, "purchase", 7.0),
+      Ev(6, ts("2024-01-01 10:05:00"), 1, "view", 9.0))
+    q.processAllAvailable()
+    val got = spark.table("ff").collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    q.stop()
+    assert(got(1L).isEmpty)
+    assert(got(3L).contains(5.0))
+    assert(got(4L).contains(5.0)) // carried across the batch boundary
+    assert(got(6L).contains(7.0))
+  }
+}
