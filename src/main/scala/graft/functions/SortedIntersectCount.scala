@@ -86,3 +86,17 @@ object GraftFunctions {
       exprs => SortedIntersectCount(exprs.head, exprs(1)),
       "built-in")
 }
+
+/** `SparkSessionExtensions` hook so deployments can load the engine's
+  * native functions at session build time
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`) instead of
+  * calling [[GraftFunctions.register]] per session.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))))
+}
