@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Events, Relational, Similarity, Sketches, TextOps, TrainingData}
+import graft.ops.{Analytics, Events, Relational, Similarity, Sketches, TextOps, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory)
   * and §7 (build plan). Each `queries` key is one declared operator;
@@ -64,6 +64,10 @@ object SparkEntry {
     "q31_embed_neardup" -> (Similarity.q31EmbedNeardup _),
     "q32_ivf_ann" -> (Similarity.q32IvfAnn _),
     "q33_multimodal_stub" -> (TrainingData.q33MultimodalStub _),
+    "q34_rollup" -> (Analytics.q34Rollup _),
+    "q35_set_ops" -> (Analytics.q35SetOps _),
+    "q36_window_funcs" -> (Analytics.q36WindowFuncs _),
+    "q37_salted_agg" -> (Analytics.q37SaltedAgg _),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -266,5 +270,27 @@ object SparkEntry {
         "CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte, " +
         "round((octet_length(CAST(text AS BLOB)) % 97)/97.0, 4) AS feat0, " +
         "round((ascii(substring(text, 1, 1)) % 31)/31.0, 4) AS feat1 FROM documents ORDER BY doc_id"),
+    "q34_rollup" ->
+      (s"SELECT l_returnflag, l_linestatus, ${dsum("l_quantity")} AS sum_qty, count(*) AS n_rows " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "q35_set_ops" ->
+      ("WITH hi AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7000), " +
+        "b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') " +
+        "SELECT c_custkey, 'both' AS tag FROM (SELECT c_custkey FROM hi INTERSECT SELECT c_custkey FROM b) " +
+        "UNION ALL SELECT c_custkey, 'only_hi' AS tag FROM (SELECT c_custkey FROM hi EXCEPT SELECT c_custkey FROM b) " +
+        "UNION ALL SELECT c_custkey, 'only_building' AS tag FROM (SELECT c_custkey FROM b EXCEPT SELECT c_custkey FROM hi) " +
+        "ORDER BY c_custkey, tag"),
+    "q36_window_funcs" ->
+      ("SELECT o_orderkey, o_custkey, row_number() OVER wo AS rn, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER wr AS DOUBLE), 4) AS running, " +
+        "lag(o_totalprice, 1) OVER wo AS prev_price, lead(o_orderkey, 1) OVER wo AS next_key " +
+        "FROM orders WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), " +
+        "wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY o_orderkey"),
+    // q37 is semantically q04 computed skew-safely — same oracle, by design
+    "q37_salted_agg" ->
+      (s"SELECT user_id, ${davg("value")} AS avg_value, count(*) AS n_events, max($tsUs) AS max_ts " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
   )
 }

@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Analytics surface beyond the reference's own queries: hierarchical
+  * aggregation (rollup), set operations, the full window-function
+  * vocabulary, and a skew-safe two-phase aggregation — rounding out the
+  * SURVEY.md §2.4/§2.5/§2.7 "absent in reference" rows so a user of the
+  * reference has strictly more, not merely equal, query surface.
+  */
+object Analytics {
+  import Det._
+
+  /** Rollup (hierarchical totals): per (flag,status), per flag, grand
+    * total in one pass — Spark expands the grouping sets and still
+    * aggregates partial+final. NULLS FIRST ordering pinned on both
+    * engines (their defaults differ).
+    */
+  def q34Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round4(exactSum(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Set operations (UNION/INTERSECT/EXCEPT — absent in the reference):
+    * high-balance vs BUILDING-segment customers, tagged by set
+    * membership. INTERSECT/EXCEPT are set-semantic (distinct), matching
+    * SQL.
+    */
+  def q35SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val hi = c.filter(col("c_acctbal") > 7000).select("c_custkey")
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val both = hi.intersect(building).withColumn("tag", lit("both"))
+    val onlyHi = hi.except(building).withColumn("tag", lit("only_hi"))
+    val onlyB = building.except(hi).withColumn("tag", lit("only_building"))
+    both.unionByName(onlyHi).unionByName(onlyB)
+      .orderBy("c_custkey", "tag")
+  }
+
+  /** Window-function vocabulary over orders per customer: row_number,
+    * exact running sum (DECIMAL accumulation — a double running sum is
+    * association-order-dependent and differs between engines), lag and
+    * lead. One shuffle on o_custkey serves all four.
+    */
+  def q36WindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        row_number().over(wOrd).as("rn"),
+        round4(sum(col("o_totalprice").cast(DecimalType(20, 6))).over(wRun).cast(DoubleType)).as("running"),
+        lag(col("o_totalprice"), 1).over(wOrd).as("prev_price"),
+        lead(col("o_orderkey"), 1).over(wOrd).as("next_key"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Skew-safe two-phase aggregation: q04's per-user aggregate computed
+    * via an explicit salt split (phase 1 groups on (key, salt) — a hot
+    * key spreads over 16 reducers; phase 2 merges partials). DECIMAL
+    * partials keep the result bit-identical to the direct aggregation,
+    * so the oracle is q04's own SQL. This is the hand-rolled version of
+    * what AQE's skew mitigation does for joins — for 100 TB group-bys
+    * with power-law keys it is the standard pattern.
+    */
+  def q37SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val partials = Tables.events(spark, dir)
+      .withColumn("_salt", pmod(hash(col("event_id")), lit(16)))
+      .groupBy(col("user_id"), col("_salt"))
+      .agg(
+        sum(col("value").cast(DecimalType(20, 6))).as("psum"),
+        count(lit(1)).as("pcnt"),
+        max("ts").as("pmax"))
+    partials
+      .groupBy("user_id")
+      .agg(
+        round(sum(col("psum")).cast(DoubleType) / sum(col("pcnt")), 4).as("avg_value"),
+        sum(col("pcnt")).as("n_events"),
+        max(col("pmax")).as("max_ts"))
+      .orderBy("user_id")
+  }
+}

@@ -21,6 +21,8 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
 
   override def afterAll(): Unit = () // one JVM for all suites; let it die with the fork
