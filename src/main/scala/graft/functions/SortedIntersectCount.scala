@@ -80,11 +80,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * `call_function` access). Idempotent.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_count",
-      exprs => SortedIntersectCount(exprs.head, exprs(1)),
-      "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("float_vec_dot",
+      exprs => FloatVecDot(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      exprs => MinHashSignature(exprs.head, 32), "built-in")
+  }
 }
 
 /** `SparkSessionExtensions` hook so deployments can load the engine's

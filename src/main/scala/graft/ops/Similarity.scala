@@ -21,11 +21,17 @@ object Similarity {
   private[ops] def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
+  /** Dot product / norm via the native codegen loop
+    * ([[graft.functions.FloatVecDot]]) — same left-to-right double fold
+    * as the zip_with/aggregate formulation (bit-identical results), one
+    * fused loop instead of per-element interpreted lambdas. Callers must
+    * have run GraftFunctions.register on the session.
+    */
   private[ops] def dot(a: Column, b: Column): Column =
-    foldSum(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))
+    call_function("float_vec_dot", a, b)
 
   private[ops] def norm(a: Column): Column =
-    sqrt(foldSum(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType))))
+    sqrt(call_function("float_vec_dot", a, a))
 
   /** Docs as sorted dense-int token-set arrays (+ set size) — the shared
     * front end of the exact (q21) and MinHash-LSH (q25) near-dup joins.
@@ -104,6 +110,7 @@ object Similarity {
     * pruning) is `Sketches.q32IvfAnn`.
     */
   def q22TopkCosine(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -130,6 +137,7 @@ object Similarity {
     * only same-bucket pairs are scored.
     */
   def q31EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
       .withColumn("na", norm(col("ea")))
@@ -153,6 +161,7 @@ object Similarity {
     * the accuracy/cost trade being demonstrated (and oracle-checked).
     */
   def q32IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
@@ -185,11 +194,13 @@ object Similarity {
     * dimensionality via higher-order functions. Purely row-local — no
     * shuffle at all; scales linearly.
     */
-  def q24MultimodalCols(spark: SparkSession, dir: String): DataFrame =
+  def q24MultimodalCols(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         size(col("embedding")).cast(LongType).as("dim"),
         round4(norm(col("embedding"))).as("norm"),
         round4(foldSum(transform(col("embedding"), x => x.cast(DoubleType))) / size(col("embedding"))).as("mean"))
       .orderBy("vec_id")
+  }
 }

@@ -28,10 +28,11 @@ object Sketches {
     */
   def q25MinhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val threshold = 0.8
+    graft.functions.GraftFunctions.register(spark)
     val toks = Similarity.docTokenSets(spark, dir)
-    val sig = transform(sequence(lit(0), lit(NumPerm - 1)),
-      i => aggregate(col("toks"), lit(Long.MaxValue),
-        (acc, t) => least(acc, xxhash64(i, t))))
+    // one codegen'd loop per doc (graft.functions.MinHashSignature) —
+    // the nested-HOF formulation evaluates 32·|toks| interpreted lambdas
+    val sig = call_function("minhash_signature", col("toks"))
     val bands = transform(sequence(lit(0), lit(Bands - 1)),
       b => xxhash64(slice(col("sig"), b * lit(NumPerm / Bands) + 1, lit(NumPerm / Bands))))
     val banded = toks
