@@ -88,6 +88,8 @@ object GraftFunctions {
       exprs => FloatVecDot(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("minhash_signature",
       exprs => MinHashSignature(exprs.head, 32), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
   }
 }
 

@@ -135,3 +135,70 @@ object MinHashSignature {
     z ^ (z >>> 31)
   }
 }
+
+/** `simhash64(toks)`: 64-bit SimHash of an int token-set array — per
+  * token one splitmix64 hash, ±1 votes per bit, sign → bit; the whole
+  * signature in one fused loop (the HOF formulation evaluates 64·|toks|
+  * interpreted lambdas and hashes each token 64 times).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<int>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = MinHashSignature.mix(x.getInt(i) * MinHashSignature.K1 + MinHashSignature.K2)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val votes = ctx.freshName("votes")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |final int $n = $a.numElements();
+         |final int[] $votes = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h = graft.functions.MinHashSignature.mix(
+         |    $a.getInt($i) * ${MinHashSignature.K1}L + ${MinHashSignature.K2}L);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($h >>> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($votes[$j] > 0) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -55,17 +55,12 @@ object Sketches {
   def q26SimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val maxHamming = 3
     val chunks = 4
+    graft.functions.GraftFunctions.register(spark)
     val toks = Similarity.docTokenSets(spark, dir)
-    // bit j of the simhash = 1 iff Σ_tokens (±1 by bit j of xxhash64(tok)) > 0
-    // (shiftright/shiftleft via call_function: the Scala helpers only
-    // accept literal Int shift amounts, not a lambda-bound Column)
-    val simhash = aggregate(
-      transform(sequence(lit(0), lit(63)), j =>
-        when(aggregate(col("toks"), lit(0),
-          (acc, t) => acc + when(call_function("shiftright", xxhash64(t), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)) > 0,
-          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-    val sigs = toks.select(col("doc_id"), simhash.as("simhash"))
+    // bit j of the simhash = sign of Σ_tokens (±1 by bit j of the token
+    // hash) — one fused codegen loop (graft.functions.SimHash64)
+    val sigs = toks.select(col("doc_id"),
+      call_function("simhash64", col("toks")).as("simhash"))
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
         c => call_function("shiftright", col("simhash"), c * lit(64 / chunks)).bitwiseAND(lit(0xFFFFL))))
