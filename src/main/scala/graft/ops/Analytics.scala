@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Analytics surface beyond the reference's own queries: hierarchical
   * aggregation (rollup), set operations, the full window-function
@@ -53,7 +53,7 @@ object Analytics {
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"),
-        row_number().over(wOrd).as("rn"),
+        row_number().over(wOrd).cast(LongType).as("rn"), // BIGINT in DuckDB
         round4(sum(col("o_totalprice").cast(DecimalType(20, 6))).over(wRun).cast(DoubleType)).as("running"),
         lag(col("o_totalprice"), 1).over(wOrd).as("prev_price"),
         lead(col("o_orderkey"), 1).over(wOrd).as("next_key"))

@@ -122,7 +122,7 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
     corpus.crossJoin(broadcast(queries))
       .withColumn("sim", sim)
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast(LongType)) // BIGINT in DuckDB
       .filter(col("rk") <= 10)
       .select("qid", "rk", "tid", "sim")
       .orderBy("qid", "rk")
@@ -184,7 +184,7 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
     targets.join(broadcast(queries), col("cid") === col("qcid"))
       .withColumn("sim", round4(dot(col("qe"), col("te")) / (col("qn") * col("tn"))))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast(LongType)) // BIGINT in DuckDB
       .filter(col("rk") <= 10)
       .select("qid", "rk", "tid", "sim")
       .orderBy("qid", "rk")

@@ -63,7 +63,7 @@ object TextOps {
       .filter(!col("term").isin(Stopwords: _*) && col("term") =!= "")
     val counts = toks.groupBy("lang", "term").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("lang").orderBy(desc("n"), asc("term"))
-    counts.withColumn("rk", row_number().over(w))
+    counts.withColumn("rk", row_number().over(w).cast(LongType)) // BIGINT in DuckDB
       .filter(col("rk") <= 5)
       .select("lang", "rk", "term", "n")
       .orderBy("lang", "rk")

@@ -42,11 +42,11 @@ class SimilaritySpec extends SparkSpecBase {
       (3L, Seq(-1f, -1f, -1f, -1f), 0), (4L, Seq(1f, 1f, 0f, 0f), 0),
       (5L, v, 1), (6L, Seq(0.5f, 0.5f, 0f, 0f), 1), (7L, Seq(-0.5f, -0.5f, -0.5f, -0.5f), 1))
     val out = Similarity.q22TopkCosine(spark, dir).collect()
-    val q0 = out.filter(_.getLong(0) == 0L).sortBy(_.getInt(1))
+    val q0 = out.filter(_.getLong(0) == 0L).sortBy(_.getLong(1))
     assert(q0.head.getLong(2) == 5L && q0.head.getDouble(3) == 1.0)
     assert(q0.last.getDouble(3) >= -1.0 && q0.head.getDouble(3) <= 1.0)
     // query 3 is the negation of vec 7 -> sim exactly 1.0 with 7
-    val q3 = out.filter(r => r.getLong(0) == 3L && r.getInt(1) == 1)
+    val q3 = out.filter(r => r.getLong(0) == 3L && r.getLong(1) == 1L)
     assert(q3.head.getLong(2) == 7L && q3.head.getDouble(3) == 1.0)
   }
 
@@ -79,7 +79,7 @@ class SimilaritySpec extends SparkSpecBase {
       (1L, "the cat cat dog", "en", "s", 1L),
       (2L, "dog cat the the", "en", "s", 1L))
     val out = TextOps.q23TextStats(spark, dir).collect()
-    assert(out.map(r => (r.getInt(1), r.getString(2), r.getLong(3))).toSeq ==
-      Seq((1, "cat", 3L), (2, "dog", 2L)))
+    assert(out.map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSeq ==
+      Seq((1L, "cat", 3L), (2L, "dog", 2L)))
   }
 }

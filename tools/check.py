@@ -59,6 +59,12 @@ def main():
             print(f"FAIL {name}: rows oracle={len(exp)} spark={len(got)}")
             n_fail += 1
             continue
+        dt_diff = [(c, str(exp[c].dtype), str(got[c].dtype)) for c in exp.columns
+                   if str(exp[c].dtype) != str(got[c].dtype)]
+        if dt_diff:
+            print(f"FAIL {name}: dtype mismatch (oracle vs spark): {dt_diff}")
+            n_fail += 1
+            continue
         diff_cols = []
         for c in exp.columns:
             a, b = exp[c], got[c]
