@@ -47,4 +47,17 @@ class PlanQualitySpec extends SparkSpecBase {
     val p = physical(Similarity.q22TopkCosine(spark, sf))
     assert(p.contains("Broadcast"), p)
   }
+
+  test("q18: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = physical(Relational.q18TopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q13: the groupBy after the window reuses the user_id partitioning (one shuffle)") {
+    val p = physical(graft.ops.Events.q13Sessionize(spark, sf))
+    // exchanges: one hash(user_id) for the window, one range for the final
+    // ORDER BY — the (user_id, session_id) aggregation must NOT add a third
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+  }
 }
