@@ -11,8 +11,11 @@ import graft.ops.{Analytics, Events, Relational, Similarity, Sketches, TextOps, 
   * Determinism conventions shared by every query and its oracle
   * (SURVEY.md §2 rules):
   *  - total ORDER BY on a unique key, identical on both sides;
-  *  - float aggregates via exact DECIMAL sums, rounded at 4 dp
-  *    ([[graft.ops.Det.exactSum]] ↔ `CAST(sum(CAST(x AS DECIMAL(20,6))) AS DOUBLE)`);
+  *  - float aggregates via exact DECIMAL sums, rounded IN DECIMAL/
+  *    INTEGER SPACE at 4 dp ([[graft.ops.Det.dsum4]]/[[graft.ops.Det.davg4]]);
+  *    double-sourced values (ratios, cosines) rounded with the
+  *    engine-agnostic floor formula ([[graft.ops.Det.roundD4]]) —
+  *    round(double) ties break differently between Spark and DuckDB;
   *  - `events.ts` truncated ns→µs identically on both sides;
   *  - relative time anchored to max(ts), never now();
   *  - derived integer columns cast to BIGINT on both sides (DuckDB date
@@ -70,9 +73,14 @@ object SparkEntry {
     "q37_salted_agg" -> (Analytics.q37SaltedAgg _),
   )
 
-  // Shared SQL fragments for the oracle side.
-  private def dsum(x: String) = s"round(CAST(sum(CAST($x AS DECIMAL(20,6))) AS DOUBLE), 4)"
-  private def davg(x: String) = s"round(CAST(sum(CAST($x AS DECIMAL(20,6))) AS DOUBLE)/count(*), 4)"
+  // Shared SQL fragments for the oracle side (mirrors of Det.scala —
+  // see its scaladoc for why rounding happens in decimal/integer space
+  // or via the floor formula, never round(double)).
+  private def dsum(x: String) = s"CAST(round(sum(CAST($x AS DECIMAL(20,6))), 4) AS DOUBLE)"
+  private def davg(x: String) =
+    s"CAST((2*CAST(sum(CAST($x AS DECIMAL(20,6)))*1000000 AS HUGEINT) + count(*)*100) " +
+      s"// (2*count(*)*100) AS DOUBLE)/10000.0"
+  private def rd4(x: String) = s"floor(($x)*10000 + 0.5)/10000"
   private val tsUs = "CAST(ts AS TIMESTAMP)"
 
   def oracleSql: Map[String, String] = Map(
@@ -173,8 +181,8 @@ object SparkEntry {
     "q21_jaccard_neardup" ->
       ("WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents) " +
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
-        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard " +
+        "floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))*10000 + 0.5)/10000 AS jaccard " +
         "FROM t a JOIN t b ON a.doc_id < b.doc_id " +
         "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
         "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8 " +
@@ -186,8 +194,8 @@ object SparkEntry {
         "d AS (SELECT qid, tid, sum(CAST(qx AS DOUBLE) * CAST(tx AS DOUBLE)) AS dot, " +
         "sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) AS qn, " +
         "sqrt(sum(CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE))) AS tn FROM px GROUP BY qid, tid), " +
-        "r AS (SELECT qid, tid, round(dot/(qn*tn), 4) AS sim, " +
-        "row_number() OVER (PARTITION BY qid ORDER BY round(dot/(qn*tn), 4) DESC, tid) AS rk FROM d) " +
+        "r AS (SELECT qid, tid, floor((dot/(qn*tn))*10000 + 0.5)/10000 AS sim, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY floor((dot/(qn*tn))*10000 + 0.5)/10000 DESC, tid) AS rk FROM d) " +
         "SELECT qid, rk, tid, sim FROM r WHERE rk <= 10 ORDER BY qid, rk"),
     "q23_text_stats" ->
       ("WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents), " +
@@ -197,28 +205,28 @@ object SparkEntry {
         "SELECT lang, rk, term, n FROM r WHERE rk <= 5 ORDER BY lang, rk"),
     "q24_multimodal_cols" ->
       ("WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v, len(embedding) AS dim FROM embeddings) " +
-        "SELECT vec_id, CAST(dim AS BIGINT) AS dim, round(sqrt(sum(v*v)), 4) AS norm, " +
-        "round(sum(v)/dim, 4) AS mean FROM x GROUP BY vec_id, dim ORDER BY vec_id"),
+        "SELECT vec_id, CAST(dim AS BIGINT) AS dim, floor(sqrt(sum(v*v))*10000 + 0.5)/10000 AS norm, " +
+        "floor((sum(v)/dim)*10000 + 0.5)/10000 AS mean FROM x GROUP BY vec_id, dim ORDER BY vec_id"),
     // q25/q26 are xxhash64-sketch-based — not expressible in DuckDB SQL;
     // declared without oracle (their exact-verify tail bounds them by q21).
     "q27_lang_id" ->
       ("WITH f AS (SELECT doc_id, lang, " +
-        "round(CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE) / " +
-        "length(regexp_replace(lower(text), '[^a-z]', '', 'g')), 4) AS vowel_ratio, " +
-        "round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / " +
-        "len(string_split(text, ' ')), 4) AS avg_tok_len FROM documents) " +
+        "floor((CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE) / " +
+        "length(regexp_replace(lower(text), '[^a-z]', '', 'g')))*10000 + 0.5)/10000 AS vowel_ratio, " +
+        "floor((CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / " +
+        "len(string_split(text, ' ')))*10000 + 0.5)/10000 AS avg_tok_len FROM documents) " +
         "SELECT doc_id, lang, vowel_ratio, avg_tok_len, " +
         "CASE WHEN vowel_ratio >= 0.42 THEN 'vowel-heavy' WHEN vowel_ratio >= 0.36 THEN 'balanced' " +
         "ELSE 'consonant-heavy' END AS pred_class FROM f ORDER BY doc_id"),
     "q28_quality_score" ->
       ("WITH f AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
         "CAST(length(text) AS BIGINT) AS n_chars_text, " +
-        "round(CAST(length(replace(text, ' ', '')) AS DOUBLE)/len(string_split(text, ' ')), 4) AS avg_tok_len, " +
-        "round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)" +
-        "/len(string_split(text, ' ')), 4) AS stop_ratio FROM documents) " +
+        "floor((CAST(length(replace(text, ' ', '')) AS DOUBLE)/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS avg_tok_len, " +
+        "floor((CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)" +
+        "/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS stop_ratio FROM documents) " +
         "SELECT doc_id, n_tokens, n_chars_text, avg_tok_len, stop_ratio, " +
-        "round(2.0*stop_ratio + CASE WHEN avg_tok_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END + " +
-        "CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1.0 ELSE 0.0 END, 4) AS score FROM f ORDER BY doc_id"),
+        "floor((2.0*stop_ratio + CASE WHEN avg_tok_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END + " +
+        "CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1.0 ELSE 0.0 END)*10000 + 0.5)/10000 AS score FROM f ORDER BY doc_id"),
     "q29_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_runs, " +
@@ -239,7 +247,7 @@ object SparkEntry {
         "d AS (SELECT va, vb, sum(CAST(ax AS DOUBLE)*CAST(bx AS DOUBLE)) dot, " +
         "sqrt(sum(CAST(ax AS DOUBLE)*CAST(ax AS DOUBLE))) na, " +
         "sqrt(sum(CAST(bx AS DOUBLE)*CAST(bx AS DOUBLE))) nb FROM x GROUP BY va, vb) " +
-        "SELECT va AS vec_a, vb AS vec_b, round(dot/(na*nb), 4) AS sim FROM d " +
+        "SELECT va AS vec_a, vb AS vec_b, floor((dot/(na*nb))*10000 + 0.5)/10000 AS sim FROM d " +
         "ORDER BY sim DESC, vec_a, vec_b LIMIT 20"),
     "q32_ivf_ann" ->
       ("WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8), " +
@@ -250,26 +258,26 @@ object SparkEntry {
         "sqrt(sum(CAST(tx AS DOUBLE)*CAST(tx AS DOUBLE))) tn, sqrt(sum(CAST(cx AS DOUBLE)*CAST(cx AS DOUBLE))) cn " +
         "FROM tcx GROUP BY tid, cid), " +
         "ta AS (SELECT tid, cid FROM (SELECT tid, cid, row_number() OVER (PARTITION BY tid " +
-        "ORDER BY round(dot/(tn*cn), 4) DESC, cid) rn FROM tc) WHERE rn = 1), " +
+        "ORDER BY floor((dot/(tn*cn))*10000 + 0.5)/10000 DESC, cid) rn FROM tc) WHERE rn = 1), " +
         "qcx AS (SELECT qid, cid, unnest(qe) qx, unnest(ce) cx FROM q0, c), " +
         "qc AS (SELECT qid, cid, sum(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE)) dot, " +
         "sqrt(sum(CAST(qx AS DOUBLE)*CAST(qx AS DOUBLE))) qn, sqrt(sum(CAST(cx AS DOUBLE)*CAST(cx AS DOUBLE))) cn " +
         "FROM qcx GROUP BY qid, cid), " +
         "qa AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid " +
-        "ORDER BY round(dot/(qn*cn), 4) DESC, cid) rn FROM qc) WHERE rn = 1), " +
+        "ORDER BY floor((dot/(qn*cn))*10000 + 0.5)/10000 DESC, cid) rn FROM qc) WHERE rn = 1), " +
         "px AS (SELECT q0.qid, t0.tid, unnest(q0.qe) qx, unnest(t0.te) tx " +
         "FROM q0 JOIN qa USING (qid) JOIN ta ON qa.cid = ta.cid JOIN t0 ON t0.tid = ta.tid), " +
         "d AS (SELECT qid, tid, sum(CAST(qx AS DOUBLE)*CAST(tx AS DOUBLE)) dot, " +
         "sqrt(sum(CAST(qx AS DOUBLE)*CAST(qx AS DOUBLE))) qn, sqrt(sum(CAST(tx AS DOUBLE)*CAST(tx AS DOUBLE))) tn " +
         "FROM px GROUP BY qid, tid), " +
-        "r AS (SELECT qid, tid, round(dot/(qn*tn), 4) AS sim, row_number() OVER (PARTITION BY qid " +
-        "ORDER BY round(dot/(qn*tn), 4) DESC, tid) AS rk FROM d) " +
+        "r AS (SELECT qid, tid, floor((dot/(qn*tn))*10000 + 0.5)/10000 AS sim, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY floor((dot/(qn*tn))*10000 + 0.5)/10000 DESC, tid) AS rk FROM d) " +
         "SELECT qid, rk, tid, sim FROM r WHERE rk <= 10 ORDER BY qid, rk"),
     "q33_multimodal_stub" ->
       ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +
         "CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte, " +
-        "round((octet_length(CAST(text AS BLOB)) % 97)/97.0, 4) AS feat0, " +
-        "round((ascii(substring(text, 1, 1)) % 31)/31.0, 4) AS feat1 FROM documents ORDER BY doc_id"),
+        "floor(((octet_length(CAST(text AS BLOB)) % 97)/97.0)*10000 + 0.5)/10000 AS feat0, " +
+        "floor(((ascii(substring(text, 1, 1)) % 31)/31.0)*10000 + 0.5)/10000 AS feat1 FROM documents ORDER BY doc_id"),
     "q34_rollup" ->
       (s"SELECT l_returnflag, l_linestatus, ${dsum("l_quantity")} AS sum_qty, count(*) AS n_rows " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
@@ -283,7 +291,7 @@ object SparkEntry {
         "ORDER BY c_custkey, tag"),
     "q36_window_funcs" ->
       ("SELECT o_orderkey, o_custkey, row_number() OVER wo AS rn, " +
-        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER wr AS DOUBLE), 4) AS running, " +
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER wr, 4) AS DOUBLE) AS running, " +
         "lag(o_totalprice, 1) OVER wo AS prev_price, lead(o_orderkey, 1) OVER wo AS next_key " +
         "FROM orders WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), " +
         "wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +

@@ -23,7 +23,7 @@ object Analytics {
   def q34Rollup(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(round4(exactSum(col("l_quantity"))).as("sum_qty"),
+      .agg(dsum4(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n_rows"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
@@ -54,7 +54,7 @@ object Analytics {
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"),
         row_number().over(wOrd).cast(LongType).as("rn"), // BIGINT in DuckDB
-        round4(sum(col("o_totalprice").cast(DecimalType(20, 6))).over(wRun).cast(DoubleType)).as("running"),
+        round(sum(col("o_totalprice").cast(DecimalType(20, 6))).over(wRun), 4).cast(DoubleType).as("running"),
         lag(col("o_totalprice"), 1).over(wOrd).as("prev_price"),
         lead(col("o_orderkey"), 1).over(wOrd).as("next_key"))
       .orderBy("o_orderkey")
@@ -79,7 +79,9 @@ object Analytics {
     partials
       .groupBy("user_id")
       .agg(
-        round(sum(col("psum")).cast(DoubleType) / sum(col("pcnt")), 4).as("avg_value"),
+        // decimal division + decimal-space round, like Det.davg4 — a
+        // double quotient would tie-break differently than the oracle
+        round(sum(col("psum")) / sum(col("pcnt")), 4).cast(DoubleType).as("avg_value"),
         sum(col("pcnt")).as("n_events"),
         max(col("pmax")).as("max_ts"))
       .orderBy("user_id")

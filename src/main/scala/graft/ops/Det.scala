@@ -13,25 +13,43 @@ import org.apache.spark.sql.types._
   */
 object Det {
 
-  /** Order-independent float sum: exact DECIMAL accumulation, then a
-    * single double conversion at the end. A plain `sum(double)` differs
-    * between engines (and between Spark partitionings of the same data)
-    * by up to ~sqrt(n)·eps·Σ|x| — at price-column magnitudes that is
-    * larger than the 1e-4 rounding granularity the oracle compares at.
-    * DECIMAL(20,6) is exact for every testdata column (≤2 real decimal
-    * places) and sums are associative in decimal, so Spark's
-    * partial+final aggregation stays exact and any partitioning yields
-    * the same value. Mirror in oracle SQL:
-    * `CAST(sum(CAST(x AS DECIMAL(20,6))) AS DOUBLE)`.
+  /** Order-independent float sum: exact DECIMAL accumulation. A plain
+    * `sum(double)` differs between engines (and between Spark
+    * partitionings of the same data) by up to ~sqrt(n)·eps·Σ|x| — at
+    * price-column magnitudes that is larger than the 1e-4 rounding
+    * granularity the oracle compares at. DECIMAL(20,6) is exact for
+    * every testdata column and decimal addition is associative, so
+    * partial+final aggregation stays exact under any partitioning.
     */
-  def exactSum(c: Column): Column =
-    sum(c.cast(DecimalType(20, 6))).cast(DoubleType)
+  def sumDec(c: Column): Column = sum(c.cast(DecimalType(20, 6)))
 
-  /** Deterministic mean built on [[exactSum]]; mirror in oracle SQL as
-    * `round(CAST(sum(CAST(x AS DECIMAL(20,6))) AS DOUBLE)/count(*), 4)`.
+  /** Rounded exact sum. Rounding happens IN DECIMAL SPACE (half-up on
+    * the exact value) and only then converts to double — rounding the
+    * double instead diverges between engines on exact .xxxx5 ties:
+    * Spark's round(double) rounds the shortest decimal representation,
+    * DuckDB the exact binary value. Oracle mirror:
+    * `CAST(round(sum(CAST(x AS DECIMAL(20,6))), 4) AS DOUBLE)`.
     */
-  def exactAvg(c: Column): Column = exactSum(c) / count(lit(1))
+  def dsum4(c: Column): Column = round(sumDec(c), 4).cast(DoubleType)
 
-  /** 4-dp rounding applied to every float output (determinism rule 2). */
-  def round4(c: Column): Column = round(c, 4)
+  /** Rounded exact mean: decimal-division quotient (Spark rounds it
+    * half-up at ≥14 guard digits — exact for any expansion that could
+    * tie at 4 dp) rounded half-up at 4 dp, then one double cast.
+    * DuckDB's decimal division degrades to DOUBLE, so the oracle mirror
+    * is the equivalent exact integer formula
+    * `CAST((2*CAST(sum(CAST(x AS DECIMAL(20,6)))*1000000 AS HUGEINT) +
+    * count(*)*100) // (2*count(*)*100) AS DOUBLE)/10000.0`
+    * (half-up rounding of N/D as (2N+D)//(2D); positive sums only).
+    */
+  def davg4(c: Column): Column =
+    round(sumDec(c) / count(lit(1)), 4).cast(DoubleType)
+
+  /** 4-dp rounding for DOUBLE-sourced values (ratios, cosines):
+    * `floor(x·10⁴ + 0.5)/10⁴` — pure double arithmetic that both
+    * engines evaluate identically on identical inputs, immune to the
+    * shortest-string-vs-binary tie divergence of round(double). Mirror
+    * verbatim in oracle SQL: `floor((x)*10000 + 0.5)/10000`.
+    */
+  def roundD4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
 }

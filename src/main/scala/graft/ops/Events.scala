@@ -36,7 +36,7 @@ object Events {
     Tables.events(spark, dir)
       .groupBy("user_id")
       .agg(
-        round4(exactAvg(col("value"))).as("avg_value"),
+        davg4(col("value")).as("avg_value"),
         count(lit(1)).as("n_events"),
         max("ts").as("max_ts"))
       .orderBy("user_id")
@@ -157,7 +157,7 @@ object Events {
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_events"),
-        round4(exactAvg(col("value"))).as("avg_value"))
+        davg4(col("value")).as("avg_value"))
     val bounds = g.agg(min("user_id").as("lo"), max("user_id").as("hi"))
     g.crossJoin(broadcast(bounds))
       .filter(col("user_id") > col("lo") && col("user_id") < col("hi"))

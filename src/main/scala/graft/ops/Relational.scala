@@ -82,13 +82,13 @@ object Relational {
     val l = Tables.lineitem(spark, dir)
     l.groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round4(exactSum(col("l_quantity"))).as("sum_qty"),
-        round4(exactSum(col("l_extendedprice"))).as("sum_base_price"),
-        round4(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-        round4(exactSum((col("l_extendedprice") * (lit(1) - col("l_discount"))) * (lit(1) + col("l_tax")))).as("sum_charge"),
-        round4(exactAvg(col("l_quantity"))).as("avg_qty"),
-        round4(exactAvg(col("l_extendedprice"))).as("avg_price"),
-        round4(exactAvg(col("l_discount"))).as("avg_disc"),
+        dsum4(col("l_quantity")).as("sum_qty"),
+        dsum4(col("l_extendedprice")).as("sum_base_price"),
+        dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum4((col("l_extendedprice") * (lit(1) - col("l_discount"))) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        davg4(col("l_quantity")).as("avg_qty"),
+        davg4(col("l_extendedprice")).as("avg_price"),
+        davg4(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -134,7 +134,7 @@ object Relational {
     val o = Tables.orders(spark, dir)
     c.join(o, c("c_custkey") === o("o_custkey"))
       .groupBy(c("c_custkey"), c("c_name"))
-      .agg(round4(exactSum(o("o_totalprice"))).as("revenue"))
+      .agg(dsum4(o("o_totalprice")).as("revenue"))
       .orderBy(desc("revenue"), col("c_custkey"))
       .limit(10)
   }

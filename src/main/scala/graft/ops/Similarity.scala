@@ -62,7 +62,7 @@ object Similarity {
       .withColumn("inter", call_function("sorted_intersect_count", col("ta"), col("tb")))
       .withColumn("jaccard", col("inter").cast(DoubleType) / (col("sa") + col("sb") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round4(col("jaccard")).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), roundD4(col("jaccard")).as("jaccard"))
   }
 
   /** E2 — exact near-duplicate pairs (token-set Jaccard ≥ 0.8) via
@@ -118,7 +118,7 @@ object Similarity {
     val corpus = e.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("tid"), col("embedding").as("te"))
       .withColumn("tn", norm(col("te")))
-    val sim = round4(dot(col("qe"), col("te")) / (col("qn") * col("tn")))
+    val sim = roundD4(dot(col("qe"), col("te")) / (col("qn") * col("tn")))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
     corpus.crossJoin(broadcast(queries))
       .withColumn("sim", sim)
@@ -144,7 +144,7 @@ object Similarity {
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       .withColumn("nb", norm(col("eb")))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("sim", round4(dot(col("ea"), col("eb")) / (col("na") * col("nb"))))
+      .withColumn("sim", roundD4(dot(col("ea"), col("eb")) / (col("na") * col("nb"))))
       .select("vec_a", "vec_b", "sim")
       .orderBy(desc("sim"), col("vec_a"), col("vec_b"))
       .limit(20)
@@ -167,7 +167,7 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       .withColumn("cn", norm(col("ce")))
     def assign(side: DataFrame, idCol: String, vecCol: String): DataFrame = {
-      val simToCent = round4(dot(col(vecCol), col("ce")) / (norm(col(vecCol)) * col("cn")))
+      val simToCent = roundD4(dot(col(vecCol), col("ce")) / (norm(col(vecCol)) * col("cn")))
       val w = Window.partitionBy(idCol).orderBy(desc("csim"), asc("cid"))
       side.crossJoin(broadcast(cents))
         .withColumn("csim", simToCent)
@@ -183,7 +183,7 @@ object Similarity {
       "tid", "te").withColumn("tn", norm(col("te")))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
     targets.join(broadcast(queries), col("cid") === col("qcid"))
-      .withColumn("sim", round4(dot(col("qe"), col("te")) / (col("qn") * col("tn"))))
+      .withColumn("sim", roundD4(dot(col("qe"), col("te")) / (col("qn") * col("tn"))))
       .withColumn("rk", row_number().over(w).cast(LongType)) // BIGINT in DuckDB
       .filter(col("rk") <= 10)
       .select("qid", "rk", "tid", "sim")
@@ -199,8 +199,8 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         size(col("embedding")).cast(LongType).as("dim"),
-        round4(norm(col("embedding"))).as("norm"),
-        round4(foldSum(transform(col("embedding"), x => x.cast(DoubleType))) / size(col("embedding"))).as("mean"))
+        roundD4(norm(col("embedding"))).as("norm"),
+        roundD4(foldSum(transform(col("embedding"), x => x.cast(DoubleType))) / size(col("embedding"))).as("mean"))
       .orderBy("vec_id")
   }
 }

@@ -27,8 +27,8 @@ object TrainingData {
     val nTok = size(split(col("text"), " "))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        round4(vowels.cast("double") / letters).as("vowel_ratio"),
-        round4(letters.cast("double") / nTok).as("avg_tok_len"))
+        roundD4(vowels.cast("double") / letters).as("vowel_ratio"),
+        roundD4(letters.cast("double") / nTok).as("avg_tok_len"))
       .withColumn("pred_class",
         when(col("vowel_ratio") >= 0.42, "vowel-heavy")
           .when(col("vowel_ratio") >= 0.36, "balanced")
@@ -52,9 +52,9 @@ object TrainingData {
       .select(col("doc_id"),
         nTok.as("n_tokens"),
         length(col("text")).cast(LongType).as("n_chars_text"),
-        round4(avgTokLen).as("avg_tok_len"),
-        round4(stopRatio).as("stop_ratio"))
-      .withColumn("score", round4(
+        roundD4(avgTokLen).as("avg_tok_len"),
+        roundD4(stopRatio).as("stop_ratio"))
+      .withColumn("score", roundD4(
         lit(2.0) * col("stop_ratio")
           + when(col("avg_tok_len").between(3.0, 8.0), 1.0).otherwise(0.0)
           + when(col("n_tokens").between(20L, 500L), 1.0).otherwise(0.0)))
@@ -116,8 +116,8 @@ object TrainingData {
       }
     }.toDF("doc_id", "n_bytes", "first_byte", "feat0", "feat1")
     decoded
-      .withColumn("feat0", round4(col("feat0")))
-      .withColumn("feat1", round4(col("feat1")))
+      .withColumn("feat0", roundD4(col("feat0")))
+      .withColumn("feat1", roundD4(col("feat1")))
       .orderBy("doc_id")
   }
 }
