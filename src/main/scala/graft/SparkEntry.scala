@@ -71,6 +71,9 @@ object SparkEntry {
     "q35_set_ops" -> (Analytics.q35SetOps _),
     "q36_window_funcs" -> (Analytics.q36WindowFuncs _),
     "q37_salted_agg" -> (Analytics.q37SaltedAgg _),
+    "q38_percentiles" -> (Analytics.q38Percentiles _),
+    "q39_semi_join" -> (Analytics.q39SemiJoin _),
+    "q40_correlated_subquery" -> (Analytics.q40CorrelatedSubquery _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -300,5 +303,20 @@ object SparkEntry {
     "q37_salted_agg" ->
       (s"SELECT user_id, ${davg("value")} AS avg_value, count(*) AS n_events, max($tsUs) AS max_ts " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+    "q38_percentiles" ->
+      (s"SELECT l_returnflag, ${rd4("quantile_cont(l_quantity, 0.5)")} AS med_qty, " +
+        s"${rd4("quantile_cont(l_quantity, 0.9)")} AS p90_qty, " +
+        s"${rd4("quantile_cont(l_extendedprice, 0.5)")} AS med_price, " +
+        s"${rd4("quantile_cont(l_extendedprice, 0.9)")} AS p90_price " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q39_semi_join" ->
+      ("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey"),
+    "q40_correlated_subquery" ->
+      ("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer c " +
+        "WHERE CAST(c_acctbal AS DECIMAL(20,6)) * " +
+        "(SELECT count(*) FROM customer c2 WHERE c2.c_mktsegment = c.c_mktsegment) " +
+        "> (SELECT sum(CAST(c3.c_acctbal AS DECIMAL(20,6))) FROM customer c3 " +
+        "WHERE c3.c_mktsegment = c.c_mktsegment) ORDER BY c_custkey"),
   )
 }

@@ -60,6 +60,56 @@ object Analytics {
       .orderBy("o_orderkey")
   }
 
+  /** Percentiles/median (continuous, type-7 interpolation — verified
+    * identical between Spark `percentile` and DuckDB `quantile_cont`).
+    * Spark's exact percentile collects per-group value buffers — fine
+    * for low-cardinality groups; at 100 TB with wide groups switch to
+    * `approx_percentile` (KLL-style sketch, mergeable map-side).
+    */
+  def q38Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        roundD4(expr("percentile(l_quantity, 0.5)")).as("med_qty"),
+        roundD4(expr("percentile(l_quantity, 0.9)")).as("p90_qty"),
+        roundD4(expr("percentile(l_extendedprice, 0.5)")).as("med_price"),
+        roundD4(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"))
+      .orderBy("l_returnflag")
+
+  /** Semi-join / EXISTS (the reference's `existing_user` membership
+    * checks as a join): customers that placed at least one order. A
+    * left_semi join carries no payload from the probe side and
+    * short-circuits on first match.
+    */
+  def q39SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Correlated scalar subqueries (customers above their segment's
+    * average balance), written AS correlated SQL so Catalyst's
+    * decorrelation rewrites both subqueries into one aggregated join —
+    * the optimizer capability itself is what this query pins. The
+    * comparison is cross-multiplied into exact DECIMAL space
+    * (`bal·count > sum`) so the filter boundary cannot drift between
+    * engines.
+    */
+  def q40CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_q40")
+    spark.sql(
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer_q40 c
+        |WHERE CAST(c_acctbal AS DECIMAL(20,6)) *
+        |  (SELECT count(*) FROM customer_q40 c2 WHERE c2.c_mktsegment = c.c_mktsegment)
+        |  > (SELECT sum(CAST(c3.c_acctbal AS DECIMAL(20,6))) FROM customer_q40 c3
+        |     WHERE c3.c_mktsegment = c.c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Skew-safe two-phase aggregation: q04's per-user aggregate computed
     * via an explicit salt split (phase 1 groups on (key, salt) — a hot
     * key spreads over 16 reducers; phase 2 merges partials). DECIMAL
