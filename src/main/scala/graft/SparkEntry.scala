@@ -74,6 +74,7 @@ object SparkEntry {
     "q38_percentiles" -> (Analytics.q38Percentiles _),
     "q39_semi_join" -> (Analytics.q39SemiJoin _),
     "q40_correlated_subquery" -> (Analytics.q40CorrelatedSubquery _),
+    "q41_tumbling_window" -> (Events.q41TumblingWindow _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -318,5 +319,10 @@ object SparkEntry {
         "(SELECT count(*) FROM customer c2 WHERE c2.c_mktsegment = c.c_mktsegment) " +
         "> (SELECT sum(CAST(c3.c_acctbal AS DECIMAL(20,6))) FROM customer c3 " +
         "WHERE c3.c_mktsegment = c.c_mktsegment) ORDER BY c_custkey"),
+    "q41_tumbling_window" ->
+      (s"SELECT time_bucket(INTERVAL '6 hours', $tsUs, TIMESTAMP '1970-01-01') AS window_start, " +
+        s"time_bucket(INTERVAL '6 hours', $tsUs, TIMESTAMP '1970-01-01') + INTERVAL '6 hours' AS window_end, " +
+        s"count(*) AS n_events, ${davg("value")} AS avg_value FROM events " +
+        s"GROUP BY time_bucket(INTERVAL '6 hours', $tsUs, TIMESTAMP '1970-01-01') ORDER BY window_start"),
   )
 }

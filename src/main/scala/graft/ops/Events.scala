@@ -165,6 +165,20 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Tumbling-window rollup (SURVEY.md §2.8's `window(ts, "24 hours")`
+    * mapping, batch form): epoch-aligned 6-hour buckets with per-bucket
+    * count and exact mean — the streaming dual is the same expression
+    * under `readStream` + watermark.
+    */
+  def q41TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n_events"), davg4(col("value")).as("avg_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"), col("avg_value"))
+      .orderBy("window_start")
+
   /** P5 — relative-time window (reference main.py:178-182 *intends*
     * "last 24 h" but actually returns identity — implemented with
     * intended semantics, anchored to max(ts) of the data, never
