@@ -61,22 +61,26 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
 }
 
 /** `minhash_signature(toks)`: the 32-permutation MinHash signature of an
-  * int token-set array, one generated loop (32·|toks| splitmix64 mixes)
-  * instead of nested interpreted lambdas. Permutation p's hash of token
-  * t is `mix(t·K1 + (p+1)·K2)` — an engine-defined family, stable across
-  * Spark versions (unlike reusing xxhash64 internals).
+  * int/long token-set array, one generated loop (32·|toks| splitmix64
+  * mixes) instead of nested interpreted lambdas. Permutation p's hash of
+  * token t is `mix(t·K1 + (p+1)·K2)` — an engine-defined family, stable
+  * across Spark versions (unlike reusing xxhash64 internals). Int tokens
+  * are sign-extended to long, so int inputs hash as before.
   */
 case class MinHashSignature(child: Expression, numPerms: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<int>, got $t")
+    case ArrayType(IntegerType, _) | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<int> or array<long>, got $t")
   }
+  private def isLong: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    val long = isLong
     val n = x.numElements()
     val sig = new Array[Long](numPerms)
     var p = 0
@@ -84,8 +88,9 @@ case class MinHashSignature(child: Expression, numPerms: Int) extends UnaryExpre
       var best = Long.MaxValue
       var i = 0
       while (i < n) {
+        val t = if (long) x.getLong(i) else x.getInt(i).toLong
         val h = MinHashSignature.mix(
-          x.getInt(i) * MinHashSignature.K1 + (p + 1) * MinHashSignature.K2)
+          t * MinHashSignature.K1 + (p + 1) * MinHashSignature.K2)
         if (h < best) best = h
         i += 1
       }
@@ -97,6 +102,7 @@ case class MinHashSignature(child: Expression, numPerms: Int) extends UnaryExpre
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      val get = if (isLong) "getLong" else "getInt"
       val i = ctx.freshName("i")
       val p = ctx.freshName("p")
       val n = ctx.freshName("n")
@@ -110,7 +116,7 @@ case class MinHashSignature(child: Expression, numPerms: Int) extends UnaryExpre
          |  long $best = Long.MAX_VALUE;
          |  for (int $i = 0; $i < $n; $i++) {
          |    final long $h = graft.functions.MinHashSignature.mix(
-         |      $a.getInt($i) * ${MinHashSignature.K1}L + ($p + 1) * ${MinHashSignature.K2}L);
+         |      ((long) $a.$get($i)) * ${MinHashSignature.K1}L + ($p + 1) * ${MinHashSignature.K2}L);
          |    if ($h < $best) $best = $h;
          |  }
          |  $sig[$p] = $best;
@@ -144,19 +150,23 @@ object MinHashSignature {
 case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<int>, got $t")
+    case ArrayType(IntegerType, _) | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<int> or array<long>, got $t")
   }
+  private def isLong: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    val long = isLong
     val n = x.numElements()
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = MinHashSignature.mix(x.getInt(i) * MinHashSignature.K1 + MinHashSignature.K2)
+      val t = if (long) x.getLong(i) else x.getInt(i).toLong
+      val h = MinHashSignature.mix(t * MinHashSignature.K1 + MinHashSignature.K2)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -175,6 +185,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      val get = if (isLong) "getLong" else "getInt"
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
@@ -186,7 +197,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |final int[] $votes = new int[64];
          |for (int $i = 0; $i < $n; $i++) {
          |  final long $h = graft.functions.MinHashSignature.mix(
-         |    $a.getInt($i) * ${MinHashSignature.K1}L + ${MinHashSignature.K2}L);
+         |    ((long) $a.$get($i)) * ${MinHashSignature.K1}L + ${MinHashSignature.K2}L);
          |  for (int $j = 0; $j < 64; $j++) {
          |    if ((($h >>> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
          |  }

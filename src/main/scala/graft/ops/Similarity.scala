@@ -33,17 +33,23 @@ object Similarity {
   private[ops] def norm(a: Column): Column =
     sqrt(call_function("float_vec_dot", a, a))
 
-  /** Docs as sorted dense-int token-set arrays (+ set size) — the shared
+  /** Docs as sorted long token-set arrays (+ set size) — the shared
     * front end of the exact (q21) and MinHash-LSH (q25) near-dup joins.
+    *
+    * Token ids are `xxhash64(token)`, so the whole build is row-local:
+    * no vocabulary table, no distinct shuffle, no global row_number
+    * window (the previous dense-id formulation forced all distinct
+    * tokens through one partition — a non-starter at 100 TB). Any
+    * deterministic injective-w.h.p. relabeling preserves set sizes and
+    * intersections, so Jaccard values are unchanged; a 64-bit collision
+    * merges two tokens with P ≈ |vocab|²/2⁶⁵ (~3·10⁻⁴ even at a 10⁸
+    * vocabulary) — far below the sketch error the near-dup operators
+    * already carry.
     */
   private[ops] def docTokenSets(spark: SparkSession, dir: String): DataFrame = {
-    val docToks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val vocab = docToks.select("tok").distinct()
-      .withColumn("tok_id", row_number().over(Window.orderBy("tok")) - 1)
-    docToks.join(broadcast(vocab), "tok")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("tok_id"))).as("toks"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        sort_array(array_distinct(transform(split(col("text"), " "), t => xxhash64(t)))).as("toks"))
       .withColumn("sz", size(col("toks")))
   }
 
@@ -54,11 +60,25 @@ object Similarity {
     * ([[graft.functions.SortedIntersectCount]]) — the token sets are
     * sorted distinct ints by construction.
     */
-  private[ops] def verifyJaccard(cands: DataFrame, toks: DataFrame, threshold: Double): DataFrame = {
+  /** Broadcast-threshold for the doc-side lookup of the verify join:
+    * below this many documents the token-set dimension is hinted
+    * broadcast, so the (much larger) candidate-pair stream flows
+    * map-side through two hash joins instead of being shuffled twice
+    * for sort-merge. Above it the hint is withheld and the join runs as
+    * a doc_id-partitioned shuffle join — broadcasting a billion-doc
+    * dimension would OOM every executor. ~100k docs × ≲1 KB of token
+    * ids ≈ tens of MB, comfortably under executor broadcast budgets.
+    */
+  private val BroadcastDocLimit = 100000L
+
+  private[ops] def verifyJaccard(cands: DataFrame, toks: DataFrame, threshold: Double,
+      nDocs: Long): DataFrame = {
     graft.functions.GraftFunctions.register(cands.sparkSession)
+    def docSide(df: DataFrame): DataFrame =
+      if (nDocs <= BroadcastDocLimit) broadcast(df) else df
     cands
-      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("sz").as("sa")), "doc_a")
-      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("sz").as("sb")), "doc_b")
+      .join(docSide(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("sz").as("sa"))), "doc_a")
+      .join(docSide(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("sz").as("sb"))), "doc_b")
       .withColumn("inter", call_function("sorted_intersect_count", col("ta"), col("tb")))
       .withColumn("jaccard", col("inter").cast(DoubleType) / (col("sa") + col("sb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -87,6 +107,9 @@ object Similarity {
     */
   def q21JaccardNeardup(spark: SparkSession, dir: String): DataFrame = {
     val threshold = 0.8
+    // metadata-only parquet count — the optimizer stat that decides
+    // whether the verify join's doc side is broadcastable
+    val nDocs = Tables.documents(spark, dir).count()
     val toks = docTokenSets(spark, dir)
     val prefLen = (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")
     val pref = toks
@@ -98,7 +121,7 @@ object Similarity {
           col("b.sz") <= floor(col("a.sz") / lit(threshold)))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    verifyJaccard(cands, toks, threshold).orderBy("doc_a", "doc_b")
+    verifyJaccard(cands, toks, threshold, nDocs).orderBy("doc_a", "doc_b")
   }
 
   /** E3 — top-k cosine similarity search, brute-force exact baseline:

@@ -29,6 +29,7 @@ object Sketches {
   def q25MinhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val threshold = 0.8
     graft.functions.GraftFunctions.register(spark)
+    val nDocs = graft.Tables.documents(spark, dir).count()
     val toks = Similarity.docTokenSets(spark, dir)
     // one codegen'd loop per doc (graft.functions.MinHashSignature) —
     // the nested-HOF formulation evaluates 32·|toks| interpreted lambdas
@@ -43,7 +44,7 @@ object Sketches {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    Similarity.verifyJaccard(cands, toks, threshold).orderBy("doc_a", "doc_b")
+    Similarity.verifyJaccard(cands, toks, threshold, nDocs).orderBy("doc_a", "doc_b")
   }
 
   /** q26 — SimHash near-dup: 64-bit signature (sign of per-bit vote sums
