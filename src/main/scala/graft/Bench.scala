@@ -28,6 +28,11 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+      // Untimed inter-query cleanup: dead broadcasts and shuffle state
+      // from query N are only reclaimed by ContextCleaner after a GC, so
+      // without this, query N+1 pays query N's garbage (observed 5-10×
+      // inflation late in the run vs the same query in isolation).
+      System.gc()
       name -> sec
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
