@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Analytics, Events, Relational, Similarity, Sketches, TextOps, TrainingData}
+import graft.ops.{Analytics, Events, Relational, Similarity, Sketches, Temporal, TextOps, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory)
   * and §7 (build plan). Each `queries` key is one declared operator;
@@ -75,6 +75,10 @@ object SparkEntry {
     "q39_semi_join" -> (Analytics.q39SemiJoin _),
     "q40_correlated_subquery" -> (Analytics.q40CorrelatedSubquery _),
     "q41_tumbling_window" -> (Events.q41TumblingWindow _),
+    "q42_asof_join" -> (Temporal.q42AsofJoin _),
+    "q43_range_join" -> (Temporal.q43RangeJoin _),
+    "q44_full_outer_join" -> (Relational.q44FullOuterJoin _),
+    "q45_cube" -> (Analytics.q45Cube _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -324,5 +328,30 @@ object SparkEntry {
         s"time_bucket(INTERVAL '6 hours', $tsUs, TIMESTAMP '1970-01-01') + INTERVAL '6 hours' AS window_end, " +
         s"count(*) AS n_events, ${davg("value")} AS avg_value FROM events " +
         s"GROUP BY time_bucket(INTERVAL '6 hours', $tsUs, TIMESTAMP '1970-01-01') ORDER BY window_start"),
+    "q42_asof_join" ->
+      (s"WITH c AS (SELECT user_id, event_id, $tsUs AS ts, value FROM events WHERE event_type = 'click'), " +
+        s"p AS (SELECT user_id, event_id AS p_event_id, $tsUs AS p_ts, value AS p_value FROM events " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT c.user_id, c.event_id, c.ts, c.value, p.p_event_id, p.p_ts, p.p_value " +
+        "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.p_ts " +
+        "ORDER BY c.event_id"),
+    "q43_range_join" ->
+      (s"WITH e AS (SELECT user_id, event_id, $tsUs AS ts FROM events) " +
+        "SELECT a.user_id, a.event_id, b.event_id AS b_event_id, " +
+        "(epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS gap_s " +
+        "FROM e a JOIN e b ON a.user_id = b.user_id " +
+        "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 DAY " +
+        "ORDER BY a.event_id, b_event_id"),
+    "q44_full_outer_join" ->
+      ("WITH bld AS (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'), " +
+        s"stats AS (SELECT o_custkey, count(*) AS n_orders, ${dsum("o_totalprice")} AS total_spent " +
+        "FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey) " +
+        "SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders, total_spent " +
+        "FROM bld FULL OUTER JOIN stats ON c_custkey = o_custkey ORDER BY custkey"),
+    "q45_cube" ->
+      (s"SELECT l_returnflag, l_linestatus, ${dsum("l_quantity")} AS sum_qty, count(*) AS n_rows, " +
+        "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid"),
   )
 }

@@ -136,4 +136,19 @@ object Analytics {
         max(col("pmax")).as("max_ts"))
       .orderBy("user_id")
   }
+
+  /** CUBE over (returnflag, linestatus) with grouping_id — the full
+    * grouping-sets vocabulary beside q34's ROLLUP. Spark's grouping_id
+    * bit encoding (1 = column aggregated away, returnflag the high bit)
+    * matches DuckDB's GROUPING(a, b), so gid is oracle-comparable.
+    * Physically this is still one partial-agg + one shuffle: Spark
+    * expands the grouping sets map-side before the exchange.
+    */
+  def q45Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(dsum4(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"), asc("gid"))
 }

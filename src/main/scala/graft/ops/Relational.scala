@@ -138,4 +138,27 @@ object Relational {
       .orderBy(desc("revenue"), col("c_custkey"))
       .limit(10)
   }
+
+  /** J7 — full outer join (absent in the reference; completes the join
+    * vocabulary with q39's semi and q16's anti): BUILDING-segment
+    * customers ⟗ per-customer stats of 'P'-status orders. Both null
+    * directions occur — BUILDING customers with no 'P' orders, and 'P'
+    * orders from other segments. Aggregating the fact side BEFORE the
+    * join keeps the outer join key-unique on both sides (one shuffle
+    * each, no row multiplication); the output key is
+    * coalesce(c_custkey, o_custkey), total and unique.
+    */
+  def q44FullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bld = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name")
+    val stats = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "P")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum4(col("o_totalprice")).as("total_spent"))
+    bld.join(stats, bld("c_custkey") === stats("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_orders"), col("total_spent"))
+      .orderBy("custkey")
+  }
 }
