@@ -79,6 +79,8 @@ object SparkEntry {
     "q43_range_join" -> (Temporal.q43RangeJoin _),
     "q44_full_outer_join" -> (Relational.q44FullOuterJoin _),
     "q45_cube" -> (Analytics.q45Cube _),
+    "q46_sliding_frame" -> (Analytics.q46SlidingFrame _),
+    "q47_approx_distinct" -> (Sketches.q47ApproxDistinct _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -353,5 +355,13 @@ object SparkEntry {
         "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid " +
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid"),
+    "q46_sliding_frame" ->
+      (s"SELECT user_id, event_id, count(*) OVER w AS n_frame, " +
+        "CAST(round(sum(CAST(value AS DECIMAL(20,6))) OVER w, 4) AS DOUBLE) AS mov_sum, " +
+        "min(value) OVER w AS mov_min, max(value) OVER w AS mov_max FROM events " +
+        s"WINDOW w AS (PARTITION BY user_id ORDER BY $tsUs, event_id " +
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) ORDER BY event_id"),
+    // q47 is HLL-sketch-based (engine-specific register layout) — no
+    // DuckDB oracle; driver records a rows-only check, like q25/q26.
   )
 }

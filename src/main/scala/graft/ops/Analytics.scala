@@ -144,6 +144,25 @@ object Analytics {
     * Physically this is still one partial-agg + one shuffle: Spark
     * expands the grouping sets map-side before the exchange.
     */
+  /** Bounded sliding frame (ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) —
+    * the frame-spec vocabulary beyond q36's running frame: centered
+    * moving sum/min/max/count of event values per user. The moving sum
+    * accumulates in DECIMAL like every float aggregate (a double moving
+    * sum is association-order-dependent across engines). One shuffle on
+    * user_id; frames never cross partition keys, so partition sizes —
+    * not frame width — bound executor memory.
+    */
+  def q46SlidingFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 2)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_frame"),
+        round(sum(col("value").cast(DecimalType(20, 6))).over(w), 4).cast(DoubleType).as("mov_sum"),
+        min(col("value")).over(w).as("mov_min"),
+        max(col("value")).over(w).as("mov_max"))
+      .orderBy("event_id")
+  }
+
   def q45Cube(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .cube("l_returnflag", "l_linestatus")

@@ -89,10 +89,9 @@ object Similarity {
     * prefix filtering (AllPairs/PPJoin family), engineered so every
     * shuffle carries integers, never token arrays:
     *
-    *  1. Build a token→dense-int vocabulary (distinct tokens, ids by a
-    *     row_number over the sorted vocab — deterministic) and rewrite
-    *     each doc as a sorted int array. At 100 TB the vocab join is an
-    *     ordinary broadcast/shuffle equi-join.
+    *  1. Rewrite each doc as a sorted array of xxhash64 token ids — a
+    *     purely row-local projection (see [[docTokenSets]]); no
+    *     vocabulary table exists at any scale.
     *  2. Prefix filter: two sets with Jaccard ≥ t MUST share one of
     *     their first `|A| - ceil(t·|A|) + 1` tokens (sets sorted in one
     *     global order), so candidates come from an equi-join on prefix

@@ -47,6 +47,23 @@ object Sketches {
     Similarity.verifyJaccard(cands, toks, threshold, nDocs).orderBy("doc_a", "doc_b")
   }
 
+  /** q47 — HLL++ approximate count-distinct per event_type, beside the
+    * exact count (q04c is the exact operator; here the exact value is
+    * carried only to expose the sketch error). At 100 TB this is THE
+    * count-distinct: the HLL sketch is fixed-size and mergeable, so the
+    * aggregation stays map-side-partial + one shuffle of ~1.5 KB
+    * sketches per group, where exact distinct must shuffle every
+    * distinct (type, user) pair. Sketch-based (engine-specific register
+    * layout) → declared without a DuckDB oracle, like q25/q26.
+    */
+  def q47ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
   /** q26 — SimHash near-dup: 64-bit signature (sign of per-bit vote sums
     * over token hashes); candidate pairs share at least one of four
     * 16-bit signature chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk is

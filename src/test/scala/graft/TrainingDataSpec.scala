@@ -108,4 +108,18 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(r.getLong(1) == 3L)
     assert(r.getLong(2) == 'a'.toLong)
   }
+
+  test("q47 approx distinct: within HLL rsd bounds of exact, deterministic") {
+    val out = graft.ops.Sketches.q47ApproxDistinct(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      // rsd=5%; allow 4 sigma. Exact counts here are small (~150 users),
+      // where HLL++ uses the bias-corrected linear-counting range.
+      assert(math.abs(approx - exact) <= math.max(2.0, 0.2 * exact),
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+    val again = graft.ops.Sketches.q47ApproxDistinct(spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
