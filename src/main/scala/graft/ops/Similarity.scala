@@ -105,19 +105,29 @@ object Similarity {
     * The MinHash-LSH probabilistic variant is the q25 sketch op.
     */
   def q21JaccardNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val threshold = 0.8
+    val threshold = 0.8 // = 4/5 — all derived bounds below in exact integer form
     // metadata-only parquet count — the optimizer stat that decides
     // whether the verify join's doc side is broadcastable
     val nDocs = Tables.documents(spark, dir).count()
     val toks = docTokenSets(spark, dir)
-    val prefLen = (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")
+    // All threshold bounds use exact integer arithmetic: double forms
+    // like ceil(sz * 0.8) round wrong at exact boundaries (45 * 0.8 =
+    // 36.000000000000004 → ceil 37 silently drops legal J = 0.8 pairs).
+    //   prefix length   = sz - ceil(4·sz/5) + 1
+    //   size bounds     = ceil(4·sza/5) ≤ szb ≤ floor(5·sza/4)
+    //   min overlap     = ceil(t/(1+t)·(sza+szb)) = ceil(4·(sza+szb)/9)
     val pref = toks
-      .withColumn("tok_id", explode(slice(col("toks"), lit(1), prefLen)))
-      .select("doc_id", "tok_id", "sz")
-    val cands = pref.as("a").join(pref.as("b"),
-        col("a.tok_id") === col("b.tok_id") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.sz") >= ceil(col("a.sz") * lit(threshold)) &&
-          col("b.sz") <= floor(col("a.sz") / lit(threshold)))
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(col("toks"), lit(1), expr("sz - ((4*sz + 4) div 5) + 1")))
+          .as(Seq("pos", "tok_id")))
+    // PPJoin position filter (3rd predicate): a pair whose first shared
+    // token sits at (0-based) prefix positions (pa, pb) overlaps at most
+    // min(sza - pa, szb - pb) tokens; pairs that can't reach the minimum
+    // overlap die inside the join, before the dedup exchange sees them.
+    val cands = pref.as("a").join(pref.as("b"), expr(
+        "a.tok_id = b.tok_id AND a.doc_id < b.doc_id" +
+          " AND b.sz BETWEEN (4*a.sz + 4) div 5 AND (5*a.sz) div 4" +
+          " AND least(a.sz - a.pos, b.sz - b.pos) >= (4*(a.sz + b.sz) + 8) div 9"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     verifyJaccard(cands, toks, threshold, nDocs).orderBy("doc_a", "doc_b")
