@@ -81,6 +81,9 @@ object SparkEntry {
     "q45_cube" -> (Analytics.q45Cube _),
     "q46_sliding_frame" -> (Analytics.q46SlidingFrame _),
     "q47_approx_distinct" -> (Sketches.q47ApproxDistinct _),
+    "q48_pivot" -> (Analytics.q48Pivot _),
+    "q49_unpivot" -> (Analytics.q49Unpivot _),
+    "q50_stratified_sample" -> (TrainingData.q50StratifiedSample _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -363,5 +366,21 @@ object SparkEntry {
         "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) ORDER BY event_id"),
     // q47 is HLL-sketch-based (engine-specific register layout) — no
     // DuckDB oracle; driver records a rows-only check, like q25/q26.
+    "q48_pivot" -> {
+      def cell(t: String) =
+        s"CAST(round(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(20,6)) END), 4) " +
+          s"AS DOUBLE) AS $t"
+      "SELECT user_id, " + Seq("click", "error", "purchase", "signup", "view").map(cell).mkString(", ") +
+        " FROM events GROUP BY user_id ORDER BY user_id"
+    },
+    "q49_unpivot" ->
+      ("WITH u AS (" +
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) " +
+        "SELECT * FROM u ORDER BY l_orderkey, l_linenumber, metric, val"),
+    // q50 sampling rides the engine's seeded RNG stream — not
+    // reproducible in another engine; rows-only, with the spec pinning
+    // seed determinism and per-stratum rates.
   )
 }

@@ -163,6 +163,36 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Pivot (long→wide): per-user event-value sums, one column per event
+    * type. The pivot value list is EXPLICIT — an implicit list makes
+    * Spark run a distinct scan over the pivot column first and caps it
+    * at spark.sql.pivotMaxValues; at 100 TB the column set must be a
+    * declared schema decision, not data-dependent. Physically this is
+    * one ordinary groupBy(user_id) with five conditional aggregates —
+    * partial map-side aggregation and a single shuffle, nothing
+    * pivot-specific to pay for.
+    */
+  def q48Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(dsum4(col("value")))
+      .orderBy("user_id")
+
+  /** Unpivot / melt (wide→long): lineitem rate columns as (metric, val)
+    * rows — row-local expansion (Spark's Expand node), no shuffle at
+    * all; output is 3× input rows but each row is narrow. (l_orderkey,
+    * l_linenumber) is not unique in this synthetic data, so the total
+    * order includes val.
+    */
+  def q49Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "val")
+      .orderBy("l_orderkey", "l_linenumber", "metric", "val")
+
   def q45Cube(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .cube("l_returnflag", "l_linestatus")

@@ -120,4 +120,18 @@ object TrainingData {
       .withColumn("feat1", roundD4(col("feat1")))
       .orderBy("doc_id")
   }
+
+  /** q50 — seeded stratified sampling (`sampleBy` on the lang column):
+    * the corpus-subsampling primitive of every pretraining-data mix
+    * (per-source/per-language rates). Bernoulli per row against a
+    * seeded hash — row-local, no shuffle, rates are plan constants.
+    * Sampling decisions depend on the engine's RNG stream, so the
+    * query is declared oracle-free (rows-only); the spec pins seed
+    * determinism and per-stratum rate bounds instead.
+    */
+  def q50StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .stat.sampleBy("lang", Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1), seed = 42L)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
 }

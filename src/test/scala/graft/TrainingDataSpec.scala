@@ -122,4 +122,16 @@ class TrainingDataSpec extends SparkSpecBase {
     val again = graft.ops.Sketches.q47ApproxDistinct(spark, "/root/testdata/sf0.001").collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("q50 stratified sample: seed-deterministic, rates honored per stratum") {
+    val sf = "/root/testdata/sf0.001"
+    val out = TrainingData.q50StratifiedSample(spark, sf).collect()
+    val again = TrainingData.q50StratifiedSample(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq, "same seed must resample identically")
+    val byLang = out.groupBy(_.getString(1)).view.mapValues(_.length.toDouble).toMap
+    assert(byLang.keySet.subsetOf(Set("en", "de", "fr")), "unlisted strata must be excluded")
+    // loose Bernoulli bounds on ~70-190 rows per stratum
+    assert(byLang("en") / 193 > 0.3 && byLang("en") / 193 < 0.7)
+    assert(byLang("de") / 71 > 0.1 && byLang("de") / 71 < 0.45)
+  }
 }
