@@ -60,6 +60,23 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Watermarked tumbling-window aggregation (q41's streaming dual):
+    * event count and sum per fixed epoch-aligned window per type,
+    * emitted once the watermark passes the window end and then dropped
+    * from the state store — the canonical
+    * readStream → watermark → window → agg shape. Aggregation state is
+    * bounded by (watermark delay / window width) windows per group key
+    * regardless of input volume.
+    */
+  def tumblingAgg(events: DataFrame, width: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** State for [[forwardFillStream]] — primitive fields (an
     * Option-typed private class breaks the state encoder's codegen).
     */

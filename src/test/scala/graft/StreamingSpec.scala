@@ -73,4 +73,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(got(4L).contains(5.0)) // carried across the batch boundary
     assert(got(6L).contains(7.0))
   }
+
+  test("streaming tumbling agg: windows emit past the watermark, state dropped") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.tumblingAgg(ms.toDF(), "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("tumbling").outputMode("append").start()
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:55:00"), 2, "click", 2.0),
+      Ev(3, ts("2024-01-01 11:05:00"), 1, "view", 4.0))
+    q.processAllAvailable()
+    ms.addData(Ev(99, ts("2024-02-01 00:00:00"), 3, "click", 0.0)) // watermark push
+    q.processAllAvailable()
+    val got = spark.table("tumbling")
+      .select("window_start", "event_type", "n_events", "sum_value").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    q.stop()
+    assert(got.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+    assert(got.contains(("2024-01-01 11:00:00.0", "view", 1L, 4.0)))
+  }
 }
