@@ -167,17 +167,22 @@ object Analytics {
     * type. The pivot value list is EXPLICIT — an implicit list makes
     * Spark run a distinct scan over the pivot column first and caps it
     * at spark.sql.pivotMaxValues; at 100 TB the column set must be a
-    * declared schema decision, not data-dependent. Physically this is
-    * one ordinary groupBy(user_id) with five conditional aggregates —
-    * partial map-side aggregation and a single shuffle, nothing
-    * pivot-specific to pay for.
+    * declared schema decision, not data-dependent. The engine expands
+    * the list into conditional aggregates itself rather than calling
+    * `.pivot()`: the built-in plans TWO exchanges (a (key, pivot-col)
+    * pre-aggregate, then a `pivotfirst` re-shuffle on the key), where
+    * the conditional form is one ordinary partial+final aggregate on
+    * the key — half the shuffles for the identical result
+    * (PlanQualitySpec pins it).
     */
-  def q48Pivot(spark: SparkSession, dir: String): DataFrame =
+  def q48Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
     Tables.events(spark, dir)
       .groupBy("user_id")
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-      .agg(dsum4(col("value")))
+      .agg(types.head match { case t => dsum4(when(col("event_type") === t, col("value"))).as(t) },
+        types.tail.map(t => dsum4(when(col("event_type") === t, col("value"))).as(t)): _*)
       .orderBy("user_id")
+  }
 
   /** Unpivot / melt (wide→long): lineitem rate columns as (metric, val)
     * rows — row-local expansion (Spark's Expand node), no shuffle at

@@ -60,4 +60,17 @@ class PlanQualitySpec extends SparkSpecBase {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
   }
+
+  test("q48: pivot compiles to partial+final hash aggregate, one shuffle") {
+    val p = physical(graft.ops.Analytics.q48Pivot(spark, sf))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "partial + final aggregate expected:\n" + p)
+  }
+
+  test("q49: unpivot is pure Expand — no exchange before the output sort") {
+    val p = physical(graft.ops.Analytics.q49Unpivot(spark, sf))
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Exchange hashpartitioning"), "unpivot must not shuffle:\n" + p)
+  }
 }
