@@ -84,6 +84,7 @@ object SparkEntry {
     "q48_pivot" -> (Analytics.q48Pivot _),
     "q49_unpivot" -> (Analytics.q49Unpivot _),
     "q50_stratified_sample" -> (TrainingData.q50StratifiedSample _),
+    "q51_bag_set_ops" -> (Analytics.q51BagSetOps _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -382,5 +383,13 @@ object SparkEntry {
     // q50 sampling rides the engine's seeded RNG stream — not
     // reproducible in another engine; rows-only, with the spec pinning
     // seed determinism and per-stratum rates.
+    "q51_bag_set_ops" ->
+      ("WITH r AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'), " +
+        "a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'), " +
+        "u AS (SELECT l_partkey, 'intersect_all' AS tag FROM " +
+        "(SELECT l_partkey FROM r INTERSECT ALL SELECT l_partkey FROM a) " +
+        "UNION ALL SELECT l_partkey, 'except_all' FROM " +
+        "(SELECT l_partkey FROM r EXCEPT ALL SELECT l_partkey FROM a)) " +
+        "SELECT l_partkey, tag FROM u ORDER BY tag, l_partkey"),
   )
 }

@@ -163,6 +163,23 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Bag-semantic set operations (INTERSECT ALL / EXCEPT ALL) beside
+    * q35's distinct variants: part keys on returned ('R') vs accepted
+    * ('A') lineitems WITH multiplicity — min(m_R, m_A) copies survive
+    * the intersection, max(0, m_R - m_A) the difference. Spark compiles
+    * both to a count-aggregate + Generate (replicate rows) — one
+    * shuffle each, no join; duplicate output rows are legitimate, so
+    * the total order is (tag, key) with equal rows interchangeable.
+    */
+  def q51BagSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val r = li.filter(col("l_returnflag") === "R").select("l_partkey")
+    val a = li.filter(col("l_returnflag") === "A").select("l_partkey")
+    r.intersectAll(a).withColumn("tag", lit("intersect_all"))
+      .unionByName(r.exceptAll(a).withColumn("tag", lit("except_all")))
+      .orderBy("tag", "l_partkey")
+  }
+
   /** Pivot (long→wide): per-user event-value sums, one column per event
     * type. The pivot value list is EXPLICIT — an implicit list makes
     * Spark run a distinct scan over the pivot column first and caps it
