@@ -85,6 +85,7 @@ object SparkEntry {
     "q49_unpivot" -> (Analytics.q49Unpivot _),
     "q50_stratified_sample" -> (TrainingData.q50StratifiedSample _),
     "q51_bag_set_ops" -> (Analytics.q51BagSetOps _),
+    "q52_grouping_sets" -> (Analytics.q52GroupingSets _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -391,5 +392,10 @@ object SparkEntry {
         "UNION ALL SELECT l_partkey, 'except_all' FROM " +
         "(SELECT l_partkey FROM r EXCEPT ALL SELECT l_partkey FROM a)) " +
         "SELECT l_partkey, tag FROM u ORDER BY tag, l_partkey"),
+    "q52_grouping_sets" ->
+      (s"SELECT l_returnflag, l_linestatus, ${dsum("l_quantity")} AS sum_qty, count(*) AS n_rows, " +
+        "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid"),
   )
 }

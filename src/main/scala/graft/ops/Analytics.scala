@@ -163,6 +163,21 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Explicit GROUPING SETS — the general form beside q34's ROLLUP and
+    * q45's CUBE: per-returnflag totals and per-linestatus totals in ONE
+    * scan + one shuffle (Expand replicates each row once per set
+    * map-side, partial aggregation collapses before the exchange) —
+    * where two separate groupBys would scan the fact table twice.
+    */
+  def q52GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum4(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"), asc("gid"))
+
   /** Bag-semantic set operations (INTERSECT ALL / EXCEPT ALL) beside
     * q35's distinct variants: part keys on returned ('R') vs accepted
     * ('A') lineitems WITH multiplicity — min(m_R, m_A) copies survive
