@@ -21,10 +21,13 @@ object Bench {
     // Optional subset for local profiling: bench only the named queries.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $sec%8.2f s")
@@ -37,8 +40,17 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A crashed query's elapsed-until-failure is still in `queries`, but
+    // its name in `failed` marks it unusable as a timing.
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,"sf":"$sfDir"}"""
+    // stdout for humans; the file for the driver — sbt prefixes stdout
+    // lines with [info], which broke machine parsing of round 1's metric.
+    println(json)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json + "\n")
     spark.stop()
   }
 }
