@@ -23,11 +23,21 @@ object SqlRunner {
       load(spark, dir).createOrReplaceTempView(name)
     }
 
-  /** Run `;`-separated SQL, returning the last statement's result. */
+  /** Run `;`-separated SQL, returning the last statement's result.
+    *
+    * Non-final statements are EXECUTED, not just analyzed: `spark.sql`
+    * runs commands (DDL/DML) eagerly but leaves SELECTs lazy, so a
+    * runtime error in an intermediate SELECT would otherwise be
+    * silently skipped. The collect is bounded by usage — intermediate
+    * statements in multi-statement scripts are setup (views, inserts)
+    * whose results are tiny; don't put a billion-row SELECT anywhere
+    * but last.
+    */
   def q(spark: SparkSession, sql: String): DataFrame = {
     val statements = sql.split(";").map(_.trim).filter(_.nonEmpty)
     require(statements.nonEmpty, "no SQL statements given")
-    statements.map(spark.sql).last
+    statements.init.foreach(s => spark.sql(s).collect())
+    spark.sql(statements.last)
   }
 
   /** Catalog listing (S5): table names visible to SQL. */

@@ -122,9 +122,18 @@ object Tables {
     * `ts div 1000` (integer division on longs) is deliberate: routing the
     * ~1.7e18 nano value through a double (`col / 1000`) loses sub-µs bits
     * (doubles carry 53 mantissa bits) and can shift the truncated µs by 1.
+    *
+    * The nanos legacy conf is REQUIRED at session build time, not set
+    * here: a loader that silently flips session state leaks the change
+    * to every other query on a shared session (and races across
+    * threads). Fail fast with the fix instead.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet carries TIMESTAMP(NANOS): build the SparkSession with " +
+        """.config("spark.sql.legacy.parquet.nanosAsLong", "true") """ +
+        "(as graft.Verify/graft.Bench do); Tables.events does not set it implicitly")
     load(spark, dir, "events", eventsRawSchema)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -104,13 +104,27 @@ object GraftFunctions {
 /** `SparkSessionExtensions` hook so deployments can load the engine's
   * native functions at session build time
   * (`spark.sql.extensions=graft.functions.GraftExtensions`) instead of
-  * calling [[GraftFunctions.register]] per session.
+  * calling [[GraftFunctions.register]] per session. Injects the same
+  * four expressions as [[GraftFunctions.register]] so the two
+  * registration paths yield identical sessions.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    e.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
-      (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))))
+  import org.apache.spark.sql.SparkSessionExtensions
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def inject(e: SparkSessionExtensions, name: String, clazz: Class[_],
+      builder: Seq[Expression] => Expression): Unit =
+    e.injectFunction((FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder))
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    inject(e, "sorted_intersect_count", classOf[SortedIntersectCount],
+      exprs => SortedIntersectCount(exprs.head, exprs(1)))
+    inject(e, "float_vec_dot", classOf[FloatVecDot],
+      exprs => FloatVecDot(exprs.head, exprs(1)))
+    inject(e, "minhash_signature", classOf[MinHashSignature],
+      exprs => MinHashSignature(exprs.head, 32))
+    inject(e, "simhash64", classOf[SimHash64],
+      exprs => SimHash64(exprs.head))
+  }
 }

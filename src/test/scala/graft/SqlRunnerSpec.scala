@@ -18,4 +18,10 @@ class SqlRunnerSpec extends SparkSpecBase {
       SqlRunner.q(spark, "SELECT 1; SELECT * FROM no_such_table").collect()
     }
   }
+
+  test("RUNTIME error in a non-final SELECT surfaces (statements execute, not just analyze)") {
+    intercept[Exception] {
+      SqlRunner.q(spark, "SELECT raise_error('mid-script failure'); SELECT 1 AS ok")
+    }
+  }
 }
