@@ -53,6 +53,25 @@ object Similarity {
       .withColumn("sz", size(col("toks")))
   }
 
+  /** Documents collapsed to DISTINCT token sets — the exact-duplicate
+    * collapse that fronts the near-dup joins (q21/q25), exactly as
+    * production dedup pipelines cascade (exact dedup → near-dup over
+    * survivors → expand back). Web-scale corpora are duplicate-heavy, so
+    * the quadratic stages (candidate join + Jaccard verification) run
+    * over the (much smaller) distinct-set relation, and each group of
+    * exact-identical docs is verified ONCE instead of |A|·|B| times per
+    * set pair. Grouping on the token array itself (not a digest) keeps
+    * the collapse collision-free; the shuffle carries each doc's
+    * token-id array once — the same volume any groupBy-based exact
+    * dedup ships. Output: (gid = min member doc_id, toks, sz, members
+    * sorted ASC).
+    */
+  private[ops] def tokenSetGroups(spark: SparkSession, dir: String): DataFrame =
+    docTokenSets(spark, dir)
+      .groupBy("toks")
+      .agg(min(col("doc_id")).as("gid"), sort_array(collect_list(col("doc_id"))).as("members"))
+      .withColumn("sz", size(col("toks")))
+
   /** Attach token sets to bare (doc_a, doc_b) candidate pairs and keep
     * those with exact Jaccard ≥ threshold — the shared verification tail
     * of q21/q25. Candidates must arrive deduplicated. The intersection
@@ -61,76 +80,138 @@ object Similarity {
     * sorted distinct ints by construction.
     */
   /** Broadcast-threshold for the doc-side lookup of the verify join:
-    * below this many documents the token-set dimension is hinted
-    * broadcast, so the (much larger) candidate-pair stream flows
-    * map-side through two hash joins instead of being shuffled twice
-    * for sort-merge. Above it the hint is withheld and the join runs as
-    * a doc_id-partitioned shuffle join — broadcasting a billion-doc
-    * dimension would OOM every executor. ~100k docs × ≲1 KB of token
-    * ids ≈ tens of MB, comfortably under executor broadcast budgets.
+    * below this many bytes of source documents the token-set dimension
+    * is hinted broadcast, so the (much larger) candidate-pair stream
+    * flows map-side through two hash joins instead of being shuffled
+    * twice for sort-merge. Above it the hint is withheld and the join
+    * runs as a doc_id-partitioned shuffle join — broadcasting a
+    * billion-doc dimension would OOM every executor. The xxhash64
+    * token-id arrays are within a small factor of the source text size
+    * (8 B per distinct token vs ~6 B per word), so 128 MB of documents
+    * stays comfortably under executor broadcast budgets.
     */
-  private val BroadcastDocLimit = 100000L
+  private val BroadcastDocBytes = BigInt(128L << 20)
 
-  private[ops] def verifyJaccard(cands: DataFrame, toks: DataFrame, threshold: Double,
-      nDocs: Long): DataFrame = {
+  /** Driver-side size of the documents scan, from the optimizer's
+    * metadata-only statistics (parquet file footers) — unlike a
+    * `count()`, this launches no Spark job (VERDICT r1 #5: op bodies
+    * must not run eager actions).
+    */
+  private[ops] def documentsSizeBytes(spark: SparkSession, dir: String): BigInt =
+    Tables.documents(spark, dir).queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** Verify bare (ga, gb) candidate GROUP pairs against the exact
+    * Jaccard of their token sets (≥ threshold) — the shared tail of the
+    * q21/q25 candidate joins. Candidates must arrive deduplicated (both
+    * callers emit each pair exactly once by construction). The
+    * intersection uses the engine's native codegen'd merge-scan
+    * ([[graft.functions.SortedIntersectCount]]).
+    */
+  private[ops] def verifySetJaccard(cands: DataFrame, groups: DataFrame, threshold: Double,
+      docBytes: BigInt): DataFrame = {
     graft.functions.GraftFunctions.register(cands.sparkSession)
     def docSide(df: DataFrame): DataFrame =
-      if (nDocs <= BroadcastDocLimit) broadcast(df) else df
+      if (docBytes <= BroadcastDocBytes) broadcast(df) else df
     cands
-      .join(docSide(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("sz").as("sa"))), "doc_a")
-      .join(docSide(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("sz").as("sb"))), "doc_b")
+      .join(docSide(groups.select(col("gid").as("ga"), col("toks").as("ta"), col("sz").as("sa"))), "ga")
+      .join(docSide(groups.select(col("gid").as("gb"), col("toks").as("tb"), col("sz").as("sb"))), "gb")
       .withColumn("inter", call_function("sorted_intersect_count", col("ta"), col("tb")))
       .withColumn("jaccard", col("inter").cast(DoubleType) / (col("sa") + col("sb") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), roundD4(col("jaccard")).as("jaccard"))
+      .select(col("ga"), col("gb"), roundD4(col("jaccard")).as("jaccard"))
   }
 
-  /** E2 — exact near-duplicate pairs (token-set Jaccard ≥ 0.8) via
-    * prefix filtering (AllPairs/PPJoin family), engineered so every
-    * shuffle carries integers, never token arrays:
+  /** Expand qualifying set pairs back to doc pairs: every cross pair of
+    * a qualifying (ga, gb) group pair carries the set-level Jaccard
+    * (doc-level J is a pure function of the token sets), and every
+    * within-group pair of a multi-member group is an exact duplicate
+    * (J = 1). Together these are EXACTLY the doc pairs the
+    * pre-cascade doc-level join produced — the oracle output is
+    * unchanged. The expansion is the result set itself, so its size is
+    * the answer's size, not an intermediate blow-up.
+    */
+  private[ops] def expandNearDupPairs(setPairs: DataFrame, groups: DataFrame,
+      docBytes: BigInt): DataFrame = {
+    def docSide(df: DataFrame): DataFrame =
+      if (docBytes <= BroadcastDocBytes) broadcast(df) else df
+    val cross = setPairs
+      .join(docSide(groups.select(col("gid").as("ga"), col("members").as("ma"))), "ga")
+      .join(docSide(groups.select(col("gid").as("gb"), col("members").as("mb"))), "gb")
+      .select(col("jaccard"), explode(col("ma")).as("da"), col("mb"))
+      .select(col("jaccard"), col("da"), explode(col("mb")).as("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    val within = groups
+      .filter(size(col("members")) >= 2)
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+    cross.union(within)
+  }
+
+  /** E2 — exact near-duplicate pairs (token-set Jaccard ≥ 0.8) via an
+    * exact-dup collapse + prefix-filtered set join (AllPairs/PPJoin
+    * family), engineered so the quadratic stages never see duplicate
+    * documents and every wide shuffle carries integers:
     *
     *  1. Rewrite each doc as a sorted array of xxhash64 token ids — a
     *     purely row-local projection (see [[docTokenSets]]); no
     *     vocabulary table exists at any scale.
-    *  2. Prefix filter: two sets with Jaccard ≥ t MUST share one of
+    *  2. Collapse exact duplicates: group docs by identical token set
+    *     ([[tokenSetGroups]]) so the candidate join and verification run
+    *     over DISTINCT sets — the standard dedup-pipeline cascade, and
+    *     on duplicate-heavy corpora (all web-scale corpora) the step
+    *     that keeps the quadratic work quadratic in distinct content,
+    *     not in raw doc count.
+    *  3. Prefix filter: two sets with Jaccard ≥ t MUST share one of
     *     their first `|A| - ceil(t·|A|) + 1` tokens (sets sorted in one
     *     global order), so candidates come from an equi-join on prefix
     *     token ids — exact, zero false negatives, no O(n²) cross join.
-    *     A size filter (|B| ∈ [t·|A|, |A|/t]) prunes further. Candidate
-    *     rows are bare (doc_a, doc_b) int pairs; dedup before any
-    *     array work.
-    *  3. Verify: re-attach the int arrays (small dimension join) and
-    *     compute the exact Jaccard once per surviving pair.
+    *     A size filter (|B| ∈ [t·|A|, |A|/t]) prunes further.
+    *  4. Verify the exact Jaccard once per candidate SET pair, then
+    *     expand qualifying set pairs back to doc pairs
+    *     ([[expandNearDupPairs]]) — bit-identical output to the
+    *     doc-level join.
     *
     * The MinHash-LSH probabilistic variant is the q25 sketch op.
     */
   def q21JaccardNeardup(spark: SparkSession, dir: String): DataFrame = {
     val threshold = 0.8 // = 4/5 — all derived bounds below in exact integer form
-    // metadata-only parquet count — the optimizer stat that decides
-    // whether the verify join's doc side is broadcastable
-    val nDocs = Tables.documents(spark, dir).count()
-    val toks = docTokenSets(spark, dir)
+    graft.functions.GraftFunctions.register(spark)
+    val docBytes = documentsSizeBytes(spark, dir)
+    val groups = tokenSetGroups(spark, dir)
     // All threshold bounds use exact integer arithmetic: double forms
     // like ceil(sz * 0.8) round wrong at exact boundaries (45 * 0.8 =
     // 36.000000000000004 → ceil 37 silently drops legal J = 0.8 pairs).
     //   prefix length   = sz - ceil(4·sz/5) + 1
     //   size bounds     = ceil(4·sza/5) ≤ szb ≤ floor(5·sza/4)
     //   min overlap     = ceil(t/(1+t)·(sza+szb)) = ceil(4·(sza+szb)/9)
-    val pref = toks
-      .select(col("doc_id"), col("sz"),
-        posexplode(slice(col("toks"), lit(1), expr("sz - ((4*sz + 4) div 5) + 1")))
-          .as(Seq("pos", "tok_id")))
-    // PPJoin position filter (3rd predicate): a pair whose first shared
-    // token sits at (0-based) prefix positions (pa, pb) overlaps at most
-    // min(sza - pa, szb - pb) tokens; pairs that can't reach the minimum
-    // overlap die inside the join, before the dedup exchange sees them.
+    // Each exploded row carries its whole (short) prefix array `pre` so
+    // the join can detect the FIRST shared token — see below.
+    val pref = groups
+      .withColumn("pre", slice(col("toks"), lit(1), expr("sz - ((4*sz + 4) div 5) + 1")))
+      .select(col("gid"), col("sz"), col("pre"),
+        posexplode(col("pre")).as(Seq("pos", "tok_id")))
+    // Predicate 3 — first-shared-token emission: a pair sharing k prefix
+    // tokens used to exit the join k times and was repaired by a
+    // quadratic-sized dropDuplicates exchange. Arrays are sorted, so
+    // "tokens before position pos" = slice(pre, 1, pos), and
+    // sorted_intersect_count(...) = 0 keeps exactly the occurrence at
+    // the first shared token: pairs exit the join already distinct.
+    // Predicate 4 — PPJoin position filter: at the FIRST shared token
+    // (0-based positions pa, pb) total overlap ≤ min(sza-pa, szb-pb)
+    // (any earlier common token would contradict "first"), so pairs that
+    // cannot reach the minimum overlap die inside the join. A truly
+    // valid pair always survives: its bound ≥ true overlap ≥ minoverlap.
     val cands = pref.as("a").join(pref.as("b"), expr(
-        "a.tok_id = b.tok_id AND a.doc_id < b.doc_id" +
+        "a.tok_id = b.tok_id AND a.gid < b.gid" +
           " AND b.sz BETWEEN (4*a.sz + 4) div 5 AND (5*a.sz) div 4" +
+          " AND sorted_intersect_count(slice(a.pre, 1, a.pos), slice(b.pre, 1, b.pos)) = 0" +
           " AND least(a.sz - a.pos, b.sz - b.pos) >= (4*(a.sz + b.sz) + 8) div 9"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    verifyJaccard(cands, toks, threshold, nDocs).orderBy("doc_a", "doc_b")
+      .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
+    val setPairs = verifySetJaccard(cands, groups, threshold, docBytes)
+    expandNearDupPairs(setPairs, groups, docBytes).orderBy("doc_a", "doc_b")
   }
 
   /** E3 — top-k cosine similarity search, brute-force exact baseline:

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -25,26 +25,56 @@ object Sketches {
     * signature slice become candidates; candidates are verified with the
     * exact Jaccard (≥ 0.8). At 100 TB only the banding join shuffles,
     * on (band_id, band_hash) keys — never token sets.
+    *
+    * First-collision emission (the round-1 bench fix): a near-dup pair
+    * collides in ~all 8 bands, so the naive banding join emitted every
+    * pair up to 8× and needed a quadratic-sized dropDuplicates exchange
+    * to repair it (44.9 s at sf0.1 — slower than the exact q21 it
+    * approximates). Instead the banding join is unrolled into one join
+    * PER BAND, where band i keeps a pair only if no earlier band also
+    * collided (`hash_a[j] ≠ hash_b[j] ∀ j < i`): pairs exit the unioned
+    * joins already distinct — no fan-out, no dedup exchange, and the
+    * candidate stream flows map-side straight into the broadcast verify
+    * join. The unrolling matters as much as the dedup it removes: with
+    * array-typed rows the first-collision predicate needs
+    * slice/zip_with/exists, which are CodegenFallback expressions — they
+    * evict the join's O(bucket²) inner loop from whole-stage codegen
+    * into interpreted eval with per-pair array allocation (measured:
+    * identical 44.9 s). Static per-band columns keep every predicate a
+    * scalar long comparison inside the generated loop.
     */
   def q25MinhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val threshold = 0.8
     graft.functions.GraftFunctions.register(spark)
-    val nDocs = graft.Tables.documents(spark, dir).count()
-    val toks = Similarity.docTokenSets(spark, dir)
-    // one codegen'd loop per doc (graft.functions.MinHashSignature) —
+    val docBytes = Similarity.documentsSizeBytes(spark, dir)
+    // exact-dup collapse first (same cascade as q21): signatures,
+    // banding and verification all run over DISTINCT token sets;
+    // qualifying set pairs expand back to doc pairs at the end
+    val groups = Similarity.tokenSetGroups(spark, dir)
+    // one codegen'd loop per set (graft.functions.MinHashSignature) —
     // the nested-HOF formulation evaluates 32·|toks| interpreted lambdas
     val sig = call_function("minhash_signature", col("toks"))
-    val bands = transform(sequence(lit(0), lit(Bands - 1)),
+    val bandArr = transform(sequence(lit(0), lit(Bands - 1)),
       b => xxhash64(slice(col("sig"), b * lit(NumPerm / Bands) + 1, lit(NumPerm / Bands))))
-    val banded = toks
+    val withBands = groups
       .withColumn("sig", sig)
-      .select(col("doc_id"), posexplode(bands).as(Seq("band_id", "band_hash")))
-    val cands = banded.as("a").join(banded.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    Similarity.verifyJaccard(cands, toks, threshold, nDocs).orderBy("doc_a", "doc_b")
+      .withColumn("bands", bandArr)
+      .select(col("gid"), col("bands"))
+    val perBand = (0 until Bands).map { i =>
+      // band i's join side carries scalar hash columns h0..hi only —
+      // the equi key hi plus the earlier bands needed for the predicate
+      val side = withBands.select(
+        col("gid") +: (0 to i).map(j => col("bands")(j).as(s"h$j")): _*)
+      val noEarlier = (0 until i)
+        .map(j => col(s"a.h$j") =!= col(s"b.h$j"))
+        .foldLeft(lit(true))(_ && _)
+      side.as("a").join(side.as("b"),
+          col(s"a.h$i") === col(s"b.h$i") && col("a.gid") < col("b.gid") && noEarlier)
+        .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
+    }
+    val cands = perBand.reduce(_ union _)
+    val setPairs = Similarity.verifySetJaccard(cands, groups, threshold, docBytes)
+    Similarity.expandNearDupPairs(setPairs, groups, docBytes).orderBy("doc_a", "doc_b")
   }
 
   /** q47 — HLL++ approximate count-distinct per event_type, beside the
@@ -79,16 +109,26 @@ object Sketches {
     // hash) — one fused codegen loop (graft.functions.SimHash64)
     val sigs = toks.select(col("doc_id"),
       call_function("simhash64", col("toks")).as("simhash"))
-    val chunked = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
-        c => call_function("shiftright", col("simhash"), c * lit(64 / chunks)).bitwiseAND(lit(0xFFFFL))))
-        .as(Seq("chunk_id", "chunk")))
-    val cands = chunked.as("a").join(chunked.as("b"),
-        col("a.chunk_id") === col("b.chunk_id") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    // same first-collision emission as q25, unrolled per chunk so every
+    // predicate is a codegen'd scalar compare: chunk i's join keeps a
+    // pair only if no earlier chunk also matched, so pairs exit the
+    // unioned joins already distinct (near-identical docs collide in
+    // all 4 chunks — the naive join emitted them 4× and repaired the
+    // fan-out with a dropDuplicates exchange)
+    def chunk(sh: Column, j: Int): Column =
+      shiftright(sh, j * (64 / chunks)).bitwiseAND(lit(0xFFFFL))
+    val perChunk = (0 until chunks).map { i =>
+      val side = sigs.select(
+        col("doc_id") +: col("simhash") +: (0 to i).map(j => chunk(col("simhash"), j).as(s"c$j")): _*)
+      val noEarlier = (0 until i)
+        .map(j => col(s"a.c$j") =!= col(s"b.c$j"))
+        .foldLeft(lit(true))(_ && _)
+      side.as("a").join(side.as("b"),
+          col(s"a.c$i") === col(s"b.c$i") && col("a.doc_id") < col("b.doc_id") && noEarlier)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+    }
+    val cands = perChunk.reduce(_ union _)
     cands
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType))
       .filter(col("hamming") <= maxHamming)
