@@ -72,6 +72,7 @@ object SparkEntry {
     "q36_window_funcs" -> (Analytics.q36WindowFuncs _),
     "q37_salted_agg" -> (Analytics.q37SaltedAgg _),
     "q38_percentiles" -> (Analytics.q38Percentiles _),
+    "q38b_approx_percentiles" -> (Analytics.q38bApproxPercentiles _),
     "q39_semi_join" -> (Analytics.q39SemiJoin _),
     "q40_correlated_subquery" -> (Analytics.q40CorrelatedSubquery _),
     "q41_tumbling_window" -> (Events.q41TumblingWindow _),
@@ -321,6 +322,9 @@ object SparkEntry {
         s"${rd4("quantile_cont(l_extendedprice, 0.5)")} AS med_price, " +
         s"${rd4("quantile_cont(l_extendedprice, 0.9)")} AS p90_price " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // q38b rides Spark's approx_percentile sketch (engine-specific
+    // register layout) — no DuckDB oracle; exact twin q38 plus the
+    // AnalyticsSpec error-bound test are its correctness guards
     "q39_semi_join" ->
       ("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
         "WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey"),

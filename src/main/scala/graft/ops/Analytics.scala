@@ -76,6 +76,27 @@ object Analytics {
         roundD4(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"))
       .orderBy("l_returnflag")
 
+  /** q38b — the 100 TB percentile: same shape as q38 but computed with
+    * `approx_percentile` (KLL-style quantile sketch). The sketch is
+    * FIXED-SIZE and mergeable, so the aggregation stays partial+final
+    * with a bounded shuffle, where exact `percentile` materializes a
+    * per-group buffer of every value — the whole column per group at
+    * wide groups, an OOM at scale. Accuracy 10000 ⇒ rank error
+    * ≤ 1/10000 of the group. Sketch internals are engine-specific, so
+    * (like q47) this is declared WITHOUT a DuckDB oracle — its
+    * correctness guard is the exact q38 twin beside it plus the
+    * AnalyticsSpec bound test against exact percentiles.
+    */
+  def q38bApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        roundD4(expr("approx_percentile(l_quantity, 0.5, 10000)")).as("med_qty"),
+        roundD4(expr("approx_percentile(l_quantity, 0.9, 10000)")).as("p90_qty"),
+        roundD4(expr("approx_percentile(l_extendedprice, 0.5, 10000)")).as("med_price"),
+        roundD4(expr("approx_percentile(l_extendedprice, 0.9, 10000)")).as("p90_price"))
+      .orderBy("l_returnflag")
+
   /** Semi-join / EXISTS (the reference's `existing_user` membership
     * checks as a join): customers that placed at least one order. A
     * left_semi join carries no payload from the probe side and
