@@ -66,6 +66,7 @@ object SparkEntry {
     "q30_fingerprint" -> (TrainingData.q30Fingerprint _),
     "q31_embed_neardup" -> (Similarity.q31EmbedNeardup _),
     "q32_ivf_ann" -> (Similarity.q32IvfAnn _),
+    "q32b_ivf_trained" -> (Similarity.q32bIvfTrained _),
     "q33_multimodal_stub" -> (TrainingData.q33MultimodalStub _),
     "q34_rollup" -> (Analytics.q34Rollup _),
     "q35_set_ops" -> (Analytics.q35SetOps _),

@@ -232,7 +232,7 @@ object Analytics {
     val types = Seq("click", "error", "purchase", "signup", "view")
     Tables.events(spark, dir)
       .groupBy("user_id")
-      .agg(types.head match { case t => dsum4(when(col("event_type") === t, col("value"))).as(t) },
+      .agg(dsum4(when(col("event_type") === types.head, col("value"))).as(types.head),
         types.tail.map(t => dsum4(when(col("event_type") === t, col("value"))).as(t)): _*)
       .orderBy("user_id")
   }

@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Similarity / vector operators (SURVEY.md §2.10 E2/E3/E5): near-dup
   * detection by token Jaccard, top-k cosine search over embeddings, and
@@ -122,31 +122,32 @@ object Similarity {
   }
 
   /** Expand qualifying set pairs back to doc pairs: every cross pair of
-    * a qualifying (ga, gb) group pair carries the set-level Jaccard
-    * (doc-level J is a pure function of the token sets), and every
-    * within-group pair of a multi-member group is an exact duplicate
-    * (J = 1). Together these are EXACTLY the doc pairs the
-    * pre-cascade doc-level join produced — the oracle output is
+    * a qualifying (ga, gb) group pair carries the set-level similarity
+    * value `valueCol` (doc-level similarity is a pure function of the
+    * token sets), and every within-group pair of a multi-member group
+    * is an exact duplicate (carrying `withinValue`: J = 1 for Jaccard,
+    * hamming = 0 for SimHash). Together these are EXACTLY the doc pairs
+    * the pre-cascade doc-level join produced — the oracle output is
     * unchanged. The expansion is the result set itself, so its size is
     * the answer's size, not an intermediate blow-up.
     */
   private[ops] def expandNearDupPairs(setPairs: DataFrame, groups: DataFrame,
-      docBytes: BigInt): DataFrame = {
+      docBytes: BigInt, valueCol: String, withinValue: Column): DataFrame = {
     def docSide(df: DataFrame): DataFrame =
       if (docBytes <= BroadcastDocBytes) broadcast(df) else df
     val cross = setPairs
       .join(docSide(groups.select(col("gid").as("ga"), col("members").as("ma"))), "ga")
       .join(docSide(groups.select(col("gid").as("gb"), col("members").as("mb"))), "gb")
-      .select(col("jaccard"), explode(col("ma")).as("da"), col("mb"))
-      .select(col("jaccard"), col("da"), explode(col("mb")).as("db"))
+      .select(col(valueCol), explode(col("ma")).as("da"), col("mb"))
+      .select(col(valueCol), col("da"), explode(col("mb")).as("db"))
       .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+        greatest(col("da"), col("db")).as("doc_b"), col(valueCol))
     val within = groups
       .filter(size(col("members")) >= 2)
       .select(explode(col("members")).as("doc_a"), col("members"))
       .select(col("doc_a"), explode(col("members")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), withinValue.as(valueCol))
     cross.union(within)
   }
 
@@ -211,7 +212,8 @@ object Similarity {
           " AND least(a.sz - a.pos, b.sz - b.pos) >= (4*(a.sz + b.sz) + 8) div 9"))
       .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
     val setPairs = verifySetJaccard(cands, groups, threshold, docBytes)
-    expandNearDupPairs(setPairs, groups, docBytes).orderBy("doc_a", "doc_b")
+    expandNearDupPairs(setPairs, groups, docBytes, "jaccard", lit(1.0))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** E3 — top-k cosine similarity search, brute-force exact baseline:
@@ -298,6 +300,80 @@ object Similarity {
     targets.join(broadcast(queries), col("cid") === col("qcid"))
       .withColumn("sim", roundD4(dot(col("qe"), col("te")) / (col("qn") * col("tn"))))
       .withColumn("rk", row_number().over(w).cast(LongType)) // BIGINT in DuckDB
+      .filter(col("rk") <= 10)
+      .select("qid", "rk", "tid", "sim")
+      .orderBy("qid", "rk")
+  }
+
+  /** q32b — IVF with TRAINED centroids: a deterministic k-means-lite
+    * (k = 8, 3 iterations) over the corpus, then the same
+    * cluster-pruned top-k search as q32. This upgrades q32's
+    * fixed-vector "centroids" toward the real 100 TB ANN story: train
+    * on (a sample of) the corpus, partition by assigned centroid,
+    * search only the query's cluster.
+    *
+    * Scale/determinism design:
+    *  - Only the MODEL crosses to the driver (k × 64 floats per
+    *    iteration — the same driver-held state Spark ML's KMeans
+    *    carries); the corpus itself never leaves executors.
+    *  - Centroid means accumulate in DECIMAL(20,6), so they are exact
+    *    and aggregation-order-independent — reruns train bit-identical
+    *    centroids on any partitioning (float partial sums would make
+    *    row counts flap run-to-run).
+    *  - Seeds are the k vectors with lowest xxhash64(vec_id) — a
+    *    deterministic scan-local sample, no RNG state.
+    *  - Per iteration: one broadcast nested-loop assign (corpus × k)
+    *    and one partial+final agg over (cid, dim) — both scale-linear.
+    * Engine-specific float details (cosine argmax ties, sketchless
+    * exact means) are not DuckDB-expressible → rows-only, like q47.
+    */
+  def q32bIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val k = 8
+    val iters = 3
+    val corpus = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+
+    def assign(cents: DataFrame, side: DataFrame, idCol: String, vecCol: String): DataFrame = {
+      val simToCent = roundD4(dot(col(vecCol), col("ce")) / (norm(col(vecCol)) * norm(col("ce"))))
+      val w = Window.partitionBy(idCol).orderBy(desc("csim"), asc("cid"))
+      side.crossJoin(broadcast(cents))
+        .withColumn("csim", simToCent)
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .drop("ce", "csim", "crn")
+    }
+
+    var model: Seq[(Int, Seq[Float])] = corpus
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h", "vec_id").limit(k)
+      .select("embedding").collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }.toSeq
+    for (_ <- 0 until iters) {
+      val cents = model.toDF("cid", "ce")
+      val updated = assign(cents, corpus, "vec_id", "embedding")
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("idx", "x")))
+        .groupBy("cid", "idx")
+        .agg(avg(col("x").cast(DecimalType(20, 6))).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getInt(1)).map(_.getDecimal(2).floatValue).toSeq }
+      // a cluster that lost every member keeps its previous centroid
+      model = model.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+
+    val trained = model.toDF("cid", "ce")
+    val queries = assign(trained,
+      corpus.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      "qid", "qe").withColumnRenamed("cid", "qcid").withColumn("qn", norm(col("qe")))
+    val targets = assign(trained,
+      corpus.filter(col("vec_id") >= 5).select(col("vec_id").as("tid"), col("embedding").as("te")),
+      "tid", "te").withColumn("tn", norm(col("te")))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
+    targets.join(broadcast(queries), col("cid") === col("qcid"))
+      .withColumn("sim", roundD4(dot(col("qe"), col("te")) / (col("qn") * col("tn"))))
+      .withColumn("rk", row_number().over(w).cast(LongType)) // BIGINT like q22/q32
       .filter(col("rk") <= 10)
       .select("qid", "rk", "tid", "sim")
       .orderBy("qid", "rk")

@@ -74,7 +74,8 @@ object Sketches {
     }
     val cands = perBand.reduce(_ union _)
     val setPairs = Similarity.verifySetJaccard(cands, groups, threshold, docBytes)
-    Similarity.expandNearDupPairs(setPairs, groups, docBytes).orderBy("doc_a", "doc_b")
+    Similarity.expandNearDupPairs(setPairs, groups, docBytes, "jaccard", lit(1.0))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** q47 — HLL++ approximate count-distinct per event_type, beside the
@@ -104,35 +105,41 @@ object Sketches {
     val maxHamming = 3
     val chunks = 4
     graft.functions.GraftFunctions.register(spark)
-    val toks = Similarity.docTokenSets(spark, dir)
+    val docBytes = Similarity.documentsSizeBytes(spark, dir)
+    // same cascade as q21/q25: the simhash is a pure function of the
+    // token set, so signatures/joins run over DISTINCT sets (exact dups
+    // otherwise fill each chunk bucket with identical signatures — a
+    // quadratic blowup on duplicate-heavy corpora) and qualifying set
+    // pairs expand back to doc pairs (within-group hamming = 0)
+    val groups = Similarity.tokenSetGroups(spark, dir)
     // bit j of the simhash = sign of Σ_tokens (±1 by bit j of the token
     // hash) — one fused codegen loop (graft.functions.SimHash64)
-    val sigs = toks.select(col("doc_id"),
+    val sigs = groups.select(col("gid"),
       call_function("simhash64", col("toks")).as("simhash"))
     // same first-collision emission as q25, unrolled per chunk so every
     // predicate is a codegen'd scalar compare: chunk i's join keeps a
     // pair only if no earlier chunk also matched, so pairs exit the
-    // unioned joins already distinct (near-identical docs collide in
+    // unioned joins already distinct (near-identical sets collide in
     // all 4 chunks — the naive join emitted them 4× and repaired the
     // fan-out with a dropDuplicates exchange)
     def chunk(sh: Column, j: Int): Column =
       shiftright(sh, j * (64 / chunks)).bitwiseAND(lit(0xFFFFL))
     val perChunk = (0 until chunks).map { i =>
       val side = sigs.select(
-        col("doc_id") +: col("simhash") +: (0 to i).map(j => chunk(col("simhash"), j).as(s"c$j")): _*)
+        col("gid") +: col("simhash") +: (0 to i).map(j => chunk(col("simhash"), j).as(s"c$j")): _*)
       val noEarlier = (0 until i)
         .map(j => col(s"a.c$j") =!= col(s"b.c$j"))
         .foldLeft(lit(true))(_ && _)
       side.as("a").join(side.as("b"),
-          col(s"a.c$i") === col(s"b.c$i") && col("a.doc_id") < col("b.doc_id") && noEarlier)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col(s"a.c$i") === col(s"b.c$i") && col("a.gid") < col("b.gid") && noEarlier)
+        .select(col("a.gid").as("ga"), col("b.gid").as("gb"),
           col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
     }
-    val cands = perChunk.reduce(_ union _)
-    cands
+    val setPairs = perChunk.reduce(_ union _)
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select("ga", "gb", "hamming")
+    Similarity.expandNearDupPairs(setPairs, groups, docBytes, "hamming", lit(0L))
       .orderBy("doc_a", "doc_b")
   }
 }

@@ -77,6 +77,25 @@ class DelotonPipelineSpec extends SparkSpecBase {
     assert(fresh.collect().map(_.getLong(0)).sorted.toSeq == Seq(816L, 817L))
   }
 
+  test("S3 JDBC sink round-trips through embedded Derby; re-run inserts nothing") {
+    // Derby ships with Spark (/opt/spark/jars) — a real write.jdbc +
+    // read.jdbc exercise of the sink, not just the anti-join primitive
+    val url = s"jdbc:derby:${tmpDir()}/derbydb;create=true"
+    val ddl = java.sql.DriverManager.getConnection(url)
+    ddl.createStatement().execute(
+      "CREATE TABLE users_t (user_id BIGINT, name VARCHAR(100))")
+    ddl.createStatement().execute("INSERT INTO users_t VALUES (815, 'existing')")
+    ddl.close()
+    import spark.implicits._
+    val incoming = Seq((815L, "conflict-dropped"), (816L, "fresh"), (817L, "fresher"))
+      .toDF("user_id", "name")
+    DelotonPipeline.writeJdbcIdempotent(incoming, url, "users_t", "user_id")
+    DelotonPipeline.writeJdbcIdempotent(incoming, url, "users_t", "user_id") // no-op re-run
+    val back = spark.read.jdbc(url, "users_t", new java.util.Properties)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == Map(815L -> "existing", 816L -> "fresh", 817L -> "fresher"))
+  }
+
   test("endpoints: gender join, daily prefix filter, delete anti-join") {
     val users = DelotonPipeline.users(raw)
     val rides = DelotonPipeline.rides(raw)

@@ -22,8 +22,8 @@ class EngineSmokeSpec extends SparkSpecBase {
     * sketch/sampling ops) — the driver records a weaker rows-only check.
     */
   private val OracleFree: Set[String] =
-    Set("q25_minhash_neardup", "q26_simhash_neardup", "q38b_approx_percentiles",
-      "q47_approx_distinct", "q50_stratified_sample")
+    Set("q25_minhash_neardup", "q26_simhash_neardup", "q32b_ivf_trained",
+      "q38b_approx_percentiles", "q47_approx_distinct", "q50_stratified_sample")
 
   test("entry returns rows on a vanilla session") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -101,6 +101,19 @@ class TrainingDataSpec extends SparkSpecBase {
     for (r <- out if r.getLong(0) % 2 == 1) assert(r.getLong(2) % 2 == 1)
   }
 
+  test("q32b trained ivf: bit-deterministic across runs, bounded sims, k<=10 per query") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Similarity.q32bIvfTrained(spark, sf).collect()
+    val again = Similarity.q32bIvfTrained(spark, sf).collect()
+    assert(out.nonEmpty)
+    // decimal-exact centroid means + hash seeds → retraining must be
+    // bit-identical (float partials would flap run-to-run)
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    assert(out.forall(r => r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0))
+    val perQuery = out.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ <= 10))
+  }
+
   test("q33 multimodal stub: byte metadata matches payload") {
     val dir = tmpDir()
     writeDocuments(dir, (1L, "abc", "en", "s", 3L))
