@@ -88,6 +88,9 @@ object SparkEntry {
     "q50_stratified_sample" -> (TrainingData.q50StratifiedSample _),
     "q51_bag_set_ops" -> (Analytics.q51BagSetOps _),
     "q52_grouping_sets" -> (Analytics.q52GroupingSets _),
+    "q53_tfidf" -> (TextOps.q53Tfidf _),
+    "q54_hash_sample" -> (TrainingData.q54HashSample _),
+    "q55_shingle_neardup" -> (Similarity.q55ShingleNeardup _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -402,5 +405,33 @@ object SparkEntry {
         "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid " +
         "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid"),
+    "q53_tfidf" ->
+      ("WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u " +
+        "WHERE term <> '' GROUP BY doc_id, term), " +
+        "d AS (SELECT term AS dterm, count(*) AS df FROM tf GROUP BY term), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        s"s AS (SELECT doc_id, term, ${rd4("tf * ln(CAST(n_docs AS DOUBLE) / df)")} AS score " +
+        "FROM tf, d, n WHERE tf.term = d.dterm) " +
+        "SELECT doc_id, rk, term, score FROM (SELECT doc_id, term, score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s) t " +
+        "WHERE rk <= 3 ORDER BY doc_id, rk"),
+    "q54_hash_sample" ->
+      ("SELECT doc_id, lang, source FROM (SELECT doc_id, lang, source, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk " +
+        "FROM documents) t WHERE rk <= 20 ORDER BY doc_id"),
+    // q55's oracle builds the SAME word-3-gram sets from raw strings
+    // (the engine hashes shingles to ints — Jaccard is invariant under
+    // the injective-w.h.p. relabeling, same argument as q21's tokens)
+    "q55_shingle_neardup" ->
+      ("WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') " +
+        "for i in range(1, len(w)-1)]) AS sh FROM wd WHERE len(w) >= 3), " +
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j " +
+        "FROM s a, s b WHERE a.doc_id < b.doc_id) " +
+        s"SELECT doc_a, doc_b, ${rd4("j")} AS jaccard FROM p WHERE j >= 0.6 " +
+        "ORDER BY doc_a, doc_b"),
   )
 }

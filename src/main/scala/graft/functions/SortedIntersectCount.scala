@@ -98,6 +98,9 @@ object GraftFunctions {
       exprs => MinHashSignature(exprs.head, 32), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      exprs => ShingleHashes(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
   }
 }
 
@@ -126,5 +129,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       exprs => MinHashSignature(exprs.head, 32))
     inject(e, "simhash64", classOf[SimHash64],
       exprs => SimHash64(exprs.head))
+    inject(e, "shingle_hashes", classOf[ShingleHashes],
+      exprs => ShingleHashes(exprs.head, exprs(1).eval(null).asInstanceOf[Int]))
   }
 }

@@ -67,10 +67,39 @@ object Similarity {
     * sorted ASC).
     */
   private[ops] def tokenSetGroups(spark: SparkSession, dir: String): DataFrame =
-    docTokenSets(spark, dir)
+    tokenSetGroupsBy(docTokenSets(spark, dir))
+
+  /** Generic collapse for any (doc_id, toks) relation — shared by the
+    * unigram (q21/q25/q26) and shingle (q55) cascades. Docs whose token
+    * set is empty (e.g. too short to shingle) drop out: they cannot be
+    * near-duplicates of anything under set Jaccard.
+    */
+  private[ops] def tokenSetGroupsBy(docToks: DataFrame): DataFrame =
+    docToks
+      .filter(size(col("toks")) > 0)
       .groupBy("toks")
       .agg(min(col("doc_id")).as("gid"), sort_array(collect_list(col("doc_id"))).as("members"))
       .withColumn("sz", size(col("toks")))
+
+  /** Prefix-filtered candidate join over distinct token-set groups, for
+    * a rational Jaccard threshold t = p/q (exact integer bounds — see
+    * q21's scaladoc for the double-rounding trap). Emits each candidate
+    * (ga, gb) pair exactly once (first-shared-token emission + PPJoin
+    * position filter); see the predicate walkthrough at the q21 call
+    * site.
+    */
+  private[ops] def prefixJoinCandidates(groups: DataFrame, p: Int, q: Int): DataFrame = {
+    val pref = groups
+      .withColumn("pre", slice(col("toks"), lit(1), expr(s"sz - (($p*sz + ${q - 1}) div $q) + 1")))
+      .select(col("gid"), col("sz"), col("pre"),
+        posexplode(col("pre")).as(Seq("pos", "tok_id")))
+    pref.as("a").join(pref.as("b"), expr(
+        "a.tok_id = b.tok_id AND a.gid < b.gid" +
+          s" AND b.sz BETWEEN ($p*a.sz + ${q - 1}) div $q AND ($q*a.sz) div $p" +
+          " AND sorted_intersect_count(slice(a.pre, 1, a.pos), slice(b.pre, 1, b.pos)) = 0" +
+          s" AND least(a.sz - a.pos, b.sz - b.pos) >= ($p*(a.sz + b.sz) + ${p + q - 1}) div ${p + q}"))
+      .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
+  }
 
   /** Attach token sets to bare (doc_a, doc_b) candidate pairs and keep
     * those with exact Jaccard ≥ threshold — the shared verification tail
@@ -189,11 +218,7 @@ object Similarity {
     //   size bounds     = ceil(4·sza/5) ≤ szb ≤ floor(5·sza/4)
     //   min overlap     = ceil(t/(1+t)·(sza+szb)) = ceil(4·(sza+szb)/9)
     // Each exploded row carries its whole (short) prefix array `pre` so
-    // the join can detect the FIRST shared token — see below.
-    val pref = groups
-      .withColumn("pre", slice(col("toks"), lit(1), expr("sz - ((4*sz + 4) div 5) + 1")))
-      .select(col("gid"), col("sz"), col("pre"),
-        posexplode(col("pre")).as(Seq("pos", "tok_id")))
+    // the join can detect the FIRST shared token.
     // Predicate 3 — first-shared-token emission: a pair sharing k prefix
     // tokens used to exit the join k times and was repaired by a
     // quadratic-sized dropDuplicates exchange. Arrays are sorted, so
@@ -205,12 +230,33 @@ object Similarity {
     // (any earlier common token would contradict "first"), so pairs that
     // cannot reach the minimum overlap die inside the join. A truly
     // valid pair always survives: its bound ≥ true overlap ≥ minoverlap.
-    val cands = pref.as("a").join(pref.as("b"), expr(
-        "a.tok_id = b.tok_id AND a.gid < b.gid" +
-          " AND b.sz BETWEEN (4*a.sz + 4) div 5 AND (5*a.sz) div 4" +
-          " AND sorted_intersect_count(slice(a.pre, 1, a.pos), slice(b.pre, 1, b.pos)) = 0" +
-          " AND least(a.sz - a.pos, b.sz - b.pos) >= (4*(a.sz + b.sz) + 8) div 9"))
-      .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
+    val cands = prefixJoinCandidates(groups, 4, 5)
+    val setPairs = verifySetJaccard(cands, groups, threshold, docBytes)
+    expandNearDupPairs(setPairs, groups, docBytes, "jaccard", lit(1.0))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q55 — n-gram (shingle) near-dup: Jaccard ≥ 0.6 over word-3-gram
+    * sets. Shingles are position-sensitive, so unlike the unigram q21
+    * this catches shared PHRASES and kills bag-of-words false positives
+    * — the standard fuzzy-dedup granularity (C4/RefinedWeb use word
+    * n-grams exactly like this). Same cascade as q21 with a different
+    * row-local tokenizer and threshold: shingle ids are xxhash64 of the
+    * 3-word window (injective w.h.p. — same argument as
+    * [[docTokenSets]]); docs under 3 words have no shingles and drop
+    * out. Threshold 3/5 in exact integer bounds via
+    * [[prefixJoinCandidates]].
+    */
+  def q55ShingleNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val threshold = 0.6 // = 3/5
+    graft.functions.GraftFunctions.register(spark)
+    val docBytes = documentsSizeBytes(spark, dir)
+    // native codegen'd build ([[graft.functions.ShingleHashes]]) — the
+    // HOF formulation is interpreted per window and was the bottleneck
+    val shingles = call_function("shingle_hashes", split(col("text"), " "), lit(3))
+    val groups = tokenSetGroupsBy(
+      Tables.documents(spark, dir).select(col("doc_id"), shingles.as("toks")))
+    val cands = prefixJoinCandidates(groups, 3, 5)
     val setPairs = verifySetJaccard(cands, groups, threshold, docBytes)
     expandNearDupPairs(setPairs, groups, docBytes, "jaccard", lit(1.0))
       .orderBy("doc_a", "doc_b")

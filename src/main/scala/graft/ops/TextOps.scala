@@ -68,4 +68,33 @@ object TextOps {
       .select("lang", "rk", "term", "n")
       .orderBy("lang", "rk")
   }
+
+  /** E4c — TF-IDF: top-3 scoring terms per document,
+    * score = tf · ln(N/df). The classic relevance/keyword-extraction
+    * primitive of a training-data pipeline (doc quality filtering, topic
+    * tagging). Scale shape: the (doc, term, tf) build is partial+final
+    * (the shuffle carries term partials, not the token stream); df is a
+    * vocabulary-sized aggregate joined back BY TERM — co-partitioned
+    * with the tf relation on the join key; N is a broadcast scalar; the
+    * final top-3 is one row_number window per doc. Nothing materializes
+    * per-corpus state on any single node.
+    */
+  def q53Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val d = Tables.documents(spark, dir)
+    val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df")) // tf rows are distinct (doc, term)
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        Det.roundD4(col("tf") * log(col("n_docs").cast(DoubleType) / col("df"))))
+      .withColumn("rk", row_number().over(w).cast(LongType)) // BIGINT in DuckDB
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "term", "score")
+      .orderBy("doc_id", "rk")
+  }
 }

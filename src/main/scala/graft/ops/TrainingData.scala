@@ -2,8 +2,9 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, LongType}
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
 
 /** Training-data pipeline text/multimodal operators beyond the
   * reference's surface: language-ID heuristics, quality scoring, token
@@ -134,4 +135,24 @@ object TrainingData {
       .stat.sampleBy("lang", Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1), seed = 42L)
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
+
+  /** q54 — deterministic hash-ordered stratified sampling: per language
+    * keep the 20 docs with the smallest md5(doc_id) digest. The
+    * ORACLE-CHECKED twin of q50's seeded Bernoulli (md5 is identical in
+    * every engine, so unlike RNG-stream sampling this hash-matches
+    * DuckDB): the training-data reproducibility property — the sample
+    * is a pure function of the keys, stable under re-partitioning,
+    * re-runs, and engine migrations. Exact-N per stratum (Bernoulli
+    * gives binomial-noise sizes); one row_number window per stratum,
+    * partial top-k friendly at scale.
+    */
+  def q54HashSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
 }

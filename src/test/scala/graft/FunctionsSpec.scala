@@ -36,6 +36,33 @@ class FunctionsSpec extends SparkSpecBase {
     assert(diff == 0L)
   }
 
+  test("shingle_hashes: sorted distinct ids, short arrays empty, dups collapse") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT shingle_hashes(array('a','b','c','d'), 3) AS s3, " +
+        "shingle_hashes(array('a','b'), 3) AS short, " +
+        "shingle_hashes(array('a','b','a','b','a','b'), 2) AS dups").collect().head
+    assert(r.getSeq[Long](0).length == 2) // (a,b,c), (b,c,d)
+    assert(r.getSeq[Long](0) == r.getSeq[Long](0).sorted)
+    assert(r.getSeq[Long](1).isEmpty)
+    assert(r.getSeq[Long](2).length == 2) // {ab, ba}
+  }
+
+  test("shingle_hashes set sizes match the string-shingle formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val texts = Seq.fill(100)(Seq.fill(rnd.nextInt(12) + 1)(s"w${rnd.nextInt(6)}").mkString(" "))
+    val diff = texts.toDF("text").select(
+      size(call_function("shingle_hashes", split(col("text"), " "), lit(3))).as("fast"),
+      size(array_distinct(expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN transform(sequence(1, size(split(text, ' ')) - 2), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 3))) ELSE array() END"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0L)
+  }
+
   test("GraftExtensions injects the function at session build time") {
     // the running shared session wasn't built with the extension; verify
     // the injector wires the same builder without error

@@ -58,6 +58,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out(1).getDouble(2) == 0.0)
   }
 
+  test("q55 shingle near-dup: phrase-sensitive — reordering kills bag-of-words pairs") {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (1L, "the quick brown fox jumps over dogs", "en", "s", 1L),
+      (2L, "the quick brown fox jumps over dogs", "en", "s", 1L), // identical phrase
+      (3L, "dogs over jumps fox brown quick the", "en", "s", 1L), // same BAG, reversed
+      (4L, "totally unrelated words here now ok", "en", "s", 1L))
+    val sh = Similarity.q55ShingleNeardup(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(sh.keySet == Set((1L, 2L)), s"got ${sh.keySet}")
+    assert(sh((1L, 2L)) == 1.0)
+    // the unigram q21 pairs 1-3 too (identical token SET) — q55's point
+    val uni = Similarity.q21JaccardNeardup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uni.contains((1L, 3L)))
+  }
+
+  test("q53 tf-idf: corpus-wide terms score 0, distinctive terms rank first") {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (1L, "x x y", "en", "s", 1L),
+      (2L, "x z", "en", "s", 1L))
+    val out = TextOps.q53Tfidf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getDouble(3)))).toMap
+    // x appears in both docs: ln(2/2) = 0 regardless of tf
+    assert(out((1L, 1L)) == (("y", 0.6931)))  // 1 * ln(2/1) rounded at 4dp
+    assert(out((1L, 2L)) == (("x", 0.0)))
+    assert(out((2L, 1L)) == (("z", 0.6931)))
+    assert(out((2L, 2L)) == (("x", 0.0)))
+  }
+
   test("q20 exact dedup: min doc_id survives per text; idempotent") {
     val dir = tmpDir()
     writeDocuments(dir,

@@ -136,6 +136,17 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q54 hash sample: exactly min(20, stratum size) per lang; pure function of keys") {
+    val sf = "/root/testdata/sf0.001"
+    val out = TrainingData.q54HashSample(spark, sf).collect()
+    val expected = graft.Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> math.min(20L, r.getLong(1))).toMap
+    val got = out.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    assert(got == expected, s"got $got expected $expected")
+    val again = TrainingData.q54HashSample(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("q50 stratified sample: seed-deterministic, rates honored per stratum") {
     val sf = "/root/testdata/sf0.001"
     val out = TrainingData.q50StratifiedSample(spark, sf).collect()
