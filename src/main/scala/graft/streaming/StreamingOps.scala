@@ -77,6 +77,23 @@ object StreamingOps {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup (q20's streaming dual, and the ingest face
+    * of the near-dup cascade): one survivor per content hash within the
+    * watermark horizon. `dropDuplicatesWithinWatermark` expires each
+    * key's state once the watermark passes it, so the dedup store is
+    * bounded by delay × ingest rate — a plain streaming dropDuplicates
+    * would grow without bound at 100 TB/day. The key is the sha2 digest
+    * (32 bytes), never the document body, mirroring the batch q20.
+    * Re-deliveries of the same content inside the horizon (the
+    * at-least-once case the reference's ON CONFLICT guarded) collapse
+    * to the first arrival.
+    */
+  def dedupStream(docs: DataFrame, watermarkDelay: String): DataFrame =
+    docs
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** State for [[forwardFillStream]] — primitive fields (an
     * Option-typed private class breaks the state encoder's codegen).
     */

@@ -48,6 +48,21 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("Broadcast"), p)
   }
 
+  test("q25/q55: sketch and shingle candidate joins stay equi-joins on native exprs") {
+    val p25 = physical(graft.ops.Sketches.q25MinhashNeardup(spark, sf))
+    assert(!p25.contains("CartesianProduct"), p25)
+    assert(p25.contains("minhash_signature"), "banding must use the native signature expr")
+    val p55 = physical(Similarity.q55ShingleNeardup(spark, sf))
+    assert(!p55.contains("CartesianProduct"), p55)
+    assert(p55.contains("shingle_hashes"), "shingle build must use the native codegen expr")
+  }
+
+  test("q54: per-stratum top-k is one hash exchange (window), no extra shuffles") {
+    val p = physical(graft.ops.TrainingData.q54HashSample(spark, sf))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
   test("q18: top-k compiles to TakeOrderedAndProject, not a global sort") {
     val p = physical(Relational.q18TopK(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -48,6 +48,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == Set((1L, 2L), (1L, 1L)))
   }
 
+  test("streaming dedup: duplicate content collapses within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    case class Doc(ts: Timestamp, doc_id: Long, text: String)
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingOps.dedupStream(
+        ms.toDF().toDF("ts", "doc_id", "text"), "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    ms.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "same text"),
+      (ts("2024-01-01 10:05:00"), 2L, "same text"), // dup within batch
+      (ts("2024-01-01 10:10:00"), 3L, "other text"))
+    q.processAllAvailable()
+    ms.addData((ts("2024-01-01 10:20:00"), 4L, "same text")) // redelivery, later batch
+    q.processAllAvailable()
+    val got = spark.table("dedup").select("doc_id").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(got == Set(1L, 3L), s"got $got")
+  }
+
   test("streaming forward-fill: state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
