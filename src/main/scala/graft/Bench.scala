@@ -21,21 +21,30 @@ object Bench {
     // Optional subset for local profiling: bench only the named queries.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Min of N reps per query (default 2): a query inside the 60-query
+    // sequence can measure up to 8× its isolated wall time from GC/JIT
+    // carryover (observed: 40.6 s in one full run vs 4.0 s isolated);
+    // the min across reps recovers the signal a single sample loses.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            if (!failed.contains(name)) failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // Untimed inter-query cleanup: dead broadcasts and shuffle state
+        // from query N are only reclaimed by ContextCleaner after a GC, so
+        // without this, query N+1 pays query N's garbage (observed 5-10×
+        // inflation late in the run vs the same query in isolation).
+        System.gc()
+        sec
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $sec%8.2f s")
-      // Untimed inter-query cleanup: dead broadcasts and shuffle state
-      // from query N are only reclaimed by ContextCleaner after a GC, so
-      // without this, query N+1 pays query N's garbage (observed 5-10×
-      // inflation late in the run vs the same query in isolation).
-      System.gc()
+      val sec = times.min
+      System.err.println(f"[bench] $name%-24s $sec%8.2f s  (reps: ${times.map(t => f"$t%.2f").mkString(", ")})")
       name -> sec
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
