@@ -91,6 +91,7 @@ object SparkEntry {
     "q53_tfidf" -> (TextOps.q53Tfidf _),
     "q54_hash_sample" -> (TrainingData.q54HashSample _),
     "q55_shingle_neardup" -> (Similarity.q55ShingleNeardup _),
+    "q56_neardup_survivors" -> (Similarity.q56NeardupSurvivors _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -433,5 +434,12 @@ object SparkEntry {
         "FROM s a, s b WHERE a.doc_id < b.doc_id) " +
         s"SELECT doc_a, doc_b, ${rd4("j")} AS jaccard FROM p WHERE j >= 0.6 " +
         "ORDER BY doc_a, doc_b"),
+    "q56_neardup_survivors" ->
+      ("WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
+        "p AS (SELECT b.doc_id AS drop_id FROM t a JOIN t b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8) " +
+        "SELECT doc_id, lang, source FROM documents " +
+        "WHERE doc_id NOT IN (SELECT drop_id FROM p) ORDER BY doc_id"),
   )
 }

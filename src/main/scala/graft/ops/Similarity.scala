@@ -351,6 +351,48 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** q56 — near-dup SURVIVOR selection: the dedup decision on top of
+    * q21's pair detection — keep a doc unless it has a near-dup partner
+    * with a smaller doc_id (greedy first-wins, the near-dup analogue of
+    * q20's exact first-wins dedup; this is the "which rows does the
+    * training set actually keep" operator).
+    *
+    * Computed at GROUP level, never expanding doc pairs: doc m is
+    * dropped iff some partner p < m exists, and with groups keyed by
+    * their min member the drop set is exactly
+    *  - within a group: every member above the group min, and
+    *  - per qualifying set pair (ga < gb): every member of the gb group
+    *    (ga is a smaller partner of them all), plus the ga-group members
+    *    above gb (gb is a smaller partner of those).
+    * So where q21's output is quadratic in cluster sizes, q56 ships one
+    * row per DROPPED DOC — at 100 TB the survivor list is what the
+    * pipeline materializes, not the pair list.
+    */
+  def q56NeardupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val threshold = 0.8
+    graft.functions.GraftFunctions.register(spark)
+    val docBytes = documentsSizeBytes(spark, dir)
+    val groups = tokenSetGroups(spark, dir)
+    val setPairs = verifySetJaccard(prefixJoinCandidates(groups, 4, 5), groups,
+      threshold, docBytes)
+    def gSide(df: DataFrame): DataFrame =
+      if (docBytes <= BroadcastDocBytes) broadcast(df) else df
+    val dropCross = setPairs
+      .join(gSide(groups.select(col("gid").as("ga"), col("members").as("ma"))), "ga")
+      .join(gSide(groups.select(col("gid").as("gb"), col("members").as("mb"))), "gb")
+      .select(explode(concat(col("mb"),
+        filter(col("ma"), m => m > col("gb")))).as("doc_id"))
+    val dropWithin = groups
+      .select(explode(col("members")).as("doc_id"), col("gid"))
+      .filter(col("doc_id") > col("gid"))
+      .select("doc_id")
+    val drops = dropCross.union(dropWithin).distinct()
+    Tables.documents(spark, dir)
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   /** q32b — IVF with TRAINED centroids: a deterministic k-means-lite
     * (k = 8, 3 iterations) over the corpus, then the same
     * cluster-pruned top-k search as q32. This upgrades q32's

@@ -57,6 +57,15 @@ class SketchRecallSpec extends SparkSpecBase {
     assert(recall >= 0.95, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("q56 survivors: exactly the cluster minima plus all noise docs") {
+    val dir = clusteredCorpus()
+    val survivors = Similarity.q56NeardupSurvivors(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val expected = (0 until 12).map(c => c * 5L).toSet ++ (60L until 100L).toSet
+    assert(survivors == expected,
+      s"missing: ${expected -- survivors}; extra: ${survivors -- expected}")
+  }
+
   test("q26 simhash: output EQUALS brute-force hamming ≤ 3 ground truth") {
     val dir = clusteredCorpus()
     GraftFunctions.register(spark)
