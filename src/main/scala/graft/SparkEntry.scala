@@ -92,6 +92,7 @@ object SparkEntry {
     "q54_hash_sample" -> (TrainingData.q54HashSample _),
     "q55_shingle_neardup" -> (Similarity.q55ShingleNeardup _),
     "q56_neardup_survivors" -> (Similarity.q56NeardupSurvivors _),
+    "q57_sketch_rollup" -> (Sketches.q57SketchRollup _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —

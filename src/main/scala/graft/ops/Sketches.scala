@@ -95,6 +95,31 @@ object Sketches {
         count_distinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** q57 — re-aggregatable sketch rollup: per-(event_type, day) HLL
+    * sketches of distinct users, MERGED up to per-type totals via
+    * `hll_union_agg`. This is the 100 TB pre-aggregation pattern q47
+    * only hints at: daily sketch tables are tiny, mergeable state that
+    * can be rolled up to ANY coarser grain after the fact — where
+    * naive daily distinct counts cannot be summed (users recur across
+    * days). The exact count is carried beside the estimate to expose
+    * the sketch error. Sketch registers are engine-specific → rows-only
+    * like q47, with the error-bound spec as the guard.
+    */
+  def q57SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily
+      .groupBy("event_type")
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+        count(lit(1)).as("n_days"))
+      .join(graft.Tables.events(spark, dir).groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact_users")), "event_type")
+      .select("event_type", "n_days", "approx_users", "exact_users")
+      .orderBy("event_type")
+  }
+
   /** q26 — SimHash near-dup: 64-bit signature (sign of per-bit vote sums
     * over token hashes); candidate pairs share at least one of four
     * 16-bit signature chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk is

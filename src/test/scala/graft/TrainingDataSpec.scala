@@ -147,6 +147,19 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q57 sketch rollup: merged daily sketches track the exact union distinct") {
+    val out = Sketches.q57SketchRollup(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (approx, exact) = (r.getLong(2), r.getLong(3))
+      // datasketches HLL at default lgK=12 is near-exact at these
+      // cardinalities (~150 users); allow a loose 5% + slack bound
+      assert(math.abs(approx - exact) <= math.max(2.0, 0.05 * exact),
+        s"${r.getString(0)}: merged-sketch estimate $approx vs exact $exact")
+      assert(r.getLong(1) >= 1L) // sketches actually merged across days
+    }
+  }
+
   test("q50 stratified sample: seed-deterministic, rates honored per stratum") {
     val sf = "/root/testdata/sf0.001"
     val out = TrainingData.q50StratifiedSample(spark, sf).collect()
