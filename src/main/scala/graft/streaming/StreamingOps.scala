@@ -77,6 +77,26 @@ object StreamingOps {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** The reference's whole lambda in one job (main.py:45-66 drain +
+    * sql_wrapper.py ON CONFLICT upsert): stream → micro-batches →
+    * idempotent JDBC append. Each batch runs the batch-level
+    * conflict-skip sink ([[graft.etl.DelotonPipeline.writeJdbcIdempotent]]);
+    * with the checkpoint tracking source offsets, a crash between the
+    * anti-join read and the append replays the batch and the conflict
+    * skip de-duplicates it — effectively-once into the DB, which is
+    * strictly stronger than the reference's at-least-once consumer +
+    * per-row ON CONFLICT.
+    */
+  def streamToJdbc(src: DataFrame, url: String, table: String, key: String,
+                   checkpointDir: String): StreamingQuery =
+    src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.etl.DelotonPipeline.writeJdbcIdempotent(batch.toDF(), url, table, key)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming exact dedup (q20's streaming dual, and the ingest face
     * of the near-dup cascade): one survivor per content hash within the
     * watermark horizon. `dropDuplicatesWithinWatermark` expires each

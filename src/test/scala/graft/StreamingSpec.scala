@@ -48,6 +48,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == Set((1L, 2L), (1L, 1L)))
   }
 
+  test("streamToJdbc: micro-batched idempotent upsert into Derby, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val url = s"jdbc:derby:${tmpDir()}/streamdb;create=true"
+    val ddl = java.sql.DriverManager.getConnection(url)
+    ddl.createStatement().execute("CREATE TABLE sink_t (user_id BIGINT, name VARCHAR(50))")
+    ddl.close()
+    val ms = MemoryStream[(Long, String)]
+    ms.addData((1L, "a"), (2L, "b"))
+    val cp = tmpDir()
+    val q1 = StreamingOps.streamToJdbc(ms.toDF().toDF("user_id", "name"), url, "sink_t", "user_id", s"$cp/cp")
+    q1.awaitTermination(60000)
+    // second drain: one overlapping key (replay analogue) + one new
+    ms.addData((2L, "b-replayed"), (3L, "c"))
+    val q2 = StreamingOps.streamToJdbc(ms.toDF().toDF("user_id", "name"), url, "sink_t", "user_id", s"$cp/cp")
+    q2.awaitTermination(60000)
+    val back = spark.read.jdbc(url, "sink_t", new java.util.Properties)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == Map(1L -> "a", 2L -> "b", 3L -> "c"), s"got $back")
+  }
+
   test("streaming dedup: duplicate content collapses within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
