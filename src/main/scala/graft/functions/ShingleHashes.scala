@@ -52,7 +52,15 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 object ShingleHashes {
   private final val Seed = 42L // the builtin xxhash64 default seed
 
-  /** Row kernel — also called from generated code (static forwarder). */
+  /** Row kernel — also called from generated code (static forwarder).
+    *
+    * n = 1 short-circuits to the raw word hashes, making
+    * `shingle_hashes(words, 1)` value-identical to
+    * `sort_array(array_distinct(transform(words, w -> xxhash64(w))))` —
+    * the unigram token-set build (q21/q25/q26) rides the same kernel
+    * without changing a single token id (so sketch outputs and oracle
+    * hashes are untouched).
+    */
   def compute(x: ArrayData, n: Int): ArrayData = {
     val m = x.numElements()
     if (m < n) return new GenericArrayData(Array.emptyLongArray)
@@ -63,14 +71,17 @@ object ShingleHashes {
       wh(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
       i += 1
     }
-    val out = new Array[Long](m - n + 1)
-    i = 0
-    while (i <= m - n) {
-      var h = Seed
-      var j = 0
-      while (j < n) { h = XXH64.hashLong(wh(i + j), h); j += 1 }
-      out(i) = h
-      i += 1
+    val out = if (n == 1) wh else {
+      val o = new Array[Long](m - n + 1)
+      i = 0
+      while (i <= m - n) {
+        var h = Seed
+        var j = 0
+        while (j < n) { h = XXH64.hashLong(wh(i + j), h); j += 1 }
+        o(i) = h
+        i += 1
+      }
+      o
     }
     java.util.Arrays.sort(out)
     var k = 0

@@ -47,9 +47,14 @@ object Similarity {
     * already carry.
     */
   private[ops] def docTokenSets(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // shingle_hashes(·, 1) ≡ sort_array(array_distinct(transform(·,
+    // xxhash64))) — same token ids, but one JIT'd kernel instead of an
+    // interpreted HOF chain re-evaluated at every optimizer inlining
+    // site (the same CodegenFallback trap q55's build hit)
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        sort_array(array_distinct(transform(split(col("text"), " "), t => xxhash64(t)))).as("toks"))
+        call_function("shingle_hashes", split(col("text"), " "), lit(1)).as("toks"))
       .withColumn("sz", size(col("toks")))
   }
 

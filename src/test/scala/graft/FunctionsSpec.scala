@@ -48,6 +48,19 @@ class FunctionsSpec extends SparkSpecBase {
     assert(r.getSeq[Long](2).length == 2) // {ab, ba}
   }
 
+  test("shingle_hashes(words, 1) is value-identical to the xxhash64 HOF token build") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val texts = Seq.fill(200)(Seq.fill(rnd.nextInt(15) + 1)(s"t${rnd.nextInt(9)}").mkString(" ")) :+ ""
+    val diff = texts.toDF("text").select(
+      call_function("shingle_hashes", split(col("text"), " "), lit(1)).as("fast"),
+      sort_array(array_distinct(transform(split(col("text"), " "), t => xxhash64(t)))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0L) // token ids must not change — sketch outputs depend on them
+  }
+
   test("shingle_hashes set sizes match the string-shingle formulation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
