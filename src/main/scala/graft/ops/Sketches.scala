@@ -20,6 +20,40 @@ object Sketches {
   private val NumPerm = 32 // minhash permutations
   private val Bands = 8 // 8 bands × 4 rows: P(collide) ≈ 1-(1-j⁴)⁸, ~0.97 at j=0.8
 
+  /** One-join first-collision candidate generation, shared by q25/q26:
+    * input rows carry their full signature as SCALAR hash columns
+    * h0..h{n-1}; each row explodes to n (band_id, band_hash) keys that
+    * keep the scalars; the self equi-join on (band_id, band_hash) emits
+    * a pair only in its LOWEST colliding band via a static disjunction
+    * over the scalar columns. Properties that matter at scale:
+    *  - pairs exit the join already distinct (no fan-out, no
+    *    dropDuplicates exchange);
+    *  - every predicate is a scalar long comparison, so the join's
+    *    O(bucket²) inner loop stays inside whole-stage codegen (array
+    *    formulations drag in CodegenFallback HOFs — measured 8× slower);
+    *  - ONE join = 2 exchanges and a handful of generated classes,
+    *    where the per-band unrolled version planned 2n exchanges and
+    *    paid scheduling + codegen-cache churn for 2n join subtrees.
+    * `carry` columns propagate to the output as `<c>_a` / `<c>_b`.
+    */
+  private def firstCollisionPairs(sides: DataFrame, nBands: Int,
+      carry: Seq[String]): DataFrame = {
+    val scalarCols = (0 until nBands).map(j => col(s"h$j")) ++ carry.map(col)
+    val banded = sides.select(
+      (col("gid") +: scalarCols) :+
+        posexplode(array((0 until nBands).map(j => col(s"h$j")): _*))
+          .as(Seq("band_id", "band_hash")): _*)
+    val anyEarlier = (1 until nBands).map { i =>
+      (col("a.band_id") === i) &&
+        (0 until i).map(j => col(s"a.h$j") === col(s"b.h$j")).reduce(_ || _)
+    }.reduce(_ || _)
+    banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.gid") < col("b.gid") && !anyEarlier)
+      .select(col("a.gid").as("ga") +: col("b.gid").as("gb") +:
+        carry.flatMap(c => Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))): _*)
+  }
+
   /** q25 — MinHash+LSH near-dup: per-doc signature = min of xxhash64
     * seeded per permutation over the token set; docs sharing any banded
     * signature slice become candidates; candidates are verified with the
@@ -30,18 +64,13 @@ object Sketches {
     * collides in ~all 8 bands, so the naive banding join emitted every
     * pair up to 8× and needed a quadratic-sized dropDuplicates exchange
     * to repair it (44.9 s at sf0.1 — slower than the exact q21 it
-    * approximates). Instead the banding join is unrolled into one join
-    * PER BAND, where band i keeps a pair only if no earlier band also
-    * collided (`hash_a[j] ≠ hash_b[j] ∀ j < i`): pairs exit the unioned
-    * joins already distinct — no fan-out, no dedup exchange, and the
-    * candidate stream flows map-side straight into the broadcast verify
-    * join. The unrolling matters as much as the dedup it removes: with
-    * array-typed rows the first-collision predicate needs
-    * slice/zip_with/exists, which are CodegenFallback expressions — they
-    * evict the join's O(bucket²) inner loop from whole-stage codegen
-    * into interpreted eval with per-pair array allocation (measured:
-    * identical 44.9 s). Static per-band columns keep every predicate a
-    * scalar long comparison inside the generated loop.
+    * approximates). See [[firstCollisionPairs]] for how each pair is
+    * instead emitted exactly once from its lowest colliding band with
+    * every predicate codegen'd. Band hash j is the builtin
+    * xxhash64 over the band's 4 signature slots (extracted with
+    * codegen'd element_at, not a CodegenFallback slice/transform) —
+    * equal sub-signatures always collide, so candidate semantics and
+    * the verified output are unchanged by the hash choice.
     */
   def q25MinhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val threshold = 0.8
@@ -53,26 +82,14 @@ object Sketches {
     val groups = Similarity.tokenSetGroups(spark, dir)
     // one codegen'd loop per set (graft.functions.MinHashSignature) —
     // the nested-HOF formulation evaluates 32·|toks| interpreted lambdas
-    val sig = call_function("minhash_signature", col("toks"))
-    val bandArr = transform(sequence(lit(0), lit(Bands - 1)),
-      b => xxhash64(slice(col("sig"), b * lit(NumPerm / Bands) + 1, lit(NumPerm / Bands))))
+    val rowsPerBand = NumPerm / Bands
     val withBands = groups
-      .withColumn("sig", sig)
-      .withColumn("bands", bandArr)
-      .select(col("gid"), col("bands"))
-    val perBand = (0 until Bands).map { i =>
-      // band i's join side carries scalar hash columns h0..hi only —
-      // the equi key hi plus the earlier bands needed for the predicate
-      val side = withBands.select(
-        col("gid") +: (0 to i).map(j => col("bands")(j).as(s"h$j")): _*)
-      val noEarlier = (0 until i)
-        .map(j => col(s"a.h$j") =!= col(s"b.h$j"))
-        .foldLeft(lit(true))(_ && _)
-      side.as("a").join(side.as("b"),
-          col(s"a.h$i") === col(s"b.h$i") && col("a.gid") < col("b.gid") && noEarlier)
-        .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
-    }
-    val cands = perBand.reduce(_ union _)
+      .withColumn("sig", call_function("minhash_signature", col("toks")))
+      .select(col("gid") +: (0 until Bands).map { j =>
+        xxhash64((0 until rowsPerBand).map(k =>
+          element_at(col("sig"), j * rowsPerBand + k + 1)): _*).as(s"h$j")
+      }: _*)
+    val cands = firstCollisionPairs(withBands, Bands, Nil)
     val setPairs = Similarity.verifySetJaccard(cands, groups, threshold, docBytes)
     Similarity.expandNearDupPairs(setPairs, groups, docBytes, "jaccard", lit(1.0))
       .orderBy("doc_a", "doc_b")
@@ -141,27 +158,17 @@ object Sketches {
     // hash) — one fused codegen loop (graft.functions.SimHash64)
     val sigs = groups.select(col("gid"),
       call_function("simhash64", col("toks")).as("simhash"))
-    // same first-collision emission as q25, unrolled per chunk so every
-    // predicate is a codegen'd scalar compare: chunk i's join keeps a
-    // pair only if no earlier chunk also matched, so pairs exit the
-    // unioned joins already distinct (near-identical sets collide in
-    // all 4 chunks — the naive join emitted them 4× and repaired the
-    // fan-out with a dropDuplicates exchange)
+    // same first-collision emission as q25 ([[firstCollisionPairs]]):
+    // candidate pairs share at least one 16-bit chunk and are emitted
+    // once, from the lowest matching chunk, all predicates codegen'd
     def chunk(sh: Column, j: Int): Column =
       shiftright(sh, j * (64 / chunks)).bitwiseAND(lit(0xFFFFL))
-    val perChunk = (0 until chunks).map { i =>
-      val side = sigs.select(
-        col("gid") +: col("simhash") +: (0 to i).map(j => chunk(col("simhash"), j).as(s"c$j")): _*)
-      val noEarlier = (0 until i)
-        .map(j => col(s"a.c$j") =!= col(s"b.c$j"))
-        .foldLeft(lit(true))(_ && _)
-      side.as("a").join(side.as("b"),
-          col(s"a.c$i") === col(s"b.c$i") && col("a.gid") < col("b.gid") && noEarlier)
-        .select(col("a.gid").as("ga"), col("b.gid").as("gb"),
-          col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-    }
-    val setPairs = perChunk.reduce(_ union _)
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType))
+    val sides = sigs.select(
+      col("gid") +: col("simhash") +: (0 until chunks).map(j =>
+        chunk(col("simhash"), j).as(s"h$j")): _*)
+    val setPairs = firstCollisionPairs(sides, chunks, Seq("simhash"))
+      .withColumn("hamming",
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast(LongType))
       .filter(col("hamming") <= maxHamming)
       .select("ga", "gb", "hamming")
     Similarity.expandNearDupPairs(setPairs, groups, docBytes, "hamming", lit(0L))

@@ -51,7 +51,11 @@ class PlanQualitySpec extends SparkSpecBase {
   test("q25/q55: sketch and shingle candidate joins stay equi-joins on native exprs") {
     val p25 = physical(graft.ops.Sketches.q25MinhashNeardup(spark, sf))
     assert(!p25.contains("CartesianProduct"), p25)
-    assert(p25.contains("minhash_signature"), "banding must use the native signature expr")
+    // the banding join must key on scalar band hashes (h0..h7) exploded
+    // once per row — minhash_signature itself collapses into the
+    // aggregate's result projection, which the plan string omits
+    assert(p25.contains("posexplode(array(h0"), "scalar banding expected:\n" + p25)
+    assert(p25.contains("shingle_hashes"), "token build must use the native codegen expr")
     val p55 = physical(Similarity.q55ShingleNeardup(spark, sf))
     assert(!p55.contains("CartesianProduct"), p55)
     assert(p55.contains("shingle_hashes"), "shingle build must use the native codegen expr")

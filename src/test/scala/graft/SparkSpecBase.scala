@@ -20,6 +20,7 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.debug.maxToStringFields", "200") // plan-shape asserts need untruncated strings
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
       Files.createTempDirectory("graft-warehouse").toString)
