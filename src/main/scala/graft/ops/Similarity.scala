@@ -142,17 +142,34 @@ object Similarity {
     * ([[graft.functions.SortedIntersectCount]]).
     */
   private[ops] def verifySetJaccard(cands: DataFrame, groups: DataFrame, threshold: Double,
-      docBytes: BigInt): DataFrame = {
+      docBytes: BigInt): DataFrame =
+    verifySetJaccardWithMembers(cands, groups, threshold, docBytes)
+      .select("ga", "gb", "jaccard")
+
+  /** Verify + member attachment in ONE pass: the two lookup joins also
+    * carry each group's member list through the Jaccard filter, so the
+    * downstream doc-pair expansion needs NO further joins — and both
+    * lookups build the SAME broadcast (one canonical (gid, toks, sz,
+    * members) projection, aliased twice), which ReuseExchange
+    * deduplicates. Together with the self-reused candidate-join sides
+    * this cuts the exact-dup-collapse aggregation from 7 computations
+    * per query (one per differently-pruned consumer) to 3.
+    */
+  private[ops] def verifySetJaccardWithMembers(cands: DataFrame, groups: DataFrame,
+      threshold: Double, docBytes: BigInt): DataFrame = {
     graft.functions.GraftFunctions.register(cands.sparkSession)
+    val canon = groups.select(col("gid"), col("toks"), col("sz"), col("members"))
     def docSide(df: DataFrame): DataFrame =
       if (docBytes <= BroadcastDocBytes) broadcast(df) else df
     cands
-      .join(docSide(groups.select(col("gid").as("ga"), col("toks").as("ta"), col("sz").as("sa"))), "ga")
-      .join(docSide(groups.select(col("gid").as("gb"), col("toks").as("tb"), col("sz").as("sb"))), "gb")
-      .withColumn("inter", call_function("sorted_intersect_count", col("ta"), col("tb")))
-      .withColumn("jaccard", col("inter").cast(DoubleType) / (col("sa") + col("sb") - col("inter")))
+      .join(docSide(canon).as("g1"), col("ga") === col("g1.gid"))
+      .join(docSide(canon).as("g2"), col("gb") === col("g2.gid"))
+      .withColumn("inter", call_function("sorted_intersect_count", col("g1.toks"), col("g2.toks")))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("g1.sz") + col("g2.sz") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("ga"), col("gb"), roundD4(col("jaccard")).as("jaccard"))
+      .select(col("ga"), col("gb"), roundD4(col("jaccard")).as("jaccard"),
+        col("g1.members").as("ma"), col("g2.members").as("mb"))
   }
 
   /** Expand qualifying set pairs back to doc pairs: every cross pair of
@@ -169,9 +186,18 @@ object Similarity {
       docBytes: BigInt, valueCol: String, withinValue: Column): DataFrame = {
     def docSide(df: DataFrame): DataFrame =
       if (docBytes <= BroadcastDocBytes) broadcast(df) else df
-    val cross = setPairs
+    expandWithMembers(setPairs
       .join(docSide(groups.select(col("gid").as("ga"), col("members").as("ma"))), "ga")
-      .join(docSide(groups.select(col("gid").as("gb"), col("members").as("mb"))), "gb")
+      .join(docSide(groups.select(col("gid").as("gb"), col("members").as("mb"))), "gb"),
+      groups, valueCol, withinValue)
+  }
+
+  /** Expansion over set pairs that ALREADY carry their member lists
+    * (ma/mb) — pure explodes, no joins.
+    */
+  private[ops] def expandWithMembers(setPairs: DataFrame, groups: DataFrame,
+      valueCol: String, withinValue: Column): DataFrame = {
+    val cross = setPairs
       .select(col(valueCol), explode(col("ma")).as("da"), col("mb"))
       .select(col(valueCol), col("da"), explode(col("mb")).as("db"))
       .select(least(col("da"), col("db")).as("doc_a"),
@@ -236,8 +262,8 @@ object Similarity {
     // cannot reach the minimum overlap die inside the join. A truly
     // valid pair always survives: its bound ≥ true overlap ≥ minoverlap.
     val cands = prefixJoinCandidates(groups, 4, 5)
-    val setPairs = verifySetJaccard(cands, groups, threshold, docBytes)
-    expandNearDupPairs(setPairs, groups, docBytes, "jaccard", lit(1.0))
+    val setPairs = verifySetJaccardWithMembers(cands, groups, threshold, docBytes)
+    expandWithMembers(setPairs, groups, "jaccard", lit(1.0))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -262,8 +288,8 @@ object Similarity {
     val groups = tokenSetGroupsBy(
       Tables.documents(spark, dir).select(col("doc_id"), shingles.as("toks")))
     val cands = prefixJoinCandidates(groups, 3, 5)
-    val setPairs = verifySetJaccard(cands, groups, threshold, docBytes)
-    expandNearDupPairs(setPairs, groups, docBytes, "jaccard", lit(1.0))
+    val setPairs = verifySetJaccardWithMembers(cands, groups, threshold, docBytes)
+    expandWithMembers(setPairs, groups, "jaccard", lit(1.0))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -378,13 +404,9 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val docBytes = documentsSizeBytes(spark, dir)
     val groups = tokenSetGroups(spark, dir)
-    val setPairs = verifySetJaccard(prefixJoinCandidates(groups, 4, 5), groups,
-      threshold, docBytes)
-    def gSide(df: DataFrame): DataFrame =
-      if (docBytes <= BroadcastDocBytes) broadcast(df) else df
+    val setPairs = verifySetJaccardWithMembers(prefixJoinCandidates(groups, 4, 5),
+      groups, threshold, docBytes)
     val dropCross = setPairs
-      .join(gSide(groups.select(col("gid").as("ga"), col("members").as("ma"))), "ga")
-      .join(gSide(groups.select(col("gid").as("gb"), col("members").as("mb"))), "gb")
       .select(explode(concat(col("mb"),
         filter(col("ma"), m => m > col("gb")))).as("doc_id"))
     val dropWithin = groups

@@ -90,8 +90,8 @@ object Sketches {
           element_at(col("sig"), j * rowsPerBand + k + 1)): _*).as(s"h$j")
       }: _*)
     val cands = firstCollisionPairs(withBands, Bands, Nil)
-    val setPairs = Similarity.verifySetJaccard(cands, groups, threshold, docBytes)
-    Similarity.expandNearDupPairs(setPairs, groups, docBytes, "jaccard", lit(1.0))
+    val setPairs = Similarity.verifySetJaccardWithMembers(cands, groups, threshold, docBytes)
+    Similarity.expandWithMembers(setPairs, groups, "jaccard", lit(1.0))
       .orderBy("doc_a", "doc_b")
   }
 
