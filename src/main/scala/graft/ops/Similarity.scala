@@ -406,9 +406,17 @@ object Similarity {
     val groups = tokenSetGroups(spark, dir)
     val setPairs = verifySetJaccardWithMembers(prefixJoinCandidates(groups, 4, 5),
       groups, threshold, docBytes)
+    // drop set per qualifying pair = {gb} ∪ {m ∈ ma∪mb : m > gb}
+    // (mb's other members all exceed its min gb; ma's members below gb
+    // are covered by dropWithin since multi-member groups are mutual
+    // exact dups). Formulated as explode + row filter — an array
+    // `filter(...)` lambda here is CodegenFallback and evicts the whole
+    // fused verify stage, intersect loop included, from codegen.
     val dropCross = setPairs
-      .select(explode(concat(col("mb"),
-        filter(col("ma"), m => m > col("gb")))).as("doc_id"))
+      .select(col("gb"), explode(concat(col("ma"), col("mb"))).as("doc_id"))
+      .filter(col("doc_id") > col("gb"))
+      .select("doc_id")
+      .union(setPairs.select(col("gb").as("doc_id")))
     val dropWithin = groups
       .select(explode(col("members")).as("doc_id"), col("gid"))
       .filter(col("doc_id") > col("gid"))
