@@ -93,6 +93,7 @@ object SparkEntry {
     "q55_shingle_neardup" -> (Similarity.q55ShingleNeardup _),
     "q56_neardup_survivors" -> (Similarity.q56NeardupSurvivors _),
     "q57_sketch_rollup" -> (Sketches.q57SketchRollup _),
+    "q58_corpus_stats" -> (TrainingData.q58CorpusStats _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -435,6 +436,12 @@ object SparkEntry {
         "FROM s a, s b WHERE a.doc_id < b.doc_id) " +
         s"SELECT doc_a, doc_b, ${rd4("j")} AS jaccard FROM p WHERE j >= 0.6 " +
         "ORDER BY doc_a, doc_b"),
+    "q58_corpus_stats" ->
+      ("SELECT source, lang, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(length(text)) AS BIGINT) AS total_chars, " +
+        s"${davg("len(string_split(text, ' '))")} AS avg_tokens " +
+        "FROM documents GROUP BY source, lang ORDER BY source, lang"),
     "q56_neardup_survivors" ->
       ("WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
         "p AS (SELECT b.doc_id AS drop_id FROM t a JOIN t b ON a.doc_id < b.doc_id " +

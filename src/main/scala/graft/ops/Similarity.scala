@@ -74,6 +74,18 @@ object Similarity {
   private[ops] def tokenSetGroups(spark: SparkSession, dir: String): DataFrame =
     tokenSetGroupsBy(docTokenSets(spark, dir))
 
+  /** Public staged form of the exact-dup collapse: (gid, toks, sz,
+    * members) per distinct token set. A production pipeline materializes
+    * THIS relation once (persist or write to a staging table,
+    * partitioned by gid) and runs every near-dup operator against it —
+    * the self-contained driver queries instead recompute it per
+    * reference (3× after exchange/broadcast reuse), which is the right
+    * trade for a correctness contract but not for a 100 TB pipeline
+    * run.
+    */
+  def collapsedCorpus(spark: SparkSession, dir: String): DataFrame =
+    tokenSetGroups(spark, dir)
+
   /** Generic collapse for any (doc_id, toks) relation — shared by the
     * unigram (q21/q25/q26) and shingle (q55) cascades. Docs whose token
     * set is empty (e.g. too short to shingle) drop out: they cannot be

@@ -155,4 +155,23 @@ object TrainingData {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
   }
+
+  /** q58 — corpus composition report: per (source, lang) doc counts,
+    * token/char volumes and average doc length — the numbers a data-mix
+    * design starts from (how much of each source exists, at what token
+    * cost). One partial+final aggregation; token counts are row-local
+    * size(split(...)) so the shuffle carries per-group partials only.
+    */
+  def q58CorpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("toks"),
+        length(col("text")).cast(LongType).as("chars"))
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        sum(col("chars")).as("total_chars"),
+        davg4(col("toks")).as("avg_tokens"))
+      .orderBy("source", "lang")
 }
