@@ -94,6 +94,7 @@ object SparkEntry {
     "q56_neardup_survivors" -> (Similarity.q56NeardupSurvivors _),
     "q57_sketch_rollup" -> (Sketches.q57SketchRollup _),
     "q58_corpus_stats" -> (TrainingData.q58CorpusStats _),
+    "q59_cross_source_overlap" -> (Similarity.q59CrossSourceOverlap _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -442,6 +443,14 @@ object SparkEntry {
         "CAST(sum(length(text)) AS BIGINT) AS total_chars, " +
         s"${davg("len(string_split(text, ' '))")} AS avg_tokens " +
         "FROM documents GROUP BY source, lang ORDER BY source, lang"),
+    // q59's oracle joins on the string token sets; the engine joins on
+    // the xxhash64-relabeled sets — set equality is invariant
+    "q59_cross_source_overlap" ->
+      ("WITH h AS (SELECT DISTINCT source, list_sort(list_distinct(string_split(text, ' '))) AS toks " +
+        "FROM documents) " +
+        "SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared " +
+        "FROM h a JOIN h b ON a.toks = b.toks AND a.source <> b.source " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "q56_neardup_survivors" ->
       ("WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
         "p AS (SELECT b.doc_id AS drop_id FROM t a JOIN t b ON a.doc_id < b.doc_id " +

@@ -440,6 +440,28 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  /** q59 — cross-source contamination: for every ordered source pair,
+    * how many distinct token SETS they share (exact-dup-level overlap
+    * between sources — the number a de-contamination or mix design
+    * needs before deciding what to drop). Sets, not raw text: word
+    * order and repetition don't dilute the overlap measurement. The
+    * join keys on the token-set arrays themselves (sorted distinct
+    * ids — orderable, collision-free); per-source distinct sets first,
+    * so the join input is bounded by distinct content per source.
+    */
+  def q59CrossSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val h = Tables.documents(spark, dir)
+      .select(col("source"),
+        call_function("shingle_hashes", split(col("text"), " "), lit(1)).as("toks"))
+      .distinct()
+    h.as("a").join(h.as("b"),
+        col("a.toks") === col("b.toks") && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** q32b — IVF with TRAINED centroids: a deterministic k-means-lite
     * (k = 8, 3 iterations) over the corpus, then the same
     * cluster-pruned top-k search as q32. This upgrades q32's
