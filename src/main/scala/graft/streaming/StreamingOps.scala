@@ -114,6 +114,25 @@ object StreamingOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * purchases within the following `window` — both sides watermarked,
+    * so the join state store only retains rows until the other side's
+    * watermark passes their join-window end (bounded by delay + window,
+    * regardless of stream length). This is the streaming dual of the
+    * batch interval join (q43): the range condition rides ON TOP of the
+    * user_id equi-key, so state is partitioned per user and never
+    * degenerates to a cross-stream scan.
+    */
+  def intervalJoinStream(clicks: DataFrame, purchases: DataFrame,
+                         window: String, watermarkDelay: String): DataFrame =
+    clicks.withWatermark("ts", watermarkDelay).as("c")
+      .join(purchases.withWatermark("ts", watermarkDelay).as("p"),
+        expr("c.user_id = p.user_id" +
+          s" AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL $window"))
+      .select(col("c.event_id").as("click_id"), col("c.user_id").as("user_id"),
+        col("c.ts").as("click_ts"), col("p.event_id").as("purchase_id"),
+        col("p.ts").as("purchase_ts"))
+
   /** State for [[forwardFillStream]] — primitive fields (an
     * Option-typed private class breaks the state encoder's codegen).
     */

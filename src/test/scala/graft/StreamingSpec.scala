@@ -115,6 +115,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(got(6L).contains(7.0))
   }
 
+  test("stream-stream interval join: purchases match clicks within the window only") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamingOps.intervalJoinStream(
+        clicks.toDF(), purchases.toDF(), "10 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    clicks.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+      Ev(2, ts("2024-01-01 10:00:00"), 2, "click", 0.0))
+    purchases.addData(
+      Ev(10, ts("2024-01-01 10:05:00"), 1, "purchase", 5.0), // in window, user 1
+      Ev(11, ts("2024-01-01 10:20:00"), 1, "purchase", 7.0), // outside window
+      Ev(12, ts("2024-01-01 10:03:00"), 3, "purchase", 9.0)) // other user
+    q.processAllAvailable()
+    val got = spark.table("ssjoin").select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set((1L, 10L)), s"got $got")
+  }
+
   test("streaming tumbling agg: windows emit past the watermark, state dropped") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
