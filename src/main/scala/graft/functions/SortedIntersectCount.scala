@@ -101,6 +101,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("shingle_hashes",
       exprs => ShingleHashes(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("prefix_intersect_count",
+      exprs => PrefixIntersectCount(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
   }
 }
 
@@ -131,5 +133,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       exprs => SimHash64(exprs.head))
     inject(e, "shingle_hashes", classOf[ShingleHashes],
       exprs => ShingleHashes(exprs.head, exprs(1).eval(null).asInstanceOf[Int]))
+    inject(e, "prefix_intersect_count", classOf[PrefixIntersectCount],
+      exprs => PrefixIntersectCount(exprs.head, exprs(1), exprs(2), exprs(3)))
   }
 }

@@ -113,7 +113,10 @@ object Similarity {
     pref.as("a").join(pref.as("b"), expr(
         "a.tok_id = b.tok_id AND a.gid < b.gid" +
           s" AND b.sz BETWEEN ($p*a.sz + ${q - 1}) div $q AND ($q*a.sz) div $p" +
-          " AND sorted_intersect_count(slice(a.pre, 1, a.pos), slice(b.pre, 1, b.pos)) = 0" +
+          // allocation-free form of sorted_intersect_count(slice(a.pre,
+          // 1, a.pos), slice(b.pre, 1, b.pos)) — runs once per matched
+          // pair inside the join's generated loop
+          " AND prefix_intersect_count(a.pre, a.pos, b.pre, b.pos) = 0" +
           s" AND least(a.sz - a.pos, b.sz - b.pos) >= ($p*(a.sz + b.sz) + ${p + q - 1}) div ${p + q}"))
       .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
   }

@@ -76,6 +76,24 @@ class FunctionsSpec extends SparkSpecBase {
     assert(diff == 0L)
   }
 
+  test("prefix_intersect_count matches the slice + sorted_intersect_count form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(300) {
+      val a = rnd.shuffle((0L to 50L).toVector).take(rnd.nextInt(20) + 1).sorted
+      val b = rnd.shuffle((0L to 50L).toVector).take(rnd.nextInt(20) + 1).sorted
+      (a, rnd.nextInt(a.length + 2), b, rnd.nextInt(b.length + 2)) // lens may exceed size
+    }
+    val diff = rows.toDF("a", "alen", "b", "blen").select(
+      call_function("prefix_intersect_count", col("a"), col("alen"), col("b"), col("blen")).as("fast"),
+      call_function("sorted_intersect_count",
+        slice(col("a"), lit(1), col("alen")), slice(col("b"), lit(1), col("blen"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0L)
+  }
+
   test("GraftExtensions injects the function at session build time") {
     // the running shared session wasn't built with the extension; verify
     // the injector wires the same builder without error
