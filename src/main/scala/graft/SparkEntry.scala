@@ -95,6 +95,7 @@ object SparkEntry {
     "q57_sketch_rollup" -> (Sketches.q57SketchRollup _),
     "q58_corpus_stats" -> (TrainingData.q58CorpusStats _),
     "q59_cross_source_overlap" -> (Similarity.q59CrossSourceOverlap _),
+    "q60_topk_per_group" -> (Analytics.q60TopkPerGroup _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -451,6 +452,11 @@ object SparkEntry {
         "SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared " +
         "FROM h a JOIN h b ON a.toks = b.toks AND a.source <> b.source " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q60_topk_per_group" ->
+      ("SELECT c_mktsegment, rk, c_custkey, c_name, c_acctbal FROM (" +
+        "SELECT c_mktsegment, c_custkey, c_name, c_acctbal, " +
+        "row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk " +
+        "FROM customer) t WHERE rk <= 3 ORDER BY c_mktsegment, rk"),
     "q56_neardup_survivors" ->
       ("WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
         "p AS (SELECT b.doc_id AS drop_id FROM t a JOIN t b ON a.doc_id < b.doc_id " +

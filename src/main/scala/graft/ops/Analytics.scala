@@ -60,6 +60,23 @@ object Analytics {
       .orderBy("o_orderkey")
   }
 
+  /** q60 — top-k PER GROUP (vs q18's global top-k): the 3 highest-value
+    * customers per market segment. One row_number window per segment —
+    * Spark runs it as a single hash exchange on the group key with
+    * rank filtering; at scale this beats any groupBy+collect_list+
+    * slice formulation because nothing materializes a per-group buffer.
+    * Ties broken by c_custkey so rank order is engine-identical.
+    */
+  def q60TopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("rk", row_number().over(w).cast(LongType)) // BIGINT in DuckDB
+      .filter(col("rk") <= 3)
+      .select("c_mktsegment", "rk", "c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_mktsegment", "rk")
+  }
+
   /** Percentiles/median (continuous, type-7 interpolation — verified
     * identical between Spark `percentile` and DuckDB `quantile_cont`).
     * Spark's exact percentile collects per-group value buffers — fine
