@@ -27,15 +27,20 @@ object Bench {
     // the min across reps recovers the signal a single sample loses.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        // A failed rep reports +Inf, not its elapsed-until-failure — a
+        // partial duration is not a measurement of the query, and letting
+        // it into the min would publish a bogus short time for a query
+        // that crashed on one rep and succeeded on another.
+        val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
             if (!failed.contains(name)) failed += name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
         }
-        val sec = (System.nanoTime() - t0) / 1e9
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
         // Untimed inter-query cleanup: dead broadcasts and shuffle state
         // from query N are only reclaimed by ContextCleaner after a GC, so
         // without this, query N+1 pays query N's garbage (observed 5-10×
@@ -45,7 +50,9 @@ object Bench {
       }
       val sec = times.min
       System.err.println(f"[bench] $name%-24s $sec%8.2f s  (reps: ${times.map(t => f"$t%.2f").mkString(", ")})")
-      name -> sec
+      // a query with zero successful reps has no timing at all: it is
+      // reported in `failed` but contributes nothing to queries/total
+      if (sec.isInfinity) None else Some(name -> sec)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

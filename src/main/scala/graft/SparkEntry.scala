@@ -67,6 +67,7 @@ object SparkEntry {
     "q31_embed_neardup" -> (Similarity.q31EmbedNeardup _),
     "q32_ivf_ann" -> (Similarity.q32IvfAnn _),
     "q32b_ivf_trained" -> (Similarity.q32bIvfTrained _),
+    "q32c_ivf_multiprobe" -> (Similarity.q32cIvfMultiprobe _),
     "q33_multimodal_stub" -> (TrainingData.q33MultimodalStub _),
     "q34_rollup" -> (Analytics.q34Rollup _),
     "q35_set_ops" -> (Analytics.q35SetOps _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "q58_corpus_stats" -> (TrainingData.q58CorpusStats _),
     "q59_cross_source_overlap" -> (Similarity.q59CrossSourceOverlap _),
     "q60_topk_per_group" -> (Analytics.q60TopkPerGroup _),
+    "q61_salted_join" -> (Analytics.q61SaltedJoin _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -457,6 +459,13 @@ object SparkEntry {
         "SELECT c_mktsegment, c_custkey, c_name, c_acctbal, " +
         "row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk " +
         "FROM customer) t WHERE rk <= 3 ORDER BY c_mktsegment, rk"),
+    // q61's salt is invariant by construction: the oracle is the plain
+    // unsalted join of each event to its type's average
+    "q61_salted_join" ->
+      (s"WITH a AS (SELECT event_type, ${davg("value")} AS type_avg FROM events GROUP BY event_type) " +
+        "SELECT e.event_id, e.event_type, e.value, " +
+        s"${rd4("e.value - a.type_avg")} AS delta_vs_type " +
+        "FROM events e JOIN a USING (event_type) ORDER BY e.event_id"),
     "q56_neardup_survivors" ->
       ("WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
         "p AS (SELECT b.doc_id AS drop_id FROM t a JOIN t b ON a.doc_id < b.doc_id " +

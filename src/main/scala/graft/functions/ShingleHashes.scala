@@ -62,15 +62,23 @@ object ShingleHashes {
     * hashes are untouched).
     */
   def compute(x: ArrayData, n: Int): ArrayData = {
-    val m = x.numElements()
-    if (m < n) return new GenericArrayData(Array.emptyLongArray)
-    val wh = new Array[Long](m)
+    val raw = x.numElements()
+    // null elements are skipped (the word list shingles as if the null
+    // weren't there) — the input type allows containsNull=true and a
+    // null word used to NPE inside getUTF8String
+    val wh0 = new Array[Long](raw)
+    var m = 0
     var i = 0
-    while (i < m) {
-      val s = x.getUTF8String(i)
-      wh(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+    while (i < raw) {
+      if (!x.isNullAt(i)) {
+        val s = x.getUTF8String(i)
+        wh0(m) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+        m += 1
+      }
       i += 1
     }
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val wh = if (m == raw) wh0 else java.util.Arrays.copyOf(wh0, m)
     val out = if (n == 1) wh else {
       val o = new Array[Long](m - n + 1)
       i = 0

@@ -88,6 +88,29 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * `call_function` access). Idempotent.
   */
 object GraftFunctions {
+
+  /** Resolve `shingle_hashes`'s second argument to the shingle size at
+    * registration time. The size shapes the generated kernel call, so it
+    * must be a compile-time constant: anything non-foldable or
+    * non-integral (e.g. a column, or a BIGINT wider than Int) used to
+    * surface as an opaque NPE/ClassCastException from `eval(null)` —
+    * fail with a real error message instead.
+    */
+  private[functions] def shingleN(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"shingle_hashes: shingle size must be a literal constant, got non-foldable ${e.sql}")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"shingle_hashes: shingle size must be a positive integer literal, got " +
+          s"${if (other == null) "NULL" else s"$other: ${e.dataType.simpleString}"}")
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("sorted_intersect_count",
@@ -99,8 +122,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("shingle_hashes",
-      exprs => ShingleHashes(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+      exprs => ShingleHashes(exprs.head, shingleN(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("prefix_intersect_count",
       exprs => PrefixIntersectCount(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
   }
@@ -132,7 +154,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     inject(e, "simhash64", classOf[SimHash64],
       exprs => SimHash64(exprs.head))
     inject(e, "shingle_hashes", classOf[ShingleHashes],
-      exprs => ShingleHashes(exprs.head, exprs(1).eval(null).asInstanceOf[Int]))
+      exprs => ShingleHashes(exprs.head, GraftFunctions.shingleN(exprs(1))))
     inject(e, "prefix_intersect_count", classOf[PrefixIntersectCount],
       exprs => PrefixIntersectCount(exprs.head, exprs(1), exprs(2), exprs(3)))
   }

@@ -175,6 +175,44 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** q61 — skew-safe SALTED JOIN: the join-side completion of q37's
+    * skew vocabulary. `event_type` is a textbook power-law join key
+    * (5 values over 100k+ rows): a plain hash join on it sends every
+    * row of the hottest type to ONE reducer — the straggler that kills
+    * 100 TB fact⋈dim joins. Mitigation: the fact side salts its key
+    * with a deterministic `pmod(hash(event_id), 16)` and the dim side
+    * replicates each row across all 16 salts (explode of a literal
+    * range — dim volume ×16, fact volume unchanged), so the join keys
+    * on (event_type, _salt) and each hot key spreads over 16 reducers.
+    * The result is salt-invariant — the oracle is the plain unsalted
+    * join — and the plan is a pure equi-join AQE can still re-plan
+    * (PlanQualitySpec pins the salted keys with broadcast disabled).
+    * This is the explicit form of what AQE skew-join splitting does at
+    * runtime; pipelines pin it in the plan when the skew is known ahead
+    * of time (AQE only splits sort-merge/shuffle-hash joins it can
+    * observe, and its thresholds are tuned for occasional skew, not a
+    * 5-value key space).
+    *
+    * Query semantics: each event joined to its type's corpus-wide
+    * average value, reporting the event's deviation — the classic
+    * "enrich fact rows with a hot dimension aggregate" shape.
+    */
+  def q61SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 16
+    val e = Tables.events(spark, dir)
+    val dim = e.groupBy("event_type").agg(davg4(col("value")).as("type_avg"))
+      .withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
+    val fact = e.select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("_salt", pmod(hash(col("event_id")), lit(salts)))
+    fact.join(dim, Seq("event_type", "_salt"))
+      // both inputs are 4-dp doubles, so the difference is computed
+      // identically by both engines; round via the floor formula anyway
+      // to pin the representation (Det.roundD4 mirror in the oracle)
+      .select(col("event_id"), col("event_type"), col("value"),
+        roundD4(col("value") - col("type_avg")).as("delta_vs_type"))
+      .orderBy("event_id")
+  }
+
   /** CUBE over (returnflag, linestatus) with grouping_id — the full
     * grouping-sets vocabulary beside q34's ROLLUP. Spark's grouping_id
     * bit encoding (1 = column aggregated away, returnflag the high bit)

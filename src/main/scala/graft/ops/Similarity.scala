@@ -121,25 +121,30 @@ object Similarity {
       .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
   }
 
-  /** Attach token sets to bare (doc_a, doc_b) candidate pairs and keep
-    * those with exact Jaccard ≥ threshold — the shared verification tail
-    * of q21/q25. Candidates must arrive deduplicated. The intersection
-    * size uses the engine's native codegen'd merge-scan expression
-    * ([[graft.functions.SortedIntersectCount]]) — the token sets are
-    * sorted distinct ints by construction.
-    */
   /** Broadcast-threshold for the doc-side lookup of the verify join:
     * below this many bytes of source documents the token-set dimension
     * is hinted broadcast, so the (much larger) candidate-pair stream
     * flows map-side through two hash joins instead of being shuffled
     * twice for sort-merge. Above it the hint is withheld and the join
     * runs as a doc_id-partitioned shuffle join — broadcasting a
-    * billion-doc dimension would OOM every executor. The xxhash64
-    * token-id arrays are within a small factor of the source text size
-    * (8 B per distinct token vs ~6 B per word), so 128 MB of documents
-    * stays comfortably under executor broadcast budgets.
+    * billion-doc dimension would OOM every executor.
+    *
+    * The gate compares against the optimizer's scan statistic, which is
+    * COMPRESSED on-disk parquet bytes; the broadcast relation (gid,
+    * toks, sz, members) materializes uncompressed with per-row array
+    * headers, so near the gate the in-memory relation can be several
+    * times the stat. [[BroadcastExpansionFactor]] prices that in: with
+    * the 4× factor a corpus passing the gate materializes ≲ 128 MB
+    * (xxhash64 ids are 8 B per distinct token vs ~6 B per source word —
+    * roughly size parity — leaving 4× for parquet compression +
+    * UnsafeArrayData overhead), comfortably inside executor broadcast
+    * budgets.
     */
   private val BroadcastDocBytes = BigInt(128L << 20)
+  private val BroadcastExpansionFactor = 4
+
+  private[ops] def underBroadcastGate(docBytes: BigInt): Boolean =
+    docBytes * BroadcastExpansionFactor <= BroadcastDocBytes
 
   /** Driver-side size of the documents scan, from the optimizer's
     * metadata-only statistics (parquet file footers) — unlike a
@@ -175,7 +180,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(cands.sparkSession)
     val canon = groups.select(col("gid"), col("toks"), col("sz"), col("members"))
     def docSide(df: DataFrame): DataFrame =
-      if (docBytes <= BroadcastDocBytes) broadcast(df) else df
+      if (underBroadcastGate(docBytes)) broadcast(df) else df
     cands
       .join(docSide(canon).as("g1"), col("ga") === col("g1.gid"))
       .join(docSide(canon).as("g2"), col("gb") === col("g2.gid"))
@@ -200,7 +205,7 @@ object Similarity {
   private[ops] def expandNearDupPairs(setPairs: DataFrame, groups: DataFrame,
       docBytes: BigInt, valueCol: String, withinValue: Column): DataFrame = {
     def docSide(df: DataFrame): DataFrame =
-      if (docBytes <= BroadcastDocBytes) broadcast(df) else df
+      if (underBroadcastGate(docBytes)) broadcast(df) else df
     expandWithMembers(setPairs
       .join(docSide(groups.select(col("gid").as("ga"), col("members").as("ma"))), "ga")
       .join(docSide(groups.select(col("gid").as("gb"), col("members").as("mb"))), "gb"),
@@ -276,8 +281,22 @@ object Similarity {
     // (any earlier common token would contradict "first"), so pairs that
     // cannot reach the minimum overlap die inside the join. A truly
     // valid pair always survives: its bound ≥ true overlap ≥ minoverlap.
-    val cands = prefixJoinCandidates(groups, 4, 5)
-    val setPairs = verifySetJaccardWithMembers(cands, groups, threshold, docBytes)
+    nearDupPairsFrom(groups, 4, 5, docBytes)
+  }
+
+  /** The exact near-dup pair detection over an ALREADY-COLLAPSED corpus
+    * (a (gid, toks, sz, members) relation, e.g. [[collapsedCorpus]] read
+    * back from a staging table): prefix-join candidates at threshold
+    * p/q → exact-Jaccard verify → doc-pair expansion. This is the
+    * production entry point the staged-cascade scaladoc describes — a
+    * 100 TB pipeline materializes the collapse ONCE (partitioned/
+    * bucketed by gid) and runs every near-dup operator against it;
+    * MaterializedCascadeSpec proves the round-trip through parquet is
+    * output-identical to the self-contained q21.
+    */
+  def nearDupPairsFrom(groups: DataFrame, p: Int, q: Int, docBytes: BigInt): DataFrame = {
+    val setPairs = verifySetJaccardWithMembers(
+      prefixJoinCandidates(groups, p, q), groups, p.toDouble / q, docBytes)
     expandWithMembers(setPairs, groups, "jaccard", lit(1.0))
       .orderBy("doc_a", "doc_b")
   }
@@ -294,7 +313,6 @@ object Similarity {
     * [[prefixJoinCandidates]].
     */
   def q55ShingleNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val threshold = 0.6 // = 3/5
     graft.functions.GraftFunctions.register(spark)
     val docBytes = documentsSizeBytes(spark, dir)
     // native codegen'd build ([[graft.functions.ShingleHashes]]) — the
@@ -302,10 +320,7 @@ object Similarity {
     val shingles = call_function("shingle_hashes", split(col("text"), " "), lit(3))
     val groups = tokenSetGroupsBy(
       Tables.documents(spark, dir).select(col("doc_id"), shingles.as("toks")))
-    val cands = prefixJoinCandidates(groups, 3, 5)
-    val setPairs = verifySetJaccardWithMembers(cands, groups, threshold, docBytes)
-    expandWithMembers(setPairs, groups, "jaccard", lit(1.0))
-      .orderBy("doc_a", "doc_b")
+    nearDupPairsFrom(groups, 3, 5, docBytes) // threshold 3/5 = 0.6
   }
 
   /** E3 — top-k cosine similarity search, brute-force exact baseline:
@@ -415,12 +430,18 @@ object Similarity {
     * pipeline materializes, not the pair list.
     */
   def q56NeardupSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    val threshold = 0.8
     graft.functions.GraftFunctions.register(spark)
     val docBytes = documentsSizeBytes(spark, dir)
-    val groups = tokenSetGroups(spark, dir)
+    survivorsFrom(tokenSetGroups(spark, dir), Tables.documents(spark, dir), docBytes)
+  }
+
+  /** q56's survivor selection over an already-collapsed corpus — the
+    * staged twin of [[nearDupPairsFrom]] (threshold fixed at q56's 4/5).
+    * `docs` supplies the surviving rows' columns (doc_id, lang, source).
+    */
+  def survivorsFrom(groups: DataFrame, docs: DataFrame, docBytes: BigInt): DataFrame = {
     val setPairs = verifySetJaccardWithMembers(prefixJoinCandidates(groups, 4, 5),
-      groups, threshold, docBytes)
+      groups, 0.8, docBytes)
     // drop set per qualifying pair = {gb} ∪ {m ∈ ma∪mb : m > gb}
     // (mb's other members all exceed its min gb; ma's members below gb
     // are covered by dropWithin since multi-member groups are mutual
@@ -437,7 +458,7 @@ object Similarity {
       .filter(col("doc_id") > col("gid"))
       .select("doc_id")
     val drops = dropCross.union(dropWithin).distinct()
-    Tables.documents(spark, dir)
+    docs
       .join(drops, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
@@ -447,19 +468,27 @@ object Similarity {
     * how many distinct token SETS they share (exact-dup-level overlap
     * between sources — the number a de-contamination or mix design
     * needs before deciding what to drop). Sets, not raw text: word
-    * order and repetition don't dilute the overlap measurement. The
-    * join keys on the token-set arrays themselves (sorted distinct
-    * ids — orderable, collision-free); per-source distinct sets first,
-    * so the join input is bounded by distinct content per source.
+    * order and repetition don't dilute the overlap measurement.
+    *
+    * The token-set array is collapsed to a 64-bit `xxhash64` digest
+    * BEFORE the distinct and the join, so every wide exchange ships
+    * (source, long) — 8 bytes per set — instead of the full token-id
+    * array (the q20 digest-not-payload discipline; at 100 TB shipping
+    * whole arrays through two shuffles is the difference between KBs
+    * and MBs per row group). Sorted distinct ids make the digest
+    * canonical (set equality ⇒ array equality ⇒ digest equality), and
+    * injective w.h.p. — a collision needs two distinct sets at the same
+    * 64-bit value, the same odds the token relabeling already carries,
+    * far below any contamination decision threshold.
     */
   def q59CrossSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val h = Tables.documents(spark, dir)
       .select(col("source"),
-        call_function("shingle_hashes", split(col("text"), " "), lit(1)).as("toks"))
+        xxhash64(call_function("shingle_hashes", split(col("text"), " "), lit(1))).as("th"))
       .distinct()
     h.as("a").join(h.as("b"),
-        col("a.toks") === col("b.toks") && col("a.source") =!= col("b.source"))
+        col("a.th") === col("b.th") && col("a.source") =!= col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("source_a", "source_b")
@@ -486,21 +515,43 @@ object Similarity {
     *    and one partial+final agg over (cid, dim) — both scale-linear.
     * Engine-specific float details (cosine argmax ties, sketchless
     * exact means) are not DuckDB-expressible → rows-only, like q47.
+    *
+    * Accuracy knob: `nprobe` — how many nearest clusters each QUERY
+    * searches (the standard production IVF trade). nprobe = 1 is the
+    * cheapest/most aggressive pruning; nprobe = p scores ~p/k of the
+    * corpus per query and monotonically improves recall (the candidate
+    * set grows by containment — see q32c and IvfRecallSpec, which
+    * MEASURES the recall@10 of both settings against the exact q22
+    * instead of asserting it). Targets always live in exactly one
+    * cluster; only the probe fan-out is multiplied, so cost is
+    * nprobe-linear in the query count, never in corpus size.
     */
-  def q32bIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+  def q32bIvfTrained(spark: SparkSession, dir: String): DataFrame =
+    ivfTrainedSearch(spark, dir, nprobe = 1)
+
+  /** q32c — multi-probe IVF (nprobe = 2): same trained centroids and
+    * search as q32b, each query scored against its TWO nearest clusters.
+    * Rows-only like q32b; IvfRecallSpec pins recall@10(q32c) ≥
+    * recall@10(q32b) and measures both against exact q22.
+    */
+  def q32cIvfMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    ivfTrainedSearch(spark, dir, nprobe = 2)
+
+  private[ops] def ivfTrainedSearch(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val k = 8
     val iters = 3
     val corpus = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
 
-    def assign(cents: DataFrame, side: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    def assign(cents: DataFrame, side: DataFrame, idCol: String, vecCol: String,
+        probes: Int = 1): DataFrame = {
       val simToCent = roundD4(dot(col(vecCol), col("ce")) / (norm(col(vecCol)) * norm(col("ce"))))
       val w = Window.partitionBy(idCol).orderBy(desc("csim"), asc("cid"))
       side.crossJoin(broadcast(cents))
         .withColumn("csim", simToCent)
         .withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1)
+        .filter(col("crn") <= probes)
         .drop("ce", "csim", "crn")
     }
 
@@ -524,9 +575,13 @@ object Similarity {
     }
 
     val trained = model.toDF("cid", "ce")
+    // each query row fans out to its `nprobe` nearest clusters; targets
+    // keep exactly one cluster, so a (qid, tid) pair can join at most
+    // once and the top-10 ranking below needs no dedup
     val queries = assign(trained,
       corpus.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe")),
-      "qid", "qe").withColumnRenamed("cid", "qcid").withColumn("qn", norm(col("qe")))
+      "qid", "qe", probes = nprobe)
+      .withColumnRenamed("cid", "qcid").withColumn("qn", norm(col("qe")))
     val targets = assign(trained,
       corpus.filter(col("vec_id") >= 5).select(col("vec_id").as("tid"), col("embedding").as("te")),
       "tid", "te").withColumn("tn", norm(col("te")))

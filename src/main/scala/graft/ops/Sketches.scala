@@ -72,14 +72,13 @@ object Sketches {
     * equal sub-signatures always collide, so candidate semantics and
     * the verified output are unchanged by the hash choice.
     */
-  def q25MinhashNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val threshold = 0.8
-    graft.functions.GraftFunctions.register(spark)
-    val docBytes = Similarity.documentsSizeBytes(spark, dir)
-    // exact-dup collapse first (same cascade as q21): signatures,
-    // banding and verification all run over DISTINCT token sets;
-    // qualifying set pairs expand back to doc pairs at the end
-    val groups = Similarity.tokenSetGroups(spark, dir)
+  /** The LSH banding front end alone: candidate (ga, gb) SET pairs from
+    * the first-collision banding join over a collapsed corpus — exposed
+    * so LshAdvantageSpec can COUNT candidates against the exact prefix
+    * join's on corpora where the two filters diverge (the sublinear
+    * claim is measured, not asserted).
+    */
+  private[ops] def minhashBandCandidates(groups: DataFrame): DataFrame = {
     // one codegen'd loop per set (graft.functions.MinHashSignature) —
     // the nested-HOF formulation evaluates 32·|toks| interpreted lambdas
     val rowsPerBand = NumPerm / Bands
@@ -89,7 +88,18 @@ object Sketches {
         xxhash64((0 until rowsPerBand).map(k =>
           element_at(col("sig"), j * rowsPerBand + k + 1)): _*).as(s"h$j")
       }: _*)
-    val cands = firstCollisionPairs(withBands, Bands, Nil)
+    firstCollisionPairs(withBands, Bands, Nil)
+  }
+
+  def q25MinhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val threshold = 0.8
+    graft.functions.GraftFunctions.register(spark)
+    val docBytes = Similarity.documentsSizeBytes(spark, dir)
+    // exact-dup collapse first (same cascade as q21): signatures,
+    // banding and verification all run over DISTINCT token sets;
+    // qualifying set pairs expand back to doc pairs at the end
+    val groups = Similarity.tokenSetGroups(spark, dir)
+    val cands = minhashBandCandidates(groups)
     val setPairs = Similarity.verifySetJaccardWithMembers(cands, groups, threshold, docBytes)
     Similarity.expandWithMembers(setPairs, groups, "jaccard", lit(1.0))
       .orderBy("doc_a", "doc_b")

@@ -48,6 +48,39 @@ class FunctionsSpec extends SparkSpecBase {
     assert(r.getSeq[Long](2).length == 2) // {ab, ba}
   }
 
+  test("shingle_hashes: null elements are skipped, not NPEs (ADVICE r2)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT shingle_hashes(array('a', CAST(NULL AS STRING), 'b'), 1) AS s1, " +
+        "shingle_hashes(array('a', 'b', 'c'), 1) AS ref, " +
+        "shingle_hashes(array('a', CAST(NULL AS STRING), 'b'), 3) AS s3").collect().head
+    // nulls shingle as if absent: ('a', NULL, 'b') @ n=1 == tokens {a, b}
+    assert(r.getSeq[Long](0).length == 2)
+    assert(r.getSeq[Long](0).toSet.subsetOf(r.getSeq[Long](1).toSet))
+    // only 2 non-null words < n=3 -> no shingles
+    assert(r.getSeq[Long](2).isEmpty)
+  }
+
+  test("shingle_hashes: non-literal or non-integral n fails with a clear error (ADVICE r2)") {
+    GraftFunctions.register(spark)
+    val nonLiteral = intercept[Exception] {
+      // rand() is non-foldable; foldable EXPRESSIONS like length('xy')
+      // are fine — the gate is constant-ness, not literal syntax
+      spark.sql("SELECT shingle_hashes(array('a','b'), CAST(rand()*2 AS INT)) AS s").collect()
+    }
+    assert(nonLiteral.getMessage.contains("literal constant"),
+      s"wanted the registration-time message, got: ${nonLiteral.getMessage}")
+    // BIGINT literals within Int range are accepted (auto-widened ints)
+    val ok = spark.sql("SELECT shingle_hashes(array('a','b'), CAST(2 AS BIGINT)) AS s")
+      .collect().head
+    assert(ok.getSeq[Long](0).length == 1)
+    val nullN = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(array('a','b'), CAST(NULL AS INT)) AS s").collect()
+    }
+    assert(nullN.getMessage.contains("positive integer literal"),
+      s"wanted the registration-time message, got: ${nullN.getMessage}")
+  }
+
   test("shingle_hashes(words, 1) is value-identical to the xxhash64 HOF token build") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

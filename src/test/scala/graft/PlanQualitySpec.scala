@@ -92,4 +92,63 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("Expand"), p)
     assert(!p.contains("Exchange hashpartitioning"), "unpivot must not shuffle:\n" + p)
   }
+
+  test("q59: every exchange ships the 64-bit set digest, never the token array") {
+    val p = physical(Similarity.q59CrossSourceOverlap(spark, sf))
+    assert(p.contains("xxhash64"), "set digest expected in the plan:\n" + p)
+    val exchangesWithArray = p.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("toks"))
+      .toSeq
+    assert(exchangesWithArray.isEmpty,
+      s"exchange must carry (source, th) longs, not token arrays:\n${exchangesWithArray.mkString("\n")}")
+  }
+
+  test("q21: the exact-dup collapse is computed at most 3 times (VERDICT r2 reuse pin)") {
+    // tokenSetGroups is an ObjectHashAggregate (collect_list) planned as
+    // partial+final — 2 nodes per computation. The cascade's canonical-
+    // broadcast + carried-members refactor holds the count at 3
+    // computations (candidate join sides share one, verify's two lookups
+    // share one canonical broadcast, expansion rides carried members);
+    // the pre-refactor shape was 7. This pin keeps a refactor from
+    // silently regressing the reuse.
+    val p = physical(Similarity.q21JaccardNeardup(spark, sf))
+    val aggs = "ObjectHashAggregate".r.findAllIn(p).length
+    assert(aggs <= 6, s"expected ≤ 3 collapse computations (≤ 6 ObjectHashAggregate nodes), got $aggs:\n$p")
+  }
+
+  test("q42: as-of join is ONE hash exchange (window), no nested-loop join") {
+    val p = physical(graft.ops.Temporal.q42AsofJoin(spark, sf))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"union-sentinel as-of promises 1 shuffle, plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q43: range join runs as a bucketized EQUI-join, never a nested loop") {
+    val p = physical(graft.ops.Temporal.q43RangeJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "theta-join degeneration:\n" + p)
+    assert(p.contains("bucket"), "join must key on (user_id, bucket):\n" + p)
+  }
+
+  test("q44: full outer join stays a hash/merge join, not a nested loop") {
+    val p = physical(Relational.q44FullOuterJoin(spark, sf))
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q61: salted join keys on (event_type, _salt) — hot keys spread across reducers") {
+    // disable auto-broadcast: at test scale the 5-row dim would broadcast
+    // (fine, but then no exchange exists to inspect); on the 100 TB shape
+    // the dim exceeds the threshold and the salted exchange is the plan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = physical(graft.ops.Analytics.q61SaltedJoin(spark, sf))
+      val saltedExchanges = p.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning") && l.contains("_salt"))
+        .toSeq
+      assert(saltedExchanges.nonEmpty, "join exchange must include the salt key:\n" + p)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
