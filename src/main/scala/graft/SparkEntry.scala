@@ -98,6 +98,7 @@ object SparkEntry {
     "q59_cross_source_overlap" -> (Similarity.q59CrossSourceOverlap _),
     "q60_topk_per_group" -> (Analytics.q60TopkPerGroup _),
     "q61_salted_join" -> (Analytics.q61SaltedJoin _),
+    "q62_dedup_clusters" -> (Similarity.q62DedupClusters _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -466,6 +467,21 @@ object SparkEntry {
         "SELECT e.event_id, e.event_type, e.value, " +
         s"${rd4("e.value - a.type_avg")} AS delta_vs_type " +
         "FROM events e JOIN a USING (event_type) ORDER BY e.event_id"),
+    // q62: connected components via recursive reachability — min label
+    // over the reachable set IS the component min on a symmetric edge
+    // list. Same Jaccard edge definition as q56's oracle.
+    "q62_dedup_clusters" ->
+      ("WITH RECURSIVE " +
+        "t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks " +
+        "FROM documents), " +
+        "tt AS (SELECT * FROM t WHERE len(toks) > 0), " +
+        "e0 AS (SELECT a.doc_id AS u, b.doc_id AS v FROM tt a JOIN tt b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8), " +
+        "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), " +
+        "r AS (SELECT doc_id AS v, doc_id AS lbl FROM tt " +
+        "UNION SELECT e.v, r.lbl FROM r JOIN e ON e.u = r.v) " +
+        "SELECT v AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY v ORDER BY doc_id"),
     "q56_neardup_survivors" ->
       ("WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
         "p AS (SELECT b.doc_id AS drop_id FROM t a JOIN t b ON a.doc_id < b.doc_id " +

@@ -594,6 +594,79 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** q62 — near-dup CLUSTER LABELS: connected components over the
+    * near-dup graph (edges = q21's Jaccard ≥ 0.8 pairs), each doc
+    * labeled with the smallest doc_id reachable through any chain of
+    * near-duplicates. This is the transitive-closure step real dedup
+    * pipelines run between pair detection and survivor selection:
+    * near-duplication is not transitive (A≈B ≥ 0.8 and B≈C ≥ 0.8 can
+    * leave A,C at 0.7), so pairwise drops (q56) and cluster-level
+    * decisions (keep ONE doc per component, dedup statistics per
+    * cluster) genuinely differ — a pipeline needs both.
+    *
+    * Algorithm: hash-min label propagation on the GROUP graph (nodes =
+    * distinct token sets from the exact-dup collapse, edges = verified
+    * qualifying set pairs), the classic Pregel/GraphX formulation:
+    * every node starts labeled with its own gid and iteratively takes
+    * the min of its neighbors' labels until a fixpoint. Components are
+    * found on distinct content (orders of magnitude smaller than the
+    * doc count on duplicate-heavy corpora) and labels expand to docs at
+    * the end — and because every gid is its group's min member, the
+    * component-min gid IS the component-min doc_id.
+    *
+    * Scale design:
+    *  - each iteration is one equi-join (symmetric edge list ⋈ labels)
+    *    + one min-aggregation — all shuffles on long keys; no state
+    *    ever reaches the driver except the per-iteration convergence
+    *    COUNT (the same scalar-only exception as q32b's model).
+    *  - `localCheckpoint` truncates lineage each round (a cluster
+    *    deployment would use checkpoint() to reliable storage) — hash-
+    *    min without it replans an exponentially deeper DAG per round.
+    *  - convergence needs O(component diameter) rounds; near-dup
+    *    graphs are short chains/cliques in practice (the 50-round cap
+    *    fails loudly rather than looping forever). Power-law skew in
+    *    edge fan-out is absorbed by the min-aggregation's map-side
+    *    partial (min is the textbook combinable aggregate); the
+    *    large-star/small-star variant is the documented upgrade if a
+    *    pathological diameter ever matters.
+    * Oracle: DuckDB recursive CTE reachability → min label per doc.
+    */
+  def q62DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docBytes = documentsSizeBytes(spark, dir)
+    val groups = tokenSetGroups(spark, dir)
+    val edges = verifySetJaccard(prefixJoinCandidates(groups, 4, 5), groups, 0.8, docBytes)
+      .select(col("ga"), col("gb"))
+    // symmetric edge list: propagate labels both directions
+    val sym = edges.union(edges.select(col("gb").as("ga"), col("ga").as("gb")))
+      .withColumnRenamed("ga", "src").withColumnRenamed("gb", "dst")
+      .localCheckpoint(true) // verify cascade runs ONCE, not once per iteration
+    var labels = groups.select(col("gid"), col("gid").as("lbl")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = sym
+        .join(labels.select(col("gid").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy(col("src").as("gid"))
+        .agg(min(col("nlbl")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("gid"), "left")
+        .select(col("gid"), least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "gid")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"hash-min did not converge in $rounds rounds")
+    // expand group labels to docs: every member of a group shares its
+    // group's component label
+    groups.select(explode(col("members")).as("doc_id"), col("gid"))
+      .join(labels, "gid")
+      .select(col("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** E5 — multimodal/array column math: per-row vector norm, mean and
     * dimensionality via higher-order functions. Purely row-local — no
     * shuffle at all; scales linearly.

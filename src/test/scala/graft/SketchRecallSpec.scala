@@ -66,6 +66,36 @@ class SketchRecallSpec extends SparkSpecBase {
       s"missing: ${expected -- survivors}; extra: ${survivors -- expected}")
   }
 
+  test("q62 clusters: every 5-doc near-dup cluster is ONE component labeled by its min") {
+    val dir = clusteredCorpus()
+    val out = Similarity.q62DedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = ((0 until 60).map(d => d.toLong -> (d / 5 * 5).toLong) ++
+      (60 until 100).map(d => d.toLong -> d.toLong)).toMap
+    assert(out == expected,
+      s"diff: ${out.toSet -- expected.toSet} / ${expected.toSet -- out.toSet}")
+  }
+
+  test("q62: clusters are transitive closures — chains merge where the pair list stops") {
+    // A≈B (9/11) and B≈C (9/11) but A vs C is only 8/12 < 0.8: the pair
+    // operator (q21) must NOT report (A,C); the cluster operator must
+    // still place all three in one component — the non-transitivity gap
+    // that makes both operators necessary
+    val dir = tmpDir()
+    val base = (1 to 10).map(k => s"t$k")
+    writeDocuments(dir,
+      (1L, base.mkString(" "), "en", "s", 1L),
+      (2L, (base.take(9) :+ "u").mkString(" "), "en", "s", 1L),
+      (3L, (base.take(8) ++ Seq("u", "v")).mkString(" "), "en", "s", 1L),
+      (4L, (1 to 10).map(k => s"z$k").mkString(" "), "en", "s", 1L))
+    val pairs = Similarity.q21JaccardNeardup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), s"pair list: $pairs")
+    val clusters = Similarity.q62DedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L), s"clusters: $clusters")
+  }
+
   test("q26 simhash: output EQUALS brute-force hamming ≤ 3 ground truth") {
     val dir = clusteredCorpus()
     GraftFunctions.register(spark)
