@@ -99,6 +99,9 @@ object SparkEntry {
     "q60_topk_per_group" -> (Analytics.q60TopkPerGroup _),
     "q61_salted_join" -> (Analytics.q61SaltedJoin _),
     "q62_dedup_clusters" -> (Similarity.q62DedupClusters _),
+    "q63_pii_scrub" -> (TextOps.q63PiiScrub _),
+    "q64_chunk" -> (TrainingData.q64Chunk _),
+    "q65_temperature_mix" -> (TrainingData.q65TemperatureMix _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -482,6 +485,38 @@ object SparkEntry {
         "r AS (SELECT doc_id AS v, doc_id AS lbl FROM tt " +
         "UNION SELECT e.v, r.lbl FROM r JOIN e ON e.u = r.v) " +
         "SELECT v AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY v ORDER BY doc_id"),
+    // q63: DuckDB regexp_replace is single-match by default — the 'g'
+    // flag mirrors Spark's replace-all semantics; patterns are RE2-safe
+    "q63_pii_scrub" ->
+      ("SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\+?[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g'), " +
+        "'customer|user', '<PII>', 'g') AS clean_text, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) " +
+        "+ len(regexp_extract_all(text, '\\+?[0-9][0-9 -]{6,}[0-9]')) " +
+        "+ len(regexp_extract_all(text, 'customer|user')) AS BIGINT) AS n_redacted " +
+        "FROM documents ORDER BY doc_id"),
+    // q64: DuckDB list slices are 1-based inclusive, so
+    // w[s+1 : s+16] = Spark slice(toks, s+1, 16)
+    "q64_chunk" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "x AS (SELECT doc_id, w, UNNEST(range(0, ((greatest(len(w) - 16, 0) + 11) // 12) + 1)) AS chunk_id FROM t) " +
+        "SELECT doc_id, chunk_id, " +
+        "CAST(len(w[chunk_id*12 + 1 : chunk_id*12 + 16]) AS BIGINT) AS n_tokens, " +
+        "array_to_string(w[chunk_id*12 + 1 : chunk_id*12 + 16], ' ') AS chunk_text " +
+        "FROM x ORDER BY doc_id, chunk_id"),
+    // q65: exact integer targets ((200·u) div U) + md5-ordered per-source
+    // top-k — fully deterministic, unlike RNG mixing
+    "q65_temperature_mix" ->
+      ("WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source), " +
+        "wt AS (SELECT source, CAST(floor(sqrt(CAST(n AS DOUBLE))*1000000 + 0.5) AS BIGINT) AS u FROM c), " +
+        "tgt AS (SELECT source, (200 * u) // (SELECT sum(u) FROM wt) AS target FROM wt), " +
+        "r AS (SELECT doc_id, source, lang, " +
+        "row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk " +
+        "FROM documents) " +
+        "SELECT r.doc_id, r.source, r.lang FROM r JOIN tgt USING (source) " +
+        "WHERE rk <= target ORDER BY doc_id"),
     "q56_neardup_survivors" ->
       ("WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
         "p AS (SELECT b.doc_id AS drop_id FROM t a JOIN t b ON a.doc_id < b.doc_id " +

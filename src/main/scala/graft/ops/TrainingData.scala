@@ -156,6 +156,65 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** q64 — document CHUNKING: split each doc into sliding token
+    * windows (window 16, stride 12 — ~25% overlap), the sequence-
+    * packing precursor every pretraining/RAG pipeline runs (real
+    * configs use 512/384 etc.; the testdata docs are ~35 tokens, so the
+    * small window exercises multi-chunk fan-out on every doc). Chunk
+    * count per doc is exact integer arithmetic — `1 + ceil((n-16)/12)`
+    * as `(greatest(n-16, 0) + 11) div 12 + 1` — because a double ceil
+    * silently mis-rounds exact boundaries (the q21 lesson). Entirely
+    * row-local (explode of a per-row sequence, no shuffle before the
+    * output sort); the fan-out IS the result size, bounded by
+    * n_tokens/stride per doc.
+    */
+  def q64Chunk(spark: SparkSession, dir: String): DataFrame = {
+    val window = 16
+    val stride = 12
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), expr(s"(greatest(n - $window, 0) + ${stride - 1}) div $stride"))))
+      .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+        expr(s"size(slice(toks, chunk_id * $stride + 1, $window))").cast(LongType).as("n_tokens"),
+        expr(s"array_join(slice(toks, chunk_id * $stride + 1, $window), ' ')").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** q65 — temperature-rebalanced source mix: sample a fixed global
+    * budget (K = 200 docs) across sources with per-source targets
+    * ∝ √n_s — the α = 0.5 "temperature" reweighting used to keep big
+    * web crawls from drowning small high-quality sources in a
+    * pretraining mix. Determinism design: the weight √n is collapsed
+    * to an integer (floor(√n·10⁶ + 0.5) — IEEE sqrt + the engine-
+    * agnostic floor formula), totals and targets stay in exact integer
+    * arithmetic ((K·uₛ) div U), and the per-source pick is q54's
+    * md5-ordered top-k — so the sample is a pure function of the data,
+    * reproducible across partitionings and engines, and the whole
+    * query is oracle-checkable where RNG mixing would not be.
+    * Plan shape: tiny per-source aggregate broadcast back onto the
+    * corpus; one window per source for the top-k; corpus never
+    * shuffles twice.
+    */
+  def q65TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 200
+    val docs = Tables.documents(spark, dir)
+    val weights = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("u", floor(sqrt(col("n").cast(org.apache.spark.sql.types.DoubleType)) * 1e6 + lit(0.5)).cast(LongType))
+    val targets = weights
+      .crossJoin(broadcast(weights.agg(sum(col("u")).as("tot"))))
+      .select(col("source"), expr(s"($budget * u) div tot").as("target"))
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+    docs
+      .join(broadcast(targets), "source")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("target"))
+      .select("doc_id", "source", "lang")
+      .orderBy("doc_id")
+  }
+
   /** q58 — corpus composition report: per (source, lang) doc counts,
     * token/char volumes and average doc length — the numbers a data-mix
     * design starts from (how much of each source exists, at what token

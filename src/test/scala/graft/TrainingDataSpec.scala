@@ -171,4 +171,57 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(byLang("en") / 193 > 0.3 && byLang("en") / 193 < 0.7)
     assert(byLang("de") / 71 > 0.1 && byLang("de") / 71 < 0.45)
   }
+
+  test("q64 chunking: window/stride fan-out, boundaries, full coverage") {
+    val dir = tmpDir()
+    // 35 tokens -> chunks at 0/12/24 (16,16,11 tokens); 16 -> one chunk;
+    // 17 -> two (second = 5 tokens); 3 -> one short chunk
+    writeDocuments(dir,
+      (1L, (0 until 35).map(i => s"w$i").mkString(" "), "en", "s", 1L),
+      (2L, (0 until 16).map(i => s"x$i").mkString(" "), "en", "s", 1L),
+      (3L, (0 until 17).map(i => s"y$i").mkString(" "), "en", "s", 1L),
+      (4L, "a b c", "en", "s", 1L))
+    val out = TrainingData.q64Chunk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.filter(_._1 == 1L).map(c => (c._2, c._3)).toSeq ==
+      Seq((0L, 16L), (1L, 16L), (2L, 11L)))
+    assert(out.filter(_._1 == 2L).map(c => (c._2, c._3)).toSeq == Seq((0L, 16L)))
+    assert(out.filter(_._1 == 3L).map(c => (c._2, c._3)).toSeq == Seq((0L, 16L), (1L, 5L)))
+    assert(out.filter(_._1 == 4L).map(c => (c._2, c._3)).toSeq == Seq((0L, 3L)))
+    // overlap: chunk 1 of doc 1 starts at token 12
+    assert(out.find(c => c._1 == 1L && c._2 == 1L).get._4.startsWith("w12 "))
+    // coverage: every token of doc 1 appears in some chunk
+    val covered = out.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == (0 until 35).map(i => s"w$i").toSet)
+  }
+
+  test("q65 temperature mix: sqrt-rebalanced targets favor small sources") {
+    val dir = tmpDir()
+    // 400/100 split: proportional sampling of 200 gives 160/40; √
+    // (α = 0.5) weights are exactly 20:10, so integer targets are
+    // (200·2e7) div 3e7 = 133 and (200·1e7) div 3e7 = 66 — the small
+    // source's share rises from 20% to 33%
+    val docs = (0 until 400).map(i => (i.toLong, s"big doc $i", "en", "srcA", 1L)) ++
+      (400 until 500).map(i => (i.toLong, s"small doc $i", "en", "srcB", 1L))
+    writeDocuments(dir, docs: _*)
+    val out = TrainingData.q65TemperatureMix(spark, dir).collect()
+    val bySource = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySource == Map("srcA" -> 133, "srcB" -> 66), s"got $bySource")
+    // determinism: identical on rerun
+    val again = TrainingData.q65TemperatureMix(spark, dir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("q63 pii scrub: emails and phones are redacted and counted (fixture)") {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (1L, "contact jane.doe+spam@example.co.uk or call +1 555 123-4567 now", "en", "s", 1L),
+      (2L, "the customer emailed bob@corp.io twice", "en", "s", 1L),
+      (3L, "no sensitive content here", "en", "s", 1L))
+    val out = graft.ops.TextOps.q63PiiScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("contact <EMAIL> or call <PHONE> now", 2L), out(1L))
+    assert(out(2L) == ("the <PII> emailed <EMAIL> twice", 2L), out(2L))
+    assert(out(3L) == ("no sensitive content here", 0L))
+  }
 }
