@@ -202,8 +202,12 @@ object TrainingData {
     val docs = Tables.documents(spark, dir)
     val weights = docs.groupBy("source").agg(count(lit(1)).as("n"))
       .withColumn("u", floor(sqrt(col("n").cast(org.apache.spark.sql.types.DoubleType)) * 1e6 + lit(0.5)).cast(LongType))
+    // total via a global window over the PER-SOURCE relation (bounded by
+    // source count — thousands at most), not a second aggregation of the
+    // corpus: a crossJoin(agg) here makes the optimizer plan the corpus
+    // scan+agg twice (the weights subtree is consumed by both sides)
     val targets = weights
-      .crossJoin(broadcast(weights.agg(sum(col("u")).as("tot"))))
+      .withColumn("tot", sum(col("u")).over(Window.partitionBy(lit(1))))
       .select(col("source"), expr(s"($budget * u) div tot").as("target"))
     val w = Window.partitionBy("source")
       .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))

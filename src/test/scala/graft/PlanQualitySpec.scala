@@ -136,6 +136,23 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q63/q64: row-local text ops — no shuffle before the output sort, scan pruned") {
+    val p63 = physical(graft.ops.TextOps.q63PiiScrub(spark, sf))
+    assert(!p63.contains("Exchange hashpartitioning"), "PII scrub must not shuffle:\n" + p63)
+    val read63 = p63.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read63.contains("source") && !read63.contains("lang"),
+      "scan must read only (doc_id, text): " + read63)
+    val p64 = physical(graft.ops.TrainingData.q64Chunk(spark, sf))
+    assert(!p64.contains("Exchange hashpartitioning"), "chunking must not shuffle:\n" + p64)
+  }
+
+  test("q65: one aggregation pass + one window pass over the corpus, dims broadcast") {
+    val p = physical(graft.ops.TrainingData.q65TemperatureMix(spark, sf))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 2, s"expected 2 hash exchanges (source agg + source window):\n$p")
+    assert(p.contains("BroadcastHashJoin"), "targets must broadcast onto the corpus:\n" + p)
+  }
+
   test("q61: salted join keys on (event_type, _salt) — hot keys spread across reducers") {
     // disable auto-broadcast: at test scale the 5-row dim would broadcast
     // (fine, but then no exchange exists to inspect); on the 100 TB shape
