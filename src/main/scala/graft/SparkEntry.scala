@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Analytics, Events, Relational, Similarity, Sketches, Temporal, TextOps, TrainingData}
+import graft.ops.{Analytics, CorpusPrep, Events, Relational, Similarity, Sketches, Temporal, TextOps, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory)
   * and §7 (build plan). Each `queries` key is one declared operator;
@@ -102,6 +102,8 @@ object SparkEntry {
     "q63_pii_scrub" -> (TextOps.q63PiiScrub _),
     "q64_chunk" -> (TrainingData.q64Chunk _),
     "q65_temperature_mix" -> (TrainingData.q65TemperatureMix _),
+    "q66_length_quantile_filter" -> (TrainingData.q66LengthQuantileFilter _),
+    "q67_corpus_prep" -> (CorpusPrep.q67CorpusPrep _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -517,6 +519,36 @@ object SparkEntry {
         "FROM documents) " +
         "SELECT r.doc_id, r.source, r.lang FROM r JOIN tgt USING (source) " +
         "WHERE rk <= target ORDER BY doc_id"),
+    // q66: percent_rank = (rank-1)/(n-1) — exact small-integer division
+    // in both engines; total ordering (n_tokens, doc_id) pins ties
+    "q66_length_quantile_filter" ->
+      ("SELECT doc_id, source, n_tokens, pr FROM (" +
+        "SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        s"${rd4("percent_rank() OVER (PARTITION BY source ORDER BY len(string_split(text, ' ')), doc_id)")} AS pr " +
+        "FROM documents) t WHERE pr >= 0.25 ORDER BY doc_id"),
+    // q67: the five-stage corpus-prep composition as a CTE chain —
+    // scrub, >=10-token gate, first-wins exact dedup, q56-style
+    // near-dup drop set, q64 chunking of the survivors
+    "q67_corpus_prep" ->
+      ("WITH scrub AS (SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\+?[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g'), " +
+        "'customer|user', '<PII>', 'g') AS clean_text FROM documents), " +
+        "flt AS (SELECT doc_id, clean_text, string_split(clean_text, ' ') AS w FROM scrub " +
+        "WHERE len(string_split(clean_text, ' ')) >= 10), " +
+        "ded AS (SELECT doc_id, w FROM (SELECT doc_id, w, " +
+        "row_number() OVER (PARTITION BY clean_text ORDER BY doc_id) AS rn FROM flt) WHERE rn = 1), " +
+        "t AS (SELECT doc_id, w, list_sort(list_distinct(w)) AS toks FROM ded), " +
+        "p AS (SELECT DISTINCT b.doc_id AS drop_id FROM t a JOIN t b ON a.doc_id < b.doc_id " +
+        "AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8), " +
+        "sv AS (SELECT doc_id, w FROM t WHERE doc_id NOT IN (SELECT drop_id FROM p)), " +
+        "x AS (SELECT doc_id, w, UNNEST(range(0, ((greatest(len(w) - 16, 0) + 11) // 12) + 1)) AS chunk_id FROM sv) " +
+        "SELECT doc_id, chunk_id, " +
+        "CAST(len(w[chunk_id*12 + 1 : chunk_id*12 + 16]) AS BIGINT) AS n_tokens, " +
+        "array_to_string(w[chunk_id*12 + 1 : chunk_id*12 + 16], ' ') AS chunk_text " +
+        "FROM x ORDER BY doc_id, chunk_id"),
     "q56_neardup_survivors" ->
       ("WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
         "p AS (SELECT b.doc_id AS drop_id FROM t a JOIN t b ON a.doc_id < b.doc_id " +

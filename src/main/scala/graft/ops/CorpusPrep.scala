@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The END-TO-END corpus-prep pipeline: the engine's individual
+  * training-data operators composed into the one program a pretraining
+  * data run actually executes. Each stage is the operator the
+  * standalone queries expose; composing them proves the operators fit
+  * together (column contracts, determinism, plan shapes) and gives the
+  * driver an oracle check over the WHOLE pipeline, not just its parts.
+  */
+object CorpusPrep {
+
+  /** q67 — scrub → length-gate → exact-dedup → near-dup survivors →
+    * chunk, as one DataFrame program:
+    *
+    *  1. PII scrub (q63's redaction) — row-local regex passes.
+    *  2. Length gate: keep docs with ≥ 10 tokens after scrubbing (the
+    *     short-doc drop every web pipeline applies).
+    *  3. Exact dedup, first-wins (q20's shape): one row per distinct
+    *     cleaned text, keyed by sha2 digest so the shuffle ships 32-byte
+    *     digests, never document bodies.
+    *  4. Near-dup survivor selection at J ≥ 0.8 (q56's group-level drop
+    *     set over the exact-dup-collapsed token sets of the remaining
+    *     docs) — the full cascade, candidates from the prefix join.
+    *  5. Chunking (q64's sliding windows) of the surviving docs'
+    *     cleaned token arrays.
+    *
+    * Stage order matters and is the production order: scrubbing changes
+    * tokenization (so it precedes everything), exact dedup halves the
+    * near-dup input on duplicate-heavy corpora, and only survivors are
+    * chunked (chunking dropped docs is wasted fan-out). Every stage is
+    * deterministic, so the whole composition hash-matches a DuckDB CTE
+    * chain replicating the five stages.
+    */
+  def q67CorpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docBytes = Similarity.documentsSizeBytes(spark, dir)
+    val cleaned = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextOps.scrubText(col("text")).as("clean_text"))
+      .withColumn("toks", split(col("clean_text"), " "))
+      .filter(size(col("toks")) >= 10)
+    val wDup = Window.partitionBy(sha2(col("clean_text"), 256)).orderBy("doc_id")
+    val deduped = cleaned
+      .withColumn("rn", row_number().over(wDup))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    val groups = Similarity.tokenSetGroupsBy(
+      deduped.select(col("doc_id"),
+        call_function("shingle_hashes", col("toks"), lit(1)).as("toks")))
+    val survivors = Similarity
+      .survivorsFrom(groups, deduped.select("doc_id", "lang", "source"), docBytes)
+      .select("doc_id")
+    TrainingData.chunkTokens(
+        survivors.join(deduped.select("doc_id", "toks"), "doc_id"),
+        window = 16, stride = 12)
+      .orderBy("doc_id", "chunk_id")
+  }
+}

@@ -112,21 +112,29 @@ object TextOps {
     * corpus-wide, so the oracle checks live replacement+count logic,
     * not a no-op.
     */
+  private[ops] val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ops] val PhonePat = "\\+?[0-9][0-9 -]{6,}[0-9]"
+  private[ops] val TermsPat = "customer|user" // stand-in for a name-gazetteer pass
+
+  /** The scrub transformation alone (shared by q63 and the q67 composed
+    * pipeline): redact emails, then phone-shaped digit runs, then
+    * sensitive terms.
+    */
+  private[ops] def scrubText(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPat, "<EMAIL>"),
+        PhonePat, "<PHONE>"),
+      TermsPat, "<PII>")
+
   def q63PiiScrub(spark: SparkSession, dir: String): DataFrame = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\+?[0-9][0-9 -]{6,}[0-9]"
-    val terms = "customer|user" // stand-in for a name-gazetteer pass
     def countMatches(c: Column, pat: String): Column =
       size(regexp_extract_all(c, lit(pat), lit(0))) // group 0 explicit: Spark requires it for group-less counts
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), email, "<EMAIL>"),
-            phone, "<PHONE>"),
-          terms, "<PII>").as("clean_text"),
-        (countMatches(col("text"), email) + countMatches(col("text"), phone) +
-          countMatches(col("text"), terms)).cast(LongType).as("n_redacted"))
+        scrubText(col("text")).as("clean_text"),
+        (countMatches(col("text"), EmailPat) + countMatches(col("text"), PhonePat) +
+          countMatches(col("text"), TermsPat)).cast(LongType).as("n_redacted"))
       .orderBy("doc_id")
   }
 }

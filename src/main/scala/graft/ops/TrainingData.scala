@@ -168,19 +168,24 @@ object TrainingData {
     * output sort); the fan-out IS the result size, bounded by
     * n_tokens/stride per doc.
     */
-  def q64Chunk(spark: SparkSession, dir: String): DataFrame = {
-    val window = 16
-    val stride = 12
-    Tables.documents(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
+  def q64Chunk(spark: SparkSession, dir: String): DataFrame =
+    chunkTokens(Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), " ")),
+      window = 16, stride = 12)
+      .orderBy("doc_id", "chunk_id")
+
+  /** The chunk fan-out alone (shared by q64 and the q67 composed
+    * pipeline): input must carry (doc_id, toks); emits one row per
+    * sliding window. Unsorted — callers order.
+    */
+  private[ops] def chunkTokens(df: DataFrame, window: Int, stride: Int): DataFrame =
+    df
       .withColumn("n", size(col("toks")))
       .withColumn("chunk_id",
         explode(sequence(lit(0), expr(s"(greatest(n - $window, 0) + ${stride - 1}) div $stride"))))
       .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
         expr(s"size(slice(toks, chunk_id * $stride + 1, $window))").cast(LongType).as("n_tokens"),
         expr(s"array_join(slice(toks, chunk_id * $stride + 1, $window), ' ')").as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
-  }
 
   /** q65 — temperature-rebalanced source mix: sample a fixed global
     * budget (K = 200 docs) across sources with per-source targets
@@ -216,6 +221,28 @@ object TrainingData {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("target"))
       .select("doc_id", "source", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** q66 — group-relative quantile filter: drop each source's shortest
+    * quartile by token count (percent_rank < 0.25) — the length-based
+    * quality pruning stage of corpus prep, computed RELATIVE to each
+    * source rather than with one global cutoff (a fixed "≥ N tokens"
+    * rule over-prunes terse sources and under-prunes verbose ones).
+    * percent_rank = (rank-1)/(n-1) is exact small-integer division in
+    * both engines; the ordering is total (token count, then doc_id) so
+    * boundary ties resolve identically everywhere. One window exchange
+    * per source — the same partial-top-k-friendly shape as q54.
+    */
+  def q66LengthQuantileFilter(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_tokens"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("pr", roundD4(percent_rank().over(w)))
+      .filter(col("pr") >= 0.25)
+      .select("doc_id", "source", "n_tokens", "pr")
       .orderBy("doc_id")
   }
 

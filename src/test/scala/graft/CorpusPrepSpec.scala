@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.CorpusPrep
+
+/** Stage-by-stage behavior of the q67 composed pipeline on a fixture
+  * that exercises every stage: scrubbing changes tokenization, the
+  * length gate drops a short doc, exact dedup collapses identical
+  * cleaned texts, near-dup survivor selection drops a ≥ 0.8 variant,
+  * and only survivors fan out to chunks.
+  */
+class CorpusPrepSpec extends SparkSpecBase {
+
+  test("q67: every stage fires; only surviving docs are chunked") {
+    val dir = tmpDir()
+    val base = (0 until 20).map(i => s"w$i")
+    writeDocuments(dir,
+      // doc 1: 20 tokens, survives everything -> chunks at 0 and 12
+      (1L, base.mkString(" "), "en", "s", 1L),
+      // docs 2/3: identical to each other (disjoint vocab from doc 1, so
+      // no near-dup edge) -> doc 3 dropped by exact dedup, doc 2 kept;
+      // both contain "user", proving the scrub runs before tokenization
+      (2L, ((0 until 19).map(i => s"v$i") :+ "user").mkString(" "), "en", "s", 1L),
+      (3L, ((0 until 19).map(i => s"v$i") :+ "user").mkString(" "), "en", "s", 1L),
+      // doc 4: near-dup of doc 1 (19 of 21 distinct tokens shared,
+      // J = 19/21 ≈ 0.90) -> dropped by survivor selection
+      (4L, (base.take(19) ++ Seq("extra1", "extra2")).mkString(" "), "en", "s", 1L),
+      // doc 5: 5 tokens -> dropped by the length gate
+      (5L, "a b c d e", "en", "s", 1L),
+      // doc 6: unrelated 12 tokens -> survives, one chunk
+      (6L, (0 until 12).map(i => s"z$i").mkString(" "), "en", "s", 1L))
+    val out = CorpusPrep.q67CorpusPrep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // doc 1 survives: chunks (0: 16 toks) and (1: 8 toks, starts at w12)
+    assert(byDoc(1L).map(c => (c._2, c._3)).toSeq == Seq((0L, 16L), (1L, 8L)), byDoc.get(1L))
+    assert(byDoc(1L)(1)._4.startsWith("w12 "))
+    // doc 2 survives as its dup-group min (2 < 3); doc 3 exact-dup-dropped
+    assert(byDoc.contains(2L) && !byDoc.contains(3L))
+    // the scrub ran before tokenization: doc 2's chunk text carries <PII>
+    assert(byDoc(2L).map(_._4).mkString(" ").contains("<PII>"))
+    // doc 4 near-dup-dropped, doc 5 length-gated, doc 6 survives with one chunk
+    assert(!byDoc.contains(4L) && !byDoc.contains(5L))
+    assert(byDoc(6L).map(c => (c._2, c._3)).toSeq == Seq((0L, 12L)))
+  }
+
+  test("q66: each source's shortest quartile is dropped, quartile is source-relative") {
+    val dir = tmpDir()
+    // srcA lengths 1..8 tokens, srcB lengths 11..18: a global cutoff
+    // would wipe out srcA entirely; the relative filter keeps 6 of 8
+    // in EACH source (pr >= 0.25 drops ranks 1-2 of 8)
+    val docs = (0 until 8).map { i =>
+      (i.toLong, (0 to i).map(k => s"a$k").mkString(" "), "en", "srcA", 1L)
+    } ++ (0 until 8).map { i =>
+      ((i + 10).toLong, (0 to (i + 10)).map(k => s"b$k").mkString(" "), "en", "srcB", 1L)
+    }
+    writeDocuments(dir, docs: _*)
+    val out = graft.ops.TrainingData.q66LengthQuantileFilter(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySource = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(bySource("srcA") == (2L to 7L).toSet, bySource)
+    assert(bySource("srcB") == (12L to 17L).toSet, bySource)
+  }
+}
