@@ -58,6 +58,17 @@ object DelotonPipeline {
   private def numAt(k: Int): Column =
     element_at(regexp_extract_all(col("log"), lit(numberRx), lit(0)), k).cast(DoubleType)
 
+  /** The raw-message relation read from disk through the engine's
+    * `graftlog` DataSource V2 ([[graft.sources.LogSource]]): one file
+    * per stream, one JSON message per line — the file-backed shape of
+    * the reference's Kafka drain. `users(readLogs(s, dir))` /
+    * `rides(readLogs(s, dir))` is the full ingest from disk, with
+    * column pruning and stream-filter file skipping handled inside the
+    * source.
+    */
+  def readLogs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graftlog").load(dir)
+
   /** Parse + sessionize the raw messages: adds line timestamp, line-type
     * flags and the running `ride_id` (count of ride-separator markers so
     * far within the stream).
