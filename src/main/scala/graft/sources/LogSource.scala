@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -87,7 +88,7 @@ private class LogTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graftlog($path)"
   override def schema(): StructType = LogSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LogScanBuilder(path)
 }
@@ -122,6 +123,8 @@ private class LogScan(path: String, required: StructType, streamEq: Option[Strin
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LogMicroBatchStream(path, required, streamEq)
   override def description(): String =
     s"graftlog path=$path, columns=${required.fieldNames.mkString(",")}" +
       streamEq.map(s => s", pushed stream=$s").getOrElse("")
@@ -142,13 +145,93 @@ private class LogScan(path: String, required: StructType, streamEq: Option[Strin
 
 private case class LogPartition(file: String) extends InputPartition
 
-private class LogReaderFactory(required: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new LogReader(partition.asInstanceOf[LogPartition].file, required)
+/** Streaming offset: committed line count per file — exactly a Kafka
+  * consumer's (partition → offset) map with files standing in for
+  * partitions. Serialized as plain JSON so checkpoints are
+  * human-readable and survive engine upgrades.
+  */
+private[sources] case class LogOffset(counts: Map[String, Long]) extends Offset {
+  override def json(): String = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    org.json4s.jackson.Serialization.write(counts)
+  }
 }
 
-/** Streams one file line-by-line; emits exactly the pruned columns. */
-private class LogReader(file: String, required: StructType)
+private[sources] object LogOffset {
+  def fromJson(s: String): LogOffset = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    LogOffset(org.json4s.jackson.JsonMethods.parse(s).extract[Map[String, Long]])
+  }
+}
+
+/** The streaming side of `graftlog`: each micro-batch covers the lines
+  * appended (and files created) since the last committed offset — the
+  * reference's Kafka drain (`main.py:44-58` poll loop) as a real
+  * Structured Streaming source with resumable checkpoints. Under
+  * `Trigger.AvailableNow` the end offset is pinned once at query start
+  * (SupportsTriggerAvailableNow), giving the reference's
+  * drain-then-stop semantics with exactly-once file/line accounting;
+  * a restart with the same checkpoint reads ONLY what arrived since.
+  * The batch-side pushdown still applies: a pushed stream filter
+  * excludes non-matching files from offsets entirely.
+  */
+private class LogMicroBatchStream(path: String, required: StructType, streamEq: Option[String])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def countLines(f: java.nio.file.Path): Long = {
+    val r = java.nio.file.Files.newBufferedReader(f)
+    try Iterator.continually(r.readLine()).takeWhile(_ != null).size.toLong
+    finally r.close()
+  }
+
+  private def snapshot(): LogOffset = {
+    val files = LogSource.listLogFiles(path)
+      .filter(f => streamEq.forall(LogSource.streamOf(f) == _))
+    LogOffset(files.map(f => f.toString -> countLines(f)).toMap)
+  }
+
+  private var availableNowEnd: Option[LogOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit = availableNowEnd = Some(snapshot())
+
+  override def initialOffset(): Offset = LogOffset(Map.empty)
+  override def latestOffset(): Offset = availableNowEnd.getOrElse(snapshot())
+  // SupportsAdmissionControl variant (via SupportsTriggerAvailableNow):
+  // this source applies no rate limit — every batch reads to the end
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+  override def deserializeOffset(json: String): Offset = LogOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LogOffset].counts
+    val e = end.asInstanceOf[LogOffset].counts
+    e.toSeq.sortBy(_._1).flatMap { case (f, to) =>
+      val from = s.getOrElse(f, 0L)
+      if (to > from) Some(LogRangePartition(f, from, to): InputPartition) else None
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new LogRangeReaderFactory(required)
+  override def commit(end: Offset): Unit = () // files are the log; nothing to ack
+  override def stop(): Unit = ()
+}
+
+private case class LogRangePartition(file: String, from: Long, to: Long) extends InputPartition
+
+private class LogRangeReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LogRangePartition]
+    new LogReader(p.file, required, p.from, p.to)
+  }
+}
+
+private class LogReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new LogReader(partition.asInstanceOf[LogPartition].file, required, 0L, Long.MaxValue)
+}
+
+/** Streams one file line-by-line within [from, to); emits exactly the
+  * pruned columns. The batch path reads [0, ∞); micro-batches read the
+  * offset range their batch covers.
+  */
+private class LogReader(file: String, required: StructType, from: Long, to: Long)
     extends PartitionReader[InternalRow] {
   private val path = java.nio.file.Paths.get(file)
   private val stream = UTF8String.fromString(LogSource.streamOf(path))
@@ -166,7 +249,11 @@ private class LogReader(file: String, required: StructType)
   override def next(): Boolean = {
     line = lines.readLine()
     offset += 1
-    line != null
+    while (line != null && offset < from) { // skip to the range start
+      line = lines.readLine()
+      offset += 1
+    }
+    line != null && offset < to
   }
   override def get(): InternalRow = InternalRow.fromSeq(emitters.map(_()).toIndexedSeq)
   override def close(): Unit = lines.close()

@@ -65,6 +65,42 @@ class LogSourceSpec extends SparkSpecBase {
     assert(residual.collect().length == 3)
   }
 
+  test("streaming: AvailableNow drains all lines then stops; checkpoint resumes on the delta") {
+    val dir = fixture()
+    val cp = tmpDir()
+    val out = tmpDir() + "/sink"
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlog").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(!q.isActive, "AvailableNow must stop after the drain")
+    }
+    drain()
+    val first = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(first == Set(("bike-1", 0L), ("bike-1", 1L), ("bike-1", 2L),
+      ("bike-2", 0L), ("bike-2", 1L)))
+    // append to an existing stream + add a whole new stream, then resume
+    // from the SAME checkpoint: only the delta may arrive (Kafka-consumer
+    // semantics — committed (file -> line) offsets are honored, nothing
+    // is re-read and nothing is duplicated in the sink)
+    Files.write(Paths.get(dir, "bike-1.jsonl"),
+      ("\n" + msg("2024-01-01 12:00:03.000", "[INFO]: Ride - duration = 2.0; resistance = 40"))
+        .getBytes("UTF-8"), java.nio.file.StandardOpenOption.APPEND)
+    writeLogs(dir, "bike-3", Seq(
+      msg("2024-01-03 08:00:00.000", "[INFO]: --------- beginning of a new ride")))
+    drain()
+    val all = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(all.length == 7, s"no duplicates on resume: ${all.toSeq.sorted}")
+    assert(all.toSet -- first == Set(("bike-1", 3L), ("bike-3", 0L)),
+      s"resume must read only appended lines and new files, got ${all.toSet -- first}")
+  }
+
   test("the ETL runs unchanged on the DSv2 source") {
     val dir = fixture()
     val parsed = DelotonPipeline.parsed(DelotonPipeline.readLogs(spark, dir))
