@@ -104,6 +104,7 @@ object SparkEntry {
     "q65_temperature_mix" -> (TrainingData.q65TemperatureMix _),
     "q66_length_quantile_filter" -> (TrainingData.q66LengthQuantileFilter _),
     "q67_corpus_prep" -> (CorpusPrep.q67CorpusPrep _),
+    "q68_frame_sample" -> (TrainingData.q68FrameSample _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -472,9 +473,23 @@ object SparkEntry {
         "SELECT e.event_id, e.event_type, e.value, " +
         s"${rd4("e.value - a.type_avg")} AS delta_vs_type " +
         "FROM events e JOIN a USING (event_type) ORDER BY e.event_id"),
+    // q68: DuckDB has no BLOB substring, so the oracle slices the
+    // VARCHAR then encodes each frame — identical to the engine's byte
+    // slicing on this ASCII corpus (byte = char); both emit unwrapped
+    // base64
+    "q68_frame_sample" ->
+      ("WITH x AS (SELECT doc_id, text, " +
+        "UNNEST(range(0, (octet_length(encode(text)) + 15) // 16)) AS frame_id " +
+        "FROM documents WHERE octet_length(encode(text)) > 0) " +
+        "SELECT doc_id, frame_id, frame_id * 16 AS byte_offset, " +
+        "to_base64(encode(substring(text, CAST(frame_id*16 + 1 AS INT), 16))) AS frame_b64 " +
+        "FROM x WHERE frame_id % 3 = 0 ORDER BY doc_id, frame_id"),
     // q62: connected components via recursive reachability — min label
     // over the reachable set IS the component min on a symmetric edge
-    // list. Same Jaccard edge definition as q56's oracle.
+    // list. Same Jaccard edge definition as q56's oracle. NOTE: this
+    // oracle's recursion is quadratic in component size — exact and
+    // fast at the driver's sf0.01 correctness scale, but not meant for
+    // sf0.1+ (the ENGINE side stays scale-linear per round).
     "q62_dedup_clusters" ->
       ("WITH RECURSIVE " +
         "t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks " +

@@ -246,6 +246,34 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** q68 — binary FRAME SAMPLING: treat each doc's payload as a stream
+    * of fixed-size frames (16-byte records standing in for video frames
+    * / audio windows), keep every 3rd frame, and emit the sampled
+    * frames base64-encoded with their byte offsets — the
+    * frame-subsampling pass of a multimodal pipeline, done entirely
+    * with codegen'd binary built-ins (`substring` slices BINARY
+    * without copying through strings; no codec needed to DECIDE which
+    * frames survive). Row-local fan-out like q64's chunking: the
+    * payload column never shuffles, the output is the (much smaller)
+    * sample. Frame count is exact integer arithmetic; the final
+    * (short) frame is kept if sampled — real decoders pad, the stub
+    * keeps plumbing honest instead.
+    */
+  def q68FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val frame = 16
+    val every = 3
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .filter(length(col("payload")) > 0) // sequence(0, -1) would count DOWN
+      .withColumn("n_frames", expr(s"(length(payload) + ${frame - 1}) div $frame"))
+      .withColumn("frame_id", explode(sequence(lit(0), expr("n_frames - 1"))))
+      .filter(col("frame_id") % every === 0)
+      .select(col("doc_id"), col("frame_id").cast(LongType).as("frame_id"),
+        (col("frame_id") * frame).cast(LongType).as("byte_offset"),
+        base64(expr(s"substring(payload, frame_id * $frame + 1, $frame)")).as("frame_b64"))
+      .orderBy("doc_id", "frame_id")
+  }
+
   /** q58 — corpus composition report: per (source, lang) doc counts,
     * token/char volumes and average doc length — the numbers a data-mix
     * design starts from (how much of each source exists, at what token

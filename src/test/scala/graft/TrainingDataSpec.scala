@@ -212,6 +212,23 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q68 frame sample: every 3rd 16-byte frame, short tail kept, empty payload skipped") {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (1L, "0123456789abcdef" * 6 + "tail", "en", "s", 1L), // 100 B = 7 frames -> ids 0,3,6
+      (2L, "x", "en", "s", 1L), // 1 B = 1 frame -> id 0, 1-byte frame
+      (3L, "", "en", "s", 1L)) // empty -> no frames
+    val out = graft.ops.TrainingData.q68FrameSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 0L), (1L, 3L), (1L, 6L), (2L, 0L)))
+    assert(out.map(_._3).toSeq == Seq(0L, 48L, 96L)  ++ Seq(0L)) // byte offsets
+    // frame 6 of doc 1 covers bytes 96..99 -> the 4-byte "tail"
+    val tail = java.util.Base64.getDecoder.decode(out(2)._4)
+    assert(new String(tail, "UTF-8") == "tail")
+    assert(java.util.Base64.getDecoder.decode(out(0)._4).length == 16)
+    assert(new String(java.util.Base64.getDecoder.decode(out(3)._4), "UTF-8") == "x")
+  }
+
   test("q63 pii scrub: emails and phones are redacted and counted (fixture)") {
     val dir = tmpDir()
     writeDocuments(dir,
