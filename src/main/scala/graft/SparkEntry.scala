@@ -105,6 +105,8 @@ object SparkEntry {
     "q66_length_quantile_filter" -> (TrainingData.q66LengthQuantileFilter _),
     "q67_corpus_prep" -> (CorpusPrep.q67CorpusPrep _),
     "q68_frame_sample" -> (TrainingData.q68FrameSample _),
+    "q69_shipping_priority" -> (Relational.q69ShippingPriority _),
+    "q70_local_supplier_volume" -> (Relational.q70LocalSupplierVolume _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -484,6 +486,23 @@ object SparkEntry {
         "SELECT doc_id, frame_id, frame_id * 16 AS byte_offset, " +
         "to_base64(encode(substring(text, CAST(frame_id*16 + 1 AS INT), 16))) AS frame_b64 " +
         "FROM x WHERE frame_id % 3 = 0 ORDER BY doc_id, frame_id"),
+    "q69_shipping_priority" ->
+      (s"SELECT l_orderkey, ${dsum("l_extendedprice*(1-l_discount)")} AS revenue, " +
+        "o_orderdate, o_orderpriority " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01' " +
+        "AND l_shipdate > TIMESTAMP '1998-06-01' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"),
+    "q70_local_supplier_volume" ->
+      (s"SELECT n_name, ${dsum("l_extendedprice*(1-l_discount)")} AS revenue " +
+        "FROM customer, orders, lineitem, supplier, nation, region " +
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey " +
+        "AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey " +
+        "AND n_regionkey = r_regionkey AND r_name = 'ASIA' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
     // q62: connected components via recursive reachability — min label
     // over the reachable set IS the component min on a symmetric edge
     // list. Same Jaccard edge definition as q56's oracle. NOTE: this

@@ -161,4 +161,54 @@ object Relational {
         col("c_name"), col("n_orders"), col("total_spent"))
       .orderBy("custkey")
   }
+
+  /** q69 — TPC-H Q3 shape (shipping priority): top-10 unshipped orders
+    * by revenue for one market segment. The classic
+    * dim-filter → fact-join → agg → top-k pipeline: the segment filter
+    * prunes customer BEFORE the join (broadcast side), both date
+    * filters reach the parquet scans, revenue accumulates in DECIMAL
+    * (dsum4), and the top-10 keeps ranking deterministic with full
+    * tie-breaks. At scale: one shuffle per fact join (or broadcast for
+    * the pruned customer side), partial+final agg on l_orderkey.
+    */
+  def q69ShippingPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < expr("TIMESTAMP '1998-06-01 00:00:00'"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > expr("TIMESTAMP '1998-06-01 00:00:00'"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderdate"), col("l_orderkey"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .limit(10)
+
+  /** q70 — TPC-H Q5 shape (local supplier volume): revenue per nation
+    * where the supplier and the ordering customer share a nation, one
+    * region, one order-year. The 6-way star join: region→nation→
+    * supplier are broadcast dims in size order, customer⋈orders⋈
+    * lineitem are the fact joins, and the extra c_nationkey =
+    * s_nationkey equality is a join predicate, not a post-filter — it
+    * prunes inside the join. One final partial+final agg on n_name.
+    */
+  def q70LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val localSuppliers = Tables.supplier(spark, dir)
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(localSuppliers),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
 }

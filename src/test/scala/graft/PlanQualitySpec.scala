@@ -153,6 +153,19 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), "targets must broadcast onto the corpus:\n" + p)
   }
 
+  test("q69: top-10 compiles to TakeOrderedAndProject; date filters reach both scans") {
+    val p = physical(Relational.q69ShippingPriority(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("LessThan(o_orderdate"), "orders date filter must push down:\n" + p)
+    assert(p.contains("GreaterThan(l_shipdate"), "lineitem date filter must push down:\n" + p)
+  }
+
+  test("q70: 6-way star join — dims broadcast, no cartesian product") {
+    val p = physical(Relational.q70LocalSupplierVolume(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q61: salted join keys on (event_type, _salt) — hot keys spread across reducers") {
     // disable auto-broadcast: at test scale the 5-row dim would broadcast
     // (fine, but then no exchange exists to inspect); on the 100 TB shape
