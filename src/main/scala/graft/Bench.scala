@@ -58,8 +58,10 @@ object Bench {
       .mkString("{", ",", "}")
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // A crashed query's elapsed-until-failure is still in `queries`, but
-    // its name in `failed` marks it unusable as a timing.
+    // `queries` holds only successful-rep minimums; a query whose every
+    // rep failed is absent from `queries`/`total` and listed in `failed`.
+    // A partially-failed query contributes its best SUCCESSFUL time and
+    // is also listed in `failed`.
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,"sf":"$sfDir"}"""
     // stdout for humans; the file for the driver — sbt prefixes stdout

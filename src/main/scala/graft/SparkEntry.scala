@@ -522,17 +522,20 @@ object SparkEntry {
         "UNION SELECT e.v, r.lbl FROM r JOIN e ON e.u = r.v) " +
         "SELECT v AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY v ORDER BY doc_id"),
     // q63: DuckDB regexp_replace is single-match by default — the 'g'
-    // flag mirrors Spark's replace-all semantics; patterns are RE2-safe
+    // flag mirrors Spark's replace-all semantics; patterns are RE2-safe.
+    // Counts run on the PROGRESSIVELY scrubbed text (same as the
+    // engine): each pattern counted on what its replacement pass sees
     "q63_pii_scrub" ->
-      ("SELECT doc_id, " +
-        "regexp_replace(regexp_replace(regexp_replace(text, " +
-        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
-        "'\\+?[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g'), " +
-        "'customer|user', '<PII>', 'g') AS clean_text, " +
+      ("WITH s AS (SELECT doc_id, text, " +
+        "regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS e1 " +
+        "FROM documents), " +
+        "s2 AS (SELECT doc_id, text, e1, " +
+        "regexp_replace(e1, '\\+?[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS e2 FROM s) " +
+        "SELECT doc_id, regexp_replace(e2, 'customer|user', '<PII>', 'g') AS clean_text, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) " +
-        "+ len(regexp_extract_all(text, '\\+?[0-9][0-9 -]{6,}[0-9]')) " +
-        "+ len(regexp_extract_all(text, 'customer|user')) AS BIGINT) AS n_redacted " +
-        "FROM documents ORDER BY doc_id"),
+        "+ len(regexp_extract_all(e1, '\\+?[0-9][0-9 -]{6,}[0-9]')) " +
+        "+ len(regexp_extract_all(e2, 'customer|user')) AS BIGINT) AS n_redacted " +
+        "FROM s2 ORDER BY doc_id"),
     // q64: DuckDB list slices are 1-based inclusive, so
     // w[s+1 : s+16] = Spark slice(toks, s+1, 16)
     "q64_chunk" ->
@@ -553,13 +556,13 @@ object SparkEntry {
         "FROM documents) " +
         "SELECT r.doc_id, r.source, r.lang FROM r JOIN tgt USING (source) " +
         "WHERE rk <= target ORDER BY doc_id"),
-    // q66: percent_rank = (rank-1)/(n-1) — exact small-integer division
-    // in both engines; total ordering (n_tokens, doc_id) pins ties
+    // q66: cume_dist = k/n — exact small-integer division in both
+    // engines; ordering by token count ALONE keeps ties together
     "q66_length_quantile_filter" ->
-      ("SELECT doc_id, source, n_tokens, pr FROM (" +
+      ("SELECT doc_id, source, n_tokens, cd FROM (" +
         "SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
-        s"${rd4("percent_rank() OVER (PARTITION BY source ORDER BY len(string_split(text, ' ')), doc_id)")} AS pr " +
-        "FROM documents) t WHERE pr >= 0.25 ORDER BY doc_id"),
+        s"${rd4("cume_dist() OVER (PARTITION BY source ORDER BY len(string_split(text, ' ')))")} AS cd " +
+        "FROM documents) t WHERE cd > 0.25 ORDER BY doc_id"),
     // q67: the five-stage corpus-prep composition as a CTE chain —
     // scrub, >=10-token gate, first-wins exact dedup, q56-style
     // near-dup drop set, q64 chunking of the survivors

@@ -35,6 +35,16 @@ object CorpusPrep {
     * chunked (chunking dropped docs is wasted fan-out). Every stage is
     * deterministic, so the whole composition hash-matches a DuckDB CTE
     * chain replicating the five stages.
+    *
+    * Like the q21 cascade, the self-contained query recomputes its
+    * shared front (scrub → gate → dedup window) once per consumer —
+    * three computations: the group build, the survivor doc side, and
+    * the chunk join (different column pruning blocks exchange reuse).
+    * That is the right trade for the driver contract; a production run
+    * materializes `deduped` to a staging table after stage 3 and feeds
+    * all three consumers from it (the [[Similarity.collapsedCorpus]] /
+    * MaterializedCascadeSpec pattern). PlanQualitySpec pins the
+    * 3-computation bound so a refactor can't silently widen it.
     */
   def q67CorpusPrep(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

@@ -130,11 +130,18 @@ object TextOps {
   def q63PiiScrub(spark: SparkSession, dir: String): DataFrame = {
     def countMatches(c: Column, pat: String): Column =
       size(regexp_extract_all(c, lit(pat), lit(0))) // group 0 explicit: Spark requires it for group-less counts
+    // each pattern is counted on the text the corresponding replacement
+    // pass actually sees — counting all three on the ORIGINAL text
+    // double-counts spans an earlier pass consumed (a 'user' inside an
+    // email local-part is never seen by the term pass), so n_redacted
+    // would exceed the replacements made
+    val afterEmail = regexp_replace(col("text"), EmailPat, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhonePat, "<PHONE>")
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        scrubText(col("text")).as("clean_text"),
-        (countMatches(col("text"), EmailPat) + countMatches(col("text"), PhonePat) +
-          countMatches(col("text"), TermsPat)).cast(LongType).as("n_redacted"))
+        regexp_replace(afterPhone, TermsPat, "<PII>").as("clean_text"),
+        (countMatches(col("text"), EmailPat) + countMatches(afterEmail, PhonePat) +
+          countMatches(afterPhone, TermsPat)).cast(LongType).as("n_redacted"))
       .orderBy("doc_id")
   }
 }

@@ -225,24 +225,26 @@ object TrainingData {
   }
 
   /** q66 — group-relative quantile filter: drop each source's shortest
-    * quartile by token count (percent_rank < 0.25) — the length-based
-    * quality pruning stage of corpus prep, computed RELATIVE to each
-    * source rather than with one global cutoff (a fixed "≥ N tokens"
-    * rule over-prunes terse sources and under-prunes verbose ones).
-    * percent_rank = (rank-1)/(n-1) is exact small-integer division in
-    * both engines; the ordering is total (token count, then doc_id) so
-    * boundary ties resolve identically everywhere. One window exchange
-    * per source — the same partial-top-k-friendly shape as q54.
+    * quartile by token count — the length-based quality pruning stage
+    * of corpus prep, computed RELATIVE to each source rather than with
+    * one global cutoff (a fixed "≥ N tokens" rule over-prunes terse
+    * sources and under-prunes verbose ones). The cutoff is
+    * `cume_dist > 0.25` ordered by token count ALONE: ties share their
+    * cume_dist, so equal-length boundary docs are kept or dropped
+    * TOGETHER (a doc_id tie-break would drop one of two identical-
+    * length docs arbitrarily), and a single-doc source has
+    * cume_dist = 1 and is never wiped out. cume_dist = k/n is exact
+    * small-integer division in both engines. One window exchange per
+    * source — the same partial-top-k-friendly shape as q54.
     */
   def q66LengthQuantileFilter(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("source")
-      .orderBy(col("n_tokens"), col("doc_id"))
+    val w = Window.partitionBy("source").orderBy(col("n_tokens"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
-      .withColumn("pr", roundD4(percent_rank().over(w)))
-      .filter(col("pr") >= 0.25)
-      .select("doc_id", "source", "n_tokens", "pr")
+      .withColumn("cd", roundD4(cume_dist().over(w)))
+      .filter(col("cd") > 0.25)
+      .select("doc_id", "source", "n_tokens", "cd")
       .orderBy("doc_id")
   }
 

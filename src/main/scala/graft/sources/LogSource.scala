@@ -57,10 +57,13 @@ class LogSource extends TableProvider with org.apache.spark.sql.sources.DataSour
 object LogSource {
   import scala.jdk.CollectionConverters._
 
+  // field-for-field DelotonPipeline.rawSchema (nullability included, so
+  // schema-equality checks and unions of the two paths line up); the
+  // source never actually emits null stream/offset
   val Schema: StructType = StructType(Seq(
-    StructField("stream", StringType, nullable = false),
-    StructField("offset", LongType, nullable = false),
-    StructField("value", StringType, nullable = true)))
+    StructField("stream", StringType),
+    StructField("offset", LongType),
+    StructField("value", StringType)))
 
   /** stream id of a log file = basename without extension. */
   def streamOf(path: java.nio.file.Path): String = {
@@ -104,13 +107,17 @@ private class LogScanBuilder(path: String)
   /** Accept only what the source fully enforces: `stream = <literal>`
     * (file skip). Everything else is returned as residual for Spark to
     * evaluate — correctness never depends on the source's cleverness.
+    * Only equalities AGREEING with the first accepted value are
+    * consumed: accepting two conflicting `stream = x` filters while
+    * enforcing one would return x's rows where the correct answer is
+    * empty — the disagreeing filter stays residual and kills every row.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    streamEq = filters.collectFirst { case EqualTo("stream", v: String) => v }
     val (accepted, residual) = filters.partition {
-      case EqualTo("stream", _: String) => true
+      case EqualTo("stream", v: String) => streamEq.contains(v)
       case _ => false
     }
-    streamEq = accepted.collectFirst { case EqualTo(_, v: String) => v }
     pushed = accepted
     residual
   }
@@ -137,13 +144,11 @@ private class LogScan(path: String, required: StructType, streamEq: Option[Strin
       case Some(s) => files.filter(f => LogSource.streamOf(f) == s)
       case None => files
     }
-    kept.map(f => LogPartition(f.toString): InputPartition).toArray
+    kept.map(f => LogRangePartition(f.toString, 0L, Long.MaxValue): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new LogReaderFactory(required)
+    new LogRangeReaderFactory(required)
 }
-
-private case class LogPartition(file: String) extends InputPartition
 
 /** Streaming offset: committed line count per file — exactly a Kafka
   * consumer's (partition → offset) map with files standing in for
@@ -184,10 +189,28 @@ private class LogMicroBatchStream(path: String, required: StructType, streamEq: 
     finally r.close()
   }
 
+  // (byte size seen, line count) per file: a long-running stream polls
+  // latestOffset() every trigger, and re-counting lines of every
+  // unchanged file each poll is O(corpus) per trigger — the byte size
+  // is a metadata read and changes iff lines were appended. (Readers
+  // still line-skip to their start offset; the production upgrade is a
+  // per-commit line→byte index so they seek instead.)
+  private val sizeCache = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+
   private def snapshot(): LogOffset = {
     val files = LogSource.listLogFiles(path)
       .filter(f => streamEq.forall(LogSource.streamOf(f) == _))
-    LogOffset(files.map(f => f.toString -> countLines(f)).toMap)
+    LogOffset(files.map { f =>
+      val bytes = java.nio.file.Files.size(f)
+      val lines = sizeCache.get(f.toString) match {
+        case Some((b, n)) if b == bytes => n
+        case _ =>
+          val n = countLines(f)
+          sizeCache.update(f.toString, (bytes, n))
+          n
+      }
+      f.toString -> lines
+    }.toMap)
   }
 
   private var availableNowEnd: Option[LogOffset] = None
@@ -220,11 +243,6 @@ private class LogRangeReaderFactory(required: StructType) extends PartitionReade
     val p = partition.asInstanceOf[LogRangePartition]
     new LogReader(p.file, required, p.from, p.to)
   }
-}
-
-private class LogReaderFactory(required: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new LogReader(partition.asInstanceOf[LogPartition].file, required, 0L, Long.MaxValue)
 }
 
 /** Streams one file line-by-line within [from, to); emits exactly the

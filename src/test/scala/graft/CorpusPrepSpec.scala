@@ -43,21 +43,27 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(byDoc(6L).map(c => (c._2, c._3)).toSeq == Seq((0L, 12L)))
   }
 
-  test("q66: each source's shortest quartile is dropped, quartile is source-relative") {
+  test("q66: shortest quartile dropped per source; ties stay together; singletons survive") {
     val dir = tmpDir()
     // srcA lengths 1..8 tokens, srcB lengths 11..18: a global cutoff
-    // would wipe out srcA entirely; the relative filter keeps 6 of 8
-    // in EACH source (pr >= 0.25 drops ranks 1-2 of 8)
+    // would wipe out srcA entirely; the relative filter keeps 6 of 8 in
+    // EACH source (cume_dist of the two shortest = .125, .25 ≤ 0.25).
+    // srcC is a single doc (cume_dist 1 — never wiped out); srcD is 4
+    // docs of IDENTICAL length (all cume_dist 1 — boundary ties are
+    // kept or dropped together, no doc_id coin flip)
     val docs = (0 until 8).map { i =>
       (i.toLong, (0 to i).map(k => s"a$k").mkString(" "), "en", "srcA", 1L)
     } ++ (0 until 8).map { i =>
       ((i + 10).toLong, (0 to (i + 10)).map(k => s"b$k").mkString(" "), "en", "srcB", 1L)
-    }
+    } ++ Seq((30L, "lone doc", "en", "srcC", 1L)) ++
+      (0 until 4).map { i => ((40 + i).toLong, "same size text here", "en", "srcD", 1L) }
     writeDocuments(dir, docs: _*)
     val out = graft.ops.TrainingData.q66LengthQuantileFilter(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val bySource = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
     assert(bySource("srcA") == (2L to 7L).toSet, bySource)
     assert(bySource("srcB") == (12L to 17L).toSet, bySource)
+    assert(bySource("srcC") == Set(30L), bySource)
+    assert(bySource("srcD") == (40L to 43L).toSet, bySource)
   }
 }

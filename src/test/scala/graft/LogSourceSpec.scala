@@ -33,6 +33,8 @@ class LogSourceSpec extends SparkSpecBase {
     val dir = fixture()
     val out = DelotonPipeline.readLogs(spark, dir)
     assert(out.schema == graft.sources.LogSource.Schema)
+    assert(out.schema == DelotonPipeline.rawSchema,
+      "source schema must be interchangeable with the ETL's raw schema, nullability included")
     val rows = out.collect().map(r => (r.getString(0), r.getLong(1))).sorted
     assert(rows.toSeq == Seq(("bike-1", 0L), ("bike-1", 1L), ("bike-1", 2L),
       ("bike-2", 0L), ("bike-2", 1L)))
@@ -63,6 +65,12 @@ class LogSourceSpec extends SparkSpecBase {
     // a filter the source does NOT handle stays in the plan as residual
     val residual = DelotonPipeline.readLogs(spark, dir).filter(col("offset") > 0)
     assert(residual.collect().length == 3)
+    // CONFLICTING stream equalities: the source enforces the first and
+    // must leave the disagreeing one as a residual — the correct result
+    // is empty, not the first stream's rows
+    val conflicting = DelotonPipeline.readLogs(spark, dir)
+      .filter(col("stream") === "bike-1" && col("stream") === "bike-2")
+    assert(conflicting.collect().isEmpty, "conflicting equalities must yield zero rows")
   }
 
   test("streaming: AvailableNow drains all lines then stops; checkpoint resumes on the delta") {

@@ -153,6 +153,12 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), "targets must broadcast onto the corpus:\n" + p)
   }
 
+  test("q67: the scrub+dedup front is computed at most 3 times (documented bound)") {
+    val p = physical(graft.ops.CorpusPrep.q67CorpusPrep(spark, sf))
+    val dedupWindows = p.linesIterator.count(l => l.contains("Exchange hashpartitioning") && l.contains("sha2"))
+    assert(dedupWindows <= 3, s"expected ≤ 3 sha2-window computations, got $dedupWindows:\n$p")
+  }
+
   test("q69: top-10 compiles to TakeOrderedAndProject; date filters reach both scans") {
     val p = physical(Relational.q69ShippingPriority(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)

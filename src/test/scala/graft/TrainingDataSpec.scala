@@ -234,11 +234,15 @@ class TrainingDataSpec extends SparkSpecBase {
     writeDocuments(dir,
       (1L, "contact jane.doe+spam@example.co.uk or call +1 555 123-4567 now", "en", "s", 1L),
       (2L, "the customer emailed bob@corp.io twice", "en", "s", 1L),
-      (3L, "no sensitive content here", "en", "s", 1L))
+      (3L, "no sensitive content here", "en", "s", 1L),
+      (4L, "ping user@x.com today", "en", "s", 1L))
     val out = graft.ops.TextOps.q63PiiScrub(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(out(1L) == ("contact <EMAIL> or call <PHONE> now", 2L), out(1L))
     assert(out(2L) == ("the <PII> emailed <EMAIL> twice", 2L), out(2L))
     assert(out(3L) == ("no sensitive content here", 0L))
+    // ONE redaction: the 'user' inside the email local-part was consumed
+    // by the email pass, so the term count must not see it
+    assert(out(4L) == ("ping <EMAIL> today", 1L), out(4L))
   }
 }
