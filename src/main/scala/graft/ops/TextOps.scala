@@ -120,7 +120,7 @@ object TextOps {
     * pipeline): redact emails, then phone-shaped digit runs, then
     * sensitive terms.
     */
-  private[ops] def scrubText(c: Column): Column =
+  private[graft] def scrubText(c: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(c, EmailPat, "<EMAIL>"),

@@ -178,7 +178,7 @@ object TrainingData {
     * pipeline): input must carry (doc_id, toks); emits one row per
     * sliding window. Unsorted — callers order.
     */
-  private[ops] def chunkTokens(df: DataFrame, window: Int, stride: Int): DataFrame =
+  private[graft] def chunkTokens(df: DataFrame, window: Int, stride: Int): DataFrame =
     df
       .withColumn("n", size(col("toks")))
       .withColumn("chunk_id",

@@ -48,6 +48,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == Set((1L, 2L), (1L, 1L)))
   }
 
+  test("prepStream: stateless corpus prep emits chunks identical to the batch path") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, (0 until 20).map(i => s"w$i").mkString(" ")),
+      (2L, "short doc"), // < 10 tokens -> gated in both paths
+      (3L, "email user@x.com then " + (0 until 12).map(i => s"z$i").mkString(" ")))
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.prepStream(ms.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("prep").outputMode("append").start()
+    ms.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("prep").collect().map(_.toString).sorted.toSeq
+    q.stop()
+    val batch = StreamingOps.prepStream(rows.toDF("doc_id", "text"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream/batch divergence:\n$streamed\nvs\n$batch")
+    assert(streamed.exists(_.contains("<EMAIL>")), "scrub must run in the stream")
+    assert(!streamed.exists(_.contains("short doc")), "length gate must run in the stream")
+  }
+
   test("streamToJdbc: micro-batched idempotent upsert into Derby, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -212,6 +212,25 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q64 chunk properties over every length 1..100: count formula, sizes, coverage") {
+    val dir = tmpDir()
+    writeDocuments(dir, (1 to 100).map(n =>
+      (n.toLong, (0 until n).map(k => s"t$k").mkString(" "), "en", "s", 1L)): _*)
+    val byDoc = graft.ops.TrainingData.q64Chunk(spark, dir).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt, r.getString(3)))
+      .groupBy(_._1)
+    for (n <- 1 to 100) {
+      val chunks = byDoc(n).sortBy(_._2)
+      assert(chunks.length == 1 + (math.max(n - 16, 0) + 11) / 12, s"n=$n count")
+      for ((_, cid, sz, text) <- chunks) {
+        assert(sz == math.min(16, n - cid * 12), s"n=$n chunk $cid size")
+        assert(text.startsWith(s"t${cid * 12} ") || text == s"t${cid * 12}", s"n=$n chunk $cid start")
+      }
+      // coverage: every token appears in some chunk
+      assert(chunks.flatMap(_._4.split(" ")).toSet == (0 until n).map(k => s"t$k").toSet, s"n=$n coverage")
+    }
+  }
+
   test("q68 frame sample: every 3rd 16-byte frame, short tail kept, empty payload skipped") {
     val dir = tmpDir()
     writeDocuments(dir,
