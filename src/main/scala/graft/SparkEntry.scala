@@ -107,6 +107,8 @@ object SparkEntry {
     "q68_frame_sample" -> (TrainingData.q68FrameSample _),
     "q69_shipping_priority" -> (Relational.q69ShippingPriority _),
     "q70_local_supplier_volume" -> (Relational.q70LocalSupplierVolume _),
+    "q71_unigram_surprisal" -> (TextOps.q71UnigramSurprisal _),
+    "q72_dedup_report" -> (CorpusPrep.q72DedupReport _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -503,6 +505,35 @@ object SparkEntry {
         "AND n_regionkey = r_regionkey AND r_name = 'ASIA' " +
         "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
         "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    // q71: per-token surprisal floored to 6 dp BEFORE the decimal mean,
+    // so the aggregate is exact on both engines
+    "q71_unigram_surprisal" ->
+      ("WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents), " +
+        "v AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term), " +
+        "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM v), " +
+        "s AS (SELECT doc_id, " +
+        "floor((ln(CAST(n AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))*1000000 + 0.5)/1000000 AS surp " +
+        "FROM tok JOIN v USING (term) CROSS JOIN tot) " +
+        s"SELECT doc_id, count(*) AS n_tokens, ${davg("surp")} AS avg_surprisal " +
+        "FROM s GROUP BY doc_id ORDER BY doc_id"),
+    // q72: exact vs near drops classified by identical-token-set vs
+    // Jaccard >= 0.8 partner with a smaller doc_id (q56's rule)
+    "q72_dedup_report" ->
+      ("WITH t AS (SELECT doc_id, source, list_sort(list_distinct(string_split(text, ' '))) AS toks " +
+        "FROM documents), " +
+        "ex AS (SELECT DISTINCT b.doc_id FROM t a JOIN t b ON a.doc_id < b.doc_id AND a.toks = b.toks), " +
+        "dr AS (SELECT DISTINCT b.doc_id FROM t a JOIN t b ON a.doc_id < b.doc_id AND " +
+        "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8), " +
+        "g AS (SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM ex) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dropped, " +
+        "CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dr) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM ex) THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dropped " +
+        "FROM t GROUP BY source) " +
+        "SELECT source, n_docs, n_exact_dropped, n_near_dropped, " +
+        "n_docs - n_exact_dropped - n_near_dropped AS n_survivors, " +
+        s"${rd4("CAST(n_docs - n_exact_dropped - n_near_dropped AS DOUBLE) / n_docs")} AS survival_rate " +
+        "FROM g ORDER BY source"),
     // q62: connected components via recursive reachability — min label
     // over the reachable set IS the component min on a symmetric edge
     // list. Same Jaccard edge definition as q56's oracle. NOTE: this

@@ -70,4 +70,51 @@ object CorpusPrep {
         window = 16, stride = 12)
       .orderBy("doc_id", "chunk_id")
   }
+
+  /** q72 — dedup observability report: per source, how many docs the
+    * dedup cascade drops as EXACT duplicates (an earlier doc with the
+    * identical token set exists) vs NEAR duplicates (dropped by q56's
+    * first-wins rule through a Jaccard ≥ 0.8 partner, but not
+    * set-identical), and the survival rate. This is the report a
+    * pipeline run ships with its output — mix designs are made against
+    * per-source survival, not global counts. Attribution is by the
+    * dropped doc's own source (its partner may live elsewhere).
+    *
+    * Same cascade as q56 (group-level, no pair expansion); the
+    * classification is free: set-exact drops are exactly the
+    * above-minimum members of multi-member groups, near drops are the
+    * remaining dropped docs.
+    */
+  def q72DedupReport(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docBytes = Similarity.documentsSizeBytes(spark, dir)
+    val groups = Similarity.tokenSetGroups(spark, dir)
+    val setPairs = Similarity.verifySetJaccardWithMembers(
+      Similarity.prefixJoinCandidates(groups, 4, 5), groups, 0.8, docBytes)
+    // docs with an earlier identical-set doc (q56's dropWithin)
+    val exactDropped = groups
+      .select(explode(col("members")).as("doc_id"), col("gid"))
+      .filter(col("doc_id") > col("gid"))
+      .select("doc_id")
+    // every doc dropped through a qualifying cross-group pair
+    val dropCross = setPairs
+      .select(col("gb"), explode(concat(col("ma"), col("mb"))).as("doc_id"))
+      .filter(col("doc_id") > col("gb"))
+      .select("doc_id")
+      .union(setPairs.select(col("gb").as("doc_id")))
+      .distinct()
+    val nearOnly = dropCross.join(exactDropped, Seq("doc_id"), "left_anti")
+    Tables.documents(spark, dir).select("doc_id", "source")
+      .join(exactDropped.withColumn("is_exact", lit(1L)), Seq("doc_id"), "left")
+      .join(nearOnly.withColumn("is_near", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_exact"), lit(0L))).as("n_exact_dropped"),
+        sum(coalesce(col("is_near"), lit(0L))).as("n_near_dropped"))
+      .withColumn("n_survivors", col("n_docs") - col("n_exact_dropped") - col("n_near_dropped"))
+      .withColumn("survival_rate",
+        Det.roundD4(col("n_survivors").cast(org.apache.spark.sql.types.DoubleType) / col("n_docs")))
+      .orderBy("source")
+  }
 }

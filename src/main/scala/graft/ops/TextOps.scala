@@ -98,6 +98,38 @@ object TextOps {
       .orderBy("doc_id", "rk")
   }
 
+  /** q71 — unigram-LM surprisal scoring: train a unigram language model
+    * on the corpus itself (token → count / total) and score every doc
+    * by its mean token surprisal `-ln p(t) = ln(total) - ln(cnt)` — the
+    * perplexity-proxy quality gate corpus pipelines run (KenLM-style
+    * filters are this with a higher-order model; the plan shape is
+    * identical: train counts, broadcast/join, score row-local).
+    * Common docs score low, rare-token gibberish scores high.
+    *
+    * Determinism: each token's surprisal is collapsed to 6 dp with the
+    * engine-agnostic floor formula BEFORE aggregation, so the per-doc
+    * mean is an exact DECIMAL average of exact terms — immune to float
+    * summation order across partitions and engines (ln itself is
+    * correctly-rounded-close on both; q53 established the insulation).
+    * Scale: token join is key-co-partitioned (vocab is the small side
+    * and broadcasts when it fits); everything else is partial+final.
+    */
+  def q71UnigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n")) // 1 row, from the (small) vocab
+    val surp = floor((log(col("n").cast(DoubleType)) - log(col("cnt").cast(DoubleType)))
+      * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    tok.join(vocab, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("surp", surp)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), Det.davg4(col("surp")).as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** q63 — PII scrubbing: redact emails, phone-shaped digit runs and
     * sensitive terms from document text, reporting the per-doc
     * redaction count — the C4-style cleaning pass every pretraining

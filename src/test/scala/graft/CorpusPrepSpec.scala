@@ -43,6 +43,43 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(byDoc(6L).map(c => (c._2, c._3)).toSeq == Seq((0L, 12L)))
   }
 
+  test("q72: drops classified exact vs near, attributed to the dropped doc's source") {
+    val dir = tmpDir()
+    val base = (1 to 10).map(k => s"t$k")
+    writeDocuments(dir,
+      (1L, base.mkString(" "), "en", "srcX", 1L), // survivor (group min)
+      (2L, base.mkString(" "), "en", "srcX", 1L), // exact dup of 1
+      (3L, (base.take(9) :+ "u").mkString(" "), "en", "srcX", 1L), // near-dup of 1 (J=9/11)
+      (4L, (1 to 10).map(k => s"z$k").mkString(" "), "en", "srcX", 1L), // unrelated survivor
+      (5L, (base.take(9) :+ "v").mkString(" "), "en", "srcY", 1L)) // near-dup of 1, other source
+    val out = graft.ops.CorpusPrep.q72DedupReport(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(out("srcX") == ((4L, 1L, 1L, 2L, 0.5)), out("srcX"))
+    assert(out("srcY") == ((1L, 0L, 1L, 0L, 0.0)), out("srcY"))
+    // the report's survivor counts reconcile with q56's survivor list
+    val survivors = graft.ops.Similarity.q56NeardupSurvivors(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 4L))
+    assert(out.values.map(_._4).sum == survivors.size)
+  }
+
+  test("q71: common-token docs score low, rare-token docs high; deterministic") {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (1L, Seq.fill(10)("common").mkString(" "), "en", "s", 1L),
+      (2L, (0 until 10).map(i => s"rare$i").mkString(" "), "en", "s", 1L),
+      (3L, Seq.fill(10)("common").mkString(" "), "en", "s", 1L))
+    val out = graft.ops.TextOps.q71UnigramSurprisal(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 10L && out(2L)._1 == 10L)
+    // 'common' appears 20/30 times (surprisal ln(1.5)); each rareN 1/30 (ln 30)
+    assert(out(1L)._2 < out(2L)._2, out)
+    assert(out(1L)._2 == out(3L)._2, "identical docs must score identically")
+    val again = graft.ops.TextOps.q71UnigramSurprisal(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(again == out)
+  }
+
   test("q66: shortest quartile dropped per source; ties stay together; singletons survive") {
     val dir = tmpDir()
     // srcA lengths 1..8 tokens, srcB lengths 11..18: a global cutoff
