@@ -508,7 +508,8 @@ object SparkEntry {
     // q71: per-token surprisal floored to 6 dp BEFORE the decimal mean,
     // so the aggregate is exact on both engines
     "q71_unigram_surprisal" ->
-      ("WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents), " +
+      ("WITH tok0 AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents), " +
+        "tok AS (SELECT doc_id, term FROM tok0 WHERE term <> ''), " +
         "v AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term), " +
         "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM v), " +
         "s AS (SELECT doc_id, " +

@@ -14,6 +14,25 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPrep {
 
+  /** Pipeline constants — the SINGLE definition the batch pipeline
+    * (q67) and the streaming twin (StreamingOps.prepStream) both read,
+    * so tuning one path cannot silently diverge from the other.
+    */
+  val MinTokens = 10
+  val ChunkWindow = 16
+  val ChunkStride = 12
+
+  /** Stages 1–2 (PII scrub → tokenize → length gate), shared verbatim
+    * by q67 and the streaming path. Keeps every input column besides
+    * `text`; adds `clean_text` and `toks`.
+    */
+  private[graft] def scrubAndGate(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("clean_text", TextOps.scrubText(col("text")))
+      .drop("text")
+      .withColumn("toks", split(col("clean_text"), " "))
+      .filter(size(col("toks")) >= MinTokens)
+
   /** q67 — scrub → length-gate → exact-dedup → near-dup survivors →
     * chunk, as one DataFrame program:
     *
@@ -49,11 +68,8 @@ object CorpusPrep {
   def q67CorpusPrep(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docBytes = Similarity.documentsSizeBytes(spark, dir)
-    val cleaned = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        TextOps.scrubText(col("text")).as("clean_text"))
-      .withColumn("toks", split(col("clean_text"), " "))
-      .filter(size(col("toks")) >= 10)
+    val cleaned = scrubAndGate(
+      Tables.documents(spark, dir).select("doc_id", "lang", "source", "text"))
     val wDup = Window.partitionBy(sha2(col("clean_text"), 256)).orderBy("doc_id")
     val deduped = cleaned
       .withColumn("rn", row_number().over(wDup))
@@ -67,7 +83,7 @@ object CorpusPrep {
       .select("doc_id")
     TrainingData.chunkTokens(
         survivors.join(deduped.select("doc_id", "toks"), "doc_id"),
-        window = 16, stride = 12)
+        ChunkWindow, ChunkStride)
       .orderBy("doc_id", "chunk_id")
   }
 
@@ -91,19 +107,10 @@ object CorpusPrep {
     val groups = Similarity.tokenSetGroups(spark, dir)
     val setPairs = Similarity.verifySetJaccardWithMembers(
       Similarity.prefixJoinCandidates(groups, 4, 5), groups, 0.8, docBytes)
-    // docs with an earlier identical-set doc (q56's dropWithin)
-    val exactDropped = groups
-      .select(explode(col("members")).as("doc_id"), col("gid"))
-      .filter(col("doc_id") > col("gid"))
-      .select("doc_id")
-    // every doc dropped through a qualifying cross-group pair
-    val dropCross = setPairs
-      .select(col("gb"), explode(concat(col("ma"), col("mb"))).as("doc_id"))
-      .filter(col("doc_id") > col("gb"))
-      .select("doc_id")
-      .union(setPairs.select(col("gb").as("doc_id")))
-      .distinct()
-    val nearOnly = dropCross.join(exactDropped, Seq("doc_id"), "left_anti")
+    // the same shared drop-set derivations q56's survivor selection uses
+    val exactDropped = Similarity.dropWithinSet(groups)
+    val nearOnly = Similarity.dropCrossSet(setPairs).distinct()
+      .join(exactDropped, Seq("doc_id"), "left_anti")
     Tables.documents(spark, dir).select("doc_id", "source")
       .join(exactDropped.withColumn("is_exact", lit(1L)), Seq("doc_id"), "left")
       .join(nearOnly.withColumn("is_near", lit(1L)), Seq("doc_id"), "left")

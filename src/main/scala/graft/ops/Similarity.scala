@@ -442,27 +442,39 @@ object Similarity {
   def survivorsFrom(groups: DataFrame, docs: DataFrame, docBytes: BigInt): DataFrame = {
     val setPairs = verifySetJaccardWithMembers(prefixJoinCandidates(groups, 4, 5),
       groups, 0.8, docBytes)
-    // drop set per qualifying pair = {gb} ∪ {m ∈ ma∪mb : m > gb}
-    // (mb's other members all exceed its min gb; ma's members below gb
-    // are covered by dropWithin since multi-member groups are mutual
-    // exact dups). Formulated as explode + row filter — an array
-    // `filter(...)` lambda here is CodegenFallback and evicts the whole
-    // fused verify stage, intersect loop included, from codegen.
-    val dropCross = setPairs
-      .select(col("gb"), explode(concat(col("ma"), col("mb"))).as("doc_id"))
-      .filter(col("doc_id") > col("gb"))
-      .select("doc_id")
-      .union(setPairs.select(col("gb").as("doc_id")))
-    val dropWithin = groups
-      .select(explode(col("members")).as("doc_id"), col("gid"))
-      .filter(col("doc_id") > col("gid"))
-      .select("doc_id")
-    val drops = dropCross.union(dropWithin).distinct()
+    val drops = dropCrossSet(setPairs).union(dropWithinSet(groups)).distinct()
     docs
       .join(drops, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
   }
+
+  /** Docs with an EARLIER identical-set doc — the exact-duplicate half
+    * of the first-wins drop rule (every above-minimum member of a
+    * multi-member group). Shared by q56's survivor selection and q72's
+    * drop classification so the rule lives in one place.
+    */
+  private[graft] def dropWithinSet(groups: DataFrame): DataFrame =
+    groups
+      .select(explode(col("members")).as("doc_id"), col("gid"))
+      .filter(col("doc_id") > col("gid"))
+      .select("doc_id")
+
+  /** Docs dropped through a qualifying cross-group pair: per pair
+    * (ga < gb) the drop set is {gb} ∪ {m ∈ ma∪mb : m > gb} (mb's other
+    * members all exceed its min gb; ma's members below gb are covered
+    * by [[dropWithinSet]] since multi-member groups are mutual exact
+    * dups). Formulated as explode + row filter — an array `filter(...)`
+    * lambda here is CodegenFallback and evicts the whole fused verify
+    * stage, intersect loop included, from codegen. NOT deduplicated:
+    * callers `.distinct()` (alone or after unioning the within set).
+    */
+  private[graft] def dropCrossSet(setPairs: DataFrame): DataFrame =
+    setPairs
+      .select(col("gb"), explode(concat(col("ma"), col("mb"))).as("doc_id"))
+      .filter(col("doc_id") > col("gb"))
+      .select("doc_id")
+      .union(setPairs.select(col("gb").as("doc_id")))
 
   /** q59 — cross-source contamination: for every ordered source pair,
     * how many distinct token SETS they share (exact-dup-level overlap

@@ -118,12 +118,16 @@ object TextOps {
     import org.apache.spark.sql.types.DoubleType
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "") // empty tokens (run of spaces) carry no LM mass — same rule as q53
+    // corpus total via a global window over the VOCAB relation, not a
+    // crossJoin(agg): the agg form consumes the vocab subtree twice and
+    // re-plans the corpus scan + token explode + vocabulary aggregation
+    // on both sides (the q65 lesson, pinned there by PlanQualitySpec)
     val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
-    val total = vocab.agg(sum(col("cnt")).as("n")) // 1 row, from the (small) vocab
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(lit(1))))
     val surp = floor((log(col("n").cast(DoubleType)) - log(col("cnt").cast(DoubleType)))
       * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     tok.join(vocab, "term")
-      .crossJoin(broadcast(total))
       .withColumn("surp", surp)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), Det.davg4(col("surp")).as("avg_surprisal"))

@@ -116,20 +116,19 @@ object StreamingOps {
 
   /** Streaming corpus prep: the scrub (q63) → length-gate → chunk (q64)
     * stages applied to a document STREAM. These are stateless row-local
-    * transforms, so the exact same column expressions the batch
-    * operators use run under Structured Streaming with no state store,
-    * no watermark, and per-micro-batch output — the operator/stream
-    * duality the engine's design leans on (StreamingSpec proves
-    * batch/stream output parity on identical input). Stateful stages
-    * (exact dedup) chain in front via [[dedupStream]].
+    * transforms, so THE SAME stage implementation and constants the
+    * batch q67 pipeline uses ([[graft.ops.CorpusPrep.scrubAndGate]],
+    * MinTokens/ChunkWindow/ChunkStride) run under Structured Streaming
+    * with no state store, no watermark, and per-micro-batch output —
+    * tuning the batch pipeline cannot silently diverge from the stream
+    * (StreamingSpec proves batch/stream output parity on identical
+    * input). Stateful stages (exact dedup) chain in front via
+    * [[dedupStream]].
     */
   def prepStream(docs: DataFrame): DataFrame =
     graft.ops.TrainingData.chunkTokens(
-      docs
-        .select(col("doc_id"), graft.ops.TextOps.scrubText(col("text")).as("clean_text"))
-        .withColumn("toks", split(col("clean_text"), " "))
-        .filter(size(col("toks")) >= 10),
-      window = 16, stride = 12)
+      graft.ops.CorpusPrep.scrubAndGate(docs.select("doc_id", "text")),
+      graft.ops.CorpusPrep.ChunkWindow, graft.ops.CorpusPrep.ChunkStride)
 
   /** Stream-stream interval join: each click joined to the same user's
     * purchases within the following `window` — both sides watermarked,
