@@ -654,17 +654,23 @@ object Similarity {
       .withColumnRenamed("ga", "src").withColumnRenamed("gb", "dst")
       .localCheckpoint(true) // verify cascade runs ONCE, not once per iteration
     var labels = groups.select(col("gid"), col("gid").as("lbl")).localCheckpoint(true)
+    // one hash-min step (lazy — composes before the checkpoint)
+    def prop(l: DataFrame): DataFrame = {
+      val nbrMin = sym
+        .join(l.select(col("gid").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy(col("src").as("gid"))
+        .agg(min(col("nlbl")).as("nbr_min"))
+      l.join(nbrMin, Seq("gid"), "left")
+        .select(col("gid"), least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+    }
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
-      val nbrMin = sym
-        .join(labels.select(col("gid").as("dst"), col("lbl").as("nlbl")), "dst")
-        .groupBy(col("src").as("gid"))
-        .agg(min(col("nlbl")).as("nbr_min"))
-      val next = labels
-        .join(nbrMin, Seq("gid"), "left")
-        .select(col("gid"), least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+      // ONE hop per materialization: a measured two-hop variant
+      // (prop(prop(labels)) per checkpoint) ran ~40% SLOWER at sf0.1 —
+      // the doubled shuffle count per job costs more than the saved
+      // round scheduling at this graph size
+      val next = prop(labels).localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("lbl", "prev"), "gid")
         .filter(col("lbl") =!= col("prev")).count()
       labels = next
