@@ -172,6 +172,30 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("global: no declared query plans a cartesian product or an unsanctioned nested loop") {
+    // the ONLY queries allowed a BroadcastNestedLoopJoin are the
+    // documented tiny-broadcast cross joins (similarity scoring against
+    // a handful of query vectors / centroids — the corpus side streams
+    // map-side and never shuffles); everything else must stay
+    // equi-join/aggregate shaped. CartesianProduct is banned outright.
+    val broadcastNlAllowed = Set(
+      // tiny-broadcast similarity scoring (a handful of query vectors /
+      // centroids against the streaming corpus side)
+      "q22_topk_cosine", "q31_embed_neardup", "q32_ivf_ann",
+      "q32b_ivf_trained", "q32c_ivf_multiprobe",
+      // ONE-ROW global-aggregate broadcasts (corpus bounds / doc count /
+      // max-ts anchor) joined onto every row — a scalar, not a relation
+      "q15_trim_boundary", "q17_last24h", "q53_tfidf")
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = physical(fn(spark, sf))
+      val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+      val nlj = if (!broadcastNlAllowed(name) && p.contains("BroadcastNestedLoopJoin"))
+        Seq(s"$name: BroadcastNestedLoopJoin") else Nil
+      cart ++ nlj
+    }
+    assert(violations.isEmpty, s"degenerate join shapes:\n${violations.mkString("\n")}")
+  }
+
   test("q61: salted join keys on (event_type, _salt) — hot keys spread across reducers") {
     // disable auto-broadcast: at test scale the 5-row dim would broadcast
     // (fine, but then no exchange exists to inspect); on the 100 TB shape
