@@ -30,6 +30,19 @@ class EngineSmokeSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("Tables.events fails fast with the fix when the nanos conf is off") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Tables.events(spark, sf)
+      }
+      assert(e.getMessage.contains("nanosAsLong"),
+        s"error must name the conf and the fix: ${e.getMessage}")
+    } finally spark.conf.set(key, prev)
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 and returns rows") {
       val rows: Array[Row] = fn(spark, sf).collect()
