@@ -549,24 +549,36 @@ object Similarity {
   def q32cIvfMultiprobe(spark: SparkSession, dir: String): DataFrame =
     ivfTrainedSearch(spark, dir, nprobe = 2)
 
-  private[ops] def ivfTrainedSearch(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  private[ops] def ivfTrainedSearch(spark: SparkSession, dir: String, nprobe: Int): DataFrame =
+    ivfSearch(spark, dir, trainIvfModel(spark, dir), nprobe)
+
+  /** Nearest-centroid assignment (top-`probes` clusters per row), the
+    * shared primitive of IVF training and search. The centroid relation
+    * is always tiny (k rows) and broadcast.
+    */
+  private def assignToCentroids(cents: DataFrame, side: DataFrame, idCol: String,
+      vecCol: String, probes: Int = 1): DataFrame = {
+    val simToCent = roundD4(dot(col(vecCol), col("ce")) / (norm(col(vecCol)) * norm(col("ce"))))
+    val w = Window.partitionBy(idCol).orderBy(desc("csim"), asc("cid"))
+    side.crossJoin(broadcast(cents))
+      .withColumn("csim", simToCent)
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= probes)
+      .drop("ce", "csim", "crn")
+  }
+
+  /** Train the deterministic k-means-lite centroids alone and return
+    * the MODEL as a (cid, ce) relation — the persistable artifact of
+    * the IVF lifecycle. A production pipeline trains once, writes this
+    * k-row relation to a model table, and every later search job reads
+    * it back; IvfRecallSpec proves a parquet round trip searches
+    * bit-identically to the in-memory model (float vectors round-trip
+    * parquet exactly).
+    */
+  def trainIvfModel(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 3): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val k = 8
-    val iters = 3
     val corpus = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-
-    def assign(cents: DataFrame, side: DataFrame, idCol: String, vecCol: String,
-        probes: Int = 1): DataFrame = {
-      val simToCent = roundD4(dot(col(vecCol), col("ce")) / (norm(col(vecCol)) * norm(col("ce"))))
-      val w = Window.partitionBy(idCol).orderBy(desc("csim"), asc("cid"))
-      side.crossJoin(broadcast(cents))
-        .withColumn("csim", simToCent)
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= probes)
-        .drop("ce", "csim", "crn")
-    }
-
     var model: Seq[(Int, Seq[Float])] = corpus
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h", "vec_id").limit(k)
@@ -574,7 +586,7 @@ object Similarity {
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }.toSeq
     for (_ <- 0 until iters) {
       val cents = model.toDF("cid", "ce")
-      val updated = assign(cents, corpus, "vec_id", "embedding")
+      val updated = assignToCentroids(cents, corpus, "vec_id", "embedding")
         .select(col("cid"), posexplode(col("embedding")).as(Seq("idx", "x")))
         .groupBy("cid", "idx")
         .agg(avg(col("x").cast(DecimalType(20, 6))).as("m"))
@@ -585,16 +597,23 @@ object Similarity {
       // a cluster that lost every member keeps its previous centroid
       model = model.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
+    model.toDF("cid", "ce")
+  }
 
-    val trained = model.toDF("cid", "ce")
+  /** Cluster-pruned top-k search against an already-trained (cid, ce)
+    * model relation — in-memory or read back from a model table.
+    */
+  def ivfSearch(spark: SparkSession, dir: String, trained: DataFrame, nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     // each query row fans out to its `nprobe` nearest clusters; targets
     // keep exactly one cluster, so a (qid, tid) pair can join at most
     // once and the top-10 ranking below needs no dedup
-    val queries = assign(trained,
+    val queries = assignToCentroids(trained,
       corpus.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe")),
       "qid", "qe", probes = nprobe)
       .withColumnRenamed("cid", "qcid").withColumn("qn", norm(col("qe")))
-    val targets = assign(trained,
+    val targets = assignToCentroids(trained,
       corpus.filter(col("vec_id") >= 5).select(col("vec_id").as("tid"), col("embedding").as("te")),
       "tid", "te").withColumn("tn", norm(col("te")))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))

@@ -36,6 +36,21 @@ class IvfRecallSpec extends SparkSpecBase {
     assert(r2 > r1, s"multi-probe must improve recall: nprobe=2 $r2 vs nprobe=1 $r1")
   }
 
+  test("IVF model lifecycle: a parquet round-tripped model searches bit-identically") {
+    val model = Similarity.trainIvfModel(spark, sf)
+    val path = tmpDir() + "/ivf_model.parquet"
+    model.write.parquet(path)
+    val direct = Similarity.ivfSearch(spark, sf, model, nprobe = 1)
+      .collect().map(_.toString).toSeq
+    val viaDisk = Similarity.ivfSearch(spark, sf, spark.read.parquet(path), nprobe = 1)
+      .collect().map(_.toString).toSeq
+    assert(direct.nonEmpty && direct == viaDisk,
+      "float centroids must round-trip parquet exactly")
+    // and q32b IS train + search composed
+    val q32b = Similarity.q32bIvfTrained(spark, sf).collect().map(_.toString).toSeq
+    assert(direct == q32b)
+  }
+
   test("recall@10 measured: fixed-vector IVF (q32) ≥ 0.85 on sf0.001") {
     val exact = Similarity.q22TopkCosine(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
