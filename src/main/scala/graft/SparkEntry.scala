@@ -109,6 +109,8 @@ object SparkEntry {
     "q70_local_supplier_volume" -> (Relational.q70LocalSupplierVolume _),
     "q71_unigram_surprisal" -> (TextOps.q71UnigramSurprisal _),
     "q72_dedup_report" -> (CorpusPrep.q72DedupReport _),
+    "q73_returned_items" -> (Relational.q73ReturnedItems _),
+    "q74_late_shipments" -> (Relational.q74LateShipments _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -505,6 +507,21 @@ object SparkEntry {
         "AND n_regionkey = r_regionkey AND r_name = 'ASIA' " +
         "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
         "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "q73_returned_items" ->
+      (s"SELECT c_custkey, c_name, ${dsum("l_extendedprice*(1-l_discount)")} AS revenue, " +
+        "c_acctbal, n_name " +
+        "FROM customer, orders, lineitem, nation " +
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01' " +
+        "AND l_returnflag = 'R' AND c_nationkey = n_nationkey " +
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "q74_late_shipments" ->
+      ("SELECT o_orderpriority, " +
+        "CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL '90 days' THEN 1 ELSE 0 END) AS BIGINT) AS late_lines, " +
+        "count(*) AS total_lines " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     // q71: per-token surprisal floored to 6 dp BEFORE the decimal mean,
     // so the aggregate is exact on both engines
     "q71_unigram_surprisal" ->

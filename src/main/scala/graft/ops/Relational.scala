@@ -211,4 +211,40 @@ object Relational {
       .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(desc("revenue"), col("n_name"))
   }
+
+  /** q73 — TPC-H Q10 shape (returned-item reporting): top-20 customers
+    * by revenue lost to returns in one half-year. High-cardinality
+    * group-by (customer) after two fact joins — the shape where
+    * partial aggregation carries the weight — with the nation dim
+    * broadcast and the window/flag filters pushed to the scans.
+    */
+  def q73ReturnedItems(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP '1996-07-01 00:00:00'"))
+      .join(Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+      .limit(20)
+
+  /** q74 — TPC-H Q12 shape (shipping-delay priority report): per order
+    * priority, how many line items shipped more than 90 days after the
+    * order date vs total. Conditional aggregation over one fact⋈fact
+    * join — flags computed map-side, one partial+final agg on a 5-row
+    * key. Timestamp interval arithmetic is exact and engine-identical.
+    */
+  def q74LateShipments(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+          .otherwise(0L)).as("late_lines"),
+        count(lit(1)).as("total_lines"))
+      .orderBy("o_orderpriority")
 }
