@@ -479,16 +479,16 @@ object SparkEntry {
         "SELECT e.event_id, e.event_type, e.value, " +
         s"${rd4("e.value - a.type_avg")} AS delta_vs_type " +
         "FROM events e JOIN a USING (event_type) ORDER BY e.event_id"),
-    // q68: DuckDB has no BLOB substring, so the oracle slices the
-    // VARCHAR then encodes each frame — identical to the engine's byte
-    // slicing on this ASCII corpus (byte = char); both emit unwrapped
-    // base64
+    // q68: DuckDB has no BLOB substring, so the oracle byte-slices via
+    // the hex round-trip (2 hex chars = 1 byte: hex → VARCHAR substring
+    // → unhex) — exact for ANY UTF-8 content, no ASCII assumption; both
+    // sides emit unwrapped base64
     "q68_frame_sample" ->
-      ("WITH x AS (SELECT doc_id, text, " +
+      ("WITH x AS (SELECT doc_id, hex(encode(text)) AS hx, " +
         "UNNEST(range(0, (octet_length(encode(text)) + 15) // 16)) AS frame_id " +
         "FROM documents WHERE octet_length(encode(text)) > 0) " +
         "SELECT doc_id, frame_id, frame_id * 16 AS byte_offset, " +
-        "to_base64(encode(substring(text, CAST(frame_id*16 + 1 AS INT), 16))) AS frame_b64 " +
+        "to_base64(unhex(substring(hx, CAST(frame_id*32 + 1 AS INT), 32))) AS frame_b64 " +
         "FROM x WHERE frame_id % 3 = 0 ORDER BY doc_id, frame_id"),
     "q69_shipping_priority" ->
       (s"SELECT l_orderkey, ${dsum("l_extendedprice*(1-l_discount)")} AS revenue, " +

@@ -101,10 +101,10 @@ object GraftFunctions {
       throw new IllegalArgumentException(
         s"shingle_hashes: shingle size must be a literal constant, got non-foldable ${e.sql}")
     e.eval(null) match {
-      case i: Int => i
+      case i: Int if i >= 1 => i
       case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
-      case s: Short => s.toInt
-      case b: Byte => b.toInt
+      case s: Short if s >= 1 => s.toInt
+      case b: Byte if b >= 1 => b.toInt
       case other => throw new IllegalArgumentException(
         s"shingle_hashes: shingle size must be a positive integer literal, got " +
           s"${if (other == null) "NULL" else s"$other: ${e.dataType.simpleString}"}")

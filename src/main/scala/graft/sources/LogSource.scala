@@ -75,14 +75,27 @@ object LogSource {
   /** Driver-side file listing (java.nio — this demonstration source
     * targets local/NFS paths; a cluster deployment swaps in the Hadoop
     * FileSystem API here and nothing else changes).
+    *
+    * Rejects directories where two files map to the same stream id
+    * (e.g. `bike-1.jsonl` + `bike-1.log`): both would emit
+    * independently 0-based offsets under one stream, so
+    * `(stream, offset)` would stop being a unique key and a pushed
+    * stream-equality filter would silently read both files.
     */
   private[sources] def listLogFiles(dir: String): Seq[java.nio.file.Path] = {
     val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.isDirectory(p)) {
-      val s = java.nio.file.Files.list(p)
-      try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).toSeq.sortBy(_.toString)
-      finally s.close()
-    } else Seq(p)
+    val files =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+        finally s.close()
+      } else Seq(p)
+    files.groupBy(streamOf).find(_._2.size > 1).foreach { case (id, dup) =>
+      throw new IllegalArgumentException(
+        s"graftlog: files ${dup.map(_.getFileName).mkString(", ")} all map to stream '$id'; " +
+          "(stream, offset) must be unique — rename so basenames-without-extension are distinct")
+    }
+    files
   }
 }
 
@@ -189,24 +202,27 @@ private class LogMicroBatchStream(path: String, required: StructType, streamEq: 
     finally r.close()
   }
 
-  // (byte size seen, line count) per file: a long-running stream polls
-  // latestOffset() every trigger, and re-counting lines of every
-  // unchanged file each poll is O(corpus) per trigger — the byte size
-  // is a metadata read and changes iff lines were appended. (Readers
-  // still line-skip to their start offset; the production upgrade is a
+  // (byte size, mtime) → line count per file: a long-running stream
+  // polls latestOffset() every trigger, and re-counting lines of every
+  // unchanged file each poll is O(corpus) per trigger — size+mtime are
+  // metadata reads and change whenever lines are appended. Size alone
+  // is not enough: an in-place same-length rewrite (rotation recreating
+  // a file of identical size) would serve a stale count. (Readers still
+  // line-skip to their start offset; the production upgrade is a
   // per-commit line→byte index so they seek instead.)
-  private val sizeCache = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+  private val sizeCache = scala.collection.mutable.HashMap.empty[String, (Long, Long, Long)]
 
   private def snapshot(): LogOffset = {
     val files = LogSource.listLogFiles(path)
       .filter(f => streamEq.forall(LogSource.streamOf(f) == _))
     LogOffset(files.map { f =>
       val bytes = java.nio.file.Files.size(f)
+      val mtime = java.nio.file.Files.getLastModifiedTime(f).toMillis
       val lines = sizeCache.get(f.toString) match {
-        case Some((b, n)) if b == bytes => n
+        case Some((b, m, n)) if b == bytes && m == mtime => n
         case _ =>
           val n = countLines(f)
-          sizeCache.update(f.toString, (bytes, n))
+          sizeCache.update(f.toString, (bytes, mtime, n))
           n
       }
       f.toString -> lines
@@ -228,6 +244,14 @@ private class LogMicroBatchStream(path: String, required: StructType, streamEq: 
     val e = end.asInstanceOf[LogOffset].counts
     e.toSeq.sortBy(_._1).flatMap { case (f, to) =>
       val from = s.getOrElse(f, 0L)
+      // append-only is an ENFORCED invariant, not an assumption: a file
+      // whose current line count dropped below its committed offset was
+      // truncated/rotated, and silently planning nothing would lose the
+      // new content below the old offset forever
+      if (to < from) throw new IllegalStateException(
+        s"graftlog: file $f has $to lines but offset $from is already committed — " +
+          "the file shrank (truncation/rotation?); graftlog streams require append-only files. " +
+          "Rotate into NEW files (new stream ids) instead of rewriting in place.")
       if (to > from) Some(LogRangePartition(f, from, to): InputPartition) else None
     }.toArray
   }

@@ -81,6 +81,19 @@ class FunctionsSpec extends SparkSpecBase {
       s"wanted the registration-time message, got: ${nullN.getMessage}")
   }
 
+  test("shingle_hashes: zero/negative n fails for EVERY integral type (ADVICE r3)") {
+    GraftFunctions.register(spark)
+    // the INT branch used to skip the >= 1 guard the BIGINT branch had,
+    // so shingle_hashes(arr, 0) silently returned a bogus 1-element array
+    for (lit <- Seq("0", "-1", "CAST(0 AS BIGINT)", "CAST(0 AS SMALLINT)", "CAST(-2 AS TINYINT)")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT shingle_hashes(array('a','b'), $lit) AS s").collect()
+      }
+      assert(e.getMessage.contains("positive integer literal"),
+        s"n=$lit must be rejected with the standard message, got: ${e.getMessage}")
+    }
+  }
+
   test("shingle_hashes(words, 1) is value-identical to the xxhash64 HOF token build") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

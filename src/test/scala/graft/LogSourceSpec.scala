@@ -109,6 +109,75 @@ class LogSourceSpec extends SparkSpecBase {
       s"resume must read only appended lines and new files, got ${all.toSet -- first}")
   }
 
+  test("duplicate stream ids (bike-1.jsonl + bike-1.log) are rejected, not silently merged (ADVICE r3)") {
+    val dir = fixture()
+    Files.write(Paths.get(dir, "bike-1.log"),
+      msg("2024-01-09 00:00:00.000", "[INFO]: impostor file").getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      DelotonPipeline.readLogs(spark, dir).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("bike-1"),
+      s"error must name the colliding stream id: ${e.getMessage}")
+  }
+
+  test("a truncated file below its committed offset fails fast instead of losing data (ADVICE r3)") {
+    val dir = fixture()
+    val cp = tmpDir()
+    val out = tmpDir() + "/sink"
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlog").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    drain()
+    // rotate bike-1 in place: 3 lines committed, rewrite with 1 line
+    writeLogs(dir, "bike-1", Seq(msg("2024-01-05 00:00:00.000", "[INFO]: rewritten")))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { drain() }
+    val root = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(root.contains("shrank") || root.contains("append-only"),
+      s"truncation must surface the append-only violation, got: $root")
+  }
+
+  test("same-size append within one query is seen by the snapshot (mtime in cache key, ADVICE r3)") {
+    // The line-count cache lives inside ONE MicroBatchStream (= one
+    // query run), so the stale-cache hazard needs two micro-batches in
+    // the SAME query: batch 1 populates the cache, then the file is
+    // rewritten to the SAME byte size with one MORE line. A size-only
+    // cache key serves the stale count and processAllAvailable() sees
+    // "no new data"; the size+mtime key recounts and drains the line.
+    val dir = fixture()
+    val out = tmpDir() + "/sink"
+    val q = spark.readStream.format("graftlog").load(dir)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      q.processAllAvailable()
+      val old = Files.readAllBytes(Paths.get(dir, "bike-2.jsonl"))
+      val extra = msg("2024-01-06 00:00:00.000", "[INFO]: X")
+      val pad = old.length - 2 - extra.length // two joining newlines
+      assert(pad >= 2, s"fixture too small to embed an extra line (pad=$pad)")
+      // 3 raw lines (the source doesn't require JSON), byte-identical total
+      val rewritten = ("x" * (pad / 2) + "\n" + "y" * (pad - pad / 2) + "\n" + extra)
+        .getBytes("UTF-8")
+      assert(rewritten.length == old.length,
+        s"rewrite must keep the byte size identical (${rewritten.length} vs ${old.length})")
+      Files.write(Paths.get(dir, "bike-2.jsonl"), rewritten)
+      Files.setLastModifiedTime(Paths.get(dir, "bike-2.jsonl"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(out).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.count(_ == ("bike-2", 2L)) == 1,
+      s"the third line of the same-size rewrite must be read, got ${rows.toSeq.sorted}")
+  }
+
   test("the ETL runs unchanged on the DSv2 source") {
     val dir = fixture()
     val parsed = DelotonPipeline.parsed(DelotonPipeline.readLogs(spark, dir))
