@@ -673,15 +673,18 @@ object Similarity {
       .withColumnRenamed("ga", "src").withColumnRenamed("gb", "dst")
       .localCheckpoint(true) // verify cascade runs ONCE, not once per iteration
     var labels = groups.select(col("gid"), col("gid").as("lbl")).localCheckpoint(true)
-    // one hash-min step (lazy — composes before the checkpoint)
-    def prop(l: DataFrame): DataFrame = {
-      val nbrMin = sym
-        .join(l.select(col("gid").as("dst"), col("lbl").as("nlbl")), "dst")
-        .groupBy(col("src").as("gid"))
-        .agg(min(col("nlbl")).as("nbr_min"))
-      l.join(nbrMin, Seq("gid"), "left")
-        .select(col("gid"), least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
-    }
+    // One hash-min step in TWO shuffles (join + agg), not three: the
+    // node's own label rides along as a one-row union branch (prev =
+    // max over the single non-null `old`), so the new label AND the
+    // did-it-change flag fall out of one min-aggregation — no second
+    // join against the previous labels, and the convergence count is a
+    // scan of the checkpointed round output rather than its own join.
+    def prop(l: DataFrame): DataFrame =
+      sym.join(l.select(col("gid").as("dst"), col("lbl").as("nlbl")), "dst")
+        .select(col("src").as("gid"), col("nlbl"), lit(null).cast("long").as("old"))
+        .union(l.select(col("gid"), col("lbl").as("nlbl"), col("lbl").as("old")))
+        .groupBy("gid")
+        .agg(min(col("nlbl")).as("lbl"), max(col("old")).as("prev"))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -690,9 +693,8 @@ object Similarity {
       // the doubled shuffle count per job costs more than the saved
       // round scheduling at this graph size
       val next = prop(labels).localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "gid")
-        .filter(col("lbl") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.select("gid", "lbl")
       rounds += 1
     }
     require(changed == 0, s"hash-min did not converge in $rounds rounds")
