@@ -111,6 +111,10 @@ object SparkEntry {
     "q72_dedup_report" -> (CorpusPrep.q72DedupReport _),
     "q73_returned_items" -> (Relational.q73ReturnedItems _),
     "q74_late_shipments" -> (Relational.q74LateShipments _),
+    "q75_promo_revenue" -> (Relational.q75PromoRevenue _),
+    "q76_disjunctive_predicates" -> (Relational.q76DisjunctivePredicates _),
+    "q77_large_orders" -> (Relational.q77LargeOrders _),
+    "q78_no_order_customers" -> (Relational.q78NoOrderCustomers _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -522,6 +526,39 @@ object SparkEntry {
         "count(*) AS total_lines " +
         "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // q75: the percentage divides the two ALREADY-4dp-rounded doubles
+    // ((100*p)/t, left-assoc on both sides), so the quotient is IEEE-
+    // identical cross-engine before its own rd4
+    "q75_promo_revenue" ->
+      (s"WITH s AS (SELECT " +
+        s"${dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END")} AS promo_revenue, " +
+        s"${dsum("l_extendedprice*(1-l_discount)")} AS total_revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01') " +
+        "SELECT promo_revenue, total_revenue, " +
+        s"${rd4("100*promo_revenue/total_revenue")} AS promo_pct FROM s"),
+    "q76_disjunctive_predicates" ->
+      (s"SELECT ${dsum("l_extendedprice*(1-l_discount)")} AS revenue, count(*) AS n_lines " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) " +
+        "OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20) " +
+        "OR (p_brand = 'Brand#6' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30)"),
+    "q77_large_orders" ->
+      (s"WITH big AS (SELECT l_orderkey, ${dsum("l_quantity")} AS sum_qty " +
+        s"FROM lineitem GROUP BY l_orderkey HAVING ${dsum("l_quantity")} > 200) " +
+        "SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty " +
+        "FROM orders JOIN big ON o_orderkey = l_orderkey " +
+        "JOIN customer ON c_custkey = o_custkey ORDER BY o_orderkey"),
+    "q78_no_order_customers" ->
+      ("WITH cust AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer " +
+        "WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')), " +
+        s"a AS (SELECT ${davg("c_acctbal")} AS avg_bal FROM cust WHERE c_acctbal > 0) " +
+        "SELECT c_mktsegment, count(*) AS numcust, " +
+        s"${dsum("c_acctbal")} AS totacctbal " +
+        "FROM cust CROSS JOIN a WHERE c_acctbal > avg_bal " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= TIMESTAMP '2000-01-01') " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     // q71: per-token surprisal floored to 6 dp BEFORE the decimal mean,
     // so the aggregate is exact on both engines
     "q71_unigram_surprisal" ->

@@ -232,6 +232,100 @@ object Relational {
       .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
       .limit(20)
 
+  /** q75 — TPC-H Q14 shape (promotion effect): what share of one
+    * month's revenue came from PROMO-type parts. Fact⋈dim join with a
+    * conditional numerator — both sums accumulate in DECIMAL over the
+    * SAME join pass (one scan, one agg), and the percentage divides the
+    * two already-rounded doubles, so the quotient is bit-identical
+    * cross-engine. The shipdate window is pushed to the lineitem scan;
+    * part is the broadcast side.
+    */
+  def q75PromoRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-09-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1996-10-01 00:00:00'"))
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum4(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        roundD4(lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_pct"))
+
+  /** q76 — TPC-H Q19 shape (discounted revenue, disjunctive
+    * predicates): an OR of three brand/size/quantity brackets spanning
+    * BOTH join sides. The point is the PLAN: Catalyst still extracts
+    * the `l_partkey = p_partkey` equi-condition (hash join, part
+    * broadcast), evaluates the disjunction as the join's residual —
+    * never a nested-loop over the OR — and pushes the per-side
+    * implied bounds (`l_quantity <= 30`, derivable from the brackets)
+    * into the scans. PlanQualitySpec pins the no-BNLJ shape.
+    */
+  def q76DisjunctivePredicates(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size"))
+    val brackets =
+      (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#22" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#6" && col("p_size").between(1, 50) &&
+        col("l_quantity").between(20, 30))
+    l.join(p, col("l_partkey") === col("p_partkey") && brackets)
+      .agg(
+        dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** q77 — TPC-H Q18 shape (large-volume orders): orders whose total
+    * quantity across line items exceeds 200, with their customers. The
+    * HAVING-subquery becomes aggregate-then-join: lineitem aggregates
+    * ONCE (partial+final on l_orderkey), the surviving keys — a tiny
+    * fraction of orders — drive hash joins back to orders and customer.
+    * No correlated re-scan of lineitem per order, which is what the
+    * literal nested formulation would do.
+    */
+  def q77LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(dsum4(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 200.0)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+      .orderBy("o_orderkey")
+  }
+
+  /** q78 — TPC-H Q22 shape (global sales opportunity): per segment,
+    * count and balance of above-average-balance customers with no
+    * order since 2000 (Q22's dormant-customer semantics — in this
+    * synthetic data every customer has SOME order, as at any realistic
+    * scale). Three plan ingredients: a one-row scalar aggregate
+    * (the positive-balance average) broadcast into the filter — the
+    * sanctioned single-row nested-loop, same as q15/q17/q53; a
+    * LEFT ANTI hash join against orders for "no orders exist"; and a
+    * final partial+final agg on segment. The anti-join shuffles only
+    * `o_custkey` longs at scale.
+    */
+  def q78NoOrderCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("BUILDING", "AUTOMOBILE", "MACHINERY")
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment").isin(segs: _*))
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(davg4(col("c_acctbal")).as("avg_bal"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= expr("TIMESTAMP '2000-01-01 00:00:00'"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"), dsum4(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** q74 — TPC-H Q12 shape (shipping-delay priority report): per order
     * priority, how many line items shipped more than 90 days after the
     * order date vs total. Conditional aggregation over one fact⋈fact

@@ -172,6 +172,22 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q76: disjunctive brackets still extract the equi-join — hash join, no nested loop") {
+    val p = physical(Relational.q76DisjunctivePredicates(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "l_partkey = p_partkey must be extracted as the hash-join key:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the OR-of-brackets must ride as the join residual, not force a nested loop:\n" + p)
+  }
+
+  test("q77: the HAVING subquery aggregates lineitem exactly once") {
+    val p = physical(Relational.q77LargeOrders(spark, sf))
+    val lineitemScans = "lineitem".r.findAllIn(p).length
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // one scan feeding one partial+final agg — no correlated re-scan
+    assert(lineitemScans <= 2, s"lineitem must be scanned once (partial+final agg), plan:\n$p")
+  }
+
   test("global: no declared query plans a cartesian product or an unsanctioned nested loop") {
     // the ONLY queries allowed a BroadcastNestedLoopJoin are the
     // documented tiny-broadcast cross joins (similarity scoring against
@@ -185,7 +201,10 @@ class PlanQualitySpec extends SparkSpecBase {
       "q32b_ivf_trained", "q32c_ivf_multiprobe",
       // ONE-ROW global-aggregate broadcasts (corpus bounds / doc count /
       // max-ts anchor) joined onto every row — a scalar, not a relation
-      "q15_trim_boundary", "q17_last24h", "q53_tfidf")
+      "q15_trim_boundary", "q17_last24h", "q53_tfidf",
+      // q78's above-average-balance gate: one-row avg broadcast (Q22's
+      // scalar subquery), same scalar-not-relation shape as q15/q17
+      "q78_no_order_customers")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
