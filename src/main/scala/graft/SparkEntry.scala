@@ -115,6 +115,10 @@ object SparkEntry {
     "q76_disjunctive_predicates" -> (Relational.q76DisjunctivePredicates _),
     "q77_large_orders" -> (Relational.q77LargeOrders _),
     "q78_no_order_customers" -> (Relational.q78NoOrderCustomers _),
+    "q79_repetition_stats" -> (TrainingData.q79RepetitionStats _),
+    "q80_sequence_pack" -> (TrainingData.q80SequencePack _),
+    "q81_incremental_dedup" -> (TrainingData.q81IncrementalDedup _),
+    "q82_decontaminate" -> (TrainingData.q82Decontaminate _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -559,6 +563,65 @@ object SparkEntry {
         "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
         "AND o_orderdate >= TIMESTAMP '2000-01-01') " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // q79: string n-grams stand in for the engine's hashed n-grams —
+    // multiset counts are invariant under the injective relabeling
+    // (space-joined space-free tokens <-> chained word hashes)
+    "q79_repetition_stats" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g2 AS (SELECT doc_id, UNNEST([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g FROM toks), " +
+        "g3 AS (SELECT doc_id, UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
+        "for i in range(1, len(w)-1)]) AS g FROM toks), " +
+        "c2a AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g), " +
+        "c2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total2, count(*) AS dist2, " +
+        "CAST(max(c) AS BIGINT) AS max2 FROM c2a GROUP BY doc_id), " +
+        "c3a AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g), " +
+        "c3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total3, count(*) AS dist3 " +
+        "FROM c3a GROUP BY doc_id), " +
+        "f AS (SELECT t.doc_id, coalesce(total2, 0) AS n_2grams, " +
+        "CASE WHEN coalesce(total2, 0) > 0 THEN " +
+        s"${rd4("CAST(total2 - dist2 AS DOUBLE) / total2")} ELSE 0.0 END AS dup_2gram_frac, " +
+        "CASE WHEN coalesce(total2, 0) > 0 THEN " +
+        s"${rd4("CAST(max2 AS DOUBLE) / total2")} ELSE 0.0 END AS top_2gram_frac, " +
+        "CASE WHEN coalesce(total3, 0) > 0 THEN " +
+        s"${rd4("CAST(total3 - dist3 AS DOUBLE) / total3")} ELSE 0.0 END AS dup_3gram_frac " +
+        "FROM toks t LEFT JOIN c2 ON t.doc_id = c2.doc_id LEFT JOIN c3 ON t.doc_id = c3.doc_id) " +
+        "SELECT doc_id, n_2grams, dup_2gram_frac, top_2gram_frac, dup_3gram_frac, " +
+        "(dup_2gram_frac <= 0.6 AND top_2gram_frac <= 0.2 AND dup_3gram_frac <= 0.55) AS keep " +
+        "FROM f ORDER BY doc_id"),
+    // q80: the oracle's single window cumsum IS the semantics; the
+    // engine computes the same prefix sum distributed (bucketed
+    // two-level) — all-integer, so the equality is exact
+    "q80_sequence_pack" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) " +
+        "AS start_token FROM t) " +
+        "SELECT doc_id, n_tokens, start_token, start_token // 2048 AS seq_id, " +
+        "start_token % 2048 AS seq_offset, " +
+        "(start_token + n_tokens - 1) // 2048 - start_token // 2048 + 1 AS n_seqs_spanned " +
+        "FROM c ORDER BY doc_id"),
+    // q81: digest equality == text equality (sha2-256, the q20
+    // convention), so the oracle joins on text directly
+    "q81_incremental_dedup" ->
+      ("WITH idx AS (SELECT 'src' || CAST(UNNEST(range(0, 10)) AS VARCHAR) AS s), " +
+        "batch AS (SELECT doc_id, source, text, " +
+        "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
+        "FROM documents WHERE source NOT IN (SELECT s FROM idx)) " +
+        "SELECT doc_id, source FROM batch b WHERE rn = 1 " +
+        "AND NOT EXISTS (SELECT 1 FROM documents d WHERE d.source IN (SELECT s FROM idx) " +
+        "AND d.text = b.text) ORDER BY doc_id"),
+    // q82: distinct string 4-grams per doc <-> the kernel's deduped
+    // hashed 4-grams (same relabeling argument as q79)
+    "q82_decontaminate" ->
+      ("WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents), " +
+        "g AS (SELECT doc_id, source, UNNEST(list_distinct(" +
+        "[array_to_string(w[i:i+3], ' ') for i in range(1, len(w)-2)])) AS g FROM toks) " +
+        "SELECT t.doc_id, count(DISTINCT t.g) AS n_shared_ngrams, " +
+        "count(DISTINCT e.doc_id) AS n_eval_docs_hit " +
+        "FROM (SELECT * FROM g WHERE source <> 'src19') t " +
+        "JOIN (SELECT * FROM g WHERE source = 'src19') e ON t.g = e.g " +
+        "GROUP BY t.doc_id ORDER BY t.doc_id"),
     // q71: per-token surprisal floored to 6 dp BEFORE the decimal mean,
     // so the aggregate is exact on both engines
     "q71_unigram_surprisal" ->

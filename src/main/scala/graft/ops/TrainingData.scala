@@ -276,6 +276,146 @@ object TrainingData {
       .orderBy("doc_id", "frame_id")
   }
 
+  /** q79 — intra-document repetition signals (the Gopher/MassiveText
+    * repetition filters): per document, the duplicate-2-gram and
+    * duplicate-3-gram fractions (`1 - distinct/total`) and the top
+    * 2-gram coverage (`max_count/total`), plus the filter decision at
+    * the published-style thresholds. Catches the boilerplate/spam docs
+    * that SURVIVE cross-document dedup — repetition is inside one doc,
+    * so no join or shuffle exists anywhere: the native `shingle_stats`
+    * kernel reduces each doc to three longs per n in one pass, and the
+    * whole query is scan → project → sort. At 100 TB this is the
+    * cheapest quality gate in the pipeline (one codegen stage over the
+    * corpus).
+    */
+  def q79RepetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val toks = split(col("text"), " ")
+    def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      roundD4(when(den > 0L, num.cast("double") / den).otherwise(lit(0.0)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        call_function("shingle_stats", toks, lit(2)).as("s2"),
+        call_function("shingle_stats", toks, lit(3)).as("s3"))
+      .select(col("doc_id"),
+        col("s2.n_grams").as("n_2grams"),
+        frac(col("s2.n_grams") - col("s2.n_distinct"), col("s2.n_grams")).as("dup_2gram_frac"),
+        frac(col("s2.max_count"), col("s2.n_grams")).as("top_2gram_frac"),
+        frac(col("s3.n_grams") - col("s3.n_distinct"), col("s3.n_grams")).as("dup_3gram_frac"))
+      // Gopher-style gate: the decision compares the ALREADY-4dp-rounded
+      // fractions, so it is engine-exact
+      .withColumn("keep",
+        (col("dup_2gram_frac") <= 0.6 && col("top_2gram_frac") <= 0.2 &&
+          col("dup_3gram_frac") <= 0.55).cast("boolean"))
+      .orderBy("doc_id")
+  }
+
+  /** q80 — sequence packing: concatenate the corpus (in doc_id order)
+    * into fixed 2048-token training sequences and locate every document
+    * in that stream — the GPT-style "concat and chunk" batch layout.
+    * Each doc gets its global token offset, covering sequence ids and
+    * intra-sequence position.
+    *
+    * The global offset is a DISTRIBUTED prefix sum, not a
+    * single-partition window: stage 1 computes within-bucket running
+    * sums (window partitioned by `doc_id div 1000`), stage 2 turns the
+    * per-bucket totals — a relation with one row per THOUSAND docs —
+    * into exclusive bucket offsets with a window over that tiny
+    * relation, and a broadcast join adds the two. The full corpus is
+    * never sorted through one partition (the naive
+    * `Window.orderBy(doc_id)` without partitioning — Spark even warns —
+    * would funnel 100 TB through a single task); the only global
+    * ordering materialized is over bucket COUNT rows. A third level of
+    * the same construction covers corpora where even the bucket-total
+    * relation is large.
+    */
+  def q80SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val seqLen = 2048L
+    val bucketSize = 1000L
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id div $bucketSize"))
+    val wInBucket = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = docs.withColumn("cum_in_bucket", sum(col("n_tokens")).over(wInBucket))
+    // per-bucket totals: |corpus|/1000 rows — the tiny relation the
+    // global window is allowed to run on
+    val wBuckets = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = docs.groupBy("bucket").agg(sum(col("n_tokens")).as("bucket_total"))
+      .withColumn("bucket_offset", sum(col("bucket_total")).over(wBuckets) - col("bucket_total"))
+      .select("bucket", "bucket_offset")
+    inBucket.join(broadcast(offsets), "bucket")
+      .withColumn("start_token", col("bucket_offset") + col("cum_in_bucket") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("start_token"),
+        expr(s"start_token div $seqLen").as("seq_id"),
+        (col("start_token") % seqLen).as("seq_offset"),
+        (expr(s"(start_token + n_tokens - 1) div $seqLen")
+          - expr(s"start_token div $seqLen") + lit(1L)).as("n_seqs_spanned"))
+      .orderBy("doc_id")
+  }
+
+  /** q81 — incremental dedup against an existing corpus: the production
+    * shape where yesterday's corpus is already deduplicated and INDEXED
+    * (here: sources src0–src9 stand in for the existing index;
+    * src10–src19 are the new crawl). The new batch first drops its own
+    * internal exact duplicates (first-wins on the content digest), then
+    * anti-joins the index's digest set — new docs whose content already
+    * exists anywhere in the index never enter the corpus. Both the
+    * within-batch window and the anti-join key on the sha2-256 digest,
+    * so no document body ever shuffles, and the index side is digests
+    * only (at 100 TB the index is a digest TABLE, not the corpus
+    * itself — exactly what this plan reads).
+    */
+  def q81IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val indexSources = (0 to 9).map(i => s"src$i")
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+    val indexDigests = docs.filter(col("source").isin(indexSources: _*))
+      .select(sha2(col("text"), 256).as("digest")).distinct()
+    val batch = docs.filter(!col("source").isin(indexSources: _*))
+      .withColumn("digest", sha2(col("text"), 256))
+    val wFirst = Window.partitionBy("digest").orderBy("doc_id")
+    batch
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") === 1)
+      .join(indexDigests, Seq("digest"), "left_anti")
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  /** q82 — train/eval decontamination at the n-gram level (the
+    * GPT-3/Pile protocol): flag every training document sharing at
+    * least one n-gram with the held-out evaluation set (source src19
+    * stands in for the benchmark), with the count of distinct shared
+    * n-grams and of eval documents hit. n is the protocol knob —
+    * published pipelines use 8–13-word grams; this corpus's synthetic
+    * cross-source overlap tops out at 4 words, so the declared query
+    * runs n=4 (the semantics and plan are n-independent). Both sides
+    * reduce to DISTINCT n-gram hashes per doc (the `shingle_hashes`
+    * kernel — row-local, deduped before the explode), so the
+    * contamination join is an equi-join on longs: the eval side is
+    * benchmark-sized (small by construction), the shuffle carries
+    * (hash, doc_id) longs only, and ubiquitous-gram fan-out is bounded
+    * by per-doc dedup. The engine's hashed grams match the oracle's
+    * string grams under the usual injective-relabeling argument.
+    */
+  def q82Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val n = 4
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(call_function("shingle_hashes", split(col("text"), " "), lit(n))).as("h"))
+    val evalGrams = grams.filter(col("source") === "src19")
+      .select(col("h"), col("doc_id").as("eval_doc_id"))
+    grams.filter(col("source") =!= "src19")
+      .join(evalGrams, "h")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("h")).as("n_shared_ngrams"),
+        countDistinct(col("eval_doc_id")).as("n_eval_docs_hit"))
+      .orderBy("doc_id")
+  }
+
   /** q58 — corpus composition report: per (source, lang) doc counts,
     * token/char volumes and average doc length — the numbers a data-mix
     * design starts from (how much of each source exists, at what token

@@ -81,6 +81,34 @@ class FunctionsSpec extends SparkSpecBase {
       s"wanted the registration-time message, got: ${nullN.getMessage}")
   }
 
+  test("shingle_stats: multiset n-gram counts match a brute-force build") {
+    GraftFunctions.register(spark)
+    // "a b a b c a b" 2-grams: [ab, ba, ab, bc, ca, ab] -> total 6,
+    // distinct 4, max count 3 (ab); 3-grams: [aba, bab, abc, bca, cab]
+    // -> total 5, distinct 5, max 1
+    val r = spark.sql(
+      "SELECT shingle_stats(array('a','b','a','b','c','a','b'), 2) AS s2, " +
+        "shingle_stats(array('a','b','a','b','c','a','b'), 3) AS s3, " +
+        "shingle_stats(array('a'), 2) AS short, " +
+        "shingle_stats(array('a', CAST(NULL AS STRING), 'b'), 2) AS withnull").collect().head
+    assert(r.getStruct(0).toSeq == Seq(6L, 4L, 3L))
+    assert(r.getStruct(1).toSeq == Seq(5L, 5L, 1L))
+    assert(r.getStruct(2).toSeq == Seq(0L, 0L, 0L))
+    // null word skipped -> ('a','b') -> one 2-gram
+    assert(r.getStruct(3).toSeq == Seq(1L, 1L, 1L))
+  }
+
+  test("shingle_stats: n_grams/n_distinct agree with shingle_hashes' deduped output") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      "SELECT shingle_stats(w, 3) AS st, size(shingle_hashes(w, 3)) AS nh FROM (" +
+        "SELECT split('the quick brown fox the quick brown dog the quick', ' ') AS w)").collect()
+    val st = rows.head.getStruct(0)
+    assert(st.getLong(1) == rows.head.getInt(1).toLong,
+      "n_distinct must equal the deduped kernel's array size")
+    assert(st.getLong(0) >= st.getLong(1) && st.getLong(2) >= 1L)
+  }
+
   test("shingle_hashes: zero/negative n fails for EVERY integral type (ADVICE r3)") {
     GraftFunctions.register(spark)
     // the INT branch used to skip the >= 1 guard the BIGINT branch had,

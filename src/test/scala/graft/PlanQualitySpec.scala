@@ -188,6 +188,25 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(lineitemScans <= 2, s"lineitem must be scanned once (partial+final agg), plan:\n$p")
   }
 
+  test("q79: repetition stats are one codegen stage — no exchange before the output sort") {
+    val p = physical(graft.ops.TrainingData.q79RepetitionStats(spark, sf))
+    // row-local kernel: the ONLY exchange is the final rangepartitioning sort
+    assert(!p.contains("Exchange hashpartitioning"),
+      "repetition signals must not shuffle:\n" + p)
+    assert(p.contains("shingle_stats"), "native kernel must appear in the plan:\n" + p)
+  }
+
+  test("q80: the corpus prefix sum is bucket-partitioned, never one global window") {
+    val p = physical(graft.ops.TrainingData.q80SequencePack(spark, sf))
+    // stage-1 window partitions by bucket (distributed); the global
+    // window exists only over the tiny per-bucket totals
+    assert(p.contains("Exchange hashpartitioning") && p.contains("bucket"),
+      "within-bucket cumsum must hash-partition on bucket:\n" + p)
+    val singlePartitionWindows = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(singlePartitionWindows <= 1,
+      s"only the bucket-totals window may be single-partition:\n$p")
+  }
+
   test("global: no declared query plans a cartesian product or an unsanctioned nested loop") {
     // the ONLY queries allowed a BroadcastNestedLoopJoin are the
     // documented tiny-broadcast cross joins (similarity scoring against

@@ -248,6 +248,38 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(new String(java.util.Base64.getDecoder.decode(out(3)._4), "UTF-8") == "x")
   }
 
+  test("q80 sequence pack: contiguous global offsets, exact sequence arithmetic") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TrainingData.q80SequencePack(spark, sf).collect()
+    // the packed stream is gapless: each doc starts where the previous ended
+    var expectedStart = 0L
+    rows.foreach { r =>
+      val (nTok, start, seqId, seqOff, spans) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(start == expectedStart, s"doc ${r.getLong(0)}: start $start != $expectedStart")
+      assert(seqId == start / 2048 && seqOff == start % 2048)
+      assert(spans == (start + nTok - 1) / 2048 - seqId + 1)
+      expectedStart = start + nTok
+    }
+    assert(rows.map(_.getLong(1)).sum == expectedStart)
+  }
+
+  test("q81 incremental dedup: batch docs whose text exists in the index are dropped") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val idxSrc = (0 to 9).map(i => s"src$i").toSet
+    val indexTexts = docs.filter(d => idxSrc(d._2)).map(_._3).toSet
+    val batch = docs.filterNot(d => idxSrc(d._2))
+    val expected = batch
+      .groupBy(_._3).values.map(_.minBy(_._1)) // within-batch first-wins
+      .filterNot(d => indexTexts(d._3)) // not already indexed
+      .map(_._1).toSet
+    val got = TrainingData.q81IncrementalDedup(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
   test("q63 pii scrub: emails and phones are redacted and counted (fixture)") {
     val dir = tmpDir()
     writeDocuments(dir,
