@@ -21,11 +21,14 @@ object Bench {
     // Optional subset for local profiling: bench only the named queries.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    // Min of N reps per query (default 2): a query inside the 60-query
+    // Min of N reps per query (default 3): a query inside the 90-query
     // sequence can measure up to 8× its isolated wall time from GC/JIT
-    // carryover (observed: 40.6 s in one full run vs 4.0 s isolated);
-    // the min across reps recovers the signal a single sample loses.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // carryover (observed: 40.6 s in one full run vs 4.0 s isolated, and
+    // a 13.4 s full-run q55 vs 1.2 s isolated); the min across reps
+    // recovers the signal a single sample loses. Min-of-2 still let a
+    // polluted pair through (both q55 reps >13 s in one run) — 3 reps
+    // bounds that tail at ~40% extra wall clock.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val times = (1 to reps).map { _ =>
@@ -45,6 +48,12 @@ object Bench {
         // from query N are only reclaimed by ContextCleaner after a GC, so
         // without this, query N+1 pays query N's garbage (observed 5-10×
         // inflation late in the run vs the same query in isolation).
+        // localCheckpoint RDDs (q62's label-propagation rounds) and any
+        // cached relations are unpersisted EXPLICITLY — ContextCleaner
+        // only reclaims them after their references are GC'd, which can
+        // lag several queries behind.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
         System.gc()
         sec
       }

@@ -119,6 +119,12 @@ object SparkEntry {
     "q80_sequence_pack" -> (TrainingData.q80SequencePack _),
     "q81_incremental_dedup" -> (TrainingData.q81IncrementalDedup _),
     "q82_decontaminate" -> (TrainingData.q82Decontaminate _),
+    "q83_order_priority_exists" -> (Relational.q83OrderPriorityExists _),
+    "q84_order_count_distribution" -> (Relational.q84OrderCountDistribution _),
+    "q85_small_quantity_revenue" -> (Relational.q85SmallQuantityRevenue _),
+    "q86_sole_late_supplier" -> (Relational.q86SoleLateSupplier _),
+    "q87_top_revenue_supplier" -> (Relational.q87TopRevenueSupplier _),
+    "q88_cheapest_supplier_per_part" -> (Relational.q88CheapestSupplierPerPart _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -735,6 +741,57 @@ object SparkEntry {
         "CAST(len(w[chunk_id*12 + 1 : chunk_id*12 + 16]) AS BIGINT) AS n_tokens, " +
         "array_to_string(w[chunk_id*12 + 1 : chunk_id*12 + 16], ' ') AS chunk_text " +
         "FROM x ORDER BY doc_id, chunk_id"),
+    "q83_order_priority_exists" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders FROM orders " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+        "AND l_shipdate > o_orderdate + INTERVAL '60 days') " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q84_order_count_distribution" ->
+      ("WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) " +
+        "SELECT c_count, count(*) AS custdist FROM pc " +
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    // q85: 0.5*avg_qty multiplies an ALREADY-4dp-rounded double by the
+    // exact binary 0.5; the final /7.0 divides two rounded doubles —
+    // both IEEE-identical cross-engine before their own rounding
+    "q85_small_quantity_revenue" ->
+      ("WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#11'), " +
+        s"a AS (SELECT l_partkey, ${davg("l_quantity")} AS avg_qty FROM li GROUP BY l_partkey), " +
+        s"s AS (SELECT ${dsum("l_extendedprice")} AS total_revenue, count(*) AS n_lines " +
+        "FROM li JOIN a USING (l_partkey) WHERE l_quantity < 0.5*avg_qty) " +
+        s"SELECT ${rd4("total_revenue/7.0")} AS avg_yearly, n_lines FROM s"),
+    "q86_sole_late_supplier" ->
+      ("WITH j AS (SELECT l_orderkey, l_suppkey, " +
+        "l_shipdate > o_orderdate + INTERVAL '60 days' AS late " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "agg AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp, " +
+        "count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp " +
+        "FROM j GROUP BY l_orderkey), " +
+        "g AS (SELECT DISTINCT j.l_orderkey, j.l_suppkey FROM j " +
+        "JOIN agg ON j.l_orderkey = agg.l_orderkey " +
+        "WHERE j.late AND agg.n_supp > 1 AND agg.n_late_supp = 1) " +
+        "SELECT s_suppkey, s_name, count(*) AS numwait FROM g " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY s_suppkey, s_name ORDER BY numwait DESC, s_suppkey LIMIT 20"),
+    "q87_top_revenue_supplier" ->
+      (s"WITH r AS (SELECT l_suppkey, ${dsum("l_extendedprice*(1-l_discount)")} AS total_rev " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) " +
+        "SELECT s_suppkey, s_name, total_rev FROM r JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE total_rev = (SELECT max(total_rev) FROM r) ORDER BY s_suppkey"),
+    // q88: per-row unit price floored at 6 dp BEFORE the decimal mean
+    // (q71's discipline), so the (part, supplier) average is exact
+    "q88_cheapest_supplier_per_part" ->
+      (s"WITH u AS (SELECT l_partkey, l_suppkey, " +
+        "floor(l_extendedprice/l_quantity*1000000 + 0.5)/1000000 AS unit FROM lineitem), " +
+        s"bs AS (SELECT l_partkey, l_suppkey, ${davg("unit")} AS avg_unit " +
+        "FROM u GROUP BY l_partkey, l_suppkey), " +
+        "r AS (SELECT l_partkey, l_suppkey, avg_unit, row_number() OVER " +
+        "(PARTITION BY l_partkey ORDER BY avg_unit, l_suppkey) AS rn FROM bs) " +
+        "SELECT l_partkey AS p_partkey, s_suppkey, s_name, avg_unit FROM r " +
+        "JOIN supplier ON l_suppkey = s_suppkey WHERE rn = 1 ORDER BY p_partkey"),
     "q56_neardup_survivors" ->
       ("WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
         "p AS (SELECT b.doc_id AS drop_id FROM t a JOIN t b ON a.doc_id < b.doc_id " +

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational core: projection/filter (SURVEY.md §2.2), joins (§2.3),
@@ -341,4 +342,152 @@ object Relational {
           .otherwise(0L)).as("late_lines"),
         count(lit(1)).as("total_lines"))
       .orderBy("o_orderpriority")
+
+  /** q83 — TPC-H Q4 shape (order priority checking): orders per
+    * priority that had at least one line item shipped more than 60
+    * days after ordering. EXISTS becomes a LEFT SEMI hash join whose
+    * equi-key is l_orderkey = o_orderkey and whose lateness predicate —
+    * referencing BOTH sides — rides as the join residual; each order
+    * row is emitted at most once regardless of how many line items
+    * match, with no pair blow-up and no distinct afterwards. At scale:
+    * one shuffle per side on the order key, then a 5-row agg.
+    */
+  def q83OrderPriorityExists(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q84 — TPC-H Q13 shape (customer order-count distribution): how
+    * many customers placed 0, 1, 2, … non-urgent orders. The LEFT
+    * OUTER join keeps order-less customers (the 0 bucket — Q13's whole
+    * point); `count(o_orderkey)` counts only matched rows. Two
+    * aggregations: per-customer (high cardinality, partial+final) then
+    * the tiny distribution. The priority filter prunes orders BEFORE
+    * the join.
+    */
+  def q84OrderCountDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** q85 — TPC-H Q17 shape (small-quantity-order revenue): average
+    * yearly revenue lost if small orders (quantity below half the
+    * part's average) of one brand were not filled. The correlated
+    * `l_quantity < 0.5 * (SELECT avg ...)` decorrelates into
+    * aggregate-once-then-join: brand parts semi-reduce lineitem first
+    * (broadcast — 2 000 parts → ~70 survive the brand filter), the
+    * per-part average aggregates that already-reduced slice once, and
+    * the filter join is against a part-count-sized relation. The
+    * division by 7.0 divides two already-rounded doubles — IEEE-
+    * identical cross-engine.
+    */
+  def q85SmallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#11").select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(davg4(col("l_quantity")).as("avg_qty"))
+    li.join(broadcast(avgQty), col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(dsum4(col("l_extendedprice")).as("total_revenue"),
+        count(lit(1)).as("n_lines"))
+      .select(roundD4(col("total_revenue") / lit(7.0)).as("avg_yearly"),
+        col("n_lines"))
+  }
+
+  /** q86 — TPC-H Q21 shape (suppliers who kept orders waiting): for
+    * multi-supplier orders where EXACTLY ONE supplier shipped late
+    * (>60 days after ordering), charge that supplier; rank suppliers
+    * by how many orders they alone delayed. Q21's EXISTS/NOT-EXISTS
+    * self-join pair decorrelates into ONE per-order aggregate
+    * (distinct suppliers, distinct late suppliers) joined back to the
+    * late line items — lineitem is scanned once, not three times, and
+    * every join is an equi-join on the order key. The final count is
+    * a supplier-cardinality agg with a broadcast name join.
+    */
+  def q86SoleLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val j = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val perOrder = j.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    val guilty = j.filter(col("late"))
+      .select("l_orderkey", "l_suppkey").distinct()
+      .join(perOrder.filter(col("n_supp") > 1 && col("n_late_supp") === 1),
+        Seq("l_orderkey"))
+    guilty.groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "numwait")
+      .orderBy(desc("numwait"), col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** q87 — TPC-H Q15 shape (top supplier): the supplier(s) whose
+    * quarter revenue equals the maximum. The view-plus-subquery
+    * becomes revenue-agg → one-row max → broadcast equality filter
+    * (the sanctioned single-row nested loop, same as q78's scalar
+    * average). Equality compares two identically-rounded doubles, so
+    * ties are exact; all suppliers at the max are returned, as in Q15.
+    */
+  def q87TopRevenueSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1996-04-01 00:00:00'"))
+      .groupBy("l_suppkey")
+      .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_rev"))
+    val top = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_rev")
+      .orderBy("s_suppkey")
+  }
+
+  /** q88 — TPC-H Q2 shape (cheapest supplier per part): for every
+    * part traded, the supplier with the lowest average unit price
+    * (argmin join-back). Q2's correlated `= (SELECT min ...)` becomes
+    * one (part, supplier) aggregate and one row_number window over
+    * partkey — the min and its witness row fall out of the same
+    * exchange, with supplier key as the deterministic tie-break. The
+    * per-row unit price is floored at 6 dp BEFORE the decimal mean
+    * (q71's discipline) so the aggregate is exact cross-engine.
+    */
+  def q88CheapestSupplierPerPart(spark: SparkSession, dir: String): DataFrame = {
+    val unit = floor(col("l_extendedprice") / col("l_quantity") * lit(1000000.0) + lit(0.5)) /
+      lit(1000000.0)
+    val bySupp = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), unit.as("unit"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(davg4(col("unit")).as("avg_unit"))
+    val w = Window.partitionBy("l_partkey").orderBy(asc("avg_unit"), asc("l_suppkey"))
+    bySupp.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"), col("s_name"),
+        col("avg_unit"))
+      .orderBy("p_partkey")
+  }
 }
