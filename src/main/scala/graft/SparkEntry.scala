@@ -125,6 +125,10 @@ object SparkEntry {
     "q86_sole_late_supplier" -> (Relational.q86SoleLateSupplier _),
     "q87_top_revenue_supplier" -> (Relational.q87TopRevenueSupplier _),
     "q88_cheapest_supplier_per_part" -> (Relational.q88CheapestSupplierPerPart _),
+    "q89_funnel" -> (Events.q89Funnel _),
+    "q90_retention_cohorts" -> (Events.q90RetentionCohorts _),
+    "q91_histogram" -> (Analytics.q91Histogram _),
+    "q92_corr_regression" -> (Analytics.q92CorrRegression _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -135,6 +139,8 @@ object SparkEntry {
     s"CAST((2*CAST(sum(CAST($x AS DECIMAL(20,6)))*1000000 AS HUGEINT) + count(*)*100) " +
       s"// (2*count(*)*100) AS DOUBLE)/10000.0"
   private def rd4(x: String) = s"floor(($x)*10000 + 0.5)/10000"
+  // wide-decimal mirror of Det.dsum4w (second moments: x², x·y)
+  private def dsumw(x: String) = s"CAST(round(sum(CAST($x AS DECIMAL(28,6))), 4) AS DOUBLE)"
   private val tsUs = "CAST(ts AS TIMESTAMP)"
 
   def oracleSql: Map[String, String] = Map(
@@ -741,6 +747,44 @@ object SparkEntry {
         "CAST(len(w[chunk_id*12 + 1 : chunk_id*12 + 16]) AS BIGINT) AS n_tokens, " +
         "array_to_string(w[chunk_id*12 + 1 : chunk_id*12 + 16], ' ') AS chunk_text " +
         "FROM x ORDER BY doc_id, chunk_id"),
+    // q89: each "first X after T within 1h" decorrelates identically on
+    // both sides; stage arithmetic is pure integer
+    "q89_funnel" ->
+      (s"WITH e AS (SELECT user_id, event_type, $tsUs AS ts FROM events), " +
+        "v AS (SELECT user_id, min(ts) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT e.user_id, min(ts) AS t_click FROM e JOIN v USING (user_id) " +
+        "WHERE event_type = 'click' AND ts > t_view AND ts <= t_view + INTERVAL 1 HOUR GROUP BY e.user_id), " +
+        "p AS (SELECT e.user_id, min(ts) AS t_purchase FROM e JOIN c USING (user_id) " +
+        "WHERE event_type = 'purchase' AND ts > t_click AND ts <= t_click + INTERVAL 1 HOUR GROUP BY e.user_id) " +
+        "SELECT v.user_id, t_view, t_click, t_purchase, " +
+        "CAST(1 + (t_click IS NOT NULL)::INT + (t_purchase IS NOT NULL)::INT AS BIGINT) AS stage " +
+        "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id) ORDER BY v.user_id"),
+    // q90: date_trunc('week') is ISO-Monday-anchored in both engines;
+    // offsets are exact integer µs multiples of a week
+    "q90_retention_cohorts" ->
+      (s"WITH e AS (SELECT user_id, $tsUs AS ts FROM events), " +
+        "cohort AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM e GROUP BY user_id), " +
+        "active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM e) " +
+        "SELECT cohort_week, (epoch_us(week) - epoch_us(cohort_week)) // 604800000000 AS week_offset, " +
+        "count(DISTINCT user_id) AS n_users FROM active JOIN cohort USING (user_id) " +
+        "GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"),
+    "q91_histogram" ->
+      ("SELECT event_type, CAST(floor(value/50) AS BIGINT) AS bin, " +
+        "CAST(floor(value/50) AS BIGINT) * 50.0 AS bin_lo, count(*) AS n_events, " +
+        "min(value) AS min_value, max(value) AS max_value " +
+        "FROM events GROUP BY event_type, bin ORDER BY event_type, bin"),
+    // q92: five exact decimal moments, each rounded to a double, then
+    // slope/intercept/r derived with IEEE-identical double arithmetic
+    "q92_corr_regression" ->
+      (s"WITH m AS (SELECT l_returnflag, count(*) AS n, ${dsumw("l_quantity")} AS sx, " +
+        s"${dsumw("l_extendedprice")} AS sy, ${dsumw("l_quantity*l_extendedprice")} AS sxy, " +
+        s"${dsumw("l_quantity*l_quantity")} AS sxx, ${dsumw("l_extendedprice*l_extendedprice")} AS syy " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, " +
+        s"${rd4("(n*sxy - sx*sy)/(n*sxx - sx*sx)")} AS slope, " +
+        s"${rd4("(sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n")} AS intercept, " +
+        s"${rd4("(n*sxy - sx*sy)/sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))")} AS corr_xy " +
+        "FROM m ORDER BY l_returnflag"),
     "q83_order_priority_exists" ->
       ("SELECT o_orderpriority, count(*) AS n_orders FROM orders " +
         "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +

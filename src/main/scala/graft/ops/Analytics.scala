@@ -313,4 +313,56 @@ object Analytics {
         count(lit(1)).as("n_rows"),
         grouping_id().as("gid"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"), asc("gid"))
+
+  /** q91 — fixed-width histogram: event values bucketed at width 50
+    * per event type, with per-bucket count and exact min/max. Binning
+    * is row-local (`floor(value/50)` — identical double division both
+    * engines), so the whole histogram is one partial+final aggregate
+    * on a (type, bin)-sized key: the 100 TB distribution-profiling
+    * primitive that never shuffles more than types×bins rows.
+    */
+  def q91Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        floor(col("value") / lit(50.0)).cast(LongType).as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .withColumn("bin_lo", col("bin") * lit(50.0))
+      .select("event_type", "bin", "bin_lo", "n_events", "min_value", "max_value")
+      .orderBy("event_type", "bin")
+
+  /** q92 — correlation / least-squares regression per group, computed
+    * from exact decimal moments: sums of x, y, x², y², x·y accumulate
+    * in DECIMAL(28,6) ([[Det.dsum4w]] — order-independent under any
+    * partitioning, wide enough for squared price columns at 10¹² rows),
+    * then slope/intercept/r derive from the five already-rounded
+    * doubles with IEEE-identical arithmetic. ONE partial+final agg
+    * pass over the fact table — the textbook mergeable-moments
+    * formulation that `corr()`/`regr_slope()` built-ins compute with
+    * non-deterministic float partial sums, re-expressed so two engines
+    * agree bit-for-bit.
+    */
+  def q92CorrRegression(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val n = col("n").cast(DoubleType)
+    val slope = (n * col("sxy") - col("sx") * col("sy")) /
+      (n * col("sxx") - col("sx") * col("sx"))
+    val intercept = (col("sy") - slope * col("sx")) / n
+    val r = (n * col("sxy") - col("sx") * col("sy")) /
+      sqrt((n * col("sxx") - col("sx") * col("sx")) *
+        (n * col("syy") - col("sy") * col("sy")))
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum4w(x).as("sx"), dsum4w(y).as("sy"),
+        dsum4w(x * y).as("sxy"), dsum4w(x * x).as("sxx"), dsum4w(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        roundD4(slope).as("slope"),
+        roundD4(intercept).as("intercept"),
+        roundD4(r).as("corr_xy"))
+      .orderBy("l_returnflag")
+  }
 }

@@ -44,6 +44,16 @@ object Det {
   def davg4(c: Column): Column =
     round(sumDec(c) / count(lit(1)), 4).cast(DoubleType)
 
+  /** Wide variant of [[dsum4]] for second-moment sums (x², x·y):
+    * price-squared rows reach ~10¹⁰ and 100 TB row counts push the
+    * exact sum past DECIMAL(20,6)'s 10¹⁴ capacity; DECIMAL(28,6)
+    * holds 10²² — enough for ~10¹² rows of squared price columns —
+    * and still fits DuckDB's INT128 decimals. Oracle mirror:
+    * `CAST(round(sum(CAST(x AS DECIMAL(28,6))), 4) AS DOUBLE)`.
+    */
+  def dsum4w(c: Column): Column =
+    round(sum(c.cast(DecimalType(28, 6))), 4).cast(DoubleType)
+
   /** 4-dp rounding for DOUBLE-sourced values (ratios, cosines):
     * `floor(x·10⁴ + 0.5)/10⁴` — pure double arithmetic that both
     * engines evaluate identically on identical inputs, immune to the

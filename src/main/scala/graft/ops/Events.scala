@@ -192,4 +192,60 @@ object Events {
       .select("event_id", "user_id", "event_type", "value", "ts")
       .orderBy("event_id")
   }
+
+  /** q89 — funnel analysis: per user, the earliest
+    * view → click → purchase chain where each step follows the
+    * previous within one hour (the product-analytics staple the
+    * reference's per-ride pipeline has no answer to). Each correlated
+    * "first X after T" decorrelates into filter → per-user min-agg →
+    * equi-join on user_id: three aggregates and two hash joins, all
+    * partitioned by user — no window over the full event stream and
+    * no per-user event buffering, so a 100 TB event table funnels with
+    * three user-keyed shuffles. Left joins keep drop-offs (stage 1/2
+    * users) with NULL later stages, as a funnel report requires.
+    */
+  def q89Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val hour = expr("INTERVAL 1 HOUR")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + hour)
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("t_click") && col("ts") <= col("t_click") + hour)
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1L) + col("t_click").isNotNull.cast(LongType) +
+          col("t_purchase").isNotNull.cast(LongType)).as("stage"))
+      .orderBy("user_id")
+  }
+
+  /** q90 — retention cohorts: users grouped by first-activity week,
+    * counted in each later week they were active — the
+    * (cohort, week-offset) retention triangle. Two user-keyed
+    * aggregates (first-seen, distinct active weeks) and one join;
+    * the distinct collapses each user's events to ≤ n_weeks rows
+    * BEFORE the join, so the join input is users×weeks, not events.
+    * Week arithmetic is exact integer µs division — date_trunc is
+    * monotonic, so trunc(min) = min(trunc) and offsets are exact
+    * multiples of a week.
+    */
+  def q90RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("user_id", "ts")
+    val cohort = e.groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).as("cohort_week"))
+    val active = e.select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .withColumn("week_offset",
+        expr("CAST((unix_micros(week) - unix_micros(cohort_week)) div 604800000000 AS BIGINT)"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }
