@@ -129,6 +129,8 @@ object SparkEntry {
     "q90_retention_cohorts" -> (Events.q90RetentionCohorts _),
     "q91_histogram" -> (Analytics.q91Histogram _),
     "q92_corr_regression" -> (Analytics.q92CorrRegression _),
+    "q93_block_dedup" -> (TextOps.q93BlockDedup _),
+    "q94_semdedup" -> (Similarity.q94SemDedup _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -785,6 +787,23 @@ object SparkEntry {
         s"${rd4("(sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n")} AS intercept, " +
         s"${rd4("(n*sxy - sx*sy)/sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))")} AS corr_xy " +
         "FROM m ORDER BY l_returnflag"),
+    // q94 rides q32b's engine-trained k-means model (cosine argmax
+    // ties, decimal-exact means) — not DuckDB-expressible → rows-only;
+    // SemDedupSpec pins determinism, pair exactness and recall.
+    // q93: DuckDB list slices are 1-based inclusive (w[a : a+9] = 10
+    // tokens = Spark slice(w, a, 10)); string_agg skips the NULLed-out
+    // dropped blocks and coalesce('') covers all-blocks-dropped docs
+    "q93_block_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "b AS (SELECT doc_id, CAST(ceil(len(w)/10.0) AS BIGINT) AS n_blocks, w, " +
+        "UNNEST(range(0, CAST(ceil(len(w)/10.0) AS BIGINT))) AS block_id FROM t), " +
+        "bt AS (SELECT doc_id, n_blocks, block_id, " +
+        "array_to_string(w[block_id*10 + 1 : block_id*10 + 10], ' ') AS block_text FROM b), " +
+        "k AS (SELECT doc_id, n_blocks, block_id, block_text, " +
+        "row_number() OVER (PARTITION BY block_text ORDER BY doc_id, block_id) = 1 AS kept FROM bt) " +
+        "SELECT doc_id, n_blocks, CAST(sum(kept::INT) AS BIGINT) AS n_kept, " +
+        "coalesce(string_agg(CASE WHEN kept THEN block_text END, ' ' ORDER BY block_id), '') AS clean_text " +
+        "FROM k GROUP BY doc_id, n_blocks ORDER BY doc_id"),
     "q83_order_priority_exists" ->
       ("SELECT o_orderpriority, count(*) AS n_orders FROM orders " +
         "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +

@@ -706,6 +706,46 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  /** q94 — SemDeDup (semantic dedup over embeddings, Abbas et al.
+    * 2023's pipeline shape): k-means-cluster the corpus, compare
+    * pairs only WITHIN a cluster, drop the higher id of every pair
+    * above the cosine threshold. The cluster gate is what makes
+    * semantic dedup tractable at 100 TB: candidate generation is a
+    * cid equi-join (each side shuffles once on its cluster id), so
+    * pair cost is Σ|cluster|² instead of n² — the embedding-space
+    * analogue of q21's prefix buckets and q25's LSH bands.
+    *
+    * Reuses q32b's deterministic trained centroids (decimal-exact
+    * means, hash-seeded — the k×64-float model is the only driver
+    * state). τ = 0.35 is corpus-calibrated (this synthetic corpus
+    * tops out at cosine ≈ 0.51; production embedding dedup uses
+    * 0.95+ on real near-dup distributions — the knob, not the shape).
+    * Output: one row per DROPPED vector with its surviving witness
+    * (lowest qualifying partner) and strongest similarity — the
+    * group-level decision (q56's discipline), never the pair list.
+    * Engine-trained model ⇒ not DuckDB-expressible → rows-only;
+    * SemDedupSpec pins determinism, pair exactness (every emitted
+    * witness pair re-verifies ≥ τ brute-force), and measured recall
+    * vs the exact all-pairs ≥ τ truth.
+    */
+  def q94SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val tau = 0.35
+    graft.functions.GraftFunctions.register(spark)
+    val trained = trainIvfModel(spark, dir)
+    val corpus = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val assigned = assignToCentroids(trained, corpus, "vec_id", "embedding")
+    val a = assigned.select(col("cid"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = assigned.select(col("cid"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("cid"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", roundD4(dot(col("ea"), col("eb")) /
+        (norm(col("ea")) * norm(col("eb")))))
+      .filter(col("sim") >= tau)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"), max(col("sim")).as("max_sim"))
+      .orderBy("vec_id")
+  }
+
   /** E5 — multimodal/array column math: per-row vector norm, mean and
     * dimensionality via higher-order functions. Purely row-local — no
     * shuffle at all; scales linearly.

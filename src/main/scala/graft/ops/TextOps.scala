@@ -51,6 +51,49 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q93 — block-level corpus dedup (C4/RefinedWeb line-dedup
+    * semantics, on fixed 10-token blocks since this corpus has no
+    * newlines): every block that already occurred anywhere in the
+    * corpus — earlier doc, or earlier in the SAME doc — is removed,
+    * and each document is reassembled from its surviving blocks.
+    * First occurrence is (doc_id, block_id)-ordered, so the pass is
+    * deterministic and idempotent.
+    *
+    * Scale design: the dedup decision is one row_number window
+    * partitioned by block content — shuffles (block, doc, idx) rows
+    * once, never doc bodies against each other (a 100 TB corpus
+    * shuffles its ~10× smaller block stream, and a sha2 digest swap-in
+    * keeps that payload at 32 bytes/block, q20's discipline — kept as
+    * raw text here so the oracle can express the same partition).
+    * Reassembly is a per-doc aggregate: array_sort fixes
+    * collect_list's partition-dependent order (block_id leads the
+    * struct), so output is deterministic under any parallelism.
+    */
+  def q93BlockDedup(spark: SparkSession, dir: String): DataFrame = {
+    val blocks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_blocks", ceil(size(col("w")) / lit(10.0)).cast(LongType))
+      .select(col("doc_id"), col("n_blocks"),
+        posexplode(transform(
+          sequence(lit(0L), col("n_blocks") - 1),
+          i => array_join(slice(col("w"), (i * 10 + 1).cast("int"), lit(10)), " "))))
+      .withColumnRenamed("pos", "block_id")
+      .withColumnRenamed("col", "block_text")
+    val w = Window.partitionBy("block_text").orderBy("doc_id", "block_id")
+    blocks.withColumn("kept", row_number().over(w) === 1)
+      .groupBy("doc_id", "n_blocks")
+      .agg(
+        sum(col("kept").cast(LongType)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("block_id"), col("block_text"))))),
+            s => s.getField("block_text")),
+          " ").as("clean_text"))
+      .select("doc_id", "n_blocks", "n_kept", "clean_text")
+      .orderBy("doc_id")
+  }
+
   /** E4 — text stats: tokenize → explode → stopword-filter → term counts
     * per language → top-5 terms (count desc, term asc — fully ordered so
     * rank ties are deterministic). The explode blows each doc into its

@@ -218,6 +218,9 @@ class PlanQualitySpec extends SparkSpecBase {
       // centroids against the streaming corpus side)
       "q22_topk_cosine", "q31_embed_neardup", "q32_ivf_ann",
       "q32b_ivf_trained", "q32c_ivf_multiprobe",
+      // q94's centroid ASSIGN is the same k-row broadcast scoring as
+      // q32b (the pair scan itself is a cid equi-join, never a NLJ)
+      "q94_semdedup",
       // ONE-ROW global-aggregate broadcasts (corpus bounds / doc count /
       // max-ts anchor) joined onto every row — a scalar, not a relation
       "q15_trim_boundary", "q17_last24h", "q53_tfidf",

