@@ -131,6 +131,7 @@ object SparkEntry {
     "q92_corr_regression" -> (Analytics.q92CorrRegression _),
     "q93_block_dedup" -> (TextOps.q93BlockDedup _),
     "q94_semdedup" -> (Similarity.q94SemDedup _),
+    "q95_bloom_semi_join" -> (Analytics.q95BloomSemiJoin _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -787,6 +788,13 @@ object SparkEntry {
         s"${rd4("(sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n")} AS intercept, " +
         s"${rd4("(n*sxy - sx*sy)/sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))")} AS corr_xy " +
         "FROM m ORDER BY l_returnflag"),
+    // q95: the bloom pre-filter admits every true key (no false
+    // negatives) and the exact semi-join kills false positives, so the
+    // output is definitionally the plain semi-join — which IS the oracle
+    "q95_bloom_semi_join" ->
+      ("SELECT c_custkey, c_name, c_acctbal FROM customer " +
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000) " +
+        "ORDER BY c_custkey"),
     // q94 rides q32b's engine-trained k-means model (cosine argmax
     // ties, decimal-exact means) — not DuckDB-expressible → rows-only;
     // SemDedupSpec pins determinism, pair exactness and recall.

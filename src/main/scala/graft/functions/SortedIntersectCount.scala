@@ -127,6 +127,8 @@ object GraftFunctions {
       exprs => ShingleStats(exprs.head, shingleN(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("prefix_intersect_count",
       exprs => PrefixIntersectCount(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
+    reg.createOrReplaceTempFunction("bloom_might_contain",
+      exprs => BloomMightContain(exprs.head, exprs(1)), "built-in")
   }
 }
 
@@ -161,5 +163,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       exprs => ShingleStats(exprs.head, GraftFunctions.shingleN(exprs(1))))
     inject(e, "prefix_intersect_count", classOf[PrefixIntersectCount],
       exprs => PrefixIntersectCount(exprs.head, exprs(1), exprs(2), exprs(3)))
+    inject(e, "bloom_might_contain", classOf[BloomMightContain],
+      exprs => BloomMightContain(exprs.head, exprs(1)))
   }
 }

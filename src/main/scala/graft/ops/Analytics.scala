@@ -128,6 +128,52 @@ object Analytics {
       .orderBy("c_custkey")
   }
 
+  /** Build a [[graft.functions.BloomFilterLong]] over a BIGINT key
+    * column, executor-side: `treeAggregate` ORs per-partition bit
+    * arrays up a tree, so only the finished `numBits/8`-byte filter
+    * ever reaches the driver (a broadcast variable's lifecycle — the
+    * rows never do). Bit-OR is commutative, so the filter is
+    * byte-identical under any partitioning.
+    */
+  def bloomOf(df: DataFrame, keyCol: String, numBits: Int, k: Int): Array[Byte] = {
+    import graft.functions.BloomFilterLong
+    val words = df.select(col(keyCol).cast(LongType)).na.drop().rdd
+      .treeAggregate(BloomFilterLong.emptyWords(numBits))(
+        (w, row) => { BloomFilterLong.add(w, k, row.getLong(0)); w },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a })
+    BloomFilterLong.serialize(k, words)
+  }
+
+  /** q95 — Bloom-pre-filtered semi-join (the runtime-filter pattern,
+    * explicit): customers having a high-value order. The dim-side key
+    * set builds a 16 KiB Bloom filter (one executor-side pass, no row
+    * reaches the driver); the probe side filters through the native
+    * `bloom_might_contain` expression BEFORE its shuffle, so at 100 TB
+    * the semi-join's exchange carries only bloom survivors — dim-
+    * selectivity × fact instead of fact. False positives (classic
+    * (1-e^{-kn/m})^k rate) are killed by the exact semi-join that
+    * follows; false negatives cannot exist, so output ≡ q39-style
+    * plain semi-join (the oracle) and the bloom is purely a shuffle
+    * reducer. This is what Spark's AQE runtime bloom filter injects
+    * implicitly; owning it as an operator makes the pruning
+    * deterministic, plan-pinnable, and available below the optimizer's
+    * size thresholds. (The dim side is scanned twice — build + verify
+    * — exactly like the injected runtime filter; it is the small side
+    * by construction.)
+    */
+  def q95BloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val high = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 450000.0)
+      .select("o_custkey")
+    val bloom = bloomOf(high, "o_custkey", numBits = 1 << 17, k = 5)
+    Tables.customer(spark, dir)
+      .filter(call_function("bloom_might_contain", lit(bloom), col("c_custkey")))
+      .join(high, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
   /** Correlated scalar subqueries (customers above their segment's
     * average balance), written AS correlated SQL so Catalyst's
     * decorrelation rewrites both subqueries into one aggregated join —
