@@ -149,6 +149,18 @@ object StreamingOps {
         col("c.ts").as("click_ts"), col("p.event_id").as("purchase_id"),
         col("p.ts").as("purchase_ts"))
 
+  /** Stream-static join: each streaming event enriched with its user's
+    * dimension row (the kappa-architecture staple — telemetry joined to
+    * a slowly-changing dim table). The static side is a plain batch
+    * DataFrame: Spark broadcasts or hash-joins it per micro-batch with
+    * NO state store at all (nothing to watermark — the static side is
+    * re-resolvable every batch, so dim updates between batches are
+    * picked up). Inner semantics drop events with no dim row; callers
+    * wanting them use "left_outer" the same way.
+    */
+  def streamStaticJoin(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(dim, Seq(key))
+
   /** State for [[forwardFillStream]] — primitive fields (an
     * Option-typed private class breaks the state encoder's codegen).
     */

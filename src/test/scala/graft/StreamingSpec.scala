@@ -159,6 +159,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == Set((1L, 10L)), s"got $got")
   }
 
+  test("stream-static join: events enrich from the dim table, no state store") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = StreamingOps.streamStaticJoin(ms.toDF(), dim, "user_id")
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("ssdim").outputMode("append").start()
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+      Ev(2, ts("2024-01-01 10:00:01"), 2, "click", 0.0),
+      Ev(3, ts("2024-01-01 10:00:02"), 9, "click", 0.0)) // no dim row → dropped
+    q.processAllAvailable()
+    val got = spark.table("ssdim").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "gold"), (2L, "basic")), s"got $got")
+    // inner stream-static join keeps no watermark state: progress
+    // reports zero state rows
+    val state = q.lastProgress.stateOperators
+    assert(state == null || state.isEmpty || state.forall(_.numRowsTotal == 0),
+      s"unexpected state store rows: $state")
+    q.stop()
+  }
+
   test("streaming tumbling agg: windows emit past the watermark, state dropped") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
