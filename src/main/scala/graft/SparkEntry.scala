@@ -132,6 +132,10 @@ object SparkEntry {
     "q93_block_dedup" -> (TextOps.q93BlockDedup _),
     "q94_semdedup" -> (Similarity.q94SemDedup _),
     "q95_bloom_semi_join" -> (Analytics.q95BloomSemiJoin _),
+    "q96_filtered_global_agg" -> (Relational.q96FilteredGlobalAgg _),
+    "q97_important_stock" -> (Relational.q97ImportantStock _),
+    "q98_supplier_count_per_part" -> (Relational.q98SupplierCountPerPart _),
+    "q99_volume_suppliers" -> (Relational.q99VolumeSuppliers _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -788,6 +792,38 @@ object SparkEntry {
         s"${rd4("(sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n")} AS intercept, " +
         s"${rd4("(n*sxy - sx*sy)/sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))")} AS corr_xy " +
         "FROM m ORDER BY l_returnflag"),
+    "q96_filtered_global_agg" ->
+      (s"SELECT ${dsum("l_extendedprice*l_discount")} AS revenue, count(*) AS n_lines " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    // q97: per-part values and the scalar total are already-4dp-rounded
+    // doubles; 1.5*total/n_parts is left-associated IEEE arithmetic on
+    // identical inputs on both sides
+    "q97_important_stock" ->
+      (s"WITH slice AS (SELECT l_partkey, l_extendedprice FROM lineitem " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE n_name IN ('NATION_8', 'NATION_12', 'NATION_15')), " +
+        s"pp AS (SELECT l_partkey, ${dsum("l_extendedprice")} AS value FROM slice GROUP BY l_partkey), " +
+        s"t AS (SELECT ${dsumw("value")} AS total_value, count(*) AS n_parts FROM pp) " +
+        "SELECT l_partkey, value FROM pp, t WHERE value > 1.5*total_value/n_parts " +
+        "ORDER BY value DESC, l_partkey"),
+    "q98_supplier_count_per_part" ->
+      ("SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand <> 'Brand#11' AND p_size IN (1, 3, 5, 7) " +
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY p_brand, p_type, p_size " +
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
+    "q99_volume_suppliers" ->
+      (s"WITH vol AS (SELECT l_suppkey, l_partkey, ${dsum("l_quantity")} AS qty " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_name LIKE 'small%' AND l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY l_suppkey, l_partkey HAVING qty > 50) " +
+        "SELECT s_suppkey, s_name, s_acctbal FROM supplier " +
+        "WHERE s_suppkey IN (SELECT l_suppkey FROM vol) ORDER BY s_suppkey"),
     // q95: the bloom pre-filter admits every true key (no false
     // negatives) and the exact semi-join kills false positives, so the
     // output is definitionally the plain semi-join — which IS the oracle

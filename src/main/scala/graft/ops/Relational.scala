@@ -474,6 +474,98 @@ object Relational {
     * per-row unit price is floored at 6 dp BEFORE the decimal mean
     * (q71's discipline) so the aggregate is exact cross-engine.
     */
+  /** q96 — TPC-H Q6 shape (forecast revenue change): ONE filtered scan,
+    * ONE global aggregate, NO join — the pushdown showcase. All three
+    * predicates (date window, discount band, quantity cap) reach the
+    * parquet scan as PushedFilters, so row groups outside any bound are
+    * skipped on min/max statistics alone and the aggregate's input is
+    * the surviving rows, not the table. At 100 TB this query reads the
+    * 4 referenced columns of the qualifying row groups and nothing
+    * else — PlanQualitySpec pins both the pushdown and the pruned
+    * ReadSchema.
+    */
+  def q96FilteredGlobalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
+      .agg(dsum4(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** q97 — TPC-H Q11 shape (important stock): per-part value of line
+    * items shipped by a nation group's suppliers, keeping parts above
+    * 1.5× the mean per-part value. Two aggregates over ONE joined
+    * slice: per-part, and the one-row (total, n_parts) scalar as the
+    * sanctioned broadcast (q78's pattern); the suppliers join-reduce
+    * lineitem through a broadcast hash join before any aggregation.
+    * Q11's fixed fraction is SF-dependent (0.0001/SF in the spec) —
+    * the mean-relative threshold keeps the query scale-free instead.
+    */
+  def q97ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_8", "NATION_12", "NATION_15")
+    val natSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name").isin(nations: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val slice = Tables.lineitem(spark, dir)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .select("l_partkey", "l_extendedprice")
+    val perPart = slice.groupBy("l_partkey")
+      .agg(dsum4(col("l_extendedprice")).as("value"))
+    val scalar = perPart.agg(dsum4w(col("value")).as("total_value"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(scalar))
+      .filter(col("value") > lit(1.5) * col("total_value") / col("n_parts"))
+      .select("l_partkey", "value")
+      .orderBy(desc("value"), col("l_partkey"))
+  }
+
+  /** q98 — TPC-H Q16 shape (part/supplier relationship): how many
+    * distinct suppliers ship each (brand, type, size) combination,
+    * excluding one brand and a complaint denylist of suppliers. The
+    * NOT IN subquery is a LEFT ANTI hash join (key side tiny, never a
+    * nested loop — s_suppkey is non-null so anti-join and NOT IN
+    * agree); the distinct count aggregates partial+final on the
+    * attribute key.
+    */
+  def q98SupplierCountPerPart(spark: SparkSession, dir: String): DataFrame = {
+    val denylist = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0.0).select("s_suppkey")
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter(col("p_brand") =!= "Brand#11" &&
+          col("p_size").isin(1, 3, 5, 7)),
+        col("l_partkey") === col("p_partkey"))
+      .join(denylist, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** q99 — TPC-H Q20 shape (potential part promotion): suppliers who
+    * shipped a meaningful volume (> 50 units in one year) of any
+    * 'small %' part. The nested EXISTS chain flattens bottom-up:
+    * lineitem ⋈ broadcast(matching parts) → (supp, part) aggregate →
+    * volume filter → distinct supplier keys → LEFT SEMI back to
+    * supplier. Each level is an equi-join or partial+final agg; the
+    * correlated double-EXISTS never re-scans lineitem.
+    */
+  def q99VolumeSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("small")).select("p_partkey")
+    val volume = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(dsum4(col("l_quantity")).as("qty"))
+      .filter(col("qty") > 50.0)
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(volume, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
   def q88CheapestSupplierPerPart(spark: SparkSession, dir: String): DataFrame = {
     val unit = floor(col("l_extendedprice") / col("l_quantity") * lit(1000000.0) + lit(0.5)) /
       lit(1000000.0)

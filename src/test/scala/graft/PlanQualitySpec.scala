@@ -21,6 +21,19 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("l_tax"), "scan should not read unprojected columns")
   }
 
+  test("q96: all three predicates pushed to the scan, only 4 columns read") {
+    val p = physical(Relational.q96FilteredGlobalAgg(spark, sf))
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)"))
+      assert(p.contains(f), s"missing pushed filter $f in:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"))
+      assert(read.contains(c), s"ReadSchema must keep $c: $read")
+    for (c <- Seq("l_orderkey", "l_partkey", "l_tax", "l_returnflag"))
+      assert(!read.contains(c), s"ReadSchema must prune $c: $read")
+  }
+
   test("q02: dimension side is broadcast — no shuffle join for customer⋈orders") {
     val p = physical(Relational.q02InnerJoin(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
@@ -226,7 +239,10 @@ class PlanQualitySpec extends SparkSpecBase {
       "q15_trim_boundary", "q17_last24h", "q53_tfidf",
       // q78's above-average-balance gate: one-row avg broadcast (Q22's
       // scalar subquery), same scalar-not-relation shape as q15/q17
-      "q78_no_order_customers")
+      "q78_no_order_customers",
+      // q87/q97: one-row max / total-value broadcasts (Q15/Q11's scalar
+      // subqueries) — scalar, not a relation
+      "q87_top_revenue_supplier", "q97_important_stock")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

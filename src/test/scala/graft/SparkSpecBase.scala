@@ -21,6 +21,7 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.debug.maxToStringFields", "200") // plan-shape asserts need untruncated strings
+    .config("spark.sql.maxMetadataStringLength", "2000") // PushedFilters lists truncate at 100 chars otherwise
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
       Files.createTempDirectory("graft-warehouse").toString)
