@@ -136,6 +136,7 @@ object SparkEntry {
     "q97_important_stock" -> (Relational.q97ImportantStock _),
     "q98_supplier_count_per_part" -> (Relational.q98SupplierCountPerPart _),
     "q99_volume_suppliers" -> (Relational.q99VolumeSuppliers _),
+    "q100_incremental_neardup" -> (Similarity.q100IncrementalNeardup _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -792,6 +793,20 @@ object SparkEntry {
         s"${rd4("(sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n")} AS intercept, " +
         s"${rd4("(n*sxy - sx*sy)/sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))")} AS corr_xy " +
         "FROM m ORDER BY l_returnflag"),
+    // q100: the oracle joins batch docs to index docs on exact set
+    // Jaccard >= 0.8 (identical sets included at J = 1) and counts
+    // index partners — the engine's group-level formulation ships one
+    // row per rejected doc but counts the same partner set exactly
+    "q100_incremental_neardup" ->
+      ("WITH t AS (SELECT doc_id, source, list_sort(list_distinct(string_split(text, ' '))) AS toks " +
+        "FROM documents), " +
+        "idx AS (SELECT 'src' || CAST(UNNEST(range(0, 10)) AS VARCHAR) AS s), " +
+        "nb AS (SELECT * FROM t WHERE source NOT IN (SELECT s FROM idx)), " +
+        "ib AS (SELECT * FROM t WHERE source IN (SELECT s FROM idx)) " +
+        "SELECT nb.doc_id, count(*) AS n_index_partners FROM nb JOIN ib ON " +
+        "CAST(len(list_intersect(nb.toks, ib.toks)) AS DOUBLE) / " +
+        "(len(nb.toks) + len(ib.toks) - len(list_intersect(nb.toks, ib.toks))) >= 0.8 " +
+        "GROUP BY nb.doc_id ORDER BY nb.doc_id"),
     "q96_filtered_global_agg" ->
       (s"SELECT ${dsum("l_extendedprice*l_discount")} AS revenue, count(*) AS n_lines " +
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +

@@ -706,6 +706,48 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  /** q100 — INCREMENTAL near-dup: which docs of an incoming batch are
+    * near-duplicates (J ≥ 0.8, q21's threshold) of an already-indexed
+    * corpus — the continuous-ingest twin of q81's exact incremental
+    * dedup, and the operator a production pipeline runs on every new
+    * crawl slice before admitting it. Sources src0–src9 stand in for
+    * the indexed corpus (q81's convention); output is one row per
+    * REJECTED batch doc with its count of index partners.
+    *
+    * Uses the exact prefix-filtered cascade (zero false negatives), so
+    * the result is oracle-checkable — the LSH variant (q25's banding
+    * against persisted index signatures) is the documented sublinear
+    * swap-in at the recall trade. Partner counting stays at GROUP
+    * level: per group, the index-doc count; per qualifying pair, the
+    * partner group's count — a batch doc's partners = own group's
+    * index docs (exact dups, J = 1) + paired groups' (near dups).
+    * Nothing ever expands to doc×doc pairs.
+    */
+  def q100IncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val indexSources = (0 to 9).map(i => s"src$i")
+    val docBytes = documentsSizeBytes(spark, dir)
+    val groups = tokenSetGroups(spark, dir)
+    val members = groups.select(col("gid"), explode(col("members")).as("doc_id"))
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source").isin(indexSources: _*).as("is_idx")), "doc_id")
+    val gidIdx = members.groupBy("gid")
+      .agg(sum(col("is_idx").cast(LongType)).as("idx_cnt"))
+    val edges = verifySetJaccard(prefixJoinCandidates(groups, 4, 5), groups, 0.8, docBytes)
+      .select("ga", "gb")
+    val sym = edges.union(edges.select(col("gb").as("ga"), col("ga").as("gb")))
+    val pairedIdx = sym.join(gidIdx.withColumnRenamed("gid", "gb"), "gb")
+      .groupBy(col("ga").as("gid")).agg(sum(col("idx_cnt")).as("paired_idx"))
+    val partners = gidIdx.join(pairedIdx, Seq("gid"), "left_outer")
+      .select(col("gid"),
+        (col("idx_cnt") + coalesce(col("paired_idx"), lit(0L))).as("n_index_partners"))
+    members.filter(!col("is_idx"))
+      .join(partners, "gid")
+      .filter(col("n_index_partners") > 0)
+      .select("doc_id", "n_index_partners")
+      .orderBy("doc_id")
+  }
+
   /** q94 — SemDeDup (semantic dedup over embeddings, Abbas et al.
     * 2023's pipeline shape): k-means-cluster the corpus, compare
     * pairs only WITHIN a cluster, drop the higher id of every pair
