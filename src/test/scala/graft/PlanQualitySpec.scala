@@ -220,6 +220,30 @@ class PlanQualitySpec extends SparkSpecBase {
       s"only the bucket-totals window may be single-partition:\n$p")
   }
 
+  test("q89: funnel plans as aggregates + hash joins, never a full-stream window") {
+    val p = physical(graft.ops.Events.q89Funnel(spark, sf))
+    assert(!p.contains("Window"), s"funnel must not window the event stream:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q93: the dedup decision is ONE window partitioned by block content") {
+    val p = physical(graft.ops.TextOps.q93BlockDedup(spark, sf))
+    val windows = p.linesIterator.filter(_.trim.startsWith("+- Window")).toSeq ++
+      p.linesIterator.filter(_.trim.startsWith("Window")).toSeq
+    assert(windows.size == 1, s"expected exactly one Window operator:\n$p")
+    assert(windows.head.contains("block_text"), s"window must partition by block_text: ${windows.head}")
+  }
+
+  test("q95: the bloom probe filters the customer scan stage, below the semi join") {
+    val p = physical(graft.ops.Analytics.q95BloomSemiJoin(spark, sf))
+    val lines = p.linesIterator.toSeq
+    val probeAt = lines.indexWhere(_.contains("bloom_might_contain"))
+    val joinAt = lines.indexWhere(_.contains("LeftSemi"))
+    assert(probeAt >= 0, s"bloom probe missing from plan:\n$p")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"probe (line $probeAt) must sit BELOW the semi join (line $joinAt):\n$p")
+  }
+
   test("global: no declared query plans a cartesian product or an unsanctioned nested loop") {
     // the ONLY queries allowed a BroadcastNestedLoopJoin are the
     // documented tiny-broadcast cross joins (similarity scoring against
