@@ -414,30 +414,30 @@ object Relational {
     * multi-supplier orders where EXACTLY ONE supplier shipped late
     * (>60 days after ordering), charge that supplier; rank suppliers
     * by how many orders they alone delayed. Q21's EXISTS/NOT-EXISTS
-    * self-join pair decorrelates into ONE per-order aggregate
-    * (distinct suppliers, distinct late suppliers) joined back to the
-    * late line items — lineitem is scanned once, not three times, and
-    * every join is an equi-join on the order key. The final count is
-    * a supplier-cardinality agg with a broadcast name join.
+    * self-join pair decorrelates into ONE per-order aggregate: distinct
+    * suppliers, distinct late suppliers, AND the culprit itself — when
+    * exactly one supplier is late, `max(when(late, suppkey))` IS that
+    * supplier, so no join back to the line items is needed at all. The
+    * fact join is scanned ONCE (a naive guilty-rows⋈per-order-agg
+    * formulation plans the lineitem⋈orders join twice — 5 scans vs 3);
+    * the final count aggregates on supplier cardinality with a
+    * broadcast name join.
     */
   def q86SoleLateSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val j = Tables.lineitem(spark, dir)
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_shipdate")
       .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
-      .withColumn("late",
-        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-    val perOrder = j.groupBy("l_orderkey")
+      .groupBy("l_orderkey")
       .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
-    val guilty = j.filter(col("late"))
-      .select("l_orderkey", "l_suppkey").distinct()
-      .join(perOrder.filter(col("n_supp") > 1 && col("n_late_supp") === 1),
-        Seq("l_orderkey"))
-    guilty.groupBy("l_suppkey")
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
+        max(when(late, col("l_suppkey"))).as("guilty"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .groupBy("guilty")
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
-        col("l_suppkey") === col("s_suppkey"))
+        col("guilty") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "numwait")
       .orderBy(desc("numwait"), col("s_suppkey"))
       .limit(20)
