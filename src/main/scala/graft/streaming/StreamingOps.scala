@@ -161,6 +161,48 @@ object StreamingOps {
   def streamStaticJoin(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key))
 
+  /** State for [[funnelStream]] — epoch-µs stage timestamps, 0 = not
+    * reached (primitive fields for the state encoder, as FillState).
+    */
+  case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+
+  /** Streaming funnel (q89's dual): tracks each user's earliest
+    * view → click → purchase chain (each step within one hour of the
+    * previous — q89's constants) across micro-batches via explicit
+    * group state, emitting one row per user whenever their furthest
+    * stage ADVANCES. State is three longs per user — fixed-size, no
+    * event buffering, so a 100 TB-rate stream carries a users-sized
+    * state store. Events inside a batch are folded in (ts, event_id)
+    * order; the batch q89 is the replay/backfill twin over the same
+    * thresholds.
+    */
+  def funnelStream(events: Dataset[Ev]): Dataset[(Long, Long, Long, Long, Int)] = {
+    import events.sparkSession.implicits._
+    val HourUs = 3600L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, (Long, Long, Long, Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+          val before = s
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val us = e.ts.getTime * 1000L
+            e.event_type match {
+              case "view" if s.tView == 0L => s = s.copy(tView = us)
+              case "click" if s.tView > 0L && s.tClick == 0L &&
+                us > s.tView && us <= s.tView + HourUs => s = s.copy(tClick = us)
+              case "purchase" if s.tClick > 0L && s.tPurchase == 0L &&
+                us > s.tClick && us <= s.tClick + HourUs => s = s.copy(tPurchase = us)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          val stage = Seq(s.tView, s.tClick, s.tPurchase).count(_ > 0L)
+          if (s != before) Iterator((uid, s.tView, s.tClick, s.tPurchase, stage))
+          else Iterator.empty
+      }
+  }
+
   /** State for [[forwardFillStream]] — primitive fields (an
     * Option-typed private class breaks the state encoder's codegen).
     */

@@ -111,6 +111,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == Set(1L, 3L), s"got $got")
   }
 
+  test("streaming funnel: stages advance across micro-batches, within 1h steps only") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.funnelStream(ms.toDS())
+      .toDF("user_id", "t_view", "t_click", "t_purchase", "stage")
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    // batch 1: user 1 views; user 2 views then clicks 2h later (too late)
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Ev(2, ts("2024-01-01 10:00:00"), 2, "view", 0.0),
+      Ev(3, ts("2024-01-01 12:30:00"), 2, "click", 0.0))
+    q.processAllAvailable()
+    // batch 2: user 1 clicks in-window, then purchases in-window
+    ms.addData(
+      Ev(4, ts("2024-01-01 10:30:00"), 1, "click", 0.0),
+      Ev(5, ts("2024-01-01 10:45:00"), 1, "purchase", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("funnel").collect()
+      .map(r => (r.getLong(0), r.getInt(4))).toSeq
+    q.stop()
+    // user 1: stage-1 emit (batch 1), stage-3 emit (batch 2 — click and
+    // purchase fold in one batch); user 2: stage-1 only, late click ignored
+    assert(rows.count(_ == (1L, 1)) == 1 && rows.count(_ == (1L, 3)) == 1,
+      s"user 1 emissions wrong: ${rows.filter(_._1 == 1L)}")
+    assert(rows.filter(_._1 == 2L) == Seq((2L, 1)), s"user 2: ${rows.filter(_._1 == 2L)}")
+  }
+
   test("streaming forward-fill: state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
