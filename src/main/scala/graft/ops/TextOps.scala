@@ -59,13 +59,18 @@ object TextOps {
     * First occurrence is (doc_id, block_id)-ordered, so the pass is
     * deterministic and idempotent.
     *
-    * Scale design: the dedup decision is one row_number window
-    * partitioned by block content — shuffles (block, doc, idx) rows
-    * once, never doc bodies against each other (a 100 TB corpus
-    * shuffles its ~10× smaller block stream, and a sha2 digest swap-in
-    * keeps that payload at 32 bytes/block, q20's discipline — kept as
-    * raw text here so the oracle can express the same partition).
-    * Reassembly is a per-doc aggregate: array_sort fixes
+    * Scale design: the dedup decision is a MIN aggregate on block
+    * content, not a window — min(struct(doc_id, block_id)) is
+    * combinable, so map-side partials collapse a hyper-common block
+    * (C4's boilerplate-line case) to one row per input partition
+    * before the exchange, where a row_number window would funnel every
+    * copy of the hot block through a single reducer. The first-
+    * occurrence relation (one row per DISTINCT block) then hash-joins
+    * back to mark keepers; the probe side's residual skew is AQE
+    * skew-join territory, already demonstrated by AqeSkewSpec. Blocks
+    * shuffle as text so the oracle can express the same grouping (a
+    * sha2 digest swap-in keeps the payload at 32 bytes/block, q20's
+    * discipline). Reassembly is a per-doc aggregate: array_sort fixes
     * collect_list's partition-dependent order (block_id leads the
     * struct), so output is deterministic under any parallelism.
     */
@@ -79,8 +84,12 @@ object TextOps {
           i => array_join(slice(col("w"), (i * 10 + 1).cast("int"), lit(10)), " "))))
       .withColumnRenamed("pos", "block_id")
       .withColumnRenamed("col", "block_text")
-    val w = Window.partitionBy("block_text").orderBy("doc_id", "block_id")
-    blocks.withColumn("kept", row_number().over(w) === 1)
+    val firsts = blocks
+      .groupBy("block_text")
+      .agg(min(struct(col("doc_id"), col("block_id"))).as("first_occ"))
+    blocks.join(firsts, "block_text")
+      .withColumn("kept",
+        struct(col("doc_id"), col("block_id")) === col("first_occ"))
       .groupBy("doc_id", "n_blocks")
       .agg(
         sum(col("kept").cast(LongType)).as("n_kept"),

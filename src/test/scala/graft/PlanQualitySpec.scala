@@ -226,12 +226,14 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"), p)
   }
 
-  test("q93: the dedup decision is ONE window partitioned by block content") {
+  test("q93: the dedup decision is a combinable min-agg on block content, never a window") {
     val p = physical(graft.ops.TextOps.q93BlockDedup(spark, sf))
-    val windows = p.linesIterator.filter(_.trim.startsWith("+- Window")).toSeq ++
-      p.linesIterator.filter(_.trim.startsWith("Window")).toSeq
-    assert(windows.size == 1, s"expected exactly one Window operator:\n$p")
-    assert(windows.head.contains("block_text"), s"window must partition by block_text: ${windows.head}")
+    // a row_number window here would funnel every copy of a hot block
+    // through one reducer; the min-struct agg combines map-side
+    assert(p.contains("partial_min"), s"first-occurrence agg must have a map-side partial:\n$p")
+    val dedupWindows = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("block_text")).toSeq
+    assert(dedupWindows.isEmpty, s"dedup decision must not window on block_text:\n$dedupWindows")
   }
 
   test("q95: the bloom probe filters the customer scan stage, below the semi join") {
