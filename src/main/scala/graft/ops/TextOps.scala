@@ -41,6 +41,10 @@ object TextOps {
     * first means the shuffle for the dedup carries 32-byte digests, not
     * document bodies — the 100 TB-critical property. (The DuckDB oracle
     * partitions by raw text — identical groups modulo SHA-256 collision.)
+    * On corpora where ONE text dominates (a boilerplate page repeated
+    * millions of times) the window's hot digest partition is the
+    * bottleneck — q93's min-struct-agg + composite-key join-back is the
+    * skew-safe swap-in (map-side partials absorb the hot key).
     */
   def q20DocDedupExact(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
