@@ -137,6 +137,9 @@ object SparkEntry {
     "q98_supplier_count_per_part" -> (Relational.q98SupplierCountPerPart _),
     "q99_volume_suppliers" -> (Relational.q99VolumeSuppliers _),
     "q100_incremental_neardup" -> (Similarity.q100IncrementalNeardup _),
+    "q101_volume_shipping" -> (Relational.q101VolumeShipping _),
+    "q102_market_share" -> (Relational.q102MarketShare _),
+    "q103_product_profit" -> (Relational.q103ProductProfit _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -793,6 +796,45 @@ object SparkEntry {
         s"${rd4("(sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n")} AS intercept, " +
         s"${rd4("(n*sxy - sx*sy)/sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))")} AS corr_xy " +
         "FROM m ORDER BY l_returnflag"),
+    "q101_volume_shipping" ->
+      (s"SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, " +
+        s"CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        s"${dsum("l_extendedprice*(1-l_discount)")} AS revenue " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey " +
+        "WHERE (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_12') " +
+        "OR (sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_8') " +
+        "GROUP BY supp_nation, cust_nation, l_year " +
+        "ORDER BY supp_nation, cust_nation, l_year"),
+    // q102: nation share and total accumulate in the SAME agg pass;
+    // the share divides two already-rounded doubles (q75's discipline)
+    "q102_market_share" ->
+      (s"SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        s"${dsum("CASE WHEN sn.n_name = 'NATION_8' THEN l_extendedprice*(1-l_discount) ELSE 0 END")} AS nation_revenue, " +
+        s"${dsum("l_extendedprice*(1-l_discount)")} AS total_revenue, " +
+        // DuckDB lateral alias references let the share reuse the two
+        // rounded sums defined just above
+        s"${rd4("nation_revenue/total_revenue")} AS mkt_share " +
+        "FROM customer JOIN nation cn ON c_nationkey = cn.n_nationkey " +
+        "JOIN region ON cn.n_regionkey = r_regionkey " +
+        "JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey " +
+        "WHERE r_name = 'ASIA' GROUP BY o_year ORDER BY o_year"),
+    // q103: the 0.5·retailprice·qty cost proxy keeps Q9's amount shape
+    // without a partsupp table; per-row doubles are IEEE-identical
+    "q103_product_profit" ->
+      (s"SELECT sn.n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        s"${dsum("l_extendedprice*(1-l_discount) - 0.5*p_retailprice*l_quantity")} AS sum_profit " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey " +
+        "WHERE p_name LIKE '%widget%' " +
+        "GROUP BY nation, l_year ORDER BY nation, l_year"),
     // q100: the oracle joins batch docs to index docs on exact set
     // Jaccard >= 0.8 (identical sets included at J = 1) and counts
     // index partners — the engine's group-level formulation ships one

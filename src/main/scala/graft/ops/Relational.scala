@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Relational core: projection/filter (SURVEY.md §2.2), joins (§2.3),
   * multi-column aggregation (§2.4 A2), top-k (§2.5 W4).
@@ -564,6 +565,94 @@ object Relational {
       .join(volume, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select("s_suppkey", "s_name", "s_acctbal")
       .orderBy("s_suppkey")
+  }
+
+  /** q101 — TPC-H Q7 shape (volume shipping): revenue between two
+    * trading nations, both directions, by ship year. The two nation
+    * dims broadcast into supplier and customer; the disjunctive
+    * nation-pair predicate ((A,B) or (B,A)) is a post-join residual on
+    * two broadcast-joined string columns, never a join explosion; one
+    * partial+final agg on the tiny (nation, nation, year) key.
+    */
+  def q101VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_8", "NATION_12")
+    val nations = Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nations.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nations.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cnk"))
+      .select("c_custkey", "cust_nation")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === pair.head && col("cust_nation") === pair(1)) ||
+        (col("supp_nation") === pair(1) && col("cust_nation") === pair.head))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** q102 — TPC-H Q8 shape (national market share): one nation's share
+    * of supplier revenue among a region's customer orders, by year.
+    * The share is a conditional-sum-over-total in ONE aggregation pass
+    * (q75's promo-ratio discipline): both DECIMAL sums ride the same
+    * join tree, and the quotient divides two already-rounded doubles.
+    */
+  def q102MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val regionNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnk"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.customer(spark, dir)
+      .join(broadcast(regionNations), col("c_nationkey") === col("cnk"))
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(
+        dsum4(when(col("supp_nation") === "NATION_8", rev).otherwise(lit(0.0))).as("nation_revenue"),
+        dsum4(rev).as("total_revenue"))
+      .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
+        roundD4(col("nation_revenue") / col("total_revenue")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** q103 — TPC-H Q9 shape (product-type profit): per supplier nation
+    * and ship year, profit on one product family — revenue minus a
+    * retail-priced cost proxy (the testdata has no partsupp table;
+    * 0.5·p_retailprice·l_quantity stands in for ps_supplycost·qty,
+    * keeping Q9's all-fact-joins + amount-expression shape). The part
+    * filter prunes the broadcast side before the fact join; one
+    * partial+final agg on (nation, year).
+    */
+  def q103ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val widgets = Tables.part(spark, dir)
+      .filter(col("p_name").contains("widget"))
+      .select("p_partkey", "p_retailprice")
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("snk"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "nation")
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.5) * col("p_retailprice") * col("l_quantity")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(widgets), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(dsum4(amount).as("sum_profit"))
+      .orderBy("nation", "l_year")
   }
 
   def q88CheapestSupplierPerPart(spark: SparkSession, dir: String): DataFrame = {
