@@ -55,15 +55,15 @@ object CorpusPrep {
     * deterministic, so the whole composition hash-matches a DuckDB CTE
     * chain replicating the five stages.
     *
-    * Like the q21 cascade, the self-contained query recomputes its
-    * shared front (scrub → gate → dedup window) once per consumer —
-    * three computations: the group build, the survivor doc side, and
-    * the chunk join (different column pruning blocks exchange reuse).
-    * That is the right trade for the driver contract; a production run
-    * materializes `deduped` to a staging table after stage 3 and feeds
-    * all three consumers from it (the [[Similarity.collapsedCorpus]] /
-    * MaterializedCascadeSpec pattern). PlanQualitySpec pins the
-    * 3-computation bound so a refactor can't silently widen it.
+    * The shared front (scrub → gate → dedup window) is eagerly
+    * materialized ONCE (`Similarity.staged`, the in-query form of the
+    * staging-table write a production run does after stage 3), so the
+    * three differently-pruned consumers — the group build, the survivor
+    * doc side, the chunk join — read the materialized copy instead of
+    * recomputing the window 3×; the near-dup collapse over it is staged
+    * the same way. PlanQualitySpec pins both (no sha2 exchange, no
+    * collapse aggregate in the consumer plan) so a refactor can't
+    * silently regress the reuse.
     */
   def q67CorpusPrep(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -71,13 +71,13 @@ object CorpusPrep {
     val cleaned = scrubAndGate(
       Tables.documents(spark, dir).select("doc_id", "lang", "source", "text"))
     val wDup = Window.partitionBy(sha2(col("clean_text"), 256)).orderBy("doc_id")
-    val deduped = cleaned
+    val deduped = Similarity.staged(cleaned
       .withColumn("rn", row_number().over(wDup))
       .filter(col("rn") === 1)
-      .drop("rn")
-    val groups = Similarity.tokenSetGroupsBy(
+      .drop("rn"))
+    val groups = Similarity.staged(Similarity.tokenSetGroupsBy(
       deduped.select(col("doc_id"),
-        call_function("shingle_hashes", col("toks"), lit(1)).as("toks")))
+        call_function("shingle_hashes", col("toks"), lit(1)).as("toks"))))
     val survivors = Similarity
       .survivorsFrom(groups, deduped.select("doc_id", "lang", "source"), docBytes)
       .select("doc_id")
@@ -104,9 +104,8 @@ object CorpusPrep {
   def q72DedupReport(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docBytes = Similarity.documentsSizeBytes(spark, dir)
-    val groups = Similarity.tokenSetGroups(spark, dir)
-    val setPairs = Similarity.verifySetJaccardWithMembers(
-      Similarity.prefixJoinCandidates(groups, 4, 5), groups, 0.8, docBytes)
+    val groups = Similarity.staged(Similarity.tokenSetGroups(spark, dir))
+    val setPairs = Similarity.setPairsAbove(groups, 4, 5, docBytes)
     // the same shared drop-set derivations q56's survivor selection uses
     val exactDropped = Similarity.dropWithinSet(groups)
     val nearOnly = Similarity.dropCrossSet(setPairs).distinct()

@@ -86,6 +86,21 @@ object Similarity {
   def collapsedCorpus(spark: SparkSession, dir: String): DataFrame =
     tokenSetGroups(spark, dir)
 
+  /** Eagerly materialize a cascade-shared relation ONCE and feed every
+    * downstream consumer from the materialized copy — the in-query form
+    * of the staged-cascade pattern (write [[collapsedCorpus]] to a
+    * staging table, run all near-dup operators against it). Without
+    * this, each differently-pruned consumer of the exact-dup collapse
+    * recomputes it (3× per query after exchange reuse — at 100 TB that
+    * is three full corpus scans doing identical work). `localCheckpoint`
+    * is q62's own lineage-truncation device; a cluster deployment swaps
+    * it for `checkpoint()` to reliable storage or the staging-parquet
+    * form (MaterializedCascadeSpec proves that round trip is
+    * output-identical). Eager is safe here: every caller consumes the
+    * relation unconditionally.
+    */
+  private[ops] def staged(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   /** Generic collapse for any (doc_id, toks) relation — shared by the
     * unigram (q21/q25/q26) and shingle (q55) cascades. Docs whose token
     * set is empty (e.g. too short to shingle) drop out: they cannot be
@@ -97,6 +112,88 @@ object Similarity {
       .groupBy("toks")
       .agg(min(col("doc_id")).as("gid"), sort_array(collect_list(col("doc_id"))).as("members"))
       .withColumn("sz", size(col("toks")))
+
+  /** Probe the distinct-token UNIVERSE of a collapsed corpus: if it has
+    * at most 64 members, return them sorted (the bit assignment of the
+    * small-universe fast path); otherwise None. Real corpora blow past
+    * 64 immediately — the probe's `distinct().limit(65)` does one
+    * map-side partial distinct (bounded by universe-size × partitions)
+    * and ships at most 65 longs to the driver, so probing is safe at any
+    * corpus size, like the broadcast-gate statistics check.
+    *
+    * Why it exists: the prefix filter's pruning power collapses on
+    * small universes (with |U| ≤ 64 and typical set sizes a large
+    * fraction of |U|, nearly every set shares prefix tokens with nearly
+    * every other — the candidate set is inherently near-quadratic, e.g.
+    * 3.5 M candidate pairs from 3.9 k distinct sets on the synthetic
+    * corpus). No candidate ORDER can fix that — the pairs really are
+    * that dense — so the fast path instead makes each pair's exact
+    * verification ~free: a set over a ≤64-token universe is one 64-bit
+    * BITMASK, |A∩B| is `bit_count(maskA & maskB)`, and the threshold
+    * test is exact integer arithmetic fused into the candidate join.
+    * The same adaptive-by-statistics discipline as Catalyst's
+    * broadcast-vs-shuffle join choice: identical output, strategy
+    * picked by a data statistic.
+    */
+  private[ops] def smallUniverse(groups: DataFrame): Option[Seq[Long]] = {
+    val toks = groups.select(explode(col("toks")).as("t")).distinct().limit(65)
+      .collect().map(_.getLong(0))
+    if (toks.length <= 64) Some(toks.sorted.toSeq) else None
+  }
+
+  /** Attach the 64-bit set bitmask under a ≤64-token universe: bit i of
+    * `mask` = membership of vocab(i). Row-local (one pass per set via
+    * `aggregate` over the broadcast-literal vocab array); the bitmask is
+    * a bijective re-encoding of the token set, so every count derived
+    * from it (intersection, union) is exact.
+    */
+  private[ops] def withSetMask(groups: DataFrame, vocab: Seq[Long]): DataFrame = {
+    val vocabArr = lit(vocab.toArray)
+    groups.withColumn("mask",
+      aggregate(col("toks"), lit(0L), (acc, t) =>
+        acc.bitwiseOR(call_function("shiftleft", lit(1L),
+          (array_position(vocabArr, t) - lit(1L)).cast("int")))))
+  }
+
+  /** Small-universe set-similarity join: the same prefix-filtered
+    * candidate structure as [[prefixJoinCandidates]] (same prefix
+    * length, same first-shared-token exactly-once emission, zero false
+    * negatives), but each side carries its 64-bit mask + members, and
+    * the exact Jaccard ≥ p/q test runs INSIDE the join as integer
+    * popcount arithmetic — q·|A∩B| ≥ p·(|A|+|B|−|A∩B|) — so no lookup
+    * joins, no array merge-scans, and no separate verify pass exist at
+    * all. Output schema matches [[verifySetJaccardWithMembers]]:
+    * (ga, gb, jaccard, ma, mb).
+    */
+  private[ops] def maskedSetPairs(groups: DataFrame, vocab: Seq[Long], p: Int, q: Int): DataFrame = {
+    val inter = bit_count(col("a.mask").bitwiseAND(col("b.mask")))
+    val pref = withSetMask(groups, vocab)
+      .withColumn("pre", slice(col("toks"), lit(1), expr(s"sz - (($p*sz + ${q - 1}) div $q) + 1")))
+      .select(col("gid"), col("sz"), col("mask"), col("members"), col("pre"),
+        posexplode(col("pre")).as(Seq("pos", "tok_id")))
+    pref.as("a").join(pref.as("b"), expr(
+        "a.tok_id = b.tok_id AND a.gid < b.gid" +
+          s" AND b.sz BETWEEN ($p*a.sz + ${q - 1}) div $q AND ($q*a.sz) div $p" +
+          " AND prefix_intersect_count(a.pre, a.pos, b.pre, b.pos) = 0" +
+          s" AND $q * bit_count(a.mask & b.mask) >= $p * (a.sz + b.sz - bit_count(a.mask & b.mask))"))
+      .select(col("a.gid").as("ga"), col("b.gid").as("gb"),
+        roundD4(inter.cast(DoubleType) / (col("a.sz") + col("b.sz") - inter)).as("jaccard"),
+        col("a.members").as("ma"), col("b.members").as("mb"))
+  }
+
+  /** THE set-similarity-join entry: qualifying (ga, gb, jaccard, ma,
+    * mb) set pairs at threshold p/q over a collapsed corpus, strategy
+    * picked by the universe statistic — bitmask-fused join under a ≤64
+    * universe ([[maskedSetPairs]]), prefix join + broadcast-verify
+    * otherwise. Both strategies emit each qualifying pair exactly once
+    * with identical jaccard values.
+    */
+  private[ops] def setPairsAbove(groups: DataFrame, p: Int, q: Int, docBytes: BigInt): DataFrame =
+    smallUniverse(groups) match {
+      case Some(v) => maskedSetPairs(groups, v, p, q)
+      case None => verifySetJaccardWithMembers(
+        prefixJoinCandidates(groups, p, q), groups, p.toDouble / q, docBytes)
+    }
 
   /** Prefix-filtered candidate join over distinct token-set groups, for
     * a rational Jaccard threshold t = p/q (exact integer bounds — see
@@ -154,18 +251,6 @@ object Similarity {
   private[ops] def documentsSizeBytes(spark: SparkSession, dir: String): BigInt =
     Tables.documents(spark, dir).queryExecution.optimizedPlan.stats.sizeInBytes
 
-  /** Verify bare (ga, gb) candidate GROUP pairs against the exact
-    * Jaccard of their token sets (≥ threshold) — the shared tail of the
-    * q21/q25 candidate joins. Candidates must arrive deduplicated (both
-    * callers emit each pair exactly once by construction). The
-    * intersection uses the engine's native codegen'd merge-scan
-    * ([[graft.functions.SortedIntersectCount]]).
-    */
-  private[ops] def verifySetJaccard(cands: DataFrame, groups: DataFrame, threshold: Double,
-      docBytes: BigInt): DataFrame =
-    verifySetJaccardWithMembers(cands, groups, threshold, docBytes)
-      .select("ga", "gb", "jaccard")
-
   /** Verify + member attachment in ONE pass: the two lookup joins also
     * carry each group's member list through the Jaccard filter, so the
     * downstream doc-pair expansion needs NO further joins — and both
@@ -176,15 +261,39 @@ object Similarity {
     * per query (one per differently-pruned consumer) to 3.
     */
   private[ops] def verifySetJaccardWithMembers(cands: DataFrame, groups: DataFrame,
+      threshold: Double, docBytes: BigInt): DataFrame =
+    // small-universe strategy (see [[smallUniverse]]): the lookup side
+    // carries a 64-bit mask instead of the token array — the broadcast
+    // shrinks to (gid, sz, mask, members) and the per-pair intersection
+    // is one popcount instead of an array merge-scan
+    smallUniverse(groups) match {
+      case Some(v) => verifyJoin(cands,
+        withSetMask(groups, v).select(col("gid"), col("mask"), col("sz"), col("members")),
+        bit_count(col("g1.mask").bitwiseAND(col("g2.mask"))).cast(LongType),
+        threshold, docBytes)
+      case None => verifySetJaccardWithMembersGeneral(cands, groups, threshold, docBytes)
+    }
+
+  /** The general (any-universe) verify: two lookup joins against the
+    * canonical (gid, toks, sz, members) projection, intersection via
+    * the native codegen'd merge-scan.
+    */
+  private[ops] def verifySetJaccardWithMembersGeneral(cands: DataFrame, groups: DataFrame,
       threshold: Double, docBytes: BigInt): DataFrame = {
     graft.functions.GraftFunctions.register(cands.sparkSession)
-    val canon = groups.select(col("gid"), col("toks"), col("sz"), col("members"))
+    verifyJoin(cands, groups.select(col("gid"), col("toks"), col("sz"), col("members")),
+      call_function("sorted_intersect_count", col("g1.toks"), col("g2.toks")),
+      threshold, docBytes)
+  }
+
+  private def verifyJoin(cands: DataFrame, canon: DataFrame, interCol: Column,
+      threshold: Double, docBytes: BigInt): DataFrame = {
     def docSide(df: DataFrame): DataFrame =
       if (underBroadcastGate(docBytes)) broadcast(df) else df
     cands
       .join(docSide(canon).as("g1"), col("ga") === col("g1.gid"))
       .join(docSide(canon).as("g2"), col("gb") === col("g2.gid"))
-      .withColumn("inter", call_function("sorted_intersect_count", col("g1.toks"), col("g2.toks")))
+      .withColumn("inter", interCol)
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("g1.sz") + col("g2.sz") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -261,7 +370,9 @@ object Similarity {
     val threshold = 0.8 // = 4/5 — all derived bounds below in exact integer form
     graft.functions.GraftFunctions.register(spark)
     val docBytes = documentsSizeBytes(spark, dir)
-    val groups = tokenSetGroups(spark, dir)
+    // the collapse materializes once ([[staged]]); candidates, verify
+    // and expansion all read the materialized copy
+    val groups = staged(tokenSetGroups(spark, dir))
     // All threshold bounds use exact integer arithmetic: double forms
     // like ceil(sz * 0.8) round wrong at exact boundaries (45 * 0.8 =
     // 36.000000000000004 → ceil 37 silently drops legal J = 0.8 pairs).
@@ -294,12 +405,9 @@ object Similarity {
     * MaterializedCascadeSpec proves the round-trip through parquet is
     * output-identical to the self-contained q21.
     */
-  def nearDupPairsFrom(groups: DataFrame, p: Int, q: Int, docBytes: BigInt): DataFrame = {
-    val setPairs = verifySetJaccardWithMembers(
-      prefixJoinCandidates(groups, p, q), groups, p.toDouble / q, docBytes)
-    expandWithMembers(setPairs, groups, "jaccard", lit(1.0))
+  def nearDupPairsFrom(groups: DataFrame, p: Int, q: Int, docBytes: BigInt): DataFrame =
+    expandWithMembers(setPairsAbove(groups, p, q, docBytes), groups, "jaccard", lit(1.0))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** q55 — n-gram (shingle) near-dup: Jaccard ≥ 0.6 over word-3-gram
     * sets. Shingles are position-sensitive, so unlike the unigram q21
@@ -318,8 +426,8 @@ object Similarity {
     // native codegen'd build ([[graft.functions.ShingleHashes]]) — the
     // HOF formulation is interpreted per window and was the bottleneck
     val shingles = call_function("shingle_hashes", split(col("text"), " "), lit(3))
-    val groups = tokenSetGroupsBy(
-      Tables.documents(spark, dir).select(col("doc_id"), shingles.as("toks")))
+    val groups = staged(tokenSetGroupsBy(
+      Tables.documents(spark, dir).select(col("doc_id"), shingles.as("toks"))))
     nearDupPairsFrom(groups, 3, 5, docBytes) // threshold 3/5 = 0.6
   }
 
@@ -432,7 +540,7 @@ object Similarity {
   def q56NeardupSurvivors(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docBytes = documentsSizeBytes(spark, dir)
-    survivorsFrom(tokenSetGroups(spark, dir), Tables.documents(spark, dir), docBytes)
+    survivorsFrom(staged(tokenSetGroups(spark, dir)), Tables.documents(spark, dir), docBytes)
   }
 
   /** q56's survivor selection over an already-collapsed corpus — the
@@ -440,8 +548,7 @@ object Similarity {
     * `docs` supplies the surviving rows' columns (doc_id, lang, source).
     */
   def survivorsFrom(groups: DataFrame, docs: DataFrame, docBytes: BigInt): DataFrame = {
-    val setPairs = verifySetJaccardWithMembers(prefixJoinCandidates(groups, 4, 5),
-      groups, 0.8, docBytes)
+    val setPairs = setPairsAbove(groups, 4, 5, docBytes)
     val drops = dropCrossSet(setPairs).union(dropWithinSet(groups)).distinct()
     docs
       .join(drops, Seq("doc_id"), "left_anti")
@@ -665,9 +772,10 @@ object Similarity {
   def q62DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docBytes = documentsSizeBytes(spark, dir)
-    val groups = tokenSetGroups(spark, dir)
-    val edges = verifySetJaccard(prefixJoinCandidates(groups, 4, 5), groups, 0.8, docBytes)
-      .select(col("ga"), col("gb"))
+    // staged: the collapse feeds the edge build (candidates + verify),
+    // the label init AND the final member expansion — one computation
+    val groups = staged(tokenSetGroups(spark, dir))
+    val edges = setPairsAbove(groups, 4, 5, docBytes).select(col("ga"), col("gb"))
     // symmetric edge list: propagate labels both directions
     val sym = edges.union(edges.select(col("gb").as("ga"), col("ga").as("gb")))
       .withColumnRenamed("ga", "src").withColumnRenamed("gb", "dst")
@@ -727,14 +835,13 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val indexSources = (0 to 9).map(i => s"src$i")
     val docBytes = documentsSizeBytes(spark, dir)
-    val groups = tokenSetGroups(spark, dir)
+    val groups = staged(tokenSetGroups(spark, dir))
     val members = groups.select(col("gid"), explode(col("members")).as("doc_id"))
       .join(Tables.documents(spark, dir)
         .select(col("doc_id"), col("source").isin(indexSources: _*).as("is_idx")), "doc_id")
     val gidIdx = members.groupBy("gid")
       .agg(sum(col("is_idx").cast(LongType)).as("idx_cnt"))
-    val edges = verifySetJaccard(prefixJoinCandidates(groups, 4, 5), groups, 0.8, docBytes)
-      .select("ga", "gb")
+    val edges = setPairsAbove(groups, 4, 5, docBytes).select("ga", "gb")
     val sym = edges.union(edges.select(col("gb").as("ga"), col("ga").as("gb")))
     val pairedIdx = sym.join(gidIdx.withColumnRenamed("gid", "gb"), "gb")
       .groupBy(col("ga").as("gid")).agg(sum(col("idx_cnt")).as("paired_idx"))

@@ -97,8 +97,10 @@ object Sketches {
     val docBytes = Similarity.documentsSizeBytes(spark, dir)
     // exact-dup collapse first (same cascade as q21): signatures,
     // banding and verification all run over DISTINCT token sets;
-    // qualifying set pairs expand back to doc pairs at the end
-    val groups = Similarity.tokenSetGroups(spark, dir)
+    // qualifying set pairs expand back to doc pairs at the end. The
+    // collapse materializes once (Similarity.staged) and feeds the
+    // banding join, verify and expansion from the materialized copy.
+    val groups = Similarity.staged(Similarity.tokenSetGroups(spark, dir))
     val cands = minhashBandCandidates(groups)
     val setPairs = Similarity.verifySetJaccardWithMembers(cands, groups, threshold, docBytes)
     Similarity.expandWithMembers(setPairs, groups, "jaccard", lit(1.0))
@@ -162,8 +164,9 @@ object Sketches {
     // token set, so signatures/joins run over DISTINCT sets (exact dups
     // otherwise fill each chunk bucket with identical signatures — a
     // quadratic blowup on duplicate-heavy corpora) and qualifying set
-    // pairs expand back to doc pairs (within-group hamming = 0)
-    val groups = Similarity.tokenSetGroups(spark, dir)
+    // pairs expand back to doc pairs (within-group hamming = 0);
+    // collapse materialized once (Similarity.staged), like q21/q25
+    val groups = Similarity.staged(Similarity.tokenSetGroups(spark, dir))
     // bit j of the simhash = sign of Σ_tokens (±1 by bit j of the token
     // hash) — one fused codegen loop (graft.functions.SimHash64)
     val sigs = groups.select(col("gid"),

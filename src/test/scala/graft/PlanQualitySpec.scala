@@ -53,7 +53,10 @@ class PlanQualitySpec extends SparkSpecBase {
   test("q21: candidate generation is an equi-join, never a cartesian product") {
     val p = physical(Similarity.q21JaccardNeardup(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("sorted_intersect_count"), "verify stage must use the native expression")
+    // the testdata universe is ≤64 tokens, so the small-universe
+    // strategy fuses verification into the candidate join as popcount
+    // arithmetic (CascadeInternalsSpec pins the >64 merge-scan path)
+    assert(p.contains("bit_count"), "masked verify must fuse into the candidate join:\n" + p)
   }
 
   test("q22: tiny query side is broadcast under the corpus scan") {
@@ -68,10 +71,13 @@ class PlanQualitySpec extends SparkSpecBase {
     // once per row — minhash_signature itself collapses into the
     // aggregate's result projection, which the plan string omits
     assert(p25.contains("posexplode(array(h0"), "scalar banding expected:\n" + p25)
-    assert(p25.contains("shingle_hashes"), "token build must use the native codegen expr")
+    // the token build (shingle_hashes) now runs inside the staged
+    // collapse job (Similarity.staged), so the consumer plan reads the
+    // materialized relation instead of recomputing the tokenizer
+    assert(p25.contains("ExistingRDD"), "staged collapse scan expected:\n" + p25)
     val p55 = physical(Similarity.q55ShingleNeardup(spark, sf))
     assert(!p55.contains("CartesianProduct"), p55)
-    assert(p55.contains("shingle_hashes"), "shingle build must use the native codegen expr")
+    assert(p55.contains("ExistingRDD"), "staged collapse scan expected:\n" + p55)
   }
 
   test("q54: per-stratum top-k is one hash exchange (window), no extra shuffles") {
@@ -116,17 +122,17 @@ class PlanQualitySpec extends SparkSpecBase {
       s"exchange must carry (source, th) longs, not token arrays:\n${exchangesWithArray.mkString("\n")}")
   }
 
-  test("q21: the exact-dup collapse is computed at most 3 times (VERDICT r2 reuse pin)") {
-    // tokenSetGroups is an ObjectHashAggregate (collect_list) planned as
-    // partial+final — 2 nodes per computation. The cascade's canonical-
-    // broadcast + carried-members refactor holds the count at 3
-    // computations (candidate join sides share one, verify's two lookups
-    // share one canonical broadcast, expansion rides carried members);
-    // the pre-refactor shape was 7. This pin keeps a refactor from
-    // silently regressing the reuse.
+  test("q21: the exact-dup collapse is STAGED — zero recomputation in the consumer plan") {
+    // The collapse (an ObjectHashAggregate collect_list) is eagerly
+    // materialized once per query (Similarity.staged) and every
+    // downstream consumer scans the materialized RDD — so the consumer
+    // plan must contain NO collapse aggregate at all (the pre-staging
+    // shape recomputed it 3×, the pre-refactor shape 7×). This pin keeps
+    // a refactor from silently dropping the staging.
     val p = physical(Similarity.q21JaccardNeardup(spark, sf))
     val aggs = "ObjectHashAggregate".r.findAllIn(p).length
-    assert(aggs <= 6, s"expected ≤ 3 collapse computations (≤ 6 ObjectHashAggregate nodes), got $aggs:\n$p")
+    assert(aggs == 0, s"collapse must be staged, not recomputed ($aggs ObjectHashAggregate nodes):\n$p")
+    assert(p.contains("ExistingRDD"), s"staged collapse scan expected:\n$p")
   }
 
   test("q42: as-of join is ONE hash exchange (window), no nested-loop join") {
@@ -166,10 +172,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), "targets must broadcast onto the corpus:\n" + p)
   }
 
-  test("q67: the scrub+dedup front is computed at most 3 times (documented bound)") {
+  test("q67: the scrub+dedup front is STAGED — no sha2 window or collapse agg in the consumer plan") {
+    // `deduped` and the token-set collapse are each materialized once
+    // (Similarity.staged); the three differently-pruned consumers scan
+    // the materialized RDDs, so neither the sha2 dedup exchange nor the
+    // collapse aggregate may appear in the consumer plan (the
+    // pre-staging bound was ≤ 3 computations of each).
     val p = physical(graft.ops.CorpusPrep.q67CorpusPrep(spark, sf))
     val dedupWindows = p.linesIterator.count(l => l.contains("Exchange hashpartitioning") && l.contains("sha2"))
-    assert(dedupWindows <= 3, s"expected ≤ 3 sha2-window computations, got $dedupWindows:\n$p")
+    assert(dedupWindows == 0, s"sha2 dedup must be staged, not recomputed ($dedupWindows):\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).isEmpty, s"collapse must be staged:\n$p")
+    assert(p.contains("ExistingRDD"), s"staged scan expected:\n$p")
   }
 
   test("q69: top-10 compiles to TakeOrderedAndProject; date filters reach both scans") {

@@ -54,6 +54,68 @@ class CascadeInternalsSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** Deterministic corpus over a >64-word vocabulary, with planted
+    * exact dups and near-dups — forces the GENERAL (prefix join +
+    * merge-scan verify) strategy, since the small-universe probe
+    * counts 80 distinct tokens.
+    */
+  private def bigVocabFixture(): String = {
+    val dir = tmpDir()
+    val vocab = (0 until 80).map(i => s"w$i")
+    def doc(words: Seq[Int]): String = words.map(vocab).mkString(" ")
+    writeDocuments(dir,
+      (1L, doc(0 until 10), "en", "s", 1L),
+      (2L, doc(0 until 10), "en", "s", 1L), // exact dup of 1
+      (3L, doc((0 until 9) :+ 70), "en", "s", 1L), // J vs {0..9} = 9/11 ≥ 0.8
+      (4L, doc(20 until 30), "en", "s", 1L),
+      (5L, doc((20 until 29) :+ 71), "en", "s", 1L), // J vs doc4 = 9/11
+      (6L, doc(12 until 80), "en", "s", 1L)) // loner; pushes the universe to 79 tokens
+    dir
+  }
+
+  test("strategy probe: small universe detected, large universe falls to the general path") {
+    val dir = fixture()
+    graft.functions.GraftFunctions.register(spark)
+    val small = Similarity.smallUniverse(Similarity.tokenSetGroups(spark, dir))
+    assert(small.isDefined && small.get.size == 11 && small.get == small.get.sorted)
+    val big = Similarity.smallUniverse(Similarity.tokenSetGroups(spark, bigVocabFixture()))
+    assert(big.isEmpty)
+  }
+
+  test("masked strategy = general strategy: identical set pairs on the same corpus") {
+    // the fixture's 11-token universe takes the masked path in
+    // setPairsAbove; the general path is invoked explicitly on the SAME
+    // groups — both must emit exactly the same (ga, gb, jaccard, ma, mb)
+    val dir = fixture()
+    graft.functions.GraftFunctions.register(spark)
+    val groups = Similarity.tokenSetGroups(spark, dir)
+    val masked = Similarity
+      .maskedSetPairs(groups, Similarity.smallUniverse(groups).get, 4, 5)
+      .orderBy("ga", "gb").collect().map(_.toString).toSeq
+    val general = Similarity
+      .verifySetJaccardWithMembersGeneral(
+        Similarity.prefixJoinCandidates(groups, 4, 5), groups, 0.8, BigInt(1))
+      .orderBy("ga", "gb").collect().map(_.toString).toSeq
+    assert(masked.nonEmpty && masked == general)
+  }
+
+  test("general path (>64-token universe): plan uses merge-scan verify; pairs brute-force-exact") {
+    val dir = bigVocabFixture()
+    graft.functions.GraftFunctions.register(spark)
+    val out = Similarity.q21JaccardNeardup(spark, dir)
+    assert(out.queryExecution.executedPlan.toString.contains("sorted_intersect_count"),
+      "large universe must verify via the native merge-scan")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // brute-force truth computed in the test, not the engine
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ").toSet)).toSeq
+    val want = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.8
+    } yield (a, b, math.floor(j * 10000 + 0.5) / 10000)).sortBy(p => (p._1, p._2))
+    assert(got.sortBy(p => (p._1, p._2)) == want && want.nonEmpty)
+  }
+
   test("expandNearDupPairs (join-based, q26 path) agrees with expandWithMembers") {
     val dir = fixture()
     graft.functions.GraftFunctions.register(spark)
