@@ -233,6 +233,15 @@ class PlanQualitySpec extends SparkSpecBase {
       s"only the bucket-totals window may be single-partition:\n$p")
   }
 
+  test("q86: 3 FileScans, and no multi-distinct Expand above the orders join") {
+    // the (l_orderkey, l_suppkey) pre-aggregate makes suppliers distinct
+    // per order, so the per-order agg uses plain counts — a countDistinct
+    // formulation planned an Expand that tripled every joined row
+    val p = physical(Relational.q86SoleLateSupplier(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).length == 3, s"expected 3 FileScans:\n$p")
+    assert(!p.contains("Expand"), s"multi-distinct Expand must not reappear:\n$p")
+  }
+
   test("q89: funnel plans as aggregates + hash joins, never a full-stream window") {
     val p = physical(graft.ops.Events.q89Funnel(spark, sf))
     assert(!p.contains("Window"), s"funnel must not window the event stream:\n$p")
