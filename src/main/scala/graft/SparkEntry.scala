@@ -140,6 +140,7 @@ object SparkEntry {
     "q101_volume_shipping" -> (Relational.q101VolumeShipping _),
     "q102_market_share" -> (Relational.q102MarketShare _),
     "q103_product_profit" -> (Relational.q103ProductProfit _),
+    "q104_repeated_spans" -> (TextOps.q104RepeatedSpans _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -849,6 +850,25 @@ object SparkEntry {
         "CAST(len(list_intersect(nb.toks, ib.toks)) AS DOUBLE) / " +
         "(len(nb.toks) + len(ib.toks) - len(list_intersect(nb.toks, ib.toks))) >= 0.8 " +
         "GROUP BY nb.doc_id ORDER BY nb.doc_id"),
+    // q104: full replay of the ExactSubstr reduction over gram STRINGS
+    // (the engine joins on xxhash64 gram ids — injective w.h.p., the
+    // q21/q59 relabeling argument). range(1, len-13) is empty for docs
+    // under 15 tokens; w[i : i+14] is DuckDB's 1-based inclusive slice
+    // = the 15-token window at 0-based pos i-1. Islands merge via the
+    // same running-max-end window the engine uses.
+    "q104_repeated_spans" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "p AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 13)) AS i FROM t), " +
+        "g AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i : i + 14], ' ') AS gram FROM p), " +
+        "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1), " +
+        "h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)), " +
+        "m AS (SELECT doc_id, pos, max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM h), " +
+        "s AS (SELECT doc_id, pos, sum(CASE WHEN prev_end IS NULL OR pos > prev_end " +
+        "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM m) " +
+        "SELECT doc_id, min(pos) AS span_start, max(pos) + 15 AS span_end, " +
+        "max(pos) + 15 - min(pos) AS span_tokens FROM s " +
+        "GROUP BY doc_id, span_id ORDER BY doc_id, span_start"),
     "q96_filtered_global_agg" ->
       (s"SELECT ${dsum("l_extendedprice*l_discount")} AS revenue, count(*) AS n_lines " +
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +

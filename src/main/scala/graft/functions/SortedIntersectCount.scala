@@ -123,6 +123,8 @@ object GraftFunctions {
       exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("shingle_hashes",
       exprs => ShingleHashes(exprs.head, shingleN(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("gram_hashes",
+      exprs => GramHashes(exprs.head, shingleN(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("shingle_stats",
       exprs => ShingleStats(exprs.head, shingleN(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("prefix_intersect_count",
@@ -159,6 +161,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       exprs => SimHash64(exprs.head))
     inject(e, "shingle_hashes", classOf[ShingleHashes],
       exprs => ShingleHashes(exprs.head, GraftFunctions.shingleN(exprs(1))))
+    inject(e, "gram_hashes", classOf[GramHashes],
+      exprs => GramHashes(exprs.head, GraftFunctions.shingleN(exprs(1))))
     inject(e, "shingle_stats", classOf[ShingleStats],
       exprs => ShingleStats(exprs.head, GraftFunctions.shingleN(exprs(1))))
     inject(e, "prefix_intersect_count", classOf[PrefixIntersectCount],

@@ -61,7 +61,9 @@ object TextOps {
     * corpus — earlier doc, or earlier in the SAME doc — is removed,
     * and each document is reassembled from its surviving blocks.
     * First occurrence is (doc_id, block_id)-ordered, so the pass is
-    * deterministic and idempotent.
+    * deterministic and idempotent. Repetition the 10-token grid cannot
+    * align with (a repeated span at an arbitrary offset) is q104's
+    * substring-granularity protocol ([[q104RepeatedSpans]]).
     *
     * Scale design: the dedup decision is a MIN aggregate on block
     * content, not a window — min(struct(doc_id, block_id)) is
@@ -105,6 +107,67 @@ object TextOps {
           " ").as("clean_text"))
       .select("doc_id", "n_blocks", "n_kept", "clean_text")
       .orderBy("doc_id")
+  }
+
+  /** q104 — substring-granularity exact dedup (Lee et al. 2022's
+    * ExactSubstr protocol, the production-grade refinement of q93's
+    * fixed-block dedup): find every MAXIMAL token span of length ≥ L
+    * that occurs more than once anywhere in the corpus — an earlier
+    * doc, a later doc, or elsewhere in the SAME doc — and emit the
+    * per-doc span drop-list. Where q93 can only remove repetition
+    * aligned to its 10-token block grid (`q93BlockDedup`'s scaladoc
+    * names this operator as the granularity upgrade), this catches a
+    * repeated span at ANY offset: the reduction is that a span of
+    * length ≥ L repeats iff one of its L-grams repeats, so detection
+    * needs only fixed-width grams — Lee et al.'s suffix-array machinery
+    * exists to make gram probing cheap on one machine; on Spark the
+    * gram relation IS the distributed suffix index.
+    *
+    *  1. Positional L-gram hashes per doc — one row-local JIT'd kernel
+    *     ([[graft.functions.GramHashes]]), 8 bytes/gram.
+    *  2. Globally repeated grams: count ≥ 2 over (doc, pos) occurrences
+    *     — partial+final agg, so a boilerplate gram collapses map-side
+    *     (q93's hot-block discipline); the shuffle carries longs.
+    *  3. Hit positions (gram ∈ repeated) semi-join back on the hash.
+    *  4. Merge overlapping/adjacent [pos, pos+L) hit windows into
+    *     maximal spans — a per-doc running-max window (islands), keyed
+    *     by doc_id: distributed across docs, O(hits) within one.
+    *
+    * Output: one row per maximal repeated span, [span_start, span_end)
+    * in 0-based token positions. The drop-list is what the pipeline
+    * materializes (cut spans, keep one canonical occurrence — the
+    * retention choice Lee et al. leave to the consumer); Σ span_tokens
+    * per doc is the dedup pressure report. The oracle replays all four
+    * stages over gram STRINGS in DuckDB — hash-vs-string equivalence is
+    * the usual injective-w.h.p. relabeling argument (q21/q59).
+    */
+  def q104RepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val L = 15 // span threshold in tokens (Lee et al. use 50 BPE tokens; corpus-calibrated)
+    graft.functions.GraftFunctions.register(spark)
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(call_function("gram_hashes", split(col("text"), " "), lit(L)))
+          .as(Seq("pos", "gram")))
+    val repeated = grams
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select("gram")
+    val hits = grams.join(repeated, "gram").select("doc_id", "pos")
+    // islands: a hit starts a new span iff its window [pos, pos+L) is
+    // disjoint from (not even touching) everything before it
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(L))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("new_span",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(w))
+      .groupBy("doc_id", "span_id")
+      .agg(min(col("pos")).cast(LongType).as("span_start"),
+        (max(col("pos")) + lit(L)).cast(LongType).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
   }
 
   /** E4 — text stats: tokenize → explode → stopword-filter → term counts
