@@ -141,6 +141,8 @@ object SparkEntry {
     "q102_market_share" -> (Relational.q102MarketShare _),
     "q103_product_profit" -> (Relational.q103ProductProfit _),
     "q104_repeated_spans" -> (TextOps.q104RepeatedSpans _),
+    "q105_bpe_tokens" -> (TrainingData.q105BpeTokens _),
+    "q106_bpe_pack" -> (TrainingData.q106BpeSequencePack _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -151,6 +153,20 @@ object SparkEntry {
     s"CAST((2*CAST(sum(CAST($x AS DECIMAL(20,6)))*1000000 AS HUGEINT) + count(*)*100) " +
       s"// (2*count(*)*100) AS DOUBLE)/10000.0"
   private def rd4(x: String) = s"floor(($x)*10000 + 0.5)/10000"
+
+  /** DuckDB replay of the BPE stub, generated from the SAME merges
+    * constant the engine applies ([[graft.ops.TrainingData.BpeMerges]])
+    * so tokenizer and oracle cannot diverge: doc spelled as
+    * space-separated chars (word gaps -> '|'), rules folded as literal
+    * left-to-right replaces in rank order.
+    */
+  private def bpeMergedSql: String =
+    graft.ops.TrainingData.BpeMerges.foldLeft(
+      "array_to_string(string_split(translate(text, ' ', '|'), ''), ' ')") {
+      case (s, (a, b)) => s"replace($s, '$a', '$b')"
+    }
+  private def bpeTokSql: String =
+    s"CAST(len(string_split($bpeMergedSql, ' ')) - len(string_split(text, ' ')) + 1 AS BIGINT)"
   // wide-decimal mirror of Det.dsum4w (second moments: x², x·y)
   private def dsumw(x: String) = s"CAST(round(sum(CAST($x AS DECIMAL(28,6))), 4) AS DOUBLE)"
   private val tsUs = "CAST(ts AS TIMESTAMP)"
@@ -618,6 +634,23 @@ object SparkEntry {
     "q80_sequence_pack" ->
       ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
         "FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) " +
+        "AS start_token FROM t) " +
+        "SELECT doc_id, n_tokens, start_token, start_token // 2048 AS seq_id, " +
+        "start_token % 2048 AS seq_offset, " +
+        "(start_token + n_tokens - 1) // 2048 - start_token // 2048 + 1 AS n_seqs_spanned " +
+        "FROM c ORDER BY doc_id"),
+    // q105/q106: the BPE replay SQL is GENERATED from TrainingData.
+    // BpeMerges (see bpeMergedSql) — one source of truth for both sides
+    "q105_bpe_tokens" ->
+      (s"WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
+        s"$bpeTokSql AS bpe_tokens FROM documents) " +
+        s"SELECT doc_id, ws_tokens, bpe_tokens, " +
+        s"${rd4("CAST(bpe_tokens AS DOUBLE)/ws_tokens")} AS tokens_per_word " +
+        "FROM t ORDER BY doc_id"),
+    "q106_bpe_pack" ->
+      (s"WITH t AS (SELECT doc_id, $bpeTokSql AS n_tokens FROM documents), " +
         "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER " +
         "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) " +
         "AS start_token FROM t) " +

@@ -329,12 +329,17 @@ object TrainingData {
     * the same construction covers corpora where even the bucket-total
     * relation is large.
     */
-  def q80SequencePack(spark: SparkSession, dir: String): DataFrame = {
+  def q80SequencePack(spark: SparkSession, dir: String): DataFrame =
+    packByTokens(Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tokens")))
+
+  /** The packing construction over any (doc_id, n_tokens) relation —
+    * q80 measures in whitespace tokens, q106 in BPE units.
+    */
+  private[ops] def packByTokens(tokenCounts: DataFrame): DataFrame = {
     val seqLen = 2048L
     val bucketSize = 1000L
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
-      .withColumn("bucket", expr(s"doc_id div $bucketSize"))
+    val docs = tokenCounts.withColumn("bucket", expr(s"doc_id div $bucketSize"))
     val wInBucket = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inBucket = docs.withColumn("cum_in_bucket", sum(col("n_tokens")).over(wInBucket))
@@ -354,6 +359,74 @@ object TrainingData {
           - expr(s"start_token div $seqLen") + lit(1L)).as("n_seqs_spanned"))
       .orderBy("doc_id")
   }
+
+  /** The fixed BPE merges table — the deterministic tokenizer stub that
+    * upgrades the engine's token accounting from whitespace tokens to
+    * (approximate) BPE token units. Rules are (pair → merged symbol) in
+    * RANK order and apply sequentially, later rules over earlier rules'
+    * output (\"th e\"→\"the\" only fires after \"t h\"→\"th\") — the
+    * real BPE rank semantics on a hand-fixed table. A production
+    * deployment swaps this constant for a learned merges file
+    * (broadcast, same replay); the ACCOUNTING plumbing — per-doc token
+    * counts in tokenizer units feeding chunking/packing/stats — is what
+    * the engine contributes, and it is invariant to the table.
+    *
+    * The replay is exact and engine-portable: a word spelled as
+    * space-separated characters, each rule a literal left-to-right
+    * `replace`. [[graft.SparkEntry.oracleSql]] generates the DuckDB
+    * mirror from THIS constant, so the two sides cannot diverge.
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t h" -> "th", "th e" -> "the", "i n" -> "in", "a n" -> "an",
+    "o r" -> "or", "e r" -> "er", "s t" -> "st", "a s" -> "as",
+    "j o" -> "jo", "jo in" -> "join", "h as" -> "has", "has h" -> "hash")
+
+  /** BPE token count of a text column, row-local and fully codegen'd
+    * (builtin string functions only, no HOF): spell the whole doc as
+    * space-separated characters with word gaps as a `|` marker (merges
+    * never cross words — no rule contains `|`), fold the merges table
+    * through literal replaces, and count symbols. Tokens = symbols −
+    * markers, markers = whitespace_tokens − 1. The trailing empty
+    * element Spark's `split(s, \"\")` appends is trimmed away.
+    */
+  private[ops] def bpeTokenCount(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val spaced = trim(array_join(split(translate(text, " ", "|"), ""), " "))
+    val merged = BpeMerges.foldLeft(spaced) { case (c, (a, b)) =>
+      call_function("replace", c, lit(a), lit(b))
+    }
+    (size(split(merged, " ")) - size(split(text, " ")) + 1).cast(LongType)
+  }
+
+  /** q105 — tokenizer-aware token accounting: per doc, the whitespace
+    * token count every earlier operator used (q29/q58/q64/q80) beside
+    * the BPE-unit count from the fixed merges table, and their ratio.
+    * This is the operator that prices a corpus in the units the
+    * training run actually consumes — chunk budgets, packing lengths
+    * and mixing weights keyed on whitespace tokens are systematically
+    * wrong by exactly this ratio. Row-local, no shuffle before the
+    * output sort.
+    */
+  def q105BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val ws = size(split(col("text"), " ")).cast(LongType)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws_tokens"), bpeTokenCount(col("text")).as("bpe_tokens"))
+      .withColumn("tokens_per_word",
+        roundD4(col("bpe_tokens").cast("double") / col("ws_tokens")))
+      .orderBy("doc_id")
+  }
+
+  /** q106 — q80's sequence packing in BPE token units: identical
+    * two-level prefix-sum construction (see [[q80SequencePack]] for the
+    * scale argument), but documents are measured with
+    * [[bpeTokenCount]], so sequence boundaries land where the
+    * tokenizer — not the whitespace approximation — says they land.
+    * Packing with the wrong units misplaces every boundary after the
+    * first long document; this variant is what an actual pretraining
+    * data run schedules.
+    */
+  def q106BpeSequencePack(spark: SparkSession, dir: String): DataFrame =
+    packByTokens(Tables.documents(spark, dir)
+      .select(col("doc_id"), bpeTokenCount(col("text")).as("n_tokens")))
 
   /** q81 — incremental dedup against an existing corpus: the production
     * shape where yesterday's corpus is already deduplicated and INDEXED
