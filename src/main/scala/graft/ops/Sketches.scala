@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 object Sketches {
 
   private val NumPerm = 32 // minhash permutations
-  private val Bands = 8 // 8 bands × 4 rows: P(collide) ≈ 1-(1-j⁴)⁸, ~0.97 at j=0.8
+  private[graft] val Bands = 8 // 8 bands × 4 rows: P(collide) ≈ 1-(1-j⁴)⁸, ~0.97 at j=0.8
 
   /** One-join first-collision candidate generation, shared by q25/q26:
     * input rows carry their full signature as SCALAR hash columns
@@ -43,15 +43,80 @@ object Sketches {
       (col("gid") +: scalarCols) :+
         posexplode(array((0 until nBands).map(j => col(s"h$j")): _*))
           .as(Seq("band_id", "band_hash")): _*)
-    val anyEarlier = (1 until nBands).map { i =>
-      (col("a.band_id") === i) &&
-        (0 until i).map(j => col(s"a.h$j") === col(s"b.h$j")).reduce(_ || _)
-    }.reduce(_ || _)
+    val anyEarlier = earlierBandCollision(nBands)
     banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_hash") === col("b.band_hash") &&
           col("a.gid") < col("b.gid") && !anyEarlier)
       .select(col("a.gid").as("ga") +: col("b.gid").as("gb") +:
         carry.flatMap(c => Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))): _*)
+  }
+
+  /** Attach the per-row banded minhash signature as SCALAR columns
+    * h0..h{Bands-1}, keeping `keep`'s columns: one codegen'd loop per
+    * set (graft.functions.MinHashSignature) — the nested-HOF
+    * formulation evaluates 32·|toks| interpreted lambdas. Shared by the
+    * self-join candidate generation (q25) and the persisted index /
+    * streaming-probe pair ([[indexSignatures]] /
+    * [[graft.streaming.StreamingOps.nearDupAdmitStream]]) so both sides
+    * of an index probe band identically by construction.
+    */
+  private[graft] def withBandHashes(df: DataFrame, toksCol: String, keep: Seq[String]): DataFrame = {
+    val rowsPerBand = NumPerm / Bands
+    df.withColumn("sig", call_function("minhash_signature", col(toksCol)))
+      .select(keep.map(col) ++ (0 until Bands).map { j =>
+        xxhash64((0 until rowsPerBand).map(k =>
+          element_at(col("sig"), j * rowsPerBand + k + 1)): _*).as(s"h$j")
+      }: _*)
+  }
+
+  /** True iff the a/b row pair already collided in a band BEFORE
+    * a.band_id — the first-collision exactly-once emission predicate,
+    * shared by the q25/q26 self-joins and the streaming index probe.
+    */
+  private[graft] def earlierBandCollision(nBands: Int): org.apache.spark.sql.Column =
+    (1 until nBands).map { i =>
+      (col("a.band_id") === i) &&
+        (0 until i).map(j => col(s"a.h$j") === col(s"b.h$j")).reduce(_ || _)
+    }.reduce(_ || _)
+
+  /** The LSH banding front end alone: candidate (ga, gb) SET pairs from
+    * the first-collision banding join over a collapsed corpus — exposed
+    * so LshAdvantageSpec can COUNT candidates against the exact prefix
+    * join's on corpora where the two filters diverge (the sublinear
+    * claim is measured, not asserted). Band hash j is the builtin
+    * xxhash64 over the band's 4 signature slots (extracted with
+    * codegen'd element_at, not a CodegenFallback slice/transform) —
+    * equal sub-signatures always collide, so candidate semantics and
+    * the verified output are unchanged by the hash choice.
+    */
+  private[ops] def minhashBandCandidates(groups: DataFrame): DataFrame =
+    firstCollisionPairs(withBandHashes(groups, "toks", Seq("gid")), Bands, Nil)
+
+  /** The persisted LSH INDEX artifact for streaming near-dup admission:
+    * one row per (band_id, band_hash) posting of each distinct token
+    * set of the indexed corpus (sources src0–src9, q81/q100's
+    * convention), carrying the set itself (for exact verification), its
+    * size, its index-doc count, and the full banded signature (for the
+    * first-collision probe dedup). A production pipeline writes THIS
+    * relation to a staging table partitioned/bucketed by (band_id,
+    * band_hash) and every admission job — batch or streaming — probes
+    * it; it is all longs and long arrays, so a parquet round trip is
+    * exact.
+    */
+  def indexSignatures(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val indexSources = (0 to 9).map(i => s"src$i")
+    val idx = graft.Tables.documents(spark, dir)
+      .filter(col("source").isin(indexSources: _*))
+      .select(col("doc_id"),
+        call_function("shingle_hashes", split(col("text"), " "), lit(1)).as("toks"))
+    val groups = Similarity.tokenSetGroupsBy(idx)
+      .withColumn("idx_docs", size(col("members")).cast(LongType))
+    withBandHashes(groups, "toks", Seq("gid", "toks", "sz", "idx_docs"))
+      .select(col("gid") +: col("toks") +: col("sz") +: col("idx_docs") +:
+        (0 until Bands).map(j => col(s"h$j")) :+
+        posexplode(array((0 until Bands).map(j => col(s"h$j")): _*))
+          .as(Seq("band_id", "band_hash")): _*)
   }
 
   /** q25 — MinHash+LSH near-dup: per-doc signature = min of xxhash64
@@ -66,31 +131,8 @@ object Sketches {
     * to repair it (44.9 s at sf0.1 — slower than the exact q21 it
     * approximates). See [[firstCollisionPairs]] for how each pair is
     * instead emitted exactly once from its lowest colliding band with
-    * every predicate codegen'd. Band hash j is the builtin
-    * xxhash64 over the band's 4 signature slots (extracted with
-    * codegen'd element_at, not a CodegenFallback slice/transform) —
-    * equal sub-signatures always collide, so candidate semantics and
-    * the verified output are unchanged by the hash choice.
+    * every predicate codegen'd.
     */
-  /** The LSH banding front end alone: candidate (ga, gb) SET pairs from
-    * the first-collision banding join over a collapsed corpus — exposed
-    * so LshAdvantageSpec can COUNT candidates against the exact prefix
-    * join's on corpora where the two filters diverge (the sublinear
-    * claim is measured, not asserted).
-    */
-  private[ops] def minhashBandCandidates(groups: DataFrame): DataFrame = {
-    // one codegen'd loop per set (graft.functions.MinHashSignature) —
-    // the nested-HOF formulation evaluates 32·|toks| interpreted lambdas
-    val rowsPerBand = NumPerm / Bands
-    val withBands = groups
-      .withColumn("sig", call_function("minhash_signature", col("toks")))
-      .select(col("gid") +: (0 until Bands).map { j =>
-        xxhash64((0 until rowsPerBand).map(k =>
-          element_at(col("sig"), j * rowsPerBand + k + 1)): _*).as(s"h$j")
-      }: _*)
-    firstCollisionPairs(withBands, Bands, Nil)
-  }
-
   def q25MinhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val threshold = 0.8
     graft.functions.GraftFunctions.register(spark)

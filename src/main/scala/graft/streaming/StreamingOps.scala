@@ -130,6 +130,58 @@ object StreamingOps {
       graft.ops.CorpusPrep.scrubAndGate(docs.select("doc_id", "text")),
       graft.ops.CorpusPrep.ChunkWindow, graft.ops.CorpusPrep.ChunkStride)
 
+  /** Streaming near-dup ADMISSION (q100's streaming twin): probe each
+    * incoming document against the PERSISTED index signature table
+    * ([[graft.ops.Sketches.indexSignatures]] — LSH band postings of the
+    * indexed corpus) and emit one evidence row per (doc, index group)
+    * near-dup hit. This is the LSH swap-in q100's scaladoc names: where
+    * the batch q100 runs the exact prefix cascade over index ∪ batch,
+    * the stream probes an index that never re-shuffles —
+    *
+    *  - stream side: row-local token-set + banded-signature build (the
+    *    SAME kernels and band layout as the index builder, so both
+    *    sides band identically by construction);
+    *  - a STATELESS stream-static equi-join on (band_id, band_hash) —
+    *    no watermark, no state store; the static side re-resolves per
+    *    micro-batch, so index updates between batches are picked up;
+    *  - first-collision predicate ([[graft.ops.Sketches
+    *    .earlierBandCollision]]) emits each (doc, group) pair from its
+    *    lowest colliding band only — pairs exit the join distinct;
+    *  - exact-Jaccard verification INSIDE the join (native merge-scan,
+    *    integer threshold arithmetic — no false positives).
+    *
+    * Output: (doc_id, partner_gid, idx_docs, jaccard). A doc is
+    * REJECTED iff it has any evidence row; Σ idx_docs per doc is its
+    * q100 partner count. Recall vs the exact cascade is the standard
+    * LSH trade (SketchRecallSpec measures it); StreamingSpec asserts
+    * exact parity with q100 on a drained fixture whose pairs collide.
+    */
+  def nearDupAdmitStream(docs: DataFrame, sigs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import graft.ops.Sketches
+    val stream = docs.select(col("doc_id"),
+        call_function("shingle_hashes", split(col("text"), " "), lit(1)).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .filter(col("sz") > 0)
+    val nBands = Sketches.Bands
+    val banded = Sketches.withBandHashes(stream, "toks", Seq("doc_id", "toks", "sz"))
+      .select(col("doc_id") +: col("toks") +: col("sz") +:
+        (0 until nBands).map(j => col(s"h$j")) :+
+        posexplode(array((0 until nBands).map(j => col(s"h$j")): _*))
+          .as(Seq("band_id", "band_hash")): _*)
+    val inter = call_function("sorted_intersect_count", col("a.toks"), col("b.toks"))
+    banded.as("a").join(broadcast(sigs.as("b")),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          !Sketches.earlierBandCollision(nBands) &&
+          // exact J >= 4/5 in integer arithmetic (q21's threshold)
+          lit(5) * inter >= lit(4) * (col("a.sz") + col("b.sz") - inter))
+      .select(col("a.doc_id").as("doc_id"), col("b.gid").as("partner_gid"),
+        col("b.idx_docs").as("idx_docs"),
+        graft.ops.Det.roundD4(inter.cast("double") /
+          (col("a.sz") + col("b.sz") - inter)).as("jaccard"))
+  }
+
   /** Stream-stream interval join: each click joined to the same user's
     * purchases within the following `window` — both sides watermarked,
     * so the join state store only retains rows until the other side's
