@@ -99,6 +99,7 @@ object SparkEntry {
     "q60_topk_per_group" -> (Analytics.q60TopkPerGroup _),
     "q61_salted_join" -> (Analytics.q61SaltedJoin _),
     "q62_dedup_clusters" -> (Similarity.q62DedupClusters _),
+    "q62b_dedup_clusters_star" -> (Similarity.q62bDedupClustersStar _),
     "q63_pii_scrub" -> (TextOps.q63PiiScrub _),
     "q64_chunk" -> (TrainingData.q64Chunk _),
     "q65_temperature_mix" -> (TrainingData.q65TemperatureMix _),
@@ -153,6 +154,23 @@ object SparkEntry {
     s"CAST((2*CAST(sum(CAST($x AS DECIMAL(20,6)))*1000000 AS HUGEINT) + count(*)*100) " +
       s"// (2*count(*)*100) AS DOUBLE)/10000.0"
   private def rd4(x: String) = s"floor(($x)*10000 + 0.5)/10000"
+
+  /** Shared by q62 (hash-min) and q62b (large/small-star): reachability
+    * via a recursive CTE, min label per doc — algorithm-independent
+    * component truth.
+    */
+  private val q62OracleSql: String =
+    "WITH RECURSIVE " +
+      "t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks " +
+      "FROM documents), " +
+      "tt AS (SELECT * FROM t WHERE len(toks) > 0), " +
+      "e0 AS (SELECT a.doc_id AS u, b.doc_id AS v FROM tt a JOIN tt b ON a.doc_id < b.doc_id " +
+      "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+      "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8), " +
+      "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), " +
+      "r AS (SELECT doc_id AS v, doc_id AS lbl FROM tt " +
+      "UNION SELECT e.v, r.lbl FROM r JOIN e ON e.u = r.v) " +
+      "SELECT v AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY v ORDER BY doc_id"
 
   /** DuckDB replay of the BPE stub, generated from the SAME merges
     * constant the engine applies ([[graft.ops.TrainingData.BpeMerges]])
@@ -715,18 +733,10 @@ object SparkEntry {
     // oracle's recursion is quadratic in component size — exact and
     // fast at the driver's sf0.01 correctness scale, but not meant for
     // sf0.1+ (the ENGINE side stays scale-linear per round).
-    "q62_dedup_clusters" ->
-      ("WITH RECURSIVE " +
-        "t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks " +
-        "FROM documents), " +
-        "tt AS (SELECT * FROM t WHERE len(toks) > 0), " +
-        "e0 AS (SELECT a.doc_id AS u, b.doc_id AS v FROM tt a JOIN tt b ON a.doc_id < b.doc_id " +
-        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
-        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8), " +
-        "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), " +
-        "r AS (SELECT doc_id AS v, doc_id AS lbl FROM tt " +
-        "UNION SELECT e.v, r.lbl FROM r JOIN e ON e.u = r.v) " +
-        "SELECT v AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY v ORDER BY doc_id"),
+    "q62_dedup_clusters" -> q62OracleSql,
+    // q62b: SAME oracle — the star variant must be label-identical to
+    // hash-min; only the round structure differs
+    "q62b_dedup_clusters_star" -> q62OracleSql,
     // q63: DuckDB regexp_replace is single-match by default — the 'g'
     // flag mirrors Spark's replace-all semantics; patterns are RE2-safe.
     // Counts run on the PROGRESSIVELY scrubbed text (same as the

@@ -776,17 +776,42 @@ object Similarity {
     // the label init AND the final member expansion — one computation
     val groups = staged(tokenSetGroups(spark, dir))
     val edges = setPairsAbove(groups, 4, 5, docBytes).select(col("ga"), col("gb"))
+    val (labels, _) = hashMinLabels(groups.select(col("gid")), edges)
+    expandClusterLabels(groups, labels)
+  }
+
+  /** Expand group-level component labels to docs: every member of a
+    * group shares its group's label; groups absent from `labels`
+    * (isolated nodes under [[starLabels]]) are their own component.
+    */
+  private def expandClusterLabels(groups: DataFrame, labels: DataFrame): DataFrame =
+    groups.select(explode(col("members")).as("doc_id"), col("gid"))
+      .join(labels, Seq("gid"), "left_outer")
+      .select(col("doc_id"), coalesce(col("lbl"), col("gid")).as("cluster_id"))
+      .orderBy("doc_id")
+
+  /** Hash-min label propagation (q62's engine), factored so the round
+    * count is observable: every node starts labeled with its own id
+    * and iteratively takes the min of its neighbors' labels —
+    * O(component diameter) rounds. Returns (labels (gid, lbl), rounds).
+    *
+    * One hash-min step in TWO shuffles (join + agg), not three: the
+    * node's own label rides along as a one-row union branch (prev =
+    * max over the single non-null `old`), so the new label AND the
+    * did-it-change flag fall out of one min-aggregation — no second
+    * join against the previous labels, and the convergence count is a
+    * scan of the checkpointed round output rather than its own join.
+    * ONE hop per materialization: a measured two-hop variant
+    * (prop(prop(labels)) per checkpoint) ran ~40% SLOWER at sf0.1 —
+    * the doubled shuffle count per job costs more than the saved
+    * round scheduling at this graph size.
+    */
+  private[graft] def hashMinLabels(nodes: DataFrame, edges: DataFrame): (DataFrame, Int) = {
     // symmetric edge list: propagate labels both directions
     val sym = edges.union(edges.select(col("gb").as("ga"), col("ga").as("gb")))
       .withColumnRenamed("ga", "src").withColumnRenamed("gb", "dst")
-      .localCheckpoint(true) // verify cascade runs ONCE, not once per iteration
-    var labels = groups.select(col("gid"), col("gid").as("lbl")).localCheckpoint(true)
-    // One hash-min step in TWO shuffles (join + agg), not three: the
-    // node's own label rides along as a one-row union branch (prev =
-    // max over the single non-null `old`), so the new label AND the
-    // did-it-change flag fall out of one min-aggregation — no second
-    // join against the previous labels, and the convergence count is a
-    // scan of the checkpointed round output rather than its own join.
+      .localCheckpoint(true) // the edge build runs ONCE, not once per iteration
+    var labels = nodes.select(col("gid"), col("gid").as("lbl")).localCheckpoint(true)
     def prop(l: DataFrame): DataFrame =
       sym.join(l.select(col("gid").as("dst"), col("lbl").as("nlbl")), "dst")
         .select(col("src").as("gid"), col("nlbl"), lit(null).cast("long").as("old"))
@@ -796,22 +821,87 @@ object Similarity {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
-      // ONE hop per materialization: a measured two-hop variant
-      // (prop(prop(labels)) per checkpoint) ran ~40% SLOWER at sf0.1 —
-      // the doubled shuffle count per job costs more than the saved
-      // round scheduling at this graph size
       val next = prop(labels).localCheckpoint(true)
       changed = next.filter(col("lbl") =!= col("prev")).count()
       labels = next.select("gid", "lbl")
       rounds += 1
     }
     require(changed == 0, s"hash-min did not converge in $rounds rounds")
-    // expand group labels to docs: every member of a group shares its
-    // group's component label
-    groups.select(explode(col("members")).as("doc_id"), col("gid"))
-      .join(labels, "gid")
-      .select(col("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy("doc_id")
+    (labels, rounds)
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the documented
+    * upgrade over [[hashMinLabels]] when component DIAMETER matters:
+    * hash-min moves the minimum one hop per round (a 10⁶-node chain =
+    * 10⁶ rounds), where the star operations re-point whole
+    * neighborhoods at their local minimum and converge in O(log²) —
+    * practically a handful of — rounds (StarComponentsSpec measures
+    * the drop on a long-chain fixture).
+    *
+    *  - large-star: per node u, every neighbor LARGER than u re-points
+    *    to m(u) = min(Γ(u) ∪ {u}) — strictly-larger links keep the
+    *    step monotone (no 2-cycles), and hot high-degree nodes are one
+    *    agg group + one join fan-out, both long-keyed shuffles.
+    *  - small-star: per node u over its ≤-neighbors (canonical
+    *    hi→lo edges grouped by hi), every such neighbor and u itself
+    *    re-point to the minimum — the step that flattens chains.
+    * Each round is 2 aggs + 2 joins on longs; edges stay distinct
+    * pairs, lineage checkpointed (cluster delta: reliable-storage
+    * checkpoints, SCALE.md). Fixed point = every component a star
+    * around its minimum (the paper's invariant), detected by an
+    * unchanged canonical edge set; labels read directly off the final
+    * hi→lo star edges. Nodes with no edges are absent — callers
+    * default them to themselves ([[expandClusterLabels]]).
+    */
+  private[graft] def starLabels(edges: DataFrame): (DataFrame, Int) = {
+    // canonical distinct (hi, lo) pairs, self-loops dropped
+    var e = edges
+      .select(greatest(col("ga"), col("gb")).as("hi"), least(col("ga"), col("gb")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct().localCheckpoint(true)
+    def largeStar(ed: DataFrame): DataFrame = {
+      val sym = ed.select(col("hi").as("u"), col("lo").as("v"))
+        .union(ed.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+    }
+    def smallStar(ed: DataFrame): DataFrame = {
+      // ed is canonical hi→lo: Γ≤ neighborhoods group by hi
+      val mins = ed.groupBy("hi").agg(min(col("lo")).as("m"))
+      ed.join(mins, "hi")
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(mins.select(col("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo")).distinct()
+    }
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < 50) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // fixed point: the canonical edge set is unchanged (both
+      // directions of the set difference must be empty)
+      changed = next.exceptAll(e).count() + e.exceptAll(next).count()
+      e = next
+      rounds += 1
+    }
+    require(changed == 0, s"large/small-star did not converge in $rounds rounds")
+    (e.select(col("hi").as("gid"), col("lo").as("lbl")), rounds)
+  }
+
+  /** q62b — q62's cluster labels via [[starLabels]] instead of
+    * hash-min: identical output behind the SAME DuckDB oracle; the
+    * variant exists because round count, not per-round cost, dominates
+    * on pathological diameters. See the scaladocs above for the trade.
+    */
+  def q62bDedupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docBytes = documentsSizeBytes(spark, dir)
+    val groups = staged(tokenSetGroups(spark, dir))
+    val edges = setPairsAbove(groups, 4, 5, docBytes).select(col("ga"), col("gb"))
+    val (labels, _) = starLabels(edges)
+    expandClusterLabels(groups, labels)
   }
 
   /** q100 — INCREMENTAL near-dup: which docs of an incoming batch are
