@@ -880,9 +880,10 @@ object Similarity {
     var changed = 1L
     while (changed > 0 && rounds < 50) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // fixed point: the canonical edge set is unchanged (both
-      // directions of the set difference must be empty)
-      changed = next.exceptAll(e).count() + e.exceptAll(next).count()
+      // fixed point: the canonical edge set is unchanged. Both sides
+      // are distinct sets, so |next| = |e| plus one empty difference
+      // implies equality — one anti-join instead of two
+      changed = if (next.count() != e.count()) 1L else next.exceptAll(e).count()
       e = next
       rounds += 1
     }

@@ -141,8 +141,19 @@ object TextOps {
     * stages over gram STRINGS in DuckDB — hash-vs-string equivalence is
     * the usual injective-w.h.p. relabeling argument (q21/q59).
     */
-  def q104RepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
-    val L = 15 // span threshold in tokens (Lee et al. use 50 BPE tokens; corpus-calibrated)
+  def q104RepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    repeatedSpans(spark, dir).orderBy("doc_id", "span_start")
+
+  /** Span threshold in tokens, shared by q104 (report) and q107
+    * (apply). Lee et al. use 50 BPE tokens; 15 is corpus-calibrated.
+    */
+  private[ops] val SpanL = 15
+
+  /** The unsorted span drop-list — q104's core, reused by q107's cut
+    * application.
+    */
+  private[ops] def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val L = SpanL
     graft.functions.GraftFunctions.register(spark)
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -167,7 +178,44 @@ object TextOps {
         (max(col("pos")) + lit(L)).cast(LongType).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))
-      .orderBy("doc_id", "span_start")
+  }
+
+  /** q107 — APPLY the ExactSubstr drop-list: cut every token covered
+    * by a repeated span (q104's coverage — all occurrences, Lee et
+    * al.'s default cut policy) and reassemble each document from its
+    * surviving tokens. The cut is a per-token anti-join against the
+    * span list: equi-keyed on doc_id with the range test as the join
+    * residual (a hash join, never a nested loop — the spans relation
+    * is output-sized, orders of magnitude under the token stream), and
+    * reassembly is q93's deterministic array_sort-of-structs
+    * aggregate. Docs whose every token is covered survive with empty
+    * clean_text (the document boundary is retained — dropping it is
+    * the consumer's mix decision), via the left join back to the
+    * corpus.
+    */
+  def q107SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val spans = repeatedSpans(spark, dir)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val kept = toks
+      .join(spans,
+        toks("doc_id") === spans("doc_id") &&
+          col("pos") >= col("span_start") && col("pos") < col("span_end"),
+        "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")),
+          " ").as("clean_text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
   }
 
   /** E4 — text stats: tokenize → explode → stopword-filter → term counts

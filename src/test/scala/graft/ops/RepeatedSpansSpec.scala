@@ -70,6 +70,31 @@ class RepeatedSpansSpec extends SparkSpecBase {
     assert(want.filter(_._1 == 4L) == Seq((4L, 0L, 30L, 30L)))
   }
 
+  test("q107 applies the cut: surviving tokens = exactly the brute-force-uncovered positions") {
+    val common = (1 to 20).map(i => s"c$i")
+    val docs: Seq[(Long, Array[String])] = Seq(
+      1L -> ((1 to 5).map(i => s"a$i") ++ common ++ (1 to 3).map(i => s"b$i")).toArray,
+      2L -> ((1 to 2).map(i => s"d$i") ++ common ++ (1 to 7).map(i => s"e$i")).toArray,
+      3L -> (1 to 16).map(i => s"f$i").toArray, // unique
+      4L -> (1 to 16).map(i => s"f$i").toArray) // exact dup -> fully cut, empty clean_text
+    val dir = tmpDir()
+    writeDocuments(dir, docs.map { case (d, w) => (d, w.mkString(" "), "en", "s", 1L) }: _*)
+    val spans = bruteSpans(docs)
+    val covered: Map[Long, Set[Long]] = spans.groupBy(_._1)
+      .view.mapValues(_.flatMap(s => s._2 until s._3).toSet).toMap
+    val want = docs.map { case (d, w) =>
+      val keep = w.zipWithIndex.collect {
+        case (t, i) if !covered.getOrElse(d, Set.empty).contains(i.toLong) => t
+      }
+      (d, w.length.toLong, keep.length.toLong, (w.length - keep.length).toLong, keep.mkString(" "))
+    }
+    val got = TextOps.q107SpanDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq
+    assert(got == want, s"got:\n${got.mkString("\n")}\nwant:\n${want.mkString("\n")}")
+    assert(got.filter(d => d._1 >= 3L).forall(_._5 == ""), "exact-dup docs must be fully cut")
+    assert(got.head._5 == ((1 to 5).map(i => s"a$i") ++ (1 to 3).map(i => s"b$i")).mkString(" "))
+  }
+
   test("q104: adjacent distinct repeats merge into one coverage interval (drop-list semantics)") {
     // two different 15-token repeated spans sitting back to back: the
     // coverage union is one 30-token interval even though no single
