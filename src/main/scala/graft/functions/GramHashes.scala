@@ -59,6 +59,11 @@ object GramHashes {
       i += 1
     }
     if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    // n = 1 short-circuits to the raw word hashes, exactly like
+    // ShingleHashes — the two kernels must assign any window the same
+    // id (GramHashesProps pins the invariant)
+    if (n == 1) return new GenericArrayData(
+      if (m == raw) wh0 else java.util.Arrays.copyOf(wh0, m))
     val out = new Array[Long](m - n + 1)
     i = 0
     while (i <= m - n) {

@@ -116,6 +116,37 @@ class CascadeInternalsSpec extends SparkSpecBase {
     assert(got.sortBy(p => (p._1, p._2)) == want && want.nonEmpty)
   }
 
+  test("masked strategy = brute force on 8 seeded random corpora, both thresholds") {
+    // randomized trial of the whole q21 pipeline under the
+    // small-universe strategy: word-soup docs over a 12-word vocab
+    // (dense near-dup space, exact dups included), doc-pair output
+    // compared against Jaccard computed directly on the string sets
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 12).map(i => s"v$i")
+    for (trial <- 0 until 8; (p, q) <- Seq((4, 5), (3, 5)).take(if (trial % 2 == 0) 2 else 1)) {
+      val docs = (1L to 30L).map { d =>
+        val sz = 4 + rnd.nextInt(6)
+        // draw from a prefix of the vocab so overlaps (and dups) are common
+        d -> Array.fill(sz)(vocab(rnd.nextInt(6 + rnd.nextInt(6)))).toSeq
+      }
+      val dir = tmpDir()
+      writeDocuments(dir, docs.map { case (d, w) => (d, w.mkString(" "), "en", "s", 1L) }: _*)
+      graft.functions.GraftFunctions.register(spark)
+      val groups = Similarity.tokenSetGroups(spark, dir)
+      assert(Similarity.smallUniverse(groups).isDefined) // trial must exercise the masked path
+      val got = Similarity.nearDupPairsFrom(groups, p, q, BigInt(1)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val sets = docs.map { case (d, w) => d -> w.toSet }
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size; uni = (sa | sb).size
+        if inter * q >= p * uni
+      } yield (a, b, math.floor(inter.toDouble / uni * 10000 + 0.5) / 10000)).toSet
+      assert(got == want,
+        s"trial $trial t=$p/$q: missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("expandNearDupPairs (join-based, q26 path) agrees with expandWithMembers") {
     val dir = fixture()
     graft.functions.GraftFunctions.register(spark)
