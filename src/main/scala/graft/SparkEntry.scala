@@ -145,6 +145,7 @@ object SparkEntry {
     "q105_bpe_tokens" -> (TrainingData.q105BpeTokens _),
     "q106_bpe_pack" -> (TrainingData.q106BpeSequencePack _),
     "q107_span_dedup" -> (TextOps.q107SpanDedup _),
+    "q108_cluster_stats" -> (Similarity.q108ClusterStats _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -160,7 +161,7 @@ object SparkEntry {
     * via a recursive CTE, min label per doc — algorithm-independent
     * component truth.
     */
-  private val q62OracleSql: String =
+  private val q62OracleCore: String =
     "WITH RECURSIVE " +
       "t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks " +
       "FROM documents), " +
@@ -171,7 +172,9 @@ object SparkEntry {
       "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), " +
       "r AS (SELECT doc_id AS v, doc_id AS lbl FROM tt " +
       "UNION SELECT e.v, r.lbl FROM r JOIN e ON e.u = r.v) " +
-      "SELECT v AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY v ORDER BY doc_id"
+      "SELECT v AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY v"
+
+  private def q62OracleSql: String = q62OracleCore + " ORDER BY doc_id"
 
   /** DuckDB replay of the BPE stub, generated from the SAME merges
     * constant the engine applies ([[graft.ops.TrainingData.BpeMerges]])
@@ -738,6 +741,11 @@ object SparkEntry {
     // q62b: SAME oracle — the star variant must be label-identical to
     // hash-min; only the round structure differs
     "q62b_dedup_clusters_star" -> q62OracleSql,
+    // q108: two groupings over the q62 component truth
+    "q108_cluster_stats" ->
+      (s"SELECT cluster_size, count(*) AS n_clusters, cluster_size * count(*) AS n_docs " +
+        s"FROM (SELECT cluster_id, count(*) AS cluster_size FROM ($q62OracleCore) " +
+        "GROUP BY cluster_id) GROUP BY cluster_size ORDER BY cluster_size"),
     // q63: DuckDB regexp_replace is single-match by default — the 'g'
     // flag mirrors Spark's replace-all semantics; patterns are RE2-safe.
     // Counts run on the PROGRESSIVELY scrubbed text (same as the

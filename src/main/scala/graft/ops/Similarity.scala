@@ -905,6 +905,21 @@ object Similarity {
     expandClusterLabels(groups, labels)
   }
 
+  /** q108 — dedup CLUSTER STATISTICS: the near-dup cluster-size
+    * distribution (how many components of each size, and how many docs
+    * they hold) — the observability readout cluster-level dedup
+    * decisions are made from (q62's scaladoc names it): a long tail of
+    * big clusters means aggressive template boilerplate; mass at size 1
+    * means the corpus is already clean. Two cheap aggregations over
+    * q62's component labels; the histogram is tiny at any corpus size.
+    */
+  def q108ClusterStats(spark: SparkSession, dir: String): DataFrame =
+    q62DedupClusters(spark, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
+
   /** q100 — INCREMENTAL near-dup: which docs of an incoming batch are
     * near-duplicates (J ≥ 0.8, q21's threshold) of an already-indexed
     * corpus — the continuous-ingest twin of q81's exact incremental

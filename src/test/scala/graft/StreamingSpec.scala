@@ -108,6 +108,19 @@ class StreamingSpec extends SparkSpecBase {
     // does) — in general LSH recall < 1 is the documented trade
     assert(streamPartners == q100, s"stream $streamPartners vs batch $q100")
     assert(q100 == Map(10L -> 2L, 11L -> 1L, 13L -> 2L))
+    // the scaladoc's persistence claim, checked: the index is all longs
+    // and long arrays, so probing a parquet round trip of it is
+    // row-identical to probing the in-memory build
+    val sigsDir = tmpDir()
+    sigs.write.mode("overwrite").parquet(s"$sigsDir/sigs.parquet")
+    val sigsBack = spark.read.parquet(s"$sigsDir/sigs.parquet")
+    val viaParquet = StreamingOps
+      .nearDupAdmitStream(batchDocs.toDF("doc_id", "text"), sigsBack)
+      .collect().map(_.toString).sorted.toSeq
+    val viaMemory = StreamingOps
+      .nearDupAdmitStream(batchDocs.toDF("doc_id", "text"), sigs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaParquet.nonEmpty && viaParquet == viaMemory)
   }
 
   test("streamToJdbc: micro-batched idempotent upsert into Derby, replay-safe") {
