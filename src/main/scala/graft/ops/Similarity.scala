@@ -158,18 +158,22 @@ object Similarity {
   /** Small-universe set-similarity join: the same prefix-filtered
     * candidate structure as [[prefixJoinCandidates]] (same prefix
     * length, same first-shared-token exactly-once emission, zero false
-    * negatives), but each side carries its 64-bit mask + members, and
-    * the exact Jaccard ≥ p/q test runs INSIDE the join as integer
-    * popcount arithmetic — q·|A∩B| ≥ p·(|A|+|B|−|A∩B|) — so no lookup
-    * joins, no array merge-scans, and no separate verify pass exist at
-    * all. Output schema matches [[verifySetJaccardWithMembers]]:
-    * (ga, gb, jaccard, ma, mb).
+    * negatives), but each side carries its 64-bit mask, and the exact
+    * Jaccard ≥ p/q test runs INSIDE the join as integer popcount
+    * arithmetic — q·|A∩B| ≥ p·(|A|+|B|−|A∩B|) — so no verify pass
+    * exists at all. The exploded prefix relation stays bounded (gid,
+    * sz, mask, ≤13-long prefix) — member lists deliberately do NOT
+    * ride through the explode (a hot group's members are corpus-sized;
+    * duplicating them per prefix position is the blow-up the general
+    * path's lookup-join design avoids, so this path attaches members
+    * the same way, AFTER the join — see [[setPairsAbove]]). Output:
+    * verified bare (ga, gb, jaccard).
     */
   private[ops] def maskedSetPairs(groups: DataFrame, vocab: Seq[Long], p: Int, q: Int): DataFrame = {
     val inter = bit_count(col("a.mask").bitwiseAND(col("b.mask")))
     val pref = withSetMask(groups, vocab)
       .withColumn("pre", slice(col("toks"), lit(1), expr(s"sz - (($p*sz + ${q - 1}) div $q) + 1")))
-      .select(col("gid"), col("sz"), col("mask"), col("members"), col("pre"),
+      .select(col("gid"), col("sz"), col("mask"), col("pre"),
         posexplode(col("pre")).as(Seq("pos", "tok_id")))
     pref.as("a").join(pref.as("b"), expr(
         "a.tok_id = b.tok_id AND a.gid < b.gid" +
@@ -177,20 +181,26 @@ object Similarity {
           " AND prefix_intersect_count(a.pre, a.pos, b.pre, b.pos) = 0" +
           s" AND $q * bit_count(a.mask & b.mask) >= $p * (a.sz + b.sz - bit_count(a.mask & b.mask))"))
       .select(col("a.gid").as("ga"), col("b.gid").as("gb"),
-        roundD4(inter.cast(DoubleType) / (col("a.sz") + col("b.sz") - inter)).as("jaccard"),
-        col("a.members").as("ma"), col("b.members").as("mb"))
+        roundD4(inter.cast(DoubleType) / (col("a.sz") + col("b.sz") - inter)).as("jaccard"))
   }
 
   /** THE set-similarity-join entry: qualifying (ga, gb, jaccard, ma,
     * mb) set pairs at threshold p/q over a collapsed corpus, strategy
     * picked by the universe statistic — bitmask-fused join under a ≤64
-    * universe ([[maskedSetPairs]]), prefix join + broadcast-verify
-    * otherwise. Both strategies emit each qualifying pair exactly once
-    * with identical jaccard values.
+    * universe ([[maskedSetPairs]], members attached to the verified
+    * pairs by the same gated lookup joins the general verify uses),
+    * prefix join + broadcast-verify otherwise. Both strategies emit
+    * each qualifying pair exactly once with identical jaccard values.
     */
   private[ops] def setPairsAbove(groups: DataFrame, p: Int, q: Int, docBytes: BigInt): DataFrame =
     smallUniverse(groups) match {
-      case Some(v) => maskedSetPairs(groups, v, p, q)
+      case Some(v) =>
+        def docSide(df: DataFrame): DataFrame =
+          if (underBroadcastGate(docBytes)) broadcast(df) else df
+        maskedSetPairs(groups, v, p, q)
+          .join(docSide(groups.select(col("gid").as("ga"), col("members").as("ma"))), "ga")
+          .join(docSide(groups.select(col("gid").as("gb"), col("members").as("mb"))), "gb")
+          .select(col("ga"), col("gb"), col("jaccard"), col("ma"), col("mb"))
       case None => verifySetJaccardWithMembers(
         prefixJoinCandidates(groups, p, q), groups, p.toDouble / q, docBytes)
     }

@@ -89,8 +89,9 @@ class CascadeInternalsSpec extends SparkSpecBase {
     val dir = fixture()
     graft.functions.GraftFunctions.register(spark)
     val groups = Similarity.tokenSetGroups(spark, dir)
+    assert(Similarity.smallUniverse(groups).isDefined)
     val masked = Similarity
-      .maskedSetPairs(groups, Similarity.smallUniverse(groups).get, 4, 5)
+      .setPairsAbove(groups, 4, 5, BigInt(1))
       .orderBy("ga", "gb").collect().map(_.toString).toSeq
     val general = Similarity
       .verifySetJaccardWithMembersGeneral(
