@@ -242,6 +242,21 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Expand"), s"multi-distinct Expand must not reappear:\n$p")
   }
 
+  test("q104: repeated-gram agg combines map-side; native gram kernel in the plan") {
+    val p = physical(graft.ops.TextOps.q104RepeatedSpans(spark, sf))
+    // a boilerplate gram must collapse BEFORE the exchange (q93's
+    // hot-key discipline) — partial_count is the map-side combine
+    assert(p.contains("partial_count"), s"repeated-gram agg must have a map-side partial:\n$p")
+    assert(p.contains("gram_hashes"), s"positional gram build must use the native kernel:\n$p")
+  }
+
+  test("q107: the span cut is a hash anti-join on doc_id, range as residual — no nested loop") {
+    val p = physical(graft.ops.TextOps.q107SpanDedup(spark, sf))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "doc_id must be extracted as the anti-join equi-key:\n" + p)
+  }
+
   test("q89: funnel plans as aggregates + hash joins, never a full-stream window") {
     val p = physical(graft.ops.Events.q89Funnel(spark, sf))
     assert(!p.contains("Window"), s"funnel must not window the event stream:\n$p")
