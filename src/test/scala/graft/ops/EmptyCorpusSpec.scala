@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSpecBase
+
+/** Degenerate-input behavior of the dedup/similarity family: an empty
+  * corpus, an all-short corpus (every doc under the gram/prefix
+  * minimums), and a single-doc corpus must produce empty (or identity)
+  * results — not crashes. These are the states a production pipeline
+  * hits on the first run of a new source or an over-aggressive
+  * upstream filter, where a thrown analyzer/runtime error would kill
+  * the whole job.
+  */
+class EmptyCorpusSpec extends SparkSpecBase {
+
+  private def emptyDir(): String = {
+    val dir = tmpDir()
+    writeDocuments(dir) // zero rows, full schema
+    dir
+  }
+
+  test("empty corpus: near-dup cascade, spans, cut, clusters, stats all return 0 rows") {
+    val dir = emptyDir()
+    graft.functions.GraftFunctions.register(spark)
+    assert(TextOps.q20DocDedupExact(spark, dir).count() == 0)
+    assert(Similarity.q21JaccardNeardup(spark, dir).count() == 0)
+    assert(Similarity.q56NeardupSurvivors(spark, dir).count() == 0)
+    assert(Similarity.q62DedupClusters(spark, dir).count() == 0)
+    assert(Similarity.q62bDedupClustersStar(spark, dir).count() == 0)
+    assert(Similarity.q108ClusterStats(spark, dir).count() == 0)
+    assert(TextOps.q104RepeatedSpans(spark, dir).count() == 0)
+    assert(TextOps.q107SpanDedup(spark, dir).count() == 0)
+    assert(Sketches.q25MinhashNeardup(spark, dir).count() == 0)
+    assert(Sketches.indexSignatures(spark, dir).count() == 0)
+  }
+
+  test("empty corpus: the small-universe probe reports an (empty) small universe") {
+    val dir = emptyDir()
+    graft.functions.GraftFunctions.register(spark)
+    val u = Similarity.smallUniverse(Similarity.tokenSetGroups(spark, dir))
+    assert(u.contains(Seq.empty))
+  }
+
+  test("all docs under the gram minimum: q104 empty, q107 is the identity") {
+    val dir = tmpDir()
+    writeDocuments(dir, (1L, "a b c", "en", "s", 1L), (2L, "d e", "en", "s", 1L))
+    graft.functions.GraftFunctions.register(spark)
+    assert(TextOps.q104RepeatedSpans(spark, dir).count() == 0)
+    val out = TextOps.q107SpanDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq
+    assert(out == Seq((1L, 3L, 3L, 0L, "a b c"), (2L, 2L, 2L, 0L, "d e")))
+  }
+
+  test("single doc: no pairs, one singleton cluster, survivor kept") {
+    val dir = tmpDir()
+    writeDocuments(dir, (7L, (1 to 20).map(i => s"w$i").mkString(" "), "en", "s", 1L))
+    graft.functions.GraftFunctions.register(spark)
+    assert(Similarity.q21JaccardNeardup(spark, dir).count() == 0)
+    val clusters = Similarity.q62DedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(clusters == Seq((7L, 7L)))
+    assert(Similarity.q56NeardupSurvivors(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(7L))
+    val stats = Similarity.q108ClusterStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stats == Seq((1L, 1L, 1L)))
+  }
+}
