@@ -146,6 +146,7 @@ object SparkEntry {
     "q106_bpe_pack" -> (TrainingData.q106BpeSequencePack _),
     "q107_span_dedup" -> (TextOps.q107SpanDedup _),
     "q108_cluster_stats" -> (Similarity.q108ClusterStats _),
+    "q109_clean_pack" -> (TrainingData.q109CleanPack _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -175,6 +176,31 @@ object SparkEntry {
       "SELECT v AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY v"
 
   private def q62OracleSql: String = q62OracleCore + " ORDER BY doc_id"
+
+  /** The q104/q107 span machinery as a reusable CTE list (shared by
+    * q107 and the q109 composition so the span semantics exist
+    * in ONE place on the oracle side too): t (tokenized docs) … sp
+    * (merged spans), tok (positional tokens), k (surviving tokens),
+    * ag (reassembled survivors).
+    */
+  private val spanCteChain: String =
+    "t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "p AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 13)) AS i FROM t), " +
+      "g AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i : i + 14], ' ') AS gram FROM p), " +
+      "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1), " +
+      "h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)), " +
+      "m AS (SELECT doc_id, pos, max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM h), " +
+      "s AS (SELECT doc_id, pos, sum(CASE WHEN prev_end IS NULL OR pos > prev_end " +
+      "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM m), " +
+      "sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 15 AS span_end " +
+      "FROM s GROUP BY doc_id, span_id), " +
+      "tok AS (SELECT doc_id, UNNEST(w) AS tok, UNNEST(range(0, len(w))) AS pos FROM t), " +
+      "k AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok WHERE NOT EXISTS " +
+      "(SELECT 1 FROM sp WHERE sp.doc_id = tok.doc_id " +
+      "AND tok.pos >= sp.span_start AND tok.pos < sp.span_end)), " +
+      "ag AS (SELECT doc_id, count(*) AS n_kept, string_agg(tok, ' ' ORDER BY pos) " +
+      "AS clean_text FROM k GROUP BY doc_id)"
 
   /** DuckDB replay of the BPE stub, generated from the SAME merges
     * constant the engine applies ([[graft.ops.TrainingData.BpeMerges]])
@@ -921,31 +947,30 @@ object SparkEntry {
         "SELECT doc_id, min(pos) AS span_start, max(pos) + 15 AS span_end, " +
         "max(pos) + 15 - min(pos) AS span_tokens FROM s " +
         "GROUP BY doc_id, span_id ORDER BY doc_id, span_start"),
-    // q107: q104's span CTEs + per-token NOT-EXISTS cut + ordered
-    // string_agg reassembly; parallel UNNESTs zip (pos beside tok)
+    // q107: the shared span CTE chain + per-token NOT-EXISTS cut +
+    // ordered string_agg reassembly; parallel UNNESTs zip (pos + tok)
     "q107_span_dedup" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
-        "p AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 13)) AS i FROM t), " +
-        "g AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i : i + 14], ' ') AS gram FROM p), " +
-        "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1), " +
-        "h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)), " +
-        "m AS (SELECT doc_id, pos, max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM h), " +
-        "s AS (SELECT doc_id, pos, sum(CASE WHEN prev_end IS NULL OR pos > prev_end " +
-        "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM m), " +
-        "sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 15 AS span_end " +
-        "FROM s GROUP BY doc_id, span_id), " +
-        "tok AS (SELECT doc_id, UNNEST(w) AS tok, UNNEST(range(0, len(w))) AS pos FROM t), " +
-        "k AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok WHERE NOT EXISTS " +
-        "(SELECT 1 FROM sp WHERE sp.doc_id = tok.doc_id " +
-        "AND tok.pos >= sp.span_start AND tok.pos < sp.span_end)), " +
-        "ag AS (SELECT doc_id, count(*) AS n_kept, string_agg(tok, ' ' ORDER BY pos) " +
-        "AS clean_text FROM k GROUP BY doc_id) " +
+      (s"WITH $spanCteChain " +
         "SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens, " +
         "COALESCE(ag.n_kept, 0) AS n_kept, " +
         "CAST(len(t.w) AS BIGINT) - COALESCE(ag.n_kept, 0) AS n_cut, " +
         "COALESCE(ag.clean_text, '') AS clean_text " +
         "FROM t LEFT JOIN ag USING (doc_id) ORDER BY doc_id"),
+    // q109: span cut -> drop fully-cut docs -> BPE re-measure ->
+    // re-pack. `cp` aliases clean_text AS text so the generated BPE
+    // replay (bpeTokSql, which reads `text`) applies unchanged.
+    "q109_clean_pack" ->
+      (s"WITH $spanCteChain, " +
+        "cp AS (SELECT doc_id, clean_text AS text FROM " +
+        "(SELECT ag.doc_id, ag.clean_text FROM ag WHERE ag.n_kept > 0)), " +
+        s"t2 AS (SELECT doc_id, $bpeTokSql AS n_tokens FROM cp), " +
+        "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) " +
+        "AS start_token FROM t2) " +
+        "SELECT doc_id, n_tokens, start_token, start_token // 2048 AS seq_id, " +
+        "start_token % 2048 AS seq_offset, " +
+        "(start_token + n_tokens - 1) // 2048 - start_token // 2048 + 1 AS n_seqs_spanned " +
+        "FROM c ORDER BY doc_id"),
     "q96_filtered_global_agg" ->
       (s"SELECT ${dsum("l_extendedprice*l_discount")} AS revenue, count(*) AS n_lines " +
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +

@@ -428,6 +428,21 @@ object TrainingData {
     packByTokens(Tables.documents(spark, dir)
       .select(col("doc_id"), bpeTokenCount(col("text")).as("n_tokens")))
 
+  /** q109 — the round-5 operators composed: ExactSubstr span cut
+    * (q107) → drop fully-cut documents → re-measure the SURVIVING text
+    * in BPE units (q105's tokenizer stub) → re-pack sequences (q80's
+    * two-level prefix sum). This is the ordering a production run
+    * cannot skip: substring dedup changes every document's token
+    * count, so any packing computed before the cut misplaces every
+    * sequence boundary after the first trimmed document. One oracle
+    * checks the whole chain (the span CTEs, the generated BPE replay
+    * and the cumsum live in one DuckDB statement).
+    */
+  def q109CleanPack(spark: SparkSession, dir: String): DataFrame =
+    packByTokens(TextOps.q107SpanDedup(spark, dir)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), bpeTokenCount(col("clean_text")).as("n_tokens")))
+
   /** q81 — incremental dedup against an existing corpus: the production
     * shape where yesterday's corpus is already deduplicated and INDEXED
     * (here: sources src0–src9 stand in for the existing index;
