@@ -816,12 +816,45 @@ object Similarity {
     * the doubled shuffle count per job costs more than the saved
     * round scheduling at this graph size.
     */
+  /** Borůvka-style single contraction, shared by both component
+    * algorithms: every edge-touched node maps to rep(u) =
+    * min(u, min Γ(u)) (ONE aggregate over the symmetric edge list),
+    * and edges are rewritten between representatives (loops dropped,
+    * distinct). Sound because u is adjacent to rep(u), so each
+    * contracted subset is connected; and a component's minimum m has
+    * rep(m) = m, so component minima survive as their own
+    * representatives and the contracted graph's min labels ARE the
+    * original component minima. Near-dup graphs are min-star-heavy
+    * (dense clique blobs around exact-dup collapses), so one
+    * contraction typically collapses the 10⁵-edge blob graph to a few
+    * thousand edges BEFORE any iteration runs — the iterative rounds
+    * then cycle over the contracted remnant. Chains contract poorly
+    * (length barely halves), which is exactly why the diameter
+    * argument between hash-min and large/small-star is unchanged.
+    * Returns (rep mapping (node, rep), contracted distinct (src, dst)
+    * pairs — symmetric input in, symmetric output out).
+    */
+  private def contractOnce(sym: DataFrame): (DataFrame, DataFrame) = {
+    val l0 = sym.groupBy("src").agg(least(min(col("dst")), col("src")).as("rep"))
+      .withColumnRenamed("src", "node").localCheckpoint(true)
+    val contracted = sym
+      .join(l0.select(col("node").as("src"), col("rep").as("rs")), "src")
+      .join(l0.select(col("node").as("dst"), col("rep").as("rd")), "dst")
+      .filter(col("rs") =!= col("rd"))
+      .select(col("rs").as("src"), col("rd").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    (l0, contracted)
+  }
+
   private[graft] def hashMinLabels(nodes: DataFrame, edges: DataFrame): (DataFrame, Int) = {
     // symmetric edge list: propagate labels both directions
-    val sym = edges.union(edges.select(col("gb").as("ga"), col("ga").as("gb")))
+    val sym0 = edges.union(edges.select(col("gb").as("ga"), col("ga").as("gb")))
       .withColumnRenamed("ga", "src").withColumnRenamed("gb", "dst")
       .localCheckpoint(true) // the edge build runs ONCE, not once per iteration
-    var labels = nodes.select(col("gid"), col("gid").as("lbl")).localCheckpoint(true)
+    val (l0, sym) = contractOnce(sym0)
+    var labels = l0.select(col("rep").as("gid")).distinct()
+      .select(col("gid"), col("gid").as("lbl")).localCheckpoint(true)
     def prop(l: DataFrame): DataFrame =
       sym.join(l.select(col("gid").as("dst"), col("lbl").as("nlbl")), "dst")
         .select(col("src").as("gid"), col("nlbl"), lit(null).cast("long").as("old"))
@@ -837,7 +870,13 @@ object Similarity {
       rounds += 1
     }
     require(changed == 0, s"hash-min did not converge in $rounds rounds")
-    (labels, rounds)
+    // compose: node → its representative's component label; nodes the
+    // edge list never touched label themselves
+    val expanded = nodes
+      .join(l0.withColumnRenamed("node", "gid"), Seq("gid"), "left_outer")
+      .join(labels.select(col("gid").as("rep"), col("lbl")), Seq("rep"), "left_outer")
+      .select(col("gid"), coalesce(col("lbl"), col("gid")).as("lbl"))
+    (expanded, rounds)
   }
 
   /** Large-star/small-star connected components (Kiveris et al.,
@@ -865,9 +904,15 @@ object Similarity {
     * default them to themselves ([[expandClusterLabels]]).
     */
   private[graft] def starLabels(edges: DataFrame): (DataFrame, Int) = {
+    // same Borůvka pre-contraction as hash-min (see [[contractOnce]]),
+    // then the star rounds run over the contracted remnant
+    val sym0 = edges.union(edges.select(col("gb").as("ga"), col("ga").as("gb")))
+      .withColumnRenamed("ga", "src").withColumnRenamed("gb", "dst")
+      .localCheckpoint(true)
+    val (l0, contracted) = contractOnce(sym0)
     // canonical distinct (hi, lo) pairs, self-loops dropped
-    var e = edges
-      .select(greatest(col("ga"), col("gb")).as("hi"), least(col("ga"), col("gb")).as("lo"))
+    var e = contracted
+      .select(greatest(col("src"), col("dst")).as("hi"), least(col("src"), col("dst")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct().localCheckpoint(true)
     def largeStar(ed: DataFrame): DataFrame = {
       val sym = ed.select(col("hi").as("u"), col("lo").as("v"))
@@ -898,7 +943,13 @@ object Similarity {
       rounds += 1
     }
     require(changed == 0, s"large/small-star did not converge in $rounds rounds")
-    (e.select(col("hi").as("gid"), col("lo").as("lbl")), rounds)
+    // compose: node → rep → star label (reps whose whole component
+    // contracted away are their own label)
+    val starLbls = e.select(col("hi").as("rep"), col("lo").as("lbl"))
+    val labels = l0
+      .join(starLbls, Seq("rep"), "left_outer")
+      .select(col("node").as("gid"), coalesce(col("lbl"), col("rep")).as("lbl"))
+    (labels, rounds)
   }
 
   /** q62b — q62's cluster labels via [[starLabels]] instead of
