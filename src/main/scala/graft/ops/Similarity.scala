@@ -864,6 +864,9 @@ object Similarity {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
+      // eager checkpoint then count: a lazy checkpoint materialized by
+      // the count measured consistently SLOWER at sf0.1 (like the
+      // two-hop variant — see below), so two explicit jobs it is
       val next = prop(labels).localCheckpoint(true)
       changed = next.filter(col("lbl") =!= col("prev")).count()
       labels = next.select("gid", "lbl")
@@ -933,13 +936,17 @@ object Similarity {
     }
     var rounds = 0
     var changed = 1L
+    var eCount = e.count()
     while (changed > 0 && rounds < 50) {
+      // eager checkpoint (lazy measured slower, as in hash-min); the
+      // cardinality check short-circuits the set-difference join —
+      // both sides are distinct sets, so |next| = |e| plus one empty
+      // difference implies equality
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // fixed point: the canonical edge set is unchanged. Both sides
-      // are distinct sets, so |next| = |e| plus one empty difference
-      // implies equality — one anti-join instead of two
-      changed = if (next.count() != e.count()) 1L else next.exceptAll(e).count()
+      val nextCount = next.count()
+      changed = if (nextCount != eCount) 1L else next.exceptAll(e).count()
       e = next
+      eCount = nextCount
       rounds += 1
     }
     require(changed == 0, s"large/small-star did not converge in $rounds rounds")
