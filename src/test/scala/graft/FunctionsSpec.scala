@@ -36,6 +36,20 @@ class FunctionsSpec extends SparkSpecBase {
     assert(diff == 0L)
   }
 
+  test("gram_hashes via SQL: positional (unsorted, dups kept), n=1 = unigram ids, nulls skipped") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT gram_hashes(array('a','b','a','b'), 2) AS g2, " +
+        "gram_hashes(array('a','b'), 3) AS short, " +
+        "gram_hashes(array('a', CAST(NULL AS STRING), 'b'), 1) AS g1, " +
+        "shingle_hashes(array('a','b'), 1) AS ref1").collect().head
+    val g2 = r.getSeq[Long](0)
+    assert(g2.size == 3 && g2(0) == g2(2), "repeated window must repeat its hash positionally")
+    assert(r.getSeq[Long](1).isEmpty)
+    assert(r.getSeq[Long](2).toSet == r.getSeq[Long](3).toSet,
+      "n=1 must yield the same word ids as the unigram shingle build")
+  }
+
   test("shingle_hashes: sorted distinct ids, short arrays empty, dups collapse") {
     GraftFunctions.register(spark)
     val r = spark.sql(
