@@ -147,6 +147,7 @@ object SparkEntry {
     "q107_span_dedup" -> (TextOps.q107SpanDedup _),
     "q108_cluster_stats" -> (Similarity.q108ClusterStats _),
     "q109_clean_pack" -> (TrainingData.q109CleanPack _),
+    "q110_bigram_surprisal" -> (TextOps.q110BigramSurprisal _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -738,6 +739,23 @@ object SparkEntry {
         "floor((ln(CAST(n AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))*1000000 + 0.5)/1000000 AS surp " +
         "FROM tok JOIN v USING (term) CROSS JOIN tot) " +
         s"SELECT doc_id, count(*) AS n_tokens, ${davg("surp")} AS avg_surprisal " +
+        "FROM s GROUP BY doc_id ORDER BY doc_id"),
+    // q110: parallel UNNESTs of the two slices zip into bigram pairs;
+    // the interpolation arithmetic is written with identical casts and
+    // operation order on both sides so the doubles match bit-for-bit
+    "q110_bigram_surprisal" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "b0 AS (SELECT doc_id, UNNEST(w[1 : len(w) - 1]) AS w1, UNNEST(w[2 : len(w)]) AS w2 FROM t), " +
+        "uni AS (SELECT UNNEST(w) AS term FROM t), " +
+        "u AS (SELECT term, count(*) AS cu FROM uni WHERE term <> '' GROUP BY term), " +
+        "tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM u), " +
+        "st AS (SELECT w1, count(*) AS cstart FROM b0 GROUP BY w1), " +
+        "bc AS (SELECT w1, w2, count(*) AS cb FROM b0 GROUP BY w1, w2), " +
+        "s AS (SELECT doc_id, floor((-ln(0.75*(CAST(cb AS DOUBLE)/CAST(cstart AS DOUBLE)) " +
+        "+ 0.25*(CAST(cu AS DOUBLE)/CAST(n AS DOUBLE))))*1000000 + 0.5)/1000000 AS surp " +
+        "FROM b0 JOIN bc USING (w1, w2) JOIN st USING (w1) " +
+        "JOIN u ON u.term = b0.w2 CROSS JOIN tot) " +
+        s"SELECT doc_id, count(*) AS n_bigrams, ${davg("surp")} AS avg_surprisal " +
         "FROM s GROUP BY doc_id ORDER BY doc_id"),
     // q72: exact vs near drops classified by identical-token-set vs
     // Jaccard >= 0.8 partner with a smaller doc_id (q56's rule)

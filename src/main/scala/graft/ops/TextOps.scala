@@ -301,6 +301,50 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q110 — interpolated BIGRAM LM surprisal: q71's quality signal
+    * upgraded one n-gram order, the honest SQL-replayable step toward
+    * the KenLM-style perplexity filters production pipelines run.
+    * Per bigram position, p(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) +
+    * (1−λ)·c(w₂)/N (λ = 0.75 fixed — Jelinek-Mercer interpolation, so
+    * unseen continuations never zero out), surprisal = −ln p floored
+    * at 1 µnat (q71's ln-determinism convention); per doc, the bigram
+    * count and mean surprisal. Boilerplate-heavy docs score LOW mean
+    * surprisal under a bigram model even when their unigram mix looks
+    * normal — exactly the repetition q79 counts, here in nats.
+    *
+    * Plan: the bigram relation builds row-locally (arrays_zip of two
+    * slices — no HOF), count tables aggregate partial+final, the
+    * corpus total rides the q71 global-window trick (one subtree, not
+    * a crossJoin re-plan), and the three count lookups are
+    * string-keyed joins like q53/q71 (the oracle needs the strings).
+    * Docs under 2 tokens have no bigrams and drop out.
+    */
+  def q110BigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val w = split(col("text"), " ")
+    val docs = Tables.documents(spark, dir)
+    val big = docs
+      .select(col("doc_id"),
+        explode(arrays_zip(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val uni = docs.select(explode(w).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cu"))
+      .withColumn("n", sum(col("cu")).over(Window.partitionBy(lit(1))))
+    val starts = big.groupBy("w1").agg(count(lit(1)).as("cstart"))
+    val bic = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val p = lit(0.75) * (col("cb").cast(DoubleType) / col("cstart").cast(DoubleType)) +
+      lit(0.25) * (col("cu").cast(DoubleType) / col("n").cast(DoubleType))
+    big
+      .join(bic, Seq("w1", "w2"))
+      .join(starts, Seq("w1"))
+      .join(uni.withColumnRenamed("term", "w2"), Seq("w2"))
+      .withColumn("surp", floor(-log(p) * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), Det.davg4(col("surp")).as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** q63 — PII scrubbing: redact emails, phone-shaped digit runs and
     * sensitive terms from document text, reporting the per-doc
     * redaction count — the C4-style cleaning pass every pretraining
