@@ -148,6 +148,32 @@ class CascadeInternalsSpec extends SparkSpecBase {
     }
   }
 
+  test("universe boundary: exactly 64 tokens takes the masked path (sign bit included); 65 falls back") {
+    // at |U| = 64 the top-ranked token lands on bit 63 — the Long's
+    // SIGN bit; masks go negative and popcount/AND must still be exact
+    def corpus(nVocab: Int): String = {
+      val dir = tmpDir()
+      val vocab = (0 until nVocab).map(i => f"t$i%02d")
+      writeDocuments(dir,
+        (1L, vocab.take(10).mkString(" "), "en", "s", 1L),
+        (2L, vocab.take(10).mkString(" "), "en", "s", 1L), // exact dup of 1
+        (3L, (vocab.take(9) :+ vocab.last).mkString(" "), "en", "s", 1L), // J = 9/11 vs doc1
+        (4L, vocab.mkString(" "), "en", "s", 1L)) // touches every vocab word
+      dir
+    }
+    graft.functions.GraftFunctions.register(spark)
+    for ((n, expectMasked) <- Seq((64, true), (65, false))) {
+      val dir = corpus(n)
+      val groups = Similarity.tokenSetGroups(spark, dir)
+      assert(Similarity.smallUniverse(groups).isDefined == expectMasked, s"probe at |U|=$n")
+      val got = Similarity.nearDupPairsFrom(groups, 4, 5, BigInt(1)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // same truth on both sides of the boundary: the strategy must not
+      // change the answer
+      assert(got == Set((1L, 2L, 1.0), (1L, 3L, 0.8182), (2L, 3L, 0.8182)), s"|U|=$n: $got")
+    }
+  }
+
   test("expandNearDupPairs (join-based, q26 path) agrees with expandWithMembers") {
     val dir = fixture()
     graft.functions.GraftFunctions.register(spark)
