@@ -148,6 +148,7 @@ object SparkEntry {
     "q108_cluster_stats" -> (Similarity.q108ClusterStats _),
     "q109_clean_pack" -> (TrainingData.q109CleanPack _),
     "q110_bigram_surprisal" -> (TextOps.q110BigramSurprisal _),
+    "q111_hash_split" -> (TrainingData.q111HashSplit _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -537,6 +538,12 @@ object SparkEntry {
       ("SELECT doc_id, lang, source FROM (SELECT doc_id, lang, source, " +
         "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk " +
         "FROM documents) t WHERE rk <= 20 ORDER BY doc_id"),
+    // q111: lowercase md5 hex sorts as its numeric value, so the fixed
+    // threshold strings are engine-portable (q54's md5 convention)
+    "q111_hash_split" ->
+      ("SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'fb' THEN 'train' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'fd' THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
     // q55's oracle builds the SAME word-3-gram sets from raw strings
     // (the engine hashes shingles to ints — Jaccard is invariant under
     // the injective-w.h.p. relabeling, same argument as q21's tokens)

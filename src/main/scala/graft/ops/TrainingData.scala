@@ -156,6 +156,27 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** q111 — deterministic hash SPLIT assignment (train/val/test): each
+    * doc's split is a pure function of its id — md5 hex prefix compared
+    * against fixed thresholds — so the assignment is stable under
+    * corpus growth, re-partitioning and re-runs (the property
+    * rand()-based splits lack: adding one document must not reshuffle
+    * anyone else's split, or eval contamination silently follows).
+    * Lowercase hex sorts lexicographically as its numeric value in
+    * both engines, so the thresholds are portable strings: buckets
+    * 0x00–0xfa train (251/256 ≈ 98.05%), 0xfb–0xfc val (2/256),
+    * 0xfd–0xff test (3/256). Finer ratios use longer prefixes — the
+    * shape is threshold-count-independent. Row-local; q54's md5
+    * portability convention.
+    */
+  def q111HashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val b = substring(md5(col("doc_id").cast(StringType)), 1, 2)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(b < "fb", "train").when(b < "fd", "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** q64 — document CHUNKING: split each doc into sliding token
     * windows (window 16, stride 12 — ~25% overlap), the sequence-
     * packing precursor every pretraining/RAG pipeline runs (real

@@ -147,6 +147,26 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q111 hash split: assignments stable under corpus growth, all splits populated") {
+    val base = (1L to 400L).map(d => (d, s"doc body $d", "en", "s", 1L))
+    val dirA = tmpDir()
+    writeDocuments(dirA, base: _*)
+    val a = TrainingData.q111HashSplit(spark, dirA).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // grow the corpus: every pre-existing doc must keep its split —
+    // the property rand()-based splits lack
+    val dirB = tmpDir()
+    writeDocuments(dirB, base ++ (401L to 500L).map(d => (d, s"doc body $d", "en", "s", 1L)): _*)
+    val b = TrainingData.q111HashSplit(spark, dirB).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(base.forall { case (d, _, _, _, _) => a(d) == b(d) })
+    // the 256-bucket thresholds actually produce all three splits at
+    // this size, with train dominating
+    val byCounts = b.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byCounts.keySet == Set("train", "val", "test"), s"$byCounts")
+    assert(byCounts("train") > byCounts("val") + byCounts("test"))
+  }
+
   test("q57 sketch rollup: merged daily sketches track the exact union distinct") {
     val out = Sketches.q57SketchRollup(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
