@@ -149,6 +149,7 @@ object SparkEntry {
     "q109_clean_pack" -> (TrainingData.q109CleanPack _),
     "q110_bigram_surprisal" -> (TextOps.q110BigramSurprisal _),
     "q111_hash_split" -> (TrainingData.q111HashSplit _),
+    "q112_prep_pipeline_v2" -> (CorpusPrep.q112PrepPipelineV2 _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -185,8 +186,8 @@ object SparkEntry {
     * (merged spans), tok (positional tokens), k (surviving tokens),
     * ag (reassembled survivors).
     */
-  private val spanCteChain: String =
-    "t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+  private def spanCtesFrom(src: String): String =
+    s"t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src), " +
       "p AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 13)) AS i FROM t), " +
       "g AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i : i + 14], ' ') AS gram FROM p), " +
       "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1), " +
@@ -203,6 +204,8 @@ object SparkEntry {
       "AND tok.pos >= sp.span_start AND tok.pos < sp.span_end)), " +
       "ag AS (SELECT doc_id, count(*) AS n_kept, string_agg(tok, ' ' ORDER BY pos) " +
       "AS clean_text FROM k GROUP BY doc_id)"
+
+  private val spanCteChain: String = spanCtesFrom("documents")
 
   /** DuckDB replay of the BPE stub, generated from the SAME merges
     * constant the engine applies ([[graft.ops.TrainingData.BpeMerges]])
@@ -747,6 +750,30 @@ object SparkEntry {
         "FROM tok JOIN v USING (term) CROSS JOIN tot) " +
         s"SELECT doc_id, count(*) AS n_tokens, ${davg("surp")} AS avg_surprisal " +
         "FROM s GROUP BY doc_id ORDER BY doc_id"),
+    // q112: six stages, one statement — scrub+gate+dedup (q67's CTEs),
+    // the shared span chain re-rooted on the deduped survivors
+    // (spanCtesFrom("ded")), the >= MinTokens re-gate on `ag`, q64's
+    // chunk windows, and the generated BPE replay over each chunk
+    // (aliased AS text, the q109 trick)
+    "q112_prep_pipeline_v2" ->
+      ("WITH scrub AS (SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\+?[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g'), " +
+        "'customer|user', '<PII>', 'g') AS clean_text FROM documents), " +
+        "flt AS (SELECT doc_id, clean_text FROM scrub " +
+        "WHERE len(string_split(clean_text, ' ')) >= 10), " +
+        "ded AS (SELECT doc_id, clean_text AS text FROM (SELECT doc_id, clean_text, " +
+        "row_number() OVER (PARTITION BY clean_text ORDER BY doc_id) AS rn FROM flt) WHERE rn = 1), " +
+        spanCtesFrom("ded") + ", " +
+        "cut AS (SELECT doc_id, string_split(clean_text, ' ') AS w FROM ag WHERE n_kept >= 10), " +
+        "x AS (SELECT doc_id, w, UNNEST(range(0, ((greatest(len(w) - 16, 0) + 11) // 12) + 1)) " +
+        "AS chunk_id FROM cut), " +
+        "x2 AS (SELECT doc_id, chunk_id, " +
+        "CAST(len(w[chunk_id*12 + 1 : chunk_id*12 + 16]) AS BIGINT) AS n_tokens, " +
+        "array_to_string(w[chunk_id*12 + 1 : chunk_id*12 + 16], ' ') AS text FROM x) " +
+        s"SELECT doc_id, chunk_id, n_tokens, text AS chunk_text, $bpeTokSql AS bpe_tokens " +
+        "FROM x2 ORDER BY doc_id, chunk_id"),
     // q110: parallel UNNESTs of the two slices zip into bigram pairs;
     // the interpolation arithmetic is written with identical casts and
     // operation order on both sides so the doubles match bit-for-bit

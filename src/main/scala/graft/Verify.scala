@@ -30,12 +30,17 @@ object Verify {
           d.withColumn(f.name, col(f.name).cast(TimestampNTZType))
         else d
       }
+    // Dev-only iteration filter (comma-separated keys); the driver never
+    // sets it, so its runs always dump the full surface.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     SparkEntry.queries.foreach { case (name, fn) =>
-      try naive(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      if (only.forall(_.contains(name)))
+        try naive(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -87,6 +87,48 @@ object CorpusPrep {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** q112 — the ROUND-5 operators composed into the second flagship
+    * pipeline, in the production order: scrub (q63) → length gate →
+    * exact dedup (q20/q67's window) → ExactSubstr span cut over the
+    * SURVIVORS (q104/q107 at L = 15, so repeated-gram counts are
+    * measured on the deduped corpus — exact dedup first, or every
+    * duplicate pair would mark BOTH copies' full text as repeated
+    * spans) → re-gate (a cut can leave a stump under MinTokens) →
+    * chunk (q64's windows) with each chunk PRICED IN BPE UNITS
+    * (q105's tokenizer stub) — the quantity a sequence budget is
+    * written in. Beside q67 (which composes the near-dup cascade),
+    * this proves the substring-dedup and tokenizer operators fit the
+    * same column contracts; one DuckDB statement replays all six
+    * stages.
+    */
+  def q112PrepPipelineV2(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cleaned = scrubAndGate(Tables.documents(spark, dir).select("doc_id", "text"))
+    val wDup = Window.partitionBy(sha2(col("clean_text"), 256)).orderBy("doc_id")
+    val deduped = Similarity.staged(cleaned
+      .withColumn("rn", row_number().over(wDup))
+      .filter(col("rn") === 1)
+      .drop("rn"))
+    // spans and toksP share deduped's lineage — rename the span-side key
+    // so the equi-join can't collapse to a trivially-true self-compare
+    val spans = TextOps.repeatedSpansIn(
+        deduped.select(col("doc_id"), col("clean_text").as("text")))
+      .withColumnRenamed("doc_id", "span_doc")
+    val toksP = deduped.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val cut = toksP
+      .join(spans,
+        col("doc_id") === col("span_doc") &&
+          col("pos") >= col("span_start") && col("pos") < col("span_end"),
+        "left_anti")
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")).as("toks"))
+      .filter(size(col("toks")) >= MinTokens)
+    TrainingData.chunkTokens(cut, ChunkWindow, ChunkStride)
+      .withColumn("bpe_tokens", TrainingData.bpeTokenCount(col("chunk_text")))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** q72 — dedup observability report: per source, how many docs the
     * dedup cascade drops as EXACT duplicates (an earlier doc with the
     * identical token set exists) vs NEAR duplicates (dropped by q56's

@@ -150,12 +150,18 @@ object TextOps {
   private[ops] val SpanL = 15
 
   /** The unsorted span drop-list — q104's core, reused by q107's cut
-    * application.
+    * application (over the raw corpus) and q112's composed pipeline
+    * (over the scrubbed+deduped survivors).
     */
   private[ops] def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
-    val L = SpanL
     graft.functions.GraftFunctions.register(spark)
-    val grams = Tables.documents(spark, dir)
+    repeatedSpansIn(Tables.documents(spark, dir))
+  }
+
+  /** Span detection over any (doc_id, text) relation. */
+  private[ops] def repeatedSpansIn(docs: DataFrame): DataFrame = {
+    val L = SpanL
+    val grams = docs
       .select(col("doc_id"),
         posexplode(call_function("gram_hashes", split(col("text"), " "), lit(L)))
           .as(Seq("pos", "gram")))
