@@ -150,6 +150,9 @@ object SparkEntry {
     "q110_bigram_surprisal" -> (TextOps.q110BigramSurprisal _),
     "q111_hash_split" -> (TrainingData.q111HashSplit _),
     "q112_prep_pipeline_v2" -> (CorpusPrep.q112PrepPipelineV2 _),
+    "q113_source_cap" -> (TrainingData.q113SourceCap _),
+    "q114_dsir_importance" -> (TrainingData.q114DsirWeights _),
+    "q115_knn_label" -> (Similarity.q115KnnLabel _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -159,6 +162,16 @@ object SparkEntry {
   private def davg(x: String) =
     s"CAST((2*CAST(sum(CAST($x AS DECIMAL(20,6)))*1000000 AS HUGEINT) + count(*)*100) " +
       s"// (2*count(*)*100) AS DOUBLE)/10000.0"
+  // Sign-correct davg: Spark's round(decimal) is HALF_UP = away from
+  // zero, but davg's floor-division trick only models that for
+  // positive sums — negative means (q114's log ratios) need the
+  // mirrored formula on |sum|
+  private def davgS(x: String) = {
+    val n = s"CAST(sum(CAST($x AS DECIMAL(20,6)))*1000000 AS HUGEINT)"
+    val d = "count(*)*100"
+    s"CAST(CASE WHEN $n >= 0 THEN (2*($n) + $d) // (2*($d)) " +
+      s"ELSE -((2*(-($n)) + $d) // (2*($d))) END AS DOUBLE)/10000.0"
+  }
   private def rd4(x: String) = s"floor(($x)*10000 + 0.5)/10000"
 
   /** Shared by q62 (hash-min) and q62b (large/small-star): reachability
@@ -774,6 +787,52 @@ object SparkEntry {
         "array_to_string(w[chunk_id*12 + 1 : chunk_id*12 + 16], ' ') AS text FROM x) " +
         s"SELECT doc_id, chunk_id, n_tokens, text AS chunk_text, $bpeTokSql AS bpe_tokens " +
         "FROM x2 ORDER BY doc_id, chunk_id"),
+    // q113: q28's feature/score SQL with source riding along, then the
+    // per-source cap window — both engines rank the ROUNDED score
+    "q113_source_cap" ->
+      ("WITH f AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "floor((CAST(length(replace(text, ' ', '')) AS DOUBLE)/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS avg_tok_len, " +
+        "floor((CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)" +
+        "/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS stop_ratio FROM documents), " +
+        "sc AS (SELECT doc_id, source, n_tokens, " +
+        "floor((2.0*stop_ratio + CASE WHEN avg_tok_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END + " +
+        "CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1.0 ELSE 0.0 END)*10000 + 0.5)/10000 AS score FROM f), " +
+        "r AS (SELECT source, doc_id, score, n_tokens, " +
+        "row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rk FROM sc) " +
+        "SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, score, n_tokens FROM r " +
+        "WHERE rk <= 15 ORDER BY source, rk"),
+    // q114: bucket = md5-hex-prefix STRING (q111's engine-agnostic
+    // hash), log ratio = ONE ln over the exact-integer cross-multiplied
+    // ratio, floored to 6 dp before the decimal mean (q71's convention)
+    "q114_dsir_importance" ->
+      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents), " +
+        "b0 AS (SELECT doc_id, source, UNNEST(w[1 : len(w) - 1]) AS w1, UNNEST(w[2 : len(w)]) AS w2 FROM t), " +
+        "b AS (SELECT doc_id, substr(md5(w1 || ' ' || w2), 1, 2) AS bucket, source FROM b0), " +
+        "s AS (SELECT bucket, count(*) AS cr, " +
+        "sum(CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 1 ELSE 0 END) AS ct FROM b GROUP BY bucket), " +
+        "tot AS (SELECT CAST(sum(cr) AS BIGINT) AS r, CAST(sum(ct) AS BIGINT) AS tt FROM s), " +
+        "l AS (SELECT bucket, floor(ln(CAST((ct+1)*(r+256) AS DOUBLE)/CAST((cr+1)*(tt+256) AS DOUBLE))" +
+        "*1000000 + 0.5)/1000000 AS lr FROM s CROSS JOIN tot), " +
+        "d AS (SELECT doc_id, lr FROM b JOIN l USING (bucket)) " +
+        s"SELECT doc_id, count(*) AS n_bigrams, ${davgS("lr")} AS dsir_weight " +
+        "FROM d GROUP BY doc_id ORDER BY doc_id"),
+    // q115: q22's unnest-zip dot products over all ordered pairs, k=5
+    // neighbor window on the rounded sim, majority vote with
+    // (votes DESC, label ASC) tie-break
+    "q115_knn_label" ->
+      ("WITH px AS (SELECT a.vec_id AS qid, a.label AS qlbl, b.vec_id AS tid, b.label AS tlbl, " +
+        "unnest(a.embedding) AS qx, unnest(b.embedding) AS tx " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id), " +
+        "d AS (SELECT qid, qlbl, tid, tlbl, sum(CAST(qx AS DOUBLE) * CAST(tx AS DOUBLE)) AS dot, " +
+        "sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) AS qn, " +
+        "sqrt(sum(CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE))) AS tn FROM px GROUP BY qid, qlbl, tid, tlbl), " +
+        "r AS (SELECT qid, qlbl, tlbl, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY floor((dot/(qn*tn))*10000 + 0.5)/10000 DESC, tid) AS rk FROM d), " +
+        "v AS (SELECT qid, qlbl, tlbl, count(*) AS votes FROM r WHERE rk <= 5 GROUP BY qid, qlbl, tlbl), " +
+        "p AS (SELECT qid, qlbl, tlbl, votes, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY votes DESC, tlbl) AS pr FROM v) " +
+        "SELECT qid AS vec_id, qlbl AS label, tlbl AS pred_label, CAST(votes AS BIGINT) AS votes, " +
+        "tlbl = qlbl AS correct FROM p WHERE pr = 1 ORDER BY vec_id"),
     // q110: parallel UNNESTs of the two slices zip into bigram pairs;
     // the interpolation arithmetic is written with identical casts and
     // operation order on both sides so the doubles match bit-for-bit

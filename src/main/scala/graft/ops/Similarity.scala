@@ -490,6 +490,61 @@ object Similarity {
       .limit(20)
   }
 
+  /** q115 — kNN LABEL PROPAGATION over embeddings: classify every
+    * vector by the majority label of its [[KnnK]] nearest neighbors
+    * (cosine), reporting predicted vs actual — the embedding-space
+    * quality/topic classifier pattern (a fastText-style filter run from
+    * a labeled seed set instead of a trained model head). Here the seed
+    * set is the whole table minus the vector itself, so the output is
+    * the standard leave-one-out readout a labeling pipeline calibrates
+    * k against.
+    *
+    * Determinism: neighbors rank on the 4-dp-rounded similarity with
+    * vec_id tie-break (q22's convention); the vote breaks ties on
+    * (votes DESC, label ASC) — both engines rank identical values.
+    *
+    * Scale: the labeled seed side BROADCASTS (a curated seed set is
+    * thousands of vectors; here the toy table plays both roles) and the
+    * corpus side never shuffles until the k-bounded per-query rows agg
+    * — the same corpus-stays-put discipline as q22/q31. A 100 TB corpus
+    * with a LARGE seed set swaps the broadcast nested loop for q32's
+    * IVF bucket join (seed and corpus both bucket by nearest centroid;
+    * only same-bucket pairs score).
+    */
+  private[graft] val KnnK = 5
+
+  def q115KnnLabel(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    knnLabelFrom(Tables.embeddings(spark, dir))
+  }
+
+  /** q115's core over any (vec_id, embedding, label) relation —
+    * factored so specs can drive it on separable fixtures (the
+    * testdata labels are noise w.r.t. embedding geometry, so accuracy
+    * there is the 1/n_labels floor; the oracle still pins the votes).
+    */
+  private[graft] def knnLabelFrom(e: DataFrame): DataFrame = {
+    val q = e.select(col("vec_id").as("qid"), col("label").as("qlbl"), col("embedding").as("qe"))
+      .withColumn("qn", norm(col("qe")))
+    val seeds = e.select(col("vec_id").as("tid"), col("label").as("tlbl"), col("embedding").as("te"))
+      .withColumn("tn", norm(col("te")))
+    val sim = roundD4(dot(col("qe"), col("te")) / (col("qn") * col("tn")))
+    val wK = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
+    val wV = Window.partitionBy("qid").orderBy(desc("votes"), asc("tlbl"))
+    q.join(broadcast(seeds), col("qid") =!= col("tid"))
+      .withColumn("sim", sim)
+      .withColumn("rk", row_number().over(wK))
+      .filter(col("rk") <= KnnK)
+      .groupBy("qid", "qlbl", "tlbl")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("pr", row_number().over(wV))
+      .filter(col("pr") === 1)
+      .select(col("qid").as("vec_id"), col("qlbl").as("label"),
+        col("tlbl").as("pred_label"), col("votes"),
+        (col("tlbl") === col("qlbl")).as("correct"))
+      .orderBy("vec_id")
+  }
+
   /** IVF-style approximate nearest neighbor: the 100 TB scale path for
     * q22. Vectors vec_id < 8 act as fixed "trained" centroids; every
     * vector is assigned to its nearest centroid (rounded-sim argmax,

@@ -42,24 +42,58 @@ object TrainingData {
     * length/punct/stopword heuristics every pretraining-data filter
     * starts from.
     */
-  def q28QualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def q28QualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScored(Tables.documents(spark, dir))
+      .select("doc_id", "n_tokens", "n_chars_text", "avg_tok_len", "stop_ratio", "score")
+      .orderBy("doc_id")
+
+  /** q28's feature extraction + composite score over any relation with
+    * (doc_id, text) — ONE definition shared by q28 and q113's
+    * per-source capping so the two can't diverge. Input columns ride
+    * along; adds n_tokens, n_chars_text, avg_tok_len, stop_ratio, score.
+    */
+  private[ops] def qualityScored(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val isStop = (t: org.apache.spark.sql.Column) =>
       TextOps.Stopwords.map(t === _).reduce(_ || _)
     val nTok = size(toks).cast(LongType)
     val stopRatio = size(filter(toks, t => isStop(t))).cast("double") / size(toks)
     val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("double") / size(toks)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        nTok.as("n_tokens"),
-        length(col("text")).cast(LongType).as("n_chars_text"),
-        roundD4(avgTokLen).as("avg_tok_len"),
-        roundD4(stopRatio).as("stop_ratio"))
+    docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("n_chars_text", length(col("text")).cast(LongType))
+      .withColumn("avg_tok_len", roundD4(avgTokLen))
+      .withColumn("stop_ratio", roundD4(stopRatio))
       .withColumn("score", roundD4(
         lit(2.0) * col("stop_ratio")
           + when(col("avg_tok_len").between(3.0, 8.0), 1.0).otherwise(0.0)
           + when(col("n_tokens").between(20L, 500L), 1.0).otherwise(0.0)))
-      .orderBy("doc_id")
+  }
+
+  /** q113 — per-SOURCE quality capping (domain capping): keep only the
+    * top [[SourceCapK]] docs of each source, ranked by q28's composite
+    * quality score — the RefinedWeb/CCNet-style curation rule that stops
+    * one boilerplate-heavy domain from dominating the training mix no
+    * matter how many pages it crawls. Rank ties break on doc_id (both
+    * engines rank the same ROUNDED score, the q22 determinism
+    * convention).
+    *
+    * Scale: one row_number window per source. Domain cardinality is
+    * huge at 100 TB (millions of hosts → the window key spreads well);
+    * a single pathological mega-domain is the q60 story — partial
+    * per-partition top-K before the window (or q37's salting) bounds
+    * the reducer, and only K rows per domain survive the cap. The
+    * score itself is row-local (no pre-shuffle).
+    */
+  private[ops] val SourceCapK = 15
+
+  def q113SourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(desc("score"), asc("doc_id"))
+    qualityScored(Tables.documents(spark, dir))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= SourceCapK)
+      .select("source", "rk", "doc_id", "score", "n_tokens")
+      .orderBy("source", "rk")
   }
 
   /** q29 — token counting: whitespace tokens plus a BPE-ish regex split
@@ -174,6 +208,56 @@ object TrainingData {
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         when(b < "fb", "train").when(b < "fd", "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** q114 — DSIR-style importance weighting (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every doc by how much its hashed-bigram distribution looks like a
+    * TARGET domain (sources [[DsirTargetSources]], standing in for a
+    * curated high-quality corpus) versus the raw crawl. Per doc,
+    * weight = mean over its bigram occurrences of
+    * ln(p_target(bucket)/p_raw(bucket)) with add-1 smoothing over the
+    * [[DsirBuckets]] hash buckets — the exact signal DSIR resamples on
+    * (pair with q65's mixing or q50's sampling to realize the resample).
+    *
+    * Determinism: the bucket is the md5-hex prefix STRING (q111's
+    * engine-agnostic hash; no numeric conversion anywhere), and the log
+    * ratio is ONE ln over an exact-integer cross-multiplied ratio —
+    * (ct+1)(R+B) / (cr+1)(T+B) — floored to 6 dp before the decimal
+    * mean (q71's convention). The cross-multiplied form is exact while
+    * counts stay under ~3e9 (long·long < 2^63); at real corpus scale
+    * production swaps it for the ln-difference form and accepts
+    * last-bit ln noise — the scores feed a sampler, not an oracle.
+    *
+    * Scale: bigram build is row-local; bucket stats are ≤ B rows
+    * (broadcast back); totals ride the q71 global-window trick over the
+    * B-row relation. Nothing larger than the bigram explode itself ever
+    * shuffles, and that only to agg per-doc partials (map-combinable).
+    */
+  private[ops] val DsirTargetSources = Seq("src0", "src1", "src2", "src3")
+  private[ops] val DsirBuckets = 256L // two hex chars of md5
+
+  def q114DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val w = split(col("text"), " ")
+    val big = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(arrays_zip(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1))).as("bg"))
+      .select(col("doc_id"), col("source"),
+        substring(md5(concat_ws(" ", col("bg.0"), col("bg.1"))), 1, 2).as("bucket"))
+    val stats = big.groupBy("bucket").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("source").isin(DsirTargetSources: _*), 1L).otherwise(0L)).as("ct"))
+      .withColumn("r", sum(col("cr")).over(Window.partitionBy(lit(1))))
+      .withColumn("t", sum(col("ct")).over(Window.partitionBy(lit(1))))
+    val lr = floor(
+      log(((col("ct") + 1L) * (col("r") + DsirBuckets)).cast(DoubleType) /
+        ((col("cr") + 1L) * (col("t") + DsirBuckets)).cast(DoubleType))
+        * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    big.join(broadcast(stats.withColumn("lr", lr).select("bucket", "lr")), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), Det.davg4(col("lr")).as("dsir_weight"))
       .orderBy("doc_id")
   }
 

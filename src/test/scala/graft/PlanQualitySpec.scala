@@ -294,6 +294,9 @@ class PlanQualitySpec extends SparkSpecBase {
       // centroids against the streaming corpus side)
       "q22_topk_cosine", "q31_embed_neardup", "q32_ivf_ann",
       "q32b_ivf_trained", "q32c_ivf_multiprobe",
+      // q115: labeled seed side broadcasts, corpus streams (q22's
+      // discipline); the IVF bucket join is the large-seed-set swap-in
+      "q115_knn_label",
       // q94's centroid ASSIGN is the same k-row broadcast scoring as
       // q32b (the pair scan itself is a cid equi-join, never a NLJ)
       "q94_semdedup",

@@ -104,6 +104,42 @@ class SimilaritySpec extends SparkSpecBase {
     assert(TextOps.q20DocDedupExact(spark, dir2).collect().map(_.getLong(0)).toSeq == Seq(2L, 9L))
   }
 
+  test("q115 knn label: separable clusters classify leave-one-out at accuracy 1.0") {
+    // 3 labels × 6 tight cluster members: every vector's 5-NN are its
+    // own cluster's siblings, so the vote is unanimous (votes = 5)
+    val rows = for (c <- 0 until 3; m <- 0 until 6) yield {
+      val v = Array.fill(64)(0.0f)
+      v(c * 8) = 1.0f
+      v(c * 8 + 1) = 0.01f * m
+      org.apache.spark.sql.Row((c * 6 + m).toLong, v.toSeq, c)
+    }
+    val e = df(Tables.embeddingsSchema, rows: _*)
+    val out = Similarity.knnLabelFrom(e).collect()
+    assert(out.length == 18)
+    out.foreach { r =>
+      assert(r.getInt(2) == r.getInt(1), s"vec ${r.getLong(0)} mispredicted")
+      assert(r.getLong(3) == 5L && r.getBoolean(4))
+    }
+  }
+
+  test("q115 knn label: vote ties break to the smaller label") {
+    // v0's five nearest carry labels (1,1,2,2,3): a 2-2 tie -> pred 1;
+    // v6 sits orthogonal (cosine 0) so it never enters v0's top-5
+    def vec(e1: Double): Seq[Float] = {
+      val v = Array.fill(64)(0.0f); v(0) = 1.0f; v(1) = e1.toFloat; v.toSeq
+    }
+    val far = { val v = Array.fill(64)(0.0f); v(32) = 1.0f; v.toSeq }
+    val rows = Seq(
+      org.apache.spark.sql.Row(0L, vec(0.0), 7),
+      org.apache.spark.sql.Row(1L, vec(0.01), 1), org.apache.spark.sql.Row(2L, vec(0.02), 1),
+      org.apache.spark.sql.Row(3L, vec(0.03), 2), org.apache.spark.sql.Row(4L, vec(0.04), 2),
+      org.apache.spark.sql.Row(5L, vec(0.05), 3),
+      org.apache.spark.sql.Row(6L, far, 9))
+    val out = Similarity.knnLabelFrom(df(Tables.embeddingsSchema, rows: _*)).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(0L) == ((1, 2L, false)), s"v0 got ${out(0L)}")
+  }
+
   test("q23 text stats: stopwords removed, rank by count desc then term") {
     val dir = tmpDir()
     writeDocuments(dir,

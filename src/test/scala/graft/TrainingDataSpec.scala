@@ -300,6 +300,39 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("q113 source cap: kept set IS the independent top-15 per source by (score, doc_id)") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scores = TrainingData.q28QualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val expected = scores.toSeq
+      .map { case (id, s) => (docs(id), s, id) }
+      .groupBy(_._1).flatMap { case (src, xs) =>
+        xs.sortBy(x => (-x._2, x._3)).take(15).zipWithIndex
+          .map { case ((_, s, id), i) => (src, (i + 1).toLong, id, s) }
+      }.toSet
+    val got = TrainingData.q113SourceCap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+  }
+
+  test("q114 DSIR weights: target-domain docs score above the rest by a mean gap") {
+    val sf = "/root/testdata/sf0.001"
+    val src = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tgt = Set("src0", "src1", "src2", "src3")
+    val w = TrainingData.q114DsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val (t, rest) = w.partition(x => tgt(src(x._1)))
+    def mean(xs: Array[(Long, Double)]) = xs.map(_._2).sum / xs.length
+    assert(t.nonEmpty && rest.nonEmpty)
+    // measured at sf0.001: target mean +0.0147, rest -0.0240 — the
+    // in-distribution-scores-higher signal DSIR resamples on; the
+    // 0.02 floor leaves margin under the ~0.039 measured gap
+    assert(mean(t) > mean(rest) + 0.02, s"target ${mean(t)} vs rest ${mean(rest)}")
+  }
+
   test("q63 pii scrub: emails and phones are redacted and counted (fixture)") {
     val dir = tmpDir()
     writeDocuments(dir,
