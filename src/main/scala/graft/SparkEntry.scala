@@ -153,6 +153,7 @@ object SparkEntry {
     "q113_source_cap" -> (TrainingData.q113SourceCap _),
     "q114_dsir_importance" -> (TrainingData.q114DsirWeights _),
     "q115_knn_label" -> (Similarity.q115KnnLabel _),
+    "q116_source_divergence" -> (TrainingData.q116SourceDivergence _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -169,6 +170,14 @@ object SparkEntry {
   private def davgS(x: String) = {
     val n = s"CAST(sum(CAST($x AS DECIMAL(20,6)))*1000000 AS HUGEINT)"
     val d = "count(*)*100"
+    s"CAST(CASE WHEN $n >= 0 THEN (2*($n) + $d) // (2*($d)) " +
+      s"ELSE -((2*(-($n)) + $d) // (2*($d))) END AS DOUBLE)/10000.0"
+  }
+  // Weighted, sign-correct davg — Det.wavg4's mirror: N = Σ(w·x)·10⁶,
+  // D = Σw·100 (integer weights, x already floored to ≤6 dp)
+  private def wavgS(w: String, x: String) = {
+    val n = s"CAST(sum(($w)*CAST($x AS DECIMAL(20,6)))*1000000 AS HUGEINT)"
+    val d = s"sum($w)*100"
     s"CAST(CASE WHEN $n >= 0 THEN (2*($n) + $d) // (2*($d)) " +
       s"ELSE -((2*(-($n)) + $d) // (2*($d))) END AS DOUBLE)/10000.0"
   }
@@ -833,6 +842,19 @@ object SparkEntry {
         "ORDER BY votes DESC, tlbl) AS pr FROM v) " +
         "SELECT qid AS vec_id, qlbl AS label, tlbl AS pred_label, CAST(votes AS BIGINT) AS votes, " +
         "tlbl = qlbl AS correct FROM p WHERE pr = 1 ORDER BY vec_id"),
+    // q116: per-term log ratio = one ln over exact-integer cross
+    // products, floored 6 dp; KL = cs-weighted exact-decimal mean
+    "q116_source_divergence" ->
+      ("WITH tok AS (SELECT source, UNNEST(string_split(text, ' ')) AS term FROM documents), " +
+        "st AS (SELECT source, term, count(*) AS cs FROM tok WHERE term <> '' GROUP BY source, term), " +
+        "ct AS (SELECT term, CAST(sum(cs) AS BIGINT) AS c FROM st GROUP BY term), " +
+        "ss AS (SELECT source, CAST(sum(cs) AS BIGINT) AS s FROM st GROUP BY source), " +
+        "tot AS (SELECT CAST(sum(cs) AS BIGINT) AS n FROM st), " +
+        "j AS (SELECT st.source, cs, s, " +
+        "floor(ln(CAST(cs*n AS DOUBLE)/CAST(c*s AS DOUBLE))*1000000 + 0.5)/1000000 AS lr " +
+        "FROM st JOIN ct USING (term) JOIN ss ON ss.source = st.source CROSS JOIN tot) " +
+        s"SELECT source, max(s) AS n_tokens, count(*) AS n_terms, ${wavgS("cs", "lr")} AS kl_divergence " +
+        "FROM j GROUP BY source ORDER BY source"),
     // q110: parallel UNNESTs of the two slices zip into bigram pairs;
     // the interpolation arithmetic is written with identical casts and
     // operation order on both sides so the doubles match bit-for-bit

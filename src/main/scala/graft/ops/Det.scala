@@ -44,6 +44,17 @@ object Det {
   def davg4(c: Column): Column =
     round(sumDec(c) / count(lit(1)), 4).cast(DoubleType)
 
+  /** Weighted rounded exact mean: Σ(w·x)/Σw with x collapsed to
+    * DECIMAL(20,6) terms (callers floor x to ≤6 dp first — the q71
+    * convention) and integer weights, so both the numerator and the
+    * denominator are exact under any partitioning; quotient rounded
+    * half-up at 4 dp like [[davg4]]. Oracle mirror: the davgS-style
+    * sign-correct integer formula with N = sum(w·x)·10⁶ as HUGEINT
+    * and D = sum(w)·100.
+    */
+  def wavg4(w: Column, c: Column): Column =
+    round(sum(c.cast(DecimalType(20, 6)) * w) / sum(w), 4).cast(DoubleType)
+
   /** Wide variant of [[dsum4]] for second-moment sums (x², x·y):
     * price-squared rows reach ~10¹⁰ and 100 TB row counts push the
     * exact sum past DECIMAL(20,6)'s 10¹⁴ capacity; DECIMAL(28,6)

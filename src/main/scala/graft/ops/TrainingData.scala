@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
@@ -238,14 +238,61 @@ object TrainingData {
   private[ops] val DsirTargetSources = Seq("src0", "src1", "src2", "src3")
   private[ops] val DsirBuckets = 256L // two hex chars of md5
 
-  def q114DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+  /** q116 — per-SOURCE unigram KL divergence from the corpus: for each
+    * source s, KL(p_s ‖ p_corpus) = Σ_t (cs/S)·ln(cs·N/(c·S)) over its
+    * terms — the drift/observability readout that flags boilerplate
+    * farms (one domain's token mix far from the corpus mean) and
+    * near-zero sources (already corpus-shaped). Pairs with q113: cap
+    * or down-weight the outliers it surfaces. Also reports each
+    * source's token and distinct-term counts.
+    *
+    * Determinism: per-term log ratio = ONE ln over the exact-integer
+    * cross products cs·N / c·S (q114's bound note applies), floored to
+    * 6 dp; the KL is then the cs-weighted exact-decimal mean
+    * ([[Det.wavg4]]). Scale: term totals are an equi-join on term
+    * (vocab-keyed shuffle, q53's shape — NOT a vocab-sized global
+    * window); source totals are a K-row relation whose global window
+    * is trivial, then broadcast back.
+    */
+  def q116SourceDivergence(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
-    val w = split(col("text"), " ")
-    val big = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        explode(arrays_zip(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1))).as("bg"))
-      .select(col("doc_id"), col("source"),
-        substring(md5(concat_ws(" ", col("bg.0"), col("bg.1"))), 1, 2).as("bucket"))
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "") // no LM mass, q71's rule
+      .groupBy("source", "term").agg(count(lit(1)).as("cs"))
+    val ct = st.groupBy("term").agg(sum("cs").as("c"))
+    val ss = st.groupBy("source").agg(sum("cs").as("s"))
+      .withColumn("n", sum(col("s")).over(Window.partitionBy(lit(1))))
+    val lr = floor(
+      log((col("cs") * col("n")).cast(DoubleType) / (col("c") * col("s")).cast(DoubleType))
+        * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    st.join(ct, "term").join(broadcast(ss), "source")
+      .withColumn("lr", lr)
+      .groupBy("source")
+      .agg(max(col("s")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        Det.wavg4(col("cs"), col("lr")).as("kl_divergence"))
+      .orderBy("source")
+  }
+
+  /** The bigram/bucket expressions and the bucket-model build, shared
+    * by q114 and [[graft.streaming.StreamingOps.dsirScoreStream]] so
+    * the batch trainer and the streaming scorer cannot diverge.
+    */
+  private[graft] def dsirBigrams(text: Column): Column = {
+    val w = split(text, " ")
+    zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => concat_ws(" ", a, b))
+  }
+  private[graft] def dsirBucket(g: Column): Column = substring(md5(g), 1, 2)
+
+  /** The frozen DSIR model: (bucket, lr) with lr already floored to
+    * 6 dp — ≤ [[DsirBuckets]] rows whatever the corpus size.
+    */
+  private[graft] def dsirBucketLogRatios(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val big = docs.select(col("source"), explode(dsirBigrams(col("text"))).as("g"))
+      .select(col("source"), dsirBucket(col("g")).as("bucket"))
     val stats = big.groupBy("bucket").agg(
         count(lit(1)).as("cr"),
         sum(when(col("source").isin(DsirTargetSources: _*), 1L).otherwise(0L)).as("ct"))
@@ -255,7 +302,15 @@ object TrainingData {
       log(((col("ct") + 1L) * (col("r") + DsirBuckets)).cast(DoubleType) /
         ((col("cr") + 1L) * (col("t") + DsirBuckets)).cast(DoubleType))
         * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
-    big.join(broadcast(stats.withColumn("lr", lr).select("bucket", "lr")), "bucket")
+    stats.withColumn("lr", lr).select("bucket", "lr")
+  }
+
+  def q114DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val big = docs
+      .select(col("doc_id"), explode(dsirBigrams(col("text"))).as("g"))
+      .select(col("doc_id"), dsirBucket(col("g")).as("bucket"))
+    big.join(broadcast(dsirBucketLogRatios(docs)), "bucket")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), Det.davg4(col("lr")).as("dsir_weight"))
       .orderBy("doc_id")

@@ -130,6 +130,39 @@ object StreamingOps {
       graft.ops.CorpusPrep.scrubAndGate(docs.select("doc_id", "text")),
       graft.ops.CorpusPrep.ChunkWindow, graft.ops.CorpusPrep.ChunkStride)
 
+  /** Streaming DSIR scoring (q114's streaming twin): score each
+    * incoming document against a FROZEN bucket model trained in batch
+    * ([[graft.ops.TrainingData.dsirBucketLogRatios]]) — the production
+    * DSIR shape: the importance model is fit offline on a snapshot,
+    * then every new crawl doc gets its weight on ingest. The ≤256-entry
+    * model folds into a literal map column (the q32b model exception:
+    * only the model crosses the driver), so scoring is ENTIRELY
+    * row-local — zero state, no watermark, no shuffle; the per-doc
+    * mean accumulates in exact integer micro-nats inside one
+    * `aggregate` HOF, so batch/stream weights are bit-identical
+    * (StreamingSpec asserts exact q114 parity on the drained corpus).
+    * Docs under 2 tokens have no bigrams and drop out, as in batch.
+    */
+  def dsirScoreStream(docs: DataFrame, model: Map[String, Double]): DataFrame = {
+    import graft.ops.TrainingData.{dsirBigrams, dsirBucket}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val m = map(model.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val lrs = transform(dsirBigrams(col("text")), g => element_at(m, dsirBucket(g)))
+    // lr values are 6-dp-floored, so lr·10⁶ is integer-valued: the sum
+    // accumulates exactly in longs and the final decimal division is
+    // the same rational Det.davg4 rounds half-up at 4 dp
+    val micro = aggregate(lrs, lit(0L),
+      (acc, x) => acc + (x.cast(DecimalType(20, 6)) * lit(1000000)).cast(LongType))
+    docs
+      .withColumn("n_bigrams", size(dsirBigrams(col("text"))).cast(LongType))
+      .filter(col("n_bigrams") > 0)
+      .withColumn("dsir_weight",
+        round(micro.cast(DecimalType(26, 6)) / (col("n_bigrams") * lit(1000000L)), 4)
+          .cast(DoubleType))
+      .select("doc_id", "n_bigrams", "dsir_weight")
+  }
+
   /** Streaming near-dup ADMISSION (q100's streaming twin): probe each
     * incoming document against the PERSISTED index signature table
     * ([[graft.ops.Sketches.indexSignatures]] — LSH band postings of the

@@ -70,6 +70,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(!streamed.exists(_.contains("short doc")), "length gate must run in the stream")
   }
 
+  test("dsirScoreStream: frozen batch model scores the stream bit-identical to q114") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val model = graft.ops.TrainingData.dsirBucketLogRatios(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.dsirScoreStream(ms.toDS().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("dsir").outputMode("append").start()
+    ms.addData(rows.take(250).toSeq: _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(250).toSeq: _*) // second micro-batch, same frozen model
+    q.processAllAvailable()
+    val streamed = spark.table("dsir").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    val batch = graft.ops.TrainingData.q114DsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch, "stream weights diverge from batch q114")
+  }
+
   test("nearDupAdmitStream: index near-dups rejected across micro-batches, q100-parity on the drain") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
