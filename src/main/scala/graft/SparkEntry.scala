@@ -154,6 +154,7 @@ object SparkEntry {
     "q114_dsir_importance" -> (TrainingData.q114DsirWeights _),
     "q115_knn_label" -> (Similarity.q115KnnLabel _),
     "q116_source_divergence" -> (TrainingData.q116SourceDivergence _),
+    "q117_eval_spans" -> (TextOps.q117EvalSpans _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -1067,6 +1068,22 @@ object SparkEntry {
     // under 15 tokens; w[i : i+14] is DuckDB's 1-based inclusive slice
     // = the 15-token window at 0-based pos i-1. Islands merge via the
     // same running-max-end window the engine uses.
+    // q117: q104's gram/island chain, with the hit condition swapped
+    // from "repeated in corpus" to "present in the 5-source eval suite"
+    "q117_eval_spans" ->
+      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents), " +
+        "p AS (SELECT doc_id, source, w, UNNEST(range(1, len(w) - 13)) AS i FROM t), " +
+        "g AS (SELECT doc_id, source, i - 1 AS pos, array_to_string(w[i : i + 14], ' ') AS gram FROM p), " +
+        "e AS (SELECT DISTINCT gram FROM g WHERE source IN ('src15', 'src16', 'src17', 'src18', 'src19')), " +
+        "h AS (SELECT g.doc_id, g.pos FROM g JOIN e USING (gram) " +
+        "WHERE g.source NOT IN ('src15', 'src16', 'src17', 'src18', 'src19')), " +
+        "m AS (SELECT doc_id, pos, max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM h), " +
+        "s AS (SELECT doc_id, pos, sum(CASE WHEN prev_end IS NULL OR pos > prev_end " +
+        "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM m) " +
+        "SELECT doc_id, min(pos) AS span_start, max(pos) + 15 AS span_end, " +
+        "max(pos) + 15 - min(pos) AS span_tokens FROM s " +
+        "GROUP BY doc_id, span_id ORDER BY doc_id, span_start"),
     "q104_repeated_spans" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "p AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 13)) AS i FROM t), " +

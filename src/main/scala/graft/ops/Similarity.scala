@@ -532,7 +532,9 @@ object Similarity {
     val wK = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
     val wV = Window.partitionBy("qid").orderBy(desc("votes"), asc("tlbl"))
     q.join(broadcast(seeds), col("qid") =!= col("tid"))
-      .withColumn("sim", sim)
+      // project the vectors away BEFORE the window exchange: the
+      // shuffle ships (qid, labels, sim), never the embedding arrays
+      .select(col("qid"), col("qlbl"), col("tid"), col("tlbl"), sim.as("sim"))
       .withColumn("rk", row_number().over(wK))
       .filter(col("rk") <= KnnK)
       .groupBy("qid", "qlbl", "tlbl")

@@ -170,8 +170,17 @@ object TextOps {
       .filter(col("cnt") > 1)
       .select("gram")
     val hits = grams.join(repeated, "gram").select("doc_id", "pos")
-    // islands: a hit starts a new span iff its window [pos, pos+L) is
-    // disjoint from (not even touching) everything before it
+    mergeSpans(hits)
+  }
+
+  /** The island merge shared by q104/q112 (repeated grams) and q117
+    * (eval-corpus grams): (doc_id, pos) gram-hit positions in, maximal
+    * merged [span_start, span_end) spans out. A hit starts a new span
+    * iff its window [pos, pos+L) is disjoint from (not even touching)
+    * everything before it.
+    */
+  private[ops] def mergeSpans(hits: DataFrame): DataFrame = {
+    val L = SpanL
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + lit(L))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -184,6 +193,38 @@ object TextOps {
         (max(col("pos")) + lit(L)).cast(LongType).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** q117 — cross-corpus decontamination at SPAN granularity: the
+    * maximal ≥[[SpanL]]-token spans of each TRAINING doc that appear
+    * verbatim anywhere in the EVAL suite ([[EvalSources]] — five
+    * held-out benchmark sources, widening q82's single-source
+    * convention). This upgrades q82's gram-membership counts
+    * to exact positional evidence: instead of dropping a whole doc for
+    * one shared n-gram, feed these spans to q107's cut and keep the
+    * rest — the PaLM-style decontamination shape. Gram identity rides
+    * the same xxhash64 `gram_hashes` kernel as q104 (injectivity
+    * argument there); islands merge via [[mergeSpans]].
+    *
+    * Scale: the eval corpus is benchmark-sized, so its distinct gram
+    * digests BROADCAST — training grams probe map-side and never
+    * shuffle; only hit positions (a tiny fraction of the corpus) enter
+    * the per-doc merge window.
+    */
+  private[ops] val EvalSources = Seq("src15", "src16", "src17", "src18", "src19")
+
+  def q117EvalSpans(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(call_function("gram_hashes", split(col("text"), " "), lit(SpanL)))
+          .as(Seq("pos", "gram")))
+    val isEval = col("source").isin(EvalSources: _*)
+    val evalGrams = grams.filter(isEval).select("gram").distinct()
+    val hits = grams.filter(!isEval)
+      .join(broadcast(evalGrams), "gram")
+      .select("doc_id", "pos")
+    mergeSpans(hits).orderBy("doc_id", "span_start")
   }
 
   /** q107 — APPLY the ExactSubstr drop-list: cut every token covered

@@ -95,6 +95,59 @@ class RepeatedSpansSpec extends SparkSpecBase {
     assert(got.head._5 == ((1 to 5).map(i => s"a$i") ++ (1 to 3).map(i => s"b$i")).mkString(" "))
   }
 
+  /** Brute-force q117: positions of a TRAIN doc covered by any ≥L-token
+    * span that occurs verbatim anywhere in the EVAL docs — membership
+    * against the eval span set, never the gram reduction.
+    */
+  private def bruteEvalSpans(train: Seq[(Long, Array[String])],
+                             eval: Seq[Array[String]]): Seq[(Long, Long, Long, Long)] = {
+    val evalSpans = scala.collection.mutable.Set.empty[Seq[String]]
+    for (w <- eval; len <- L to w.length; i <- 0 to w.length - len)
+      evalSpans += w.slice(i, i + len).toSeq
+    train.flatMap { case (d, w) =>
+      val covered = Array.fill(w.length)(false)
+      for (len <- L to w.length; i <- 0 to w.length - len)
+        if (evalSpans(w.slice(i, i + len).toSeq))
+          for (p <- i until i + len) covered(p) = true
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var p = 0
+      while (p < w.length) {
+        if (covered(p)) {
+          val start = p
+          while (p < w.length && covered(p)) p += 1
+          spans += ((d, start.toLong, p.toLong, (p - start).toLong))
+        } else p += 1
+      }
+      spans
+    }.sortBy(s => (s._1, s._2))
+  }
+
+  test("q117 = brute force: only eval-suite overlap is flagged, train-train repeats are not") {
+    val shared = (1 to 20).map(i => s"q$i")
+    val evalDocs = Seq(
+      ((1 to 4).map(i => s"m$i") ++ shared).toArray, // shared at offset 4
+      (1 to 18).map(i => s"v$i").toArray)
+    val trainRep = (1 to 16).map(i => s"t$i")
+    val train: Seq[(Long, Array[String])] = Seq(
+      1L -> ((1 to 7).map(i => s"a$i") ++ shared ++ Seq("z1")).toArray, // offset 7 ≠ eval's 4
+      2L -> (1 to 18).map(i => s"v$i").toArray, // exact copy of an eval doc — fully covered
+      3L -> ((1 to 14).map(i => s"q$i") ++ (1 to 5).map(i => s"y$i")).toArray, // 14 < L shared
+      4L -> trainRep.toArray, // train-train exact dup: q104 would flag it —
+      5L -> trainRep.toArray) //  q117 must NOT (no eval overlap)
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (Seq((100L, evalDocs(0).mkString(" "), "en", "src15", 1L),
+        (101L, evalDocs(1).mkString(" "), "en", "src19", 1L)) ++
+        train.map { case (d, w) => (d, w.mkString(" "), "en", "src0", 1L) }): _*)
+    val got = TextOps.q117EvalSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = bruteEvalSpans(train, evalDocs)
+    assert(got == want, s"got:\n${got.mkString("\n")}\nwant:\n${want.mkString("\n")}")
+    assert(want.map(_._1).distinct == Seq(1L, 2L)) // docs 3-5 clean, eval side never reported
+    assert(want.filter(_._1 == 1L) == Seq((1L, 7L, 27L, 20L)))
+    assert(want.filter(_._1 == 2L) == Seq((2L, 0L, 18L, 18L)))
+  }
+
   test("q104: adjacent distinct repeats merge into one coverage interval (drop-list semantics)") {
     // two different 15-token repeated spans sitting back to back: the
     // coverage union is one 30-token interval even though no single
