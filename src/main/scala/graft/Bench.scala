@@ -30,6 +30,16 @@ object Bench {
     // bounds that tail at ~40% extra wall clock.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Per-query rep spread (max/min over successful reps), published in
+    // the JSON: min-of-N rejects pollution WITHIN a query's reps, but
+    // when the whole run lands in a loaded window every rep is slow and
+    // the min can't recover (observed: a 40% whole-run swing between a
+    // post-build snapshot and an idle re-run of identical code). The
+    // spread makes that failure mode visible in the artifact itself —
+    // median spread > ~1.3 means the host was loaded and the snapshot
+    // should be retaken, a judgment the consumer can now make without
+    // re-running anything.
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -58,6 +68,15 @@ object Bench {
         sec
       }
       val sec = times.min
+      // spread over reps AFTER the first successful one: rep 1
+      // legitimately carries the query's one-time codegen/JIT (and, for
+      // queries consuming a cross-query staging table, the one-time
+      // staging build), so including it would flag warm-up as host
+      // noise — at sub-second query times rep1/rep3 exceeds 1.7 on an
+      // idle machine. Reps 2..N re-run identical warm work; their
+      // max/min only widens when the HOST is contended.
+      val good = times.filter(!_.isInfinity).drop(1)
+      if (good.size >= 2 && good.min > 0) spreads(name) = good.max / good.min
       System.err.println(f"[bench] $name%-24s $sec%8.2f s  (reps: ${times.map(t => f"$t%.2f").mkString(", ")})")
       // a query with zero successful reps has no timing at all: it is
       // reported in `failed` but contributes nothing to queries/total
@@ -67,12 +86,24 @@ object Bench {
       .mkString("{", ",", "}")
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val spreadJson = spreads.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val medianSpread = if (spreads.isEmpty) 1.0 else {
+      val s = spreads.values.toSeq.sorted
+      s(s.size / 2)
+    }
+    // loaded-host verdict: with an idle host, rep 2-3 of the same query
+    // re-read hot caches and the spread stays near 1; a contended host
+    // shows fat spreads ACROSS the board. The flag travels with the
+    // numbers so a slow snapshot is self-describing.
+    val hostLoaded = medianSpread > 1.3
     // `queries` holds only successful-rep minimums; a query whose every
     // rep failed is absent from `queries`/`total` and listed in `failed`.
     // A partially-failed query contributes its best SUCCESSFUL time and
     // is also listed in `failed`.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,""" +
+      f""""rep_spread":$spreadJson,"median_spread":$medianSpread%.3f,"host_loaded":$hostLoaded,"sf":"$sfDir"}"""
     // stdout for humans; the file for the driver — sbt prefixes stdout
     // lines with [info], which broke machine parsing of round 1's metric.
     println(json)

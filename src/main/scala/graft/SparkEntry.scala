@@ -155,6 +155,9 @@ object SparkEntry {
     "q115_knn_label" -> (Similarity.q115KnnLabel _),
     "q116_source_divergence" -> (TrainingData.q116SourceDivergence _),
     "q117_eval_spans" -> (TextOps.q117EvalSpans _),
+    "q118_shard_manifest" -> (TrainingData.q118ShardManifest _),
+    "q119_lang_trigram" -> (TrainingData.q119LangTrigram _),
+    "q120_knn_label_ivf" -> (Similarity.q120KnnLabelIvf _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -245,6 +248,18 @@ object SparkEntry {
     s"CAST(len(string_split($bpeMergedSql, ' ')) - len(string_split(text, ' ')) + 1 AS BIGINT)"
   // wide-decimal mirror of Det.dsum4w (second moments: x², x·y)
   private def dsumw(x: String) = s"CAST(round(sum(CAST($x AS DECIMAL(28,6))), 4) AS DOUBLE)"
+  // q119: per-language trigram hit counts and the argmax CASE, both
+  // generated from TrainingData.LangTrigramProfiles — one source of
+  // truth for the Spark plan and this SQL (the BpeMerges pattern)
+  private def langHitSql(grams: Seq[String]): String =
+    grams.map(g => s"(length(t) - length(replace(t, '$g', ''))) // 3").mkString(" + ")
+  private def langPickSql: String = {
+    val langs = graft.ops.TrainingData.LangTrigramProfiles.map(_._1)
+    val best = langs.map(l => s"${l}_hits").mkString("greatest(", ", ", ")")
+    val zero = langs.map(l => s"${l}_hits").mkString(" + ") + " = 0"
+    val arms = langs.init.map(l => s"WHEN ${l}_hits = $best THEN '$l'").mkString(" ")
+    s"CASE WHEN $zero THEN 'und' $arms ELSE '${langs.last}' END"
+  }
   private val tsUs = "CAST(ts AS TIMESTAMP)"
 
   def oracleSql: Map[String, String] = Map(
@@ -740,6 +755,34 @@ object SparkEntry {
         "start_token % 2048 AS seq_offset, " +
         "(start_token + n_tokens - 1) // 2048 - start_token // 2048 + 1 AS n_seqs_spanned " +
         "FROM c ORDER BY doc_id"),
+    // q118: q106's packing CTE, each doc exploded over the sequences it
+    // spans (UNNEST(range(..)) — lateral args), boundary-split token
+    // attribution, md5-first-hex-char shard via the same 16-char
+    // position lookup the engine uses (no numeric hex conversion)
+    "q118_shard_manifest" ->
+      (s"WITH t AS (SELECT doc_id, $bpeTokSql AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) " +
+        "AS start_token FROM t), " +
+        "s AS (SELECT doc_id, n_tokens, start_token, " +
+        "UNNEST(range(start_token // 2048, (start_token + n_tokens - 1) // 2048 + 1)) AS seq " +
+        "FROM c), " +
+        "x AS (SELECT doc_id, seq, " +
+        "least(start_token + n_tokens, (seq + 1) * 2048) - greatest(start_token, seq * 2048) AS tok, " +
+        "CAST(strpos('0123456789abcdef', substr(md5(CAST(seq AS VARCHAR)), 1, 1)) - 1 AS BIGINT) " +
+        "AS shard_id FROM s) " +
+        "SELECT shard_id, count(DISTINCT seq) AS n_seqs, count(DISTINCT doc_id) AS n_docs, " +
+        "CAST(sum(tok) AS BIGINT) AS n_tokens FROM x GROUP BY shard_id ORDER BY shard_id"),
+    // q119: hit-count exprs and the argmax CASE generated from
+    // TrainingData.LangTrigramProfiles (langHitSql/langPickSql)
+    "q119_lang_trigram" ->
+      ("WITH t0 AS (SELECT doc_id, lower(text) AS t FROM documents), " +
+        "s AS (SELECT doc_id, " +
+        graft.ops.TrainingData.LangTrigramProfiles.map { case (l, gs) =>
+          s"CAST(${langHitSql(gs)} AS BIGINT) AS ${l}_hits" }.mkString(", ") +
+        " FROM t0) " +
+        "SELECT doc_id, en_hits, fr_hits, de_hits, es_hits, " +
+        s"$langPickSql AS lang_pred FROM s ORDER BY doc_id"),
     // q81: digest equality == text equality (sha2-256, the q20
     // convention), so the oracle joins on text directly
     "q81_incremental_dedup" ->

@@ -145,9 +145,11 @@ object CorpusPrep {
     */
   def q72DedupReport(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val docBytes = Similarity.documentsSizeBytes(spark, dir)
-    val groups = Similarity.staged(Similarity.tokenSetGroups(spark, dir))
-    val setPairs = Similarity.setPairsAbove(groups, 4, 5, docBytes)
+    // groups and verified pairs come from the cross-query staging
+    // registry (the round-5 regression re-ran the whole cascade here):
+    // the report is a pure reclassification of the staged pairs
+    val groups = Similarity.stagedUnigramGroups(spark, dir)
+    val setPairs = Similarity.stagedSetPairs45(spark, dir)
     // the same shared drop-set derivations q56's survivor selection uses
     val exactDropped = Similarity.dropWithinSet(groups)
     val nearOnly = Similarity.dropCrossSet(setPairs).distinct()

@@ -140,9 +140,10 @@ object Sketches {
     // exact-dup collapse first (same cascade as q21): signatures,
     // banding and verification all run over DISTINCT token sets;
     // qualifying set pairs expand back to doc pairs at the end. The
-    // collapse materializes once (Similarity.staged) and feeds the
-    // banding join, verify and expansion from the materialized copy.
-    val groups = Similarity.staged(Similarity.tokenSetGroups(spark, dir))
+    // collapse is the cross-query staged relation
+    // (Similarity.stagedUnigramGroups) feeding the banding join, verify
+    // and expansion from one staging-table scan.
+    val groups = Similarity.stagedUnigramGroups(spark, dir)
     val cands = minhashBandCandidates(groups)
     val setPairs = Similarity.verifySetJaccardWithMembers(cands, groups, threshold, docBytes)
     Similarity.expandWithMembers(setPairs, groups, "jaccard", lit(1.0))
@@ -207,8 +208,8 @@ object Sketches {
     // otherwise fill each chunk bucket with identical signatures — a
     // quadratic blowup on duplicate-heavy corpora) and qualifying set
     // pairs expand back to doc pairs (within-group hamming = 0);
-    // collapse materialized once (Similarity.staged), like q21/q25
-    val groups = Similarity.staged(Similarity.tokenSetGroups(spark, dir))
+    // collapse from the cross-query staging registry, like q21/q25
+    val groups = Similarity.stagedUnigramGroups(spark, dir)
     // bit j of the simhash = sign of Σ_tokens (±1 by bit j of the token
     // hash) — one fused codegen loop (graft.functions.SimHash64)
     val sigs = groups.select(col("gid"),

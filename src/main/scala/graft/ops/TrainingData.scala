@@ -18,9 +18,10 @@ object TrainingData {
   /** q27 — n-gram-heuristic language ID: character-class profile
     * features (vowel ratio, average token length) and a deterministic
     * CASE classifier over the ROUNDED features (so the class boundary is
-    * computed on identical doubles in Spark and the oracle). A real
-    * system swaps the CASE for per-language n-gram profile tables —
-    * same plan shape: row-local feature extraction + lookup.
+    * computed on identical doubles in Spark and the oracle). The
+    * per-language n-gram profile classifier a real system uses is
+    * [[q119LangTrigram]] — same row-local plan shape, real
+    * discrimination (LangIdSpec separates fr/de/es/en fixtures).
     */
   def q27LangId(spark: SparkSession, dir: String): DataFrame = {
     val letters = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
@@ -255,7 +256,7 @@ object TrainingData {
     * is trivial, then broadcast back.
     */
   def q116SourceDivergence(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DoubleType
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val st = Tables.documents(spark, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "") // no LM mass, q71's rule
@@ -263,8 +264,12 @@ object TrainingData {
     val ct = st.groupBy("term").agg(sum("cs").as("c"))
     val ss = st.groupBy("source").agg(sum("cs").as("s"))
       .withColumn("n", sum(col("s")).over(Window.partitionBy(lit(1))))
+    // cross products in DECIMAL(38,0): long·long wraps SILENTLY past
+    // ~3e9 counts with ANSI off — decimal keeps the product exact to
+    // 10³⁸ (≫ any real corpus) and converts to double only for the ln
     val lr = floor(
-      log((col("cs") * col("n")).cast(DoubleType) / (col("c") * col("s")).cast(DoubleType))
+      log((col("cs").cast(DecimalType(38, 0)) * col("n")).cast(DoubleType) /
+          (col("c").cast(DecimalType(38, 0)) * col("s")).cast(DoubleType))
         * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     st.join(ct, "term").join(broadcast(ss), "source")
       .withColumn("lr", lr)
@@ -290,7 +295,7 @@ object TrainingData {
     * 6 dp — ≤ [[DsirBuckets]] rows whatever the corpus size.
     */
   private[graft] def dsirBucketLogRatios(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DoubleType
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val big = docs.select(col("source"), explode(dsirBigrams(col("text"))).as("g"))
       .select(col("source"), dsirBucket(col("g")).as("bucket"))
     val stats = big.groupBy("bucket").agg(
@@ -298,9 +303,10 @@ object TrainingData {
         sum(when(col("source").isin(DsirTargetSources: _*), 1L).otherwise(0L)).as("ct"))
       .withColumn("r", sum(col("cr")).over(Window.partitionBy(lit(1))))
       .withColumn("t", sum(col("ct")).over(Window.partitionBy(lit(1))))
+    // same DECIMAL(38,0) cross products as q116 — no silent long wrap
     val lr = floor(
-      log(((col("ct") + 1L) * (col("r") + DsirBuckets)).cast(DoubleType) /
-        ((col("cr") + 1L) * (col("t") + DsirBuckets)).cast(DoubleType))
+      log(((col("ct") + 1L).cast(DecimalType(38, 0)) * (col("r") + DsirBuckets)).cast(DoubleType) /
+        ((col("cr") + 1L).cast(DecimalType(38, 0)) * (col("t") + DsirBuckets)).cast(DoubleType))
         * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     stats.withColumn("lr", lr).select("bucket", "lr")
   }
@@ -549,7 +555,7 @@ object TrainingData {
     * markers, markers = whitespace_tokens − 1. The trailing empty
     * element Spark's `split(s, \"\")` appends is trimmed away.
     */
-  private[ops] def bpeTokenCount(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def bpeTokenCount(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val spaced = trim(array_join(split(translate(text, " ", "|"), ""), " "))
     val merged = BpeMerges.foldLeft(spaced) { case (c, (a, b)) =>
       call_function("replace", c, lit(a), lit(b))
@@ -602,6 +608,107 @@ object TrainingData {
     packByTokens(TextOps.q107SpanDedup(spark, dir)
       .filter(col("n_kept") > 0)
       .select(col("doc_id"), bpeTokenCount(col("clean_text")).as("n_tokens")))
+
+  /** q118 — training-shard manifest: the LAST operator between this
+    * engine and a trainer's data loader. q106's packed BPE sequences
+    * are deterministically assigned to 16 shards by the first hex char
+    * of md5(seq_id) — q111's engine-agnostic hash convention, so the
+    * assignment is a pure function of the sequence id, stable under
+    * re-runs and portable across engines — and each shard gets a
+    * manifest row: how many sequences it holds, how many documents
+    * contribute to them, and its exact BPE token total. A doc spanning
+    * a sequence boundary contributes its tokens to BOTH shards' totals,
+    * split at the boundary (the loader reads each shard independently,
+    * so per-shard byte budgets must count the overlap on both sides).
+    *
+    * Scale: the sequence explode is bounded by n_seqs_spanned (≤
+    * len/2048 + 1 per doc — ~1 for real documents); the manifest is ≤
+    * 16 rows however large the corpus, and the only shuffle is the
+    * map-combinable manifest aggregation itself. The hex-char shard
+    * hash avoids any numeric hex conversion (DuckDB has no conv):
+    * both engines map the char through a position lookup in the same
+    * 16-char string.
+    */
+  def q118ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val seqLen = 2048L
+    q106BpeSequencePack(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("start_token"),
+        explode(sequence(col("seq_id"),
+          expr(s"(start_token + n_tokens - 1) div $seqLen"))).as("seq"))
+      .withColumn("tok_in_seq",
+        least(col("start_token") + col("n_tokens"), (col("seq") + 1) * seqLen)
+          - greatest(col("start_token"), col("seq") * seqLen))
+      .withColumn("shard_id",
+        (expr("instr('0123456789abcdef', substring(md5(cast(seq AS STRING)), 1, 1))")
+          - lit(1)).cast(LongType))
+      .groupBy("shard_id")
+      .agg(countDistinct("seq").as("n_seqs"),
+        countDistinct("doc_id").as("n_docs"),
+        sum("tok_in_seq").as("n_tokens"))
+      .orderBy("shard_id")
+  }
+
+  /** Fixed character-trigram language profiles — the deterministic
+    * profile-table classifier that upgrades q27's vowel-ratio stub to
+    * real per-language discrimination (the fastText/CLD shape at its
+    * smallest: score = Σ profile-trigram occurrences, argmax wins).
+    * Space-flanked trigrams carry the strongest signal (they encode
+    * function words: " th"/"the" for English, " le"/" la" for French,
+    * "der"/"ich" for German, "cio"/"ado" for Spanish). Overlapping
+    * entries (" de" is frequent in three of the four) are intentional —
+    * real profiles overlap, and the argmax still separates because the
+    * REST of the profile differs.
+    *
+    * Like [[BpeMerges]], the table is the constant BOTH sides replay:
+    * the Spark plan and [[graft.SparkEntry.oracleSql]]'s DuckDB
+    * statement are generated from THIS value, so they cannot diverge. A
+    * production deployment swaps in learned profiles (a few hundred
+    * trigrams × ~200 languages, broadcast or inlined the same way) —
+    * the plumbing is invariant to the table.
+    */
+  val LangTrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", "ing", " an", "nd ", " of", "ion"),
+    "fr" -> Seq(" le", " de", "es ", "ent", " la", "et ", "que", " un"),
+    "de" -> Seq("der", "ich", "sch", "ein", "und", "ie ", " da", "cht"),
+    "es" -> Seq(" de", " la", "el ", "que", "ado", "cio", " en", "os "))
+
+  /** Occurrence count of each profile trigram in `t`, summed — the
+    * (length − length(replace))/3 counter, one codegen'd expression per
+    * trigram (q105's literal-replay pattern; no explode, no join). The
+    * division is exact (the difference is a multiple of 3), so the
+    * double quotient casts back to long losslessly.
+    */
+  private def trigramHits(t: Column, grams: Seq[String]): Column =
+    grams.map(g => ((length(t) - length(call_function("replace", t, lit(g), lit("")))) / lit(3))
+      .cast(LongType)).reduce(_ + _)
+
+  /** q119 — character-trigram language ID over the fixed
+    * [[LangTrigramProfiles]]: per doc, each language's profile-trigram
+    * hit count on the lowercased text, and the argmax language with
+    * deterministic tie-breaks (profile order: en > fr > de > es; zero
+    * hits everywhere → "und"). Entirely row-local — the scores pipeline
+    * inside one codegen stage with no shuffle before the output sort,
+    * so the operator scales like a scan whatever the corpus size.
+    * LangIdSpec shows the discrimination q27's vowel heuristic cannot:
+    * French/German/Spanish/English fixture sentences all classify
+    * correctly.
+    */
+  def q119LangTrigram(spark: SparkSession, dir: String): DataFrame = {
+    val t = lower(col("text"))
+    val langs = LangTrigramProfiles.map(_._1)
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id") +: LangTrigramProfiles.map { case (l, gs) =>
+        trigramHits(t, gs).as(s"${l}_hits") }: _*)
+    val hitCols = langs.map(l => col(s"${l}_hits"))
+    val best = greatest(hitCols: _*)
+    val pick = langs.foldRight(lit(langs.last): Column) { (l, acc) =>
+      when(col(s"${l}_hits") === best, lit(l)).otherwise(acc)
+    }
+    scored
+      .withColumn("lang_pred",
+        when(hitCols.reduce(_ + _) === 0L, lit("und")).otherwise(pick))
+      .orderBy("doc_id")
+  }
 
   /** q81 — incremental dedup against an existing corpus: the production
     * shape where yesterday's corpus is already deduplicated and INDEXED

@@ -130,6 +130,40 @@ object StreamingOps {
       graft.ops.CorpusPrep.scrubAndGate(docs.select("doc_id", "text")),
       graft.ops.CorpusPrep.ChunkWindow, graft.ops.CorpusPrep.ChunkStride)
 
+  /** Streaming corpus prep v2 — q112's stage list under Structured
+    * Streaming, minus the one stage that CANNOT stream: scrub (q63) →
+    * length gate → exact dedup (watermark-bounded state on the content
+    * digest, [[dedupStream]]'s construction over the CLEANED text, so a
+    * re-crawled page whose raw bytes differ only in scrubbed PII still
+    * collapses) → chunk (q64's windows) → BPE pricing (q105's replay)
+    * per chunk. Every stage reuses the batch implementation object and
+    * constants verbatim — the q67/prepStream discipline — so
+    * batch/stream outputs are identical on identical input
+    * (StreamingSpec drains a corpus through both legs).
+    *
+    * The ExactSubstr span cut (q112's stage 4) stays batch BY DESIGN:
+    * a span is cut when its L-gram repeats ANYWHERE in the corpus —
+    * a corpus-GLOBAL aggregate over all gram positions, where a gram
+    * arriving now can retroactively make a span in a long-committed
+    * document a duplicate. Streaming it would need either unbounded
+    * gram state AND retraction of already-emitted output (append mode
+    * cannot retract), or a frozen gram index like [[dsirScoreStream]]'s
+    * model — which is exactly the batch q104 artifact, refreshed
+    * offline. A production deployment runs the cut as the periodic
+    * batch compaction between streaming ingest epochs (q109's
+    * clean-then-repack), not in the ingest path.
+    */
+  def prepStreamV2(docs: DataFrame, watermarkDelay: String): DataFrame = {
+    val cleaned = graft.ops.CorpusPrep.scrubAndGate(docs)
+    val deduped = cleaned
+      .withColumn("content_hash", sha2(col("clean_text"), 256))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+    graft.ops.TrainingData.chunkTokens(deduped,
+        graft.ops.CorpusPrep.ChunkWindow, graft.ops.CorpusPrep.ChunkStride)
+      .withColumn("bpe_tokens", graft.ops.TrainingData.bpeTokenCount(col("chunk_text")))
+  }
+
   /** Streaming DSIR scoring (q114's streaming twin): score each
     * incoming document against a FROZEN bucket model trained in batch
     * ([[graft.ops.TrainingData.dsirBucketLogRatios]]) — the production
@@ -148,14 +182,23 @@ object StreamingOps {
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     val m = map(model.toSeq.sortBy(_._1)
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    val lrs = transform(dsirBigrams(col("text")), g => element_at(m, dsirBucket(g)))
+    // a bigram whose md5 bucket is ABSENT from the frozen model (the
+    // snapshot corpus never populated it) drops out, and n_bigrams
+    // counts only covered bigrams — exactly the batch q114's inner-join
+    // semantics. Without the filter, element_at's NULL poisons the
+    // aggregate and the whole doc scores a silent NULL weight (the
+    // frozen model makes uncovered buckets plausible on real ingest,
+    // unlike the batch path where model and corpus coincide).
+    val lrs = filter(
+      transform(dsirBigrams(col("text")), g => element_at(m, dsirBucket(g))),
+      x => x.isNotNull)
     // lr values are 6-dp-floored, so lr·10⁶ is integer-valued: the sum
     // accumulates exactly in longs and the final decimal division is
     // the same rational Det.davg4 rounds half-up at 4 dp
     val micro = aggregate(lrs, lit(0L),
       (acc, x) => acc + (x.cast(DecimalType(20, 6)) * lit(1000000)).cast(LongType))
     docs
-      .withColumn("n_bigrams", size(dsirBigrams(col("text"))).cast(LongType))
+      .withColumn("n_bigrams", size(lrs).cast(LongType))
       .filter(col("n_bigrams") > 0)
       .withColumn("dsir_weight",
         round(micro.cast(DecimalType(26, 6)) / (col("n_bigrams") * lit(1000000L)), 4)

@@ -51,12 +51,19 @@ class PlanQualitySpec extends SparkSpecBase {
   }
 
   test("q21: candidate generation is an equi-join, never a cartesian product") {
+    // the candidate+verify join runs at staging-BUILD time
+    // (stagedSetPairs45); pin its plan directly — the testdata universe
+    // is ≤64 tokens, so the small-universe strategy fuses verification
+    // into the candidate join as popcount arithmetic
+    // (CascadeInternalsSpec pins the >64 merge-scan path)
+    val groups = Similarity.stagedUnigramGroups(spark, sf)
+    val build = physical(Similarity.setPairsAbove(groups, 4, 5,
+      Similarity.documentsSizeBytes(spark, sf)))
+    assert(!build.contains("CartesianProduct"), build)
+    assert(build.contains("bit_count"), "masked verify must fuse into the candidate join:\n" + build)
+    // the consumer query itself only expands staged pairs
     val p = physical(Similarity.q21JaccardNeardup(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
-    // the testdata universe is ≤64 tokens, so the small-universe
-    // strategy fuses verification into the candidate join as popcount
-    // arithmetic (CascadeInternalsSpec pins the >64 merge-scan path)
-    assert(p.contains("bit_count"), "masked verify must fuse into the candidate join:\n" + p)
   }
 
   test("q22: tiny query side is broadcast under the corpus scan") {
@@ -71,10 +78,10 @@ class PlanQualitySpec extends SparkSpecBase {
     // once per row — minhash_signature itself collapses into the
     // aggregate's result projection, which the plan string omits
     assert(p25.contains("posexplode(array(h0"), "scalar banding expected:\n" + p25)
-    // the token build (shingle_hashes) now runs inside the staged
-    // collapse job (Similarity.staged), so the consumer plan reads the
-    // materialized relation instead of recomputing the tokenizer
-    assert(p25.contains("ExistingRDD"), "staged collapse scan expected:\n" + p25)
+    // the token build (shingle_hashes) now runs inside the cross-query
+    // staging build, so the consumer plan reads the staging parquet
+    // instead of recomputing the tokenizer
+    assert(p25.contains("graft_stage_unigram_groups"), "staged collapse scan expected:\n" + p25)
     val p55 = physical(Similarity.q55ShingleNeardup(spark, sf))
     assert(!p55.contains("CartesianProduct"), p55)
     assert(p55.contains("ExistingRDD"), "staged collapse scan expected:\n" + p55)
@@ -123,16 +130,47 @@ class PlanQualitySpec extends SparkSpecBase {
   }
 
   test("q21: the exact-dup collapse is STAGED — zero recomputation in the consumer plan") {
-    // The collapse (an ObjectHashAggregate collect_list) is eagerly
-    // materialized once per query (Similarity.staged) and every
-    // downstream consumer scans the materialized RDD — so the consumer
-    // plan must contain NO collapse aggregate at all (the pre-staging
-    // shape recomputed it 3×, the pre-refactor shape 7×). This pin keeps
-    // a refactor from silently dropping the staging.
+    // The collapse (an ObjectHashAggregate collect_list) runs once at
+    // staging-build time and every downstream consumer scans the
+    // staging parquet — so the consumer plan must contain NO collapse
+    // aggregate at all (the pre-staging shape recomputed it 3×, the
+    // pre-refactor shape 7×). This pin keeps a refactor from silently
+    // dropping the staging.
     val p = physical(Similarity.q21JaccardNeardup(spark, sf))
     val aggs = "ObjectHashAggregate".r.findAllIn(p).length
     assert(aggs == 0, s"collapse must be staged, not recomputed ($aggs ObjectHashAggregate nodes):\n$p")
-    assert(p.contains("ExistingRDD"), s"staged collapse scan expected:\n$p")
+    assert(p.contains("graft_stage"), s"staged collapse scan expected:\n$p")
+  }
+
+  test("CC family: q62/q108 scan the persisted component labels — no label loop in the plan") {
+    // the round-5 shape re-ran the full edge build + hash-min loop in
+    // each of q62/q62b/q108 (~20% of the whole bench); now q62 and q108
+    // are readouts of the componentLabels staging table, and q62b runs
+    // only its star loop over the staged edges
+    for ((name, df) <- Seq(
+        "q62" -> Similarity.q62DedupClusters(spark, sf),
+        "q108" -> Similarity.q108ClusterStats(spark, sf))) {
+      val p = physical(df)
+      assert(p.contains("graft_stage_component_labels"),
+        s"$name must scan the persisted labels:\n$p")
+      assert(!p.contains("ObjectHashAggregate"),
+        s"$name must not rebuild the collapse:\n$p")
+      // the consumer is a readout: no joins at all survive into its plan
+      assert(!p.contains("Join"), s"$name must be joinless over staged labels:\n$p")
+    }
+  }
+
+  test("q120: pair scoring is a cid EQUI-join — the NLJ is only the k-row centroid assign") {
+    // q115's large-seed-set swap-in: the seed×corpus scoring must meet
+    // in an equi-join on the centroid bucket (hash or sort-merge), so
+    // the all-pairs work is Σ|bucket|², never n². The BNLJ that remains
+    // is the sanctioned 8-row centroid-assignment broadcast.
+    val p = physical(Similarity.q120KnnLabelIvf(spark, sf))
+    assert(p.contains("qcid"), "bucket join key missing from the plan:\n" + p)
+    val equi = p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      ("BroadcastHashJoin".r.findAllIn(p).nonEmpty)
+    assert(equi, "pair scoring must be an equi-join on cid:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q42: as-of join is ONE hash exchange (window), no nested-loop join") {
@@ -297,6 +335,10 @@ class PlanQualitySpec extends SparkSpecBase {
       // q115: labeled seed side broadcasts, corpus streams (q22's
       // discipline); the IVF bucket join is the large-seed-set swap-in
       "q115_knn_label",
+      // q120: the swap-in itself — the PAIR scoring is a cid equi-join
+      // (pinned below); the only NLJ left is the k-row centroid
+      // assignment, q32b's sanctioned tiny-broadcast scoring
+      "q120_knn_label_ivf",
       // q94's centroid ASSIGN is the same k-row broadcast scoring as
       // q32b (the pair scan itself is a cid equi-join, never a NLJ)
       "q94_semdedup",

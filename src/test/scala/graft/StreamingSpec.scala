@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.Ev
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, sha2}
 
 /** Real streaming-execution specs: MemoryStream micro-batches through
   * the session-window and stateful forward-fill ops, and a file-source
@@ -70,6 +70,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(!streamed.exists(_.contains("short doc")), "length gate must run in the stream")
   }
 
+  test("prepStreamV2: scrub → gate → dedup → chunk + BPE price matches the batch stages on the drain") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(s"2024-01-01 00:0$m:00")
+    val long1 = (0 until 20).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      (1L, long1, t0),
+      (2L, "short doc", t0), // < 10 tokens -> gated in both paths
+      (3L, "email a@b.com " + (0 until 12).map(i => s"z$i").mkString(" "), ts(1)),
+      (4L, long1, ts(2))) // exact dup of doc 1 -> dedup drops it in-stream
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingOps.prepStreamV2(
+        ms.toDS().toDF("doc_id", "text", "ts"), "10 minutes")
+      .writeStream.format("memory").queryName("prep2").outputMode("append").start()
+    ms.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(3): _*) // dup arrives in a LATER micro-batch
+    q.processAllAvailable()
+    val streamed = spark.table("prep2").collect().map(_.toString).sorted.toSeq
+    q.stop()
+    // batch leg: the same stage objects minus the streaming dedup —
+    // first-wins on the digest replaces the state store
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(col("clean_text"), 256)).orderBy("doc_id")
+    val batch = graft.ops.TrainingData.chunkTokens(
+        graft.ops.CorpusPrep.scrubAndGate(rows.toDF("doc_id", "text", "ts"))
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("rn") === 1),
+        graft.ops.CorpusPrep.ChunkWindow, graft.ops.CorpusPrep.ChunkStride)
+      .withColumn("bpe_tokens", graft.ops.TrainingData.bpeTokenCount(col("chunk_text")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream/batch divergence:\n$streamed\nvs\n$batch")
+    assert(streamed.exists(_.contains("<EMAIL>")), "scrub must run in the stream")
+    assert(!streamed.exists(_.contains("w19 w19")), "sanity")
+    assert(!spark.table("prep2").collect().map(_.getLong(0)).contains(4L),
+      "the cross-micro-batch exact dup must be dropped by the stream state")
+  }
+
   test("dsirScoreStream: frozen batch model scores the stream bit-identical to q114") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -92,6 +132,29 @@ class StreamingSpec extends SparkSpecBase {
     val batch = graft.ops.TrainingData.q114DsirWeights(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(streamed == batch, "stream weights diverge from batch q114")
+  }
+
+  test("dsirScoreStream: uncovered model buckets drop out — no NULL-poisoned weights") {
+    // the frozen model is fit on a SNAPSHOT: a stream doc can hit a
+    // bucket the snapshot never populated. Such bigrams must drop out
+    // (batch q114's inner-join semantics: excluded from the mean AND
+    // from n_bigrams), not NULL-poison the whole doc's weight.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // md5("xx yy").take(2) = "6e", md5("yy zz").take(2) = "01" — the
+    // model below covers ONLY "yy zz"'s bucket
+    val model = Map("01" -> 0.5)
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.dsirScoreStream(ms.toDS().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("dsir_part").outputMode("append").start()
+    ms.addData((1L, "xx yy zz"), (2L, "xx yy"))
+    q.processAllAvailable()
+    val out = spark.table("dsir_part").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    // doc 1: bigram "xx yy" uncovered → only "yy zz" scores (n=1, 0.5);
+    // doc 2: its ONLY bigram is uncovered → no covered bigrams → absent
+    assert(out == Set((1L, 1L, 0.5)), s"got $out")
   }
 
   test("nearDupAdmitStream: index near-dups rejected across micro-batches, q100-parity on the drain") {

@@ -103,9 +103,14 @@ class CascadeInternalsSpec extends SparkSpecBase {
   test("general path (>64-token universe): plan uses merge-scan verify; pairs brute-force-exact") {
     val dir = bigVocabFixture()
     graft.functions.GraftFunctions.register(spark)
-    val out = Similarity.q21JaccardNeardup(spark, dir)
-    assert(out.queryExecution.executedPlan.toString.contains("sorted_intersect_count"),
+    // the candidate+verify join runs at staging-BUILD time now — pin the
+    // merge-scan verify on the build plan; q21's consumer plan only
+    // expands the staged pairs
+    val build = Similarity.setPairsAbove(Similarity.stagedUnigramGroups(spark, dir), 4, 5,
+      Similarity.documentsSizeBytes(spark, dir))
+    assert(build.queryExecution.executedPlan.toString.contains("sorted_intersect_count"),
       "large universe must verify via the native merge-scan")
+    val out = Similarity.q21JaccardNeardup(spark, dir)
     val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     // brute-force truth computed in the test, not the engine
     val docs = spark.read.parquet(s"$dir/documents.parquet")

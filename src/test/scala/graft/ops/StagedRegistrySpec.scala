@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.{SparkSpecBase, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** The CROSS-QUERY staging registry (round-6): the exact-dup collapse,
+  * the verified J ≥ 4/5 set pairs and the connected-component labels
+  * are each built once per (session, corpus dir), written to a parquet
+  * staging table, and scanned by every consumer query. These tests
+  * prove the registry path is OUTPUT-IDENTICAL to the self-contained
+  * inline cascade — the same guarantee MaterializedCascadeSpec gives
+  * for a hand-written staging-table round trip.
+  */
+class StagedRegistrySpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q21/q56 from the staging registry match the inline cascade") {
+    GraftFunctions.register(spark)
+    val docBytes = Similarity.documentsSizeBytes(spark, sf)
+    // inline leg: recompute the collapse + pair join from the raw
+    // corpus, bypassing the registry entirely
+    val inlineGroups = Similarity.collapsedCorpus(spark, sf).localCheckpoint(true)
+    val pairsInline = Similarity.nearDupPairsFrom(inlineGroups, 4, 5, docBytes)
+      .collect().map(_.toString).toSeq
+    val pairsStaged = Similarity.q21JaccardNeardup(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(pairsStaged.nonEmpty, "sf0.001 corpus should contain near-dup pairs")
+    assert(pairsStaged == pairsInline)
+
+    val survInline = Similarity
+      .survivorsFrom(inlineGroups, Tables.documents(spark, sf), docBytes)
+      .collect().map(_.toString).toSeq
+    val survStaged = Similarity.q56NeardupSurvivors(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(survStaged.nonEmpty && survStaged == survInline)
+  }
+
+  test("componentLabels staging table matches an inline CC computation; q108 is its readout") {
+    GraftFunctions.register(spark)
+    val docBytes = Similarity.documentsSizeBytes(spark, sf)
+    val inlineGroups = Similarity.collapsedCorpus(spark, sf).localCheckpoint(true)
+    val edges = Similarity.setPairsAbove(inlineGroups, 4, 5, docBytes)
+      .select(col("ga"), col("gb"))
+    val (labels, _) = Similarity.hashMinLabels(inlineGroups.select(col("gid")), edges)
+    val inline = inlineGroups
+      .select(explode(col("members")).as("doc_id"), col("gid"))
+      .join(labels, Seq("gid"), "left_outer")
+      .select(col("doc_id"), coalesce(col("lbl"), col("gid")).as("cluster_id"))
+      .orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    val stagedLabels = Similarity.q62DedupClusters(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(stagedLabels.nonEmpty && stagedLabels == inline)
+
+    // q108 must equal the histogram computed from those same labels
+    val statsInline = Similarity.q62DedupClusters(spark, sf)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
+      .collect().map(_.toString).toSeq
+    val stats = Similarity.q108ClusterStats(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(stats.nonEmpty && stats == statsInline)
+  }
+
+  test("registry idempotence: repeated reads return identical rows") {
+    GraftFunctions.register(spark)
+    val a = Similarity.componentLabels(spark, sf).collect().map(_.toString).sorted.toSeq
+    val b = Similarity.componentLabels(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+}
