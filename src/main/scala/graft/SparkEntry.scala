@@ -158,6 +158,8 @@ object SparkEntry {
     "q118_shard_manifest" -> (TrainingData.q118ShardManifest _),
     "q119_lang_trigram" -> (TrainingData.q119LangTrigram _),
     "q120_knn_label_ivf" -> (Similarity.q120KnnLabelIvf _),
+    "q121_dsir_resample" -> (TrainingData.q121DsirResample _),
+    "q122_clean_shard_manifest" -> (TrainingData.q122CleanShardManifest _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -869,6 +871,25 @@ object SparkEntry {
         "d AS (SELECT doc_id, lr FROM b JOIN l USING (bucket)) " +
         s"SELECT doc_id, count(*) AS n_bigrams, ${davgS("lr")} AS dsir_weight " +
         "FROM d GROUP BY doc_id ORDER BY doc_id"),
+    // q121: q114's weight CTEs + source join, top-200 by (weight DESC,
+    // doc_id), rank assigned over the selected rows
+    "q121_dsir_resample" ->
+      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents), " +
+        "b0 AS (SELECT doc_id, source, UNNEST(w[1 : len(w) - 1]) AS w1, UNNEST(w[2 : len(w)]) AS w2 FROM t), " +
+        "b AS (SELECT doc_id, substr(md5(w1 || ' ' || w2), 1, 2) AS bucket, source FROM b0), " +
+        "s AS (SELECT bucket, count(*) AS cr, " +
+        "sum(CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 1 ELSE 0 END) AS ct FROM b GROUP BY bucket), " +
+        "tot AS (SELECT CAST(sum(cr) AS BIGINT) AS r, CAST(sum(ct) AS BIGINT) AS tt FROM s), " +
+        "l AS (SELECT bucket, floor(ln(CAST((ct+1)*(r+256) AS DOUBLE)/CAST((cr+1)*(tt+256) AS DOUBLE))" +
+        "*1000000 + 0.5)/1000000 AS lr FROM s CROSS JOIN tot), " +
+        "d AS (SELECT doc_id, lr FROM b JOIN l USING (bucket)), " +
+        s"ww AS (SELECT doc_id, count(*) AS n_bigrams, ${davgS("lr")} AS dsir_weight " +
+        "FROM d GROUP BY doc_id), " +
+        "pk AS (SELECT ww.doc_id, doc.source, n_bigrams, dsir_weight FROM ww " +
+        "JOIN documents doc ON ww.doc_id = doc.doc_id " +
+        "ORDER BY dsir_weight DESC, ww.doc_id LIMIT 200) " +
+        "SELECT row_number() OVER (ORDER BY dsir_weight DESC, doc_id) AS pick_rank, " +
+        "doc_id, source, n_bigrams, dsir_weight FROM pk ORDER BY pick_rank"),
     // q115: q22's unnest-zip dot products over all ordered pairs, k=5
     // neighbor window on the rounded sim, majority vote with
     // (votes DESC, label ASC) tie-break
@@ -1164,6 +1185,25 @@ object SparkEntry {
         "start_token % 2048 AS seq_offset, " +
         "(start_token + n_tokens - 1) // 2048 - start_token // 2048 + 1 AS n_seqs_spanned " +
         "FROM c ORDER BY doc_id"),
+    // q122: q109's span-cut + BPE + cumsum CTEs, finished with q118's
+    // shard explode/attribution/aggregation — one statement end-to-end
+    "q122_clean_shard_manifest" ->
+      (s"WITH $spanCteChain, " +
+        "cp AS (SELECT doc_id, clean_text AS text FROM " +
+        "(SELECT ag.doc_id, ag.clean_text FROM ag WHERE ag.n_kept > 0)), " +
+        s"t2 AS (SELECT doc_id, $bpeTokSql AS n_tokens FROM cp), " +
+        "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) " +
+        "AS start_token FROM t2), " +
+        "sq AS (SELECT doc_id, n_tokens, start_token, " +
+        "UNNEST(range(start_token // 2048, (start_token + n_tokens - 1) // 2048 + 1)) AS seq " +
+        "FROM c), " +
+        "x AS (SELECT doc_id, seq, " +
+        "least(start_token + n_tokens, (seq + 1) * 2048) - greatest(start_token, seq * 2048) AS tok, " +
+        "CAST(strpos('0123456789abcdef', substr(md5(CAST(seq AS VARCHAR)), 1, 1)) - 1 AS BIGINT) " +
+        "AS shard_id FROM sq) " +
+        "SELECT shard_id, count(DISTINCT seq) AS n_seqs, count(DISTINCT doc_id) AS n_docs, " +
+        "CAST(sum(tok) AS BIGINT) AS n_tokens FROM x GROUP BY shard_id ORDER BY shard_id"),
     "q96_filtered_global_agg" ->
       (s"SELECT ${dsum("l_extendedprice*l_discount")} AS revenue, count(*) AS n_lines " +
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +

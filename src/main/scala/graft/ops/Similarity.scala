@@ -649,7 +649,7 @@ object Similarity {
 
   def q120KnnLabelIvf(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    knnLabelIvf(Tables.embeddings(spark, dir), trainIvfModel(spark, dir))
+    knnLabelIvf(Tables.embeddings(spark, dir), stagedIvfModel(spark, dir))
   }
 
   /** q120's core: q115's leave-one-out vote over centroid-bucketed
@@ -869,7 +869,19 @@ object Similarity {
     ivfTrainedSearch(spark, dir, nprobe = 2)
 
   private[ops] def ivfTrainedSearch(spark: SparkSession, dir: String, nprobe: Int): DataFrame =
-    ivfSearch(spark, dir, trainIvfModel(spark, dir), nprobe)
+    ivfSearch(spark, dir, stagedIvfModel(spark, dir), nprobe)
+
+  /** The trained IVF model as a cross-query staged relation: q32b, q32c
+    * and q120 all consume THE SAME deterministic (k = 8, 3-iteration)
+    * model, so training runs once per (session, corpus) and every
+    * consumer reads the k-row model table back — the production IVF
+    * lifecycle (train once, persist, search many) that
+    * [[trainIvfModel]]'s scaladoc describes, now actually exercised.
+    * IvfRecallSpec proves the parquet round trip searches
+    * bit-identically, so staging cannot change any consumer's output.
+    */
+  private[graft] def stagedIvfModel(spark: SparkSession, dir: String): DataFrame =
+    stagedTable(spark, dir, "ivf_model")(trainIvfModel(spark, dir))
 
   /** Nearest-centroid assignment (top-`probes` clusters per row), the
     * shared primitive of IVF training and search. The centroid relation

@@ -322,6 +322,33 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** q121 — DSIR importance RESAMPLE, realized: the top-K documents by
+    * q114's importance weight — the selection step DSIR actually ships
+    * to training (Xie et al. resample ∝ importance; the deterministic
+    * engine form is a top-K on the 4-dp weight with doc_id tie-break,
+    * q54's reproducibility convention — a weighted-lottery variant
+    * would swap the rank expression, same plan). K = 200, q65's budget
+    * convention.
+    *
+    * Scale: the global top-K is `orderBy().limit()` —
+    * TakeOrderedAndProject, q18's distributed per-partition top-K +
+    * driver merge of K-row heads, never a full sort. The rank column is
+    * a window over the ALREADY-SELECTED K rows (bounded, like q80's
+    * bucket-offsets relation), not over the corpus.
+    */
+  def q121DsirResample(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 200
+    val picked = q114DsirWeights(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .orderBy(desc("dsir_weight"), asc("doc_id"))
+      .limit(budget)
+    val w = Window.orderBy(desc("dsir_weight"), asc("doc_id"))
+    picked
+      .withColumn("pick_rank", row_number().over(w).cast(LongType))
+      .select("pick_rank", "doc_id", "source", "n_bigrams", "dsir_weight")
+      .orderBy("pick_rank")
+  }
+
   /** q64 — document CHUNKING: split each doc into sliding token
     * windows (window 16, stride 12 — ~25% overlap), the sequence-
     * packing precursor every pretraining/RAG pipeline runs (real
@@ -629,9 +656,26 @@ object TrainingData {
     * both engines map the char through a position lookup in the same
     * 16-char string.
     */
-  def q118ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+  def q118ShardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardManifestOf(q106BpeSequencePack(spark, dir))
+
+  /** q122 — the capstone handoff composed end-to-end: ExactSubstr span
+    * cut → BPE re-measure → re-pack (q109's chain) → shard manifest
+    * (q118's aggregation). This is the artifact list a training run
+    * actually consumes — shards of the CLEANED corpus — and the whole
+    * chain (span CTEs, generated BPE replay, two-level-prefix-sum
+    * packing, boundary-split shard totals) verifies as ONE oracle
+    * statement.
+    */
+  def q122CleanShardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardManifestOf(q109CleanPack(spark, dir))
+
+  /** q118/q122's manifest aggregation over any packed relation
+    * (doc_id, n_tokens, start_token, seq_id, …).
+    */
+  private[graft] def shardManifestOf(packed: DataFrame): DataFrame = {
     val seqLen = 2048L
-    q106BpeSequencePack(spark, dir)
+    packed
       .select(col("doc_id"), col("n_tokens"), col("start_token"),
         explode(sequence(col("seq_id"),
           expr(s"(start_token + n_tokens - 1) div $seqLen"))).as("seq"))

@@ -173,6 +173,14 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q121: the resample top-K is TakeOrderedAndProject; the rank window sorts only K rows") {
+    // the global top-200 must be the distributed per-partition heap +
+    // driver merge (q18's shape), never a full corpus sort; the
+    // pick_rank window then runs over the already-selected K rows.
+    val p = physical(graft.ops.TrainingData.q121DsirResample(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q42: as-of join is ONE hash exchange (window), no nested-loop join") {
     val p = physical(graft.ops.Temporal.q42AsofJoin(spark, sf))
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length

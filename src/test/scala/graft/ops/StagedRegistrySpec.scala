@@ -66,6 +66,26 @@ class StagedRegistrySpec extends SparkSpecBase {
     assert(stats.nonEmpty && stats == statsInline)
   }
 
+  test("staged IVF model: consumers search bit-identically to the inline-trained model") {
+    GraftFunctions.register(spark)
+    // inline leg: train from scratch, bypassing the registry
+    val inlineModel = Similarity.trainIvfModel(spark, sf)
+    val viaInline = Similarity.ivfSearch(spark, sf, inlineModel, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    val viaStaged = Similarity.q32cIvfMultiprobe(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(viaStaged.nonEmpty && viaStaged == viaInline,
+      "float centroids must round-trip the staging table exactly")
+    // both trained-model consumers must scan the staged table, not retrain
+    for ((name, df) <- Seq(
+        "q32b" -> Similarity.q32bIvfTrained(spark, sf),
+        "q120" -> Similarity.q120KnnLabelIvf(spark, sf))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("graft_stage_ivf_model"),
+        s"$name must consume the staged model:\n$p")
+    }
+  }
+
   test("registry idempotence: repeated reads return identical rows") {
     GraftFunctions.register(spark)
     val a = Similarity.componentLabels(spark, sf).collect().map(_.toString).sorted.toSeq
