@@ -70,15 +70,28 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** events.ts is parquet TIMESTAMP(NANOS) — Spark's reader rejects it
-    * natively, so it is read as raw nanos (LongType, legacy conf below)
-    * and truncated here to the engine's native microsecond TimestampType.
+  /** Legacy layout: events.ts as parquet TIMESTAMP(NANOS) — Spark's
+    * reader rejects it natively, so it is read as raw nanos (LongType,
+    * under `spark.sql.legacy.parquet.nanosAsLong`) and truncated in
+    * [[events]] to the engine's native microsecond TimestampType.
     * DuckDB's CAST(ts AS TIMESTAMP) truncates the same way, so oracle SQL
     * over `events` stays value-identical.
     */
   val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // raw nanoseconds since epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Current layout: events.ts as parquet TIMESTAMP(MICROS) — Spark's
+    * native timestamp encoding, read directly (same pattern as
+    * orders.o_orderdate / lineitem.l_shipdate).
+    */
+  val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -117,24 +130,48 @@ object Tables {
     "lineitem" -> (lineitem _), "events" -> (events _),
     "documents" -> (documents _), "embeddings" -> (embeddings _))
 
-  /** `events` with `ts` converted to microsecond TimestampType.
+  /** `events` with `ts` as microsecond TimestampType, adaptive to the
+    * file's physical layout (the driver has shipped BOTH across rounds):
     *
-    * `ts div 1000` (integer division on longs) is deliberate: routing the
-    * ~1.7e18 nano value through a double (`col / 1000`) loses sub-µs bits
-    * (doubles carry 53 mantissa bits) and can shift the truncated µs by 1.
+    *  - TIMESTAMP(MICROS) (current testdata): read directly through
+    *    [[eventsSchema]], like every other timestamp column.
+    *  - TIMESTAMP(NANOS) read as raw longs under
+    *    `spark.sql.legacy.parquet.nanosAsLong` (legacy testdata, and the
+    *    spec fixtures' raw-long encoding): truncate nanos → micros here.
+    *    `ts div 1000` (integer division on longs) is deliberate: routing
+    *    the ~1.7e18 nano value through a double (`col / 1000`) loses
+    *    sub-µs bits (doubles carry 53 mantissa bits) and can shift the
+    *    truncated µs by 1. DuckDB's CAST truncates the same way.
     *
-    * The nanos legacy conf is REQUIRED at session build time, not set
-    * here: a loader that silently flips session state leaks the change
-    * to every other query on a shared session (and races across
-    * threads). Fail fast with the fix instead.
+    * Detection is one footer-schema probe per distinct path (cached —
+    * the schema of an immutable testdata file cannot change mid-session;
+    * a Spark plan re-resolves the path anyway so correctness never
+    * depends on the cache). A TIMESTAMP(NANOS) file with the legacy conf
+    * OFF fails the probe inside Spark; that error is rethrown with the
+    * session-build fix because a loader that silently flips session conf
+    * would leak the change to every other query on a shared session.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet carries TIMESTAMP(NANOS): build the SparkSession with " +
-        """.config("spark.sql.legacy.parquet.nanosAsLong", "true") """ +
-        "(as graft.Verify/graft.Bench do); Tables.events does not set it implicitly")
-    load(spark, dir, "events", eventsRawSchema)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val path = s"$dir/events.parquet"
+    val tsType = eventsTsTypeCache.getOrElseUpdate(path, {
+      try spark.read.parquet(path).schema("ts").dataType
+      catch {
+        case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+          throw new IllegalArgumentException(
+            "events.parquet carries TIMESTAMP(NANOS): build the SparkSession with " +
+              """.config("spark.sql.legacy.parquet.nanosAsLong", "true") """ +
+              "(as graft.Verify/graft.Bench do); Tables.events does not set it implicitly", e)
+      }
+    })
+    tsType match {
+      case LongType =>
+        load(spark, dir, "events", eventsRawSchema)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        load(spark, dir, "events", eventsSchema)
+    }
   }
+
+  private val eventsTsTypeCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataType]
 }

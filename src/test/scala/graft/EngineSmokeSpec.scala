@@ -31,17 +31,26 @@ class EngineSmokeSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("Tables.events fails fast with the fix when the nanos conf is off") {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try {
-      val e = intercept[IllegalArgumentException] {
-        Tables.events(spark, sf)
-      }
-      assert(e.getMessage.contains("nanosAsLong"),
-        s"error must name the conf and the fix: ${e.getMessage}")
-    } finally spark.conf.set(key, prev)
+  test("Tables.events adapts to the file's ts layout: micros read directly, raw longs convert") {
+    // Driver testdata currently ships TIMESTAMP(MICROS): must read
+    // directly and land in the generator's 2024 window (a mis-applied
+    // nanos div-1000 would shift every event to 1970).
+    import org.apache.spark.sql.functions.{min => smin, year}
+    val y = Tables.events(spark, sf)
+      .select(year(smin(org.apache.spark.sql.functions.col("ts"))))
+      .head().getInt(0)
+    assert(y == 2024, s"micros events.ts must stay in the generator window, got year $y")
+    // Legacy/fixture layout (raw nanos as LongType) still converts.
+    val dir = java.nio.file.Files.createTempDirectory("graft-smoke").toString
+    val nanos2024 = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z
+    val fixture = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, nanos2024, 1L, "click", 1.0, "{}")), 1),
+      Tables.eventsRawSchema)
+    fixture.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ts = Tables.events(spark, dir).select("ts").head().getTimestamp(0)
+    assert(ts.toInstant.toString.startsWith("2024-01-01T00:00:00"),
+      s"raw-nanos fixture must convert to micros, got $ts")
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
