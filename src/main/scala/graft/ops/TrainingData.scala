@@ -311,7 +311,11 @@ object TrainingData {
     stats.withColumn("lr", lr).select("bucket", "lr")
   }
 
-  def q114DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+  /** q114's per-doc weight relation, unsorted — the expensive leg
+    * (bigram explode + model join + per-doc aggregation) behind the
+    * staging registry entry below.
+    */
+  private[graft] def dsirWeightsOf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val big = docs
       .select(col("doc_id"), explode(dsirBigrams(col("text"))).as("g"))
@@ -319,8 +323,23 @@ object TrainingData {
     big.join(broadcast(dsirBucketLogRatios(docs)), "bucket")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), Det.davg4(col("lr")).as("dsir_weight"))
-      .orderBy("doc_id")
   }
+
+  /** The staged per-doc DSIR weights — (doc_id, n_bigrams, 4-dp
+    * dsir_weight), built ONCE per (session, corpus) and scanned by both
+    * consumers: q114 (the weight report) and q121 (the resample
+    * realization). Longs + a 4-dp-rounded double, so the parquet round
+    * trip is exact (StagedRegistrySpec). This is the production
+    * lifecycle: score the corpus once, then both the observability
+    * readout and the selection step read the scored table — without it
+    * q121 re-ran the whole bigram explode + model join that q114 had
+    * just finished (the q108 recompute tax, one level up).
+    */
+  private[graft] def stagedDsirWeights(spark: SparkSession, dir: String): DataFrame =
+    Similarity.stagedTable(spark, dir, "dsir_weights")(dsirWeightsOf(spark, dir))
+
+  def q114DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    stagedDsirWeights(spark, dir).orderBy("doc_id")
 
   /** q121 — DSIR importance RESAMPLE, realized: the top-K documents by
     * q114's importance weight — the selection step DSIR actually ships
@@ -338,7 +357,7 @@ object TrainingData {
     */
   def q121DsirResample(spark: SparkSession, dir: String): DataFrame = {
     val budget = 200
-    val picked = q114DsirWeights(spark, dir)
+    val picked = stagedDsirWeights(spark, dir)
       .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
       .orderBy(desc("dsir_weight"), asc("doc_id"))
       .limit(budget)
@@ -631,10 +650,23 @@ object TrainingData {
     * checks the whole chain (the span CTEs, the generated BPE replay
     * and the cumsum live in one DuckDB statement).
     */
+  /** The staged cleaned-and-packed corpus — q109's packed relation
+    * (all-long columns, exact round trip), built ONCE per (session,
+    * corpus) and scanned by both consumers: q109 (the packing itself)
+    * and q122 (its shard manifest). The span cut + BPE re-measure +
+    * prefix-sum re-pack is the most expensive composed chain in the
+    * engine; a production run materializes its output as THE cleaned
+    * corpus artifact and derives every downstream readout from that
+    * table, which is exactly what the registry entry does.
+    */
+  private[graft] def stagedCleanPack(spark: SparkSession, dir: String): DataFrame =
+    Similarity.stagedTable(spark, dir, "clean_pack")(
+      packByTokens(TextOps.q107SpanDedup(spark, dir)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), bpeTokenCount(col("clean_text")).as("n_tokens"))))
+
   def q109CleanPack(spark: SparkSession, dir: String): DataFrame =
-    packByTokens(TextOps.q107SpanDedup(spark, dir)
-      .filter(col("n_kept") > 0)
-      .select(col("doc_id"), bpeTokenCount(col("clean_text")).as("n_tokens")))
+    stagedCleanPack(spark, dir).orderBy("doc_id")
 
   /** q118 — training-shard manifest: the LAST operator between this
     * engine and a trainer's data loader. q106's packed BPE sequences
@@ -668,7 +700,7 @@ object TrainingData {
     * statement.
     */
   def q122CleanShardManifest(spark: SparkSession, dir: String): DataFrame =
-    shardManifestOf(q109CleanPack(spark, dir))
+    shardManifestOf(stagedCleanPack(spark, dir))
 
   /** q118/q122's manifest aggregation over any packed relation
     * (doc_id, n_tokens, start_token, seq_id, …).

@@ -181,6 +181,38 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("DSIR family: q114/q121 scan the staged weights — no bigram explode in consumer plans") {
+    // the weight computation (bigram explode + model join + per-doc
+    // agg) runs once at staging-build time; both the report (q114) and
+    // the resample (q121) must read the scored table. Generate marks
+    // the bigram explode; its absence plus the staged scan pins the
+    // registry path.
+    for ((name, df) <- Seq(
+        "q114" -> graft.ops.TrainingData.q114DsirWeights(spark, sf),
+        "q121" -> graft.ops.TrainingData.q121DsirResample(spark, sf))) {
+      val p = physical(df)
+      assert(p.contains("graft_stage_dsir_weights"),
+        s"$name must scan the staged weights:\n$p")
+      assert(!p.contains("Generate"),
+        s"$name must not re-run the bigram explode:\n$p")
+    }
+  }
+
+  test("clean-pack family: q109/q122 scan the staged packed corpus — no span cut in consumer plans") {
+    // the span cut + BPE re-measure + prefix-sum re-pack is staged
+    // once; q109 is an ordered read, q122 aggregates the manifest from
+    // the same table. The consumer plans must contain the staged scan
+    // and none of the chain's Generate/posexplode machinery (q122's own
+    // boundary explode over n_seqs_spanned is the one Generate allowed
+    // in its plan).
+    val p109 = physical(graft.ops.TrainingData.q109CleanPack(spark, sf))
+    assert(p109.contains("graft_stage_clean_pack"), s"q109 must scan the staged pack:\n$p109")
+    assert(!p109.contains("Generate"), s"q109 must be a pure readout:\n$p109")
+    val p122 = physical(graft.ops.TrainingData.q122CleanShardManifest(spark, sf))
+    assert(p122.contains("graft_stage_clean_pack"), s"q122 must scan the staged pack:\n$p122")
+    assert(!p122.contains("Join"), s"q122 must not re-run the span-cut chain:\n$p122")
+  }
+
   test("q42: as-of join is ONE hash exchange (window), no nested-loop join") {
     val p = physical(graft.ops.Temporal.q42AsofJoin(spark, sf))
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length

@@ -86,6 +86,50 @@ class StagedRegistrySpec extends SparkSpecBase {
     }
   }
 
+  test("staged DSIR weights: q114/q121 match the inline weight computation") {
+    GraftFunctions.register(spark)
+    // inline leg: recompute the bigram explode + model join, bypassing
+    // the registry
+    val inline = TrainingData.dsirWeightsOf(spark, sf)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val staged = TrainingData.q114DsirWeights(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(staged.nonEmpty && staged == inline,
+      "4-dp weights must round-trip the staging table exactly")
+    // q121 must equal the top-K computed from the inline weights
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    val inlinePick = TrainingData.dsirWeightsOf(spark, sf)
+      .join(docs, "doc_id")
+      .orderBy(desc("dsir_weight"), asc("doc_id")).limit(200)
+      .orderBy(desc("dsir_weight"), asc("doc_id"))
+      .select("doc_id", "source", "n_bigrams", "dsir_weight")
+      .collect().map(_.toString).toSeq
+    val stagedPick = TrainingData.q121DsirResample(spark, sf)
+      .select("doc_id", "source", "n_bigrams", "dsir_weight")
+      .collect().map(_.toString).toSeq
+    assert(stagedPick.nonEmpty && stagedPick == inlinePick)
+  }
+
+  test("staged clean-pack: q109/q122 match the inline span-cut chain") {
+    GraftFunctions.register(spark)
+    val inlinePack = TrainingData.packByTokens(
+        graft.ops.TextOps.q107SpanDedup(spark, sf)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"),
+            TrainingData.bpeTokenCount(col("clean_text")).as("n_tokens")))
+      .collect().map(_.toString).toSeq
+    val stagedPack = TrainingData.q109CleanPack(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(stagedPack.nonEmpty && stagedPack == inlinePack,
+      "all-long pack must round-trip the staging table exactly")
+    val inlineManifest = TrainingData.shardManifestOf(
+        TrainingData.q109CleanPack(spark, sf))
+      .collect().map(_.toString).toSeq
+    val stagedManifest = TrainingData.q122CleanShardManifest(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(stagedManifest.nonEmpty && stagedManifest == inlineManifest)
+  }
+
   test("registry idempotence: repeated reads return identical rows") {
     GraftFunctions.register(spark)
     val a = Similarity.componentLabels(spark, sf).collect().map(_.toString).sorted.toSeq
