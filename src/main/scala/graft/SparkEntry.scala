@@ -160,6 +160,9 @@ object SparkEntry {
     "q120_knn_label_ivf" -> (Similarity.q120KnnLabelIvf _),
     "q121_dsir_resample" -> (TrainingData.q121DsirResample _),
     "q122_clean_shard_manifest" -> (TrainingData.q122CleanShardManifest _),
+    "q123_int8_ann" -> (Similarity.q123Int8Ann _),
+    "q124_boilerplate_ngrams" -> (TextOps.q124BoilerplateNgrams _),
+    "q125_vocab_coverage" -> (TextOps.q125VocabCoverage _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -1204,6 +1207,53 @@ object SparkEntry {
         "AS shard_id FROM sq) " +
         "SELECT shard_id, count(DISTINCT seq) AS n_seqs, count(DISTINCT doc_id) AS n_docs, " +
         "CAST(sum(tok) AS BIGINT) AS n_tokens FROM x GROUP BY shard_id ORDER BY shard_id"),
+    // q123: the per-dim min/max model, the quantize→dequantize affine
+    // map and the asymmetric cosine all in exact-mirror double
+    // arithmetic; generate_subscripts pairs with unnest in lockstep so
+    // (i, x) enumerate each embedding in index order
+    "q123_int8_ann" ->
+      ("WITH dims AS (SELECT generate_subscripts(embedding, 1) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), " +
+        "s AS (SELECT i, min(x) AS mn, max(x) AS mx FROM dims GROUP BY i), " +
+        "t AS (SELECT vec_id AS tid, generate_subscripts(embedding, 1) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings WHERE vec_id >= 5), " +
+        "th AS (SELECT tid, t.i, CASE WHEN s.mx = s.mn THEN s.mn " +
+        "ELSE s.mn + floor((t.x - s.mn) * 255.0 / (s.mx - s.mn) + 0.5) * (s.mx - s.mn) / 255.0 END AS xh " +
+        "FROM t JOIN s ON t.i = s.i), " +
+        "tn AS (SELECT tid, sqrt(sum(xh*xh)) AS tn FROM th GROUP BY tid), " +
+        "q AS (SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS qx FROM embeddings WHERE vec_id < 5), " +
+        "qn AS (SELECT qid, sqrt(sum(qx*qx)) AS qn FROM q GROUP BY qid), " +
+        "d AS (SELECT qid, tid, sum(qx * xh) AS dot FROM q JOIN th ON q.i = th.i GROUP BY qid, tid), " +
+        "r AS (SELECT qid, tid, floor(dot/(qn.qn*tn.tn)*10000 + 0.5)/10000 AS sim, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY floor(dot/(qn.qn*tn.tn)*10000 + 0.5)/10000 DESC, tid) AS rk " +
+        "FROM d JOIN qn USING (qid) JOIN tn USING (tid)) " +
+        "SELECT qid, CAST(rk AS BIGINT) AS rk, tid, sim FROM r WHERE rk <= 10 ORDER BY qid, rk"),
+    // q124: gram text re-derived only for the 50 winner hashes, exactly
+    // like the Spark side's second map-side pass
+    "q124_boilerplate_ngrams" ->
+      ("WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sub AS (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM ws), " +
+        "g AS (SELECT doc_id, md5(array_to_string(w[i:i+4], ' ')) AS h, " +
+        "array_to_string(w[i:i+4], ' ') AS g FROM sub WHERE i + 4 <= len(w)), " +
+        "c AS (SELECT h, count(*) AS tf, count(DISTINCT doc_id) AS df FROM g GROUP BY h), " +
+        "top AS (SELECT h, tf, df FROM c ORDER BY tf DESC, df DESC, h LIMIT 50), " +
+        "txt AS (SELECT g.h, min(g.g) AS gram FROM g JOIN top ON g.h = top.h GROUP BY g.h) " +
+        "SELECT CAST(row_number() OVER (ORDER BY tf DESC, df DESC, top.h) AS BIGINT) AS rk, " +
+        "gram, tf, df FROM top JOIN txt ON top.h = txt.h ORDER BY rk"),
+    // q125: rank/cumsum over the top-1000 vocabulary rows only; the
+    // floor formula rounds coverage identically on both engines
+    "q125_vocab_coverage" ->
+      ("WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "c AS (SELECT tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY tok), " +
+        "total AS (SELECT sum(cnt) AS total FROM c), " +
+        "top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 25), " +
+        "r AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rk, " +
+        "sum(cnt) OVER (ORDER BY cnt DESC, tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt " +
+        "FROM top) " +
+        "SELECT CAST(rk AS BIGINT) AS vocab_k, tok AS kth_token, CAST(cnt AS BIGINT) AS kth_count, " +
+        "floor(CAST(cum_cnt AS DOUBLE) / CAST(total.total AS DOUBLE) * 10000 + 0.5)/10000 AS coverage " +
+        "FROM r, total WHERE rk IN (5, 10, 25) ORDER BY vocab_k"),
     "q96_filtered_global_agg" ->
       (s"SELECT ${dsum("l_extendedprice*l_discount")} AS revenue, count(*) AS n_lines " +
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +

@@ -131,6 +131,8 @@ object GraftFunctions {
       exprs => PrefixIntersectCount(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
     reg.createOrReplaceTempFunction("bloom_might_contain",
       exprs => BloomMightContain(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("word_ngrams",
+      exprs => WordNgrams(exprs.head, shingleN(exprs(1))), "built-in")
   }
 }
 
@@ -169,5 +171,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       exprs => PrefixIntersectCount(exprs.head, exprs(1), exprs(2), exprs(3)))
     inject(e, "bloom_might_contain", classOf[BloomMightContain],
       exprs => BloomMightContain(exprs.head, exprs(1)))
+    inject(e, "word_ngrams", classOf[WordNgrams],
+      exprs => WordNgrams(exprs.head, GraftFunctions.shingleN(exprs(1))))
   }
 }

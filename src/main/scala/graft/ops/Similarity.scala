@@ -555,6 +555,77 @@ object Similarity {
     * same ranking runs over IVF/LSH buckets (q32's partition pruning) so
     * only same-bucket pairs are scored.
     */
+  /** Double-typed dot product via index-ordered array fold — for the
+    * DEQUANTIZED double arrays of [[q123Int8Ann]], where the native
+    * [[graft.functions.FloatVecDot]] (float inputs) doesn't apply.
+    * `aggregate` folds left-to-right in index order, the same order the
+    * oracle's unnest produces, so the float-addition sequence matches
+    * cross-engine before the 4-dp round absorbs last-bit noise.
+    */
+  private def ddot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** q123 — int8-QUANTIZED ANN search (asymmetric): the production
+    * memory story for a 100 TB vector corpus. A per-dimension affine
+    * model (min/max over the corpus — ONE tiny aggregation, ≤ dim rows,
+    * collapsed to a single broadcast row of arrays) maps each float32
+    * corpus value to an 8-bit code, cutting resident corpus memory 4×;
+    * queries stay exact float (asymmetric distance computation, the
+    * standard IVF-SQ8/faiss arrangement — quantize the big side only,
+    * keep the cheap side precise). Search scores queries against the
+    * DEQUANTIZED corpus — mn + code·(mx−mn)/255, pure double
+    * arithmetic, so the whole operator is deterministic and
+    * oracle-checkable — with q22's top-k discipline (4-dp rounded
+    * cosine, tid tie-break).
+    *
+    * Scale: the model aggregation is map-combinable to ≤ dim rows; the
+    * quantization is row-local (one `transform` with index — no
+    * shuffle, no explode in the consumer plan); search is q22's
+    * sanctioned tiny-broadcast scoring (queries broadcast, corpus
+    * streams map-side and never shuffles). Recall@10 vs the exact q22
+    * and the max similarity error are MEASURED, not asserted
+    * (Int8AnnSpec); at 100 TB the same codes feed the IVF bucket scan
+    * (q32) so pruning and compression compose.
+    */
+  def q123Int8Ann(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // per-dim affine model: (mn, mx) per dimension, as one broadcast row
+    val model = e
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(min(col("x").cast(DoubleType)).as("mn"), max(col("x").cast(DoubleType)).as("mx"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("dm"))
+      .select(transform(col("dm"), s => s.getField("mn")).as("mns"),
+        transform(col("dm"), s => s.getField("mx")).as("mxs"))
+    // quantize→dequantize in one row-local pass: the stored form is the
+    // 8-bit code (floor((x−mn)·255/(mx−mn) + 0.5)); search uses its
+    // dequantized double. A constant dimension (mx = mn) codes to 0 and
+    // dequantizes to mn.
+    val dequant = transform(col("embedding"), (x, i) => {
+      val mn = element_at(col("mns"), i + 1)
+      val mx = element_at(col("mxs"), i + 1)
+      when(mx === mn, mn).otherwise(
+        mn + floor((x.cast(DoubleType) - mn) * lit(255.0) / (mx - mn) + lit(0.5))
+          * (mx - mn) / lit(255.0))
+    })
+    val corpus = e.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(model))
+      .select(col("vec_id").as("tid"), dequant.as("th"))
+      .withColumn("tn", sqrt(ddot(col("th"), col("th"))))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qe"))
+      .withColumn("qn", sqrt(ddot(col("qe"), col("qe"))))
+    val sim = roundD4(ddot(col("qe"), col("th")) / (col("qn") * col("tn")))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("sim", sim)
+      .withColumn("rk", row_number().over(w).cast(LongType)) // BIGINT in DuckDB
+      .filter(col("rk") <= 10)
+      .select("qid", "rk", "tid", "sim")
+      .orderBy("qid", "rk")
+  }
+
   def q31EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)

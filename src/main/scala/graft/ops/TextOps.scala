@@ -438,4 +438,96 @@ object TextOps {
           countMatches(afterPhone, TermsPat)).cast(LongType).as("n_redacted"))
       .orderBy("doc_id")
   }
+
+  /** q124 — corpus BOILERPLATE report: the top-50 most-repeated word
+    * 5-grams with their occurrence count (tf) and document frequency
+    * (df). q104/q107 CUT repeated spans; this op NAMES them — the
+    * observability artifact a pipeline operator reads to find the
+    * license header / cookie banner / nav bar that is polluting the
+    * corpus (and to decide the q104 span threshold).
+    *
+    * Scale shape — strings never ride the wide shuffle: the heavy
+    * aggregation keys on the fixed-width md5 of the gram (128-bit —
+    * collision-free at any corpus size, unlike a 64-bit key at ~4e9
+    * grams), so the per-gram partial+final agg shuffles 32-char keys +
+    * two longs however long the grams are. Gram TEXT is attached only
+    * for the 50 winners, by a second map-side gram pass semi-joined
+    * against the broadcast winner hashes — two cheap corpus SCANS
+    * instead of one corpus-wide string shuffle, the right trade at
+    * 100 TB where scans are linear and exchanges are the bottleneck.
+    * Ordering (tf desc, df desc, hash asc) is total and engine-agnostic.
+    */
+  def q124BoilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val n = 5
+    val k = 50
+    // native codegen'd gram build ([[graft.functions.WordNgrams]]) —
+    // the HOF transform/slice/array_join formulation is interpreted
+    // per window and was the whole query's bottleneck (9.7 s of the
+    // 11.8 s total at sf0.1; same lesson as q55's shingle_hashes)
+    def grams: DataFrame = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(call_function("word_ngrams", split(col("text"), " "), lit(n))).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"), col("g"))
+    // eager 50-row checkpoint: `top` feeds BOTH the winner-hash
+    // broadcast and the final join — without it the whole gram
+    // scan+agg subtree runs once per consumer (q21's staged-collapse
+    // lesson, at single-query scope)
+    val top = grams
+      .groupBy("h")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("tf"), desc("df"), asc("h"))
+      .limit(k)
+      .localCheckpoint(true)
+    val winnersText = grams
+      .join(broadcast(top.select("h")), "h")
+      .groupBy("h").agg(min(col("g")).as("gram"))
+    val w = Window.orderBy(desc("tf"), desc("df"), asc("h"))
+    top.join(winnersText, "h")
+      .withColumn("rk", row_number().over(w).cast(LongType)) // BIGINT in DuckDB
+      .select("rk", "gram", "tf", "df")
+      .orderBy("rk")
+  }
+
+  /** q125 — VOCABULARY COVERAGE curve: for each candidate vocabulary
+    * size k, what fraction of all corpus token occurrences the top-k
+    * most-frequent tokens cover — the Zipf readout a tokenizer/vocab
+    * design actually consumes (pick the smallest k past the target
+    * coverage). Ranking is (count desc, token asc): total and
+    * engine-agnostic.
+    *
+    * Scale shape: the token count is partial+final (the shuffle carries
+    * per-partition term partials, q53's argument); the rank/cumsum
+    * window then runs over the VOCABULARY relation — corpus-independent
+    * size, q36's sanctioned vocab-window regime — never over the token
+    * stream, and the total is a one-row broadcast scalar. A vocabulary
+    * too large even for that window gets q80's two-level prefix sum;
+    * the checkpoint filter keeps the output at |ks| rows.
+    */
+  def q125VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    // checkpoints sized to the generator's 31-token vocabulary; a real
+    // corpus uses (1e3, 1e4, 1e5, 1e6) — same plan, larger top-K
+    val ks = Seq(5, 10, 25)
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // distributed top-ks.max FIRST (TakeOrderedAndProject, q121's
+    // shape) so the rank/cumsum window sorts only ks.max rows — the
+    // full vocabulary never lands on one partition
+    val top = counts.orderBy(desc("cnt"), asc("tok")).limit(ks.max)
+    val w = Window.orderBy(desc("cnt"), asc("tok"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum_cnt", sum(col("cnt")).over(cum))
+      .filter(col("rk").isin(ks: _*))
+      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
+      .select(col("rk").cast(LongType).as("vocab_k"),
+        col("tok").as("kth_token"), col("cnt").as("kth_count"),
+        graft.ops.Det.roundD4(col("cum_cnt").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("coverage"))
+      .orderBy("vocab_k")
+  }
 }

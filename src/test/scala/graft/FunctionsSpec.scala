@@ -62,6 +62,27 @@ class FunctionsSpec extends SparkSpecBase {
     assert(r.getSeq[Long](2).length == 2) // {ab, ba}
   }
 
+  test("word_ngrams: position order, multiplicity kept, HOF-equivalent, null/short edges") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT word_ngrams(array('a','b','c','d'), 3) AS g3, " +
+        "word_ngrams(array('a','b'), 3) AS short, " +
+        "word_ngrams(array('x','y','x','y'), 2) AS dups, " +
+        "word_ngrams(array('a', CAST(NULL AS STRING), 'b'), 2) AS withnull").collect().head
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d")) // position order
+    assert(r.getSeq[String](1).isEmpty)
+    assert(r.getSeq[String](2) == Seq("x y", "y x", "x y")) // multiplicity kept
+    assert(r.getSeq[String](3) == Seq("a b")) // nulls skipped, not NPE'd
+    // value-identical to the interpreted HOF formulation it replaces
+    val eq = spark.sql(
+      "SELECT word_ngrams(w, 5) = transform(sequence(0, greatest(size(w) - 5, -1)), " +
+        "i -> array_join(slice(w, i + 1, 5), ' ')) AS same " +
+        "FROM (SELECT split(text, ' ') AS w FROM parquet.`/root/testdata/sf0.001/documents.parquet` " +
+        "WHERE size(split(text, ' ')) >= 5)")
+      .collect()
+    assert(eq.nonEmpty && eq.forall(_.getBoolean(0)))
+  }
+
   test("shingle_hashes: null elements are skipped, not NPEs (ADVICE r2)") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -372,6 +372,11 @@ class PlanQualitySpec extends SparkSpecBase {
       // centroids against the streaming corpus side)
       "q22_topk_cosine", "q31_embed_neardup", "q32_ivf_ann",
       "q32b_ivf_trained", "q32c_ivf_multiprobe",
+      // q123: q22's tiny-broadcast scoring (queries + the one-row
+      // quantization model broadcast; corpus streams map-side)
+      "q123_int8_ann",
+      // q125: one-row corpus-total broadcast — scalar, not a relation
+      "q125_vocab_coverage",
       // q115: labeled seed side broadcasts, corpus streams (q22's
       // discipline); the IVF bucket join is the large-seed-set swap-in
       "q115_knn_label",
