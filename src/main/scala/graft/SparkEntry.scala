@@ -163,6 +163,9 @@ object SparkEntry {
     "q123_int8_ann" -> (Similarity.q123Int8Ann _),
     "q124_boilerplate_ngrams" -> (TextOps.q124BoilerplateNgrams _),
     "q125_vocab_coverage" -> (TextOps.q125VocabCoverage _),
+    "q126_containment_neardup" -> (Similarity.q126ContainmentNeardup _),
+    "q127_entropy_gate" -> (TrainingData.q127EntropyGate _),
+    "q128_source_calibration" -> (TrainingData.q128SourceCalibration _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -1254,6 +1257,46 @@ object SparkEntry {
         "SELECT CAST(rk AS BIGINT) AS vocab_k, tok AS kth_token, CAST(cnt AS BIGINT) AS kth_count, " +
         "floor(CAST(cum_cnt AS DOUBLE) / CAST(total.total AS DOUBLE) * 10000 + 0.5)/10000 AS coverage " +
         "FROM r, total WHERE rk IN (5, 10, 25) ORDER BY vocab_k"),
+    // q126: brute-force containment over doc word-3-gram sets (the
+    // engine's staged-cascade path must emit exactly the quadratic
+    // truth); 10·ov >= 9·min(sz) is the same integer-exact threshold;
+    // hash-set counts equal string-set counts by the q55 relabeling
+    // argument
+    "q126_containment_neardup" ->
+      ("WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sub AS (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM ws), " +
+        "sh AS (SELECT doc_id, list_distinct(list(array_to_string(w[i:i+2], ' '))) AS toks " +
+        "FROM sub WHERE i + 2 <= len(w) GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "len(list_intersect(a.toks, b.toks)) AS ov, least(len(a.toks), len(b.toks)) AS mn " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, floor(CAST(ov AS DOUBLE)/mn*10000 + 0.5)/10000 AS containment " +
+        "FROM p WHERE 10*ov >= 9*mn ORDER BY doc_a, doc_b"),
+    // q127: the same algebraic entropy form H = ln n − (Σ c·ln c)/n;
+    // the gate compares the ROUNDED value on both engines
+    "q127_entropy_gate" ->
+      ("WITH tf AS (SELECT doc_id, tok, count(*) AS c FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY doc_id, tok), " +
+        "a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "sum(CAST(c AS DOUBLE)*ln(CAST(c AS DOUBLE))) AS slc FROM tf GROUP BY doc_id), " +
+        "h AS (SELECT doc_id, n_tokens, " +
+        "floor((ln(CAST(n_tokens AS DOUBLE)) - slc/n_tokens)*10000 + 0.5)/10000 AS token_entropy FROM a) " +
+        "SELECT doc_id, n_tokens, token_entropy, " +
+        "CAST(token_entropy < 2.8 AS BIGINT) AS low_entropy FROM h ORDER BY doc_id"),
+    // q128: q28's score CTE verbatim (one definition, three consumers)
+    // + per-source percent_rank, flag on the rounded percentile
+    "q128_source_calibration" ->
+      ("WITH f AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "floor((CAST(length(replace(text, ' ', '')) AS DOUBLE)/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS avg_tok_len, " +
+        "floor((CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS stop_ratio " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, source, floor((2.0*stop_ratio + " +
+        "CASE WHEN avg_tok_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END + " +
+        "CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1.0 ELSE 0.0 END)*10000 + 0.5)/10000 AS score FROM f), " +
+        "c AS (SELECT doc_id, source, score, " +
+        "floor(percent_rank() OVER (PARTITION BY source ORDER BY score)*10000 + 0.5)/10000 AS cal_pct FROM s) " +
+        "SELECT doc_id, source, score, cal_pct, CAST(cal_pct >= 0.2 AS BIGINT) AS keep " +
+        "FROM c ORDER BY doc_id"),
     "q96_filtered_global_agg" ->
       (s"SELECT ${dsum("l_extendedprice*l_discount")} AS revenue, count(*) AS n_lines " +
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +

@@ -514,9 +514,9 @@ object Similarity {
     val docBytes = documentsSizeBytes(spark, dir)
     // native codegen'd build ([[graft.functions.ShingleHashes]]) — the
     // HOF formulation is interpreted per window and was the bottleneck
-    val shingles = call_function("shingle_hashes", split(col("text"), " "), lit(3))
-    val groups = staged(tokenSetGroupsBy(
-      Tables.documents(spark, dir).select(col("doc_id"), shingles.as("toks"))))
+    // the shingle collapse is a cross-query staged relation
+    // ([[stagedShingleGroups]]) shared with q126's containment pass
+    val groups = stagedShingleGroups(spark, dir)
     nearDupPairsFrom(groups, 3, 5, docBytes) // threshold 3/5 = 0.6
   }
 
@@ -555,6 +555,68 @@ object Similarity {
     * same ranking runs over IVF/LSH buckets (q32's partition pruning) so
     * only same-bucket pairs are scored.
     */
+  /** The staged word-3-gram shingle collapse — q55's group relation in
+    * the cross-query registry, shared by q55 (Jaccard near-dup) and
+    * q126 (containment near-dup). Same exactness argument as
+    * [[stagedUnigramGroups]]: long arrays round-trip parquet exactly.
+    */
+  private[graft] def stagedShingleGroups(spark: SparkSession, dir: String): DataFrame =
+    stagedTable(spark, dir, "shingle_groups") {
+      graft.functions.GraftFunctions.register(spark)
+      tokenSetGroupsBy(Tables.documents(spark, dir).select(col("doc_id"),
+        call_function("shingle_hashes", split(col("text"), " "), lit(3)).as("toks")))
+    }
+
+  /** q126 — CONTAINMENT near-dup at phrase granularity: pairs where the
+    * smaller word-3-gram set is ≥ 90% inside the larger one
+    * (containment C = |A∩B| / min(|A|,|B|), emitted id-ordered).
+    * Jaccard (q21/q55) misses exactly this shape — a quote, a
+    * syndicated excerpt or a doc-inside-boilerplate wrapper has high
+    * containment but low Jaccard whenever the sizes differ, so
+    * production dedup (Lee et al.'s ExactSubstr motivation, CCNet's
+    * containment pass) runs both. Shingle — not unigram — sets on
+    * purpose: against this generator's 31-token vocabulary, unigram
+    * containment is vacuously common (27% of ALL doc pairs at sf0.01 —
+    * the answer itself is quadratic), while phrase containment finds
+    * the 25 real excerpt pairs; the same degeneracy argument holds for
+    * any natural corpus with a power-law vocab.
+    *
+    * Same staged cascade as q21/q55 with the candidate geometry
+    * adapted: the PREFIX explode happens at the contained side's own
+    * containment threshold (|A| − ceil(0.9·|A|) + 1 tokens) and joins
+    * the other side's FULL shingle list — there is no upper size bound
+    * (a 10-gram doc can sit inside a 10k-gram one), which is precisely
+    * why q21's size-filtered prefix join can't carry this operator.
+    * Candidates dedup as bare (ga, gb) id pairs BEFORE any array rides
+    * a shuffle, verification is one native sorted merge-count per pair,
+    * and the 0.9 threshold is exact integer arithmetic (10·ov ≥
+    * 9·min(sz)) — no double ceil at set-size boundaries. Exact-dup
+    * groups expand via the shared member machinery (intra-group
+    * containment ≡ 1.0).
+    */
+  def q126ContainmentNeardup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val groups = stagedShingleGroups(spark, dir)
+    val pre = groups.select(col("gid").as("ga"), col("sz").as("sza"),
+      explode(expr("slice(toks, 1, cast(sz - (9*sz + 9) div 10 + 1 as int))")).as("tok"))
+    val all = groups.select(col("gid").as("gb"), col("sz").as("szb"),
+      explode(col("toks")).as("tok"))
+    val cand = pre.join(all, "tok")
+      .filter(col("sza") < col("szb") ||
+        (col("sza") === col("szb") && col("ga") < col("gb")))
+      .select("ga", "gb").distinct()
+    val withA = groups.select(col("gid").as("ga"), col("sz").as("sza"),
+      col("toks").as("ta"), col("members").as("ma"))
+    val withB = groups.select(col("gid").as("gb"), col("toks").as("tb"),
+      col("members").as("mb"))
+    val verified = cand.join(withA, "ga").join(withB, "gb")
+      .withColumn("ov", call_function("sorted_intersect_count", col("ta"), col("tb")))
+      .filter(col("ov") * 10 >= col("sza") * 9)
+      .withColumn("containment", roundD4(col("ov").cast(DoubleType) / col("sza")))
+    expandWithMembers(verified, groups, "containment", lit(1.0))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Double-typed dot product via index-ordered array fold — for the
     * DEQUANTIZED double arrays of [[q123Int8Ann]], where the native
     * [[graft.functions.FloatVecDot]] (float inputs) doesn't apply.

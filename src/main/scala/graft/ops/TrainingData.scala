@@ -865,4 +865,59 @@ object TrainingData {
         sum(col("chars")).as("total_chars"),
         davg4(col("toks")).as("avg_tokens"))
       .orderBy("source", "lang")
+
+  /** q127 — token-ENTROPY gate: per-doc Shannon entropy of the token
+    * distribution, H = ln(n) − (Σ c·ln c)/n — the single-aggregate
+    * algebraic form, so each doc needs exactly one (doc, token) count
+    * pass and one per-doc reduction (no per-token p = c/n division
+    * chain, and the identical expression mirrors into the oracle).
+    * Low-entropy documents are keyboard-mash / template spam /
+    * single-phrase repetition — the signal Gopher's repetition rules
+    * (q79) approximate with ratios; entropy catches distributional
+    * degeneracy those miss (e.g. two tokens alternating perfectly has
+    * dup_2gram_frac ≈ 1 BUT a 50/50 unigram mix; conversely a 95/5 mix
+    * has low entropy with few repeated bigrams). The gate compares the
+    * ROUNDED entropy so the flag flips identically on both engines.
+    *
+    * Scale: (doc_id, tok) counting is partial+final; the per-doc
+    * reduction shuffles ≤ one row per distinct (doc, token); everything
+    * after is row-local. Threshold 2.8 nats is corpus-calibrated (the
+    * generator's 31-token vocab tops out near ln 31 ≈ 3.43).
+    */
+  def q127EntropyGate(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    tf.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"))
+      .withColumn("token_entropy",
+        roundD4(log(col("n_tokens").cast("double")) - col("slc") / col("n_tokens")))
+      .withColumn("low_entropy", (col("token_entropy") < 2.8).cast(LongType))
+      .select("doc_id", "n_tokens", "token_entropy", "low_entropy")
+      .orderBy("doc_id")
+  }
+
+  /** q128 — per-source quality-score CALIBRATION: q28's composite score
+    * rank-normalized WITHIN each source (percent_rank), because raw
+    * score distributions differ by domain — a fixed global threshold
+    * over-prunes terse sources and under-prunes verbose ones (the
+    * CCNet/RefinedWeb motivation for per-domain quality buckets). The
+    * output is the calibrated percentile plus the keep flag at the
+    * bottom-20% cut, computed on the ROUNDED percentile so the flag is
+    * engine-agnostic. Shares [[qualityScored]] with q28/q113 — one
+    * score definition, three consumers, no drift.
+    *
+    * Scale: one window per source partition (millions of domains spread
+    * the key space; a mega-domain is q60's salting story); score ties
+    * get equal percent_rank on both engines by definition.
+    */
+  def q128SourceCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("score")
+    qualityScored(Tables.documents(spark, dir))
+      .withColumn("cal_pct", Det.roundD4(percent_rank().over(w)))
+      .withColumn("keep", (col("cal_pct") >= 0.2).cast(LongType))
+      .select("doc_id", "source", "score", "cal_pct", "keep")
+      .orderBy("doc_id")
+  }
 }

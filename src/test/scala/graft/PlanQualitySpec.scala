@@ -84,7 +84,18 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p25.contains("graft_stage_unigram_groups"), "staged collapse scan expected:\n" + p25)
     val p55 = physical(Similarity.q55ShingleNeardup(spark, sf))
     assert(!p55.contains("CartesianProduct"), p55)
-    assert(p55.contains("ExistingRDD"), "staged collapse scan expected:\n" + p55)
+    // the shingle collapse moved into the cross-query registry (shared
+    // with q126's containment pass): consumers scan the staging parquet
+    assert(p55.contains("graft_stage_shingle_groups"),
+      "staged shingle collapse scan expected:\n" + p55)
+  }
+
+  test("q126: containment candidates scan the staged shingle collapse, verify is a hash join") {
+    val p = physical(Similarity.q126ContainmentNeardup(spark, sf))
+    assert(p.contains("graft_stage_shingle_groups"),
+      "staged shingle collapse scan expected:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "containment must stay equi-join shaped:\n" + p)
   }
 
   test("q54: per-stratum top-k is one hash exchange (window), no extra shuffles") {
