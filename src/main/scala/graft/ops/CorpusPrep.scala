@@ -33,6 +33,27 @@ object CorpusPrep {
       .withColumn("toks", split(col("clean_text"), " "))
       .filter(size(col("toks")) >= MinTokens)
 
+  /** The staged scrub → gate → exact-dedup FRONT — the shared head of
+    * both composed pipelines, built once per (session, corpus) in the
+    * cross-query registry and scanned by q67 (near-dup prep) and q112
+    * (substring-cut prep): (doc_id, lang, source, clean_text, toks).
+    * Strings and string arrays round-trip parquet exactly, so the
+    * staged copy is output-identical to the inline window
+    * (StagedRegistrySpec). This is the first materialization point of
+    * a production prep run — the scrubbed, gated, exactly-deduped
+    * corpus every downstream variant starts from.
+    */
+  private[graft] def stagedPrepDeduped(spark: SparkSession, dir: String): DataFrame =
+    Similarity.stagedTable(spark, dir, "prep_deduped") {
+      val cleaned = scrubAndGate(
+        Tables.documents(spark, dir).select("doc_id", "lang", "source", "text"))
+      val wDup = Window.partitionBy(sha2(col("clean_text"), 256)).orderBy("doc_id")
+      cleaned
+        .withColumn("rn", row_number().over(wDup))
+        .filter(col("rn") === 1)
+        .drop("rn")
+    }
+
   /** q67 — scrub → length-gate → exact-dedup → near-dup survivors →
     * chunk, as one DataFrame program:
     *
@@ -55,29 +76,26 @@ object CorpusPrep {
     * deterministic, so the whole composition hash-matches a DuckDB CTE
     * chain replicating the five stages.
     *
-    * The shared front (scrub → gate → dedup window) is eagerly
-    * materialized ONCE (`Similarity.staged`, the in-query form of the
-    * staging-table write a production run does after stage 3), so the
-    * three differently-pruned consumers — the group build, the survivor
-    * doc side, the chunk join — read the materialized copy instead of
-    * recomputing the window 3×; the near-dup collapse over it is staged
-    * the same way. PlanQualitySpec pins both (no sha2 exchange, no
-    * collapse aggregate in the consumer plan) so a refactor can't
-    * silently regress the reuse.
+    * The shared front (scrub → gate → dedup window) is the CROSS-QUERY
+    * staged [[stagedPrepDeduped]] relation (shared with q112 — one
+    * materialization of the prep head per corpus, the write a
+    * production run does after stage 3), so the three
+    * differently-pruned consumers — the group build, the survivor doc
+    * side, the chunk join — scan the staging parquet instead of
+    * recomputing the window 3×; the near-dup collapse over it is
+    * registry-staged the same way. PlanQualitySpec pins both (no sha2
+    * exchange, no collapse aggregate in the consumer plan) so a
+    * refactor can't silently regress the reuse.
     */
   def q67CorpusPrep(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docBytes = Similarity.documentsSizeBytes(spark, dir)
-    val cleaned = scrubAndGate(
-      Tables.documents(spark, dir).select("doc_id", "lang", "source", "text"))
-    val wDup = Window.partitionBy(sha2(col("clean_text"), 256)).orderBy("doc_id")
-    val deduped = Similarity.staged(cleaned
-      .withColumn("rn", row_number().over(wDup))
-      .filter(col("rn") === 1)
-      .drop("rn"))
-    val groups = Similarity.staged(Similarity.tokenSetGroupsBy(
-      deduped.select(col("doc_id"),
-        call_function("shingle_hashes", col("toks"), lit(1)).as("toks"))))
+    val deduped = stagedPrepDeduped(spark, dir)
+    val groups = Similarity.stagedTable(spark, dir, "prep_groups") {
+      Similarity.tokenSetGroupsBy(
+        deduped.select(col("doc_id"),
+          call_function("shingle_hashes", col("toks"), lit(1)).as("toks")))
+    }
     val survivors = Similarity
       .survivorsFrom(groups, deduped.select("doc_id", "lang", "source"), docBytes)
       .select("doc_id")
@@ -103,12 +121,8 @@ object CorpusPrep {
     */
   def q112PrepPipelineV2(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val cleaned = scrubAndGate(Tables.documents(spark, dir).select("doc_id", "text"))
-    val wDup = Window.partitionBy(sha2(col("clean_text"), 256)).orderBy("doc_id")
-    val deduped = Similarity.staged(cleaned
-      .withColumn("rn", row_number().over(wDup))
-      .filter(col("rn") === 1)
-      .drop("rn"))
+    val deduped = stagedPrepDeduped(spark, dir)
+      .select("doc_id", "clean_text", "toks")
     // spans and toksP share deduped's lineage — rename the span-side key
     // so the equi-join can't collapse to a trivially-true self-compare
     val spans = TextOps.repeatedSpansIn(

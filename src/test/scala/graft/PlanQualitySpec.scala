@@ -271,7 +271,18 @@ class PlanQualitySpec extends SparkSpecBase {
     val dedupWindows = p.linesIterator.count(l => l.contains("Exchange hashpartitioning") && l.contains("sha2"))
     assert(dedupWindows == 0, s"sha2 dedup must be staged, not recomputed ($dedupWindows):\n$p")
     assert("ObjectHashAggregate".r.findAllIn(p).isEmpty, s"collapse must be staged:\n$p")
-    assert(p.contains("ExistingRDD"), s"staged scan expected:\n$p")
+    // the prep front moved into the cross-query registry (shared with
+    // q112); both the deduped head and its collapse scan parquet
+    assert(p.contains("graft_stage_prep_deduped") && p.contains("graft_stage_prep_groups"),
+      s"registry-staged prep front expected:\n$p")
+  }
+
+  test("q112: consumes the same staged prep front as q67 — no scrub/dedup recompute") {
+    val p = physical(graft.ops.CorpusPrep.q112PrepPipelineV2(spark, sf))
+    assert(p.contains("graft_stage_prep_deduped"),
+      s"q112 must scan the shared staged prep head:\n$p")
+    val dedupWindows = p.linesIterator.count(l => l.contains("Exchange hashpartitioning") && l.contains("sha2"))
+    assert(dedupWindows == 0, s"sha2 dedup must be staged, not recomputed ($dedupWindows):\n$p")
   }
 
   test("q69: top-10 compiles to TakeOrderedAndProject; date filters reach both scans") {

@@ -130,6 +130,21 @@ class StagedRegistrySpec extends SparkSpecBase {
     assert(stagedManifest.nonEmpty && stagedManifest == inlineManifest)
   }
 
+  test("staged prep front: the registry copy matches the inline scrub→gate→dedup window") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val cleaned = CorpusPrep.scrubAndGate(
+      Tables.documents(spark, sf).select("doc_id", "lang", "source", "text"))
+    val w = Window.partitionBy(sha2(col("clean_text"), 256)).orderBy("doc_id")
+    val inline = cleaned
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val staged = CorpusPrep.stagedPrepDeduped(spark, sf)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(staged.nonEmpty && staged == inline,
+      "strings + string arrays must round-trip the staging table exactly")
+  }
+
   test("registry idempotence: repeated reads return identical rows") {
     GraftFunctions.register(spark)
     val a = Similarity.componentLabels(spark, sf).collect().map(_.toString).sorted.toSeq
