@@ -173,5 +173,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       exprs => BloomMightContain(exprs.head, exprs(1)))
     inject(e, "word_ngrams", classOf[WordNgrams],
       exprs => WordNgrams(exprs.head, GraftFunctions.shingleN(exprs(1))))
+    // plan-policy guard: the PlanQualitySpec cartesian ban, enforced at
+    // runtime for arbitrary user queries (see CartesianGuardRule)
+    e.injectQueryStagePrepRule(session => graft.plans.CartesianGuardRule(session))
   }
 }
