@@ -166,6 +166,8 @@ object SparkEntry {
     "q126_containment_neardup" -> (Similarity.q126ContainmentNeardup _),
     "q127_entropy_gate" -> (TrainingData.q127EntropyGate _),
     "q128_source_calibration" -> (TrainingData.q128SourceCalibration _),
+    "q129_padding_buckets" -> (TrainingData.q129PaddingBuckets _),
+    "q130_contamination_report" -> (TrainingData.q130ContaminationReport _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -1297,6 +1299,34 @@ object SparkEntry {
         "floor(percent_rank() OVER (PARTITION BY source ORDER BY score)*10000 + 0.5)/10000 AS cal_pct FROM s) " +
         "SELECT doc_id, source, score, cal_pct, CAST(cal_pct >= 0.2 AS BIGINT) AS keep " +
         "FROM c ORDER BY doc_id"),
+    // q129: the integer CASE bucket ladder verbatim (no float log2)
+    "q129_padding_buckets" ->
+      ("WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents), " +
+        "b AS (SELECT n, CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64 " +
+        "WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512 " +
+        "WHEN n <= 1024 THEN 1024 ELSE 2048 END AS bucket FROM d) " +
+        "SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs, " +
+        "CAST(sum(n) AS BIGINT) AS real_tokens, CAST(sum(bucket) AS BIGINT) AS padded_tokens, " +
+        "floor((1.0 - CAST(sum(n) AS DOUBLE)/CAST(sum(bucket) AS DOUBLE))*10000 + 0.5)/10000 AS waste_frac " +
+        "FROM b GROUP BY bucket ORDER BY bucket"),
+    // q130: q82's eval-gram join (string 4-grams mirror the hashed
+    // grams under the injective-relabeling argument), aggregated per
+    // source with zero-fill for clean sources
+    "q130_contamination_report" ->
+      ("WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents), " +
+        "sub AS (SELECT doc_id, source, w, generate_subscripts(w, 1) AS i FROM ws), " +
+        "g AS (SELECT DISTINCT doc_id, source, array_to_string(w[i:i+3], ' ') AS h " +
+        "FROM sub WHERE i + 3 <= len(w)), " +
+        "ev AS (SELECT DISTINCT h FROM g WHERE source = 'src19'), " +
+        "pd AS (SELECT g.doc_id, g.source, count(DISTINCT g.h) AS n_shared " +
+        "FROM g JOIN ev ON g.h = ev.h WHERE g.source <> 'src19' GROUP BY g.doc_id, g.source), " +
+        "src AS (SELECT source, count(*) AS n_docs FROM documents WHERE source <> 'src19' GROUP BY source), " +
+        "agg AS (SELECT source, count(*) AS n_contaminated, CAST(sum(n_shared) AS BIGINT) AS total_shared_grams " +
+        "FROM pd GROUP BY source) " +
+        "SELECT src.source, src.n_docs, COALESCE(agg.n_contaminated, 0) AS n_contaminated, " +
+        "floor((CAST(COALESCE(agg.n_contaminated, 0) AS DOUBLE)/src.n_docs)*10000 + 0.5)/10000 AS contaminated_frac, " +
+        "COALESCE(agg.total_shared_grams, 0) AS total_shared_grams " +
+        "FROM src LEFT JOIN agg ON src.source = agg.source ORDER BY src.source"),
     "q96_filtered_global_agg" ->
       (s"SELECT ${dsum("l_extendedprice*l_discount")} AS revenue, count(*) AS n_lines " +
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +

@@ -866,6 +866,71 @@ object TrainingData {
         davg4(col("toks")).as("avg_tokens"))
       .orderBy("source", "lang")
 
+  /** q129 — PADDING-BUCKET analysis: assign each doc to the smallest
+    * power-of-two length bucket that holds it (16 … 2048, the
+    * fixed-shape batch sizes an attention kernel compiles for) and
+    * report per-bucket doc counts, real token volume, padded volume and
+    * the waste fraction — the readout that decides between padded
+    * fixed-shape batching and q80/q106's contiguous packing (which
+    * wastes nothing but splits docs across sequence boundaries). The
+    * bucket ladder is an integer CASE chain, NOT `2^ceil(log2 n)` —
+    * float log2 mis-rounds at exact powers of two, the q21 boundary
+    * lesson in log space.
+    *
+    * Scale: entirely row-local until one ≤8-row partial+final
+    * aggregation.
+    */
+  def q129PaddingBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(split(col("text"), " ")).cast(LongType)
+    val bucket = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+      .foldRight(lit(2048L): org.apache.spark.sql.Column) { (b, rest) =>
+        when(n <= b, b).otherwise(rest)
+      }
+    Tables.documents(spark, dir)
+      .select(n.as("n_tokens"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("real_tokens"),
+        sum(col("bucket")).as("padded_tokens"))
+      .withColumn("waste_frac",
+        roundD4(lit(1.0) - col("real_tokens").cast("double") / col("padded_tokens")))
+      .orderBy("bucket")
+  }
+
+  /** q130 — per-source CONTAMINATION report: q82's doc-level eval-gram
+    * join aggregated to the number a data-mix decision actually reads —
+    * for each training source, how many docs carry at least one eval
+    * 4-gram, what fraction of the source that is, and the total distinct
+    * shared grams. A source with a high contaminated fraction gets
+    * dropped or re-filtered wholesale; per-doc surgery (q82/q117) is for
+    * the rest. Same equi-join-on-longs shape as q82 (eval side is
+    * benchmark-sized; per-doc distinct grams bound ubiquitous-gram
+    * fan-out), finished with one ≤|sources|-row aggregation.
+    */
+  def q130ContaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val n = 4
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(call_function("shingle_hashes", split(col("text"), " "), lit(n))).as("h"))
+    val evalG = grams.filter(col("source") === "src19").select("h").distinct()
+    val perDoc = grams.filter(col("source") =!= "src19")
+      .join(evalG, "h")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(countDistinct(col("h")).as("n_shared"))
+    Tables.documents(spark, dir)
+      .filter(col("source") =!= "src19")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(perDoc.groupBy("source")
+          .agg(count(lit(1)).as("n_contaminated"), sum(col("n_shared")).as("total_shared_grams")),
+        Seq("source"), "left_outer")
+      .na.fill(0L, Seq("n_contaminated", "total_shared_grams"))
+      .withColumn("contaminated_frac",
+        roundD4(col("n_contaminated").cast("double") / col("n_docs")))
+      .select("source", "n_docs", "n_contaminated", "contaminated_frac", "total_shared_grams")
+      .orderBy("source")
+  }
+
   /** q127 — token-ENTROPY gate: per-doc Shannon entropy of the token
     * distribution, H = ln(n) − (Σ c·ln c)/n — the single-aggregate
     * algebraic form, so each doc needs exactly one (doc, token) count

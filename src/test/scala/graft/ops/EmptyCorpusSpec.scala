@@ -33,6 +33,34 @@ class EmptyCorpusSpec extends SparkSpecBase {
     assert(Sketches.indexSignatures(spark, dir).count() == 0)
   }
 
+  test("empty corpus: round-6 text/quality operators return 0 rows, not crashes") {
+    val dir = emptyDir()
+    graft.functions.GraftFunctions.register(spark)
+    assert(Similarity.q126ContainmentNeardup(spark, dir).count() == 0)
+    assert(TextOps.q124BoilerplateNgrams(spark, dir).count() == 0)
+    assert(TextOps.q125VocabCoverage(spark, dir).count() == 0)
+    assert(TrainingData.q127EntropyGate(spark, dir).count() == 0)
+    assert(TrainingData.q128SourceCalibration(spark, dir).count() == 0)
+  }
+
+  test("empty embeddings: int8 quantized search returns 0 rows (no model rows, no NPE)") {
+    val dir = tmpDir()
+    writeEmbeddings(dir) // zero rows, full schema
+    graft.functions.GraftFunctions.register(spark)
+    assert(Similarity.q123Int8Ann(spark, dir).count() == 0)
+  }
+
+  test("single doc: containment finds no pairs; entropy/calibration emit the one doc") {
+    val dir = tmpDir()
+    writeDocuments(dir, (7L, (1 to 20).map(i => s"w$i").mkString(" "), "en", "s", 1L))
+    graft.functions.GraftFunctions.register(spark)
+    assert(Similarity.q126ContainmentNeardup(spark, dir).count() == 0)
+    val h = TrainingData.q127EntropyGate(spark, dir).collect()
+    assert(h.length == 1 && h.head.getLong(1) == 20L)
+    val c = TrainingData.q128SourceCalibration(spark, dir).collect()
+    assert(c.length == 1 && c.head.getDouble(3) == 0.0) // percent_rank of a singleton
+  }
+
   test("empty corpus: the small-universe probe reports an (empty) small universe") {
     val dir = emptyDir()
     graft.functions.GraftFunctions.register(spark)
