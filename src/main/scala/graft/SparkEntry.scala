@@ -168,6 +168,9 @@ object SparkEntry {
     "q128_source_calibration" -> (TrainingData.q128SourceCalibration _),
     "q129_padding_buckets" -> (TrainingData.q129PaddingBuckets _),
     "q130_contamination_report" -> (TrainingData.q130ContaminationReport _),
+    // trained-model class (like q32b/q32c): no oracle; IvfSq8Spec
+    // measures recall vs exact q22 and agreement with float IVF
+    "q131_ivf_sq8" -> (Similarity.q131IvfSq8 _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —

@@ -649,30 +649,41 @@ object Similarity {
     * (Int8AnnSpec); at 100 TB the same codes feed the IVF bucket scan
     * (q32) so pruning and compression compose.
     */
-  def q123Int8Ann(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    // per-dim affine model: (mn, mx) per dimension, as one broadcast row
-    val model = e
-      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy("dim")
-      .agg(min(col("x").cast(DoubleType)).as("mn"), max(col("x").cast(DoubleType)).as("mx"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("dm"))
-      .select(transform(col("dm"), s => s.getField("mn")).as("mns"),
-        transform(col("dm"), s => s.getField("mx")).as("mxs"))
-    // quantize→dequantize in one row-local pass: the stored form is the
-    // 8-bit code (floor((x−mn)·255/(mx−mn) + 0.5)); search uses its
-    // dequantized double. A constant dimension (mx = mn) codes to 0 and
-    // dequantizes to mn.
-    val dequant = transform(col("embedding"), (x, i) => {
+  /** The per-dim int8 affine model — (mns, mxs) as ONE row of arrays
+    * (≤ dim doubles each), built by one map-combinable aggregation and
+    * broadcast to every consumer. Shared by q123 (flat asymmetric
+    * search) and q131 (IVF-SQ8: the same codes inside the pruned
+    * buckets).
+    */
+  private[ops] def int8Model(e: DataFrame): DataFrame = e
+    .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+    .groupBy("dim")
+    .agg(min(col("x").cast(DoubleType)).as("mn"), max(col("x").cast(DoubleType)).as("mx"))
+    .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("dm"))
+    .select(transform(col("dm"), s => s.getField("mn")).as("mns"),
+      transform(col("dm"), s => s.getField("mx")).as("mxs"))
+
+  /** Quantize→dequantize of `vec` under the broadcast [[int8Model]]
+    * columns (mns/mxs must be in scope): the stored form is the 8-bit
+    * code floor((x−mn)·255/(mx−mn) + 0.5); scoring uses its dequantized
+    * double. A constant dimension (mx = mn) codes to 0 and dequantizes
+    * to mn. Row-local.
+    */
+  private[ops] def dequantized(vec: Column): Column =
+    transform(vec, (x, i) => {
       val mn = element_at(col("mns"), i + 1)
       val mx = element_at(col("mxs"), i + 1)
       when(mx === mn, mn).otherwise(
         mn + floor((x.cast(DoubleType) - mn) * lit(255.0) / (mx - mn) + lit(0.5))
           * (mx - mn) / lit(255.0))
     })
+
+  def q123Int8Ann(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val model = int8Model(e)
     val corpus = e.filter(col("vec_id") >= 5)
       .crossJoin(broadcast(model))
-      .select(col("vec_id").as("tid"), dequant.as("th"))
+      .select(col("vec_id").as("tid"), dequantized(col("embedding")).as("th"))
       .withColumn("tn", sqrt(ddot(col("th"), col("th"))))
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"),
@@ -1084,6 +1095,47 @@ object Similarity {
     targets.join(broadcast(queries), col("cid") === col("qcid"))
       .withColumn("sim", roundD4(dot(col("qe"), col("te")) / (col("qn") * col("tn"))))
       .withColumn("rk", row_number().over(w).cast(LongType)) // BIGINT like q22/q32
+      .filter(col("rk") <= 10)
+      .select("qid", "rk", "tid", "sim")
+      .orderBy("qid", "rk")
+  }
+
+  /** q131 — IVF-SQ8: cluster pruning (q32b/q32c's trained, staged
+    * model) COMPOSED with int8 scalar quantization (q123's codes) — the
+    * faiss IVF-SQ8 arrangement, and the proof of SCALE.md's claim that
+    * the two axes compose: sublinear probe cost from the bucket scan ×
+    * 4× resident memory from the codes. Assignment runs on the original
+    * float vectors (the codes are produced at ingest, after the
+    * assignment — so bucket membership is identical to pure-float IVF);
+    * scoring is asymmetric against the dequantized doubles with q22's
+    * rank discipline. nprobe = 2 (q32c's regime). No oracle — trained-
+    * model class, like q32b/q32c — with the accuracy measured against
+    * exact q22 AND against pure-float q32c (IvfSq8Spec): quantization
+    * must cost recall on top of pruning by at most the q123-measured
+    * distortion.
+    */
+  def q131IvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val model = int8Model(e)
+    val trained = stagedIvfModel(spark, dir)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    val queries = assignToCentroids(trained,
+      corpus.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      "qid", "qe", probes = 2)
+      .withColumnRenamed("cid", "qcid")
+      .withColumn("qe", col("qe").cast("array<double>"))
+      .withColumn("qn", sqrt(ddot(col("qe"), col("qe"))))
+    val targets = assignToCentroids(trained,
+      corpus.filter(col("vec_id") >= 5).select(col("vec_id").as("tid"), col("embedding").as("te")),
+      "tid", "te")
+      .crossJoin(broadcast(model))
+      .select(col("tid"), col("cid"), dequantized(col("te")).as("th"))
+      .withColumn("tn", sqrt(ddot(col("th"), col("th"))))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
+    targets.join(broadcast(queries), col("cid") === col("qcid"))
+      .withColumn("sim", roundD4(ddot(col("qe"), col("th")) / (col("qn") * col("tn"))))
+      .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= 10)
       .select("qid", "rk", "tid", "sim")
       .orderBy("qid", "rk")

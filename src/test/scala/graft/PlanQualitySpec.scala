@@ -397,6 +397,9 @@ class PlanQualitySpec extends SparkSpecBase {
       // q123: q22's tiny-broadcast scoring (queries + the one-row
       // quantization model broadcast; corpus streams map-side)
       "q123_int8_ann",
+      // q131: the k-row centroid-assignment broadcasts (q32b's class) +
+      // the one-row quantization model; pair scoring is a cid equi-join
+      "q131_ivf_sq8",
       // q125: one-row corpus-total broadcast — scalar, not a relation
       "q125_vocab_coverage",
       // q115: labeled seed side broadcasts, corpus streams (q22's
