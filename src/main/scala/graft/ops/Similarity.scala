@@ -337,6 +337,33 @@ object Similarity {
   private[graft] def documentsSizeBytes(spark: SparkSession, dir: String): BigInt =
     Tables.documents(spark, dir).queryExecution.optimizedPlan.stats.sizeInBytes
 
+  /** Plan-statistics size of an arbitrary relation — the same
+    * metadata-only source as [[documentsSizeBytes]] (parquet footers for
+    * file scans, sizeInBytes estimates for in-memory fixtures); no job
+    * runs.
+    */
+  private[graft] def statSizeBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** ENFORCED broadcast for the exact similarity twins (q115/q31): the
+    * side is hinted broadcast only after proving it under the gate by
+    * plan statistics; an oversized side FAILS LOUDLY at plan-build time
+    * with the scale-path swap-in named — [[graft.plans.CartesianGuardRule]]'s
+    * philosophy one level up. Before round 7 the boundedness of these
+    * broadcasts was documentation only: a user calling the exact ops on
+    * a large corpus got a corpus-sized broadcast (driver/executor OOM)
+    * instead of this error.
+    */
+  private[ops] def boundedBroadcast(df: DataFrame, sideBytes: BigInt,
+      op: String, swapIn: String): DataFrame = {
+    if (!underBroadcastGate(sideBytes))
+      throw new IllegalStateException(
+        s"graft: $op broadcasts its seed/pair side, measured at $sideBytes bytes by plan " +
+          s"statistics — over the ${BroadcastDocBytes / BroadcastExpansionFactor}-byte broadcast " +
+          s"gate. This operator is the exact small-input twin; at this scale use $swapIn.")
+    broadcast(df)
+  }
+
   /** Verify + member attachment in ONE pass: the two lookup joins also
     * carry each group's member list through the Jaccard filter, so the
     * downstream doc-pair expansion needs NO further joins — and both
@@ -701,12 +728,24 @@ object Similarity {
 
   def q31EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
+    embedNeardupFrom(Tables.embeddings(spark, dir))
+  }
+
+  /** q31's core over any (vec_id, embedding) relation — the all-pairs
+    * EXACT twin of q94/q25, gated: the broadcast side must prove itself
+    * under the gate by plan statistics or the op fails at build time
+    * naming the scale swap-ins ([[boundedBroadcast]]).
+    */
+  private[graft] def embedNeardupFrom(e: DataFrame): DataFrame = {
+    val sideBytes = statSizeBytes(e)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
       .withColumn("na", norm(col("ea")))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       .withColumn("nb", norm(col("eb")))
-    a.join(b, col("vec_a") < col("vec_b"))
+    a.join(boundedBroadcast(b, sideBytes,
+        "q31_embed_neardup (exact all-pairs cosine)",
+        "q94_semdedup (cluster-gated) or q25_minhash_neardup (LSH-banded)"),
+        col("vec_a") < col("vec_b"))
       .withColumn("sim", roundD4(dot(col("ea"), col("eb")) / (col("na") * col("nb"))))
       .select("vec_a", "vec_b", "sim")
       .orderBy(desc("sim"), col("vec_a"), col("vec_b"))
@@ -732,7 +771,9 @@ object Similarity {
     * — the same corpus-stays-put discipline as q22/q31. A 100 TB corpus
     * with a LARGE seed set swaps the broadcast nested loop for q32's
     * IVF bucket join (seed and corpus both bucket by nearest centroid;
-    * only same-bucket pairs score).
+    * only same-bucket pairs score). That boundedness is ENFORCED, not
+    * documented: [[boundedBroadcast]] gates the seed side on its plan
+    * statistic and fails at build time naming q120 as the swap-in.
     */
   private[graft] val KnnK = 5
 
@@ -747,6 +788,7 @@ object Similarity {
     * there is the 1/n_labels floor; the oracle still pins the votes).
     */
   private[graft] def knnLabelFrom(e: DataFrame): DataFrame = {
+    val seedBytes = statSizeBytes(e)
     val q = e.select(col("vec_id").as("qid"), col("label").as("qlbl"), col("embedding").as("qe"))
       .withColumn("qn", norm(col("qe")))
     val seeds = e.select(col("vec_id").as("tid"), col("label").as("tlbl"), col("embedding").as("te"))
@@ -754,7 +796,10 @@ object Similarity {
     val sim = roundD4(dot(col("qe"), col("te")) / (col("qn") * col("tn")))
     val wK = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
     val wV = Window.partitionBy("qid").orderBy(desc("votes"), asc("tlbl"))
-    q.join(broadcast(seeds), col("qid") =!= col("tid"))
+    q.join(boundedBroadcast(seeds, seedBytes,
+        "q115_knn_label (exact leave-one-out kNN)",
+        "q120_knn_label_ivf (IVF-bucketed cid equi-join)"),
+        col("qid") =!= col("tid"))
       // project the vectors away BEFORE the window exchange: the
       // shuffle ships (qid, labels, sim), never the embedding arrays
       .select(col("qid"), col("qlbl"), col("tid"), col("tlbl"), sim.as("sim"))

@@ -184,6 +184,20 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q115/q31: the gated seed/pair-side broadcast survives on testdata") {
+    // the exact twins pass the plan-statistic gate on the toy corpus and
+    // keep their intended tiny-broadcast NLJ shape (BoundedBroadcastSpec
+    // proves an over-gate side fails at build time instead)
+    for ((name, df) <- Seq(
+        "q115" -> Similarity.q115KnnLabel(spark, sf),
+        "q31" -> Similarity.q31EmbedNeardup(spark, sf))) {
+      val p = physical(df)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$name: gated broadcast must plan as the tiny-broadcast NLJ:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("q121: the resample top-K is TakeOrderedAndProject; the rank window sorts only K rows") {
     // the global top-200 must be the distributed per-partition heap +
     // driver merge (q18's shape), never a full corpus sort; the
