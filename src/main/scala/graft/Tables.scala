@@ -143,20 +143,27 @@ object Tables {
     *    sub-µs bits (doubles carry 53 mantissa bits) and can shift the
     *    truncated µs by 1. DuckDB's CAST truncates the same way.
     *
-    * Detection is one footer-schema probe per distinct path (cached —
-    * the schema of an immutable testdata file cannot change mid-session;
-    * a Spark plan re-resolves the path anyway so correctness never
-    * depends on the cache). A TIMESTAMP(NANOS) file with the legacy conf
-    * OFF fails the probe inside Spark; that error is rethrown with the
-    * session-build fix because a loader that silently flips session conf
-    * would leak the change to every other query on a shared session.
+    * Detection is one footer-schema probe per distinct (file state,
+    * session conf) — the cache key carries the file's mtime+length and
+    * the `nanosAsLong` conf value, NOT the path alone: the test corpus
+    * is regenerated between rounds and its ts layout has already
+    * flipped once (NANOS→MICROS), so a path-keyed cache in a JVM that
+    * spans a regeneration would replay the stale layout (treating a
+    * MICROS file as raw nanos shifts every event to 1970); and a NANOS
+    * probe result is conf-dependent (LongType under the legacy conf, a
+    * failure without it), so sessions with different conf must not
+    * share entries. A TIMESTAMP(NANOS) file with the legacy conf OFF
+    * fails the probe inside Spark; that error is rethrown with the
+    * session-build fix because a loader that silently flips session
+    * conf would leak the change to every other query on a shared
+    * session.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val tsType = eventsTsTypeCache.getOrElseUpdate(path, {
+    val tsType = eventsTsTypeCache.getOrElseUpdate((path, fileState(path), nanosConf(spark)), {
       try spark.read.parquet(path).schema("ts").dataType
       catch {
-        case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+        case e: Exception if isNanosRejection(e) =>
           throw new IllegalArgumentException(
             "events.parquet carries TIMESTAMP(NANOS): build the SparkSession with " +
               """.config("spark.sql.legacy.parquet.nanosAsLong", "true") """ +
@@ -172,6 +179,38 @@ object Tables {
     }
   }
 
+  /** Spark rejects parquet TIMESTAMP(NANOS) without the legacy conf via
+    * the `ILLEGAL_PARQUET_TYPE`/`PARQUET_TYPE_ILLEGAL` error condition
+    * (`QueryCompilationErrors.illegalParquetTypeError`). Match the error
+    * condition of any `SparkThrowable` in the cause chain first —
+    * stable across locales — with the "NANOS" message text kept only as
+    * a fallback for non-SparkThrowable wrappers.
+    */
+  private def isNanosRejection(e: Throwable): Boolean = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    chain.exists {
+      case st: org.apache.spark.SparkThrowable =>
+        String.valueOf(st.getCondition).contains("PARQUET_TYPE")
+      case _ => false
+    } || chain.exists(t => String.valueOf(t.getMessage).contains("NANOS"))
+  }
+
+  private def nanosConf(spark: SparkSession): String =
+    spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
+
+  /** (mtime, length) fingerprint of a parquet path — a file's own
+    * stats, or for a directory the max child mtime + summed child
+    * length (parquet dirs mutate by part-file rewrite).
+    */
+  private def fileState(path: String): (Long, Long) = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      (kids.map(_.lastModified).foldLeft(f.lastModified)(math.max),
+        kids.map(_.length).sum)
+    } else (f.lastModified, f.length)
+  }
+
   private val eventsTsTypeCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataType]
+    scala.collection.concurrent.TrieMap.empty[(String, (Long, Long), String), DataType]
 }

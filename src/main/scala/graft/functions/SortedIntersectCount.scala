@@ -174,7 +174,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     inject(e, "word_ngrams", classOf[WordNgrams],
       exprs => WordNgrams(exprs.head, GraftFunctions.shingleN(exprs(1))))
     // plan-policy guard: the PlanQualitySpec cartesian ban, enforced at
-    // runtime for arbitrary user queries (see CartesianGuardRule)
+    // runtime for arbitrary user queries (see CartesianGuardRule). Two
+    // hooks so the guard survives spark.sql.adaptive.enabled=false:
+    // query-stage prep (AQE path) + columnar pre-transition (always-on
+    // path in QueryExecution.preparations).
     e.injectQueryStagePrepRule(session => graft.plans.CartesianGuardRule(session))
+    e.injectColumnar(session => new graft.plans.CartesianGuardColumnarRule(session))
   }
 }

@@ -481,11 +481,13 @@ object Relational {
   /** q88 — TPC-H Q2 shape (cheapest supplier per part): for every
     * part traded, the supplier with the lowest average unit price
     * (argmin join-back). Q2's correlated `= (SELECT min ...)` becomes
-    * one (part, supplier) aggregate and one row_number window over
-    * partkey — the min and its witness row fall out of the same
-    * exchange, with supplier key as the deterministic tie-break. The
-    * per-row unit price is floored at 6 dp BEFORE the decimal mean
-    * (q71's discipline) so the aggregate is exact cross-engine.
+    * one (part, supplier) aggregate and one min-STRUCT argmin per part
+    * — struct comparison orders by (avg_unit, l_suppkey), so the min
+    * and its deterministically tie-broken witness fall out of a single
+    * partial-aggregable aggregate (no per-part sort, no window
+    * exchange). The per-row unit price is floored at 6 dp BEFORE the
+    * decimal mean (q71's discipline) so the aggregate is exact
+    * cross-engine.
     */
   /** q96 — TPC-H Q6 shape (forecast revenue change): ONE filtered scan,
     * ONE global aggregate, NO join — the pushdown showcase. All three
@@ -674,13 +676,19 @@ object Relational {
       .select(col("l_partkey"), col("l_suppkey"), unit.as("unit"))
       .groupBy("l_partkey", "l_suppkey")
       .agg(davg4(col("unit")).as("avg_unit"))
-    val w = Window.partitionBy("l_partkey").orderBy(asc("avg_unit"), asc("l_suppkey"))
-    bySupp.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // argmin via min-struct (q93's swap): struct ordering compares
+    // avg_unit first, then l_suppkey — the same (min, deterministic
+    // tie-break) witness the old row_number window produced, but as a
+    // partial-aggregable agg: no per-part sort, no window exchange, and
+    // the map side pre-combines before the l_partkey shuffle.
+    bySupp
+      .groupBy("l_partkey")
+      .agg(min(struct(col("avg_unit"), col("l_suppkey"))).as("best"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("best.l_suppkey").as("l_suppkey"), col("best.avg_unit").as("avg_unit"))
       .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
-      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"), col("s_name"),
-        col("avg_unit"))
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"), col("avg_unit"))
       .orderBy("p_partkey")
   }
 }

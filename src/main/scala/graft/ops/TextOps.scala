@@ -469,18 +469,26 @@ object TextOps {
       .select(col("doc_id"),
         explode(call_function("word_ngrams", split(col("text"), " "), lit(n))).as("g"))
       .select(col("doc_id"), md5(col("g")).as("h"), col("g"))
-    // eager 50-row checkpoint: `top` feeds BOTH the winner-hash
-    // broadcast and the final join — without it the whole gram
-    // scan+agg subtree runs once per consumer (q21's staged-collapse
-    // lesson, at single-query scope)
-    val top = grams
+    // `top` feeds BOTH the winner-hash filter and the final join —
+    // without sharing it the whole gram scan+agg subtree runs once per
+    // consumer (q21's staged-collapse lesson, at single-query scope).
+    // The k winner rows are COLLECTED (model-sized, k=50 — same
+    // sanctioned class as the IVF centroid train) and replayed as a
+    // local relation + literal IN-list: unlike the localCheckpoint this
+    // replaces, nothing depends on unreplicated executor block state —
+    // an executor loss recomputes from lineage / the local relation.
+    val topRows = grams
       .groupBy("h")
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       .orderBy(desc("tf"), desc("df"), asc("h"))
       .limit(k)
-      .localCheckpoint(true)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    import spark.implicits._
+    val top = topRows.toDF("h", "tf", "df")
     val winnersText = grams
-      .join(broadcast(top.select("h")), "h")
+      .filter(col("h").isin(topRows.map(_._1): _*))
       .groupBy("h").agg(min(col("g")).as("gram"))
     val w = Window.orderBy(desc("tf"), desc("df"), asc("h"))
     top.join(winnersText, "h")

@@ -21,11 +21,15 @@ import org.apache.spark.sql.execution.joins.CartesianProductExec
   * scoring) is distinguishable from a true cartesian — a logical-plan
   * check cannot tell them apart because the physical strategy decides.
   *
-  * Injected via `injectQueryStagePrepRule`, so under AQE (default in
-  * Spark 4.x) it runs before any query stage executes; the rule
-  * inspects and passes the plan through untouched. Escape hatch:
-  * `spark.graft.failOnCartesian=false` (per-session conf) for the rare
-  * deliberate tiny cross product.
+  * Injected through TWO hooks so coverage does not depend on the AQE
+  * conf: `injectQueryStagePrepRule` (runs before any query stage under
+  * AQE, default in Spark 4.x) and `injectColumnarRule` (whose
+  * pre-transition pass runs in `QueryExecution.preparations` for every
+  * physical plan, AQE or not — the non-AQE gap the round-6 advisor
+  * flagged). Both paths inspect and pass the plan through untouched;
+  * firing twice under AQE is harmless because the rule is a pure
+  * check. Escape hatch: `spark.graft.failOnCartesian=false`
+  * (per-session conf) for the rare deliberate tiny cross product.
   */
 case class CartesianGuardRule(session: SparkSession) extends Rule[SparkPlan] {
   override def apply(plan: SparkPlan): SparkPlan = {
@@ -44,4 +48,15 @@ case class CartesianGuardRule(session: SparkSession) extends Rule[SparkPlan] {
 
 object CartesianGuardRule {
   val Conf = "spark.graft.failOnCartesian"
+}
+
+/** The guard's non-AQE carrier: `ColumnarRule.preColumnarTransitions`
+  * runs inside `QueryExecution.preparations` on every physical plan
+  * regardless of `spark.sql.adaptive.enabled`, so sessions built with
+  * AQE off still get the cartesian check (the query-stage-prep hook
+  * never fires for them). Pure inspection — no columnar replacement.
+  */
+class CartesianGuardColumnarRule(session: SparkSession)
+    extends org.apache.spark.sql.execution.ColumnarRule {
+  override def preColumnarTransitions: Rule[SparkPlan] = CartesianGuardRule(session)
 }

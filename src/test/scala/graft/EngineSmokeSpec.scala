@@ -53,6 +53,25 @@ class EngineSmokeSpec extends SparkSpecBase {
       s"raw-nanos fixture must convert to micros, got $ts")
   }
 
+  test("TIMESTAMP(NANOS) file: converts under the legacy conf, fails fast with the fix without it") {
+    // checked-in fixture with a true parquet TIMESTAMP(NANOS) ts column
+    // (Spark cannot write one) — ts[0] = 1700000000.123456789s.
+    val dir = java.nio.file.Files.createTempDirectory("graft-nanos").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("src/test/resources/events_nanos.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val ts = Tables.events(spark, dir).select("ts").orderBy("event_id").head().getTimestamp(0)
+    assert(ts.toInstant.toString == "2023-11-14T22:13:20.123456Z",
+      s"NANOS fixture must truncate to micros under nanosAsLong, got $ts")
+    // conf OFF: the probe must rethrow with the curated session-build
+    // message naming the conf (not Spark's raw schema-converter error).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    try {
+      val e = intercept[IllegalArgumentException](Tables.events(spark, dir).collect())
+      assert(e.getMessage.contains("nanosAsLong"), s"curated message expected, got: ${e.getMessage}")
+    } finally spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 and returns rows") {
       val rows: Array[Row] = fn(spark, sf).collect()

@@ -49,14 +49,53 @@ class CartesianGuardSpec extends SparkSpecBase {
   }
 
   test("GraftExtensions registers the guard on an extension-built session") {
-    // builder internals (buildQueryStagePrepRules) are private[sql]; the
-    // end-to-end proof needs a fresh JVM-level session built with
-    // spark.sql.extensions=graft.functions.GraftExtensions, which a
-    // shared-session suite can't construct — assert the injection
-    // contract holds (apply registers without error) and the rule's
-    // behavior on real plans above
     val e = new graft.functions.GraftExtensions
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     e.apply(exts) // no exception = the injection contract holds
+  }
+
+  /** End-to-end proof on a REAL extension-built session with AQE OFF:
+    * the query-stage-prep hook never runs without AQE, so this pins the
+    * columnar-rule carrier (the round-6 advisor's gap). The session is
+    * built over the suite's existing SparkContext with default/active
+    * cleared so the builder constructs a fresh SessionState and applies
+    * `spark.sql.extensions`.
+    */
+  test("extension-built session fails a cartesian end-to-end with AQE off") {
+    import org.apache.spark.sql.SparkSession
+    spark.sparkContext // force the shared context up first
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // `spark.sql.extensions` is a STATIC conf read from the
+      // SparkContext's conf (fixed at context launch) — on a shared
+      // test context the builder string is ignored, so load the same
+      // GraftExtensions.apply through Builder.withExtensions, the
+      // equivalent programmatic path.
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions()(_))
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .getOrCreate()
+      assert(s2 ne spark, "builder must construct a fresh session, not reuse the suite's")
+      val a = s2.range(10).select(col("id").as("a"))
+      val b = s2.range(10).select(col("id").as("b"))
+      val err = intercept[Throwable] { a.crossJoin(b).collect() }
+      val messages = Iterator.iterate(err)(_.getCause).takeWhile(_ != null).take(8)
+        .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+      assert(messages.contains("CartesianProduct"),
+        s"guard must fire through the non-AQE columnar path, got: $messages")
+      // and a legitimate equi-join still runs on the same session
+      val ok = s2.range(10).select(col("id").as("k"))
+        .join(s2.range(10).select(col("id").as("k")), "k").count()
+      assert(ok == 10L)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
   }
 }
