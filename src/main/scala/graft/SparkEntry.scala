@@ -171,6 +171,8 @@ object SparkEntry {
     // trained-model class (like q32b/q32c): no oracle; IvfSq8Spec
     // measures recall vs exact q22 and agreement with float IVF
     "q131_ivf_sq8" -> (Similarity.q131IvfSq8 _),
+    "q132_modality_agreement" -> (Similarity.q132ModalityAgreement _),
+    "q135_staging_manifest" -> (Similarity.q135StagingManifest _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -1444,5 +1446,62 @@ object SparkEntry {
         "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8) " +
         "SELECT doc_id, lang, source FROM documents " +
         "WHERE doc_id NOT IN (SELECT drop_id FROM p) ORDER BY doc_id"),
+    // q132: q21's text-side pairs (double-compare Jaccard, invariant
+    // under the hash relabeling) + q22's unnest-product cosine over the
+    // two endpoint embeddings; the agree flag compares the SAME 4-dp
+    // rounded cosine on both sides
+    "q132_modality_agreement" ->
+      ("WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
+        "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))*10000 + 0.5)/10000 AS jaccard " +
+        "FROM t a JOIN t b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8), " +
+        "px AS (SELECT doc_a, doc_b, jaccard, CAST(unnest(e1.embedding) AS DOUBLE) AS qx, " +
+        "CAST(unnest(e2.embedding) AS DOUBLE) AS tx FROM pr " +
+        "JOIN embeddings e1 ON doc_a = e1.vec_id JOIN embeddings e2 ON doc_b = e2.vec_id), " +
+        "d AS (SELECT doc_a, doc_b, jaccard, sum(qx*tx) AS dot, " +
+        "sqrt(sum(qx*qx)) AS na, sqrt(sum(tx*tx)) AS nb FROM px GROUP BY doc_a, doc_b, jaccard), " +
+        "c AS (SELECT doc_a, doc_b, jaccard, floor((dot/(na*nb))*10000 + 0.5)/10000 AS cosine FROM d) " +
+        "SELECT doc_a, doc_b, jaccard, cosine, CAST(cosine >= 0.9 AS BIGINT) AS modality_agree " +
+        "FROM c ORDER BY doc_a, doc_b"),
+    // q135: each staged family's row count recomputed independently
+    // from the raw corpus — the manifest doubles as an end-to-end audit
+    // of every registry entry. ivf_model is the one constant: k = 8
+    // centroids by construction (empty clusters keep their previous
+    // centroid, so the model never loses rows).
+    "q135_staging_manifest" ->
+      (s"WITH $spanCteChain, " +
+        "tt AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
+        "gg AS (SELECT min(doc_id) AS gid, toks FROM tt GROUP BY toks), " +
+        "wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "shc AS (SELECT count(*) AS c FROM (SELECT DISTINCT " +
+        "list_sort(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])) " +
+        "FROM wd WHERE len(w) >= 3)), " +
+        "scrub AS (SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\+?[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g'), " +
+        "'customer|user', '<PII>', 'g') AS clean_text FROM documents), " +
+        "flt AS (SELECT doc_id, clean_text, string_split(clean_text, ' ') AS w FROM scrub " +
+        "WHERE len(string_split(clean_text, ' ')) >= 10), " +
+        "ded AS (SELECT doc_id, w FROM (SELECT doc_id, w, " +
+        "row_number() OVER (PARTITION BY clean_text ORDER BY doc_id) AS rn FROM flt) WHERE rn = 1), " +
+        "pgc AS (SELECT count(*) AS c FROM (SELECT DISTINCT list_sort(list_distinct(w)) FROM ded)) " +
+        "SELECT relation, n_rows FROM (" +
+        "SELECT 'clean_pack' AS relation, (SELECT count(*) FROM ag WHERE n_kept > 0) AS n_rows " +
+        "UNION ALL SELECT 'component_labels', (SELECT count(*) FROM documents) " +
+        "UNION ALL SELECT 'dsir_weights', " +
+        "(SELECT count(*) FROM documents WHERE len(string_split(text, ' ')) >= 2) " +
+        "UNION ALL SELECT 'ivf_model', CAST(8 AS BIGINT) " +
+        "UNION ALL SELECT 'prep_deduped', (SELECT count(*) FROM ded) " +
+        "UNION ALL SELECT 'prep_groups', (SELECT c FROM pgc) " +
+        "UNION ALL SELECT 'set_pairs_45', (SELECT count(*) FROM gg a JOIN gg b ON a.gid < b.gid " +
+        "AND 5*len(list_intersect(a.toks, b.toks)) >= " +
+        "4*(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) " +
+        "UNION ALL SELECT 'shingle_groups', (SELECT c FROM shc) " +
+        "UNION ALL SELECT 'unigram_groups', (SELECT count(*) FROM gg)" +
+        ") ORDER BY relation"),
   )
 }

@@ -54,6 +54,19 @@ object CorpusPrep {
         .drop("rn")
     }
 
+  /** The exact-dup collapse OVER the staged prep front — q67's group
+    * relation in the cross-query registry (the prep cascade's
+    * equivalent of [[Similarity.stagedUnigramGroups]], but keyed on the
+    * scrubbed/gated/deduped corpus).
+    */
+  private[graft] def stagedPrepGroups(spark: SparkSession, dir: String): DataFrame =
+    Similarity.stagedTable(spark, dir, "prep_groups") {
+      graft.functions.GraftFunctions.register(spark)
+      Similarity.tokenSetGroupsBy(
+        stagedPrepDeduped(spark, dir).select(col("doc_id"),
+          call_function("shingle_hashes", col("toks"), lit(1)).as("toks")))
+    }
+
   /** q67 — scrub → length-gate → exact-dedup → near-dup survivors →
     * chunk, as one DataFrame program:
     *
@@ -91,11 +104,7 @@ object CorpusPrep {
     graft.functions.GraftFunctions.register(spark)
     val docBytes = Similarity.documentsSizeBytes(spark, dir)
     val deduped = stagedPrepDeduped(spark, dir)
-    val groups = Similarity.stagedTable(spark, dir, "prep_groups") {
-      Similarity.tokenSetGroupsBy(
-        deduped.select(col("doc_id"),
-          call_function("shingle_hashes", col("toks"), lit(1)).as("toks")))
-    }
+    val groups = stagedPrepGroups(spark, dir)
     val survivors = Similarity
       .survivorsFrom(groups, deduped.select("doc_id", "lang", "source"), docBytes)
       .select("doc_id")

