@@ -172,6 +172,7 @@ object SparkEntry {
     // measures recall vs exact q22 and agreement with float IVF
     "q131_ivf_sq8" -> (Similarity.q131IvfSq8 _),
     "q132_modality_agreement" -> (Similarity.q132ModalityAgreement _),
+    "q133_bpe_merge_train" -> (TrainingData.q133BpeMergeTrain _),
     "q135_staging_manifest" -> (Similarity.q135StagingManifest _),
   )
 
@@ -248,16 +249,35 @@ object SparkEntry {
 
   private val spanCteChain: String = spanCtesFrom("documents")
 
-  /** DuckDB replay of the BPE stub, generated from the SAME merges
-    * constant the engine applies ([[graft.ops.TrainingData.BpeMerges]])
-    * so tokenizer and oracle cannot diverge: doc spelled as
-    * space-separated chars (word gaps -> '|'), rules folded as literal
-    * left-to-right replaces in rank order.
+  /** DuckDB mirror of the TRAINED BPE merge table (round 7): the
+    * oracle trains ITS OWN top-K adjacent-pair table from the raw
+    * corpus with the identical (count desc, pair asc) tie-break —
+    * MATERIALIZED so the 24 scalar subqueries below evaluate it once.
+    * K is generated from [[graft.ops.TrainingData.BpeMergeCount]], the
+    * one constant both sides share; the rules themselves are DATA on
+    * both sides, so tokenizer and oracle cannot diverge.
+    */
+  private val bpeMergesCte: String =
+    "bm AS MATERIALIZED (SELECT row_number() OVER (ORDER BY cnt DESC, g) AS rk, " +
+      "substr(g, 1, 1) || ' ' || substr(g, 2, 1) AS pat, g AS rep, cnt FROM (" +
+      "SELECT g, count(*) AS cnt FROM (SELECT substr(text, CAST(i AS BIGINT), 2) AS g FROM " +
+      "(SELECT text, UNNEST(range(1, length(text))) AS i FROM documents WHERE length(text) >= 2)) " +
+      "WHERE NOT contains(g, ' ') GROUP BY g " +
+      s"ORDER BY cnt DESC, g LIMIT ${graft.ops.TrainingData.BpeMergeCount}))"
+
+  /** The trained replay: doc spelled as space-separated chars (word
+    * gaps -> '|'), each ranked rule applied as a literal left-to-right
+    * replace with its pattern pulled from `bm` by scalar subquery
+    * (rules are data, not literals — no escaping, no staleness). A rank
+    * with no trained rule (corpus with < K qualifying pairs) coalesces
+    * to chr(1), a never-matching sentinel, mirroring the engine's
+    * shorter fold.
     */
   private def bpeMergedSql: String =
-    graft.ops.TrainingData.BpeMerges.foldLeft(
+    (1 to graft.ops.TrainingData.BpeMergeCount).foldLeft(
       "array_to_string(string_split(translate(text, ' ', '|'), ''), ' ')") {
-      case (s, (a, b)) => s"replace($s, '$a', '$b')"
+      (s, i) => s"replace($s, coalesce((SELECT pat FROM bm WHERE rk = $i), chr(1)), " +
+        s"coalesce((SELECT rep FROM bm WHERE rk = $i), chr(1)))"
     }
   private def bpeTokSql: String =
     s"CAST(len(string_split($bpeMergedSql, ' ')) - len(string_split(text, ' ')) + 1 AS BIGINT)"
@@ -756,13 +776,13 @@ object SparkEntry {
     // q105/q106: the BPE replay SQL is GENERATED from TrainingData.
     // BpeMerges (see bpeMergedSql) — one source of truth for both sides
     "q105_bpe_tokens" ->
-      (s"WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
+      (s"WITH $bpeMergesCte, t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
         s"$bpeTokSql AS bpe_tokens FROM documents) " +
         s"SELECT doc_id, ws_tokens, bpe_tokens, " +
         s"${rd4("CAST(bpe_tokens AS DOUBLE)/ws_tokens")} AS tokens_per_word " +
         "FROM t ORDER BY doc_id"),
     "q106_bpe_pack" ->
-      (s"WITH t AS (SELECT doc_id, $bpeTokSql AS n_tokens FROM documents), " +
+      (s"WITH $bpeMergesCte, t AS (SELECT doc_id, $bpeTokSql AS n_tokens FROM documents), " +
         "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER " +
         "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) " +
         "AS start_token FROM t) " +
@@ -775,7 +795,7 @@ object SparkEntry {
     // attribution, md5-first-hex-char shard via the same 16-char
     // position lookup the engine uses (no numeric hex conversion)
     "q118_shard_manifest" ->
-      (s"WITH t AS (SELECT doc_id, $bpeTokSql AS n_tokens FROM documents), " +
+      (s"WITH $bpeMergesCte, t AS (SELECT doc_id, $bpeTokSql AS n_tokens FROM documents), " +
         "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER " +
         "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) " +
         "AS start_token FROM t), " +
@@ -837,7 +857,7 @@ object SparkEntry {
     // chunk windows, and the generated BPE replay over each chunk
     // (aliased AS text, the q109 trick)
     "q112_prep_pipeline_v2" ->
-      ("WITH scrub AS (SELECT doc_id, " +
+      (s"WITH $bpeMergesCte, scrub AS (SELECT doc_id, " +
         "regexp_replace(regexp_replace(regexp_replace(text, " +
         "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
         "'\\+?[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g'), " +
@@ -1187,7 +1207,7 @@ object SparkEntry {
     // re-pack. `cp` aliases clean_text AS text so the generated BPE
     // replay (bpeTokSql, which reads `text`) applies unchanged.
     "q109_clean_pack" ->
-      (s"WITH $spanCteChain, " +
+      (s"WITH $bpeMergesCte, $spanCteChain, " +
         "cp AS (SELECT doc_id, clean_text AS text FROM " +
         "(SELECT ag.doc_id, ag.clean_text FROM ag WHERE ag.n_kept > 0)), " +
         s"t2 AS (SELECT doc_id, $bpeTokSql AS n_tokens FROM cp), " +
@@ -1201,7 +1221,7 @@ object SparkEntry {
     // q122: q109's span-cut + BPE + cumsum CTEs, finished with q118's
     // shard explode/attribution/aggregation — one statement end-to-end
     "q122_clean_shard_manifest" ->
-      (s"WITH $spanCteChain, " +
+      (s"WITH $bpeMergesCte, $spanCteChain, " +
         "cp AS (SELECT doc_id, clean_text AS text FROM " +
         "(SELECT ag.doc_id, ag.clean_text FROM ag WHERE ag.n_kept > 0)), " +
         s"t2 AS (SELECT doc_id, $bpeTokSql AS n_tokens FROM cp), " +
@@ -1466,13 +1486,18 @@ object SparkEntry {
         "c AS (SELECT doc_a, doc_b, jaccard, floor((dot/(na*nb))*10000 + 0.5)/10000 AS cosine FROM d) " +
         "SELECT doc_a, doc_b, jaccard, cosine, CAST(cosine >= 0.9 AS BIGINT) AS modality_agree " +
         "FROM c ORDER BY doc_a, doc_b"),
+    // q133: the oracle trains its own merge table (same CTE every
+    // BPE-priced consumer embeds) — the trained model must be a pure
+    // function of the corpus on both engines
+    "q133_bpe_merge_train" ->
+      (s"WITH $bpeMergesCte SELECT rk, pat, rep, cnt FROM bm ORDER BY rk"),
     // q135: each staged family's row count recomputed independently
     // from the raw corpus — the manifest doubles as an end-to-end audit
     // of every registry entry. ivf_model is the one constant: k = 8
     // centroids by construction (empty clusters keep their previous
     // centroid, so the model never loses rows).
     "q135_staging_manifest" ->
-      (s"WITH $spanCteChain, " +
+      (s"WITH $bpeMergesCte, $spanCteChain, " +
         "tt AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
         "gg AS (SELECT min(doc_id) AS gid, toks FROM tt GROUP BY toks), " +
         "wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
@@ -1490,7 +1515,8 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY clean_text ORDER BY doc_id) AS rn FROM flt) WHERE rn = 1), " +
         "pgc AS (SELECT count(*) AS c FROM (SELECT DISTINCT list_sort(list_distinct(w)) FROM ded)) " +
         "SELECT relation, n_rows FROM (" +
-        "SELECT 'clean_pack' AS relation, (SELECT count(*) FROM ag WHERE n_kept > 0) AS n_rows " +
+        "SELECT 'bpe_merges' AS relation, (SELECT count(*) FROM bm) AS n_rows " +
+        "UNION ALL SELECT 'clean_pack', (SELECT count(*) FROM ag WHERE n_kept > 0) " +
         "UNION ALL SELECT 'component_labels', (SELECT count(*) FROM documents) " +
         "UNION ALL SELECT 'dsir_weights', " +
         "(SELECT count(*) FROM documents WHERE len(string_split(text, ' ')) >= 2) " +

@@ -111,6 +111,25 @@ object GraftFunctions {
     }
   }
 
+  /** A foldable string-array argument (e.g. `lit(Array("a", "b"))`)
+    * extracted to constants at expression-build time — the carrier for
+    * model-sized trained tables baked into a kernel (bpe_token_count's
+    * merge rules).
+    */
+  private[functions] def stringArrayArg(name: String)(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$name: expected a foldable string array, got non-foldable ${e.sql}")
+    e.eval(null) match {
+      case d: org.apache.spark.sql.catalyst.util.ArrayData
+          if e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+        (0 until d.numElements()).map(i => d.getUTF8String(i).toString)
+      case other => throw new IllegalArgumentException(
+        s"$name: expected a foldable string array, got $other: ${e.dataType.simpleString}")
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("sorted_intersect_count",
@@ -133,6 +152,10 @@ object GraftFunctions {
       exprs => BloomMightContain(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("word_ngrams",
       exprs => WordNgrams(exprs.head, shingleN(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("bpe_token_count",
+      exprs => BpeTokenCount(exprs.head,
+        stringArrayArg("bpe_token_count.pats")(exprs(1)),
+        stringArrayArg("bpe_token_count.reps")(exprs(2))), "built-in")
   }
 }
 
@@ -173,6 +196,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       exprs => BloomMightContain(exprs.head, exprs(1)))
     inject(e, "word_ngrams", classOf[WordNgrams],
       exprs => WordNgrams(exprs.head, GraftFunctions.shingleN(exprs(1))))
+    inject(e, "bpe_token_count", classOf[BpeTokenCount],
+      exprs => BpeTokenCount(exprs.head,
+        GraftFunctions.stringArrayArg("bpe_token_count.pats")(exprs(1)),
+        GraftFunctions.stringArrayArg("bpe_token_count.reps")(exprs(2))))
     // plan-policy guard: the PlanQualitySpec cartesian ban, enforced at
     // runtime for arbitrary user queries (see CartesianGuardRule). Two
     // hooks so the guard survives spark.sql.adaptive.enabled=false:

@@ -148,7 +148,8 @@ object CorpusPrep {
         s => s.getField("tok")).as("toks"))
       .filter(size(col("toks")) >= MinTokens)
     TrainingData.chunkTokens(cut, ChunkWindow, ChunkStride)
-      .withColumn("bpe_tokens", TrainingData.bpeTokenCount(col("chunk_text")))
+      .withColumn("bpe_tokens", TrainingData.bpeTokenCount(col("chunk_text"),
+        TrainingData.trainedBpeMerges(spark, dir)))
       .orderBy("doc_id", "chunk_id")
   }
 

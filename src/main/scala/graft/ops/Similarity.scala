@@ -235,9 +235,9 @@ object Similarity {
     * is deterministic under any query execution order.
     */
   private val ManifestFamilies = Seq(
-    "clean_pack", "component_labels", "dsir_weights", "ivf_model",
-    "prep_deduped", "prep_groups", "set_pairs_45", "shingle_groups",
-    "unigram_groups")
+    "bpe_merges", "clean_pack", "component_labels", "dsir_weights",
+    "ivf_model", "prep_deduped", "prep_groups", "set_pairs_45",
+    "shingle_groups", "unigram_groups")
 
   /** q135 — the staging-registry MANIFEST: one row per staged relation
     * family with its exact staged row count — the artifact inventory a
@@ -261,6 +261,7 @@ object Similarity {
     stagedShingleGroups(spark, dir)
     componentLabels(spark, dir)
     stagedIvfModel(spark, dir)
+    graft.ops.TrainingData.stagedBpeMerges(spark, dir)
     graft.ops.CorpusPrep.stagedPrepDeduped(spark, dir)
     graft.ops.CorpusPrep.stagedPrepGroups(spark, dir)
     graft.ops.TrainingData.stagedCleanPack(spark, dir)

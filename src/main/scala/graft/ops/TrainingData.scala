@@ -594,38 +594,105 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
-  /** The fixed BPE merges table — the deterministic tokenizer stub that
-    * upgrades the engine's token accounting from whitespace tokens to
-    * (approximate) BPE token units. Rules are (pair → merged symbol) in
-    * RANK order and apply sequentially, later rules over earlier rules'
-    * output (\"th e\"→\"the\" only fires after \"t h\"→\"th\") — the
-    * real BPE rank semantics on a hand-fixed table. A production
-    * deployment swaps this constant for a learned merges file
-    * (broadcast, same replay); the ACCOUNTING plumbing — per-doc token
-    * counts in tokenizer units feeding chunking/packing/stats — is what
-    * the engine contributes, and it is invariant to the table.
-    *
-    * The replay is exact and engine-portable: a word spelled as
-    * space-separated characters, each rule a literal left-to-right
-    * `replace`. [[graft.SparkEntry.oracleSql]] generates the DuckDB
-    * mirror from THIS constant, so the two sides cannot diverge.
+  /** Number of trained BPE merge rules (K of the top-K pair count).
+    * [[graft.SparkEntry.oracleSql]]'s generated replay unrolls exactly
+    * this many ranked replaces — one source of truth for both sides.
     */
-  val BpeMerges: Seq[(String, String)] = Seq(
-    "t h" -> "th", "th e" -> "the", "i n" -> "in", "a n" -> "an",
-    "o r" -> "or", "e r" -> "er", "s t" -> "st", "a s" -> "as",
-    "j o" -> "jo", "jo in" -> "join", "h as" -> "has", "has h" -> "hash")
+  val BpeMergeCount = 12
 
-  /** BPE token count of a text column, row-local and fully codegen'd
-    * (builtin string functions only, no HOF): spell the whole doc as
-    * space-separated characters with word gaps as a `|` marker (merges
-    * never cross words — no rule contains `|`), fold the merges table
-    * through literal replaces, and count symbols. Tokens = symbols −
-    * markers, markers = whitespace_tokens − 1. The trailing empty
-    * element Spark's `split(s, \"\")` appends is trimmed away.
+  /** TRAINED BPE merges (round 7 — the round-6 verdict's upgrade from
+    * the hand-fixed table): a deterministic single-round approximation
+    * of BPE training — count every adjacent character pair inside words
+    * across the corpus, keep the top-[[BpeMergeCount]] by (count desc,
+    * pair asc — the lexical tie-break that makes the table a pure
+    * function of the corpus), and apply them in rank order with the
+    * same literal left-to-right replay as before (full iterative BPE
+    * re-counts after each merge; the one-round table keeps both engines
+    * exactly replayable while deriving the rules from DATA, and the
+    * ACCOUNTING plumbing — token counts feeding chunking/packing/
+    * stats — is invariant to the table).
+    *
+    * Scale shape: the pair explode is row-local, the count is a
+    * map-combinable aggregate over a charset²-bounded key space, and
+    * the top-K is TakeOrderedAndProject — the training scan is linear
+    * in corpus bytes with a tiny shuffle. The oracle TRAINS ITS OWN
+    * table from the same corpus with the same tie-break (a CTE in each
+    * consumer's statement), so the two sides cannot diverge.
     */
-  private[graft] def bpeTokenCount(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def bpeMergeTrainFrom(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .filter(length(col("text")) >= 2)
+      .select(explode(filter(
+        transform(sequence(lit(1), length(col("text")) - 1),
+          i => col("text").substr(i, lit(2))),
+        g => not(g.contains(" ")))).as("g"))
+    val w = Window.orderBy(desc("cnt"), asc("g"))
+    pairs.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("g")).limit(BpeMergeCount)
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .select(col("rk"),
+        concat(substring(col("g"), 1, 1), lit(" "), substring(col("g"), 2, 1)).as("pat"),
+        col("g").as("rep"), col("cnt"))
+  }
+
+  /** The trained merge table as a cross-query staged relation — the
+    * IVF-model lifecycle (train once per (session, corpus), persist,
+    * consume everywhere): q133 reads it back as the declared readout,
+    * and every BPE-priced operator (q105/q106/q109/q112/q118/q122 and
+    * the streaming dual) replays the SAME staged table.
+    */
+  private[graft] def stagedBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    Similarity.stagedTable(spark, dir, "bpe_merges")(
+      bpeMergeTrainFrom(Tables.documents(spark, dir)))
+
+  private val bpeMergesCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+
+  /** The staged trained merges collected to rank-ordered constants —
+    * K ≤ [[BpeMergeCount]] rows, the sanctioned model-sized collect
+    * (IVF-centroid pattern); cached per staged table so repeated plan
+    * builds don't re-run the 12-row job.
+    */
+  private[graft] def trainedBpeMerges(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val e = Similarity.stagedEntry(spark, dir, "bpe_merges")(
+      bpeMergeTrainFrom(Tables.documents(spark, dir)))
+    bpeMergesCache.getOrElseUpdate(e.path,
+      spark.read.parquet(e.path).orderBy("rk").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+  }
+
+  /** q133 — the trained BPE merge table itself, the declared tokenizer
+    * artifact: (rank, pattern, replacement, corpus pair count). The
+    * oracle trains its own copy from the raw corpus, so this readout is
+    * the end-to-end proof the trained model is a deterministic pure
+    * function of the data.
+    */
+  def q133BpeMergeTrain(spark: SparkSession, dir: String): DataFrame =
+    stagedBpeMerges(spark, dir).orderBy("rk")
+
+  /** BPE token count of a text column under a trained merges table —
+    * ONE native codegen'd kernel per row
+    * ([[graft.functions.BpeTokenCount]]; the q124/word_ngrams lesson
+    * applied to the tokenizer, replacing the 13-deep builtin
+    * `replace` chain that was the q67/q105/q109/q112 cost center).
+    * Word gaps spell as a `|` marker (merges never cross words — no
+    * trained rule contains a space-adjacent pair); BpeTokenSpec pins
+    * the kernel output-identical to the builtin-fold formulation
+    * ([[bpeTokenCountFold]]).
+    */
+  private[graft] def bpeTokenCount(text: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    call_function("bpe_token_count", text,
+      lit(merges.map(_._1).toArray), lit(merges.map(_._2).toArray))
+
+  /** The builtin-only replay (spell → fold literal replaces → count),
+    * kept as the kernel's reference semantics for BpeTokenSpec's
+    * equivalence pin — NOT used by any declared query.
+    */
+  private[graft] def bpeTokenCountFold(text: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
     val spaced = trim(array_join(split(translate(text, " ", "|"), ""), " "))
-    val merged = BpeMerges.foldLeft(spaced) { case (c, (a, b)) =>
+    val merged = merges.foldLeft(spaced) { case (c, (a, b)) =>
       call_function("replace", c, lit(a), lit(b))
     }
     (size(split(merged, " ")) - size(split(text, " ")) + 1).cast(LongType)
@@ -641,9 +708,11 @@ object TrainingData {
     * output sort.
     */
   def q105BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val ws = size(split(col("text"), " ")).cast(LongType)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), ws.as("ws_tokens"), bpeTokenCount(col("text")).as("bpe_tokens"))
+      .select(col("doc_id"), ws.as("ws_tokens"),
+        bpeTokenCount(col("text"), trainedBpeMerges(spark, dir)).as("bpe_tokens"))
       .withColumn("tokens_per_word",
         roundD4(col("bpe_tokens").cast("double") / col("ws_tokens")))
       .orderBy("doc_id")
@@ -658,9 +727,12 @@ object TrainingData {
     * first long document; this variant is what an actual pretraining
     * data run schedules.
     */
-  def q106BpeSequencePack(spark: SparkSession, dir: String): DataFrame =
+  def q106BpeSequencePack(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     packByTokens(Tables.documents(spark, dir)
-      .select(col("doc_id"), bpeTokenCount(col("text")).as("n_tokens")))
+      .select(col("doc_id"),
+        bpeTokenCount(col("text"), trainedBpeMerges(spark, dir)).as("n_tokens")))
+  }
 
   /** q109 — the round-5 operators composed: ExactSubstr span cut
     * (q107) → drop fully-cut documents → re-measure the SURVIVING text
@@ -682,10 +754,13 @@ object TrainingData {
     * table, which is exactly what the registry entry does.
     */
   private[graft] def stagedCleanPack(spark: SparkSession, dir: String): DataFrame =
-    Similarity.stagedTable(spark, dir, "clean_pack")(
+    Similarity.stagedTable(spark, dir, "clean_pack") {
+      graft.functions.GraftFunctions.register(spark)
       packByTokens(TextOps.q107SpanDedup(spark, dir)
         .filter(col("n_kept") > 0)
-        .select(col("doc_id"), bpeTokenCount(col("clean_text")).as("n_tokens"))))
+        .select(col("doc_id"),
+          bpeTokenCount(col("clean_text"), trainedBpeMerges(spark, dir)).as("n_tokens")))
+    }
 
   def q109CleanPack(spark: SparkSession, dir: String): DataFrame =
     stagedCleanPack(spark, dir).orderBy("doc_id")

@@ -153,15 +153,21 @@ object StreamingOps {
     * batch compaction between streaming ingest epochs (q109's
     * clean-then-repack), not in the ingest path.
     */
-  def prepStreamV2(docs: DataFrame, watermarkDelay: String): DataFrame = {
+  def prepStreamV2(docs: DataFrame, watermarkDelay: String,
+      bpeMerges: Seq[(String, String)]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val cleaned = graft.ops.CorpusPrep.scrubAndGate(docs)
     val deduped = cleaned
       .withColumn("content_hash", sha2(col("clean_text"), 256))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
+    // the merge table is a FROZEN batch-trained artifact (the
+    // dsirScoreStream model discipline): train offline with
+    // TrainingData.trainedBpeMerges, replay per row on ingest
     graft.ops.TrainingData.chunkTokens(deduped,
         graft.ops.CorpusPrep.ChunkWindow, graft.ops.CorpusPrep.ChunkStride)
-      .withColumn("bpe_tokens", graft.ops.TrainingData.bpeTokenCount(col("chunk_text")))
+      .withColumn("bpe_tokens",
+        graft.ops.TrainingData.bpeTokenCount(col("chunk_text"), bpeMerges))
   }
 
   /** Streaming DSIR scoring (q114's streaming twin): score each

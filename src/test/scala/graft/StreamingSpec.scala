@@ -81,9 +81,14 @@ class StreamingSpec extends SparkSpecBase {
       (2L, "short doc", t0), // < 10 tokens -> gated in both paths
       (3L, "email a@b.com " + (0 until 12).map(i => s"z$i").mkString(" "), ts(1)),
       (4L, long1, ts(2))) // exact dup of doc 1 -> dedup drops it in-stream
+    // frozen batch-trained merge table (the production shape: the
+    // tokenizer model is fit offline on a corpus snapshot, then every
+    // streamed doc is priced with it on ingest)
+    val merges = graft.ops.TrainingData.trainedBpeMerges(spark, "/root/testdata/sf0.001")
+    assert(merges.size == graft.ops.TrainingData.BpeMergeCount)
     val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
     val q = StreamingOps.prepStreamV2(
-        ms.toDS().toDF("doc_id", "text", "ts"), "10 minutes")
+        ms.toDS().toDF("doc_id", "text", "ts"), "10 minutes", merges)
       .writeStream.format("memory").queryName("prep2").outputMode("append").start()
     ms.addData(rows.take(3): _*)
     q.processAllAvailable()
@@ -100,7 +105,7 @@ class StreamingSpec extends SparkSpecBase {
           .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
           .filter(col("rn") === 1),
         graft.ops.CorpusPrep.ChunkWindow, graft.ops.CorpusPrep.ChunkStride)
-      .withColumn("bpe_tokens", graft.ops.TrainingData.bpeTokenCount(col("chunk_text")))
+      .withColumn("bpe_tokens", graft.ops.TrainingData.bpeTokenCount(col("chunk_text"), merges))
       .collect().map(_.toString).sorted.toSeq
     assert(streamed.nonEmpty && streamed == batch,
       s"stream/batch divergence:\n$streamed\nvs\n$batch")

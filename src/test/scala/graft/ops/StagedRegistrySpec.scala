@@ -116,7 +116,8 @@ class StagedRegistrySpec extends SparkSpecBase {
         graft.ops.TextOps.q107SpanDedup(spark, sf)
           .filter(col("n_kept") > 0)
           .select(col("doc_id"),
-            TrainingData.bpeTokenCount(col("clean_text")).as("n_tokens")))
+            TrainingData.bpeTokenCount(col("clean_text"),
+              TrainingData.trainedBpeMerges(spark, sf)).as("n_tokens")))
       .collect().map(_.toString).toSeq
     val stagedPack = TrainingData.q109CleanPack(spark, sf)
       .collect().map(_.toString).toSeq
@@ -233,10 +234,12 @@ class StagedRegistrySpec extends SparkSpecBase {
     GraftFunctions.register(spark)
     val m = Similarity.q135StagingManifest(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(m.keySet == Set("clean_pack", "component_labels", "dsir_weights", "ivf_model",
-      "prep_deduped", "prep_groups", "set_pairs_45", "shingle_groups", "unigram_groups"))
+    assert(m.keySet == Set("bpe_merges", "clean_pack", "component_labels", "dsir_weights",
+      "ivf_model", "prep_deduped", "prep_groups", "set_pairs_45", "shingle_groups",
+      "unigram_groups"))
     // spot-check against the relations themselves
     assert(m("ivf_model") == 8L)
+    assert(m("bpe_merges") == TrainingData.BpeMergeCount.toLong)
     assert(m("component_labels") == Similarity.componentLabels(spark, sf).count())
     assert(m("unigram_groups") == Similarity.stagedUnigramGroups(spark, sf).count())
     assert(m("clean_pack") == TrainingData.q109CleanPack(spark, sf).count())
