@@ -53,7 +53,7 @@ object TrainingData {
     * per-source capping so the two can't diverge. Input columns ride
     * along; adds n_tokens, n_chars_text, avg_tok_len, stop_ratio, score.
     */
-  private[ops] def qualityScored(docs: DataFrame): DataFrame = {
+  private[graft] def qualityScored(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val isStop = (t: org.apache.spark.sql.Column) =>
       TextOps.Stopwords.map(t === _).reduce(_ || _)
@@ -866,21 +866,30 @@ object TrainingData {
     * French/German/Spanish/English fixture sentences all classify
     * correctly.
     */
-  def q119LangTrigram(spark: SparkSession, dir: String): DataFrame = {
+  def q119LangTrigram(spark: SparkSession, dir: String): DataFrame =
+    withLangTrigramPred(Tables.documents(spark, dir).select("doc_id", "text"))
+      .drop("text")
+      .orderBy("doc_id")
+
+  /** The q119 classifier as a reusable row-local stage over any
+    * relation with a `text` column — adds per-language `<l>_hits`
+    * columns and the argmax `lang_pred`. ONE definition shared by the
+    * batch q119 and [[graft.streaming.StreamingOps.qualityGateStream]]
+    * so batch and ingest cannot diverge.
+    */
+  private[graft] def withLangTrigramPred(docs: DataFrame): DataFrame = {
     val t = lower(col("text"))
     val langs = LangTrigramProfiles.map(_._1)
-    val scored = Tables.documents(spark, dir)
-      .select(col("doc_id") +: LangTrigramProfiles.map { case (l, gs) =>
+    val scored = docs.select(
+      docs.columns.map(col).toSeq ++ LangTrigramProfiles.map { case (l, gs) =>
         trigramHits(t, gs).as(s"${l}_hits") }: _*)
     val hitCols = langs.map(l => col(s"${l}_hits"))
     val best = greatest(hitCols: _*)
     val pick = langs.foldRight(lit(langs.last): Column) { (l, acc) =>
       when(col(s"${l}_hits") === best, lit(l)).otherwise(acc)
     }
-    scored
-      .withColumn("lang_pred",
-        when(hitCols.reduce(_ + _) === 0L, lit("und")).otherwise(pick))
-      .orderBy("doc_id")
+    scored.withColumn("lang_pred",
+      when(hitCols.reduce(_ + _) === 0L, lit("und")).otherwise(pick))
   }
 
   /** q81 — incremental dedup against an existing corpus: the production
@@ -1046,18 +1055,47 @@ object TrainingData {
     * after is row-local. Threshold 2.8 nats is corpus-calibrated (the
     * generator's 31-token vocab tops out near ln 31 ≈ 3.43).
     */
-  def q127EntropyGate(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-    tf.groupBy("doc_id")
-      .agg(sum(col("c")).as("n_tokens"),
-        sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"))
-      .withColumn("token_entropy",
-        roundD4(log(col("n_tokens").cast("double")) - col("slc") / col("n_tokens")))
-      .withColumn("low_entropy", (col("token_entropy") < 2.8).cast(LongType))
+  def q127EntropyGate(spark: SparkSession, dir: String): DataFrame =
+    withTokenEntropy(Tables.documents(spark, dir).select("doc_id", "text"))
       .select("doc_id", "n_tokens", "token_entropy", "low_entropy")
       .orderBy("doc_id")
+
+  /** The entropy computation as a ROW-LOCAL stage (round 7 — replacing
+    * the original explode → (doc, tok) count → per-doc reduce, which
+    * cost two shuffles for a quantity that is a pure function of the
+    * row): sort the token array, fold run-lengths of equal tokens
+    * through one `aggregate` HOF accumulating Σ c·ln c, and finish with
+    * ln n − Σ/n. Zero shuffle — the gate scales like a scan and runs
+    * under Structured Streaming with no state (the
+    * [[graft.streaming.StreamingOps.qualityGateStream]] stage). The
+    * run-start test is `run == 0`, not a sentinel `prev` value, so an
+    * empty-string token (split artifacts) still counts as a run.
+    */
+  private[graft] def withTokenEntropy(docs: DataFrame): DataFrame = {
+    val sorted = array_sort(split(col("text"), " "))
+    // acc = (prev token, current run length, Σ c·ln c so far)
+    val folded = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("slc")),
+      (a, t) => {
+        val run = a.getField("run"); val slc = a.getField("slc")
+        // Spark log(x<=0) is NULL, so the run==0 first step must not
+        // touch log(run): flush only non-empty runs (run·ln run = 0 for
+        // run = 1, so singleton flushes are exact no-ops)
+        val flushed = when(run > 0L,
+          slc + run.cast("double") * log(run.cast("double"))).otherwise(slc)
+        when(run > 0L && t === a.getField("prev"),
+          struct(t.as("prev"), (run + 1L).as("run"), slc.as("slc")))
+          .otherwise(struct(t.as("prev"), lit(1L).as("run"), flushed.as("slc")))
+      },
+      a => when(a.getField("run") > 0L, a.getField("slc") +
+        a.getField("run").cast("double") * log(a.getField("run").cast("double")))
+        .otherwise(a.getField("slc")))
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("token_entropy",
+        roundD4(log(col("n_tokens").cast("double")) - folded / col("n_tokens")))
+      .withColumn("low_entropy", (col("token_entropy") < 2.8).cast(LongType))
   }
 
   /** q128 — per-source quality-score CALIBRATION: q28's composite score
@@ -1082,4 +1120,23 @@ object TrainingData {
       .select("doc_id", "source", "score", "cal_pct", "keep")
       .orderBy("doc_id")
   }
+
+  /** q128's calibration FROZEN as a per-source threshold snapshot —
+    * the streaming-ingest face of the percent_rank cut (the
+    * dsirScoreStream model discipline: rank statistics are corpus-
+    * global, so the stream consumes a batch-fit snapshot instead of
+    * re-ranking). Per source, the minimum score among kept rows;
+    * `score >= threshold` reproduces `cal_pct >= 0.2` EXACTLY because
+    * percent_rank is monotone in score and ties share a rank. A source
+    * whose every row is cut (single-row sources rank 0.0) maps to
+    * Double.MaxValue so the stream cuts it too. Model-sized collect:
+    * one row per distinct source (domains, not documents).
+    */
+  private[graft] def sourceKeepThresholds(spark: SparkSession, dir: String): Map[String, Double] =
+    q128SourceCalibration(spark, dir)
+      .groupBy("source")
+      .agg(min(when(col("keep") === 1L, col("score"))).as("thr"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) Double.MaxValue else r.getDouble(1))).toMap
 }

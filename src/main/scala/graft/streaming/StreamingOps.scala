@@ -170,6 +170,37 @@ object StreamingOps {
         graft.ops.TrainingData.bpeTokenCount(col("chunk_text"), bpeMerges))
   }
 
+  /** Streaming quality gate (the round-6 row-local gates' ingest face,
+    * composing q119 + q127 + q128 on a document stream): per incoming
+    * doc, the trigram language ID, the row-local token-entropy gate,
+    * the q28 composite quality score, and the CALIBRATED keep flag
+    * against a FROZEN per-source threshold snapshot
+    * ([[graft.ops.TrainingData.sourceKeepThresholds]] — the
+    * [[dsirScoreStream]] model discipline: percent_rank is corpus-
+    * global, so the stream replays a batch-fit cut instead of
+    * re-ranking). Every stage reuses the batch implementation object
+    * (withLangTrigramPred / withTokenEntropy / qualityScored), so
+    * batch and ingest gates are bit-identical on identical input
+    * (StreamingSpec parity case). Entirely row-local + a literal map
+    * lookup — zero state, no watermark, no shuffle; a source absent
+    * from the snapshot (a domain first seen after the calibration fit)
+    * passes through with `calibrated = 0` rather than being cut by an
+    * unfitted threshold.
+    */
+  def qualityGateStream(docs: DataFrame, thresholds: Map[String, Double]): DataFrame = {
+    import graft.ops.TrainingData
+    val m = map(thresholds.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val thr = element_at(m, col("source"))
+    TrainingData.withTokenEntropy(
+        TrainingData.withLangTrigramPred(TrainingData.qualityScored(docs)))
+      .withColumn("cal_keep",
+        when(thr.isNull, lit(1L)).otherwise((col("score") >= thr).cast("long")))
+      .withColumn("calibrated", thr.isNotNull.cast("long"))
+      .select("doc_id", "source", "lang_pred", "n_tokens", "token_entropy",
+        "low_entropy", "score", "cal_keep", "calibrated")
+  }
+
   /** Streaming DSIR scoring (q114's streaming twin): score each
     * incoming document against a FROZEN bucket model trained in batch
     * ([[graft.ops.TrainingData.dsirBucketLogRatios]]) — the production

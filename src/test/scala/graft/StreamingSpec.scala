@@ -375,4 +375,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
     assert(got.contains(("2024-01-01 11:00:00.0", "view", 1L, 4.0)))
   }
+
+  test("qualityGateStream: lang-ID, entropy gate, calibrated keep are bit-identical to batch q119/q127/q128") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // frozen batch-fit calibration snapshot (the dsir model discipline)
+    val thresholds = graft.ops.TrainingData.sourceKeepThresholds(spark, sf)
+    assert(thresholds.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val ms = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.qualityGateStream(
+        ms.toDS().toDF("doc_id", "text", "source"), thresholds)
+      .writeStream.format("memory").queryName("qgate").outputMode("append").start()
+    ms.addData(docs: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("qgate")
+      .select("doc_id", "lang_pred", "token_entropy", "low_entropy", "cal_keep", "calibrated")
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    q.stop()
+    // every source was in the snapshot, so every doc is calibrated
+    assert(streamed.size == docs.size && streamed.values.forall(_._5 == 1L))
+    val q119 = graft.ops.TrainingData.q119LangTrigram(spark, sf)
+      .select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q127 = graft.ops.TrainingData.q127EntropyGate(spark, sf)
+      .select("doc_id", "token_entropy", "low_entropy").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val q128 = graft.ops.TrainingData.q128SourceCalibration(spark, sf)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val diverging = streamed.collect {
+      case (id, (lang, ent, low, keep, _))
+          if lang != q119(id) || (ent, low) != q127(id) || keep != q128(id) =>
+        (id, (lang, ent, low, keep), (q119(id), q127(id), q128(id)))
+    }
+    assert(diverging.isEmpty, s"stream/batch gate divergence: ${diverging.take(5)}")
+  }
 }
