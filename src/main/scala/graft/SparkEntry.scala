@@ -174,6 +174,10 @@ object SparkEntry {
     "q132_modality_agreement" -> (Similarity.q132ModalityAgreement _),
     "q133_bpe_merge_train" -> (TrainingData.q133BpeMergeTrain _),
     "q135_staging_manifest" -> (Similarity.q135StagingManifest _),
+    "q136_cluster_keeper" -> (Similarity.q136ClusterQualityKeeper _),
+    "q137_mix_schedule" -> (TrainingData.q137MixSchedule _),
+    "q138_shard_skew" -> (TrainingData.q138ShardSkew _),
+    "q140_ngram_novelty" -> (TextOps.q140NgramNovelty _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -296,6 +300,25 @@ object SparkEntry {
     s"CASE WHEN $zero THEN 'und' $arms ELSE '${langs.last}' END"
   }
   private val tsUs = "CAST(ts AS TIMESTAMP)"
+
+  /** q118's manifest statement, extracted so q138's skew report can
+    * wrap the SAME text (one source of truth for the shard semantics
+    * on the oracle side, mirroring shardManifestOf on the engine side).
+    */
+  private def q118OracleSql: String =
+    s"WITH $bpeMergesCte, t AS (SELECT doc_id, $bpeTokSql AS n_tokens FROM documents), " +
+      "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER " +
+      "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) " +
+      "AS start_token FROM t), " +
+      "s AS (SELECT doc_id, n_tokens, start_token, " +
+      "UNNEST(range(start_token // 2048, (start_token + n_tokens - 1) // 2048 + 1)) AS seq " +
+      "FROM c), " +
+      "x AS (SELECT doc_id, seq, " +
+      "least(start_token + n_tokens, (seq + 1) * 2048) - greatest(start_token, seq * 2048) AS tok, " +
+      "CAST(strpos('0123456789abcdef', substr(md5(CAST(seq AS VARCHAR)), 1, 1)) - 1 AS BIGINT) " +
+      "AS shard_id FROM s) " +
+      "SELECT shard_id, count(DISTINCT seq) AS n_seqs, count(DISTINCT doc_id) AS n_docs, " +
+      "CAST(sum(tok) AS BIGINT) AS n_tokens FROM x GROUP BY shard_id ORDER BY shard_id"
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_project_filter" ->
@@ -794,20 +817,7 @@ object SparkEntry {
     // spans (UNNEST(range(..)) — lateral args), boundary-split token
     // attribution, md5-first-hex-char shard via the same 16-char
     // position lookup the engine uses (no numeric hex conversion)
-    "q118_shard_manifest" ->
-      (s"WITH $bpeMergesCte, t AS (SELECT doc_id, $bpeTokSql AS n_tokens FROM documents), " +
-        "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER " +
-        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) " +
-        "AS start_token FROM t), " +
-        "s AS (SELECT doc_id, n_tokens, start_token, " +
-        "UNNEST(range(start_token // 2048, (start_token + n_tokens - 1) // 2048 + 1)) AS seq " +
-        "FROM c), " +
-        "x AS (SELECT doc_id, seq, " +
-        "least(start_token + n_tokens, (seq + 1) * 2048) - greatest(start_token, seq * 2048) AS tok, " +
-        "CAST(strpos('0123456789abcdef', substr(md5(CAST(seq AS VARCHAR)), 1, 1)) - 1 AS BIGINT) " +
-        "AS shard_id FROM s) " +
-        "SELECT shard_id, count(DISTINCT seq) AS n_seqs, count(DISTINCT doc_id) AS n_docs, " +
-        "CAST(sum(tok) AS BIGINT) AS n_tokens FROM x GROUP BY shard_id ORDER BY shard_id"),
+    "q118_shard_manifest" -> q118OracleSql,
     // q119: hit-count exprs and the argmax CASE generated from
     // TrainingData.LangTrigramProfiles (langHitSql/langPickSql)
     "q119_lang_trigram" ->
@@ -1513,7 +1523,8 @@ object SparkEntry {
         "WHERE len(string_split(clean_text, ' ')) >= 10), " +
         "ded AS (SELECT doc_id, w FROM (SELECT doc_id, w, " +
         "row_number() OVER (PARTITION BY clean_text ORDER BY doc_id) AS rn FROM flt) WHERE rn = 1), " +
-        "pgc AS (SELECT count(*) AS c FROM (SELECT DISTINCT list_sort(list_distinct(w)) FROM ded)) " +
+        "pgg AS (SELECT min(doc_id) AS gid, ts FROM " +
+        "(SELECT doc_id, list_sort(list_distinct(w)) AS ts FROM ded) GROUP BY ts) " +
         "SELECT relation, n_rows FROM (" +
         "SELECT 'bpe_merges' AS relation, (SELECT count(*) FROM bm) AS n_rows " +
         "UNION ALL SELECT 'clean_pack', (SELECT count(*) FROM ag WHERE n_kept > 0) " +
@@ -1522,12 +1533,65 @@ object SparkEntry {
         "(SELECT count(*) FROM documents WHERE len(string_split(text, ' ')) >= 2) " +
         "UNION ALL SELECT 'ivf_model', CAST(8 AS BIGINT) " +
         "UNION ALL SELECT 'prep_deduped', (SELECT count(*) FROM ded) " +
-        "UNION ALL SELECT 'prep_groups', (SELECT c FROM pgc) " +
+        "UNION ALL SELECT 'prep_groups', (SELECT count(*) FROM pgg) " +
+        "UNION ALL SELECT 'prep_pairs_45', (SELECT count(*) FROM pgg a JOIN pgg b ON a.gid < b.gid " +
+        "AND 5*len(list_intersect(a.ts, b.ts)) >= " +
+        "4*(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))) " +
         "UNION ALL SELECT 'set_pairs_45', (SELECT count(*) FROM gg a JOIN gg b ON a.gid < b.gid " +
         "AND 5*len(list_intersect(a.toks, b.toks)) >= " +
         "4*(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) " +
         "UNION ALL SELECT 'shingle_groups', (SELECT c FROM shc) " +
         "UNION ALL SELECT 'unigram_groups', (SELECT count(*) FROM gg)" +
         ") ORDER BY relation"),
+    // q136: q62's recursive-CTE component truth (as a subquery, the
+    // q108 pattern) joined to q28's score formula; argmax via
+    // row_number mirrors the engine's min-struct (score DESC, doc_id)
+    "q136_cluster_keeper" ->
+      ("WITH f0 AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "floor((CAST(length(replace(text, ' ', '')) AS DOUBLE)/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS avg_tok_len, " +
+        "floor((CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)" +
+        "/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS stop_ratio FROM documents), " +
+        "f AS (SELECT doc_id, floor((2.0*stop_ratio + " +
+        "CASE WHEN avg_tok_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END + " +
+        "CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1.0 ELSE 0.0 END)*10000 + 0.5)/10000 AS score FROM f0), " +
+        s"j AS (SELECT cc.cluster_id, cc.doc_id, f.score FROM ($q62OracleCore) cc JOIN f USING (doc_id)), " +
+        "rk AS (SELECT cluster_id, doc_id, score, count(*) OVER (PARTITION BY cluster_id) AS csz, " +
+        "row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn FROM j) " +
+        "SELECT cluster_id, doc_id AS keep_doc_id, score AS keep_score, " +
+        "CAST(csz - 1 AS BIGINT) AS n_removed FROM rk WHERE rn = 1 ORDER BY cluster_id"),
+    // q137: integer-only allocation math (floor-div target, LEAST cap)
+    // so every column but the final rd4 ratio is exact on both engines
+    "q137_mix_schedule" ->
+      ("WITH s AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens " +
+        "FROM documents GROUP BY source), " +
+        "n AS (SELECT count(*) AS n_sources FROM s), " +
+        s"x AS (SELECT source, avail_tokens, CAST(${graft.ops.TrainingData.MixTokenBudget} // n_sources AS BIGINT) " +
+        "AS target_tokens FROM s CROSS JOIN n), " +
+        s"y AS (SELECT source, avail_tokens, target_tokens, " +
+        s"least(target_tokens, avail_tokens * ${graft.ops.TrainingData.MixMaxEpochs}) AS realized_tokens FROM x) " +
+        "SELECT source, avail_tokens, target_tokens, realized_tokens, " +
+        "floor((CAST(realized_tokens AS DOUBLE)/avail_tokens)*10000 + 0.5)/10000 AS epochs, " +
+        "realized_tokens < target_tokens AS capped FROM y ORDER BY source"),
+    // q138: one aggregation over q118's EXACT statement (shared text)
+    "q138_shard_skew" ->
+      (s"WITH m AS ($q118OracleSql), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_shards, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
+        "min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens, " +
+        s"${davg("n_tokens")} AS avg_tokens, CAST(sum(n_docs) AS BIGINT) AS doc_slots FROM m) " +
+        "SELECT n_shards, total_tokens, min_tokens, max_tokens, avg_tokens, doc_slots, " +
+        "floor((CAST(max_tokens AS DOUBLE)/avg_tokens)*10000 + 0.5)/10000 AS imbalance FROM a"),
+    // q140: q82's string-gram relabeling argument — first-occurrence
+    // novelty is invariant under the injective-w.h.p. gram hash
+    "q140_ngram_novelty" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g AS (SELECT doc_id, UNNEST(list_distinct(" +
+        "[array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)])) AS g FROM toks), " +
+        "f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g), " +
+        "a AS (SELECT doc_id, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel " +
+        "FROM g JOIN f USING (g) GROUP BY doc_id) " +
+        "SELECT doc_id, n_grams, n_novel, " +
+        "floor((CAST(n_novel AS DOUBLE)/n_grams)*10000 + 0.5)/10000 AS novelty " +
+        "FROM a ORDER BY doc_id"),
   )
 }

@@ -67,6 +67,20 @@ object CorpusPrep {
           call_function("shingle_hashes", col("toks"), lit(1)).as("toks")))
     }
 
+  /** The staged qualifying pairs at J ≥ 4/5 OVER the prep collapse —
+    * the prep cascade's equivalent of [[Similarity.stagedSetPairs45]].
+    * Before round 7 this candidate+verify join (the quadratic stage)
+    * re-ran on every q67 evaluation even though both its inputs were
+    * staged; a production run materializes the verified pair list
+    * right after the collapse, exactly like the main cascade does.
+    */
+  private[graft] def stagedPrepPairs45(spark: SparkSession, dir: String): DataFrame =
+    Similarity.stagedTable(spark, dir, "prep_pairs_45") {
+      graft.functions.GraftFunctions.register(spark)
+      Similarity.setPairsAbove(stagedPrepGroups(spark, dir), 4, 5,
+        Similarity.documentsSizeBytes(spark, dir))
+    }
+
   /** q67 — scrub → length-gate → exact-dedup → near-dup survivors →
     * chunk, as one DataFrame program:
     *
@@ -102,11 +116,11 @@ object CorpusPrep {
     */
   def q67CorpusPrep(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val docBytes = Similarity.documentsSizeBytes(spark, dir)
     val deduped = stagedPrepDeduped(spark, dir)
     val groups = stagedPrepGroups(spark, dir)
     val survivors = Similarity
-      .survivorsFrom(groups, deduped.select("doc_id", "lang", "source"), docBytes)
+      .survivorsFromPairs(stagedPrepPairs45(spark, dir), groups,
+        deduped.select("doc_id", "lang", "source"))
       .select("doc_id")
     TrainingData.chunkTokens(
         survivors.join(deduped.select("doc_id", "toks"), "doc_id"),

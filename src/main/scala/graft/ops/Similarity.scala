@@ -236,8 +236,8 @@ object Similarity {
     */
   private val ManifestFamilies = Seq(
     "bpe_merges", "clean_pack", "component_labels", "dsir_weights",
-    "ivf_model", "prep_deduped", "prep_groups", "set_pairs_45",
-    "shingle_groups", "unigram_groups")
+    "ivf_model", "prep_deduped", "prep_groups", "prep_pairs_45",
+    "set_pairs_45", "shingle_groups", "unigram_groups")
 
   /** q135 — the staging-registry MANIFEST: one row per staged relation
     * family with its exact staged row count — the artifact inventory a
@@ -264,6 +264,7 @@ object Similarity {
     graft.ops.TrainingData.stagedBpeMerges(spark, dir)
     graft.ops.CorpusPrep.stagedPrepDeduped(spark, dir)
     graft.ops.CorpusPrep.stagedPrepGroups(spark, dir)
+    graft.ops.CorpusPrep.stagedPrepPairs45(spark, dir)
     graft.ops.TrainingData.stagedCleanPack(spark, dir)
     graft.ops.TrainingData.stagedDsirWeights(spark, dir)
     val wanted = ManifestFamilies.toSet
@@ -1641,6 +1642,38 @@ object Similarity {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
       .orderBy("cluster_size")
+
+  /** q136 — cluster-quality keeper: for every near-dup component
+    * (the STAGED q62 labels), keep the highest-quality member by q28's
+    * composite score (ties → lowest doc_id) and report how many
+    * duplicates the decision removes. This is the curation rule real
+    * dedup pipelines apply once components are labeled: "keep one per
+    * cluster" is only half the operator — WHICH one survives decides
+    * the corpus quality, and first-seen (q56's rule) keeps boilerplate
+    * whenever the boilerplate crawled first.
+    *
+    * Scale: the labels are a staged readout (no CC recompute), the
+    * score is row-local, and the argmax is a min-struct aggregation
+    * (q88/q93's swap) — partial-aggregable, no per-cluster sort, no
+    * window exchange. One shuffle on cluster_id.
+    * Oracle: q62's recursive-CTE component truth joined to q28's score
+    * formula, row_number argmax.
+    */
+  def q136ClusterQualityKeeper(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TrainingData.qualityScored(Tables.documents(spark, dir))
+      .select("doc_id", "score")
+    componentLabels(spark, dir)
+      .join(scored, "doc_id")
+      .groupBy("cluster_id")
+      // the original score rides in the struct (never negate it back:
+      // -(-0.0) would hand the comparator a -0.0 the oracle writes as 0.0)
+      .agg(min(struct((-col("score")).as("ns"), col("doc_id"), col("score"))).as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), col("best.doc_id").as("keep_doc_id"),
+        col("best.score").as("keep_score"),
+        (col("cluster_size") - lit(1L)).as("n_removed"))
+      .orderBy("cluster_id")
+  }
 
   /** q100 — INCREMENTAL near-dup: which docs of an incoming batch are
     * near-duplicates (J ≥ 0.8, q21's threshold) of an already-indexed

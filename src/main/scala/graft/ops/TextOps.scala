@@ -538,4 +538,36 @@ object TextOps {
           .as("coverage"))
       .orderBy("vocab_k")
   }
+
+  /** q140 — n-gram novelty: for every doc, the fraction of its distinct
+    * 5-grams that appear for the FIRST time in the corpus (first = the
+    * gram's minimum doc_id). A corpus-level dedup lens that exact and
+    * near-dup both miss: a doc assembled entirely from other docs'
+    * phrases scores ~0 novelty while matching nothing at the
+    * whole-document level — precisely the low-value templated content a
+    * curation pass wants ranked. The doc-ordered variant (crawl order =
+    * doc_id) is also the marginal-value curve of continued crawling.
+    *
+    * Scale: per-doc DISTINCT gram hashes come from the gram kernel
+    * (longs, never strings, the q82 convention); the first-seen table
+    * is a min-aggregation on the gram hash (map-side combinable, the
+    * textbook min), and the join back is an equi-join on longs. Output
+    * columns carry counts + a rounded ratio only.
+    * Oracle: q82's string-gram relabeling argument — novelty is
+    * invariant under the injective-w.h.p. hash.
+    */
+  def q140NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(call_function("shingle_hashes", split(col("text"), " "), lit(5))).as("h"))
+    val firstSeen = grams.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstSeen, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        graft.ops.Det.roundD4(col("n_novel").cast("double") / col("n_grams")))
+      .orderBy("doc_id")
+  }
 }

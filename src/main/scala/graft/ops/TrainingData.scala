@@ -821,6 +821,72 @@ object TrainingData {
       .orderBy("shard_id")
   }
 
+  /** q137's mixing constants: the total training-token budget the
+    * schedule allocates and the epoch cap no source may exceed (the
+    * standard "don't repeat any source more than ~4 epochs" rule from
+    * the data-constrained-scaling literature).
+    */
+  private[graft] val MixTokenBudget = 400000L
+  private[graft] val MixMaxEpochs = 4L
+
+  /** q137 — training-mix epoch schedule: given a uniform target mix
+    * over sources and a fixed total token budget, compute each
+    * source's allocation — available tokens, target tokens
+    * (budget ÷ n_sources, integer floor), the epoch-capped REALIZED
+    * tokens, and the resulting epoch count. This is the scheduler step
+    * between q65's temperature weights and an actual run: weights say
+    * what you WANT, the schedule says what you GET once no source may
+    * repeat more than [[MixMaxEpochs]] times — undersized sources cap
+    * out and flag `capped`, and the flagged rows are exactly the
+    * sources a curator must go find more data for.
+    *
+    * Scale: one map-side-combinable agg on source (domain cardinality
+    * spreads the key), a broadcast one-row join for n_sources, then
+    * row-local integer math — LEAST/floor-div only, so both engines
+    * compute identical longs; the only double (epochs) is a final
+    * rd4 ratio of two longs.
+    */
+  def q137MixSchedule(spark: SparkSession, dir: String): DataFrame = {
+    // n_sources via a global window over the PER-SOURCE relation
+    // (bounded by source count) — q65's shape: a crossJoin(agg) would
+    // both re-plan the corpus agg twice and introduce the one join
+    // shape the global plan audit bans
+    Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("avail_tokens"))
+      .withColumn("n_sources", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("target_tokens", expr(s"$MixTokenBudget div n_sources"))
+      .withColumn("realized_tokens",
+        least(col("target_tokens"), col("avail_tokens") * MixMaxEpochs))
+      .withColumn("epochs",
+        roundD4(col("realized_tokens").cast("double") / col("avail_tokens")))
+      .withColumn("capped", col("realized_tokens") < col("target_tokens"))
+      .select("source", "avail_tokens", "target_tokens", "realized_tokens",
+        "epochs", "capped")
+      .orderBy("source")
+  }
+
+  /** q138 — shard-balance report over q118's manifest: the skew audit
+    * a run does before launching 1000 data loaders. Straggler time is
+    * set by the LARGEST shard, so the single number that matters is
+    * max/avg (perfect balance = 1.0); min/max/avg token counts and the
+    * doc spread come along for the diagnosis. One aggregation over the
+    * 16-row manifest — all the real work is q118's (already-audited)
+    * boundary-split attribution, which this readout composes rather
+    * than re-derives.
+    */
+  def q138ShardSkew(spark: SparkSession, dir: String): DataFrame = {
+    val m = q118ShardManifest(spark, dir)
+    m.agg(count(lit(1)).as("n_shards"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        davg4(col("n_tokens")).as("avg_tokens"),
+        sum(col("n_docs")).as("doc_slots"))
+      .withColumn("imbalance",
+        roundD4(col("max_tokens").cast("double") / col("avg_tokens")))
+  }
+
   /** Fixed character-trigram language profiles — the deterministic
     * profile-table classifier that upgrades q27's vowel-ratio stub to
     * real per-language discrimination (the fastText/CLD shape at its

@@ -289,6 +289,12 @@ class PlanQualitySpec extends SparkSpecBase {
     // q112); both the deduped head and its collapse scan parquet
     assert(p.contains("graft_stage_prep_deduped") && p.contains("graft_stage_prep_groups"),
       s"registry-staged prep front expected:\n$p")
+    // round 7: the candidate+verify pair join over the prep collapse is
+    // ALSO staged — the quadratic stage must not rerun per evaluation
+    assert(p.contains("graft_stage_prep_pairs_45"),
+      s"staged prep pairs expected (no per-run candidate join):\n$p")
+    assert(!p.contains("prefix_intersect_count"),
+      s"prefix candidate join must be staged, not recomputed:\n$p")
   }
 
   test("q112: consumes the same staged prep front as q67 — no scrub/dedup recompute") {

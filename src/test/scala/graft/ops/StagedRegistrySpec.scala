@@ -235,8 +235,9 @@ class StagedRegistrySpec extends SparkSpecBase {
     val m = Similarity.q135StagingManifest(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m.keySet == Set("bpe_merges", "clean_pack", "component_labels", "dsir_weights",
-      "ivf_model", "prep_deduped", "prep_groups", "set_pairs_45", "shingle_groups",
-      "unigram_groups"))
+      "ivf_model", "prep_deduped", "prep_groups", "prep_pairs_45", "set_pairs_45",
+      "shingle_groups", "unigram_groups"))
+    assert(m("prep_pairs_45") == graft.ops.CorpusPrep.stagedPrepPairs45(spark, sf).count())
     // spot-check against the relations themselves
     assert(m("ivf_model") == 8L)
     assert(m("bpe_merges") == TrainingData.BpeMergeCount.toLong)
