@@ -178,6 +178,15 @@ object SparkEntry {
     "q137_mix_schedule" -> (TrainingData.q137MixSchedule _),
     "q138_shard_skew" -> (TrainingData.q138ShardSkew _),
     "q140_ngram_novelty" -> (TextOps.q140NgramNovelty _),
+    "q141_hard_negatives" -> (Similarity.q141HardNegatives _),
+    "q142_source_centroid_sim" -> (Similarity.q142SourceCentroidSim _),
+    "q143_curriculum_interleave" -> (TrainingData.q143CurriculumInterleave _),
+    "q144_fertility_report" -> (TrainingData.q144FertilityReport _),
+    "q145_norm_outliers" -> (Similarity.q145NormOutliers _),
+    // sketch class (like q25/q26): candidate edges come from the LSH
+    // banding join, so no oracle; SketchClusterAgreementSpec measures
+    // per-doc label agreement against q62's exact components
+    "q146_sketch_clusters" -> (Sketches.q146SketchClusters _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -1541,6 +1550,9 @@ object SparkEntry {
         "AND 5*len(list_intersect(a.toks, b.toks)) >= " +
         "4*(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) " +
         "UNION ALL SELECT 'shingle_groups', (SELECT c FROM shc) " +
+        // sketch_labels: every doc gets a label (the sketch path's edge
+        // set can only shrink components, never the labeled universe)
+        "UNION ALL SELECT 'sketch_labels', (SELECT count(*) FROM documents) " +
         "UNION ALL SELECT 'unigram_groups', (SELECT count(*) FROM gg)" +
         ") ORDER BY relation"),
     // q136: q62's recursive-CTE component truth (as a subquery, the
@@ -1593,5 +1605,79 @@ object SparkEntry {
         "SELECT doc_id, n_grams, n_novel, " +
         "floor((CAST(n_novel AS DOUBLE)/n_grams)*10000 + 0.5)/10000 AS novelty " +
         "FROM a ORDER BY doc_id"),
+    // q141: q22's cosine machinery + the cross-label join predicate;
+    // rank on the rounded sim with tid tie-break (q22's convention)
+    "q141_hard_negatives" ->
+      (s"WITH q AS (SELECT vec_id AS qid, label AS qlbl, embedding AS qe FROM embeddings " +
+        s"WHERE vec_id < ${graft.ops.Similarity.HardNegQueries}), " +
+        "t AS (SELECT vec_id AS tid, label AS tlbl, embedding AS te FROM embeddings), " +
+        "px AS (SELECT qid, qlbl, tid, tlbl, unnest(qe) AS qx, unnest(te) AS tx " +
+        "FROM q JOIN t ON tlbl <> qlbl), " +
+        "d AS (SELECT qid, qlbl, tid, tlbl, sum(CAST(qx AS DOUBLE) * CAST(tx AS DOUBLE)) AS dot, " +
+        "sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) AS qn, " +
+        "sqrt(sum(CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE))) AS tn " +
+        "FROM px GROUP BY qid, qlbl, tid, tlbl), " +
+        "r AS (SELECT qid, qlbl, tid, tlbl, floor((dot/(qn*tn))*10000 + 0.5)/10000 AS sim FROM d), " +
+        "k AS (SELECT qid, qlbl, tid, tlbl, sim, " +
+        "CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, tid) AS BIGINT) AS rk FROM r) " +
+        "SELECT qid, qlbl AS q_label, rk, tid, tlbl AS neg_label, sim FROM k " +
+        s"WHERE rk <= ${graft.ops.Similarity.HardNegK} ORDER BY qid, rk"),
+    // q142: per-dim decimal sums of 6-dp-quantized components (exact
+    // under any row order), decimal products, doubles only at the
+    // final sqrt/ratio — the cosine of sums IS the cosine of means
+    "q142_source_centroid_sim" ->
+      ("WITH j AS (SELECT d.source AS source, e.embedding AS emb FROM documents d " +
+        "JOIN embeddings e ON d.doc_id = e.vec_id), " +
+        "ix AS (SELECT source, emb, unnest(range(1, len(emb) + 1)) AS i FROM j), " +
+        "px AS (SELECT source, i, CAST(floor(CAST(emb[i] AS DOUBLE)*1000000)/1000000 " +
+        "AS DECIMAL(12,6)) AS xq FROM ix), " +
+        "c AS (SELECT source, i, CAST(sum(xq) AS DECIMAL(12,6)) AS comp FROM px GROUP BY source, i), " +
+        "n AS (SELECT source, sqrt(CAST(sum(CAST(comp*comp AS DECIMAL(38,12))) AS DOUBLE)) AS nrm " +
+        "FROM c GROUP BY source), " +
+        "dt AS (SELECT a.source AS source_a, b.source AS source_b, " +
+        "CAST(sum(CAST(a.comp*b.comp AS DECIMAL(38,12))) AS DOUBLE) AS dt " +
+        "FROM c a JOIN c b ON a.i = b.i AND a.source < b.source GROUP BY a.source, b.source) " +
+        "SELECT source_a, source_b, floor((dt/(na.nrm*nb.nrm))*10000 + 0.5)/10000 AS sim " +
+        "FROM dt JOIN n na ON source_a = na.source JOIN n nb ON source_b = nb.source " +
+        "ORDER BY source_a, source_b"),
+    // q143: q28's score CTE verbatim (one definition, four consumers
+    // now) + per-source rank and the arithmetic interleave key
+    "q143_curriculum_interleave" ->
+      ("WITH f AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "floor((CAST(length(replace(text, ' ', '')) AS DOUBLE)/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS avg_tok_len, " +
+        "floor((CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS stop_ratio " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, source, floor((2.0*stop_ratio + " +
+        "CASE WHEN avg_tok_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END + " +
+        "CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1.0 ELSE 0.0 END)*10000 + 0.5)/10000 AS score FROM f), " +
+        "r AS (SELECT doc_id, source, score, " +
+        "CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rank_in_source FROM s), " +
+        "si AS (SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS sidx " +
+        "FROM (SELECT DISTINCT source FROM documents)), " +
+        "c AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM si) " +
+        "SELECT r.doc_id AS doc_id, r.source AS source, rank_in_source, score, " +
+        "(rank_in_source - 1)*ns + (sidx - 1) AS sched_key " +
+        "FROM r JOIN si ON r.source = si.source CROSS JOIN c ORDER BY sched_key"),
+    // q144: the trained-merge CTE (q105's machinery) priced per doc,
+    // aggregated per (source, lang); ratios from the exact integer sums
+    "q144_fertility_report" ->
+      (s"WITH $bpeMergesCte, t AS (SELECT source, lang, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS ws, " +
+        s"$bpeTokSql AS bpe, CAST(length(text) AS BIGINT) AS chars FROM documents) " +
+        "SELECT source, lang, count(*) AS n_docs, CAST(sum(ws) AS BIGINT) AS ws_tokens, " +
+        "CAST(sum(bpe) AS BIGINT) AS bpe_tokens, CAST(sum(chars) AS BIGINT) AS n_chars, " +
+        "floor((CAST(sum(bpe) AS DOUBLE)/sum(ws))*10000 + 0.5)/10000 AS fertility, " +
+        "floor((CAST(sum(chars) AS DOUBLE)/sum(bpe))*10000 + 0.5)/10000 AS chars_per_token " +
+        "FROM t GROUP BY source, lang ORDER BY source, lang"),
+    // q145: q22's per-row norm + one percent_rank window per label on
+    // the ROUNDED norm with vec_id tie-break (unique total order, so
+    // rank — and therefore percent_rank — is engine-identical)
+    "q145_norm_outliers" ->
+      ("WITH px AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), " +
+        "n AS (SELECT vec_id, label, floor(sqrt(sum(x*x))*10000 + 0.5)/10000 AS norm4 " +
+        "FROM px GROUP BY vec_id, label), " +
+        "p AS (SELECT vec_id, label, norm4, " +
+        "floor(percent_rank() OVER (PARTITION BY label ORDER BY norm4, vec_id)*10000 + 0.5)/10000 AS pr FROM n) " +
+        "SELECT vec_id, label, norm4, pr, pr >= 0.98 AS is_outlier FROM p ORDER BY vec_id"),
   )
 }

@@ -237,7 +237,7 @@ object Similarity {
   private val ManifestFamilies = Seq(
     "bpe_merges", "clean_pack", "component_labels", "dsir_weights",
     "ivf_model", "prep_deduped", "prep_groups", "prep_pairs_45",
-    "set_pairs_45", "shingle_groups", "unigram_groups")
+    "set_pairs_45", "shingle_groups", "sketch_labels", "unigram_groups")
 
   /** q135 — the staging-registry MANIFEST: one row per staged relation
     * family with its exact staged row count — the artifact inventory a
@@ -251,7 +251,7 @@ object Similarity {
     *
     * Scale shape: all the heavy lifting is the staging builds
     * themselves, each shared with its query-family consumers; the
-    * manifest readout is registry metadata — 9 driver-side rows,
+    * manifest readout is registry metadata — a dozen driver-side rows,
     * no corpus scan of its own.
     */
   def q135StagingManifest(spark: SparkSession, dir: String): DataFrame = {
@@ -267,6 +267,7 @@ object Similarity {
     graft.ops.CorpusPrep.stagedPrepPairs45(spark, dir)
     graft.ops.TrainingData.stagedCleanPack(spark, dir)
     graft.ops.TrainingData.stagedDsirWeights(spark, dir)
+    graft.ops.Sketches.stagedSketchLabels(spark, dir)
     val wanted = ManifestFamilies.toSet
     stagedEntries(spark, dir)
       .collect { case e if wanted(e.key) => (e.key, e.rows) }
@@ -1445,7 +1446,7 @@ object Similarity {
     * group shares its group's label; groups absent from `labels`
     * (isolated nodes under [[starLabels]]) are their own component.
     */
-  private def expandClusterLabels(groups: DataFrame, labels: DataFrame): DataFrame =
+  private[ops] def expandClusterLabels(groups: DataFrame, labels: DataFrame): DataFrame =
     groups.select(explode(col("members")).as("doc_id"), col("gid"))
       .join(labels, Seq("gid"), "left_outer")
       .select(col("doc_id"), coalesce(col("lbl"), col("gid")).as("cluster_id"))
@@ -1752,6 +1753,131 @@ object Similarity {
       .filter(col("sim") >= tau)
       .groupBy(col("vec_b").as("vec_id"))
       .agg(min(col("vec_a")).as("dup_of"), max(col("sim")).as("max_sim"))
+      .orderBy("vec_id")
+  }
+
+  /** q141 — HARD-NEGATIVE MINING for contrastive training: for each
+    * query vector, the top-[[HardNegK]] most-cosine-similar vectors
+    * carrying a DIFFERENT label — the standard negative-sampling step
+    * a retrieval/embedding training pipeline runs between labeling and
+    * batch construction (negatives that are similar-but-wrong teach the
+    * margin; random negatives are too easy). The label-inequality join
+    * predicate also excludes self-pairs for free.
+    *
+    * Determinism: q22's convention throughout — rank on the
+    * 4-dp-rounded similarity with vec_id tie-break.
+    *
+    * Scale: the query side is a curated probe set (here `vec_id <
+    * [[HardNegQueries]]`) and BROADCASTS under [[boundedBroadcast]]'s
+    * enforced gate; the corpus streams map-side and never shuffles
+    * until the k-bounded rows exit the per-query window — the q22/q115
+    * corpus-stays-put discipline. A large query set swaps in q120's
+    * IVF bucketing (both sides assign to centroids, negatives score
+    * within probed cells only), exactly as for label propagation.
+    */
+  private[graft] val HardNegK = 5
+  private[graft] val HardNegQueries = 10
+
+  def q141HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < HardNegQueries)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"), col("embedding").as("qe"))
+      .withColumn("qn", norm(col("qe")))
+    val corpus = e
+      .select(col("vec_id").as("tid"), col("label").as("neg_label"), col("embedding").as("te"))
+      .withColumn("tn", norm(col("te")))
+    val sim = roundD4(dot(col("qe"), col("te")) / (col("qn") * col("tn")))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
+    corpus.join(boundedBroadcast(q, statSizeBytes(q),
+        "q141_hard_negatives (exact cross-label top-k)",
+        "q120_knn_label_ivf's IVF bucketing (both sides assign to centroids)"),
+        col("neg_label") =!= col("q_label"))
+      // project the vectors away BEFORE the window exchange (q115's
+      // discipline): the shuffle ships (qid, labels, sim) only
+      .select(col("qid"), col("q_label"), col("tid"), col("neg_label"), sim.as("sim"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= HardNegK)
+      .select("qid", "q_label", "rk", "tid", "neg_label", "sim")
+      .orderBy("qid", "rk")
+  }
+
+  /** q142 — SOURCE CENTROID SIMILARITY: the embedding centroid of each
+    * document source, and the pairwise cosine between source centroids
+    * — the corpus-level "which sources say the same thing" readout a
+    * mixing/curation pass reads next to q116's token-space KL drift
+    * (embedding space catches paraphrase-level overlap token counts
+    * cannot).
+    *
+    * Exactness: each float component is quantized at 6 dp by the
+    * floor formula (pure double ops, engine-identical), accumulated as
+    * DECIMAL — so the per-(source, dim) sums are exact under any
+    * partitioning, and the centroid DIRECTION (all that cosine sees)
+    * needs no division at all: cos(Σa, Σb) ≡ cos(mean a, mean b).
+    * Products of DECIMAL(12,6) components are exact DECIMAL(31,12)
+    * terms; only the final sqrt/ratio touches doubles, 4-dp-rounded.
+    *
+    * Scale: the centroid aggregate is map-side combinable (a sum),
+    * shuffling S·64 decimal cells — nothing document-sized. The
+    * pairwise stage is S²/2 over 64-term dot products via a dim
+    * equi-join of two S·64-row frames; source cardinality is report-
+    * sized (thousands at most — it is a per-PAIR readout, meaningless
+    * past that), and a corpus with web-domain cardinality would feed
+    * the centroids to q32's ANN instead of enumerating pairs. At
+    * larger corpora the component magnitudes grow with doc counts;
+    * DECIMAL(12,6) cells hold 10⁶-doc sources — the wide variant
+    * (q116's DECIMAL(38) move) is the documented widening.
+    */
+  def q142SourceCentroidSim(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+    val comps = joined
+      .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xq", (floor(col("x").cast(DoubleType) * lit(1000000.0)) / lit(1000000.0))
+        .cast(DecimalType(12, 6)))
+      .groupBy("source", "dim")
+      .agg(sum(col("xq")).cast(DecimalType(12, 6)).as("comp"))
+    val norms = comps.groupBy("source")
+      .agg(sqrt(sum((col("comp") * col("comp")).cast(DecimalType(38, 12)))
+        .cast(DoubleType)).as("nrm"))
+    val a = comps.select(col("source").as("source_a"), col("dim"), col("comp").as("ca"))
+    val b = comps.select(col("source").as("source_b"), col("dim"), col("comp").as("cb"))
+    val dots = a.join(b, Seq("dim"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum((col("ca") * col("cb")).cast(DecimalType(38, 12))).cast(DoubleType).as("dt"))
+    dots
+      .join(norms.select(col("source").as("source_a"), col("nrm").as("na")), "source_a")
+      .join(norms.select(col("source").as("source_b"), col("nrm").as("nb")), "source_b")
+      .select(col("source_a"), col("source_b"),
+        roundD4(col("dt") / (col("na") * col("nb"))).as("sim"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** q145 — EMBEDDING NORM OUTLIERS: per-label L2-norm percentile rank
+    * with a top-2% outlier flag — the vector-hygiene gate an indexing
+    * pipeline runs before ANN build (degenerate/runaway norms poison
+    * both IVF training and inner-product ranking; Faiss docs tell you
+    * to check exactly this). Per-LABEL ranking on purpose: norm
+    * distributions differ by class, and a global cut would flag whole
+    * labels wholesale.
+    *
+    * Row-local norm (the q22 fold), one percent_rank window per label
+    * — same shape and scale story as q66's per-source length quantiles:
+    * the window key spreads with label cardinality, and the shuffle
+    * ships (vec_id, label, norm), never the vectors. Rank order is on
+    * the ROUNDED norm with vec_id tie-break, so both engines rank an
+    * identical total order.
+    */
+  def q145NormOutliers(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val w = Window.partitionBy("label").orderBy(asc("norm4"), asc("vec_id"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), roundD4(norm(col("embedding"))).as("norm4"))
+      .withColumn("pr", roundD4(percent_rank().over(w)))
+      .withColumn("is_outlier", col("pr") >= lit(0.98))
+      .select("vec_id", "label", "norm4", "pr", "is_outlier")
       .orderBy("vec_id")
   }
 

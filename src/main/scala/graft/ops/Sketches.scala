@@ -192,6 +192,52 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  /** q146 — SKETCH-PATH CLUSTER LABELS: the full web-scale dedup
+    * composition MinHash-LSH → exact verify → connected components —
+    * q62's cluster assignment with candidate generation swapped from
+    * the exact prefix join to q25's banding join. This is the pipeline
+    * that actually runs at 100 TB (GFG/CCNet/RefinedWeb all label
+    * clusters off LSH candidates, never exact all-pairs), so declaring
+    * it is the point: the sketch stage bounds candidate cost, the
+    * exact Jaccard verify keeps edges precise, and the CC labels are
+    * whatever components those edges span.
+    *
+    * Recall is a measured trade, not an assertion (the q120/q32c
+    * discipline): banding can only MISS edges, so sketch components
+    * only ever split relative to q62's exact truth — never merge —
+    * and SketchClusterAgreementSpec measures the per-doc label
+    * agreement against [[Similarity.componentLabels]]. Sketch-based ⇒
+    * rows-only at the driver, like q25/q26.
+    *
+    * Everything here is a staged-artifact consumer: the collapse and
+    * the hash-min loop are q62's own machinery, so the only new work
+    * at readout time is the banding join over the staged groups.
+    */
+  def q146SketchClusters(spark: SparkSession, dir: String): DataFrame =
+    stagedSketchLabels(spark, dir).orderBy("doc_id")
+
+  /** The PERSISTED sketch-path label relation — its own staging family
+    * beside `component_labels` (the exact twin), because a production
+    * run materializes whichever label table its dedup path produced
+    * and every downstream readout scans it. Built once per (session,
+    * corpus): banding join over the staged collapse → exact verify →
+    * hash-min loop → doc expansion. All-long schema → exact parquet
+    * round trip.
+    */
+  private[graft] def stagedSketchLabels(spark: SparkSession, dir: String): DataFrame =
+    Similarity.stagedTable(spark, dir, "sketch_labels") {
+      val threshold = 0.8
+      graft.functions.GraftFunctions.register(spark)
+      val docBytes = Similarity.documentsSizeBytes(spark, dir)
+      val groups = Similarity.stagedUnigramGroups(spark, dir)
+      val cands = minhashBandCandidates(groups)
+      val edges = Similarity
+        .verifySetJaccardWithMembers(cands, groups, threshold, docBytes)
+        .select(col("ga"), col("gb"))
+      val (labels, _) = Similarity.hashMinLabels(groups.select(col("gid")), edges)
+      Similarity.expandClusterLabels(groups, labels)
+    }
+
   /** q26 — SimHash near-dup: 64-bit signature (sign of per-bit vote sums
     * over token hashes); candidate pairs share at least one of four
     * 16-bit signature chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk is

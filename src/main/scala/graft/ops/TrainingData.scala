@@ -1205,4 +1205,71 @@ object TrainingData {
       .collect()
       .map(r => r.getString(0) ->
         (if (r.isNullAt(1)) Double.MaxValue else r.getDouble(1))).toMap
+
+  /** q143 — CURRICULUM INTERLEAVE: a deterministic global training
+    * order that walks sources round-robin in descending quality — doc
+    * #1 of every source first, then every #2, … — so early training
+    * steps see the best of EACH source instead of one source's entire
+    * archive (the anti-clustering schedule curriculum/data-ordering
+    * papers converge on; a source-sequential order is the pathological
+    * case they measure against).
+    *
+    * The schedule key is ARITHMETIC, not a global window:
+    * (rank_in_source − 1)·n_sources + source_index — a strict total
+    * order computed from the per-source rank (one window per source,
+    * q113's spread argument) and a tiny broadcast source index. No
+    * global row_number runs; materializing the schedule order at 100 TB
+    * is a range-partitioned sort on the key, exactly what a shard
+    * writer does anyway (q118), and the key itself costs nothing.
+    */
+  def q143CurriculumInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val wSrc = Window.partitionBy("source").orderBy(desc("score"), asc("doc_id"))
+    // source directory: report-sized (distinct domains), one single-
+    // partition window over it is the q15 tiny-metadata exception
+    val srcIdx = Tables.documents(spark, dir).select("source").distinct()
+      .withColumn("sidx", row_number().over(Window.orderBy("source")).cast(LongType))
+    val nSrc = srcIdx.agg(count(lit(1)).as("ns"))
+    qualityScored(Tables.documents(spark, dir))
+      .select("doc_id", "source", "score")
+      .withColumn("rank_in_source", row_number().over(wSrc).cast(LongType))
+      .join(broadcast(srcIdx), "source")
+      .crossJoin(broadcast(nSrc))
+      .withColumn("sched_key",
+        (col("rank_in_source") - 1L) * col("ns") + (col("sidx") - 1L))
+      .select("doc_id", "source", "rank_in_source", "score", "sched_key")
+      .orderBy("sched_key")
+  }
+
+  /** q144 — TOKENIZER FERTILITY REPORT: per (source, language), the
+    * corpus priced in trained-BPE units ([[bpeTokenCount]], q133's
+    * staged merges) against whitespace words and raw characters —
+    * fertility (BPE tokens per word) and compression (chars per BPE
+    * token) are THE tokenizer-fit diagnostics a multilingual data
+    * pipeline reports per slice, because a slice with outlier fertility
+    * is paying a token-budget tax the mixing weights (q65/q137) must
+    * price in.
+    *
+    * Row-local pricing + one map-side-combinable aggregate over
+    * (source, lang) — scales like a scan; ratios are computed from the
+    * exact integer sums at the end (never averaged per-doc), matching
+    * how a budget is actually spent.
+    */
+  def q144FertilityReport(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("ws"),
+        bpeTokenCount(col("text"), trainedBpeMerges(spark, dir)).as("bpe"),
+        length(col("text")).cast(LongType).as("chars"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("chars")).as("n_chars"))
+      .withColumn("fertility",
+        roundD4(col("bpe_tokens").cast("double") / col("ws_tokens")))
+      .withColumn("chars_per_token",
+        roundD4(col("n_chars").cast("double") / col("bpe_tokens")))
+      .orderBy("source", "lang")
+  }
 }

@@ -25,7 +25,9 @@ class EngineSmokeSpec extends SparkSpecBase {
     Set("q25_minhash_neardup", "q26_simhash_neardup", "q32b_ivf_trained",
       "q32c_ivf_multiprobe", "q38b_approx_percentiles", "q47_approx_distinct",
       "q50_stratified_sample", "q57_sketch_rollup", "q94_semdedup",
-      "q120_knn_label_ivf", "q131_ivf_sq8")
+      "q120_knn_label_ivf", "q131_ivf_sq8",
+      // q146: LSH-banded candidate edges (Spark xxhash64) — q25's class
+      "q146_sketch_clusters")
 
   test("entry returns rows on a vanilla session") {
     assert(SparkEntry.entry(spark).count() > 0)

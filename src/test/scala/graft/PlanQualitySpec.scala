@@ -190,11 +190,30 @@ class PlanQualitySpec extends SparkSpecBase {
     // proves an over-gate side fails at build time instead)
     for ((name, df) <- Seq(
         "q115" -> Similarity.q115KnnLabel(spark, sf),
-        "q31" -> Similarity.q31EmbedNeardup(spark, sf))) {
+        "q31" -> Similarity.q31EmbedNeardup(spark, sf),
+        "q141" -> Similarity.q141HardNegatives(spark, sf))) {
       val p = physical(df)
       assert(p.contains("BroadcastNestedLoopJoin"),
         s"$name: gated broadcast must plan as the tiny-broadcast NLJ:\n$p")
       assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("q141: shuffles ship labels and sims, never the vectors") {
+    // q115's projection discipline: embedding arrays must be projected
+    // away BEFORE any exchange (the rank window's and the output sort's)
+    val plan = Similarity.q141HardNegatives(spark, sf).queryExecution.executedPlan match {
+      // AQE wraps the plan and exposes no children — unwrap to traverse
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, plan.toString)
+    exchanges.foreach { e =>
+      val arrays = e.output.filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty, s"vector columns ride a shuffle: $arrays\n$plan")
     }
   }
 
@@ -440,7 +459,13 @@ class PlanQualitySpec extends SparkSpecBase {
       "q78_no_order_customers",
       // q87/q97: one-row max / total-value broadcasts (Q15/Q11's scalar
       // subqueries) — scalar, not a relation
-      "q87_top_revenue_supplier", "q97_important_stock")
+      "q87_top_revenue_supplier", "q97_important_stock",
+      // q141: q115's class — the curated query side broadcasts under
+      // the ENFORCED gate (boundedBroadcast), corpus streams map-side;
+      // large query sets swap in q120's IVF bucketing
+      "q141_hard_negatives",
+      // q143: one-row n_sources broadcast — scalar, not a relation
+      "q143_curriculum_interleave")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

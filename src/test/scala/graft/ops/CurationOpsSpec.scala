@@ -86,12 +86,51 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(!out.contains(4L) && out.size == 3)
   }
 
+  test("q143: the schedule walks sources round-robin in descending quality") {
+    val dir = tmpDir()
+    // high-score docs: 10 stopwords + 10 fillers (stop_ratio 0.5,
+    // avg_tok_len 3.5, 20 tokens → score 3.0); low-score: 2 bare tokens
+    val high = (Seq.fill(10)("the") ++ Seq.fill(10)("abcd")).mkString(" ")
+    writeDocuments(dir,
+      (1L, high, "en", "sA", 1L), (2L, "xy xy", "en", "sA", 1L),
+      (3L, high, "en", "sB", 1L), (4L, "xy xy", "en", "sB", 1L))
+    val out = TrainingData.q143CurriculumInterleave(spark, dir).collect()
+    // best of EACH source first, then the seconds — never source-sequential
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 3L, 2L, 4L), out.toSeq)
+    assert(out.map(_.getAs[Long]("sched_key")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("rank_in_source")).toSeq == Seq(1L, 1L, 2L, 2L))
+  }
+
+  test("q144: fertility reconciles with q105's per-doc pricing") {
+    val sf = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val direct = TrainingData.q105BpeTokens(spark, sf)
+      .join(graft.Tables.documents(spark, sf).select("doc_id", "source", "lang"), "doc_id")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"), sum("ws_tokens").as("ws"), sum("bpe_tokens").as("bpe"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val out = TrainingData.q144FertilityReport(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(direct(k) == ((r.getAs[Long]("n_docs"), r.getAs[Long]("ws_tokens"),
+        r.getAs[Long]("bpe_tokens"))), s"slice $k diverges from per-doc pricing")
+      val fert = r.getAs[Double]("fertility")
+      assert(fert >= 1.0, s"BPE-per-word below 1 is impossible under merge counting: $fert")
+    }
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet == direct.keySet)
+  }
+
   test("degenerate inputs: empty corpus and single-doc corpus return sane results") {
     graft.functions.GraftFunctions.register(spark)
     val empty = tmpDir(); writeDocuments(empty)
     assert(Similarity.q136ClusterQualityKeeper(spark, empty).count() == 0)
     assert(TrainingData.q137MixSchedule(spark, empty).count() == 0)
     assert(TextOps.q140NgramNovelty(spark, empty).count() == 0)
+    assert(TrainingData.q143CurriculumInterleave(spark, empty).count() == 0)
+    assert(TrainingData.q144FertilityReport(spark, empty).count() == 0)
     val one = tmpDir()
     writeDocuments(one, (7L, "a b c d e f g h i j k l", "en", "s", 1L))
     val keeper = Similarity.q136ClusterQualityKeeper(spark, one).collect()

@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions.col
+
+/** Behavior specs for the round-7 embedding-curation operators:
+  * hard-negative mining (q141), source-centroid similarity (q142),
+  * norm-outlier flagging (q145), and the sketch-path cluster labels
+  * (q146). Fixtures are chosen so each operator's DECISION differs
+  * from the naive rule it replaces (hard negative ≠ nearest neighbor;
+  * per-label cut ≠ global cut; sketch labels measured against exact).
+  */
+class EmbeddingCurationSpec extends SparkSpecBase {
+
+  test("q141: negatives exclude the query's own label even when it holds the nearest vector") {
+    val dir = tmpDir()
+    writeEmbeddings(dir,
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      // same label, nearest overall — a plain kNN would return it first;
+      // a hard-negative miner must never emit it
+      (1L, Seq(0.99f, 0.1f, 0f, 0f), 0),
+      (2L, Seq(0.9f, 0.3f, 0f, 0f), 1),
+      (3L, Seq(0.5f, 0.8f, 0f, 0f), 1),
+      (4L, Seq(0f, 1f, 0f, 0f), 2),
+      (5L, Seq(-1f, 0f, 0f, 0f), 1),
+      (6L, Seq(0.8f, 0.5f, 0f, 0f), 2))
+    val rows = Similarity.q141HardNegatives(spark, dir)
+      .filter(col("qid") === 0L).collect()
+    val tids = rows.map(_.getAs[Long]("tid")).toSeq
+    assert(!tids.contains(1L), s"same-label vector leaked into negatives: $tids")
+    // cosine-descending across the two other labels, tid tie-break
+    assert(tids == Seq(2L, 6L, 3L, 4L, 5L), tids)
+    assert(rows.map(_.getAs[Long]("rk")).toSeq == (1L to 5L), "dense ranks")
+    val sims = rows.map(_.getAs[Double]("sim")).toSeq
+    assert(sims == sims.sorted.reverse, s"negatives not ordered by similarity: $sims")
+    assert(rows.forall(_.getAs[Int]("neg_label") != 0), "neg_label must differ from q_label")
+  }
+
+  test("q142: co-directional sources read 1.0, orthogonal sources 0.0 — scale-free") {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (0L, "a", "en", "sA", 1L), (1L, "a", "en", "sA", 1L),
+      (2L, "a", "en", "sB", 1L), (3L, "a", "en", "sC", 1L))
+    writeEmbeddings(dir,
+      (0L, Seq(1f, 0f), 0), (1L, Seq(3f, 0f), 0), // sA centroid along x
+      (2L, Seq(2f, 0f), 0), // sB along x with a DIFFERENT magnitude
+      (3L, Seq(0f, 5f), 0)) // sC along y
+    val out = Similarity.q142SourceCentroidSim(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("sA", "sB")) == 1.0, out) // cosine sees direction, not magnitude
+    assert(out(("sA", "sC")) == 0.0 && out(("sB", "sC")) == 0.0, out)
+    assert(out.size == 3, s"expected all unordered source pairs once: $out")
+  }
+
+  test("q145: the runaway norm flags within its label; a single-row label never flags") {
+    val dir = tmpDir()
+    writeEmbeddings(dir,
+      ((0 until 20).map(i => (i.toLong, Seq(1f, 0f), 0))
+        :+ (20L, Seq(100f, 0f), 0) // the label-0 outlier
+        :+ (21L, Seq(7f, 0f), 1)): _*) // lone row of label 1 — pr is 0.0 by definition
+    val out = Similarity.q145NormOutliers(spark, dir).collect()
+    val flagged = out.filter(_.getAs[Boolean]("is_outlier")).map(_.getAs[Long]("vec_id")).toSeq
+    assert(flagged == Seq(20L), s"flagged=$flagged")
+    val lone = out.find(_.getAs[Long]("vec_id") == 21L).get
+    assert(lone.getAs[Double]("pr") == 0.0 && !lone.getAs[Boolean]("is_outlier"),
+      "single-row label must rank 0.0 and pass")
+    // the last of the tied norm-1 rows sits at pr 19/20 = 0.95 — under the cut
+    val lastTied = out.find(_.getAs[Long]("vec_id") == 19L).get
+    assert(lastTied.getAs[Double]("pr") == 0.95 && !lastTied.getAs[Boolean]("is_outlier"))
+  }
+
+  test("q146: sketch components REFINE the exact ones (banding only misses edges); agreement measured") {
+    val sf = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.register(spark)
+    val sketch = Sketches.q146SketchClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Similarity.q62DedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sketch.keySet == exact.keySet, "every doc must get a label on both paths")
+    // refinement invariant: sketch edges ⊆ exact edges, so a sketch
+    // cluster can never span two exact clusters — splits only
+    sketch.groupBy(_._2).foreach { case (lbl, docs) =>
+      val exactLabels = docs.keys.map(exact).toSet
+      assert(exactLabels.size == 1, s"sketch cluster $lbl spans exact clusters $exactLabels")
+    }
+    val frac = sketch.count { case (d, l) => exact(d) == l }.toDouble / sketch.size
+    info(f"per-doc label agreement vs exact q62: $frac%.4f over ${sketch.size} docs")
+    assert(frac >= 0.95, s"agreement $frac below the measured floor")
+  }
+}

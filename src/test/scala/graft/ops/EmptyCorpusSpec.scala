@@ -50,6 +50,17 @@ class EmptyCorpusSpec extends SparkSpecBase {
     assert(Similarity.q123Int8Ann(spark, dir).count() == 0)
   }
 
+  test("empty corpus + embeddings: round-7 embedding-curation ops return 0 rows") {
+    val dir = tmpDir()
+    writeDocuments(dir)
+    writeEmbeddings(dir)
+    graft.functions.GraftFunctions.register(spark)
+    assert(Similarity.q141HardNegatives(spark, dir).count() == 0)
+    assert(Similarity.q142SourceCentroidSim(spark, dir).count() == 0)
+    assert(Similarity.q145NormOutliers(spark, dir).count() == 0)
+    assert(Sketches.q146SketchClusters(spark, dir).count() == 0)
+  }
+
   test("single doc: containment finds no pairs; entropy/calibration emit the one doc") {
     val dir = tmpDir()
     writeDocuments(dir, (7L, (1 to 20).map(i => s"w$i").mkString(" "), "en", "s", 1L))
