@@ -187,6 +187,8 @@ object SparkEntry {
     // banding join, so no oracle; SketchClusterAgreementSpec measures
     // per-doc label agreement against q62's exact components
     "q146_sketch_clusters" -> (Sketches.q146SketchClusters _),
+    "q147_grid_resample" -> (Events.q147GridResample _),
+    "q148_epoch_shuffle" -> (TrainingData.q148EpochShuffle _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -1670,14 +1672,34 @@ object SparkEntry {
         "floor((CAST(sum(chars) AS DOUBLE)/sum(bpe))*10000 + 0.5)/10000 AS chars_per_token " +
         "FROM t GROUP BY source, lang ORDER BY source, lang"),
     // q145: q22's per-row norm + one percent_rank window per label on
-    // the ROUNDED norm with vec_id tie-break (unique total order, so
-    // rank — and therefore percent_rank — is engine-identical)
+    // the ROUNDED norm ALONE (ties share a rank in both engines, and
+    // the flag stays a pure monotone function of norm4 — the property
+    // the streaming threshold snapshot replays)
     "q145_norm_outliers" ->
       ("WITH px AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), " +
         "n AS (SELECT vec_id, label, floor(sqrt(sum(x*x))*10000 + 0.5)/10000 AS norm4 " +
         "FROM px GROUP BY vec_id, label), " +
         "p AS (SELECT vec_id, label, norm4, " +
-        "floor(percent_rank() OVER (PARTITION BY label ORDER BY norm4, vec_id)*10000 + 0.5)/10000 AS pr FROM n) " +
+        "floor(percent_rank() OVER (PARTITION BY label ORDER BY norm4)*10000 + 0.5)/10000 AS pr FROM n) " +
         "SELECT vec_id, label, norm4, pr, pr >= 0.98 AS is_outlier FROM p ORDER BY vec_id"),
+    // q147: same union-sentinel forward fill as the engine (events sort
+    // before the grid point at the same ts); generate_series and
+    // Spark's sequence share inclusive-bound stepping semantics
+    "q147_grid_resample" ->
+      ("WITH e AS (SELECT user_id, ts, arg_max(value, event_id) AS v FROM events GROUP BY user_id, ts), " +
+        "s AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi FROM e GROUP BY user_id), " +
+        "g AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS ts FROM s), " +
+        "u AS (SELECT user_id, ts, v, 0 AS is_grid FROM e " +
+        "UNION ALL SELECT user_id, ts, NULL, 1 FROM g), " +
+        "f AS (SELECT user_id, ts, is_grid, last_value(v IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, is_grid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff FROM u) " +
+        "SELECT user_id, ts AS grid_ts, value_ff FROM f WHERE is_grid = 1 ORDER BY user_id, grid_ts"),
+    // q148: the hash key spelled identically (epoch and doc_id as
+    // decimal strings around ':')
+    "q148_epoch_shuffle" ->
+      (s"WITH ep AS (SELECT unnest(range(0, ${graft.ops.TrainingData.ShuffleEpochs})) AS epoch) " +
+        "SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, " +
+        "md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS shuffle_key " +
+        "FROM documents CROSS JOIN ep ORDER BY epoch, shuffle_key, doc_id"),
   )
 }

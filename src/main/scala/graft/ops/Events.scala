@@ -248,4 +248,47 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** q147 — TIME-GRID RESAMPLE with forward fill: each user's irregular
+    * event series re-expressed on a regular 6-hour grid spanning
+    * [hour-floor(first event), last event], carrying the latest
+    * observed `value` at or before each grid point (null before the
+    * first observation) — the gap-fill/downsample step every
+    * telemetry-to-feature pipeline runs before joining series with
+    * different clocks (the feature-store "as-of materialization").
+    *
+    * One shuffle (q42's union-sentinel as-of discipline): grid points
+    * union with observations, a single per-user ordered window
+    * forward-fills, grid rows exit. No grid×events join ever forms.
+    * Grid rows are generated from each user's own (lo, hi) span
+    * aggregate — per-user bounded, never a global calendar cross join.
+    * Duplicate (user, ts) observations collapse to the max-event_id
+    * row first, so the filled value is deterministic (userWindow's
+    * tie rule expressed as a pre-aggregate).
+    *
+    * Scale: the window partitions by user (bounded, spreads with user
+    * cardinality); grid size is span/step per user — the resample's
+    * output IS that size, so nothing intermediate exceeds the answer.
+    */
+  def q147GridResample(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+    val span = e.groupBy("user_id")
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"), max(col("ts")).as("hi"))
+    val grid = span.select(col("user_id"),
+      explode(sequence(col("lo"), col("hi"), expr("interval 6 hours"))).as("ts"))
+      .withColumn("v", lit(null).cast("double"))
+      .withColumn("is_grid", lit(1))
+    val union = e.withColumn("is_grid", lit(0)).unionByName(grid)
+    // events sort BEFORE the grid point at the same ts, so an exactly
+    // on-grid observation is visible to its own grid row
+    val w = Window.partitionBy("user_id").orderBy("ts", "is_grid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    union
+      .withColumn("value_ff", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"), col("ts").as("grid_ts"), col("value_ff"))
+      .orderBy("user_id", "grid_ts")
+  }
 }

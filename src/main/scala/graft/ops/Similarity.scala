@@ -1867,12 +1867,16 @@ object Similarity {
     * — same shape and scale story as q66's per-source length quantiles:
     * the window key spreads with label cardinality, and the shuffle
     * ships (vec_id, label, norm), never the vectors. Rank order is on
-    * the ROUNDED norm with vec_id tie-break, so both engines rank an
-    * identical total order.
+    * the ROUNDED norm ALONE (no vec_id tie-break — ties share a rank,
+    * which both engines compute identically), so the flag is a pure
+    * monotone function of norm4 and freezes to a per-label threshold
+    * snapshot the streaming ingest gate replays exactly
+    * ([[graft.streaming.StreamingOps.normGateStream]], q128's
+    * calibration discipline).
     */
   def q145NormOutliers(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val w = Window.partitionBy("label").orderBy(asc("norm4"), asc("vec_id"))
+    val w = Window.partitionBy("label").orderBy(asc("norm4"))
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), roundD4(norm(col("embedding"))).as("norm4"))
       .withColumn("pr", roundD4(percent_rank().over(w)))
@@ -1880,6 +1884,25 @@ object Similarity {
       .select("vec_id", "label", "norm4", "pr", "is_outlier")
       .orderBy("vec_id")
   }
+
+  /** q145's outlier cut FROZEN as a per-label norm threshold snapshot
+    * — the streaming-ingest face of the percent_rank flag (the
+    * sourceKeepThresholds discipline: rank statistics are corpus-
+    * global, so the stream consumes a batch-fit snapshot instead of
+    * re-ranking). Per label, the minimum norm4 among flagged rows;
+    * `norm4 >= threshold` reproduces `pr >= 0.98` EXACTLY because
+    * percent_rank is monotone in norm4 and ties share a rank. A label
+    * with no flagged row (tiny labels rank below the cut everywhere)
+    * maps to Double.MaxValue so the stream flags nothing either.
+    * Model-sized collect: one row per distinct label.
+    */
+  private[graft] def labelNormThresholds(spark: SparkSession, dir: String): Map[Int, Double] =
+    q145NormOutliers(spark, dir)
+      .groupBy("label")
+      .agg(min(when(col("is_outlier"), col("norm4"))).as("thr"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) Double.MaxValue else r.getDouble(1))).toMap
 
   /** E5 — multimodal/array column math: per-row vector norm, mean and
     * dimensionality via higher-order functions. Purely row-local — no

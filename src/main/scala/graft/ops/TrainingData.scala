@@ -1240,6 +1240,29 @@ object TrainingData {
       .orderBy("sched_key")
   }
 
+  /** q148 — DETERMINISTIC PER-EPOCH SHUFFLE: a reproducible, distinct
+    * document order for each training epoch, keyed by md5(epoch ":"
+    * doc_id) — multi-epoch runs must not replay one fixed order
+    * (adjacent-batch correlations repeat), and the order must be a
+    * pure function of (corpus, epoch) so a preempted job resumes
+    * identically. q111's hash-function convention, pointed at ordering
+    * instead of splitting.
+    *
+    * Scale: the key is row-local (an explode over a 3-literal array —
+    * no join, no window); materializing an epoch's order is a
+    * range-partitioned sort on (epoch, shuffle_key), exactly the shard
+    * writer's sort (q143's argument).
+    */
+  private[graft] val ShuffleEpochs = 3
+
+  def q148EpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array((0 until ShuffleEpochs).map(e => lit(e)): _*)).as("epoch"))
+      .select(col("epoch").cast(LongType).as("epoch"), col("doc_id"),
+        md5(concat_ws(":", col("epoch"), col("doc_id"))).as("shuffle_key"))
+      .orderBy("epoch", "shuffle_key", "doc_id")
+
   /** q144 — TOKENIZER FERTILITY REPORT: per (source, language), the
     * corpus priced in trained-BPE units ([[bpeTokenCount]], q133's
     * staged merges) against whitespace words and raw characters —

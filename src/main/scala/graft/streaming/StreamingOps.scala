@@ -201,6 +201,33 @@ object StreamingOps {
         "low_entropy", "score", "cal_keep", "calibrated")
   }
 
+  /** Streaming EMBEDDING-NORM gate (q145's streaming twin): flag each
+    * incoming vector against the FROZEN per-label norm thresholds
+    * fitted in batch ([[graft.ops.Similarity.labelNormThresholds]]) —
+    * the vector-hygiene admission check an indexing pipeline runs on
+    * ingest, before a degenerate vector ever reaches the ANN build.
+    * Entirely row-local (one fused-kernel norm + a literal map
+    * lookup): zero state, no watermark, no shuffle. A label absent
+    * from the snapshot passes through with `calibrated = 0` rather
+    * than being cut by an unfitted threshold (qualityGateStream's
+    * unknown-source rule). Because q145's flag is a pure monotone
+    * function of the rounded norm, `norm4 >= threshold` replays the
+    * batch percent_rank cut bit-exactly (StreamingSpec parity case).
+    */
+  def normGateStream(vectors: DataFrame, thresholds: Map[Int, Double]): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val m = map(thresholds.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val thr = element_at(m, col("label"))
+    vectors
+      .withColumn("norm4", graft.ops.Det.roundD4(
+        sqrt(call_function("float_vec_dot", col("embedding"), col("embedding")))))
+      .withColumn("is_outlier",
+        when(thr.isNull, lit(false)).otherwise(col("norm4") >= thr))
+      .withColumn("calibrated", thr.isNotNull.cast("long"))
+      .select("vec_id", "label", "norm4", "is_outlier", "calibrated")
+  }
+
   /** Streaming DSIR scoring (q114's streaming twin): score each
     * incoming document against a FROZEN bucket model trained in batch
     * ([[graft.ops.TrainingData.dsirBucketLogRatios]]) — the production

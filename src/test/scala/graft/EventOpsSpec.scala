@@ -101,4 +101,27 @@ class EventOpsSpec extends SparkSpecBase {
     val r = Events.q09EpochToTs(spark, dir).collect().head
     assert(r.getLong(1) == (T0 / Ns) * 1000L + 123L)
   }
+
+  test("q147 grid resample: 6h grid per user span, forward fill, null before first observation") {
+    val dir = tmpDir()
+    val halfHour = 1800L * Ns
+    writeEvents(dir,
+      // user 1: obs at T0+30min and T0+7h → grid [T0, T0+6h]
+      (1L, T0 + halfHour, 1L, "m", 1.0, "{}"),
+      (2L, T0 + 7 * Hour, 1L, "m", 2.0, "{}"),
+      // user 2: single on-grid obs — visible to its own grid point
+      (3L, T0, 2L, "m", 9.0, "{}"),
+      // user 3: two obs at the SAME ts — max event_id wins (determinism)
+      (5L, T0 + Hour, 3L, "m", 3.0, "{}"),
+      (6L, T0 + Hour, 3L, "m", 4.0, "{}"))
+    val out = Events.q147GridResample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val t0ms = T0 / 1000000L
+    assert(out.toSeq == Seq(
+      (1L, t0ms, None), // grid point precedes the first observation
+      (1L, t0ms + 6 * 3600 * 1000L, Some(1.0)),
+      (2L, t0ms, Some(9.0)),
+      (3L, t0ms + 3600 * 1000L, Some(4.0))), out.toSeq)
+  }
 }

@@ -415,4 +415,33 @@ class StreamingSpec extends SparkSpecBase {
     }
     assert(diverging.isEmpty, s"stream/batch gate divergence: ${diverging.take(5)}")
   }
+
+  test("normGateStream: frozen per-label thresholds replay batch q145's outlier flag bit-exactly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.register(spark)
+    val thresholds = graft.ops.Similarity.labelNormThresholds(spark, sf)
+    assert(thresholds.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq
+    val ms = MemoryStream[(Long, Seq[Float], Int)]
+    val q = StreamingOps.normGateStream(
+        ms.toDS().toDF("vec_id", "embedding", "label"), thresholds)
+      .writeStream.format("memory").queryName("ngate").outputMode("append").start()
+    ms.addData(vecs: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("ngate").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3), r.getLong(4))).toMap
+    q.stop()
+    // every label was in the snapshot → all calibrated
+    assert(streamed.size == vecs.size && streamed.values.forall(_._3 == 1L))
+    val batch = graft.ops.Similarity.q145NormOutliers(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(4))).toMap
+    val diverging = streamed.collect {
+      case (id, (n4, flag, _)) if (n4, flag) != batch(id) =>
+        (id, (n4, flag), batch(id))
+    }
+    assert(diverging.isEmpty, s"stream/batch norm-gate divergence: ${diverging.take(5)}")
+  }
 }

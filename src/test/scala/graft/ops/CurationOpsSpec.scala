@@ -123,6 +123,20 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(out.map(r => (r.getString(0), r.getString(1))).toSet == direct.keySet)
   }
 
+  test("q148: each epoch is a distinct deterministic permutation of the corpus") {
+    val dir = tmpDir()
+    writeDocuments(dir, (0 until 8).map(i => (i.toLong, s"d$i", "en", "s", 1L)): _*)
+    val out = TrainingData.q148EpochShuffle(spark, dir).collect()
+    assert(out.length == 24) // 8 docs × 3 epochs
+    val orders = (0L until 3L).map(e =>
+      out.filter(_.getLong(0) == e).map(_.getLong(1)).toSeq)
+    orders.foreach(o => assert(o.sorted == (0L until 8L), s"not a permutation: $o"))
+    assert(orders.distinct.length == 3, s"epochs must not replay one order: $orders")
+    // pure function of (corpus, epoch): a second evaluation is identical
+    val again = TrainingData.q148EpochShuffle(spark, dir).collect().map(_.toSeq).toSeq
+    assert(again == out.map(_.toSeq).toSeq)
+  }
+
   test("degenerate inputs: empty corpus and single-doc corpus return sane results") {
     graft.functions.GraftFunctions.register(spark)
     val empty = tmpDir(); writeDocuments(empty)

@@ -64,9 +64,13 @@ class EmbeddingCurationSpec extends SparkSpecBase {
     val lone = out.find(_.getAs[Long]("vec_id") == 21L).get
     assert(lone.getAs[Double]("pr") == 0.0 && !lone.getAs[Boolean]("is_outlier"),
       "single-row label must rank 0.0 and pass")
-    // the last of the tied norm-1 rows sits at pr 19/20 = 0.95 — under the cut
-    val lastTied = out.find(_.getAs[Long]("vec_id") == 19L).get
-    assert(lastTied.getAs[Double]("pr") == 0.95 && !lastTied.getAs[Boolean]("is_outlier"))
+    // ALL tied norm-1 rows share rank 1 → pr 0.0 (the tie rule that
+    // makes the flag a pure function of norm4, replayable by threshold)
+    val tied = out.filter(r => r.getAs[Long]("vec_id") < 20L)
+    assert(tied.length == 20 && tied.forall(_.getAs[Double]("pr") == 0.0))
+    // the threshold snapshot replays the flag exactly
+    val thr = Similarity.labelNormThresholds(spark, dir)
+    assert(thr(0) == 100.0 && thr(1) == Double.MaxValue, thr)
   }
 
   test("q146: sketch components REFINE the exact ones (banding only misses edges); agreement measured") {

@@ -54,11 +54,14 @@ class EmptyCorpusSpec extends SparkSpecBase {
     val dir = tmpDir()
     writeDocuments(dir)
     writeEmbeddings(dir)
+    writeEvents(dir)
     graft.functions.GraftFunctions.register(spark)
     assert(Similarity.q141HardNegatives(spark, dir).count() == 0)
     assert(Similarity.q142SourceCentroidSim(spark, dir).count() == 0)
     assert(Similarity.q145NormOutliers(spark, dir).count() == 0)
     assert(Sketches.q146SketchClusters(spark, dir).count() == 0)
+    assert(Events.q147GridResample(spark, dir).count() == 0)
+    assert(TrainingData.q148EpochShuffle(spark, dir).count() == 0)
   }
 
   test("single doc: containment finds no pairs; entropy/calibration emit the one doc") {
