@@ -189,6 +189,8 @@ object SparkEntry {
     "q146_sketch_clusters" -> (Sketches.q146SketchClusters _),
     "q147_grid_resample" -> (Events.q147GridResample _),
     "q148_epoch_shuffle" -> (TrainingData.q148EpochShuffle _),
+    "q149_quantization_error" -> (Similarity.q149QuantizationError _),
+    "q150_event_transitions" -> (Events.q150EventTransitions _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -1701,5 +1703,29 @@ object SparkEntry {
         "SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, " +
         "md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS shuffle_key " +
         "FROM documents CROSS JOIN ep ORDER BY epoch, shuffle_key, doc_id"),
+    // q149: the q123 affine model spelled per-dim in SQL (min/max per
+    // dimension, floor-rounded code, dequantized double) — error stats
+    // over the reconstruction; max is order-free, mean 4-dp-rounded
+    "q149_quantization_error" ->
+      ("WITH ix AS (SELECT vec_id, embedding AS emb, unnest(range(1, len(embedding) + 1)) AS i " +
+        "FROM embeddings), " +
+        "px AS (SELECT vec_id, i, CAST(emb[i] AS DOUBLE) AS x FROM ix), " +
+        "m AS (SELECT i, min(x) AS mn, max(x) AS mx FROM px GROUP BY i), " +
+        "d AS (SELECT vec_id, x, CASE WHEN mx = mn THEN mn " +
+        "ELSE mn + floor((x - mn)*255.0/(mx - mn) + 0.5)*(mx - mn)/255.0 END AS dq " +
+        "FROM px JOIN m ON px.i = m.i) " +
+        "SELECT vec_id, floor(max(abs(x - dq))*10000 + 0.5)/10000 AS max_abs_err, " +
+        "floor((sum(abs(x - dq))/count(*))*10000 + 0.5)/10000 AS mean_abs_err " +
+        "FROM d GROUP BY vec_id ORDER BY vec_id"),
+    // q150: lead() under the same (ts, event_id) tie rule, matrix-level
+    // probability window
+    "q150_event_transitions" ->
+      ("WITH s AS (SELECT event_type, lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events), " +
+        "t AS (SELECT event_type, next_type, count(*) AS n FROM s " +
+        "WHERE next_type IS NOT NULL GROUP BY event_type, next_type) " +
+        "SELECT event_type, next_type, n, " +
+        "floor((CAST(n AS DOUBLE)/sum(n) OVER (PARTITION BY event_type))*10000 + 0.5)/10000 AS prob " +
+        "FROM t ORDER BY event_type, next_type"),
   )
 }

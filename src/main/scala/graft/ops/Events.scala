@@ -270,6 +270,28 @@ object Events {
     * cardinality); grid size is span/step per user — the resample's
     * output IS that size, so nothing intermediate exceeds the answer.
     */
+  /** q150 — EVENT TRANSITION MATRIX: first-order Markov transitions
+    * between consecutive event types per user — (from, to, count,
+    * probability) — the flow/Sankey readout behind funnel design
+    * (q89's steps are hand-picked; this op is how they get picked) and
+    * the drop-off diagnostic every telemetry pipeline ships.
+    *
+    * One lead() pass over the per-user ordered window (bounded
+    * partitions, userWindow's tie rule) into a |types|² aggregate; the
+    * per-from probability normalizes over the already-aggregated
+    * matrix, so the second window touches matrix rows, never events.
+    */
+  def q150EventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(userWindow))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    t.withColumn("prob",
+        roundD4(col("n").cast("double") / sum(col("n")).over(Window.partitionBy("event_type"))))
+      .orderBy("event_type", "next_type")
+  }
+
   def q147GridResample(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .groupBy(col("user_id"), col("ts"))

@@ -919,6 +919,33 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** q149 — QUANTIZATION-ERROR REPORT: per vector, the max and mean
+    * absolute reconstruction error of its int8 code under the q123
+    * affine model — the audit that decides whether 4× memory
+    * compression is safe for THIS corpus before the ANN index is
+    * built with it (the per-query twin of Int8AnnSpec's aggregate
+    * recall measurement, declared so a pipeline can gate on it and
+    * join it with q145's norm outliers: badly-quantizing vectors and
+    * norm outliers are usually the same rows).
+    *
+    * The model is the same one-row (mns, mxs) broadcast as q123/q131;
+    * everything after it is row-local zip_with arithmetic — scales
+    * like a scan. Exactness: quantize/dequantize is pure double
+    * arithmetic both engines evaluate identically; max is
+    * order-independent, and the in-row mean folds index-ordered
+    * (q22's convention).
+    */
+  def q149QuantizationError(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    e.crossJoin(broadcast(int8Model(e)))
+      .withColumn("errs", zip_with(col("embedding"), dequantized(col("embedding")),
+        (x, d) => abs(x.cast(DoubleType) - d)))
+      .select(col("vec_id"),
+        roundD4(array_max(col("errs"))).as("max_abs_err"),
+        roundD4(foldSum(col("errs")) / size(col("errs"))).as("mean_abs_err"))
+      .orderBy("vec_id")
+  }
+
   def q31EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     embedNeardupFrom(Tables.embeddings(spark, dir))

@@ -102,6 +102,24 @@ class EventOpsSpec extends SparkSpecBase {
     assert(r.getLong(1) == (T0 / Ns) * 1000L + 123L)
   }
 
+  test("q150 transitions: per-user consecutive pairs, per-from probabilities sum to 1") {
+    val dir = tmpDir()
+    writeEvents(dir,
+      // user 1: A → B → A → C
+      (1L, T0, 1L, "A", 0.0, "{}"),
+      (2L, T0 + Hour, 1L, "B", 0.0, "{}"),
+      (3L, T0 + 2 * Hour, 1L, "A", 0.0, "{}"),
+      (4L, T0 + 3 * Hour, 1L, "C", 0.0, "{}"),
+      // user 2: A → B (no cross-user transition to user 1's events)
+      (5L, T0, 2L, "A", 0.0, "{}"),
+      (6L, T0 + Hour, 2L, "B", 0.0, "{}"))
+    val out = Events.q150EventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      ("A", "B") -> ((2L, 0.6667)), ("A", "C") -> ((1L, 0.3333)),
+      ("B", "A") -> ((1L, 1.0))), out)
+  }
+
   test("q147 grid resample: 6h grid per user span, forward fill, null before first observation") {
     val dir = tmpDir()
     val halfHour = 1800L * Ns

@@ -73,6 +73,18 @@ class EmbeddingCurationSpec extends SparkSpecBase {
     assert(thr(0) == 100.0 && thr(1) == Double.MaxValue, thr)
   }
 
+  test("q149: mid-range values carry the exact 1/(2·255) reconstruction error; extremes and constant dims are exact") {
+    val dir = tmpDir()
+    writeEmbeddings(dir,
+      (0L, Seq(0f, 3f), 0), // range minimum + constant dim — both exact
+      (1L, Seq(1f, 3f), 0), // range maximum — exact
+      (2L, Seq(0.5f, 3f), 0)) // mid-range: dq = 128/255 → err ≈ 0.00196
+    val out = Similarity.q149QuantizationError(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(0L) == ((0.0, 0.0)) && out(1L) == ((0.0, 0.0)), out)
+    assert(out(2L) == ((0.002, 0.001)), out) // 4-dp-rounded (err, err/2)
+  }
+
   test("q146: sketch components REFINE the exact ones (banding only misses edges); agreement measured") {
     val sf = "/root/testdata/sf0.001"
     graft.functions.GraftFunctions.register(spark)

@@ -62,6 +62,8 @@ class EmptyCorpusSpec extends SparkSpecBase {
     assert(Sketches.q146SketchClusters(spark, dir).count() == 0)
     assert(Events.q147GridResample(spark, dir).count() == 0)
     assert(TrainingData.q148EpochShuffle(spark, dir).count() == 0)
+    assert(Similarity.q149QuantizationError(spark, dir).count() == 0)
+    assert(Events.q150EventTransitions(spark, dir).count() == 0)
   }
 
   test("single doc: containment finds no pairs; entropy/calibration emit the one doc") {
