@@ -191,6 +191,8 @@ object SparkEntry {
     "q148_epoch_shuffle" -> (TrainingData.q148EpochShuffle _),
     "q149_quantization_error" -> (Similarity.q149QuantizationError _),
     "q150_event_transitions" -> (Events.q150EventTransitions _),
+    "q151_debounce_dedup" -> (Events.q151DebounceDedup _),
+    "q152_value_anomalies" -> (Events.q152ValueAnomalies _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -1727,5 +1729,31 @@ object SparkEntry {
         "SELECT event_type, next_type, n, " +
         "floor((CAST(n AS DOUBLE)/sum(n) OVER (PARTITION BY event_type))*10000 + 0.5)/10000 AS prob " +
         "FROM t ORDER BY event_type, next_type"),
+    // q151: the q13 burst chain at (user, type) granularity; the kept
+    // witness is the (epoch, event_id)-min row of each burst
+    "q151_debounce_dedup" ->
+      ("WITH w AS (SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS us, " +
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS pus " +
+        "FROM events), " +
+        "b AS (SELECT *, sum(CASE WHEN pus IS NULL OR us - pus > 3600000000 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst FROM w), " +
+        "k AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type, burst ORDER BY us, event_id) AS rn, " +
+        "count(*) OVER (PARTITION BY user_id, event_type, burst) AS burst_size FROM b) " +
+        "SELECT event_id, user_id, event_type, ts, CAST(burst_size AS BIGINT) AS burst_size " +
+        "FROM k WHERE rn = 1 ORDER BY event_id"),
+    // q152: q92's exact wide-decimal moments per type, double mean/std,
+    // flag on the ROUNDED z; sigma-0 types emit null z, never flag
+    "q152_value_anomalies" ->
+      (s"WITH s AS (SELECT event_type, count(*) AS n, ${dsumw("value")} AS sx, " +
+        s"${dsumw("value*value")} AS sxx FROM events GROUP BY event_type), " +
+        "t AS (SELECT event_type, sx/CAST(n AS DOUBLE) AS mean, " +
+        "sqrt((sxx - sx*sx/CAST(n AS DOUBLE))/CAST(n AS DOUBLE)) AS std FROM s), " +
+        "z AS (SELECT event_id, e.event_type, value, " +
+        "CASE WHEN std > 0.0 THEN floor(((value - mean)/std)*10000 + 0.5)/10000 END AS z, std " +
+        "FROM events e JOIN t USING (event_type)) " +
+        "SELECT event_id, event_type, value, z, " +
+        "CASE WHEN std > 0.0 THEN abs(z) > 3.0 ELSE false END AS is_anomaly " +
+        "FROM z ORDER BY event_id"),
   )
 }

@@ -270,6 +270,72 @@ object Events {
     * cardinality); grid size is span/step per user — the resample's
     * output IS that size, so nothing intermediate exceeds the answer.
     */
+  /** q151 — DEBOUNCE DEDUP (dedup with tolerance): collapse bursts of
+    * the same (user, event_type) within a 60-minute gap to their first
+    * event, carrying the burst size — the repeated-action collapse
+    * (double-click, retry storm, duplicate telemetry beacon) that
+    * exact dedup (q05: one survivor per user EVER) and sessionization
+    * (q13: all-type sessions) both miss. Gap-chained on purpose: a
+    * burst extends while any two consecutive events are close, q13's
+    * semantics at (user, type) granularity.
+    *
+    * One window per (user_id, event_type) — finer key than q13's, so
+    * partitions are smaller and spread further — then the burst
+    * aggregate picks its witness with a min-struct (q88's argmin
+    * discipline: no second window, map-side combinable).
+    */
+  private val DebounceGapUs = 3600000000L // 60 min
+
+  def q151DebounceDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    val us = unix_micros(col("ts"))
+    val prevUs = lag(us, 1).over(w)
+    Tables.events(spark, dir)
+      .withColumn("new_b",
+        when(prevUs.isNull || (us - prevUs) > DebounceGapUs, 1).otherwise(0))
+      .withColumn("burst",
+        sum("new_b").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "event_type", "burst")
+      .agg(min(struct(us.as("us"), col("event_id"), col("ts"))).as("first"),
+        count(lit(1)).as("burst_size"))
+      .select(col("first.event_id").as("event_id"), col("user_id"),
+        col("event_type"), col("first.ts").as("ts"), col("burst_size"))
+      .orderBy("event_id")
+  }
+
+  /** q152 — VALUE ANOMALY GATE: z-score every event's value against
+    * its type's corpus mean/std, flagging |z| > 3 — the cheap
+    * telemetry outlier screen (broken sensor, corrupted beacon) run
+    * before values feed any aggregate. Per-type moments come from the
+    * q92 discipline: exact wide-decimal sums (order-independent under
+    * any partitioning), doubles only in the final mean/std/z
+    * arithmetic, the flag compared on the ROUNDED z so both engines
+    * decide identical boundaries. A degenerate type (σ = 0: constant
+    * or singleton) emits null z and never flags, rather than NaN.
+    *
+    * The stats frame is |event_types| rows — a broadcast equi-join
+    * back onto the stream; everything else is row-local.
+    */
+  def q152ValueAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val nD = col("n").cast("double")
+    val mean = col("sx") / nD
+    val variance = (col("sxx") - col("sx") * col("sx") / nD) / nD
+    val stats = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        dsum4w(col("value")).as("sx"),
+        dsum4w(col("value") * col("value")).as("sxx"))
+      .select(col("event_type"), mean.as("mean"), sqrt(variance).as("std"))
+    val z = roundD4((col("value") - col("mean")) / col("std"))
+    Tables.events(spark, dir)
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", when(col("std") > 0.0, z))
+      .withColumn("is_anomaly",
+        when(col("std") > 0.0, abs(col("z")) > lit(3.0)).otherwise(lit(false)))
+      .select("event_id", "event_type", "value", "z", "is_anomaly")
+      .orderBy("event_id")
+  }
+
   /** q150 — EVENT TRANSITION MATRIX: first-order Markov transitions
     * between consecutive event types per user — (from, to, count,
     * probability) — the flow/Sankey readout behind funnel design

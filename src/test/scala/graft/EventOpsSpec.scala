@@ -120,6 +120,39 @@ class EventOpsSpec extends SparkSpecBase {
       ("B", "A") -> ((1L, 1.0))), out)
   }
 
+  test("q151 debounce: bursts chain through consecutive gaps; types debounce independently") {
+    val dir = tmpDir()
+    val Min = 60L * Ns
+    writeEvents(dir,
+      // user 1 type A: 3 events each 50min apart — ONE chained burst
+      // (first→last is 100min, but every consecutive gap is ≤ 60min)
+      (1L, T0, 1L, "A", 0.0, "{}"),
+      (2L, T0 + 50 * Min, 1L, "A", 0.0, "{}"),
+      (3L, T0 + 100 * Min, 1L, "A", 0.0, "{}"),
+      // then a 2h silence — a new burst
+      (4L, T0 + 220 * Min, 1L, "A", 0.0, "{}"),
+      // type B inside type A's burst window — independent key
+      (5L, T0 + 10 * Min, 1L, "B", 0.0, "{}"))
+    val out = Events.q151DebounceDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out == Map(1L -> 3L, 4L -> 1L, 5L -> 1L), out)
+  }
+
+  test("q152 anomalies: outlier beyond 3 sigma flags; sigma-0 type emits null z and never flags") {
+    val dir = tmpDir()
+    val zeros = (0 until 12).map(i =>
+      (i.toLong, T0 + i * Hour, 1L, "A", 0.0, "{}"))
+    writeEvents(dir, (zeros :+
+      (12L, T0 + 12 * Hour, 1L, "A", 13.0, "{}") :+ // z = 12/sqrt(12) ≈ 3.4641
+      (13L, T0, 2L, "C", 5.0, "{}")): _*) // singleton type: sigma 0
+    val out = Events.q152ValueAnomalies(spark, dir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4))).toMap
+    assert(out(12L) == ((Some(3.4641), true)), out(12L))
+    assert(out(0L) == ((Some(-0.2887), false)), out(0L))
+    assert(out(13L) == ((None, false)), "sigma-0 must yield null z, no flag")
+  }
+
   test("q147 grid resample: 6h grid per user span, forward fill, null before first observation") {
     val dir = tmpDir()
     val halfHour = 1800L * Ns

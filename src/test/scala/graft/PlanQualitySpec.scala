@@ -217,6 +217,14 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("q147: the grid resample plans ZERO joins — union-sentinel + one per-user window") {
+    // the naive formulation is a grid×events as-of join; the operator's
+    // claim is that no join of any kind ever forms
+    val p = physical(graft.ops.Events.q147GridResample(spark, sf))
+    assert(!p.contains("Join"), s"grid resample must be join-free:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("q121: the resample top-K is TakeOrderedAndProject; the rank window sorts only K rows") {
     // the global top-200 must be the distributed per-partition heap +
     // driver merge (q18's shape), never a full corpus sort; the

@@ -64,6 +64,8 @@ class EmptyCorpusSpec extends SparkSpecBase {
     assert(TrainingData.q148EpochShuffle(spark, dir).count() == 0)
     assert(Similarity.q149QuantizationError(spark, dir).count() == 0)
     assert(Events.q150EventTransitions(spark, dir).count() == 0)
+    assert(Events.q151DebounceDedup(spark, dir).count() == 0)
+    assert(Events.q152ValueAnomalies(spark, dir).count() == 0)
   }
 
   test("single doc: containment finds no pairs; entropy/calibration emit the one doc") {
