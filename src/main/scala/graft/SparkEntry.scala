@@ -193,6 +193,7 @@ object SparkEntry {
     "q150_event_transitions" -> (Events.q150EventTransitions _),
     "q151_debounce_dedup" -> (Events.q151DebounceDedup _),
     "q152_value_anomalies" -> (Events.q152ValueAnomalies _),
+    "q153_funnel_timing" -> (Events.q153FunnelTiming _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -315,6 +316,17 @@ object SparkEntry {
     s"CASE WHEN $zero THEN 'und' $arms ELSE '${langs.last}' END"
   }
   private val tsUs = "CAST(ts AS TIMESTAMP)"
+
+  /** q89's funnel stage CTEs (e, v, c, p) — the one funnel definition,
+    * read by q89 (per-user stages) and q153 (step timings).
+    */
+  private def q89FunnelCtes: String =
+    s"e AS (SELECT user_id, event_type, $tsUs AS ts FROM events), " +
+      "v AS (SELECT user_id, min(ts) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id), " +
+      "c AS (SELECT e.user_id, min(ts) AS t_click FROM e JOIN v USING (user_id) " +
+      "WHERE event_type = 'click' AND ts > t_view AND ts <= t_view + INTERVAL 1 HOUR GROUP BY e.user_id), " +
+      "p AS (SELECT e.user_id, min(ts) AS t_purchase FROM e JOIN c USING (user_id) " +
+      "WHERE event_type = 'purchase' AND ts > t_click AND ts <= t_click + INTERVAL 1 HOUR GROUP BY e.user_id)"
 
   /** q118's manifest statement, extracted so q138's skew report can
     * wrap the SAME text (one source of truth for the shard semantics
@@ -1094,14 +1106,10 @@ object SparkEntry {
         "array_to_string(w[chunk_id*12 + 1 : chunk_id*12 + 16], ' ') AS chunk_text " +
         "FROM x ORDER BY doc_id, chunk_id"),
     // q89: each "first X after T within 1h" decorrelates identically on
-    // both sides; stage arithmetic is pure integer
+    // both sides; stage arithmetic is pure integer. The CTE chain is
+    // shared with q153 (one funnel definition, two readouts).
     "q89_funnel" ->
-      (s"WITH e AS (SELECT user_id, event_type, $tsUs AS ts FROM events), " +
-        "v AS (SELECT user_id, min(ts) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id), " +
-        "c AS (SELECT e.user_id, min(ts) AS t_click FROM e JOIN v USING (user_id) " +
-        "WHERE event_type = 'click' AND ts > t_view AND ts <= t_view + INTERVAL 1 HOUR GROUP BY e.user_id), " +
-        "p AS (SELECT e.user_id, min(ts) AS t_purchase FROM e JOIN c USING (user_id) " +
-        "WHERE event_type = 'purchase' AND ts > t_click AND ts <= t_click + INTERVAL 1 HOUR GROUP BY e.user_id) " +
+      (s"WITH $q89FunnelCtes " +
         "SELECT v.user_id, t_view, t_click, t_purchase, " +
         "CAST(1 + (t_click IS NOT NULL)::INT + (t_purchase IS NOT NULL)::INT AS BIGINT) AS stage " +
         "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id) ORDER BY v.user_id"),
@@ -1755,5 +1763,20 @@ object SparkEntry {
         "SELECT event_id, event_type, value, z, " +
         "CASE WHEN std > 0.0 THEN abs(z) > 3.0 ELSE false END AS is_anomaly " +
         "FROM z ORDER BY event_id"),
+    // q153: q89's CTE chain verbatim + quantile_cont over the exact
+    // integer-microsecond deltas (q38's percentile mirror); counts and
+    // percentiles both ignore non-converting users' nulls
+    "q153_funnel_timing" ->
+      (s"WITH $q89FunnelCtes, " +
+        "f AS (SELECT t_view, t_click, t_purchase FROM v " +
+        "LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)), " +
+        "d AS (SELECT (epoch_us(t_click) - epoch_us(t_view))/1000000.0 AS vc, " +
+        "(epoch_us(t_purchase) - epoch_us(t_click))/1000000.0 AS cp FROM f) " +
+        "SELECT count(vc) AS n_view_click, " +
+        s"${rd4("quantile_cont(vc, 0.5)")} AS med_vc_sec, " +
+        s"${rd4("quantile_cont(vc, 0.9)")} AS p90_vc_sec, " +
+        "count(cp) AS n_click_purchase, " +
+        s"${rd4("quantile_cont(cp, 0.5)")} AS med_cp_sec, " +
+        s"${rd4("quantile_cont(cp, 0.9)")} AS p90_cp_sec FROM d"),
   )
 }

@@ -225,6 +225,37 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** q153 — FUNNEL STEP TIMING: how long converting users take between
+    * q89's funnel stages — count plus exact median/p90 seconds for
+    * view→click and click→purchase. The counts say WHERE the funnel
+    * leaks (q89's stage column); the timings say whether the
+    * conversion window itself is mis-set — the companion readout that
+    * turns q89's 1-hour windows from a guess into a measurement.
+    *
+    * Composed over q89's frame (one definition of the funnel, two
+    * readouts — the q108-over-q62 discipline). Deltas are exact
+    * integer-microsecond differences; the percentile interpolation
+    * (type-7, q38's operator) runs on exactly representable doubles,
+    * so both engines interpolate identical values. Scale: q89's
+    * per-user aggregates, then ONE global aggregate over ≤ n_users
+    * rows — the percentile state is the sorted converting-user deltas,
+    * bounded by conversions, not events.
+    */
+  def q153FunnelTiming(spark: SparkSession, dir: String): DataFrame = {
+    val vc = (unix_micros(col("t_click")) - unix_micros(col("t_view")))
+      .cast("double") / lit(1000000.0)
+    val cp = (unix_micros(col("t_purchase")) - unix_micros(col("t_click")))
+      .cast("double") / lit(1000000.0)
+    q89Funnel(spark, dir)
+      .select(vc.as("vc"), cp.as("cp"))
+      .agg(count(col("vc")).as("n_view_click"),
+        roundD4(expr("percentile(vc, 0.5)")).as("med_vc_sec"),
+        roundD4(expr("percentile(vc, 0.9)")).as("p90_vc_sec"),
+        count(col("cp")).as("n_click_purchase"),
+        roundD4(expr("percentile(cp, 0.5)")).as("med_cp_sec"),
+        roundD4(expr("percentile(cp, 0.9)")).as("p90_cp_sec"))
+  }
+
   /** q90 — retention cohorts: users grouped by first-activity week,
     * counted in each later week they were active — the
     * (cohort, week-offset) retention triangle. Two user-keyed

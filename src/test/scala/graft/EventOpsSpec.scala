@@ -120,6 +120,26 @@ class EventOpsSpec extends SparkSpecBase {
       ("B", "A") -> ((1L, 1.0))), out)
   }
 
+  test("q153 funnel timing: exact type-7 percentiles over converting users only") {
+    val dir = tmpDir()
+    val Min = 60L * Ns
+    writeEvents(dir,
+      // user 1 converts fully: view→click 600s, click→purchase 600s
+      (1L, T0, 1L, "view", 0.0, "{}"),
+      (2L, T0 + 10 * Min, 1L, "click", 0.0, "{}"),
+      (3L, T0 + 20 * Min, 1L, "purchase", 0.0, "{}"),
+      // user 2 clicks (1800s) but never purchases
+      (4L, T0, 2L, "view", 0.0, "{}"),
+      (5L, T0 + 30 * Min, 2L, "click", 0.0, "{}"),
+      // user 3 views only — contributes to no timing
+      (6L, T0, 3L, "view", 0.0, "{}"))
+    val r = Events.q153FunnelTiming(spark, dir).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(3) == 1L, r)
+    assert(r.getDouble(1) == 1200.0, "median of {600, 1800}")
+    assert(r.getDouble(2) == 1680.0, "type-7 p90: 600 + 0.9·1200")
+    assert(r.getDouble(4) == 600.0 && r.getDouble(5) == 600.0, r)
+  }
+
   test("q151 debounce: bursts chain through consecutive gaps; types debounce independently") {
     val dir = tmpDir()
     val Min = 60L * Ns
