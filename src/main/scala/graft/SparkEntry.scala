@@ -194,6 +194,7 @@ object SparkEntry {
     "q151_debounce_dedup" -> (Events.q151DebounceDedup _),
     "q152_value_anomalies" -> (Events.q152ValueAnomalies _),
     "q153_funnel_timing" -> (Events.q153FunnelTiming _),
+    "q154_similarity_pagerank" -> (Similarity.q154SimilarityPagerank _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -1778,5 +1779,32 @@ object SparkEntry {
         "count(cp) AS n_click_purchase, " +
         s"${rd4("quantile_cont(cp, 0.5)")} AS med_cp_sec, " +
         s"${rd4("quantile_cont(cp, 0.9)")} AS p90_cp_sec FROM d"),
+    // q154: the engine's integer PageRank recurrence unrolled as one
+    // CTE per iteration, generated from the SAME constants
+    // (PageRankIters/Scale — the BpeMerges one-source-of-truth
+    // pattern). All-integer floor arithmetic makes an iterative
+    // algorithm hash-comparable across engines.
+    "q154_similarity_pagerank" -> {
+      val s = graft.ops.Similarity.PageRankScale
+      val iters = (1 to graft.ops.Similarity.PageRankIters).map { i =>
+        s"p$i AS (SELECT d.gid, d.deg, nn.n, " +
+          s"(15*$s // (100*nn.n)) + (85 * i$i.inflow) // 100 AS pr " +
+          s"FROM (SELECT sym.gb AS gid, sum(p${i - 1}.pr // p${i - 1}.deg) AS inflow " +
+          s"FROM sym JOIN p${i - 1} ON sym.ga = p${i - 1}.gid GROUP BY sym.gb) i$i " +
+          s"JOIN d ON d.gid = i$i.gid CROSS JOIN nn)"
+      }.mkString(", ")
+      "WITH tt AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
+        "gg AS (SELECT min(doc_id) AS gid, toks FROM tt GROUP BY toks), " +
+        "e0 AS MATERIALIZED (SELECT a.gid AS ga, b.gid AS gb FROM gg a JOIN gg b ON a.gid < b.gid " +
+        "AND 5*len(list_intersect(a.toks, b.toks)) >= " +
+        "4*(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))), " +
+        "sym AS MATERIALIZED (SELECT ga, gb FROM e0 UNION ALL SELECT gb AS ga, ga AS gb FROM e0), " +
+        "d AS MATERIALIZED (SELECT ga AS gid, count(*) AS deg FROM sym GROUP BY ga), " +
+        "nn AS (SELECT count(*) AS n FROM d), " +
+        s"p0 AS (SELECT gid, deg, n, $s // n AS pr FROM d CROSS JOIN nn), " +
+        iters +
+        s" SELECT gid AS doc_id, CAST(deg AS BIGINT) AS deg, CAST(pr AS BIGINT) AS pr " +
+        s"FROM p${graft.ops.Similarity.PageRankIters} ORDER BY pr DESC, doc_id"
+    },
   )
 }

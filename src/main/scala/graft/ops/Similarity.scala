@@ -946,6 +946,61 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q154 — SIMILARITY PAGERANK: centrality of each document inside
+    * the near-dup graph (nodes = edge-touched exact-dup groups, edges
+    * = the staged J ≥ 0.8 pairs), [[PageRankIters]] power iterations
+    * at damping 0.85 — the link-analysis signal beyond connected
+    * components: q62 says WHICH docs form a duplication blob, PageRank
+    * says which doc sits at its CENTER (the template every variant
+    * derives from), the keeper signal CC alone cannot rank. Isolated
+    * docs are excluded on purpose: their PageRank is the uniform
+    * baseline and carries no signal.
+    *
+    * EXACT INTEGER arithmetic end to end: scores live in 10⁻¹² units
+    * (longs), every division is integer floor-div, every neighbor sum
+    * is an integer sum — order-independent under any partitioning and
+    * engine-identical, so an ITERATIVE float algorithm becomes
+    * hash-comparable. The oracle replays the same recurrence as
+    * [[PageRankIters]] unrolled CTEs generated from the same
+    * constants (the BpeMerges one-source-of-truth pattern).
+    *
+    * Scale: each iteration is one equi-join + one integer-sum
+    * aggregate over the staged edge list (hashMinLabels' shuffle
+    * shape, fixed iteration count instead of convergence);
+    * `localCheckpoint` truncates lineage per round (reliable-storage
+    * checkpoint on a cluster). Only long keys and long scores ever
+    * shuffle.
+    */
+  private[graft] val PageRankIters = 6
+  private[graft] val PageRankScale = 1000000000000L // 10^-12 units
+
+  def q154SimilarityPagerank(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val edges = stagedSetPairs45(spark, dir).select("ga", "gb")
+    val sym = edges.union(edges.select(col("gb").as("ga"), col("ga").as("gb")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy("ga").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("ga", "gid")
+    val nRow = deg.agg(count(lit(1)).as("n"))
+    var cur = deg.crossJoin(broadcast(nRow))
+      .withColumn("pr", expr(s"$PageRankScale div n"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PageRankIters) {
+      val inflow = sym
+        .join(cur.select(col("gid").as("ga"), expr("pr div deg").as("share")), "ga")
+        .groupBy(col("gb").as("gid"))
+        .agg(sum("share").as("inflow"))
+      // symmetric graph: every edge-touched node has inflow (inner join)
+      cur = deg.join(inflow, "gid").crossJoin(broadcast(nRow))
+        .withColumn("pr",
+          expr(s"(15*$PageRankScale div (100*n)) + (85 * inflow) div 100"))
+        .select("gid", "deg", "n", "pr")
+        .localCheckpoint(true)
+    }
+    cur.select(col("gid").as("doc_id"), col("deg"), col("pr"))
+      .orderBy(desc("pr"), asc("doc_id"))
+  }
+
   def q31EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     embedNeardupFrom(Tables.embeddings(spark, dir))

@@ -85,6 +85,32 @@ class EmbeddingCurationSpec extends SparkSpecBase {
     assert(out(2L) == ((0.002, 0.001)), out) // 4-dp-rounded (err, err/2)
   }
 
+  test("q154: integer PageRank — exact fixpoint values, isolated docs excluded") {
+    val dir = tmpDir()
+    graft.functions.GraftFunctions.register(spark)
+    val base = (0 until 20).map(i => s"w$i")
+    writeDocuments(dir,
+      // 4-clique: base ∪ {x} pairwise J ≥ 20/22 ≈ 0.909
+      (1L, (base :+ "b1").mkString(" "), "en", "s", 1L),
+      (2L, (base :+ "c1").mkString(" "), "en", "s", 1L),
+      (3L, (base :+ "d1").mkString(" "), "en", "s", 1L),
+      (4L, (base :+ "e1").mkString(" "), "en", "s", 1L),
+      // separate pair: J = 10/11 ≈ 0.909
+      (10L, (0 until 10).map(i => s"p$i").mkString(" "), "en", "s", 1L),
+      (11L, ((0 until 10).map(i => s"p$i") :+ "q1").mkString(" "), "en", "s", 1L),
+      // isolated — excluded from the readout
+      (20L, (0 until 12).map(i => s"z$i").mkString(" "), "en", "s", 1L))
+    val out = Similarity.q154SimilarityPagerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // N = 6, S = 10^12. Uniform start S//6 = 166666666666. The clique
+    // loses one unit to the ÷3 share floor (166666666665 fixpoint);
+    // the pair keeps 166666666666 — hand-checked floor arithmetic.
+    assert(out.toSeq == Seq(
+      (10L, 1L, 166666666666L), (11L, 1L, 166666666666L),
+      (1L, 3L, 166666666665L), (2L, 3L, 166666666665L),
+      (3L, 3L, 166666666665L), (4L, 3L, 166666666665L)), out.toSeq)
+  }
+
   test("q146: sketch components REFINE the exact ones (banding only misses edges); agreement measured") {
     val sf = "/root/testdata/sf0.001"
     graft.functions.GraftFunctions.register(spark)

@@ -69,6 +69,7 @@ class EmptyCorpusSpec extends SparkSpecBase {
     // global aggregate: one row, zero counts, null percentiles
     val ft = Events.q153FunnelTiming(spark, dir).collect()
     assert(ft.length == 1 && ft.head.getLong(0) == 0L && ft.head.isNullAt(1))
+    assert(Similarity.q154SimilarityPagerank(spark, dir).count() == 0)
   }
 
   test("single doc: containment finds no pairs; entropy/calibration emit the one doc") {
