@@ -1534,6 +1534,9 @@ object SparkEntry {
       (s"WITH $bpeMergesCte, $spanCteChain, " +
         "tt AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
         "gg AS (SELECT min(doc_id) AS gid, toks FROM tt GROUP BY toks), " +
+        "spr45 AS MATERIALIZED (SELECT a.gid AS ga, b.gid AS gb FROM gg a JOIN gg b ON a.gid < b.gid " +
+        "AND 5*len(list_intersect(a.toks, b.toks)) >= " +
+        "4*(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))), " +
         "wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "shc AS (SELECT count(*) AS c FROM (SELECT DISTINCT " +
         "list_sort(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])) " +
@@ -1561,9 +1564,11 @@ object SparkEntry {
         "UNION ALL SELECT 'prep_pairs_45', (SELECT count(*) FROM pgg a JOIN pgg b ON a.gid < b.gid " +
         "AND 5*len(list_intersect(a.ts, b.ts)) >= " +
         "4*(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))) " +
-        "UNION ALL SELECT 'set_pairs_45', (SELECT count(*) FROM gg a JOIN gg b ON a.gid < b.gid " +
-        "AND 5*len(list_intersect(a.toks, b.toks)) >= " +
-        "4*(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) " +
+        // pagerank_scores: one row per edge-touched node of the J ≥ 0.8
+        // group graph (the PageRank loop's node universe)
+        "UNION ALL SELECT 'pagerank_scores', (SELECT count(DISTINCT gid) FROM " +
+        "(SELECT ga AS gid FROM spr45 UNION ALL SELECT gb AS gid FROM spr45)) " +
+        "UNION ALL SELECT 'set_pairs_45', (SELECT count(*) FROM spr45) " +
         "UNION ALL SELECT 'shingle_groups', (SELECT c FROM shc) " +
         // sketch_labels: every doc gets a label (the sketch path's edge
         // set can only shrink components, never the labeled universe)

@@ -237,7 +237,8 @@ object Similarity {
   private val ManifestFamilies = Seq(
     "bpe_merges", "clean_pack", "component_labels", "dsir_weights",
     "ivf_model", "prep_deduped", "prep_groups", "prep_pairs_45",
-    "set_pairs_45", "shingle_groups", "sketch_labels", "unigram_groups")
+    "pagerank_scores", "set_pairs_45", "shingle_groups", "sketch_labels",
+    "unigram_groups")
 
   /** q135 — the staging-registry MANIFEST: one row per staged relation
     * family with its exact staged row count — the artifact inventory a
@@ -268,6 +269,7 @@ object Similarity {
     graft.ops.TrainingData.stagedCleanPack(spark, dir)
     graft.ops.TrainingData.stagedDsirWeights(spark, dir)
     graft.ops.Sketches.stagedSketchLabels(spark, dir)
+    stagedPagerankScores(spark, dir)
     val wanted = ManifestFamilies.toSet
     stagedEntries(spark, dir)
       .collect { case e if wanted(e.key) => (e.key, e.rows) }
@@ -974,32 +976,40 @@ object Similarity {
   private[graft] val PageRankIters = 6
   private[graft] val PageRankScale = 1000000000000L // 10^-12 units
 
-  def q154SimilarityPagerank(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val edges = stagedSetPairs45(spark, dir).select("ga", "gb")
-    val sym = edges.union(edges.select(col("gb").as("ga"), col("ga").as("gb")))
-      .localCheckpoint(true)
-    val deg = sym.groupBy("ga").agg(count(lit(1)).as("deg"))
-      .withColumnRenamed("ga", "gid")
-    val nRow = deg.agg(count(lit(1)).as("n"))
-    var cur = deg.crossJoin(broadcast(nRow))
-      .withColumn("pr", expr(s"$PageRankScale div n"))
-      .localCheckpoint(true)
-    for (_ <- 1 to PageRankIters) {
-      val inflow = sym
-        .join(cur.select(col("gid").as("ga"), expr("pr div deg").as("share")), "ga")
-        .groupBy(col("gb").as("gid"))
-        .agg(sum("share").as("inflow"))
-      // symmetric graph: every edge-touched node has inflow (inner join)
-      cur = deg.join(inflow, "gid").crossJoin(broadcast(nRow))
-        .withColumn("pr",
-          expr(s"(15*$PageRankScale div (100*n)) + (85 * inflow) div 100"))
-        .select("gid", "deg", "n", "pr")
+  def q154SimilarityPagerank(spark: SparkSession, dir: String): DataFrame =
+    stagedPagerankScores(spark, dir).orderBy(desc("pr"), asc("doc_id"))
+
+  /** The PERSISTED PageRank score relation (doc_id, deg, pr) — its own
+    * staging family (componentLabels' discipline: the iterative loop
+    * runs once per (session, corpus); readouts scan). All-long schema
+    * → exact parquet round trip.
+    */
+  private[graft] def stagedPagerankScores(spark: SparkSession, dir: String): DataFrame =
+    stagedTable(spark, dir, "pagerank_scores") {
+      graft.functions.GraftFunctions.register(spark)
+      val edges = stagedSetPairs45(spark, dir).select("ga", "gb")
+      val sym = edges.union(edges.select(col("gb").as("ga"), col("ga").as("gb")))
         .localCheckpoint(true)
+      val deg = sym.groupBy("ga").agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("ga", "gid")
+      val nRow = deg.agg(count(lit(1)).as("n"))
+      var cur = deg.crossJoin(broadcast(nRow))
+        .withColumn("pr", expr(s"$PageRankScale div n"))
+        .localCheckpoint(true)
+      for (_ <- 1 to PageRankIters) {
+        val inflow = sym
+          .join(cur.select(col("gid").as("ga"), expr("pr div deg").as("share")), "ga")
+          .groupBy(col("gb").as("gid"))
+          .agg(sum("share").as("inflow"))
+        // symmetric graph: every edge-touched node has inflow (inner join)
+        cur = deg.join(inflow, "gid").crossJoin(broadcast(nRow))
+          .withColumn("pr",
+            expr(s"(15*$PageRankScale div (100*n)) + (85 * inflow) div 100"))
+          .select("gid", "deg", "n", "pr")
+          .localCheckpoint(true)
+      }
+      cur.select(col("gid").as("doc_id"), col("deg"), col("pr"))
     }
-    cur.select(col("gid").as("doc_id"), col("deg"), col("pr"))
-      .orderBy(desc("pr"), asc("doc_id"))
-  }
 
   def q31EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

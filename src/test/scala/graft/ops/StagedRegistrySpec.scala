@@ -235,9 +235,10 @@ class StagedRegistrySpec extends SparkSpecBase {
     val m = Similarity.q135StagingManifest(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m.keySet == Set("bpe_merges", "clean_pack", "component_labels", "dsir_weights",
-      "ivf_model", "prep_deduped", "prep_groups", "prep_pairs_45", "set_pairs_45",
-      "shingle_groups", "sketch_labels", "unigram_groups"))
+      "ivf_model", "pagerank_scores", "prep_deduped", "prep_groups", "prep_pairs_45",
+      "set_pairs_45", "shingle_groups", "sketch_labels", "unigram_groups"))
     assert(m("sketch_labels") == Sketches.q146SketchClusters(spark, sf).count())
+    assert(m("pagerank_scores") == Similarity.q154SimilarityPagerank(spark, sf).count())
     assert(m("prep_pairs_45") == graft.ops.CorpusPrep.stagedPrepPairs45(spark, sf).count())
     // spot-check against the relations themselves
     assert(m("ivf_model") == 8L)
