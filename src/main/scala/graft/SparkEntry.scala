@@ -195,6 +195,8 @@ object SparkEntry {
     "q152_value_anomalies" -> (Events.q152ValueAnomalies _),
     "q153_funnel_timing" -> (Events.q153FunnelTiming _),
     "q154_similarity_pagerank" -> (Similarity.q154SimilarityPagerank _),
+    "q155_pagerank_keeper" -> (Similarity.q155PagerankKeeper _),
+    "q156_session_paths" -> (Events.q156SessionPaths _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -1789,27 +1791,60 @@ object SparkEntry {
     // (PageRankIters/Scale — the BpeMerges one-source-of-truth
     // pattern). All-integer floor arithmetic makes an iterative
     // algorithm hash-comparable across engines.
-    "q154_similarity_pagerank" -> {
-      val s = graft.ops.Similarity.PageRankScale
-      val iters = (1 to graft.ops.Similarity.PageRankIters).map { i =>
-        s"p$i AS (SELECT d.gid, d.deg, nn.n, " +
-          s"(15*$s // (100*nn.n)) + (85 * i$i.inflow) // 100 AS pr " +
-          s"FROM (SELECT sym.gb AS gid, sum(p${i - 1}.pr // p${i - 1}.deg) AS inflow " +
-          s"FROM sym JOIN p${i - 1} ON sym.ga = p${i - 1}.gid GROUP BY sym.gb) i$i " +
-          s"JOIN d ON d.gid = i$i.gid CROSS JOIN nn)"
-      }.mkString(", ")
-      "WITH tt AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
-        "gg AS (SELECT min(doc_id) AS gid, toks FROM tt GROUP BY toks), " +
-        "e0 AS MATERIALIZED (SELECT a.gid AS ga, b.gid AS gb FROM gg a JOIN gg b ON a.gid < b.gid " +
-        "AND 5*len(list_intersect(a.toks, b.toks)) >= " +
-        "4*(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))), " +
-        "sym AS MATERIALIZED (SELECT ga, gb FROM e0 UNION ALL SELECT gb AS ga, ga AS gb FROM e0), " +
-        "d AS MATERIALIZED (SELECT ga AS gid, count(*) AS deg FROM sym GROUP BY ga), " +
-        "nn AS (SELECT count(*) AS n FROM d), " +
-        s"p0 AS (SELECT gid, deg, n, $s // n AS pr FROM d CROSS JOIN nn), " +
-        iters +
-        s" SELECT gid AS doc_id, CAST(deg AS BIGINT) AS deg, CAST(pr AS BIGINT) AS pr " +
-        s"FROM p${graft.ops.Similarity.PageRankIters} ORDER BY pr DESC, doc_id"
-    },
+    "q154_similarity_pagerank" ->
+      (q154OracleCore + " ORDER BY pr DESC, doc_id"),
+    // q155: q62's recursive-CTE component truth joined to q154's
+    // unrolled recurrence — both as subqueries, the q136/q108 pattern;
+    // argmax via row_number mirrors the engine's min-struct
+    "q155_pagerank_keeper" ->
+      (s"WITH cc AS MATERIALIZED ($q62OracleCore), " +
+        s"prx AS MATERIALIZED ($q154OracleCore), " +
+        "j AS (SELECT cc.cluster_id, cc.doc_id, prx.pr FROM cc " +
+        "LEFT JOIN prx ON cc.doc_id = prx.doc_id), " +
+        "rk AS (SELECT cluster_id, doc_id, pr, " +
+        "count(*) OVER (PARTITION BY cluster_id) AS csz, " +
+        "row_number() OVER (PARTITION BY cluster_id ORDER BY coalesce(pr, 0) DESC, doc_id) AS rn FROM j) " +
+        "SELECT cluster_id, doc_id AS keep_doc_id, CAST(pr AS BIGINT) AS keep_pr, " +
+        "CAST(csz - 1 AS BIGINT) AS n_removed FROM rk WHERE rn = 1 ORDER BY cluster_id"),
+    // q156: q13's session chain + ordered string_agg per session
+    // (DuckDB's ORDER BY inside the agg ≡ the engine's struct sort)
+    "q156_session_paths" ->
+      (s"WITH e AS (SELECT user_id, event_id, event_type, $tsUs AS ts2 FROM events), " +
+        "m AS (SELECT *, CASE WHEN " +
+        "lag(epoch_us(ts2)) OVER (PARTITION BY user_id ORDER BY ts2, event_id) IS NULL OR " +
+        "epoch_us(ts2) - lag(epoch_us(ts2)) OVER (PARTITION BY user_id ORDER BY ts2, event_id) > 86400000000 " +
+        "THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts2, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM m), " +
+        "p AS (SELECT user_id, session_id, " +
+        "string_agg(event_type, '>' ORDER BY ts2, event_id) AS path FROM s GROUP BY user_id, session_id) " +
+        "SELECT path, count(*) AS n_sessions FROM p GROUP BY path " +
+        "ORDER BY n_sessions DESC, path LIMIT 10"),
   )
+
+  /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by
+    * q154's entry and q155's keeper join.
+    */
+  private def q154OracleCore: String = {
+    val s = graft.ops.Similarity.PageRankScale
+    val iters = (1 to graft.ops.Similarity.PageRankIters).map { i =>
+      s"p$i AS (SELECT d.gid, d.deg, nn.n, " +
+        s"(15*$s // (100*nn.n)) + (85 * i$i.inflow) // 100 AS pr " +
+        s"FROM (SELECT sym.gb AS gid, sum(p${i - 1}.pr // p${i - 1}.deg) AS inflow " +
+        s"FROM sym JOIN p${i - 1} ON sym.ga = p${i - 1}.gid GROUP BY sym.gb) i$i " +
+        s"JOIN d ON d.gid = i$i.gid CROSS JOIN nn)"
+    }.mkString(", ")
+    "WITH tt AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
+      "gg AS (SELECT min(doc_id) AS gid, toks FROM tt GROUP BY toks), " +
+      "e0 AS MATERIALIZED (SELECT a.gid AS ga, b.gid AS gb FROM gg a JOIN gg b ON a.gid < b.gid " +
+      "AND 5*len(list_intersect(a.toks, b.toks)) >= " +
+      "4*(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))), " +
+      "sym AS MATERIALIZED (SELECT ga, gb FROM e0 UNION ALL SELECT gb AS ga, ga AS gb FROM e0), " +
+      "d AS MATERIALIZED (SELECT ga AS gid, count(*) AS deg FROM sym GROUP BY ga), " +
+      "nn AS (SELECT count(*) AS n FROM d), " +
+      s"p0 AS (SELECT gid, deg, n, $s // n AS pr FROM d CROSS JOIN nn), " +
+      iters +
+      s" SELECT gid AS doc_id, CAST(deg AS BIGINT) AS deg, CAST(pr AS BIGINT) AS pr " +
+      s"FROM p${graft.ops.Similarity.PageRankIters}"
+  }
 }

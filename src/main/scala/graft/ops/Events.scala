@@ -367,6 +367,42 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** q156 — SESSION PATH MINING: the top-10 most common per-session
+    * event-type sequences (q13's 24h-gap sessions, types joined with
+    * '>') — the path readout between q150's one-step transition matrix
+    * and q89's hand-picked funnel: it shows which full journeys
+    * actually occur, and is how funnel steps get picked from data.
+    *
+    * Determinism: the per-session sequence is built by sorting the
+    * collected (epoch, event_id, type) structs — array_sort's
+    * lexicographic struct order IS the userWindow tie rule — and the
+    * top-10 breaks count ties on the path string. Scale: collect_list
+    * is bounded by session length; paths ride one shuffle keyed by
+    * the path string (session-length-bounded; a corpus with mile-long
+    * sessions keys the count on md5(path) and attaches text to the 10
+    * winners — q124's two-pass trade); the top-10 is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def q156SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val prevUs = lag(unix_micros(col("ts")), 1).over(userWindow)
+    val newSession = when(
+      prevUs.isNull || (unix_micros(col("ts")) - prevUs) > MicrosPerDay, 1).otherwise(0)
+    e.withColumn("new_s", newSession)
+      .withColumn("session_id",
+        sum("new_s").over(userWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(unix_micros(col("ts")).as("us"),
+            col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path"))
+      .limit(10)
+  }
+
   /** q150 — EVENT TRANSITION MATRIX: first-order Markov transitions
     * between consecutive event types per user — (from, to, count,
     * probability) — the flow/Sankey readout behind funnel design

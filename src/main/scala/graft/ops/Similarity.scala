@@ -1011,6 +1011,31 @@ object Similarity {
       cur.select(col("gid").as("doc_id"), col("deg"), col("pr"))
     }
 
+  /** q155 — CENTRALITY KEEPER: per near-dup cluster, keep the
+    * highest-PageRank member — q136's survivor selection with the
+    * signal swapped from content quality to graph centrality (keep the
+    * TEMPLATE the variants derive from, not the best-written variant;
+    * production dedup uses whichever matches its goal, so both are
+    * declared). Two staged scans joined — labels (q62's family) and
+    * PageRank scores (q154's) — with the q88 min-struct argmax; no
+    * recompute, no window. Keeper candidates are group representatives
+    * (PageRank's node universe): exact-dup copies carry no score and
+    * never outrank their representative; singleton clusters keep their
+    * only member with a null score.
+    */
+  def q155PagerankKeeper(spark: SparkSession, dir: String): DataFrame =
+    componentLabels(spark, dir)
+      .join(stagedPagerankScores(spark, dir).select("doc_id", "pr"),
+        Seq("doc_id"), "left_outer")
+      .groupBy("cluster_id")
+      .agg(min(struct((-coalesce(col("pr"), lit(0L))).as("np"),
+          col("doc_id").as("doc_id"), col("pr").as("pr"))).as("best"),
+        count(lit(1)).as("csz"))
+      .select(col("cluster_id"), col("best.doc_id").as("keep_doc_id"),
+        col("best.pr").as("keep_pr"),
+        (col("csz") - lit(1L)).as("n_removed"))
+      .orderBy("cluster_id")
+
   def q31EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     embedNeardupFrom(Tables.embeddings(spark, dir))

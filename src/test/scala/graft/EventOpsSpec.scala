@@ -120,6 +120,27 @@ class EventOpsSpec extends SparkSpecBase {
       ("B", "A") -> ((1L, 1.0))), out)
   }
 
+  test("q156 session paths: 24h gap splits journeys; same-ts ties order by event_id") {
+    val dir = tmpDir()
+    writeEvents(dir,
+      // user 1 session 1: A>B>C; session 2 (2 days later): D
+      (1L, T0, 1L, "A", 0.0, "{}"),
+      (2L, T0 + Hour, 1L, "B", 0.0, "{}"),
+      (3L, T0 + 2 * Hour, 1L, "C", 0.0, "{}"),
+      (4L, T0 + 50 * Hour, 1L, "D", 0.0, "{}"),
+      // user 2: A>B>C again (path counted twice overall)
+      (5L, T0, 2L, "A", 0.0, "{}"),
+      (6L, T0 + Hour, 2L, "B", 0.0, "{}"),
+      (7L, T0 + 2 * Hour, 2L, "C", 0.0, "{}"),
+      // user 3: two events at the SAME ts — event_id orders the path
+      (9L, T0, 3L, "Y", 0.0, "{}"),
+      (8L, T0, 3L, "X", 0.0, "{}"))
+    val out = Events.q156SessionPaths(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.head == ("A>B>C" -> 2L), out.toSeq)
+    assert(out.toMap == Map("A>B>C" -> 2L, "D" -> 1L, "X>Y" -> 1L), out.toSeq)
+  }
+
   test("q153 funnel timing: exact type-7 percentiles over converting users only") {
     val dir = tmpDir()
     val Min = 60L * Ns

@@ -111,6 +111,35 @@ class EmbeddingCurationSpec extends SparkSpecBase {
       (3L, 3L, 166666666665L), (4L, 3L, 166666666665L)), out.toSeq)
   }
 
+  test("q155: the keeper is the graph CENTER, not the first-seen doc") {
+    val dir = tmpDir()
+    graft.functions.GraftFunctions.register(spark)
+    val base = (0 until 20).map(i => s"w$i")
+    writeDocuments(dir,
+      // star: doc 5 is the center (J ≈ 0.83 with each leaf); the leaves
+      // are J = 20/28 ≈ 0.71 apart — no leaf-leaf edge
+      (1L, (base ++ Seq("b1", "b2", "b3", "b4")).mkString(" "), "en", "s", 1L),
+      (2L, (base ++ Seq("c1", "c2", "c3", "c4")).mkString(" "), "en", "s", 1L),
+      (5L, base.mkString(" "), "en", "s", 1L),
+      // pair cluster: equal centrality → min-doc tie-break
+      (10L, (0 until 10).map(i => s"p$i").mkString(" "), "en", "s", 1L),
+      (11L, ((0 until 10).map(i => s"p$i") :+ "q1").mkString(" "), "en", "s", 1L),
+      // isolated: keeps itself with no score
+      (20L, (0 until 12).map(i => s"z$i").mkString(" "), "en", "s", 1L))
+    val out = Similarity.q155PagerankKeeper(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toMap
+    // cluster 1 = {1, 2, 5}: doc 5 wins on centrality DESPITE the
+    // higher id — a first-wins keeper would pick 1
+    assert(out(1L)._1 == 5L && out(1L)._3 == 2L, out)
+    assert(out(1L)._2.isDefined)
+    // equal-centrality pair: deterministic min-doc tie-break, exact
+    // uniform fixpoint S·(1/5) in 10⁻¹² units
+    assert(out(10L) == ((10L, Some(200000000000L), 1L)), out)
+    assert(out(20L) == ((20L, None, 0L)), "isolated doc keeps itself, unscored")
+    assert(out.size == 3)
+  }
+
   test("q146: sketch components REFINE the exact ones (banding only misses edges); agreement measured") {
     val sf = "/root/testdata/sf0.001"
     graft.functions.GraftFunctions.register(spark)

@@ -70,6 +70,8 @@ class EmptyCorpusSpec extends SparkSpecBase {
     val ft = Events.q153FunnelTiming(spark, dir).collect()
     assert(ft.length == 1 && ft.head.getLong(0) == 0L && ft.head.isNullAt(1))
     assert(Similarity.q154SimilarityPagerank(spark, dir).count() == 0)
+    assert(Similarity.q155PagerankKeeper(spark, dir).count() == 0)
+    assert(Events.q156SessionPaths(spark, dir).count() == 0)
   }
 
   test("single doc: containment finds no pairs; entropy/calibration emit the one doc") {
