@@ -285,7 +285,7 @@ object SparkEntry {
       "substr(g, 1, 1) || ' ' || substr(g, 2, 1) AS pat, g AS rep, cnt FROM (" +
       "SELECT g, count(*) AS cnt FROM (SELECT substr(text, CAST(i AS BIGINT), 2) AS g FROM " +
       "(SELECT text, UNNEST(range(1, length(text))) AS i FROM documents WHERE length(text) >= 2)) " +
-      "WHERE NOT contains(g, ' ') GROUP BY g " +
+      "WHERE NOT contains(g, ' ') AND NOT contains(g, '|') GROUP BY g " +
       s"ORDER BY cnt DESC, g LIMIT ${graft.ops.TrainingData.BpeMergeCount}))"
 
   /** The trained replay: doc spelled as space-separated chars (word
@@ -1653,7 +1653,7 @@ object SparkEntry {
         "ix AS (SELECT source, emb, unnest(range(1, len(emb) + 1)) AS i FROM j), " +
         "px AS (SELECT source, i, CAST(floor(CAST(emb[i] AS DOUBLE)*1000000)/1000000 " +
         "AS DECIMAL(12,6)) AS xq FROM ix), " +
-        "c AS (SELECT source, i, CAST(sum(xq) AS DECIMAL(12,6)) AS comp FROM px GROUP BY source, i), " +
+        "c AS (SELECT source, i, CAST(sum(xq) AS DECIMAL(18,6)) AS comp FROM px GROUP BY source, i), " +
         "n AS (SELECT source, sqrt(CAST(sum(CAST(comp*comp AS DECIMAL(38,12))) AS DOUBLE)) AS nrm " +
         "FROM c GROUP BY source), " +
         "dt AS (SELECT a.source AS source_a, b.source AS source_b, " +

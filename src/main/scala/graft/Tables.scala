@@ -144,8 +144,8 @@ object Tables {
     *    truncated µs by 1. DuckDB's CAST truncates the same way.
     *
     * Detection is one footer-schema probe per distinct (file state,
-    * session conf) — the cache key carries the file's mtime+length and
-    * the `nanosAsLong` conf value, NOT the path alone: the test corpus
+    * session conf) — the cache entry carries the file's mtime+length
+    * and the `nanosAsLong` conf value, NOT the path alone: the test corpus
     * is regenerated between rounds and its ts layout has already
     * flipped once (NANOS→MICROS), so a path-keyed cache in a JVM that
     * spans a regeneration would replay the stale layout (treating a
@@ -160,16 +160,27 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val tsType = eventsTsTypeCache.getOrElseUpdate((path, fileState(path), nanosConf(spark)), {
-      try spark.read.parquet(path).schema("ts").dataType
-      catch {
-        case e: Exception if isNanosRejection(e) =>
-          throw new IllegalArgumentException(
-            "events.parquet carries TIMESTAMP(NANOS): build the SparkSession with " +
-              """.config("spark.sql.legacy.parquet.nanosAsLong", "true") """ +
-              "(as graft.Verify/graft.Bench do); Tables.events does not set it implicitly", e)
-      }
-    })
+    val key = (fileState(path), nanosConf(spark))
+    // path-keyed with the (file state, conf) fingerprint in the VALUE:
+    // a regenerated file or a different conf replaces the entry instead
+    // of accumulating beside it (the map stays bounded by distinct
+    // paths in a long-lived JVM — the staging registry's leak-guard
+    // discipline applied here)
+    val tsType = eventsTsTypeCache.get(path) match {
+      case Some((`key`, t)) => t
+      case _ =>
+        val t =
+          try spark.read.parquet(path).schema("ts").dataType
+          catch {
+            case e: Exception if isNanosRejection(e) =>
+              throw new IllegalArgumentException(
+                "events.parquet carries TIMESTAMP(NANOS): build the SparkSession with " +
+                  """.config("spark.sql.legacy.parquet.nanosAsLong", "true") """ +
+                  "(as graft.Verify/graft.Bench do); Tables.events does not set it implicitly", e)
+          }
+        eventsTsTypeCache.put(path, (key, t))
+        t
+    }
     tsType match {
       case LongType =>
         load(spark, dir, "events", eventsRawSchema)
@@ -181,18 +192,23 @@ object Tables {
 
   /** Spark rejects parquet TIMESTAMP(NANOS) without the legacy conf via
     * the `ILLEGAL_PARQUET_TYPE`/`PARQUET_TYPE_ILLEGAL` error condition
-    * (`QueryCompilationErrors.illegalParquetTypeError`). Match the error
-    * condition of any `SparkThrowable` in the cause chain first —
-    * stable across locales — with the "NANOS" message text kept only as
-    * a fallback for non-SparkThrowable wrappers.
+    * (`QueryCompilationErrors.illegalParquetTypeError`). The condition
+    * alone also fires for OTHER illegal parquet types, so a matching
+    * `SparkThrowable` must ALSO name NANOS in its message — the
+    * parquet type is embedded verbatim as a message parameter (not
+    * localized prose), so this is the nanos-specific signal and an
+    * unrelated illegal type keeps its real Spark error instead of a
+    * misleading nanosAsLong hint. Non-SparkThrowable wrappers fall
+    * back to the message text.
     */
   private def isNanosRejection(e: Throwable): Boolean = {
     val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).toSeq
     chain.exists {
       case st: org.apache.spark.SparkThrowable =>
-        String.valueOf(st.getCondition).contains("PARQUET_TYPE")
-      case _ => false
-    } || chain.exists(t => String.valueOf(t.getMessage).contains("NANOS"))
+        String.valueOf(st.getCondition).contains("PARQUET_TYPE") &&
+          String.valueOf(st.getMessage).contains("NANOS")
+      case t => String.valueOf(t.getMessage).contains("NANOS")
+    }
   }
 
   private def nanosConf(spark: SparkSession): String =
@@ -212,5 +228,5 @@ object Tables {
   }
 
   private val eventsTsTypeCache =
-    scala.collection.concurrent.TrieMap.empty[(String, (Long, Long), String), DataType]
+    scala.collection.concurrent.TrieMap.empty[String, (((Long, Long), String), DataType)]
 }

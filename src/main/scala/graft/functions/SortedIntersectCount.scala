@@ -124,7 +124,12 @@ object GraftFunctions {
     e.eval(null) match {
       case d: org.apache.spark.sql.catalyst.util.ArrayData
           if e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
-        (0 until d.numElements()).map(i => d.getUTF8String(i).toString)
+        (0 until d.numElements()).map { i =>
+          val s = d.getUTF8String(i)
+          if (s == null) throw new IllegalArgumentException(
+            s"$name: NULL element at index $i of the foldable string array")
+          s.toString
+        }
       case other => throw new IllegalArgumentException(
         s"$name: expected a foldable string array, got $other: ${e.dataType.simpleString}")
     }

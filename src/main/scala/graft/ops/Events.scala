@@ -280,27 +280,6 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
-  /** q147 — TIME-GRID RESAMPLE with forward fill: each user's irregular
-    * event series re-expressed on a regular 6-hour grid spanning
-    * [hour-floor(first event), last event], carrying the latest
-    * observed `value` at or before each grid point (null before the
-    * first observation) — the gap-fill/downsample step every
-    * telemetry-to-feature pipeline runs before joining series with
-    * different clocks (the feature-store "as-of materialization").
-    *
-    * One shuffle (q42's union-sentinel as-of discipline): grid points
-    * union with observations, a single per-user ordered window
-    * forward-fills, grid rows exit. No grid×events join ever forms.
-    * Grid rows are generated from each user's own (lo, hi) span
-    * aggregate — per-user bounded, never a global calendar cross join.
-    * Duplicate (user, ts) observations collapse to the max-event_id
-    * row first, so the filled value is deterministic (userWindow's
-    * tie rule expressed as a pre-aggregate).
-    *
-    * Scale: the window partitions by user (bounded, spreads with user
-    * cardinality); grid size is span/step per user — the resample's
-    * output IS that size, so nothing intermediate exceeds the answer.
-    */
   /** q151 — DEBOUNCE DEDUP (dedup with tolerance): collapse bursts of
     * the same (user, event_type) within a 60-minute gap to their first
     * event, carrying the burst size — the repeated-action collapse
@@ -425,6 +404,28 @@ object Events {
       .orderBy("event_type", "next_type")
   }
 
+  /** q147 — TIME-GRID RESAMPLE with forward fill: each user's irregular
+    * event series re-expressed on a regular 6-hour grid spanning
+    * [hour-floor(first event), last event], carrying the latest
+    * observed `value` at or before each grid point (null before the
+    * first observation) — the gap-fill/downsample step every
+    * telemetry-to-feature pipeline runs before joining series with
+    * different clocks (the feature-store "as-of materialization").
+    *
+    * One shuffle (q42's union-sentinel as-of discipline): grid points
+    * union with observations, a single per-user ordered window
+    * forward-fills, grid rows exit. No grid×events join ever forms
+    * (plan-pinned join-free). Grid rows are generated from each user's
+    * own (lo, hi) span aggregate — per-user bounded, never a global
+    * calendar cross join. Duplicate (user, ts) observations collapse
+    * to the max-event_id row first, so the filled value is
+    * deterministic (userWindow's tie rule expressed as a
+    * pre-aggregate).
+    *
+    * Scale: the window partitions by user (bounded, spreads with user
+    * cardinality); grid size is span/step per user — the resample's
+    * output IS that size, so nothing intermediate exceeds the answer.
+    */
   def q147GridResample(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .groupBy(col("user_id"), col("ts"))

@@ -1901,12 +1901,21 @@ object Similarity {
     val q = e.filter(col("vec_id") < HardNegQueries)
       .select(col("vec_id").as("qid"), col("label").as("q_label"), col("embedding").as("qe"))
       .withColumn("qn", norm(col("qe")))
+    // Gate statistic: size-only plan stats pass a Filter through
+    // UNCHANGED (the full scan size), so measuring `q` itself would
+    // reject a 10-row probe on any corpus over the gate. The id
+    // predicate bounds the probe at HardNegQueries rows (unique
+    // non-negative ids), and GlobalLimit's statistic — limit × row
+    // width — is exactly that bound, so a limit-capped COPY is the
+    // honest measurement proxy; the executed plan stays limit-free
+    // (no single-partition exchange of the vectors).
+    val probeBytes = statSizeBytes(q.limit(HardNegQueries))
     val corpus = e
       .select(col("vec_id").as("tid"), col("label").as("neg_label"), col("embedding").as("te"))
       .withColumn("tn", norm(col("te")))
     val sim = roundD4(dot(col("qe"), col("te")) / (col("qn") * col("tn")))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
-    corpus.join(boundedBroadcast(q, statSizeBytes(q),
+    corpus.join(boundedBroadcast(q, probeBytes,
         "q141_hard_negatives (exact cross-label top-k)",
         "q120_knn_label_ivf's IVF bucketing (both sides assign to centroids)"),
         col("neg_label") =!= col("q_label"))
@@ -1942,8 +1951,8 @@ object Similarity {
     * past that), and a corpus with web-domain cardinality would feed
     * the centroids to q32's ANN instead of enumerating pairs. At
     * larger corpora the component magnitudes grow with doc counts;
-    * DECIMAL(12,6) cells hold 10⁶-doc sources — the wide variant
-    * (q116's DECIMAL(38) move) is the documented widening.
+    * DECIMAL(18,6) cells hold 10¹²-doc sources (products stay inside
+    * DECIMAL(38,12)) — beyond that, q116's DECIMAL(38) move.
     */
   def q142SourceCentroidSim(spark: SparkSession, dir: String): DataFrame = {
     val joined = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
@@ -1953,8 +1962,13 @@ object Similarity {
       .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .withColumn("xq", (floor(col("x").cast(DoubleType) * lit(1000000.0)) / lit(1000000.0))
         .cast(DecimalType(12, 6)))
+      // comp at DECIMAL(18,6): ±10¹² headroom per (source, dim) cell —
+      // a 10¹²-doc source before overflow, vs (12,6)'s 10⁶ which a
+      // large source could hit and (under non-ANSI casts) turn into
+      // silent NULL sims; (18,6)×(18,6) products are DECIMAL(37,12),
+      // still inside 38 — exact end to end
       .groupBy("source", "dim")
-      .agg(sum(col("xq")).cast(DecimalType(12, 6)).as("comp"))
+      .agg(sum(col("xq")).cast(DecimalType(18, 6)).as("comp"))
     val norms = comps.groupBy("source")
       .agg(sqrt(sum((col("comp") * col("comp")).cast(DecimalType(38, 12)))
         .cast(DoubleType)).as("nrm"))

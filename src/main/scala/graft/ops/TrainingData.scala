@@ -620,12 +620,17 @@ object TrainingData {
     * consumer's statement), so the two sides cannot diverge.
     */
   private[graft] def bpeMergeTrainFrom(docs: DataFrame): DataFrame = {
+    // exclude pairs containing a space (word gaps never merge) AND the
+    // '|' gap marker itself: the replay spells gaps as '|', so a rule
+    // trained from a literal '|' in raw text would match spelled word
+    // boundaries and merge across words — the invariant every consumer
+    // (and CurationOpsSpec's fertility ≥ 1 bound) relies on
     val pairs = docs
       .filter(length(col("text")) >= 2)
       .select(explode(filter(
         transform(sequence(lit(1), length(col("text")) - 1),
           i => col("text").substr(i, lit(2))),
-        g => not(g.contains(" ")))).as("g"))
+        g => not(g.contains(" ")) && not(g.contains("|")))).as("g"))
     val w = Window.orderBy(desc("cnt"), asc("g"))
     pairs.groupBy("g").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("g")).limit(BpeMergeCount)

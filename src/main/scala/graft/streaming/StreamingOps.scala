@@ -27,6 +27,15 @@ object StreamingOps {
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
 
+  /** A frozen batch-fit model/threshold map as a sorted literal map
+    * column — the one carrier every stateless gate shares
+    * (qualityGateStream / normGateStream / dsirScoreStream): retrain
+    * in batch, redeploy the query; key order is pinned so the literal
+    * (and thus the plan) is deterministic for a given snapshot.
+    */
+  private def frozenModelMap[K: Ordering](m: Map[K, Double]): org.apache.spark.sql.Column =
+    map(m.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+
   /** Bounded drain (S1/S2): stream a file-backed source into a parquet
     * "bronze" table, processing all available input then stopping —
     * the reference's poll-until-idle loop with a checkpoint instead of
@@ -189,9 +198,7 @@ object StreamingOps {
     */
   def qualityGateStream(docs: DataFrame, thresholds: Map[String, Double]): DataFrame = {
     import graft.ops.TrainingData
-    val m = map(thresholds.toSeq.sortBy(_._1)
-      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    val thr = element_at(m, col("source"))
+    val thr = element_at(frozenModelMap(thresholds), col("source"))
     TrainingData.withTokenEntropy(
         TrainingData.withLangTrigramPred(TrainingData.qualityScored(docs)))
       .withColumn("cal_keep",
@@ -216,9 +223,7 @@ object StreamingOps {
     */
   def normGateStream(vectors: DataFrame, thresholds: Map[Int, Double]): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
-    val m = map(thresholds.toSeq.sortBy(_._1)
-      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    val thr = element_at(m, col("label"))
+    val thr = element_at(frozenModelMap(thresholds), col("label"))
     vectors
       .withColumn("norm4", graft.ops.Det.roundD4(
         sqrt(call_function("float_vec_dot", col("embedding"), col("embedding")))))
@@ -244,8 +249,7 @@ object StreamingOps {
   def dsirScoreStream(docs: DataFrame, model: Map[String, Double]): DataFrame = {
     import graft.ops.TrainingData.{dsirBigrams, dsirBucket}
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
-    val m = map(model.toSeq.sortBy(_._1)
-      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val m = frozenModelMap(model)
     // a bigram whose md5 bucket is ABSENT from the frozen model (the
     // snapshot corpus never populated it) drops out, and n_bigrams
     // counts only covered bigrams — exactly the batch q114's inner-join

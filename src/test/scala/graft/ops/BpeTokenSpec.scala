@@ -96,6 +96,20 @@ class BpeTokenSpec extends SparkSpecBase {
     assert(rules == Seq(("a b", "ab")), s"got $rules")
   }
 
+  test("a literal '|' in raw text never becomes a rule (it spells the word gap in the replay)") {
+    val dir = tmpDir()
+    // "x|" and "|y" are the most frequent adjacent pairs — training a
+    // rule from either would let the replay merge ACROSS spelled word
+    // boundaries (every gap is a '|'), breaking the merges-never-cross-
+    // words invariant and the fertility ≥ 1 bound downstream
+    writeDocuments(dir, (1L, "x|y x|y x|y zq zq", "en", "s", 1L))
+    val rules = TrainingData.bpeMergeTrainFrom(Tables.documents(spark, dir))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(rules.forall { case (p, r) => !p.contains("|") && !r.contains("|") },
+      s"gap-marker rules trained: $rules")
+    assert(rules.contains(("z q", "zq")), s"legitimate pair lost: $rules")
+  }
+
   test("q106 boundaries differ from q80 exactly where BPE token inflation says they must") {
     val dir = tmpDir()
     // corpus-trained rule: "z z" -> "zz" (the only in-word pair), so
