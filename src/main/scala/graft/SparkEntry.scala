@@ -197,6 +197,8 @@ object SparkEntry {
     "q154_similarity_pagerank" -> (Similarity.q154SimilarityPagerank _),
     "q155_pagerank_keeper" -> (Similarity.q155PagerankKeeper _),
     "q156_session_paths" -> (Events.q156SessionPaths _),
+    "q157_cross_source_dups" -> (Similarity.q157CrossSourceDups _),
+    "q158_quality_retention" -> (TrainingData.q158QualityRetention _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -1820,6 +1822,38 @@ object SparkEntry {
         "string_agg(event_type, '>' ORDER BY ts2, event_id) AS path FROM s GROUP BY user_id, session_id) " +
         "SELECT path, count(*) AS n_sessions FROM p GROUP BY path " +
         "ORDER BY n_sessions DESC, path LIMIT 10"),
+    // q157: q21's doc-level pair join + two source lookups; unordered
+    // source cell via least/greatest; n_exact on the ROUNDED J = 1.0
+    "q157_cross_source_dups" ->
+      ("WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))*10000 + 0.5)/10000 AS jaccard " +
+        "FROM t a JOIN t b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8), " +
+        "s AS (SELECT jaccard, da.source AS sa, db.source AS sb FROM p " +
+        "JOIN documents da ON p.doc_a = da.doc_id JOIN documents db ON p.doc_b = db.doc_id) " +
+        "SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b, count(*) AS n_pairs, " +
+        "CAST(sum(CASE WHEN jaccard = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact " +
+        "FROM s GROUP BY least(sa, sb), greatest(sa, sb) ORDER BY source_a, source_b"),
+    // q158: q28's score CTE + a 7-point threshold relation; the
+    // theta join mirrors the engine's explode-then-filter exactly
+    "q158_quality_retention" ->
+      ("WITH f AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "floor((CAST(length(replace(text, ' ', '')) AS DOUBLE)/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS avg_tok_len, " +
+        "floor((CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS stop_ratio " +
+        "FROM documents), " +
+        "q AS (SELECT n_tokens, floor((2.0*stop_ratio + " +
+        "CASE WHEN avg_tok_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END + " +
+        "CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1.0 ELSE 0.0 END)*10000 + 0.5)/10000 AS score FROM f), " +
+        s"th AS (SELECT unnest(range(0, ${graft.ops.TrainingData.RetentionThresholdSteps})) * 0.5 AS threshold), " +
+        "k AS (SELECT threshold, count(*) AS n_docs_kept, CAST(sum(n_tokens) AS BIGINT) AS tokens_kept " +
+        "FROM q JOIN th ON q.score >= th.threshold GROUP BY threshold), " +
+        "tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM f) " +
+        "SELECT threshold, n_docs_kept, tokens_kept, " +
+        "floor((CAST(tokens_kept AS DOUBLE)/total_tokens)*10000 + 0.5)/10000 AS token_frac " +
+        "FROM k CROSS JOIN tot ORDER BY threshold"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

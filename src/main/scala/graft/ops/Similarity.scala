@@ -1011,6 +1011,34 @@ object Similarity {
       cur.select(col("gid").as("doc_id"), col("deg"), col("pr"))
     }
 
+  /** q157 — CROSS-SOURCE DUPLICATION MATRIX: near-dup pair counts per
+    * unordered (source, source) cell — WHO duplicates WHOM. q59 asks
+    * which sources share vocabulary; q72 counts each source's drops;
+    * this is the pair-level attribution between them: a hot
+    * (src_i, src_j) cell means one crawl mirrors another (dedup the
+    * pair jointly), a hot diagonal means a source self-syndicates
+    * (cap it, q113). `n_exact` counts the pairs at rounded J = 1.0 —
+    * the mirror-copy subset.
+    *
+    * All heavy lifting is the staged cascade: this query expands the
+    * staged qualifying pairs (q21's machinery), attaches sources by
+    * two doc_id equi-joins, and aggregates into a |sources|² matrix —
+    * the readout is matrix-sized, the shuffles are long-keyed.
+    */
+  def q157CrossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val srcs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    expandWithMembers(stagedSetPairs45(spark, dir),
+        stagedUnigramGroups(spark, dir), "jaccard", lit(1.0))
+      .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("jaccard") === 1.0).cast(LongType)).as("n_exact"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** q155 — CENTRALITY KEEPER: per near-dup cluster, keep the
     * highest-PageRank member — q136's survivor selection with the
     * signal swapped from content quality to graph centrality (keep the

@@ -1268,6 +1268,37 @@ object TrainingData {
         md5(concat_ws(":", col("epoch"), col("doc_id"))).as("shuffle_key"))
       .orderBy("epoch", "shuffle_key", "doc_id")
 
+  /** q158 — QUALITY RETENTION CURVE: documents and tokens surviving at
+    * each quality-score threshold (0.0 … 3.0 in 0.5 steps) — the
+    * quality-vs-quantity pareto a curation run reads BEFORE picking
+    * q128's cut: every filtering decision is a point on this curve,
+    * and the curve says what a stricter cut costs in tokens.
+    *
+    * Thresholds are a 7-element literal explode (row-local, no join);
+    * the per-threshold aggregate is map-side combinable; the one-row
+    * corpus total is the sanctioned scalar broadcast (q15's class).
+    * Thresholds the whole corpus fails simply drop out — on both
+    * engines, by the same group-by semantics.
+    */
+  private[graft] val RetentionThresholdSteps = 7 // 0.0, 0.5, …, 3.0
+
+  def q158QualityRetention(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScored(Tables.documents(spark, dir))
+      .select(col("score"), col("n_tokens"))
+    val tot = scored.agg(sum("n_tokens").as("total_tokens"))
+    scored
+      .select(col("score"), col("n_tokens"),
+        explode(array((0 until RetentionThresholdSteps).map(i => lit(i * 0.5)): _*))
+          .as("threshold"))
+      .filter(col("score") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_docs_kept"), sum("n_tokens").as("tokens_kept"))
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"), col("n_docs_kept"), col("tokens_kept"),
+        roundD4(col("tokens_kept").cast("double") / col("total_tokens")).as("token_frac"))
+      .orderBy("threshold")
+  }
+
   /** q144 — TOKENIZER FERTILITY REPORT: per (source, language), the
     * corpus priced in trained-BPE units ([[bpeTokenCount]], q133's
     * staged merges) against whitespace words and raw characters —

@@ -475,7 +475,9 @@ class PlanQualitySpec extends SparkSpecBase {
       // q143: one-row n_sources broadcast — scalar, not a relation
       "q143_curriculum_interleave",
       // q149: the one-row (mns, mxs) quantization model — q123's class
-      "q149_quantization_error")
+      "q149_quantization_error",
+      // q158: one-row corpus-total broadcast — scalar, not a relation
+      "q158_quality_retention")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

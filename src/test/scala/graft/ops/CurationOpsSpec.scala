@@ -137,6 +137,23 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(again == out.map(_.toSeq).toSeq)
   }
 
+  test("q158: every threshold's survivors and token fraction are exact; failed thresholds drop out") {
+    val dir = tmpDir()
+    // score 3.0 (20 tokens) + score 0.0 (2 tokens) → 22 total tokens
+    val high = (Seq.fill(10)("the") ++ Seq.fill(10)("abcd")).mkString(" ")
+    writeDocuments(dir,
+      (1L, high, "en", "s", 1L),
+      (2L, "xy xy", "en", "s", 1L))
+    val out = TrainingData.q158QualityRetention(spark, dir).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0.0) == ((2L, 22L, 1.0)), out)
+    // thresholds 0.5 … 3.0 keep only the high-score doc: 20/22 → 0.9091
+    Seq(0.5, 1.0, 1.5, 2.0, 2.5, 3.0).foreach { t =>
+      assert(out(t) == ((1L, 20L, 0.9091)), s"threshold $t: ${out.get(t)}")
+    }
+    assert(out.size == 7)
+  }
+
   test("degenerate inputs: empty corpus and single-doc corpus return sane results") {
     graft.functions.GraftFunctions.register(spark)
     val empty = tmpDir(); writeDocuments(empty)

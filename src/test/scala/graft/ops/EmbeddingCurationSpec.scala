@@ -140,6 +140,26 @@ class EmbeddingCurationSpec extends SparkSpecBase {
     assert(out.size == 3)
   }
 
+  test("q157: pair attribution lands in the right source cell; exact copies counted apart") {
+    val dir = tmpDir()
+    graft.functions.GraftFunctions.register(spark)
+    val base = (0 until 20).map(i => s"w$i")
+    writeDocuments(dir,
+      // cross-source near-dup: (srcA, srcB) cell, J = 20/21 < 1
+      (1L, base.mkString(" "), "en", "srcA", 1L),
+      (2L, (base :+ "x1").mkString(" "), "en", "srcB", 1L),
+      // intra-source EXACT pair: (srcA, srcA) diagonal, n_exact 1
+      (3L, (0 until 15).map(i => s"y$i").mkString(" "), "en", "srcA", 1L),
+      (4L, (0 until 15).map(i => s"y$i").mkString(" "), "en", "srcA", 1L),
+      // unrelated doc — appears in no cell
+      (9L, (0 until 12).map(i => s"z$i").mkString(" "), "en", "srcC", 1L))
+    val out = Similarity.q157CrossSourceDups(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      ("srcA", "srcA") -> ((1L, 1L)),
+      ("srcA", "srcB") -> ((1L, 0L))), out)
+  }
+
   test("q146: sketch components REFINE the exact ones (banding only misses edges); agreement measured") {
     val sf = "/root/testdata/sf0.001"
     graft.functions.GraftFunctions.register(spark)

@@ -72,6 +72,8 @@ class EmptyCorpusSpec extends SparkSpecBase {
     assert(Similarity.q154SimilarityPagerank(spark, dir).count() == 0)
     assert(Similarity.q155PagerankKeeper(spark, dir).count() == 0)
     assert(Events.q156SessionPaths(spark, dir).count() == 0)
+    assert(Similarity.q157CrossSourceDups(spark, dir).count() == 0)
+    assert(TrainingData.q158QualityRetention(spark, dir).count() == 0)
   }
 
   test("single doc: containment finds no pairs; entropy/calibration emit the one doc") {
