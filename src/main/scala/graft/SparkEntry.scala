@@ -199,6 +199,7 @@ object SparkEntry {
     "q156_session_paths" -> (Events.q156SessionPaths _),
     "q157_cross_source_dups" -> (Similarity.q157CrossSourceDups _),
     "q158_quality_retention" -> (TrainingData.q158QualityRetention _),
+    "q159_source_dispersion" -> (Similarity.q159SourceDispersion _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -1854,6 +1855,25 @@ object SparkEntry {
         "SELECT threshold, n_docs_kept, tokens_kept, " +
         "floor((CAST(tokens_kept AS DOUBLE)/total_tokens)*10000 + 0.5)/10000 AS token_frac " +
         "FROM k CROSS JOIN tot ORDER BY threshold"),
+    // q159: E|x|² − |μ|² from exact decimal moments, both collapsed to
+    // 4-dp-rounded doubles before the final arithmetic (q92's
+    // identical-rounded-inputs convention)
+    "q159_source_dispersion" ->
+      ("WITH j AS (SELECT d.source AS source, e.vec_id AS vec_id, e.embedding AS emb " +
+        "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id), " +
+        "ix AS (SELECT source, vec_id, emb, unnest(range(1, len(emb) + 1)) AS i FROM j), " +
+        "pxd AS (SELECT source, vec_id, i, CAST(emb[i] AS DOUBLE) AS x FROM ix), " +
+        "c AS (SELECT source, i, CAST(sum(CAST(floor(x*1000000)/1000000 AS DECIMAL(12,6))) " +
+        "AS DECIMAL(18,6)) AS comp FROM pxd GROUP BY source, i), " +
+        "sc AS (SELECT source, CAST(round(sum(CAST(comp*comp AS DECIMAL(38,12))), 4) AS DOUBLE) AS sq4 " +
+        "FROM c GROUP BY source), " +
+        "r AS (SELECT source, vec_id, CAST(floor(sum(x*x)*1000000)/1000000 AS DECIMAL(28,6)) AS ssq " +
+        "FROM pxd GROUP BY source, vec_id), " +
+        "t AS (SELECT source, CAST(round(sum(ssq), 4) AS DOUBLE) AS ss4, count(*) AS n_vecs " +
+        "FROM r GROUP BY source) " +
+        "SELECT t.source AS source, n_vecs, " +
+        "floor(((ss4*CAST(n_vecs AS DOUBLE) - sq4)/(CAST(n_vecs AS DOUBLE)*CAST(n_vecs AS DOUBLE)))*10000 + 0.5)/10000 AS dispersion " +
+        "FROM t JOIN sc ON t.source = sc.source ORDER BY source"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

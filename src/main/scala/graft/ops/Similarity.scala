@@ -1982,21 +1982,33 @@ object Similarity {
     * DECIMAL(18,6) cells hold 10¹²-doc sources (products stay inside
     * DECIMAL(38,12)) — beyond that, q116's DECIMAL(38) move.
     */
-  def q142SourceCentroidSim(spark: SparkSession, dir: String): DataFrame = {
-    val joined = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+  /** documents⋈embeddings with the source attached — the shared front
+    * of the per-source embedding statistics (q142/q159).
+    */
+  private def sourceVectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
       .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
         col("doc_id") === col("vec_id"))
-    val comps = joined
+
+  /** Per-(source, dim) exact component sums — 6-dp-quantized floats
+    * accumulated as DECIMAL, so the sums are exact under any
+    * partitioning. comp at DECIMAL(18,6): ±10¹² headroom per cell —
+    * a 10¹²-doc source before overflow, vs (12,6)'s 10⁶ which a large
+    * source could hit and (under non-ANSI casts) turn into silent NULL
+    * sims; (18,6)×(18,6) products are DECIMAL(37,12), still inside 38
+    * — exact end to end. Shared by q142 (centroid cosine) and q159
+    * (dispersion).
+    */
+  private def sourceDimComps(spark: SparkSession, dir: String): DataFrame =
+    sourceVectors(spark, dir)
       .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .withColumn("xq", (floor(col("x").cast(DoubleType) * lit(1000000.0)) / lit(1000000.0))
         .cast(DecimalType(12, 6)))
-      // comp at DECIMAL(18,6): ±10¹² headroom per (source, dim) cell —
-      // a 10¹²-doc source before overflow, vs (12,6)'s 10⁶ which a
-      // large source could hit and (under non-ANSI casts) turn into
-      // silent NULL sims; (18,6)×(18,6) products are DECIMAL(37,12),
-      // still inside 38 — exact end to end
       .groupBy("source", "dim")
       .agg(sum(col("xq")).cast(DecimalType(18, 6)).as("comp"))
+
+  def q142SourceCentroidSim(spark: SparkSession, dir: String): DataFrame = {
+    val comps = sourceDimComps(spark, dir)
     val norms = comps.groupBy("source")
       .agg(sqrt(sum((col("comp") * col("comp")).cast(DecimalType(38, 12)))
         .cast(DoubleType)).as("nrm"))
@@ -2012,6 +2024,42 @@ object Similarity {
       .select(col("source_a"), col("source_b"),
         roundD4(col("dt") / (col("na") * col("nb"))).as("sim"))
       .orderBy("source_a", "source_b")
+  }
+
+  /** q159 — SOURCE EMBEDDING DISPERSION: per source, the mean squared
+    * distance of its vectors to their centroid, E|x−μ|² = E|x|² −
+    * |μ|² — the DIVERSITY readout beside q142's direction: two sources
+    * can share a centroid (q142 sim ≈ 1) while one is a tight
+    * template-stamped blob (low dispersion — SemDeDup fodder) and the
+    * other genuinely varied. Curation reads both before mixing.
+    *
+    * Exactness discipline: per-row |x|² folds index-ordered, is
+    * 6-dp-quantized and summed as DECIMAL; the centroid term reuses
+    * [[sourceDimComps]]' exact cells; both moments then collapse to
+    * 4-dp-rounded doubles (the q92 convention — all downstream double
+    * arithmetic starts from identical rounded inputs on both engines).
+    * Everything is map-side-combinable aggregates; nothing
+    * vector-sized shuffles.
+    */
+  def q159SourceDispersion(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ssq = (floor(foldSum(transform(col("embedding"),
+        x => x.cast(DoubleType) * x.cast(DoubleType))) * lit(1000000.0)) / lit(1000000.0))
+      .cast(DecimalType(28, 6))
+    val secondMoment = sourceVectors(spark, dir)
+      .select(col("source"), ssq.as("ssq"))
+      .groupBy("source")
+      .agg(round(sum(col("ssq")), 4).cast(DoubleType).as("ss4"),
+        count(lit(1)).as("n_vecs"))
+    val centroidTerm = sourceDimComps(spark, dir)
+      .groupBy("source")
+      .agg(round(sum((col("comp") * col("comp")).cast(DecimalType(38, 12))), 4)
+        .cast(DoubleType).as("sq4"))
+    val n = col("n_vecs").cast(DoubleType)
+    secondMoment.join(centroidTerm, "source")
+      .select(col("source"), col("n_vecs"),
+        roundD4((col("ss4") * n - col("sq4")) / (n * n)).as("dispersion"))
+      .orderBy("source")
   }
 
   /** q145 — EMBEDDING NORM OUTLIERS: per-label L2-norm percentile rank

@@ -140,6 +140,24 @@ class EmbeddingCurationSpec extends SparkSpecBase {
     assert(out.size == 3)
   }
 
+  test("q159: same centroid direction, different dispersion — the blob q142 cannot see") {
+    val dir = tmpDir()
+    graft.functions.GraftFunctions.register(spark)
+    writeDocuments(dir,
+      (0L, "a", "en", "sT", 1L), (1L, "a", "en", "sT", 1L),
+      (2L, "a", "en", "sV", 1L), (3L, "a", "en", "sV", 1L))
+    writeEmbeddings(dir,
+      (0L, Seq(2f, 0f), 0), (1L, Seq(2f, 0f), 0), // tight blob at (2,0)
+      (2L, Seq(1f, 0f), 0), (3L, Seq(3f, 0f), 0)) // varied, same centroid
+    val disp = Similarity.q159SourceDispersion(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(disp("sT") == ((2L, 0.0)), disp)
+    assert(disp("sV") == ((2L, 1.0)), disp) // ((1-2)² + (3-2)²)/2
+    // the motivating contrast: q142 reads the two sources as IDENTICAL
+    val sim = Similarity.q142SourceCentroidSim(spark, dir).collect()
+    assert(sim.length == 1 && sim.head.getDouble(2) == 1.0)
+  }
+
   test("q157: pair attribution lands in the right source cell; exact copies counted apart") {
     val dir = tmpDir()
     graft.functions.GraftFunctions.register(spark)
