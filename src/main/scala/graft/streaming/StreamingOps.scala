@@ -427,4 +427,40 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  /** State for [[transitionStream]]: the last event type seen per user
+    * — one string, the smallest state any sequence analysis can carry.
+    */
+  case class TransState(hasLast: Boolean, lastType: String)
+
+  /** Streaming transition extraction (q150's stateful dual): one
+    * (user, from_type, to_type) record per consecutive per-user event
+    * pair, the last type carried across micro-batches via explicit
+    * group state. The transition MATRIX is a downstream aggregate of
+    * these records (batch q150's groupBy, or a windowed streaming agg)
+    * — the stream's job is only the stateful pairing, which no
+    * stateless view can do once a user's events span micro-batches.
+    * Events inside a batch fold in (ts, event_id) order
+    * ([[forwardFillStream]]'s discipline); cross-batch order is the
+    * source's delivery order. StreamingSpec drains the events table
+    * through this in two batches and pins the aggregated counts equal
+    * to batch q150's matrix.
+    */
+  def transitionStream(events: Dataset[Ev]): Dataset[(Long, String, String)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, (Long, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[TransState]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption.filter(_.hasLast).map(_.lastType)
+          val out = Seq.newBuilder[(Long, String, String)]
+          evs.foreach { e =>
+            last.foreach(f => out += ((uid, f, e.event_type)))
+            last = Some(e.event_type)
+          }
+          state.update(TransState(last.isDefined, last.getOrElse("")))
+          out.result().iterator
+      }
+  }
 }

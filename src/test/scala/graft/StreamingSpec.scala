@@ -416,6 +416,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(diverging.isEmpty, s"stream/batch gate divergence: ${diverging.take(5)}")
   }
 
+  test("transitionStream: last-type state carries across micro-batches; counts equal batch q150") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // split on global time order, so every user's batch-1 events
+    // precede their batch-2 events — the pairing at the seam exists
+    // ONLY if the state genuinely carries across micro-batches
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val ms = MemoryStream[StreamingOps.Ev]
+    val q = StreamingOps.transitionStream(ms.toDS())
+      .toDF("user_id", "from_type", "to_type")
+      .writeStream.format("memory").queryName("trans").outputMode("append").start()
+    ms.addData(b1.toSeq: _*); q.processAllAvailable()
+    ms.addData(b2.toSeq: _*); q.processAllAvailable()
+    val streamed = spark.table("trans").groupBy("from_type", "to_type")
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    q.stop()
+    val batch = graft.ops.Events.q150EventTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"stream/batch transition divergence: " +
+      s"${(streamed.toSet diff batch.toSet).take(5)} / ${(batch.toSet diff streamed.toSet).take(5)}")
+  }
+
   test("normGateStream: frozen per-label thresholds replay batch q145's outlier flag bit-exactly") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
