@@ -229,6 +229,35 @@ object SparkEntry {
   }
   private def rd4(x: String) = s"floor(($x)*10000 + 0.5)/10000"
 
+  /** q28's quality-feature + composite-score CTEs (qf -> qs): the ONE
+    * oracle-side definition of the score formula, consumed by q28,
+    * q128, q136, q143 and q158 exactly as the engine shares
+    * TrainingData.qualityScored. qs carries every feature column;
+    * consumers select what they need.
+    */
+  private val qualityScoreCtes: String =
+    "qf AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+      "CAST(length(text) AS BIGINT) AS n_chars_text, " +
+      "floor((CAST(length(replace(text, ' ', '')) AS DOUBLE)/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS avg_tok_len, " +
+      "floor((CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS stop_ratio FROM documents), " +
+      "qs AS (SELECT doc_id, source, n_tokens, n_chars_text, avg_tok_len, stop_ratio, " +
+      "floor((2.0*stop_ratio + CASE WHEN avg_tok_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END + " +
+      "CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1.0 ELSE 0.0 END)*10000 + 0.5)/10000 AS score FROM qf)"
+
+  /** The exact-dup collapse (tt -> gg) and the J >= 4/5 group-edge self
+    * join over it: the ONE oracle-side definition of the staged
+    * cascade's node/edge universe, consumed by q135's manifest counts
+    * and q154/q155's PageRank recurrence.
+    */
+  private val ttGgCtes: String =
+    "tt AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
+      "gg AS (SELECT min(doc_id) AS gid, toks FROM tt GROUP BY toks)"
+
+  private def groupEdgeSql(alias: String): String =
+    s"$alias AS MATERIALIZED (SELECT a.gid AS ga, b.gid AS gb FROM gg a JOIN gg b ON a.gid < b.gid " +
+      "AND 5*len(list_intersect(a.toks, b.toks)) >= " +
+      "4*(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))"
+
   /** Shared by q62 (hash-min) and q62b (large/small-star): reachability
     * via a recursive CTE, min label per doc — algorithm-independent
     * component truth.
@@ -489,14 +518,9 @@ object SparkEntry {
         "CASE WHEN vowel_ratio >= 0.42 THEN 'vowel-heavy' WHEN vowel_ratio >= 0.36 THEN 'balanced' " +
         "ELSE 'consonant-heavy' END AS pred_class FROM f ORDER BY doc_id"),
     "q28_quality_score" ->
-      ("WITH f AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
-        "CAST(length(text) AS BIGINT) AS n_chars_text, " +
-        "floor((CAST(length(replace(text, ' ', '')) AS DOUBLE)/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS avg_tok_len, " +
-        "floor((CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)" +
-        "/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS stop_ratio FROM documents) " +
-        "SELECT doc_id, n_tokens, n_chars_text, avg_tok_len, stop_ratio, " +
-        "floor((2.0*stop_ratio + CASE WHEN avg_tok_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END + " +
-        "CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1.0 ELSE 0.0 END)*10000 + 0.5)/10000 AS score FROM f ORDER BY doc_id"),
+      (s"WITH $qualityScoreCtes " +
+        "SELECT doc_id, n_tokens, n_chars_text, avg_tok_len, stop_ratio, score " +
+        "FROM qs ORDER BY doc_id"),
     "q29_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_runs, " +
@@ -1352,15 +1376,9 @@ object SparkEntry {
     // q128: q28's score CTE verbatim (one definition, three consumers)
     // + per-source percent_rank, flag on the rounded percentile
     "q128_source_calibration" ->
-      ("WITH f AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
-        "floor((CAST(length(replace(text, ' ', '')) AS DOUBLE)/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS avg_tok_len, " +
-        "floor((CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS stop_ratio " +
-        "FROM documents), " +
-        "s AS (SELECT doc_id, source, floor((2.0*stop_ratio + " +
-        "CASE WHEN avg_tok_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END + " +
-        "CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1.0 ELSE 0.0 END)*10000 + 0.5)/10000 AS score FROM f), " +
+      (s"WITH $qualityScoreCtes, " +
         "c AS (SELECT doc_id, source, score, " +
-        "floor(percent_rank() OVER (PARTITION BY source ORDER BY score)*10000 + 0.5)/10000 AS cal_pct FROM s) " +
+        "floor(percent_rank() OVER (PARTITION BY source ORDER BY score)*10000 + 0.5)/10000 AS cal_pct FROM qs) " +
         "SELECT doc_id, source, score, cal_pct, CAST(cal_pct >= 0.2 AS BIGINT) AS keep " +
         "FROM c ORDER BY doc_id"),
     // q129: the integer CASE bucket ladder verbatim (no float log2)
@@ -1536,12 +1554,7 @@ object SparkEntry {
     // centroids by construction (empty clusters keep their previous
     // centroid, so the model never loses rows).
     "q135_staging_manifest" ->
-      (s"WITH $bpeMergesCte, $spanCteChain, " +
-        "tt AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
-        "gg AS (SELECT min(doc_id) AS gid, toks FROM tt GROUP BY toks), " +
-        "spr45 AS MATERIALIZED (SELECT a.gid AS ga, b.gid AS gb FROM gg a JOIN gg b ON a.gid < b.gid " +
-        "AND 5*len(list_intersect(a.toks, b.toks)) >= " +
-        "4*(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))), " +
+      (s"WITH $bpeMergesCte, $spanCteChain, $ttGgCtes, ${groupEdgeSql("spr45")}, " +
         "wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "shc AS (SELECT count(*) AS c FROM (SELECT DISTINCT " +
         "list_sort(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])) " +
@@ -1584,14 +1597,8 @@ object SparkEntry {
     // q108 pattern) joined to q28's score formula; argmax via
     // row_number mirrors the engine's min-struct (score DESC, doc_id)
     "q136_cluster_keeper" ->
-      ("WITH f0 AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
-        "floor((CAST(length(replace(text, ' ', '')) AS DOUBLE)/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS avg_tok_len, " +
-        "floor((CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)" +
-        "/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS stop_ratio FROM documents), " +
-        "f AS (SELECT doc_id, floor((2.0*stop_ratio + " +
-        "CASE WHEN avg_tok_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END + " +
-        "CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1.0 ELSE 0.0 END)*10000 + 0.5)/10000 AS score FROM f0), " +
-        s"j AS (SELECT cc.cluster_id, cc.doc_id, f.score FROM ($q62OracleCore) cc JOIN f USING (doc_id)), " +
+      (s"WITH $qualityScoreCtes, " +
+        s"j AS (SELECT cc.cluster_id, cc.doc_id, qs.score FROM ($q62OracleCore) cc JOIN qs USING (doc_id)), " +
         "rk AS (SELECT cluster_id, doc_id, score, count(*) OVER (PARTITION BY cluster_id) AS csz, " +
         "row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn FROM j) " +
         "SELECT cluster_id, doc_id AS keep_doc_id, score AS keep_score, " +
@@ -1668,15 +1675,9 @@ object SparkEntry {
     // q143: q28's score CTE verbatim (one definition, four consumers
     // now) + per-source rank and the arithmetic interleave key
     "q143_curriculum_interleave" ->
-      ("WITH f AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
-        "floor((CAST(length(replace(text, ' ', '')) AS DOUBLE)/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS avg_tok_len, " +
-        "floor((CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS stop_ratio " +
-        "FROM documents), " +
-        "s AS (SELECT doc_id, source, floor((2.0*stop_ratio + " +
-        "CASE WHEN avg_tok_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END + " +
-        "CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1.0 ELSE 0.0 END)*10000 + 0.5)/10000 AS score FROM f), " +
+      (s"WITH $qualityScoreCtes, " +
         "r AS (SELECT doc_id, source, score, " +
-        "CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rank_in_source FROM s), " +
+        "CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rank_in_source FROM qs), " +
         "si AS (SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS sidx " +
         "FROM (SELECT DISTINCT source FROM documents)), " +
         "c AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM si) " +
@@ -1841,17 +1842,11 @@ object SparkEntry {
     // q158: q28's score CTE + a 7-point threshold relation; the
     // theta join mirrors the engine's explode-then-filter exactly
     "q158_quality_retention" ->
-      ("WITH f AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
-        "floor((CAST(length(replace(text, ' ', '')) AS DOUBLE)/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS avg_tok_len, " +
-        "floor((CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)/len(string_split(text, ' ')))*10000 + 0.5)/10000 AS stop_ratio " +
-        "FROM documents), " +
-        "q AS (SELECT n_tokens, floor((2.0*stop_ratio + " +
-        "CASE WHEN avg_tok_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END + " +
-        "CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1.0 ELSE 0.0 END)*10000 + 0.5)/10000 AS score FROM f), " +
+      (s"WITH $qualityScoreCtes, " +
         s"th AS (SELECT unnest(range(0, ${graft.ops.TrainingData.RetentionThresholdSteps})) * 0.5 AS threshold), " +
         "k AS (SELECT threshold, count(*) AS n_docs_kept, CAST(sum(n_tokens) AS BIGINT) AS tokens_kept " +
-        "FROM q JOIN th ON q.score >= th.threshold GROUP BY threshold), " +
-        "tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM f) " +
+        "FROM qs JOIN th ON qs.score >= th.threshold GROUP BY threshold), " +
+        "tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM qs) " +
         "SELECT threshold, n_docs_kept, tokens_kept, " +
         "floor((CAST(tokens_kept AS DOUBLE)/total_tokens)*10000 + 0.5)/10000 AS token_frac " +
         "FROM k CROSS JOIN tot ORDER BY threshold"),
@@ -1888,11 +1883,7 @@ object SparkEntry {
         s"FROM sym JOIN p${i - 1} ON sym.ga = p${i - 1}.gid GROUP BY sym.gb) i$i " +
         s"JOIN d ON d.gid = i$i.gid CROSS JOIN nn)"
     }.mkString(", ")
-    "WITH tt AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
-      "gg AS (SELECT min(doc_id) AS gid, toks FROM tt GROUP BY toks), " +
-      "e0 AS MATERIALIZED (SELECT a.gid AS ga, b.gid AS gb FROM gg a JOIN gg b ON a.gid < b.gid " +
-      "AND 5*len(list_intersect(a.toks, b.toks)) >= " +
-      "4*(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))), " +
+    s"WITH $ttGgCtes, ${groupEdgeSql("e0")}, " +
       "sym AS MATERIALIZED (SELECT ga, gb FROM e0 UNION ALL SELECT gb AS ga, ga AS gb FROM e0), " +
       "d AS MATERIALIZED (SELECT ga AS gid, count(*) AS deg FROM sym GROUP BY ga), " +
       "nn AS (SELECT count(*) AS n FROM d), " +

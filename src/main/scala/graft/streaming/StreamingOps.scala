@@ -399,6 +399,15 @@ object StreamingOps {
       }
   }
 
+  /** Full-microsecond sort key for a Timestamp — `getTime` alone is
+    * millisecond-truncated, and events.parquet carries microsecond
+    * precision, so two same-millisecond events would fall back to the
+    * event_id tie-break in a DIFFERENT order than the batch
+    * userWindow's full-precision (ts, event_id).
+    */
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   /** State for [[forwardFillStream]] — primitive fields (an
     * Option-typed private class breaks the state encoder's codegen).
     */
@@ -417,7 +426,7 @@ object StreamingOps {
       .flatMapGroupsWithState[FillState, (Long, Long, Option[Double])](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Ev], state: GroupState[FillState]) =>
-          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val evs = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
           var last = state.getOption.filter(_.hasValue).map(_.lastPurchase)
           val out = evs.map { e =>
             if (e.event_type == "purchase") last = Some(e.value)
@@ -452,7 +461,7 @@ object StreamingOps {
       .flatMapGroupsWithState[TransState, (Long, String, String)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Ev], state: GroupState[TransState]) =>
-          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val evs = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
           var last = state.getOption.filter(_.hasLast).map(_.lastType)
           val out = Seq.newBuilder[(Long, String, String)]
           evs.foreach { e =>
