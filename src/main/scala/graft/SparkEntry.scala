@@ -200,6 +200,7 @@ object SparkEntry {
     "q157_cross_source_dups" -> (Similarity.q157CrossSourceDups _),
     "q158_quality_retention" -> (TrainingData.q158QualityRetention _),
     "q159_source_dispersion" -> (Similarity.q159SourceDispersion _),
+    "q160_threshold_curve" -> (Similarity.q160ThresholdCurve _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -1869,6 +1870,26 @@ object SparkEntry {
         "SELECT t.source AS source, n_vecs, " +
         "floor(((ss4*CAST(n_vecs AS DOUBLE) - sq4)/(CAST(n_vecs AS DOUBLE)*CAST(n_vecs AS DOUBLE)))*10000 + 0.5)/10000 AS dispersion " +
         "FROM t JOIN sc ON t.source = sc.source ORDER BY source"),
+    // q160: q21's doc-level pairs (rounded J) against the same literal
+    // threshold list — both engines parse the literals to identical
+    // doubles, and the jaccard being compared is 4-dp-rounded
+    "q160_threshold_curve" -> {
+      val ths = graft.ops.Similarity.CurveThresholds.mkString("[", ", ", "]")
+      "WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))*10000 + 0.5)/10000 AS jaccard " +
+        "FROM t a JOIN t b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8), " +
+        s"th AS (SELECT unnest($ths) AS threshold), " +
+        "e AS (SELECT threshold, doc_a, doc_b FROM p JOIN th ON p.jaccard >= th.threshold), " +
+        "np AS (SELECT threshold, count(*) AS n_pairs FROM e GROUP BY threshold), " +
+        "nd AS (SELECT threshold, count(DISTINCT d) AS n_docs FROM " +
+        "(SELECT threshold, unnest([doc_a, doc_b]) AS d FROM e) GROUP BY threshold) " +
+        "SELECT np.threshold AS threshold, n_pairs, n_docs FROM np " +
+        "JOIN nd ON np.threshold = nd.threshold ORDER BY threshold"
+    },
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

@@ -1039,6 +1039,36 @@ object Similarity {
       .orderBy("source_a", "source_b")
   }
 
+  /** q160 — DEDUP THRESHOLD SENSITIVITY: qualifying doc pairs and
+    * distinct docs touched at each candidate Jaccard cut (0.8 … 1.0)
+    * — the sensitivity readout behind the threshold knob every dedup
+    * config hardcodes: a curve that collapses slowly means the
+    * corpus' duplication is robust to the cut; a cliff between two
+    * cuts means the decision is riding the threshold. Thresholds the
+    * corpus never reaches drop out (q158's semantics).
+    *
+    * Free at readout time: the staged pairs already CARRY their exact
+    * rounded Jaccard, so the curve is one explode + two aggregates
+    * over the pair relation — no re-verification, no candidate join.
+    * (Cuts below the staged 0.8 floor would need a lower-threshold
+    * staging pass — the floor is the knob's lower bound by design.)
+    */
+  private[graft] val CurveThresholds = Seq(0.8, 0.85, 0.9, 0.95, 1.0)
+
+  def q160ThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val pairs = expandWithMembers(stagedSetPairs45(spark, dir),
+      stagedUnigramGroups(spark, dir), "jaccard", lit(1.0))
+    val e = pairs.select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(array(CurveThresholds.map(lit(_)): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+    val np = e.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val nd = e.select(col("threshold"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("threshold").agg(countDistinct(col("d")).as("n_docs"))
+    np.join(nd, "threshold").orderBy("threshold")
+  }
+
   /** q155 — CENTRALITY KEEPER: per near-dup cluster, keep the
     * highest-PageRank member — q136's survivor selection with the
     * signal swapped from content quality to graph centrality (keep the

@@ -158,6 +158,24 @@ class EmbeddingCurationSpec extends SparkSpecBase {
     assert(sim.length == 1 && sim.head.getDouble(2) == 1.0)
   }
 
+  test("q160: the curve counts pairs and touched docs at each cut, boundary-exact at J = 0.8") {
+    val dir = tmpDir()
+    graft.functions.GraftFunctions.register(spark)
+    val base = (0 until 20).map(i => s"w$i")
+    writeDocuments(dir,
+      (1L, base.mkString(" "), "en", "s", 1L), // A
+      (2L, (base :+ "b1").mkString(" "), "en", "s", 1L), // J(A,B) = 20/21 ≈ 0.9524
+      (3L, (base ++ Seq("c1", "c2", "c3", "c4", "c5")).mkString(" "), "en", "s", 1L), // J(A,C) = 0.8 exactly
+      (10L, (0 until 12).map(i => s"p$i").mkString(" "), "en", "s", 1L), // exact pair
+      (11L, (0 until 12).map(i => s"p$i").mkString(" "), "en", "s", 1L))
+    val out = Similarity.q160ThresholdCurve(spark, dir).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0.8) == ((3L, 5L)), out) // the J = 0.8 boundary pair survives its own cut
+    assert(out(0.85) == ((2L, 4L)) && out(0.9) == ((2L, 4L)), out)
+    assert(out(0.95) == ((2L, 4L)), out) // 0.9524 still qualifies
+    assert(out(1.0) == ((1L, 2L)), out) // only the exact copy
+  }
+
   test("q157: pair attribution lands in the right source cell; exact copies counted apart") {
     val dir = tmpDir()
     graft.functions.GraftFunctions.register(spark)

@@ -75,6 +75,7 @@ class EmptyCorpusSpec extends SparkSpecBase {
     assert(Similarity.q157CrossSourceDups(spark, dir).count() == 0)
     assert(TrainingData.q158QualityRetention(spark, dir).count() == 0)
     assert(Similarity.q159SourceDispersion(spark, dir).count() == 0)
+    assert(Similarity.q160ThresholdCurve(spark, dir).count() == 0)
   }
 
   test("single doc: containment finds no pairs; entropy/calibration emit the one doc") {
