@@ -144,8 +144,8 @@ object Tables {
     *    truncated µs by 1. DuckDB's CAST truncates the same way.
     *
     * Detection is one footer-schema probe per distinct (file state,
-    * session conf) — the cache entry carries the file's mtime+length
-    * and the `nanosAsLong` conf value, NOT the path alone: the test corpus
+    * session conf) — the cache is keyed by (path, `nanosAsLong` conf)
+    * and its entry carries the file's mtime+length: the test corpus
     * is regenerated between rounds and its ts layout has already
     * flipped once (NANOS→MICROS), so a path-keyed cache in a JVM that
     * spans a regeneration would replay the stale layout (treating a
@@ -160,14 +160,17 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val key = (fileState(path), nanosConf(spark))
-    // path-keyed with the (file state, conf) fingerprint in the VALUE:
-    // a regenerated file or a different conf replaces the entry instead
-    // of accumulating beside it (the map stays bounded by distinct
-    // paths in a long-lived JVM — the staging registry's leak-guard
-    // discipline applied here)
-    val tsType = eventsTsTypeCache.get(path) match {
-      case Some((`key`, t)) => t
+    val cacheKey = (path, nanosConf(spark))
+    val state = fileState(path)
+    // keyed by (path, conf) with the file state in the VALUE: sessions
+    // with different nanosAsLong confs keep separate entries (a NANOS
+    // probe is conf-dependent, and a shared path-keyed entry would make
+    // two concurrent confs evict each other and re-probe the footer on
+    // every call), while a regenerated file replaces its entry instead
+    // of accumulating beside it. Bounded by distinct paths × the two
+    // conf values — the staging registry's leak-guard discipline.
+    val tsType = eventsTsTypeCache.get(cacheKey) match {
+      case Some((`state`, t)) => t
       case _ =>
         val t =
           try spark.read.parquet(path).schema("ts").dataType
@@ -178,7 +181,7 @@ object Tables {
                   """.config("spark.sql.legacy.parquet.nanosAsLong", "true") """ +
                   "(as graft.Verify/graft.Bench do); Tables.events does not set it implicitly", e)
           }
-        eventsTsTypeCache.put(path, (key, t))
+        eventsTsTypeCache.put(cacheKey, (state, t))
         t
     }
     tsType match {
@@ -192,24 +195,21 @@ object Tables {
 
   /** Spark rejects parquet TIMESTAMP(NANOS) without the legacy conf via
     * the `ILLEGAL_PARQUET_TYPE`/`PARQUET_TYPE_ILLEGAL` error condition
-    * (`QueryCompilationErrors.illegalParquetTypeError`). The condition
-    * alone also fires for OTHER illegal parquet types, so a matching
-    * `SparkThrowable` must ALSO name NANOS in its message — the
-    * parquet type is embedded verbatim as a message parameter (not
-    * localized prose), so this is the nanos-specific signal and an
-    * unrelated illegal type keeps its real Spark error instead of a
-    * misleading nanosAsLong hint. Non-SparkThrowable wrappers fall
-    * back to the message text.
+    * (`QueryCompilationErrors.illegalParquetTypeError`), with the
+    * parquet type embedded verbatim as a message parameter (not
+    * localized prose) — so "NANOS" in a message along the cause chain
+    * is the nanos-specific signal. The error may surface wrapped (e.g.
+    * a FAILED_READ_FILE SparkException whose own condition says nothing
+    * about parquet types but whose message carries the inner one), so
+    * the message test applies uniformly to every element of the chain
+    * rather than being gated on a PARQUET_TYPE condition: an unrelated
+    * illegal parquet type (message without NANOS) still keeps its real
+    * Spark error, and a false positive only adds a hint wrapper whose
+    * cause preserves the original.
     */
-  private def isNanosRejection(e: Throwable): Boolean = {
-    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).toSeq
-    chain.exists {
-      case st: org.apache.spark.SparkThrowable =>
-        String.valueOf(st.getCondition).contains("PARQUET_TYPE") &&
-          String.valueOf(st.getMessage).contains("NANOS")
-      case t => String.valueOf(t.getMessage).contains("NANOS")
-    }
-  }
+  private def isNanosRejection(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(t => String.valueOf(t.getMessage).contains("NANOS"))
 
   private def nanosConf(spark: SparkSession): String =
     spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
@@ -228,5 +228,5 @@ object Tables {
   }
 
   private val eventsTsTypeCache =
-    scala.collection.concurrent.TrieMap.empty[String, (((Long, Long), String), DataType)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), ((Long, Long), DataType)]
 }

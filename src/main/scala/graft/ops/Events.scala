@@ -447,4 +447,71 @@ object Events {
       .select(col("user_id"), col("ts").as("grid_ts"), col("value_ff"))
       .orderBy("user_id", "grid_ts")
   }
+
+  /** q162 — STATE SNAPSHOT DIFF (CDC audit): per-user latest state
+    * (last event's type+value) in the first half of the corpus window
+    * vs the second half, classified added / removed / changed /
+    * unchanged — the reconciliation report every incremental
+    * ingestion run publishes ("what did this crawl/CDC window change")
+    * before the merge is trusted. The cut is data-anchored (midpoint
+    * of the corpus time span, q17's max-ts discipline) so the op
+    * survives corpus regeneration.
+    *
+    * Each snapshot's state is ONE aggregate — a max-struct argmax on
+    * (µs, event_id), q88's discipline: map-side combinable, no window
+    * over raw events — then a user-keyed full outer join of two
+    * user-sized relations. At 100 TB the events scan dominates; the
+    * join touches |users| rows.
+    */
+  def q162SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    // integer `div`, not `/`: double division is exact here (µs sums
+    // stay under 2^53) but the floor-div form mirrors DuckDB's `//`
+    // without relying on that bound
+    val bounds = e.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      .select(expr("(unix_micros(mn) + unix_micros(mx)) div 2").as("cut_us"))
+    val cutApplied = e.crossJoin(broadcast(bounds))
+    def lastState(df: DataFrame, tag: String) = df
+      .groupBy("user_id")
+      .agg(max(struct(unix_micros(col("ts")).as("us"), col("event_id").as("event_id"),
+        col("event_type").as("event_type"), col("value").as("value"))).as("s"))
+      .select(col("user_id"), col("s.event_type").as(s"type_$tag"),
+        col("s.value").as(s"value_$tag"), lit(1).as(s"in_$tag"))
+    val a = lastState(cutApplied.filter(unix_micros(col("ts")) < col("cut_us")), "a")
+    val b = lastState(cutApplied.filter(unix_micros(col("ts")) >= col("cut_us")), "b")
+    a.join(b, Seq("user_id"), "full_outer")
+      .select(when(col("in_a").isNull, "added")
+        .when(col("in_b").isNull, "removed")
+        .when(col("type_a") =!= col("type_b") || col("value_a") =!= col("value_b"), "changed")
+        .otherwise("unchanged").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n_users"))
+      .orderBy("status")
+  }
+
+  /** q163 — SCD TYPE-2 HISTORY: each user's event-type timeline
+    * collapsed into versioned validity intervals — a row per type
+    * CHANGE carrying [valid_from, valid_to) with an open (null)
+    * valid_to on the current version — the slowly-changing-dimension
+    * build every warehouse runs to make "state as of time T" a range
+    * lookup instead of an event replay (pairs with q42's as-of join as
+    * the consumer).
+    *
+    * One shuffle: change detection (lag) runs over the raw events,
+    * versioning (row_number) and interval closing (lead) over the
+    * surviving change rows — two Window operators, but both partition
+    * by user_id, so the filter preserves the first exchange's
+    * distribution and the second window re-sorts without reshuffling.
+    * Bounded partitions, userWindow's tie rule.
+    */
+  def q163Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val changes = Tables.events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(userWindow))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("version", row_number().over(userWindow).cast(LongType))
+      .withColumn("valid_to", lead(col("ts"), 1).over(userWindow))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"))
+      .orderBy("user_id", "version")
+  }
 }

@@ -454,22 +454,41 @@ object StreamingOps {
     * source's delivery order. StreamingSpec drains the events table
     * through this in two batches and pins the aggregated counts equal
     * to batch q150's matrix.
+    *
+    * State lifetime: with `idleTtl = None` one TransState (a single
+    * string) lives per user FOREVER — fine for a bounded drain, but on
+    * an unbounded stream state grows with user cardinality without
+    * bound. A production deployment passes an `idleTtl`: a user idle
+    * longer than the TTL has its state dropped (processing-time
+    * timeout), so its NEXT event starts a fresh sequence and the
+    * (idle-gap-spanning) transition is not emitted — the same trade a
+    * session gap timeout makes, and the right one when per-user idle
+    * gaps beyond the TTL carry no signal.
     */
-  def transitionStream(events: Dataset[Ev]): Dataset[(Long, String, String)] = {
+  def transitionStream(events: Dataset[Ev],
+                       idleTtl: Option[java.time.Duration] = None): Dataset[(Long, String, String)] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[TransState, (Long, String, String)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (uid: Long, it: Iterator[Ev], state: GroupState[TransState]) =>
-          val evs = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
-          var last = state.getOption.filter(_.hasLast).map(_.lastType)
-          val out = Seq.newBuilder[(Long, String, String)]
-          evs.foreach { e =>
-            last.foreach(f => out += ((uid, f, e.event_type)))
-            last = Some(e.event_type)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            var last = state.getOption.filter(_.hasLast).map(_.lastType)
+            val out = Seq.newBuilder[(Long, String, String)]
+            evs.foreach { e =>
+              last.foreach(f => out += ((uid, f, e.event_type)))
+              last = Some(e.event_type)
+            }
+            state.update(TransState(last.isDefined, last.getOrElse("")))
+            idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            out.result().iterator
           }
-          state.update(TransState(last.isDefined, last.getOrElse("")))
-          out.result().iterator
       }
   }
 }

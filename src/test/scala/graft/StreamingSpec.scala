@@ -443,6 +443,33 @@ class StreamingSpec extends SparkSpecBase {
       s"${(streamed.toSet diff batch.toSet).take(5)} / ${(batch.toSet diff streamed.toSet).take(5)}")
   }
 
+  test("transitionStream: idle-TTL mode (production state bound) matches the unbounded run when no user idles past it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val ms = MemoryStream[StreamingOps.Ev]
+    // a drain shorter than the TTL: no state ages out, so the TTL path
+    // must be bit-identical to the unbounded path (and exercises the
+    // ProcessingTimeTimeout registration end-to-end)
+    val q = StreamingOps.transitionStream(ms.toDS(), Some(java.time.Duration.ofHours(1)))
+      .toDF("user_id", "from_type", "to_type")
+      .writeStream.format("memory").queryName("trans_ttl").outputMode("append").start()
+    ms.addData(b1.toSeq: _*); q.processAllAvailable()
+    ms.addData(b2.toSeq: _*); q.processAllAvailable()
+    val streamed = spark.table("trans_ttl").groupBy("from_type", "to_type")
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    q.stop()
+    val batch = graft.ops.Events.q150EventTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"TTL-mode transition divergence: " +
+      s"${(streamed.toSet diff batch.toSet).take(5)} / ${(batch.toSet diff streamed.toSet).take(5)}")
+  }
+
   test("normGateStream: frozen per-label thresholds replay batch q145's outlier flag bit-exactly") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
