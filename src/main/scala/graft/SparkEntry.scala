@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Analytics, CorpusPrep, Events, Relational, Similarity, Sketches, Temporal, TextOps, TrainingData}
+import graft.ops.{Analytics, Audit, CorpusPrep, Events, Relational, Similarity, Sketches, Temporal, TextOps, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory)
   * and §7 (build plan). Each `queries` key is one declared operator;
@@ -201,6 +201,10 @@ object SparkEntry {
     "q158_quality_retention" -> (TrainingData.q158QualityRetention _),
     "q159_source_dispersion" -> (Similarity.q159SourceDispersion _),
     "q160_threshold_curve" -> (Similarity.q160ThresholdCurve _),
+    "q162_snapshot_diff" -> (Events.q162SnapshotDiff _),
+    "q163_scd2_history" -> (Events.q163Scd2History _),
+    "q167_integrity_manifest" -> (Audit.q167IntegrityManifest _),
+    "q168_purge_cascade" -> (Audit.q168PurgeCascade _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -1890,6 +1894,62 @@ object SparkEntry {
         "SELECT np.threshold AS threshold, n_pairs, n_docs FROM np " +
         "JOIN nd ON np.threshold = nd.threshold ORDER BY threshold"
     },
+    // q162: midpoint cut from the corpus span (integer µs floor-div),
+    // per-side last state via row_number DESC (the engine's max-struct
+    // argmax — (us, event_id) is unique so the extra struct fields
+    // never decide), full outer on user_id, null-SAFE change test
+    // (IS DISTINCT FROM ≡ the engine's !(a <=> b))
+    "q162_snapshot_diff" ->
+      (s"WITH bnd AS (SELECT (epoch_us(min($tsUs)) + epoch_us(max($tsUs))) // 2 AS cut_us FROM events), " +
+        s"e AS (SELECT user_id, event_id, event_type, value, epoch_us($tsUs) AS us FROM events), " +
+        "la AS (SELECT user_id, event_type AS type_a, value AS value_a FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn " +
+        "FROM e WHERE us < (SELECT cut_us FROM bnd)) ra WHERE rn = 1), " +
+        "lb AS (SELECT user_id, event_type AS type_b, value AS value_b FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn " +
+        "FROM e WHERE us >= (SELECT cut_us FROM bnd)) rb WHERE rn = 1), " +
+        "j AS (SELECT la.user_id AS ua, lb.user_id AS ub, type_a, type_b, value_a, value_b " +
+        "FROM la FULL OUTER JOIN lb ON la.user_id = lb.user_id) " +
+        "SELECT CASE WHEN ua IS NULL THEN 'added' WHEN ub IS NULL THEN 'removed' " +
+        "WHEN type_a IS DISTINCT FROM type_b OR value_a IS DISTINCT FROM value_b THEN 'changed' " +
+        "ELSE 'unchanged' END AS status, count(*) AS n_users FROM j " +
+        "GROUP BY 1 ORDER BY status"),
+    // q163: lag-based change detection over the raw timeline, then
+    // row_number/lead over the SURVIVING change rows only — both
+    // windows under the (ts, event_id) tie rule; open current version
+    // keeps a NULL valid_to on both sides
+    "q163_scd2_history" ->
+      (s"WITH e AS (SELECT user_id, event_id, event_type, $tsUs AS ts2 FROM events), " +
+        "c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts2, event_id) AS prev_type FROM e), " +
+        "f AS (SELECT * FROM c WHERE prev_type IS NULL OR prev_type <> event_type) " +
+        "SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version, event_type, " +
+        "ts2 AS valid_from, lead(ts2) OVER w AS valid_to FROM f " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts2, event_id) " +
+        "ORDER BY user_id, version"),
+    // q167: generated from the SAME TablePk/ChecksumMod/KnuthMult
+    // constants as the engine (the BpeMerges one-source-of-truth
+    // pattern); sum accumulates exactly in DECIMAL(38,0), publishes
+    // mod p as BIGINT — see Audit.checksumTerm's scaladoc
+    "q167_integrity_manifest" -> {
+      val perTable = Audit.TablePk.map { case (table, pk) =>
+        s"SELECT '$table' AS table_name, count(*) AS n_rows, " +
+          s"CAST(CAST(sum(CAST((($pk) % ${Audit.ChecksumMod}) * ${Audit.KnuthMult} % ${Audit.ChecksumMod} " +
+          s"AS DECIMAL(38,0))) AS HUGEINT) % ${Audit.ChecksumMod} AS BIGINT) AS pk_checksum FROM $table"
+      }
+      perTable.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name")
+    },
+    // q168: the same semi-join cascade as IN-subqueries; totals and
+    // purge counts are scalar subqueries, remaining is arithmetic
+    "q168_purge_cascade" ->
+      ("WITH dc AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0), " +
+        "dord AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM dc)), " +
+        "r AS (SELECT 'customer' AS entity, (SELECT count(*) FROM dc) AS n_purged, " +
+        "(SELECT count(*) FROM customer) AS n_total " +
+        "UNION ALL SELECT 'orders', (SELECT count(*) FROM dord), (SELECT count(*) FROM orders) " +
+        "UNION ALL SELECT 'lineitem', " +
+        "(SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM dord)), " +
+        "(SELECT count(*) FROM lineitem)) " +
+        "SELECT entity, n_purged, n_total, n_total - n_purged AS n_remaining FROM r ORDER BY entity"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

@@ -22,11 +22,17 @@ object Audit {
     * of terms accumulates in DECIMAL(38,0) (exact, associative —
     * order-independent under any partitioning, and with 10^29 headroom
     * over the 10^9-bounded terms it cannot overflow below ~10^29 rows).
-    * Oracle mirror: `sum(CAST((k % 1000000007) * 2654435761 %
-    * 1000000007 AS DECIMAL(38,0)))`.
+    * The PUBLISHED checksum is that sum reduced mod p again — a Long in
+    * [0, 1e9+7): additivity survives the mod (incremental loads still
+    * maintain it additively, mod p), and the emitted value is integer-
+    * exact in BIGINT for both engines at any corpus size (a DOUBLE or
+    * raw-DECIMAL output would go engine-ambiguous past 2^53 / rely on
+    * pandas decimal semantics). Oracle mirror:
+    * `CAST(sum(CAST((k % 1000000007) * 2654435761 % 1000000007 AS
+    * DECIMAL(38,0))) % 1000000007 AS BIGINT)`.
     */
-  private val ChecksumMod = 1000000007L
-  private val KnuthMult = 2654435761L
+  private[graft] val ChecksumMod = 1000000007L
+  private[graft] val KnuthMult = 2654435761L
 
   private def checksumTerm(key: Column): Column =
     ((key % ChecksumMod) * KnuthMult % ChecksumMod).cast(DecimalType(38, 0))
@@ -34,7 +40,7 @@ object Audit {
   /** Primary-key expression per table — lineitem's composite key packs
     * as orderkey·10+linenumber (TPC-H linenumber ∈ 1..7).
     */
-  private[ops] val TablePk: Seq[(String, String)] = Seq(
+  private[graft] val TablePk: Seq[(String, String)] = Seq(
     "region" -> "r_regionkey", "nation" -> "n_nationkey",
     "customer" -> "c_custkey", "supplier" -> "s_suppkey",
     "part" -> "p_partkey", "orders" -> "o_orderkey",
@@ -61,7 +67,7 @@ object Audit {
       Tables.all(table)(spark, dir)
         .select(expr(pkExpr).cast(LongType).as("pk"))
         .agg(count(lit(1)).as("n_rows"),
-          sum(checksumTerm(col("pk"))).as("pk_checksum"))
+          (sum(checksumTerm(col("pk"))) % ChecksumMod).cast(LongType).as("pk_checksum"))
         .select(lit(table).as("table_name"), col("n_rows"), col("pk_checksum"))
     }.reduce(_ unionByName _).orderBy("table_name")
 

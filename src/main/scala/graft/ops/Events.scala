@@ -479,10 +479,14 @@ object Events {
         col("s.value").as(s"value_$tag"), lit(1).as(s"in_$tag"))
     val a = lastState(cutApplied.filter(unix_micros(col("ts")) < col("cut_us")), "a")
     val b = lastState(cutApplied.filter(unix_micros(col("ts")) >= col("cut_us")), "b")
+    // null-SAFE inequality on value: events.value is nullable, and a
+    // plain =!= with one NULL side evaluates NULL — the `when` would
+    // fall through and report a NULL→42.0 flip as "unchanged". <=> is
+    // the only comparison that treats NULL as a value here.
     a.join(b, Seq("user_id"), "full_outer")
       .select(when(col("in_a").isNull, "added")
         .when(col("in_b").isNull, "removed")
-        .when(col("type_a") =!= col("type_b") || col("value_a") =!= col("value_b"), "changed")
+        .when(!(col("type_a") <=> col("type_b")) || !(col("value_a") <=> col("value_b")), "changed")
         .otherwise("unchanged").as("status"))
       .groupBy("status").agg(count(lit(1)).as("n_users"))
       .orderBy("status")

@@ -464,6 +464,17 @@ object StreamingOps {
     * (idle-gap-spanning) transition is not emitted — the same trade a
     * session gap timeout makes, and the right one when per-user idle
     * gaps beyond the TTL carry no signal.
+    *
+    * DEPLOYMENT RULE (TTL mode only): run the query with a NON-ZERO
+    * processing-time trigger (e.g. `Trigger.ProcessingTime("30 seconds")`).
+    * Registering a processing-time timeout makes Spark schedule NO-DATA
+    * micro-batches so idle state can age out; at the default 0-ms
+    * trigger those no-data batches busy-spin — each one commits a
+    * state-store delta, so an idle stream burns a CPU and floods the
+    * checkpoint with empty versions. (Alternatively disable
+    * `spark.sql.streaming.noDataMicroBatches.enabled` and accept that
+    * TTLs then fire only when data arrives.) The `idleTtl = None` path
+    * registers no timeout and has no such constraint.
     */
   def transitionStream(events: Dataset[Ev],
                        idleTtl: Option[java.time.Duration] = None): Dataset[(Long, String, String)] = {

@@ -216,4 +216,49 @@ class EventOpsSpec extends SparkSpecBase {
       (2L, t0ms, Some(9.0)),
       (3L, t0ms + 3600 * 1000L, Some(4.0))), out.toSeq)
   }
+
+  test("q162 snapshot diff: added/removed/changed/unchanged; NULL-valued latest event still reads as changed") {
+    val dir = tmpDir()
+    // span [T0, T0+10h] → cut at T0+5h
+    write(dir, "events", df(Tables.eventsRawSchema,
+      // user 1: type a → b across the cut           → changed
+      org.apache.spark.sql.Row(1L, T0, 1L, "a", 1.0, "{}"),
+      org.apache.spark.sql.Row(2L, T0 + 6 * Hour, 1L, "b", 1.0, "{}"),
+      // user 2: before the cut only                 → removed
+      org.apache.spark.sql.Row(3L, T0 + Hour, 2L, "a", 1.0, "{}"),
+      // user 3: after the cut only (also the span max) → added
+      org.apache.spark.sql.Row(4L, T0 + 10 * Hour, 3L, "a", 1.0, "{}"),
+      // user 4: same (type, value) both sides       → unchanged
+      org.apache.spark.sql.Row(5L, T0 + Hour, 4L, "a", 2.0, "{}"),
+      org.apache.spark.sql.Row(6L, T0 + 8 * Hour, 4L, "a", 2.0, "{}"),
+      // user 5: value 1.0 → NULL with the type equal — the null-safe
+      // comparison MUST classify this as changed (a plain =!= slips
+      // it through as unchanged)
+      org.apache.spark.sql.Row(7L, T0, 5L, "x", 1.0, "{}"),
+      org.apache.spark.sql.Row(8L, T0 + 9 * Hour, 5L, "x", null, "{}")))
+    val out = Events.q162SnapshotDiff(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("added" -> 1L, "removed" -> 1L, "changed" -> 2L, "unchanged" -> 1L), out)
+  }
+
+  test("q163 SCD2: versions per type change, [valid_from, valid_to) chain, open current version") {
+    val dir = tmpDir()
+    writeEvents(dir,
+      // user 1: a, a (no change), b, back to a → 3 versions
+      (1L, T0, 1L, "a", 0.0, "{}"),
+      (2L, T0 + Hour, 1L, "a", 0.0, "{}"),
+      (3L, T0 + 2 * Hour, 1L, "b", 0.0, "{}"),
+      (4L, T0 + 3 * Hour, 1L, "a", 0.0, "{}"),
+      // user 2: single event → one open version
+      (5L, T0, 2L, "c", 0.0, "{}"))
+    val t0ms = T0 / 1000000L
+    val out = Events.q163Scd2History(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3).getTime,
+        if (r.isNullAt(4)) None else Some(r.getTimestamp(4).getTime)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, "a", t0ms, Some(t0ms + 2 * 3600 * 1000L)),
+      (1L, 2L, "b", t0ms + 2 * 3600 * 1000L, Some(t0ms + 3 * 3600 * 1000L)),
+      (1L, 3L, "a", t0ms + 3 * 3600 * 1000L, None),
+      (2L, 1L, "c", t0ms, None)), out.toSeq)
+  }
 }

@@ -477,7 +477,13 @@ class PlanQualitySpec extends SparkSpecBase {
       // q149: the one-row (mns, mxs) quantization model — q123's class
       "q149_quantization_error",
       // q158: one-row corpus-total broadcast — scalar, not a relation
-      "q158_quality_retention")
+      "q158_quality_retention",
+      // q162: the one-row (cut_us) corpus-bounds broadcast — q15/q17's
+      // scalar-not-relation shape
+      "q162_snapshot_diff",
+      // q168: one-row purge/total count broadcasts stitched into the
+      // 3-row audit record — scalars, not relations
+      "q168_purge_cascade")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

@@ -454,16 +454,27 @@ class StreamingSpec extends SparkSpecBase {
     val ms = MemoryStream[StreamingOps.Ev]
     // a drain shorter than the TTL: no state ages out, so the TTL path
     // must be bit-identical to the unbounded path (and exercises the
-    // ProcessingTimeTimeout registration end-to-end)
-    val q = StreamingOps.transitionStream(ms.toDS(), Some(java.time.Duration.ofHours(1)))
-      .toDF("user_id", "from_type", "to_type")
-      .writeStream.format("memory").queryName("trans_ttl").outputMode("append").start()
-    ms.addData(b1.toSeq: _*); q.processAllAvailable()
-    ms.addData(b2.toSeq: _*); q.processAllAvailable()
-    val streamed = spark.table("trans_ttl").groupBy("from_type", "to_type")
-      .count().collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    q.stop()
+    // ProcessingTimeTimeout registration end-to-end). With a
+    // processing-time timeout registered Spark schedules NO-DATA
+    // micro-batches to evaluate timeouts — at the default 0-ms trigger
+    // that busy-spins the state store forever and the suite never
+    // finishes. The TTL never needs to FIRE here (that's exactly what
+    // this test asserts), so disable no-data batches for the query;
+    // see transitionStream's scaladoc for the production-side rule.
+    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val streamed = try {
+      val q = StreamingOps.transitionStream(ms.toDS(), Some(java.time.Duration.ofHours(1)))
+        .toDF("user_id", "from_type", "to_type")
+        .writeStream.format("memory").queryName("trans_ttl").outputMode("append").start()
+      ms.addData(b1.toSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toSeq: _*); q.processAllAvailable()
+      val res = spark.table("trans_ttl").groupBy("from_type", "to_type")
+        .count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      q.stop()
+      res
+    } finally spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
     val batch = graft.ops.Events.q150EventTransitions(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(streamed == batch, s"TTL-mode transition divergence: " +

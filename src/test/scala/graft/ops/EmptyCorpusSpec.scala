@@ -76,6 +76,9 @@ class EmptyCorpusSpec extends SparkSpecBase {
     assert(TrainingData.q158QualityRetention(spark, dir).count() == 0)
     assert(Similarity.q159SourceDispersion(spark, dir).count() == 0)
     assert(Similarity.q160ThresholdCurve(spark, dir).count() == 0)
+    // round 8/9: a null corpus span makes both snapshot filters empty
+    assert(Events.q162SnapshotDiff(spark, dir).count() == 0)
+    assert(Events.q163Scd2History(spark, dir).count() == 0)
   }
 
   test("single doc: containment finds no pairs; entropy/calibration emit the one doc") {
