@@ -502,4 +502,82 @@ object StreamingOps {
           }
       }
   }
+
+  /** State for [[scd2Stream]]: the OPEN version per user — number,
+    * type and start of the interval that has not closed yet.
+    */
+  case class Scd2State(hasOpen: Boolean, version: Long, curType: String, validFromUs: Long)
+
+  /** Streaming SCD type-2 build (batch q163's stateful dual): one
+    * (user_id, version, event_type, valid_from_us, valid_to_us) row per
+    * CLOSED version — emitted at the moment the type CHANGES, with the
+    * new event's timestamp closing the interval. The open current
+    * version lives only in group state: append mode cannot retract, so
+    * it is published on the NEXT change (batch q163's null-valid_to
+    * row is exactly this state, snapshot at drain end). Events inside
+    * a batch fold in (ts, event_id) order ([[forwardFillStream]]'s
+    * discipline); no-change events touch neither state nor output.
+    *
+    * Parity contract (StreamingSpec): the emitted rows equal batch
+    * q163's rows WHERE valid_to IS NOT NULL, bit-for-bit.
+    */
+  def scd2Stream(events: Dataset[Ev]): Dataset[(Long, Long, String, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, (Long, Long, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[Scd2State]) =>
+          val evs = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(Scd2State(hasOpen = false, 0L, "", 0L))
+          val out = Seq.newBuilder[(Long, Long, String, Long, Long)]
+          evs.foreach { e =>
+            val us = tsMicros(e.ts)
+            if (!st.hasOpen) st = Scd2State(hasOpen = true, 1L, e.event_type, us)
+            else if (e.event_type != st.curType) {
+              out += ((uid, st.version, st.curType, st.validFromUs, us))
+              st = Scd2State(hasOpen = true, st.version + 1, e.event_type, us)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** State for [[lastStateStream]]: the (ts, event_id)-max event's
+    * (type, value) per user — q162's per-side argmax kept incrementally.
+    */
+  case class LastSeen(hasV: Boolean, us: Long, eventId: Long, lastType: String, value: Double)
+
+  /** Streaming last-state maintenance (batch q162's per-snapshot
+    * argmax as an incremental stream): after each micro-batch that
+    * touches a user, emits that user's current
+    * (user_id, event_type, value, us, event_id) — the max-struct
+    * winner over everything delivered so far, out-of-order safe (a
+    * late event older than the state's (us, event_id) leaves it
+    * unchanged). Update-mode semantics via flatMapGroups + downstream
+    * last-emission-wins: a CDC consumer materializes the snapshot by
+    * keeping each user's latest emission, and q162's diff is then a
+    * BATCH compare of two such snapshots (StreamingSpec drains the
+    * two cut sides through two independent runs and pins the
+    * classification counts to batch q162).
+    */
+  def lastStateStream(events: Dataset[Ev]): Dataset[(Long, String, Double, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSeen, (Long, String, Double, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[LastSeen]) =>
+          val batchMax = it.maxBy(e => (tsMicros(e.ts), e.event_id))
+          val bUs = tsMicros(batchMax.ts)
+          val prev = state.getOption.filter(_.hasV)
+          val keepPrev = prev.exists(p =>
+            p.us > bUs || (p.us == bUs && p.eventId > batchMax.event_id))
+          val st =
+            if (keepPrev) prev.get
+            else LastSeen(hasV = true, tsMicros(batchMax.ts), batchMax.event_id,
+              batchMax.event_type, batchMax.value)
+          state.update(st)
+          Iterator.single((uid, st.lastType, st.value, st.us, st.eventId))
+      }
+  }
 }

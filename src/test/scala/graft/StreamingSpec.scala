@@ -509,4 +509,80 @@ class StreamingSpec extends SparkSpecBase {
     }
     assert(diverging.isEmpty, s"stream/batch norm-gate divergence: ${diverging.take(5)}")
   }
+
+  test("scd2Stream: closed versions across micro-batches equal batch q163's non-null-valid_to rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // global time-order split: versions closing at the seam exist only
+    // if the open interval genuinely carries in state
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val ms = MemoryStream[StreamingOps.Ev]
+    val q = StreamingOps.scd2Stream(ms.toDS())
+      .toDF("user_id", "version", "event_type", "valid_from_us", "valid_to_us")
+      .writeStream.format("memory").queryName("scd2").outputMode("append").start()
+    ms.addData(b1.toSeq: _*); q.processAllAvailable()
+    ms.addData(b2.toSeq: _*); q.processAllAvailable()
+    val streamed = spark.table("scd2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    q.stop()
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val batch = graft.ops.Events.q163Scd2History(spark, sf)
+      .filter(col("valid_to").isNotNull)
+      .select(col("user_id"), col("version"), col("event_type"),
+        unix_micros(col("valid_from")), unix_micros(col("valid_to")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch, s"stream/batch SCD2 divergence: " +
+      s"${(streamed diff batch).take(5)} / ${(batch diff streamed).take(5)}")
+  }
+
+  test("lastStateStream: two independent snapshot drains classify exactly as batch q162") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    def us(e: StreamingOps.Ev): Long =
+      math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+    // the same data-anchored cut as batch q162: midpoint of the span
+    val cut = (evs.map(us).min + evs.map(us).max) / 2
+    val (sideA, sideB) = evs.partition(e => us(e) < cut)
+    // each side drains through its OWN run in two micro-batches; the
+    // snapshot is each user's LAST emission (update-mode consumption)
+    def snapshot(side: Seq[StreamingOps.Ev], name: String): Map[Long, (String, Double)] = {
+      val ms = MemoryStream[StreamingOps.Ev]
+      val q = StreamingOps.lastStateStream(ms.toDS())
+        .toDF("user_id", "event_type", "value", "us", "event_id")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val (h1, h2) = side.splitAt(side.length / 2)
+      if (h1.nonEmpty) { ms.addData(h1: _*); q.processAllAvailable() }
+      if (h2.nonEmpty) { ms.addData(h2: _*); q.processAllAvailable() }
+      val snap = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+        .groupBy(_._1).map { case (uid, rows) =>
+          val w = rows.maxBy(r => (r._4, r._5)) // argmax (us, event_id)
+          uid -> ((w._2, w._3))
+        }
+      q.stop()
+      snap
+    }
+    val a = snapshot(sideA, "snap_a")
+    val b = snapshot(sideB, "snap_b")
+    val streamed = (a.keySet ++ b.keySet).toSeq.map { uid =>
+      (a.get(uid), b.get(uid)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(x), Some(y)) if x != y => "changed"
+        case _ => "unchanged"
+      }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val batch = graft.ops.Events.q162SnapshotDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"stream/batch snapshot-diff divergence: $streamed vs $batch")
+  }
 }
