@@ -205,6 +205,9 @@ object SparkEntry {
     "q163_scd2_history" -> (Events.q163Scd2History _),
     "q167_integrity_manifest" -> (Audit.q167IntegrityManifest _),
     "q168_purge_cascade" -> (Audit.q168PurgeCascade _),
+    "q164_storage_stats" -> (graft.ops.Storage.q164StorageStats _),
+    "q165_clustering_audit" -> (graft.ops.Storage.q165ClusteringAudit _),
+    "q166_compaction_plan" -> ((s, dir) => graft.ops.Storage.q166CompactionPlan(s, dir)),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —

@@ -27,7 +27,11 @@ class EngineSmokeSpec extends SparkSpecBase {
       "q50_stratified_sample", "q57_sketch_rollup", "q94_semdedup",
       "q120_knn_label_ivf", "q131_ivf_sq8",
       // q146: LSH-banded candidate edges (Spark xxhash64) — q25's class
-      "q146_sketch_clusters")
+      "q146_sketch_clusters",
+      // q164-q166: file-LAYOUT facts (file names, byte sizes, per-file
+      // rows) — the oracle's row views cannot observe storage layout;
+      // StorageSpec pins exact outputs on controlled multi-file fixtures
+      "q164_storage_stats", "q165_clustering_audit", "q166_compaction_plan")
 
   test("entry returns rows on a vanilla session") {
     assert(SparkEntry.entry(spark).count() > 0)

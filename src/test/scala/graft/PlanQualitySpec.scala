@@ -483,7 +483,10 @@ class PlanQualitySpec extends SparkSpecBase {
       "q162_snapshot_diff",
       // q168: one-row purge/total count broadcasts stitched into the
       // 3-row audit record — scalars, not relations
-      "q168_purge_cascade")
+      "q168_purge_cascade",
+      // q165: the interval-overlap self-join over the FILE INVENTORY
+      // (catalog-sized, never row data) + one-row count crossJoins
+      "q165_clustering_audit")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

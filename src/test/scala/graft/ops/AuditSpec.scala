@@ -18,24 +18,8 @@ class AuditSpec extends SparkSpecBase {
     if (keys.isEmpty) -1L
     else (keys.map(k => BigInt(k % P) * K % P).sum % P).toLong
 
-  /** Minimal full warehouse — every TablePk table present. */
-  private def writeAllTables(dir: String,
-                             custKeys: Seq[Long] = Seq(1L, 2L, 3L)): Unit = {
-    write(dir, "region", df(Tables.regionSchema, Row(0, "r0"), Row(1, "r1")))
-    write(dir, "nation", df(Tables.nationSchema, Row(0, "n0", 0), Row(1, "n1", 1)))
-    write(dir, "customer", df(Tables.customerSchema,
-      custKeys.map(k => Row(k, s"c$k", 0, 1.0, "SEG")): _*))
-    write(dir, "supplier", df(Tables.supplierSchema, Row(7L, "s7", 0, 2.0)))
-    write(dir, "part", df(Tables.partSchema, Row(9L, "p9", "B", "T", 1, 3.0)))
-    write(dir, "orders", df(Tables.ordersSchema,
-      Row(100L, 1L, "O", 10.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT")))
-    write(dir, "lineitem", df(Tables.lineitemSchema,
-      Row(100L, 9L, 7L, 1, 1.0, 2.0, 0.0, 0.0, "N", "O",
-        java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))))
-    writeEvents(dir, (1L, 1704067200L * Ns, 1L, "click", 1.0, "{}"))
-    writeDocuments(dir, (1L, "hello world", "en", "web", 11L))
-    writeEmbeddings(dir, (1L, Seq(1.0f, 0.0f), 0))
-  }
+  private def writeAllTables(dir: String, custKeys: Seq[Long] = Seq(1L, 2L, 3L)): Unit =
+    writeWarehouse(dir, custKeys)
 
   test("q167 manifest: counts match the tables; checksums match an independent BigInt computation") {
     val dir = tmpDir()

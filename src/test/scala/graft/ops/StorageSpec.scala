@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.{SparkSpecBase, Tables}
+import org.apache.spark.sql.Row
+
+/** Semantic specs for the storage-maintenance family (q164 inventory,
+  * q165 clustering audit, q166 compaction plan) on controlled
+  * multi-file fixtures — these keys are oracle-free (the DuckDB views
+  * cannot observe file layout), so the exact semantics are pinned here.
+  */
+class StorageSpec extends SparkSpecBase {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** Append one more parquet part file with the given order keys. */
+  private def appendOrders(dir: String, keys: Seq[Long]): Unit =
+    df(Tables.ordersSchema, keys.map(k =>
+      Row(k, 1L, "O", 1.0, ts("2024-01-01 00:00:00"), "1-URGENT")): _*)
+      .coalesce(1).write.mode("append").parquet(s"$dir/orders.parquet")
+
+  test("q164 inventory: file/row/byte stats agree with the on-disk layout; every tiny file counts small") {
+    val dir = tmpDir()
+    writeWarehouse(dir, custKeys = 1L to 30L)
+    // customer as three part files
+    df(Tables.customerSchema, (1L to 30L).map(k => Row(k, s"c$k", 0, 1.0, "SEG")): _*)
+      .repartition(3).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val onDisk = new java.io.File(s"$dir/customer.parquet").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val out = Storage.q164StorageStats(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val c = out("customer")
+    assert(c.getLong(1) == onDisk.length, s"n_files vs disk: $c")
+    assert(c.getLong(2) == 30L, s"n_rows: $c")
+    assert(c.getLong(3) == onDisk.map(_.length).sum, s"total_bytes: $c")
+    assert(c.getLong(4) == onDisk.map(_.length).min && c.getLong(5) == onDisk.map(_.length).max)
+    // every fixture file is far under 32 MiB, and one 128 MiB target bin
+    assert(c.getLong(6) == onDisk.length && c.getLong(7) == 1L)
+    assert(out.keySet == Audit.TablePk.map(_._1).toSet)
+  }
+
+  test("q164 inventory: a zero-row file is still inventoried (n_files counts it, n_rows stays 0)") {
+    val dir = tmpDir()
+    writeWarehouse(dir)
+    write(dir, "documents", df(Tables.documentsSchema)) // zero rows, real file
+    val d = Storage.q164StorageStats(spark, dir).collect()
+      .find(_.getString(0) == "documents").get
+    assert(d.getLong(1) >= 1L && d.getLong(2) == 0L, d)
+  }
+
+  test("q165 clustering: disjoint key ranges audit clustered; an overlapping append flips the flag") {
+    val dir = tmpDir()
+    writeWarehouse(dir)
+    // file A keys 1-10, file B keys 11-20 → disjoint
+    appendOrders(dir, 1L to 10L)
+    appendOrders(dir, 11L to 20L)
+    // the base writeWarehouse orders file holds key 100 — also disjoint
+    val before = Storage.q165ClusteringAudit(spark, dir).collect()
+      .find(_.getString(0) == "orders").get
+    assert(before.getLong(1) == 3L && before.getLong(2) == 0L && before.getBoolean(3), before)
+    // file C keys 5-15 straddles A and B → two overlapping pairs
+    appendOrders(dir, Seq(5L, 15L))
+    val after = Storage.q165ClusteringAudit(spark, dir).collect()
+      .find(_.getString(0) == "orders").get
+    assert(after.getLong(1) == 4L && after.getLong(2) == 2L && !after.getBoolean(3), after)
+  }
+
+  test("q166 plan: fixed-capacity prefix-sum bins in file order; n_rows carried per file") {
+    val dir = tmpDir()
+    writeWarehouse(dir)
+    // exactly three 3-row files: overwrite the base single-row orders,
+    // then append twice. Target 5 → cumulative-before 0,3,6 → bins
+    // 0,0,1 (equal file sizes make the bin multiset independent of
+    // which uuid name sorts first)
+    df(Tables.ordersSchema, (1L to 3L).map(k =>
+      Row(k, 1L, "O", 1.0, ts("2024-01-01 00:00:00"), "1-URGENT")): _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    appendOrders(dir, 4L to 6L)
+    appendOrders(dir, 7L to 9L)
+    val plan = Storage.q166CompactionPlan(spark, dir, targetRows = 5L).collect()
+      .filter(_.getString(0) == "orders")
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(plan.forall(_._2 == 3L) && plan.length == 3, plan.toSeq)
+    assert(plan.map(_._3).sorted.toSeq == Seq(0L, 0L, 1L), plan.toSeq)
+  }
+
+  test("q166 plan: default target at fixture scale packs each table into bin 0") {
+    val dir = tmpDir()
+    writeWarehouse(dir)
+    val plan = Storage.q166CompactionPlan(spark, dir).collect()
+    assert(plan.nonEmpty && plan.forall(_.getLong(3) == 0L))
+  }
+
+  test("empty warehouse: inventory rows exist with zero rows; audit reports clustered; plan is all bin 0") {
+    val dir = tmpDir()
+    write(dir, "region", df(Tables.regionSchema))
+    write(dir, "nation", df(Tables.nationSchema))
+    write(dir, "customer", df(Tables.customerSchema))
+    write(dir, "supplier", df(Tables.supplierSchema))
+    write(dir, "part", df(Tables.partSchema))
+    write(dir, "orders", df(Tables.ordersSchema))
+    write(dir, "lineitem", df(Tables.lineitemSchema))
+    writeEvents(dir)
+    writeDocuments(dir)
+    writeEmbeddings(dir)
+    val inv = Storage.q164StorageStats(spark, dir).collect()
+    assert(inv.length == Audit.TablePk.length && inv.forall(_.getLong(2) == 0L))
+    val audit = Storage.q165ClusteringAudit(spark, dir).collect()
+    assert(audit.forall(r => r.getLong(2) == 0L && r.getBoolean(3)))
+    val plan = Storage.q166CompactionPlan(spark, dir).collect()
+    assert(plan.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+  }
+}
