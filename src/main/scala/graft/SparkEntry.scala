@@ -205,6 +205,8 @@ object SparkEntry {
     "q163_scd2_history" -> (Events.q163Scd2History _),
     "q167_integrity_manifest" -> (Audit.q167IntegrityManifest _),
     "q168_purge_cascade" -> (Audit.q168PurgeCascade _),
+    "q169_dq_audit" -> (Audit.q169DqAudit _),
+    "q170_table_profile" -> (Audit.q170TableProfile _),
     "q164_storage_stats" -> (graft.ops.Storage.q164StorageStats _),
     "q165_clustering_audit" -> (graft.ops.Storage.q165ClusteringAudit _),
     "q166_compaction_plan" -> ((s, dir) => graft.ops.Storage.q166CompactionPlan(s, dir)),
@@ -1953,6 +1955,57 @@ object SparkEntry {
         "(SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM dord)), " +
         "(SELECT count(*) FROM lineitem)) " +
         "SELECT entity, n_purged, n_total, n_total - n_purged AS n_remaining FROM r ORDER BY entity"),
+    // q169: all three constraint classes generated from the SAME
+    // TablePk/FkEdges/RowConstraints structures as the engine; Σ(cnt−1)
+    // over duplicate keys ≡ count(*) − count(DISTINCT); NULL child FK
+    // keys pass; predicate strings shared verbatim
+    "q169_dq_audit" -> {
+      val pk = Audit.TablePk.map { case (t, e) =>
+        s"SELECT '$t' AS table_name, 'pk_unique' AS constraint_name, " +
+          s"(SELECT count(*) FROM $t) AS n_checked, " +
+          s"(SELECT count(*) - count(DISTINCT $e) FROM $t) AS n_violations"
+      }
+      val fk = Audit.FkEdges.map { case (ct, ck, pt, pkc) =>
+        s"SELECT '$ct' AS table_name, 'fk_$pt' AS constraint_name, " +
+          s"(SELECT count(*) FROM $ct) AS n_checked, " +
+          s"(SELECT count(*) FROM $ct WHERE $ck IS NOT NULL AND $ck NOT IN " +
+          s"(SELECT $pkc FROM $pt)) AS n_violations"
+      }
+      val local = Audit.RowConstraints.flatMap { case (t, cs) =>
+        cs.map { case (n, p) =>
+          s"SELECT '$t' AS table_name, '$n' AS constraint_name, " +
+            s"(SELECT count(*) FROM $t) AS n_checked, " +
+            s"(SELECT CAST(coalesce(sum(CASE WHEN $p THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+            s"FROM $t) AS n_violations"
+        }
+      }
+      (pk ++ fk ++ local).mkString("SELECT *, n_violations = 0 AS pass FROM (", " UNION ALL ",
+        ") ORDER BY table_name, constraint_name")
+    },
+    // q170: one SELECT per profiled column from the SAME ProfileColumns
+    // list; numeric min/max are raw values (no arithmetic — exact
+    // compare), string extremes under binary collation, typed NULLs on
+    // the off-kind legs
+    "q170_table_profile" -> {
+      val rows = Audit.ProfileColumns.flatMap { case (t, cols) =>
+        cols.map { case (c, isNum) =>
+          val common = s"SELECT '$t' AS table_name, '$c' AS column_name, " +
+            s"'${if (isNum) "num" else "str"}' AS kind, count(*) AS n_rows, " +
+            s"count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct, "
+          val tail =
+            if (isNum)
+              s"CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num, " +
+                "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str, " +
+                s"CAST(NULL AS BIGINT) AS total_len FROM $t"
+            else
+              "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
+                s"min($c) AS min_str, max($c) AS max_str, " +
+                s"CAST(coalesce(sum(len($c)), 0) AS BIGINT) AS total_len FROM $t"
+          common + tail
+        }
+      }
+      rows.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name, column_name")
+    },
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

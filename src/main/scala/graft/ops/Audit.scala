@@ -101,4 +101,138 @@ object Audit {
       .unionByName(row("lineitem", delLi, li))
       .orderBy("entity")
   }
+
+  /** The FK edges of the warehouse graph (child table, child key,
+    * parent table, parent key) — q169's referential checks and q168's
+    * cascade read the same structure.
+    */
+  private[graft] val FkEdges: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** Row-local not-null / range constraints per table, fused so each
+    * table is scanned ONCE for all its row-local checks. The violation
+    * predicate is a SQL string both engines parse identically (the
+    * engine via `expr`, the oracle verbatim — q167's one-source-of-
+    * truth pattern); a NULL predicate result is NOT a violation,
+    * matching SQL CHECK semantics.
+    */
+  private[graft] val RowConstraints: Seq[(String, Seq[(String, String)])] = Seq(
+    "events" -> Seq(
+      "event_type_not_null" -> "event_type IS NULL",
+      "value_non_negative" -> "value < 0"),
+    "documents" -> Seq("text_not_null" -> "text IS NULL"),
+    "orders" -> Seq("orderdate_not_null" -> "o_orderdate IS NULL"),
+    "lineitem" -> Seq(
+      "quantity_range" -> "l_quantity < 1 OR l_quantity > 50",
+      "discount_range" -> "l_discount < 0 OR l_discount > 0.1"))
+
+  /** q169 — DATA-QUALITY AUDIT (the Deequ-style constraint suite as a
+    * standing job): one row per (table, constraint) with checked/
+    * violation counts and a pass flag, across three constraint
+    * classes:
+    *  - `pk_unique` for every table ([[TablePk]]): Σ(cnt−1) over
+    *    duplicated keys — one map-combinable groupBy per table;
+    *  - `fk_<parent>` for every [[FkEdges]] edge: non-null child keys
+    *    with no parent (LEFT ANTI count) — SQL FK semantics, a NULL
+    *    child key passes;
+    *  - row-local not-null/range checks ([[RowConstraints]]), all of a
+    *    table's predicates counted in ONE pass and exploded to rows.
+    *
+    * Scale: every class is a single aggregate or anti-join per
+    * table/edge — no windows, no joins beyond the FK probes, and the
+    * biggest table (lineitem) is touched exactly three times (pk scan,
+    * FK probe, fused row-local pass) regardless of how many row
+    * constraints it carries.
+    */
+  def q169DqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val pkRows = TablePk.map { case (t, pk) =>
+      Tables.all(t)(spark, dir)
+        .select(expr(pk).cast(LongType).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_checked"),
+          coalesce(sum(col("cnt") - 1), lit(0L)).as("n_violations"))
+        .select(lit(t).as("table_name"), lit("pk_unique").as("constraint_name"),
+          col("n_checked"), col("n_violations"))
+    }
+    val fkRows = FkEdges.map { case (ct, ck, pt, pk) =>
+      val child = Tables.all(ct)(spark, dir).select(col(ck).cast(LongType).as("k"))
+      val parent = Tables.all(pt)(spark, dir).select(col(pk).cast(LongType).as("p"))
+      val orphans = child.filter(col("k").isNotNull)
+        .join(parent, col("k") === col("p"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      child.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(broadcast(orphans))
+        .select(lit(ct).as("table_name"), lit(s"fk_$pt").as("constraint_name"),
+          col("n_checked"), col("n_violations"))
+    }
+    val localRows = RowConstraints.map { case (t, cs) =>
+      val aggs = cs.map { case (n, cond) => sum(when(expr(cond), 1L).otherwise(0L)).as(n) }
+      Tables.all(t)(spark, dir)
+        .agg(count(lit(1)).as("n_checked"), aggs: _*)
+        .select(col("n_checked"), explode(array(cs.map { case (n, _) =>
+          struct(lit(n).as("constraint_name"), coalesce(col(n), lit(0L)).as("n_violations"))
+        }: _*)).as("s"))
+        .select(lit(t).as("table_name"), col("s.constraint_name"),
+          col("n_checked"), col("s.n_violations"))
+    }
+    (pkRows ++ fkRows ++ localRows).reduce(_ unionByName _)
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy("table_name", "constraint_name")
+  }
+
+  /** Profiled columns per table for [[q170TableProfile]]: (column,
+    * isNumeric). The q169/q167 one-source-of-truth pattern — the
+    * oracle SQL is generated from this same list.
+    */
+  private[graft] val ProfileColumns: Seq[(String, Seq[(String, Boolean)])] = Seq(
+    "customer" -> Seq("c_acctbal" -> true, "c_mktsegment" -> false),
+    "documents" -> Seq("lang" -> false, "source" -> false),
+    "events" -> Seq("event_type" -> false, "value" -> true),
+    "lineitem" -> Seq("l_quantity" -> true, "l_returnflag" -> false),
+    "orders" -> Seq("o_orderstatus" -> false, "o_totalprice" -> true))
+
+  /** q170 — TABLE PROFILE (the ANALYZE-TABLE statistics job): one row
+    * per profiled column with row/null/exact-distinct counts and
+    * type-appropriate extremes (numeric min/max as DOUBLE — raw
+    * values, no arithmetic, so they hash-compare exactly; string
+    * min/max under binary collation; total string length as the
+    * size-estimation input). ALL of a table's columns profile in ONE
+    * scan: the multi-column exact distincts compile to a single
+    * Expand + aggregate, and the struct-array explode fans the one
+    * result row out per column. Exact distinct is the oracle-checkable
+    * profile; the sketch swap-in at 100 TB is q47's HLL family.
+    */
+  def q170TableProfile(spark: SparkSession, dir: String): DataFrame =
+    ProfileColumns.map { case (t, cols) =>
+      val aggs = cols.flatMap { case (c, _) =>
+        Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")) ++
+          (if (!colIsNum(t, c)) Seq(sum(length(col(c))).as(s"len_$c")) else Nil)
+      }
+      Tables.all(t)(spark, dir)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(col("n_rows"), explode(array(cols.map { case (c, isNum) =>
+          struct(
+            lit(c).as("column_name"),
+            lit(if (isNum) "num" else "str").as("kind"),
+            (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+            col(s"nd_$c").as("n_distinct"),
+            (if (isNum) col(s"mn_$c").cast("double") else lit(null).cast("double")).as("min_num"),
+            (if (isNum) col(s"mx_$c").cast("double") else lit(null).cast("double")).as("max_num"),
+            (if (isNum) lit(null).cast("string") else col(s"mn_$c").cast("string")).as("min_str"),
+            (if (isNum) lit(null).cast("string") else col(s"mx_$c").cast("string")).as("max_str"),
+            (if (isNum) lit(null).cast(LongType) else coalesce(col(s"len_$c"), lit(0L))).as("total_len"))
+        }: _*)).as("s"))
+        .select(lit(t).as("table_name"), col("s.column_name"), col("s.kind"),
+          col("n_rows"), col("s.n_nulls"), col("s.n_distinct"),
+          col("s.min_num"), col("s.max_num"), col("s.min_str"), col("s.max_str"),
+          col("s.total_len"))
+    }.reduce(_ unionByName _).orderBy("table_name", "column_name")
+
+  private def colIsNum(t: String, c: String): Boolean =
+    ProfileColumns.toMap.apply(t).toMap.apply(c)
 }

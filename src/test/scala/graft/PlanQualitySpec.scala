@@ -486,7 +486,10 @@ class PlanQualitySpec extends SparkSpecBase {
       "q168_purge_cascade",
       // q165: the interval-overlap self-join over the FILE INVENTORY
       // (catalog-sized, never row data) + one-row count crossJoins
-      "q165_clustering_audit")
+      "q165_clustering_audit",
+      // q169: one-row checked/violation count crossJoins per FK edge —
+      // q168's scalar-not-relation shape
+      "q169_dq_audit")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

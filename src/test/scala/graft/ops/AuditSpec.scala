@@ -71,6 +71,63 @@ class AuditSpec extends SparkSpecBase {
       "lineitem" -> ((3L, 4L, 1L))), out)
   }
 
+  test("q169 DQ audit: injected violations count per constraint class; clean constraints pass") {
+    val dir = tmpDir()
+    writeWarehouse(dir)
+    // duplicate customer key 1 → pk_unique Σ(cnt−1) = 2 extra copies
+    write(dir, "customer", df(Tables.customerSchema,
+      Row(1L, "c1", 0, 1.0, "SEG"), Row(1L, "c1b", 0, 1.0, "SEG"),
+      Row(1L, "c1c", 0, 1.0, "SEG"), Row(2L, "c2", 0, 1.0, "SEG")))
+    // one orphaned order (custkey 99) + one NULL-key order (passes FK)
+    write(dir, "orders", df(Tables.ordersSchema,
+      Row(100L, 1L, "O", 10.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1"),
+      Row(101L, 99L, "O", 10.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1"),
+      Row(102L, null, "O", 10.0, null, "1"))) // also a NULL orderdate
+    // lineitem: quantity 99 out of range, discount 0.5 out of range
+    write(dir, "lineitem", df(Tables.lineitemSchema,
+      Row(100L, 9L, 7L, 1, 99.0, 2.0, 0.5, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      Row(100L, 9L, 7L, 2, 10.0, 2.0, 0.05, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))))
+    // events: one NULL type, one negative value
+    write(dir, "events", df(Tables.eventsRawSchema,
+      Row(1L, 1704067200L * Ns, 1L, null, 1.0, "{}"),
+      Row(2L, 1704067200L * Ns, 1L, "click", -3.0, "{}")))
+    val out = Audit.q169DqAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(("customer", "pk_unique")) == ((4L, 2L, false)))
+    assert(out(("orders", "fk_customer")) == ((3L, 1L, false))) // NULL key passes
+    assert(out(("orders", "orderdate_not_null")) == ((3L, 1L, false)))
+    assert(out(("lineitem", "quantity_range")) == ((2L, 1L, false)))
+    assert(out(("lineitem", "discount_range")) == ((2L, 1L, false)))
+    assert(out(("events", "event_type_not_null")) == ((2L, 1L, false)))
+    assert(out(("events", "value_non_negative")) == ((2L, 1L, false)))
+    // untouched constraints stay green
+    assert(out(("lineitem", "fk_orders"))._3 && out(("region", "pk_unique"))._3)
+    assert(out.size == Audit.TablePk.size + Audit.FkEdges.size +
+      Audit.RowConstraints.map(_._2.size).sum)
+  }
+
+  test("q170 profile: nulls, exact distincts, typed extremes and string lengths on a hand fixture") {
+    val dir = tmpDir()
+    writeWarehouse(dir)
+    write(dir, "customer", df(Tables.customerSchema,
+      Row(1L, "a", 0, 5.5, "AAA"), Row(2L, "b", 0, null, "BB"),
+      Row(3L, "c", 0, 2.0, "AAA"), Row(4L, "d", 0, 5.5, null)))
+    val out = Audit.q170TableProfile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val bal = out(("customer", "c_acctbal"))
+    assert(bal.getString(2) == "num" && bal.getLong(3) == 4L && bal.getLong(4) == 1L)
+    assert(bal.getLong(5) == 2L && bal.getDouble(6) == 2.0 && bal.getDouble(7) == 5.5)
+    assert(bal.isNullAt(8) && bal.isNullAt(9) && bal.isNullAt(10))
+    val seg = out(("customer", "c_mktsegment"))
+    assert(seg.getString(2) == "str" && seg.getLong(4) == 1L && seg.getLong(5) == 2L)
+    assert(seg.getString(8) == "AAA" && seg.getString(9) == "BB")
+    assert(seg.getLong(10) == 8L && seg.isNullAt(6) && seg.isNullAt(7)) // 3+2+3 chars
+    assert(out.keySet == Audit.ProfileColumns.flatMap { case (t, cs) =>
+      cs.map(c => (t, c._1)) }.toSet)
+  }
+
   test("empty warehouse: manifest rows carry n_rows=0 with NULL checksum; cascade reports zeros") {
     val dir = tmpDir()
     write(dir, "region", df(Tables.regionSchema))
@@ -90,5 +147,12 @@ class AuditSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(c.toSeq == Seq(("customer", 0L, 0L, 0L), ("lineitem", 0L, 0L, 0L),
       ("orders", 0L, 0L, 0L)), c.toSeq)
+    // DQ audit: zero checked, zero violations, everything passes
+    val dq = Audit.q169DqAudit(spark, dir).collect()
+    assert(dq.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L && r.getBoolean(4)))
+    // profile: zero rows, zero distincts, NULL extremes, zero total_len
+    val prof = Audit.q170TableProfile(spark, dir).collect()
+    assert(prof.forall(r => r.getLong(3) == 0L && r.getLong(5) == 0L &&
+      r.isNullAt(6) && r.isNullAt(8)))
   }
 }
