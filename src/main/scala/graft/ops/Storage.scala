@@ -69,45 +69,58 @@ object Storage {
   private def basename(c: org.apache.spark.sql.Column) =
     regexp_extract(c, "[^/]+$", 0)
 
-  /** Per-file row counts of one table as a DataFrame(file, n_rows) —
-    * the zero-column `input_file_name()` scan described in the object
-    * scaladoc.
+  /** The full cross-table (table_name, file, bytes) inventory as ONE
+    * broadcast-sized local relation — built once, so every consumer
+    * joins/aggregates it in a single operator instead of ten.
     */
-  private def rowsPerFile(spark: SparkSession, dir: String, table: String): DataFrame =
-    Tables.all(table)(spark, dir)
-      .select(basename(input_file_name()).as("file"))
-      .groupBy("file").agg(count(lit(1)).as("n_rows"))
+  private def inventory(spark: SparkSession, dir: String): DataFrame =
+    spark.createDataFrame(Audit.TablePk.flatMap { case (table, _) =>
+      listFiles(spark, dir, table).map { case (f, b) => (table, f, b) }
+    }).toDF("table_name", "file", "bytes")
+
+  /** Cross-table per-file row counts as ONE DataFrame(table_name,
+    * file, n_rows) — a zero-column `input_file_name()` scan per table
+    * (one per table is unavoidable: different schemas), unioned BEFORE
+    * aggregation so everything downstream is a single operator over
+    * the file-count-sized relation. Inventory-driven via LEFT join: a
+    * zero-row file has no `input_file_name()` group but is exactly
+    * what a compaction sweep must still see.
+    */
+  private def rowsPerFile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Audit.TablePk.map { case (table, _) =>
+      Tables.all(table)(spark, dir)
+        .select(lit(table).as("table_name"), basename(input_file_name()).as("file"))
+    }.reduce(_ unionByName _)
+      .groupBy("table_name", "file").agg(count(lit(1)).as("n_rows"))
+    inventory(spark, dir)
+      .join(counts, Seq("table_name", "file"), "left")
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+  }
 
   /** q164 — STORAGE STATS: one row per table with its file count, row
     * count, byte totals/extremes, small-file count, and the file count
     * a compaction to [[TargetFileBytes]] would produce — the inventory
     * a maintenance scheduler reads to decide WHICH tables need
-    * compaction before touching any data. Joins the driver-side byte
-    * inventory (broadcast, file-count-sized) to the per-file row
-    * counts; ten such pipelines unioned at one row each.
+    * compaction before touching any data. One groupBy over the unioned
+    * [[rowsPerFile]] relation — a single aggregate over file-count-
+    * sized input, not ten pipelines.
     */
   def q164StorageStats(spark: SparkSession, dir: String): DataFrame =
-    Audit.TablePk.map { case (table, _) =>
-      val inv = spark.createDataFrame(listFiles(spark, dir, table))
-        .toDF("file", "bytes")
-      // inventory drives, row counts LEFT-join in: a zero-row file has
-      // no input_file_name() group but is exactly what a compaction
-      // sweep must still see
-      inv.join(rowsPerFile(spark, dir, table), Seq("file"), "left")
-        .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
-        .agg(
-          count(lit(1)).as("n_files"),
-          sum(col("n_rows")).as("n_rows"),
-          sum(col("bytes")).as("total_bytes"),
-          min(col("bytes")).as("min_file_bytes"),
-          max(col("bytes")).as("max_file_bytes"),
-          sum(when(col("bytes") < SmallFileBytes, 1L).otherwise(0L)).as("n_small_files"))
-        .select(lit(table).as("table_name"), col("n_files"), col("n_rows"),
-          col("total_bytes"), col("min_file_bytes"), col("max_file_bytes"),
-          col("n_small_files"),
-          greatest(lit(1L), ceil(col("total_bytes").cast("double") / TargetFileBytes).cast(LongType))
-            .as("target_files"))
-    }.reduce(_ unionByName _).orderBy("table_name")
+    rowsPerFile(spark, dir)
+      .groupBy("table_name")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("bytes")).as("total_bytes"),
+        min(col("bytes")).as("min_file_bytes"),
+        max(col("bytes")).as("max_file_bytes"),
+        sum(when(col("bytes") < SmallFileBytes, 1L).otherwise(0L)).as("n_small_files"))
+      .select(col("table_name"), col("n_files"), col("n_rows"),
+        col("total_bytes"), col("min_file_bytes"), col("max_file_bytes"),
+        col("n_small_files"),
+        greatest(lit(1L), ceil(col("total_bytes").cast("double") / TargetFileBytes).cast(LongType))
+          .as("target_files"))
+      .orderBy("table_name")
 
   /** q165 — CLUSTERING AUDIT: per table, how badly file-level key
     * clustering has degraded — the number of file PAIRS whose primary-
@@ -115,26 +128,35 @@ object Storage {
     * file prunes independently on a key predicate; rising pair counts
     * mean a key lookup must open ever more files). This is the signal
     * a sort/Z-order compaction decision reads. One pruned-key-column
-    * scan per table → file-count-sized range relation → broadcast
-    * self-join on the interval-overlap predicate (sanctioned BNLJ: the
-    * build side is the file inventory, never row data).
+    * scan per table → ONE unioned file-count-sized range relation →
+    * ONE self EQUI-join on table_name with the interval overlap as a
+    * residual predicate (no nested loop: the join key is the table,
+    * and per-table file counts bound the residual's work) → one
+    * groupBy. Per-table n_files LEFT-joins the pair counts so
+    * overlap-free tables still report.
     */
-  def q165ClusteringAudit(spark: SparkSession, dir: String): DataFrame =
-    Audit.TablePk.map { case (table, pkExpr) =>
-      val ranges = Tables.all(table)(spark, dir)
-        .select(basename(input_file_name()).as("file"),
+  def q165ClusteringAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ranges = Audit.TablePk.map { case (table, pkExpr) =>
+      Tables.all(table)(spark, dir)
+        .select(lit(table).as("table_name"), basename(input_file_name()).as("file"),
           expr(pkExpr).cast(LongType).as("pk"))
-        .groupBy("file")
-        .agg(min(col("pk")).as("mn"), max(col("pk")).as("mx"))
-      val a = ranges.select(col("file").as("fa"), col("mn").as("mna"), col("mx").as("mxa"))
-      val b = ranges.select(col("file").as("fb"), col("mn").as("mnb"), col("mx").as("mxb"))
-      val overlaps = a.join(broadcast(b),
-        col("fa") < col("fb") && col("mna") <= col("mxb") && col("mnb") <= col("mxa"))
-      ranges.agg(count(lit(1)).as("n_files"))
-        .crossJoin(broadcast(overlaps.agg(count(lit(1)).as("n_overlap_pairs"))))
-        .select(lit(table).as("table_name"), col("n_files"), col("n_overlap_pairs"),
-          (col("n_overlap_pairs") === 0L).as("clustered"))
-    }.reduce(_ unionByName _).orderBy("table_name")
+    }.reduce(_ unionByName _)
+      .groupBy("table_name", "file")
+      .agg(min(col("pk")).as("mn"), max(col("pk")).as("mx"))
+    val a = ranges.select(col("table_name"), col("file").as("fa"),
+      col("mn").as("mna"), col("mx").as("mxa"))
+    val b = ranges.select(col("table_name"), col("file").as("fb"),
+      col("mn").as("mnb"), col("mx").as("mxb"))
+    val pairs = a.join(b, Seq("table_name"))
+      .filter(col("fa") < col("fb") && col("mna") <= col("mxb") && col("mnb") <= col("mxa"))
+      .groupBy("table_name").agg(count(lit(1)).as("n_overlap_pairs"))
+    ranges.groupBy("table_name").agg(count(lit(1)).as("n_files"))
+      .join(pairs, Seq("table_name"), "left")
+      .withColumn("n_overlap_pairs", coalesce(col("n_overlap_pairs"), lit(0L)))
+      .select(col("table_name"), col("n_files"), col("n_overlap_pairs"),
+        (col("n_overlap_pairs") === 0L).as("clustered"))
+      .orderBy("table_name")
+  }
 
   /** q166 — COMPACTION PLAN: the file → output-bin assignment a
     * compaction job executes: files in deterministic name order pack
@@ -152,13 +174,8 @@ object Storage {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("table_name").orderBy("file")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Audit.TablePk.map { case (table, _) =>
-      val inv = spark.createDataFrame(listFiles(spark, dir, table))
-        .toDF("file", "bytes")
-      inv.join(rowsPerFile(spark, dir, table), Seq("file"), "left")
-        .select(lit(table).as("table_name"), col("file"),
-          coalesce(col("n_rows"), lit(0L)).as("n_rows"))
-    }.reduce(_ unionByName _)
+    rowsPerFile(spark, dir)
+      .select(col("table_name"), col("file"), col("n_rows"))
       .withColumn("rows_before", coalesce(sum(col("n_rows")).over(w), lit(0L)))
       .select(col("table_name"), col("file"), col("n_rows"),
         (col("rows_before") / targetRows).cast(LongType).as("bin_id"))

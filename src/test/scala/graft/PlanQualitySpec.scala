@@ -484,9 +484,6 @@ class PlanQualitySpec extends SparkSpecBase {
       // q168: one-row purge/total count broadcasts stitched into the
       // 3-row audit record — scalars, not relations
       "q168_purge_cascade",
-      // q165: the interval-overlap self-join over the FILE INVENTORY
-      // (catalog-sized, never row data) + one-row count crossJoins
-      "q165_clustering_audit",
       // q169: one-row checked/violation count crossJoins per FK edge —
       // q168's scalar-not-relation shape
       "q169_dq_audit")
