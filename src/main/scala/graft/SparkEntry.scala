@@ -207,6 +207,7 @@ object SparkEntry {
     "q168_purge_cascade" -> (Audit.q168PurgeCascade _),
     "q169_dq_audit" -> (Audit.q169DqAudit _),
     "q170_table_profile" -> (Audit.q170TableProfile _),
+    "q171_freshness_audit" -> (Events.q171FreshnessAudit _),
     "q164_storage_stats" -> (graft.ops.Storage.q164StorageStats _),
     "q165_clustering_audit" -> (graft.ops.Storage.q165ClusteringAudit _),
     "q166_compaction_plan" -> ((s, dir) => graft.ops.Storage.q166CompactionPlan(s, dir)),
@@ -2006,6 +2007,16 @@ object SparkEntry {
       }
       rows.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name, column_name")
     },
+    // q171: q17's data-anchored max as the freshness "now"; whole-second
+    // lag via integer floor-div on exact microseconds
+    "q171_freshness_audit" ->
+      (s"WITH a AS (SELECT max(epoch_us($tsUs)) AS anchor_us FROM events), " +
+        s"g AS (SELECT event_type, count(*) AS n_events, max($tsUs) AS max_ts, " +
+        s"(SELECT anchor_us FROM a) - max(epoch_us($tsUs)) AS lag_us, " +
+        s"CAST(sum(CASE WHEN epoch_us($tsUs) >= (SELECT anchor_us FROM a) - 86400000000 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_last_24h FROM events GROUP BY event_type) " +
+        "SELECT event_type, n_events, max_ts, lag_us // 1000000 AS lag_sec, n_last_24h, " +
+        "lag_us // 1000000 > 3600 AS stale FROM g ORDER BY event_type"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

@@ -193,6 +193,34 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** q171 — FRESHNESS AUDIT: per event type, how stale its newest
+    * event is against the corpus anchor (q17's max-ts discipline — a
+    * data-anchored "now", never the wall clock) plus its trailing-24h
+    * arrival count — the per-source ingestion-health readout an
+    * observability dashboard polls (a type whose producers stopped
+    * shows a growing lag and a draining 24h count long before anyone
+    * reads its data). One scan: a single groupBy(event_type) computes
+    * the per-type max and the conditional 24h count map-side against
+    * the broadcast one-row anchor; lag in whole seconds by integer
+    * floor-div, exact in both engines.
+    */
+  def q171FreshnessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val anchor = e.agg(max(unix_micros(col("ts"))).as("anchor_us"))
+    e.crossJoin(broadcast(anchor))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("ts")).as("max_ts"),
+        (first(col("anchor_us")) - max(unix_micros(col("ts")))).as("lag_us"),
+        sum(when(unix_micros(col("ts")) >= col("anchor_us") - MicrosPerDay, 1L)
+          .otherwise(0L)).as("n_last_24h"))
+      .withColumn("lag_sec", expr("lag_us div 1000000"))
+      .withColumn("stale", col("lag_sec") > 3600L)
+      .select("event_type", "n_events", "max_ts", "lag_sec", "n_last_24h", "stale")
+      .orderBy("event_type")
+  }
+
   /** q89 — funnel analysis: per user, the earliest
     * view → click → purchase chain where each step follows the
     * previous within one hour (the product-analytics staple the

@@ -503,6 +503,27 @@ object StreamingOps {
       }
   }
 
+  /** Streaming DQ admission gate (batch q169's row-local constraints
+    * at the ingest edge): tags every incoming event row with the list
+    * of violated constraint names and a pass flag, evaluated from the
+    * SAME SQL predicate strings as the batch audit
+    * ([[graft.ops.Audit.RowConstraints]] — one definition, two
+    * runtimes). Stateless and row-local: no watermark, no state store,
+    * survives any micro-batch split, and the downstream split is
+    * `filter(dq_pass)` to the main sink vs its negation to the
+    * quarantine sink. A NULL predicate result is not a violation
+    * (batch CHECK semantics). Parity contract (StreamingSpec): the
+    * drained per-constraint violation totals equal batch q169's
+    * events rows.
+    */
+  def dqGateStream(events: DataFrame): DataFrame = {
+    val cs = graft.ops.Audit.RowConstraints.toMap.apply("events")
+    events
+      .withColumn("violated", filter(
+        array(cs.map { case (n, p) => when(expr(p), lit(n)) }: _*), _.isNotNull))
+      .withColumn("dq_pass", size(col("violated")) === 0)
+  }
+
   /** State for [[scd2Stream]]: the OPEN version per user — number,
     * type and start of the interval that has not closed yet.
     */

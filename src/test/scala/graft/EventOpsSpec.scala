@@ -241,6 +241,27 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out == Map("added" -> 1L, "removed" -> 1L, "changed" -> 2L, "unchanged" -> 1L), out)
   }
 
+  test("q171 freshness: lag vs data anchor, 24h boundary inclusive, stale strictly beyond 1h") {
+    val dir = tmpDir()
+    writeEvents(dir,
+      // type a sets the anchor at T0+25h; its older event predates the 24h window
+      (1L, T0, 1L, "a", 0.0, "{}"),
+      (2L, T0 + 25 * Hour, 1L, "a", 0.0, "{}"),
+      // type b: only at T0 → 25h lag, stale, nothing in the window
+      (3L, T0, 2L, "b", 0.0, "{}"),
+      // type c: exactly ON the 24h boundary (anchor-24h) → counted (>=); lag 24h → stale
+      (4L, T0 + Hour, 3L, "c", 0.0, "{}"),
+      // type d: exactly 1h of lag → NOT stale (strict >)
+      (5L, T0 + 24 * Hour, 4L, "d", 0.0, "{}"))
+    val out = Events.q171FreshnessAudit(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out("a") == ((2L, 0L, 1L, false)), out("a"))
+    assert(out("b") == ((1L, 25L * 3600, 0L, true)), out("b"))
+    assert(out("c") == ((1L, 24L * 3600, 1L, true)), out("c"))
+    assert(out("d") == ((1L, 3600L, 1L, false)), out("d"))
+  }
+
   test("q163 SCD2: versions per type change, [valid_from, valid_to) chain, open current version") {
     val dir = tmpDir()
     writeEvents(dir,

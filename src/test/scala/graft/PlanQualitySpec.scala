@@ -486,7 +486,9 @@ class PlanQualitySpec extends SparkSpecBase {
       "q168_purge_cascade",
       // q169: one-row checked/violation count crossJoins per FK edge —
       // q168's scalar-not-relation shape
-      "q169_dq_audit")
+      "q169_dq_audit",
+      // q171: q17's one-row max-ts anchor broadcast — scalar, not a relation
+      "q171_freshness_audit")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

@@ -510,6 +510,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(diverging.isEmpty, s"stream/batch norm-gate divergence: ${diverging.take(5)}")
   }
 
+  test("dqGateStream: per-constraint violation totals on the drain equal batch q169's events rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // inject known violations beside the clean corpus: a NULL type and
+    // a negative value (Ev cannot carry a NULL type — gate the raw DF)
+    val dir = tmpDir()
+    writeWarehouse(dir) // q169 audits the whole warehouse graph
+    val clean = Tables.events(spark, sf).limit(50).collect()
+    val extra = Seq(
+      org.apache.spark.sql.Row(900001L, new java.sql.Timestamp(1704067200000L), 1L, null,
+        1.0, "{}"),
+      org.apache.spark.sql.Row(900002L, new java.sql.Timestamp(1704067200000L), 1L, "click",
+        -9.0, "{}"))
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize(clean.toSeq ++ extra, 2), Tables.eventsSchema)
+    all.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = all.collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val ms = MemoryStream(org.apache.spark.sql.Encoders.row(Tables.eventsSchema), spark)
+    val q = StreamingOps.dqGateStream(ms.toDF())
+      .selectExpr("event_id", "explode_outer(violated) AS violated", "dq_pass")
+      .writeStream.format("memory").queryName("dqgate").outputMode("append").start()
+    ms.addData(b1.toSeq: _*); q.processAllAvailable()
+    ms.addData(b2.toSeq: _*); q.processAllAvailable()
+    val streamed = spark.table("dqgate").where("violated IS NOT NULL")
+      .groupBy("violated").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val passCount = spark.table("dqgate").where("dq_pass").count()
+    q.stop()
+    val batch = graft.ops.Audit.q169DqAudit(spark, dir).collect()
+      .filter(r => r.getString(0) == "events" && r.getString(1) != "pk_unique")
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(streamed == batch.filter(_._2 > 0L),
+      s"stream/batch DQ divergence: $streamed vs $batch")
+    assert(streamed.values.sum == 2L && passCount == rows.length - 2L)
+  }
+
   test("scd2Stream: closed versions across micro-batches equal batch q163's non-null-valid_to rows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -79,6 +79,7 @@ class EmptyCorpusSpec extends SparkSpecBase {
     // round 8/9: a null corpus span makes both snapshot filters empty
     assert(Events.q162SnapshotDiff(spark, dir).count() == 0)
     assert(Events.q163Scd2History(spark, dir).count() == 0)
+    assert(Events.q171FreshnessAudit(spark, dir).count() == 0)
   }
 
   test("single doc: containment finds no pairs; entropy/calibration emit the one doc") {
