@@ -208,6 +208,8 @@ object SparkEntry {
     "q169_dq_audit" -> (Audit.q169DqAudit _),
     "q170_table_profile" -> (Audit.q170TableProfile _),
     "q171_freshness_audit" -> (Events.q171FreshnessAudit _),
+    "q172_completeness_audit" -> (Events.q172CompletenessAudit _),
+    "q173_index_coverage" -> (Audit.q173IndexCoverage _),
     "q164_storage_stats" -> (graft.ops.Storage.q164StorageStats _),
     "q165_clustering_audit" -> (graft.ops.Storage.q165ClusteringAudit _),
     "q166_compaction_plan" -> ((s, dir) => graft.ops.Storage.q166CompactionPlan(s, dir)),
@@ -2017,6 +2019,26 @@ object SparkEntry {
         "THEN 1 ELSE 0 END) AS BIGINT) AS n_last_24h FROM events GROUP BY event_type) " +
         "SELECT event_type, n_events, max_ts, lag_us // 1000000 AS lag_sec, n_last_24h, " +
         "lag_us // 1000000 > 3600 AS stale FROM g ORDER BY event_type"),
+    // q172: hour buckets by integer floor-div of exact µs; coverage via
+    // the shared floor rounding formula
+    "q172_completeness_audit" ->
+      (s"WITH h AS (SELECT event_type, epoch_us($tsUs) // 3600000000 AS hr FROM events), " +
+        "g AS (SELECT event_type, count(DISTINCT hr) AS n_hours_observed, " +
+        "max(hr) - min(hr) + 1 AS span_hours FROM h GROUP BY event_type) " +
+        "SELECT event_type, n_hours_observed, span_hours, " +
+        "span_hours - n_hours_observed AS n_missing_hours, " +
+        s"${rd4("CAST(n_hours_observed AS DOUBLE)/CAST(span_hours AS DOUBLE)")} AS coverage " +
+        "FROM g ORDER BY event_type"),
+    // q173: the full-outer presence compare as scalar-subquery mirrors;
+    // zero vector = no nonzero component (empty lists count)
+    "q173_index_coverage" ->
+      ("SELECT (SELECT count(*) FROM documents) AS n_docs, " +
+        "(SELECT count(*) FROM embeddings) AS n_vecs, " +
+        "(SELECT count(*) FROM documents WHERE doc_id NOT IN (SELECT vec_id FROM embeddings)) AS n_docs_without_vec, " +
+        "(SELECT count(*) FROM embeddings WHERE vec_id NOT IN (SELECT doc_id FROM documents)) AS n_vecs_without_doc, " +
+        "(SELECT CAST(min(len(embedding)) AS BIGINT) FROM embeddings) AS min_dim, " +
+        "(SELECT CAST(max(len(embedding)) AS BIGINT) FROM embeddings) AS max_dim, " +
+        "(SELECT count(*) FROM embeddings WHERE len(list_filter(embedding, x -> x <> 0)) = 0) AS n_zero_vectors"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

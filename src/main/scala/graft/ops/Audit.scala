@@ -235,4 +235,34 @@ object Audit {
 
   private def colIsNum(t: String, c: String): Boolean =
     ProfileColumns.toMap.apply(t).toMap.apply(c)
+
+  /** q173 — INDEX COVERAGE: the corpus↔vector-index drift audit — docs
+    * with no embedding (the ANN index is stale: new docs unsearchable),
+    * vectors with no doc (deleted docs still surfacing from the
+    * index), dimension extremes (a mixed-dim index breaks every dot
+    * product) and zero vectors (a broken encoder emits them; cosine
+    * against them is undefined). One FULL OUTER equi-join on the id +
+    * ONE aggregate — presence flags and per-vector facts (dim,
+    * zero-ness) are row-local, so the whole audit is join + partial
+    * agg, no scalar-subquery fan-out.
+    */
+  def q173IndexCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), lit(1L).as("has_doc"))
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), lit(1L).as("has_vec"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        when(not(exists(col("embedding"), x => x =!= 0.0f)), 1L).otherwise(0L).as("is_zero"))
+    docs.join(vecs, Seq("id"), "full_outer")
+      .agg(
+        coalesce(sum(col("has_doc")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("has_vec")), lit(0L)).as("n_vecs"),
+        coalesce(sum(when(col("has_vec").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_docs_without_vec"),
+        coalesce(sum(when(col("has_doc").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_vecs_without_doc"),
+        min(col("dim")).as("min_dim"),
+        max(col("dim")).as("max_dim"),
+        coalesce(sum(col("is_zero")), lit(0L)).as("n_zero_vectors"))
+  }
 }

@@ -221,6 +221,29 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q172 — COMPLETENESS AUDIT: per event type, hour-bucket coverage
+    * over the type's own active span — observed distinct hours vs the
+    * [first, last] hour range, the missing-hour count a backfill
+    * planner turns directly into work items (q171 tells you a source
+    * went quiet NOW; this finds the holes it left BEHIND). Hour index
+    * by integer floor-div of exact microseconds, one scan, one
+    * groupBy: the distinct-hours count partial-aggregates map-side
+    * (hour cardinality per type is bounded by the span, not by row
+    * count), and coverage rounds with the engine-agnostic floor
+    * formula.
+    */
+  def q172CompletenessAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy("event_type")
+      .agg(countDistinct(col("hr")).as("n_hours_observed"),
+        (max(col("hr")) - min(col("hr")) + 1).as("span_hours"))
+      .select(col("event_type"), col("n_hours_observed"), col("span_hours"),
+        (col("span_hours") - col("n_hours_observed")).as("n_missing_hours"),
+        Det.roundD4(col("n_hours_observed").cast("double") / col("span_hours").cast("double"))
+          .as("coverage"))
+      .orderBy("event_type")
+
   /** q89 — funnel analysis: per user, the earliest
     * view → click → purchase chain where each step follows the
     * previous within one hour (the product-analytics staple the

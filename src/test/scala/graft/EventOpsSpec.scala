@@ -262,6 +262,24 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out("d") == ((1L, 3600L, 1L, false)), out("d"))
   }
 
+  test("q172 completeness: hour buckets over each type's own span, missing hours counted") {
+    val dir = tmpDir()
+    val halfHour = Hour / 2
+    writeEvents(dir,
+      // type a: hours 0, 1, 3 of its span (two events share hour 1) → 3/4 observed
+      (1L, T0, 1L, "a", 0.0, "{}"),
+      (2L, T0 + Hour, 1L, "a", 0.0, "{}"),
+      (3L, T0 + Hour + halfHour, 2L, "a", 0.0, "{}"),
+      (4L, T0 + 3 * Hour, 1L, "a", 0.0, "{}"),
+      // type b: a single event → full coverage of its 1-hour span
+      (5L, T0 + 10 * Hour, 3L, "b", 0.0, "{}"))
+    val out = Events.q172CompletenessAudit(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("a") == ((3L, 4L, 1L, 0.75)), out("a"))
+    assert(out("b") == ((1L, 1L, 0L, 1.0)), out("b"))
+  }
+
   test("q163 SCD2: versions per type change, [valid_from, valid_to) chain, open current version") {
     val dir = tmpDir()
     writeEvents(dir,

@@ -128,6 +128,19 @@ class AuditSpec extends SparkSpecBase {
       cs.map(c => (t, c._1)) }.toSet)
   }
 
+  test("q173 index coverage: orphans both ways, dim drift, zero vector detected") {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (1L, "a", "en", "web", 1L), (2L, "b", "en", "web", 1L), (3L, "c", "en", "web", 1L))
+    writeEmbeddings(dir,
+      (2L, Seq(1.0f, 0.0f), 0),       // covered, dim 2
+      (3L, Seq(0.0f, 0.0f, 0.0f), 1), // covered, dim 3, ZERO vector
+      (4L, Seq(2.0f, 1.0f), 0))       // orphan vector
+    val r = Audit.q173IndexCoverage(spark, dir).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 3L, 1L, 1L)), r)
+    assert((r.getLong(4), r.getLong(5), r.getLong(6)) == ((2L, 3L, 1L)), r)
+  }
+
   test("empty warehouse: manifest rows carry n_rows=0 with NULL checksum; cascade reports zeros") {
     val dir = tmpDir()
     write(dir, "region", df(Tables.regionSchema))
@@ -154,5 +167,9 @@ class AuditSpec extends SparkSpecBase {
     val prof = Audit.q170TableProfile(spark, dir).collect()
     assert(prof.forall(r => r.getLong(3) == 0L && r.getLong(5) == 0L &&
       r.isNullAt(6) && r.isNullAt(8)))
+    // index coverage: one all-zero row with NULL dims
+    val cov = Audit.q173IndexCoverage(spark, dir).head()
+    assert((0 to 3).forall(i => cov.getLong(i) == 0L) && cov.isNullAt(4) &&
+      cov.isNullAt(5) && cov.getLong(6) == 0L, cov)
   }
 }
