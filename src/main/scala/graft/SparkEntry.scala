@@ -1960,13 +1960,13 @@ object SparkEntry {
         "SELECT entity, n_purged, n_total, n_total - n_purged AS n_remaining FROM r ORDER BY entity"),
     // q169: all three constraint classes generated from the SAME
     // TablePk/FkEdges/RowConstraints structures as the engine; Σ(cnt−1)
-    // over duplicate keys ≡ count(*) − count(DISTINCT); NULL child FK
-    // keys pass; predicate strings shared verbatim
+    // over NON-NULL duplicate keys ≡ count(pk) − count(DISTINCT pk);
+    // NULL child FK keys pass; predicate strings shared verbatim
     "q169_dq_audit" -> {
       val pk = Audit.TablePk.map { case (t, e) =>
         s"SELECT '$t' AS table_name, 'pk_unique' AS constraint_name, " +
           s"(SELECT count(*) FROM $t) AS n_checked, " +
-          s"(SELECT count(*) - count(DISTINCT $e) FROM $t) AS n_violations"
+          s"(SELECT count($e) - count(DISTINCT $e) FROM $t) AS n_violations"
       }
       val fk = Audit.FkEdges.map { case (ct, ck, pt, pkc) =>
         s"SELECT '$ct' AS table_name, 'fk_$pt' AS constraint_name, " +

@@ -149,12 +149,18 @@ object Audit {
     * constraints it carries.
     */
   def q169DqAudit(spark: SparkSession, dir: String): DataFrame = {
+    // uniqueness is checked among NON-NULL keys (Σ(cnt−1) over non-null
+    // groups ≡ the oracle's count(pk) − count(DISTINCT pk)); NULL keys
+    // are a NOT NULL violation, not a uniqueness one, and counting the
+    // whole NULL group as one key would under- or over-report depending
+    // on the engine's DISTINCT-NULL convention
     val pkRows = TablePk.map { case (t, pk) =>
       Tables.all(t)(spark, dir)
         .select(expr(pk).cast(LongType).as("pk"))
         .groupBy("pk").agg(count(lit(1)).as("cnt"))
         .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_checked"),
-          coalesce(sum(col("cnt") - 1), lit(0L)).as("n_violations"))
+          coalesce(sum(when(col("pk").isNotNull, col("cnt") - 1).otherwise(0L)), lit(0L))
+            .as("n_violations"))
         .select(lit(t).as("table_name"), lit("pk_unique").as("constraint_name"),
           col("n_checked"), col("n_violations"))
     }
@@ -208,10 +214,10 @@ object Audit {
     */
   def q170TableProfile(spark: SparkSession, dir: String): DataFrame =
     ProfileColumns.map { case (t, cols) =>
-      val aggs = cols.flatMap { case (c, _) =>
+      val aggs = cols.flatMap { case (c, isNum) =>
         Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"),
           min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")) ++
-          (if (!colIsNum(t, c)) Seq(sum(length(col(c))).as(s"len_$c")) else Nil)
+          (if (!isNum) Seq(sum(length(col(c))).as(s"len_$c")) else Nil)
       }
       Tables.all(t)(spark, dir)
         .agg(count(lit(1)).as("n_rows"), aggs: _*)
@@ -232,9 +238,6 @@ object Audit {
           col("s.min_num"), col("s.max_num"), col("s.min_str"), col("s.max_str"),
           col("s.total_len"))
     }.reduce(_ unionByName _).orderBy("table_name", "column_name")
-
-  private def colIsNum(t: String, c: String): Boolean =
-    ProfileColumns.toMap.apply(t).toMap.apply(c)
 
   /** q173 — INDEX COVERAGE: the corpus↔vector-index drift audit — docs
     * with no embedding (the ANN index is stale: new docs unsearchable),

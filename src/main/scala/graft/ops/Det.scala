@@ -73,4 +73,17 @@ object Det {
     */
   def roundD4(c: Column): Column =
     floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  /** Integer FLOOR-division SQL fragment for a positive literal
+    * divisor. Spark's `div` truncates toward zero (the Hive
+    * convention) while DuckDB's `//` floors — they differ by one on
+    * negative dividends (pre-epoch microseconds, negative prefix
+    * sums), so a bare `div` in the engine silently diverges from its
+    * `//` oracle mirror there. `a − pmod(a, d)` is the exact floor
+    * multiple (pmod ∈ [0, d)), and `div` of an exact multiple is
+    * floor; all arithmetic stays in Long — no double round-trip, so
+    * it is exact past 2^53 where `floor(a / d)` is not.
+    */
+  def floorDivExpr(a: String, d: Long): String =
+    s"((($a) - pmod(($a), ${d}L)) div ${d}L)"
 }

@@ -234,7 +234,8 @@ object Events {
     */
   def q172CompletenessAudit(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .select(col("event_type"),
+        expr(Det.floorDivExpr("unix_micros(ts)", 3600000000L)).as("hr"))
       .groupBy("event_type")
       .agg(countDistinct(col("hr")).as("n_hours_observed"),
         (max(col("hr")) - min(col("hr")) + 1).as("span_hours"))
@@ -516,11 +517,12 @@ object Events {
     */
   def q162SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    // integer `div`, not `/`: double division is exact here (µs sums
-    // stay under 2^53) but the floor-div form mirrors DuckDB's `//`
-    // without relying on that bound
+    // FLOOR div, not bare `div`: DuckDB's `//` floors while Spark's
+    // `div` truncates — a pre-epoch corpus makes the midpoint sum
+    // negative and the two would cut one µs apart (Det.floorDivExpr)
     val bounds = e.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
-      .select(expr("(unix_micros(mn) + unix_micros(mx)) div 2").as("cut_us"))
+      .select(expr(graft.ops.Det.floorDivExpr("unix_micros(mn) + unix_micros(mx)", 2L))
+        .as("cut_us"))
     val cutApplied = e.crossJoin(broadcast(bounds))
     def lastState(df: DataFrame, tag: String) = df
       .groupBy("user_id")

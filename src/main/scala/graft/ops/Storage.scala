@@ -150,7 +150,10 @@ object Storage {
     val pairs = a.join(b, Seq("table_name"))
       .filter(col("fa") < col("fb") && col("mna") <= col("mxb") && col("mnb") <= col("mxa"))
       .groupBy("table_name").agg(count(lit(1)).as("n_overlap_pairs"))
-    ranges.groupBy("table_name").agg(count(lit(1)).as("n_files"))
+    // n_files counts the INVENTORY (zero-row files and all-empty tables
+    // included — q164's discipline); ranges exist only for row-bearing
+    // files, which is exactly what the overlap join should see
+    inventory(spark, dir).groupBy("table_name").agg(count(lit(1)).as("n_files"))
       .join(pairs, Seq("table_name"), "left")
       .withColumn("n_overlap_pairs", coalesce(col("n_overlap_pairs"), lit(0L)))
       .select(col("table_name"), col("n_files"), col("n_overlap_pairs"),
@@ -178,7 +181,9 @@ object Storage {
       .select(col("table_name"), col("file"), col("n_rows"))
       .withColumn("rows_before", coalesce(sum(col("n_rows")).over(w), lit(0L)))
       .select(col("table_name"), col("file"), col("n_rows"),
-        (col("rows_before") / targetRows).cast(LongType).as("bin_id"))
+        // integer div, never double `/`: a prefix sum past 2^52 would
+        // round to the wrong bin under double division
+        expr(s"rows_before div ${targetRows}L").as("bin_id"))
       .orderBy("table_name", "file")
   }
 }

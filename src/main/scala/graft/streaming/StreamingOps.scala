@@ -541,6 +541,11 @@ object StreamingOps {
     *
     * Parity contract (StreamingSpec): the emitted rows equal batch
     * q163's rows WHERE valid_to IS NOT NULL, bit-for-bit.
+    *
+    * Input contract: `event_type` must be non-null — feed the
+    * [[dqGateStream]]-passed stream (its `event_type_not_null`
+    * constraint quarantines the rest). A NULL type would read as a
+    * change here but as no-change in batch q163's `=!=` filter.
     */
   def scd2Stream(events: Dataset[Ev]): Dataset[(Long, Long, String, Long, Long)] = {
     import events.sparkSession.implicits._
@@ -564,30 +569,52 @@ object StreamingOps {
       }
   }
 
-  /** State for [[lastStateStream]]: the (ts, event_id)-max event's
-    * (type, value) per user — q162's per-side argmax kept incrementally.
+  /** Event row for streams that must carry a NULLABLE value
+    * faithfully: `events.value` is nullable and batch q162 null-safes
+    * its change test, so the streaming dual cannot decode into [[Ev]]'s
+    * primitive Double (a NULL kills the query). Flag + primitive, never
+    * Option — [[FillState]]'s encoder discipline. Build with [[toEvN]].
     */
-  case class LastSeen(hasV: Boolean, us: Long, eventId: Long, lastType: String, value: Double)
+  case class EvN(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double, valueIsNull: Boolean)
+
+  /** Adapt the raw events frame (nullable value) to [[EvN]]. */
+  def toEvN(events: DataFrame): Dataset[EvN] = {
+    import events.sparkSession.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+      coalesce(col("value"), lit(0.0)).as("value"),
+      col("value").isNull.as("valueIsNull")).as[EvN]
+  }
+
+  /** State for [[lastStateStream]]: the (ts, event_id)-max event's
+    * (type, value, null flag) per user — q162's per-side argmax kept
+    * incrementally.
+    */
+  case class LastSeen(hasV: Boolean, us: Long, eventId: Long, lastType: String,
+                      value: Double, valueIsNull: Boolean)
 
   /** Streaming last-state maintenance (batch q162's per-snapshot
     * argmax as an incremental stream): after each micro-batch that
     * touches a user, emits that user's current
-    * (user_id, event_type, value, us, event_id) — the max-struct
-    * winner over everything delivered so far, out-of-order safe (a
-    * late event older than the state's (us, event_id) leaves it
-    * unchanged). Update-mode semantics via flatMapGroups + downstream
-    * last-emission-wins: a CDC consumer materializes the snapshot by
-    * keeping each user's latest emission, and q162's diff is then a
-    * BATCH compare of two such snapshots (StreamingSpec drains the
-    * two cut sides through two independent runs and pins the
-    * classification counts to batch q162).
+    * (user_id, event_type, value, valueIsNull, us, event_id) — the
+    * max-struct winner over everything delivered so far, out-of-order
+    * safe (a late event older than the state's (us, event_id) leaves
+    * it unchanged), and NULL-value faithful via [[EvN]]'s flag (batch
+    * q162 null-safes its change test; the stream must carry the same
+    * distinction). Update-mode semantics via flatMapGroups +
+    * downstream last-emission-wins: a CDC consumer materializes the
+    * snapshot by keeping each user's latest emission, and q162's diff
+    * is then a BATCH compare of two such snapshots (StreamingSpec
+    * drains the two cut sides through two independent runs, NULL
+    * value included, and pins the classification counts to batch
+    * q162).
     */
-  def lastStateStream(events: Dataset[Ev]): Dataset[(Long, String, Double, Long, Long)] = {
+  def lastStateStream(events: Dataset[EvN]): Dataset[(Long, String, Double, Boolean, Long, Long)] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[LastSeen, (Long, String, Double, Long, Long)](
+      .flatMapGroupsWithState[LastSeen, (Long, String, Double, Boolean, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[Ev], state: GroupState[LastSeen]) =>
+        (uid: Long, it: Iterator[EvN], state: GroupState[LastSeen]) =>
           val batchMax = it.maxBy(e => (tsMicros(e.ts), e.event_id))
           val bUs = tsMicros(batchMax.ts)
           val prev = state.getOption.filter(_.hasV)
@@ -595,10 +622,10 @@ object StreamingOps {
             p.us > bUs || (p.us == bUs && p.eventId > batchMax.event_id))
           val st =
             if (keepPrev) prev.get
-            else LastSeen(hasV = true, tsMicros(batchMax.ts), batchMax.event_id,
-              batchMax.event_type, batchMax.value)
+            else LastSeen(hasV = true, bUs, batchMax.event_id,
+              batchMax.event_type, batchMax.value, batchMax.valueIsNull)
           state.update(st)
-          Iterator.single((uid, st.lastType, st.value, st.us, st.eventId))
+          Iterator.single((uid, st.lastType, st.value, st.valueIsNull, st.us, st.eventId))
       }
   }
 }

@@ -280,6 +280,19 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out("b") == ((1L, 1L, 0L, 1.0)), out("b"))
   }
 
+  test("q172 completeness: pre-epoch timestamps floor into the previous hour (DuckDB // parity)") {
+    val dir = tmpDir()
+    // 23:30 and 00:30 around the 1970 epoch: FLOOR puts them in hours
+    // −1 and 0 (observed 2, span 2); a truncating div would collapse
+    // both into hour 0
+    writeEvents(dir,
+      (1L, -Hour / 2, 1L, "p", 0.0, "{}"),
+      (2L, Hour / 2, 1L, "p", 0.0, "{}"))
+    val out = Events.q172CompletenessAudit(spark, dir).head()
+    assert((out.getLong(1), out.getLong(2), out.getLong(3), out.getDouble(4)) ==
+      ((2L, 2L, 0L, 1.0)), out)
+  }
+
   test("q163 SCD2: versions per type change, [valid_from, valid_to) chain, open current version") {
     val dir = tmpDir()
     writeEvents(dir,

@@ -77,4 +77,21 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
     writeDocuments(dir, (1L, "hello world", "en", "web", 11L))
     writeEmbeddings(dir, (1L, Seq(1.0f, 0.0f), 0))
   }
+
+  /** Every table of the driver layout present with its full schema and
+    * ZERO rows — the first run of a new replica (AuditSpec/StorageSpec
+    * degenerates).
+    */
+  def writeEmptyWarehouse(dir: String): Unit = {
+    write(dir, "region", df(Tables.regionSchema))
+    write(dir, "nation", df(Tables.nationSchema))
+    write(dir, "customer", df(Tables.customerSchema))
+    write(dir, "supplier", df(Tables.supplierSchema))
+    write(dir, "part", df(Tables.partSchema))
+    write(dir, "orders", df(Tables.ordersSchema))
+    write(dir, "lineitem", df(Tables.lineitemSchema))
+    writeEvents(dir)
+    writeDocuments(dir)
+    writeEmbeddings(dir)
+  }
 }

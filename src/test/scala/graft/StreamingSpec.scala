@@ -467,13 +467,13 @@ class StreamingSpec extends SparkSpecBase {
       val q = StreamingOps.transitionStream(ms.toDS(), Some(java.time.Duration.ofHours(1)))
         .toDF("user_id", "from_type", "to_type")
         .writeStream.format("memory").queryName("trans_ttl").outputMode("append").start()
-      ms.addData(b1.toSeq: _*); q.processAllAvailable()
-      ms.addData(b2.toSeq: _*); q.processAllAvailable()
-      val res = spark.table("trans_ttl").groupBy("from_type", "to_type")
-        .count().collect()
-        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-      q.stop()
-      res
+      try {
+        ms.addData(b1.toSeq: _*); q.processAllAvailable()
+        ms.addData(b2.toSeq: _*); q.processAllAvailable()
+        spark.table("trans_ttl").groupBy("from_type", "to_type")
+          .count().collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      } finally q.stop() // a failed drain must not leak a running query
     } finally spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
     val batch = graft.ops.Events.q150EventTransitions(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
@@ -578,36 +578,52 @@ class StreamingSpec extends SparkSpecBase {
       s"${(streamed diff batch).take(5)} / ${(batch diff streamed).take(5)}")
   }
 
-  test("lastStateStream: two independent snapshot drains classify exactly as batch q162") {
+  test("lastStateStream: two independent snapshot drains classify exactly as batch q162, NULL value included") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
-    val evs = Tables.events(spark, sf)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[StreamingOps.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
-    def us(e: StreamingOps.Ev): Long =
+    // fixture = the sf corpus + a user whose value goes 1.0 → NULL
+    // across the cut at the same type: the null-faithful stream must
+    // classify it changed, exactly as batch q162's <=> does. The
+    // injected rows sit AT the existing span extremes so the midpoint
+    // cut is unchanged.
+    val dir = tmpDir()
+    val base = Tables.events(spark, sf)
+    val (mnTs, mxTs) = base.agg(
+      org.apache.spark.sql.functions.min(col("ts")),
+      org.apache.spark.sql.functions.max(col("ts"))).as[(Timestamp, Timestamp)].head()
+    val extra = Seq(
+      org.apache.spark.sql.Row(900001L, mnTs, 999999L, "x", 1.0, "{}"),
+      org.apache.spark.sql.Row(900002L, mxTs, 999999L, "x", null, "{}"))
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize(base.collect().toSeq ++ extra, 2), Tables.eventsSchema)
+    all.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val evs = StreamingOps.toEvN(Tables.events(spark, dir))
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    def us(e: StreamingOps.EvN): Long =
       math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
     // the same data-anchored cut as batch q162: midpoint of the span
     val cut = (evs.map(us).min + evs.map(us).max) / 2
     val (sideA, sideB) = evs.partition(e => us(e) < cut)
     // each side drains through its OWN run in two micro-batches; the
     // snapshot is each user's LAST emission (update-mode consumption)
-    def snapshot(side: Seq[StreamingOps.Ev], name: String): Map[Long, (String, Double)] = {
-      val ms = MemoryStream[StreamingOps.Ev]
+    def snapshot(side: Seq[StreamingOps.EvN], name: String): Map[Long, (String, Option[Double])] = {
+      val ms = MemoryStream[StreamingOps.EvN]
       val q = StreamingOps.lastStateStream(ms.toDS())
-        .toDF("user_id", "event_type", "value", "us", "event_id")
+        .toDF("user_id", "event_type", "value", "value_is_null", "us", "event_id")
         .writeStream.format("memory").queryName(name).outputMode("append").start()
-      val (h1, h2) = side.splitAt(side.length / 2)
-      if (h1.nonEmpty) { ms.addData(h1: _*); q.processAllAvailable() }
-      if (h2.nonEmpty) { ms.addData(h2: _*); q.processAllAvailable() }
-      val snap = spark.table(name).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
-        .groupBy(_._1).map { case (uid, rows) =>
-          val w = rows.maxBy(r => (r._4, r._5)) // argmax (us, event_id)
-          uid -> ((w._2, w._3))
-        }
-      q.stop()
-      snap
+      try {
+        val (h1, h2) = side.splitAt(side.length / 2)
+        if (h1.nonEmpty) { ms.addData(h1: _*); q.processAllAvailable() }
+        if (h2.nonEmpty) { ms.addData(h2: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getString(1),
+            if (r.getBoolean(3)) None else Some(r.getDouble(2)), r.getLong(4), r.getLong(5)))
+          .groupBy(_._1).map { case (uid, rows) =>
+            val w = rows.maxBy(r => (r._4, r._5)) // argmax (us, event_id)
+            uid -> ((w._2, w._3))
+          }
+      } finally q.stop()
     }
     val a = snapshot(sideA, "snap_a")
     val b = snapshot(sideB, "snap_b")
@@ -619,7 +635,9 @@ class StreamingSpec extends SparkSpecBase {
         case _ => "unchanged"
       }
     }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
-    val batch = graft.ops.Events.q162SnapshotDiff(spark, sf).collect()
+    // the NULL-valued user must be visible in snapshot B as (x, None)
+    assert(b(999999L) == (("x", None)), b.get(999999L))
+    val batch = graft.ops.Events.q162SnapshotDiff(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed == batch, s"stream/batch snapshot-diff divergence: $streamed vs $batch")
   }

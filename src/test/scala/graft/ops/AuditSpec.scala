@@ -18,12 +18,9 @@ class AuditSpec extends SparkSpecBase {
     if (keys.isEmpty) -1L
     else (keys.map(k => BigInt(k % P) * K % P).sum % P).toLong
 
-  private def writeAllTables(dir: String, custKeys: Seq[Long] = Seq(1L, 2L, 3L)): Unit =
-    writeWarehouse(dir, custKeys)
-
   test("q167 manifest: counts match the tables; checksums match an independent BigInt computation") {
     val dir = tmpDir()
-    writeAllTables(dir)
+    writeWarehouse(dir)
     val m = Audit.q167IntegrityManifest(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(m("region") == ((2L, expectedChecksum(Seq(0L, 1L)))))
@@ -36,8 +33,8 @@ class AuditSpec extends SparkSpecBase {
   test("q167 manifest: checksum is row-order and partitioning independent") {
     val d1 = tmpDir(); val d2 = tmpDir()
     val keys = Seq(101L, 7L, 999999999999L, 42L)
-    writeAllTables(d1, custKeys = keys)
-    writeAllTables(d2, custKeys = keys.reverse)
+    writeWarehouse(d1, custKeys = keys)
+    writeWarehouse(d2, custKeys = keys.reverse)
     // d2 also re-partitions the reversed rows differently
     val shuffled = df(Tables.customerSchema,
       keys.reverse.map(k => Row(k, s"c$k", 0, 1.0, "SEG")): _*).repartition(3)
@@ -74,10 +71,13 @@ class AuditSpec extends SparkSpecBase {
   test("q169 DQ audit: injected violations count per constraint class; clean constraints pass") {
     val dir = tmpDir()
     writeWarehouse(dir)
-    // duplicate customer key 1 → pk_unique Σ(cnt−1) = 2 extra copies
+    // duplicate customer key 1 → pk_unique Σ(cnt−1) = 2 extra copies;
+    // two NULL keys are NOT uniqueness violations (they are a NOT NULL
+    // problem — the oracle's count(pk) − count(DISTINCT pk) convention)
     write(dir, "customer", df(Tables.customerSchema,
       Row(1L, "c1", 0, 1.0, "SEG"), Row(1L, "c1b", 0, 1.0, "SEG"),
-      Row(1L, "c1c", 0, 1.0, "SEG"), Row(2L, "c2", 0, 1.0, "SEG")))
+      Row(1L, "c1c", 0, 1.0, "SEG"), Row(2L, "c2", 0, 1.0, "SEG"),
+      Row(null, "cx", 0, 1.0, "SEG"), Row(null, "cy", 0, 1.0, "SEG")))
     // one orphaned order (custkey 99) + one NULL-key order (passes FK)
     write(dir, "orders", df(Tables.ordersSchema,
       Row(100L, 1L, "O", 10.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1"),
@@ -95,7 +95,7 @@ class AuditSpec extends SparkSpecBase {
       Row(2L, 1704067200L * Ns, 1L, "click", -3.0, "{}")))
     val out = Audit.q169DqAudit(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
-    assert(out(("customer", "pk_unique")) == ((4L, 2L, false)))
+    assert(out(("customer", "pk_unique")) == ((6L, 2L, false)))
     assert(out(("orders", "fk_customer")) == ((3L, 1L, false))) // NULL key passes
     assert(out(("orders", "orderdate_not_null")) == ((3L, 1L, false)))
     assert(out(("lineitem", "quantity_range")) == ((2L, 1L, false)))
@@ -143,16 +143,7 @@ class AuditSpec extends SparkSpecBase {
 
   test("empty warehouse: manifest rows carry n_rows=0 with NULL checksum; cascade reports zeros") {
     val dir = tmpDir()
-    write(dir, "region", df(Tables.regionSchema))
-    write(dir, "nation", df(Tables.nationSchema))
-    write(dir, "customer", df(Tables.customerSchema))
-    write(dir, "supplier", df(Tables.supplierSchema))
-    write(dir, "part", df(Tables.partSchema))
-    write(dir, "orders", df(Tables.ordersSchema))
-    write(dir, "lineitem", df(Tables.lineitemSchema))
-    writeEvents(dir)
-    writeDocuments(dir)
-    writeEmbeddings(dir)
+    writeEmptyWarehouse(dir)
     val m = Audit.q167IntegrityManifest(spark, dir).collect()
     assert(m.length == Audit.TablePk.length)
     assert(m.forall(r => r.getLong(1) == 0L && r.isNullAt(2)), m.toSeq)
