@@ -89,9 +89,12 @@ object Storage {
   private def rowsPerFile(spark: SparkSession, dir: String): DataFrame = {
     val counts = Audit.TablePk.map { case (table, _) =>
       Tables.all(table)(spark, dir)
-        .select(lit(table).as("table_name"), basename(input_file_name()).as("file"))
+        // group on the RAW path; the basename regex runs once per FILE
+        // on the aggregated rows, never once per row of the corpus
+        .select(lit(table).as("table_name"), input_file_name().as("fpath"))
     }.reduce(_ unionByName _)
-      .groupBy("table_name", "file").agg(count(lit(1)).as("n_rows"))
+      .groupBy("table_name", "fpath").agg(count(lit(1)).as("n_rows"))
+      .select(col("table_name"), basename(col("fpath")).as("file"), col("n_rows"))
     inventory(spark, dir)
       .join(counts, Seq("table_name", "file"), "left")
       .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
@@ -127,38 +130,78 @@ object Storage {
     * key [min, max] ranges overlap (0 = perfectly clustered: every
     * file prunes independently on a key predicate; rising pair counts
     * mean a key lookup must open ever more files). This is the signal
-    * a sort/Z-order compaction decision reads. One pruned-key-column
-    * scan per table → ONE unioned file-count-sized range relation →
-    * ONE self EQUI-join on table_name with the interval overlap as a
-    * residual predicate (no nested loop: the join key is the table,
-    * and per-table file counts bound the residual's work) → one
-    * groupBy. Per-table n_files LEFT-joins the pair counts so
-    * overlap-free tables still report.
+    * a sort/Z-order compaction decision reads.
+    *
+    * Shape: ONE pruned-key-column scan per table builds the per-file
+    * [mn, mx] range relation (map-side combined to one row per file);
+    * that relation is CATALOG-sized — the same size class as the file
+    * listing itself — so the pairwise analysis collects it and runs a
+    * driver-side mn-ordered sweep with Fenwick suffix counts,
+    * O(n log n) in file count. The earlier self-join formulation
+    * rescanned every table a second time (Spark plans the two join
+    * sides as different exchange types, so ReuseExchange never fires);
+    * this is the one-big-pass + metadata-compute split every
+    * lakehouse OPTIMIZE planner uses. n_files counts the INVENTORY
+    * (zero-row files and all-empty tables included — q164's
+    * discipline); ranges exist only for row-bearing files, which is
+    * exactly what the overlap sweep should see.
     */
   def q165ClusteringAudit(spark: SparkSession, dir: String): DataFrame = {
     val ranges = Audit.TablePk.map { case (table, pkExpr) =>
       Tables.all(table)(spark, dir)
-        .select(lit(table).as("table_name"), basename(input_file_name()).as("file"),
+        // raw path as the group key — rowsPerFile's once-per-file
+        // basename discipline
+        .select(lit(table).as("table_name"), input_file_name().as("fpath"),
           expr(pkExpr).cast(LongType).as("pk"))
     }.reduce(_ unionByName _)
-      .groupBy("table_name", "file")
+      .filter(col("pk").isNotNull) // NULL keys carry no range (q169's stance)
+      .groupBy("table_name", "fpath")
       .agg(min(col("pk")).as("mn"), max(col("pk")).as("mx"))
-    val a = ranges.select(col("table_name"), col("file").as("fa"),
-      col("mn").as("mna"), col("mx").as("mxa"))
-    val b = ranges.select(col("table_name"), col("file").as("fb"),
-      col("mn").as("mnb"), col("mx").as("mxb"))
-    val pairs = a.join(b, Seq("table_name"))
-      .filter(col("fa") < col("fb") && col("mna") <= col("mxb") && col("mnb") <= col("mxa"))
-      .groupBy("table_name").agg(count(lit(1)).as("n_overlap_pairs"))
-    // n_files counts the INVENTORY (zero-row files and all-empty tables
-    // included — q164's discipline); ranges exist only for row-bearing
-    // files, which is exactly what the overlap join should see
-    inventory(spark, dir).groupBy("table_name").agg(count(lit(1)).as("n_files"))
-      .join(pairs, Seq("table_name"), "left")
-      .withColumn("n_overlap_pairs", coalesce(col("n_overlap_pairs"), lit(0L)))
-      .select(col("table_name"), col("n_files"), col("n_overlap_pairs"),
-        (col("n_overlap_pairs") === 0L).as("clustered"))
+      .collect() // catalog-sized: one row per row-bearing file
+    val pairsByTable = ranges.groupBy(_.getString(0)).map { case (t, rows) =>
+      t -> overlapPairs(rows.map(r => (r.getLong(2), r.getLong(3))).toSeq)
+    }
+    val out = Audit.TablePk.map { case (table, _) =>
+      (table, listFiles(spark, dir, table).length.toLong,
+        pairsByTable.getOrElse(table, 0L))
+    }
+    spark.createDataFrame(out).toDF("table_name", "n_files", "n_overlap_pairs")
+      .withColumn("clustered", col("n_overlap_pairs") === 0L)
       .orderBy("table_name")
+  }
+
+  /** Count interval pairs (i ≠ j, unordered) whose [mn, mx] ranges
+    * intersect: sweep in (mn, mx) order; each interval overlaps
+    * exactly the previously-seen intervals whose mx ≥ its mn (their
+    * mn is ≤ ours by sort order, and our mx ≥ our mn ≥ their mn
+    * closes the other direction). "Previous mx ≥ mn" counts come from
+    * a Fenwick tree over coordinate-compressed mx values — O(n log n)
+    * total, driver-side, on the catalog-sized range inventory.
+    */
+  private[ops] def overlapPairs(ranges: Seq[(Long, Long)]): Long = {
+    if (ranges.length < 2) return 0L
+    val mxSorted = ranges.map(_._2).distinct.sorted.toArray
+    val bit = new Array[Long](mxSorted.length + 1)
+    def add(i0: Int): Unit = {
+      var i = i0 + 1
+      while (i <= mxSorted.length) { bit(i) += 1; i += i & -i }
+    }
+    def prefix(i0: Int): Long = { // count of inserted mx with index ≤ i0
+      var i = i0 + 1; var s = 0L
+      while (i > 0) { s += bit(i); i -= i & -i }
+      s
+    }
+    var total = 0L
+    var seen = 0L
+    ranges.sorted.foreach { case (mn, mx) =>
+      val p = java.util.Arrays.binarySearch(mxSorted, mn)
+      val lastBelow = if (p >= 0) p - 1 else -p - 2 // last compressed index with mx < mn
+      val below = if (lastBelow < 0) 0L else prefix(lastBelow)
+      total += seen - below
+      add(java.util.Arrays.binarySearch(mxSorted, mx))
+      seen += 1
+    }
+    total
   }
 
   /** q166 — COMPACTION PLAN: the file → output-bin assignment a

@@ -90,6 +90,24 @@ class StorageSpec extends SparkSpecBase {
     assert(plan.nonEmpty && plan.forall(_.getLong(3) == 0L))
   }
 
+  test("overlapPairs sweep matches the brute-force pair count on deterministic random intervals") {
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(0, 1, 2, 7, 40, 200)) {
+      val ranges = Seq.fill(n) {
+        val a = rnd.nextLong() % 1000; val b = a + math.abs(rnd.nextLong() % 50)
+        (a, b)
+      }
+      val brute = (for {
+        i <- ranges.indices; j <- (i + 1) until ranges.length
+        if ranges(i)._1 <= ranges(j)._2 && ranges(j)._1 <= ranges(i)._2
+      } yield 1).size.toLong
+      assert(Storage.overlapPairs(ranges) == brute, s"n=$n")
+    }
+    // duplicate endpoints and identical intervals
+    val dup = Seq((0L, 10L), (0L, 10L), (10L, 20L), (21L, 30L))
+    assert(Storage.overlapPairs(dup) == 3L) // (1,2),(1,3),(2,3)
+  }
+
   test("empty warehouse: inventory rows exist with zero rows; audit reports clustered; plan is all bin 0") {
     val dir = tmpDir()
     writeEmptyWarehouse(dir)
