@@ -210,9 +210,11 @@ object SparkEntry {
     "q171_freshness_audit" -> (Events.q171FreshnessAudit _),
     "q172_completeness_audit" -> (Events.q172CompletenessAudit _),
     "q173_index_coverage" -> (Audit.q173IndexCoverage _),
+    "q174_join_skew_audit" -> (Audit.q174JoinSkewAudit _),
     "q164_storage_stats" -> (graft.ops.Storage.q164StorageStats _),
     "q165_clustering_audit" -> (graft.ops.Storage.q165ClusteringAudit _),
     "q166_compaction_plan" -> ((s, dir) => graft.ops.Storage.q166CompactionPlan(s, dir)),
+    "q175_zorder_plan" -> (graft.ops.Storage.q175ZorderPlan _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2039,6 +2041,45 @@ object SparkEntry {
         "(SELECT CAST(min(len(embedding)) AS BIGINT) FROM embeddings) AS min_dim, " +
         "(SELECT CAST(max(len(embedding)) AS BIGINT) FROM embeddings) AS max_dim, " +
         "(SELECT count(*) FROM embeddings WHERE len(list_filter(embedding, x -> x <> 0)) = 0) AS n_zero_vectors"),
+    // q174: per-key counts after the same explode shape; hottest key by
+    // min-among-max-count join-back; skew flag cross-multiplied into
+    // exact integer space (no division)
+    "q174_join_skew_audit" ->
+      ("WITH u AS (" +
+        "SELECT 'orders.o_custkey' AS rel, CAST(o_custkey AS VARCHAR) AS k FROM orders " +
+        "UNION ALL SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR) FROM lineitem " +
+        "UNION ALL SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem " +
+        "UNION ALL SELECT 'lineitem.l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem " +
+        "UNION ALL SELECT 'events.user_id', CAST(user_id AS VARCHAR) FROM events " +
+        "UNION ALL SELECT 'events.event_type', event_type FROM events), " +
+        "c AS (SELECT rel, k, count(*) AS cnt FROM u GROUP BY rel, k), " +
+        "m AS (SELECT rel, CAST(sum(cnt) AS BIGINT) AS n_rows, " +
+        "CAST(coalesce(sum(CASE WHEN k IS NULL THEN cnt END), 0) AS BIGINT) AS n_null_rows, " +
+        "count(k) AS n_keys, " +
+        "max(CASE WHEN k IS NOT NULL THEN cnt END) AS max_rows_per_key FROM c GROUP BY rel) " +
+        "SELECT rel, n_rows, n_null_rows, n_keys, max_rows_per_key, " +
+        "(SELECT min(k) FROM c WHERE c.rel = m.rel AND c.cnt = m.max_rows_per_key " +
+        "AND c.k IS NOT NULL) AS hot_key, " +
+        "CAST(max_rows_per_key AS HUGEINT) * n_keys >= " +
+        "CAST(n_rows - n_null_rows AS HUGEINT) * 4 AS salt_recommended " +
+        "FROM m ORDER BY rel"),
+    // q175: the same 16-bit grid + Morton interleave, term by term;
+    // post-epoch days so // is floor on both sides
+    "q175_zorder_plan" -> {
+      val interleave = (0 until 16).map(i =>
+        s"((((gx >> $i) & 1) << ${2 * i}) | (((gy >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" | ")
+      "WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS x, " +
+        "epoch_us(o_orderdate) // 86400000000 AS y FROM orders), " +
+        "b AS (SELECT min(x) AS xmn, max(x) AS xmx, min(y) AS ymn, max(y) AS ymx FROM o), " +
+        "g AS (SELECT x, y, ((x - xmn) * 65535) // greatest(xmx - xmn, 1) AS gx, " +
+        "((y - ymn) * 65535) // greatest(ymx - ymn, 1) AS gy FROM o, b), " +
+        s"z AS (SELECT x, y, ($interleave) AS z FROM g) " +
+        "SELECT z // 268435456 AS bin_id, count(*) AS n_rows, " +
+        "min(z) AS z_lo, max(z) AS z_hi, min(x) AS x_lo, max(x) AS x_hi, " +
+        "min(y) AS y_lo, max(y) AS y_hi " +
+        "FROM z GROUP BY bin_id ORDER BY bin_id"
+    },
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

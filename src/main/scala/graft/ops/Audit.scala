@@ -3,7 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DecimalType, LongType, StringType}
 
 /** Data-governance audits: the cross-replica integrity manifest and the
   * right-to-be-forgotten purge cascade. The reference has no governance
@@ -267,5 +267,64 @@ object Audit {
         min(col("dim")).as("min_dim"),
         max(col("dim")).as("max_dim"),
         coalesce(sum(col("is_zero")), lit(0L)).as("n_zero_vectors"))
+  }
+
+  /** The join-key columns the skew audit profiles — every key a
+    * declared join in this library shuffles on (the FK edges' child
+    * sides plus events' two power-law keys).
+    */
+  private[graft] val SkewKeys: Seq[(String, Seq[String])] = Seq(
+    "orders" -> Seq("o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("user_id", "event_type"))
+
+  /** q174 — JOIN-SKEW AUDIT: the pre-flight a 100 TB join runs before
+    * choosing its physical shape. Per audited join key: row/null-key
+    * counts, distinct-key count, the hottest key's row count and the
+    * (deterministic) hottest key itself, plus `salt_recommended` —
+    * whether the hottest key carries ≥4× the mean rows per key, i.e.
+    * whether a plain hash join would send 4× the average partition to
+    * one reducer (the straggler q37/q61's salting exists to kill).
+    *
+    * Shape: ONE scan per table reading only its audited key columns; a
+    * struct-array explode fans each row to its (rel, key) terms, and
+    * the per-key count groupBy partial-aggregates AFTER the explode, so
+    * the shuffle is key-cardinality-sized, not row-sized. The stats
+    * pass and the hottest-key argmin (join-back on `cnt = max`, min
+    * key among ties — no window) both run on that keys-sized relation.
+    * The skew decision is CROSS-MULTIPLIED into exact integer space
+    * (`max·n_keys ≥ 4·n_nonnull` — q40's boundary-pinning trick): no
+    * division, no overflow ambiguity, bit-identical in both engines at
+    * any corpus size. At 100 TB the per-key count relation is the same
+    * size class the join itself would shuffle; the swap-in when even
+    * that is too big is a Misra-Gries / count-min heavy-hitter pass,
+    * which this audit's contract (top key + threshold flag) is shaped
+    * to accept.
+    */
+  def q174JoinSkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = SkewKeys.map { case (t, cols) =>
+      Tables.all(t)(spark, dir)
+        .select(explode(array(cols.map(c =>
+          struct(lit(s"$t.$c").as("rel"), col(c).cast(StringType).as("k"))): _*)).as("x"))
+        .select("x.*")
+    }.reduce(_ unionByName _)
+      .groupBy("rel", "k").agg(count(lit(1)).as("cnt"))
+    val stats = perKey.groupBy("rel").agg(
+      sum(col("cnt")).cast(LongType).as("n_rows"),
+      coalesce(sum(when(col("k").isNull, col("cnt"))), lit(0L)).cast(LongType)
+        .as("n_null_rows"),
+      count(col("k")).as("n_keys"),
+      max(when(col("k").isNotNull, col("cnt"))).as("max_rows_per_key"))
+    val hot = perKey
+      .join(stats.select(col("rel"), col("max_rows_per_key").as("mx")), Seq("rel"))
+      .filter(col("k").isNotNull && col("cnt") === col("mx"))
+      .groupBy("rel").agg(min(col("k")).as("hot_key"))
+    stats.join(hot, Seq("rel"), "left")
+      .select(col("rel"), col("n_rows"), col("n_null_rows"), col("n_keys"),
+        col("max_rows_per_key"), col("hot_key"),
+        (col("max_rows_per_key").cast(DecimalType(38, 0)) * col("n_keys") >=
+          (col("n_rows") - col("n_null_rows")).cast(DecimalType(38, 0)) * 4)
+          .as("salt_recommended"))
+      .orderBy("rel")
   }
 }

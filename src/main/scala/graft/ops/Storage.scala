@@ -229,4 +229,58 @@ object Storage {
         expr(s"rows_before div ${targetRows}L").as("bin_id"))
       .orderBy("table_name", "file")
   }
+
+  /** Bit-interleave the low 16 bits of two grid coordinates into a
+    * 32-bit Z-value (Morton code) — a static 32-term codegen-friendly
+    * expression tree, no UDF.
+    */
+  private def interleave16(gx: org.apache.spark.sql.Column,
+                           gy: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(gx, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(gy, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** q175 — Z-ORDER PLAN: the multi-column clustering layout q165's
+    * audit asks for when ONE sort key can't serve two predicate
+    * columns. Orders lay out on (o_custkey, order day): each dimension
+    * normalizes to a 16-bit grid against its corpus [min, max] (exact
+    * integer arithmetic off a one-row bounds broadcast — q171's anchor
+    * discipline), the grid coordinates bit-interleave into a 32-bit
+    * Morton code, and the top 4 Z-bits (= top 2 bits of EACH
+    * dimension) name the output file bin. The emitted readout is the
+    * plan's pruning contract: per bin, the row count and the bounding
+    * box [x_lo..x_hi] × [y_lo..y_hi] a reader's min/max file statistics
+    * would carry — every bin bounds BOTH dimensions, which is the whole
+    * point of Z-order (a 1-D sort bounds only its leading column).
+    *
+    * Scale: the Z-value is row-local bit arithmetic inside one
+    * whole-stage-codegen span; the bounds pass is a map-combinable
+    * 4-value aggregate; the per-bin stats are one partial-aggregated
+    * groupBy on a 16-value key. Executing the plan is
+    * `repartitionByRange(col("z"))` + write — the stats here ARE the
+    * file statistics that write would produce. Dates are post-epoch so
+    * `div` is floor; the grid multiply stays under 2^63 for any key
+    * range below 2^47.
+    */
+  def q175ZorderPlan(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey").cast(LongType).as("x"),
+      expr("unix_micros(o_orderdate) div 86400000000").as("y"))
+    val bounds = o.agg(min(col("x")).as("xmn"), max(col("x")).as("xmx"),
+      min(col("y")).as("ymn"), max(col("y")).as("ymx"))
+    def grid(v: String, mn: String, mx: String) =
+      expr(s"(($v - $mn) * 65535L) div greatest($mx - $mn, 1L)")
+    o.crossJoin(broadcast(bounds))
+      .withColumn("gx", grid("x", "xmn", "xmx"))
+      .withColumn("gy", grid("y", "ymn", "ymx"))
+      .withColumn("z", interleave16(col("gx"), col("gy")))
+      .withColumn("bin_id", expr("z div 268435456")) // top 4 Z-bits: 16 bins
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("z")).as("z_lo"), max(col("z")).as("z_hi"),
+        min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
+        min(col("y")).as("y_lo"), max(col("y")).as("y_hi"))
+      .orderBy("bin_id")
+  }
 }

@@ -488,7 +488,10 @@ class PlanQualitySpec extends SparkSpecBase {
       // q168's scalar-not-relation shape
       "q169_dq_audit",
       // q171: q17's one-row max-ts anchor broadcast — scalar, not a relation
-      "q171_freshness_audit")
+      "q171_freshness_audit",
+      // q175: the one-row (xmn,xmx,ymn,ymx) grid-bounds broadcast —
+      // q15/q17's scalar-not-relation shape
+      "q175_zorder_plan")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

@@ -68,6 +68,62 @@ class AuditSpec extends SparkSpecBase {
       "lineitem" -> ((3L, 4L, 1L))), out)
   }
 
+  test("q174 skew audit: counts, hot-key min-tiebreak, null keys excluded, cross-multiplied flag") {
+    val dir = tmpDir()
+    writeWarehouse(dir)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // events: user 7 carries 4 of the 8 non-null-user rows (5 distinct
+    // users), one row has a NULL user; 8 clicks + 1 view
+    val evRows = (1 to 8).map(i =>
+      Row(i.toLong, ts, if (i <= 4) 7L else 100L + i, "click", 1.0, "{}")) :+
+      Row(9L, ts, null, "view", 1.0, "{}")
+    write(dir, "events", df(Tables.eventsSchema, evRows: _*))
+    val out = Audit.q174JoinSkewAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("orders.o_custkey", "lineitem.l_orderkey",
+      "lineitem.l_partkey", "lineitem.l_suppkey", "events.user_id",
+      "events.event_type"))
+    val u = out("events.user_id")
+    assert(u.getLong(1) == 9L && u.getLong(2) == 1L) // 9 rows, 1 null-key row
+    assert(u.getLong(3) == 5L)                       // 7, 105..108
+    assert(u.getLong(4) == 4L && u.getString(5) == "7")
+    // flag follows max*n_keys >= 4*(n_rows - n_nulls): 4*5 >= 4*8 → false
+    assert(!u.getBoolean(6))
+    val t = out("events.event_type")
+    assert(t.getLong(1) == 9L && t.getLong(2) == 0L && t.getLong(3) == 2L)
+    assert(t.getLong(4) == 8L && t.getString(5) == "click")
+    assert(!t.getBoolean(6)) // 8*2 >= 4*9 → false
+  }
+
+  test("q174 skew audit: hot-key ties resolve to the STRING-min key") {
+    val dir = tmpDir()
+    writeWarehouse(dir)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // users 7 and 105 tie at 2 rows each → "105" < "7" as strings
+    val rows = Seq(7L, 7L, 105L, 105L).zipWithIndex.map { case (uid, i) =>
+      Row(i.toLong, ts, uid, "click", 1.0, "{}")
+    }
+    write(dir, "events", df(Tables.eventsSchema, rows: _*))
+    val u = Audit.q174JoinSkewAudit(spark, dir).collect()
+      .find(_.getString(0) == "events.user_id").get
+    assert(u.getLong(4) == 2L && u.getString(5) == "105")
+  }
+
+  test("q174 skew audit: a 4x-mean hot key flips salt_recommended") {
+    val dir = tmpDir()
+    writeWarehouse(dir)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 10 rows for user 1, one row each for users 2..5 → 14 rows, 5 keys,
+    // max 10: 10*5 = 50 >= 4*14 = 56? No. Push to 20 rows hot:
+    // 20+4 = 24 rows, 5 keys, max 20: 100 >= 96 → true.
+    val rows = (1 to 20).map(i => Row(i.toLong, ts, 1L, "click", 1.0, "{}")) ++
+      (2 to 5).map(u => Row(100L + u, ts, u.toLong, "click", 1.0, "{}"))
+    write(dir, "events", df(Tables.eventsSchema, rows: _*))
+    val u = Audit.q174JoinSkewAudit(spark, dir).collect()
+      .find(_.getString(0) == "events.user_id").get
+    assert(u.getLong(4) == 20L && u.getString(5) == "1" && u.getBoolean(6))
+  }
+
   test("q169 DQ audit: injected violations count per constraint class; clean constraints pass") {
     val dir = tmpDir()
     writeWarehouse(dir)
@@ -162,5 +218,7 @@ class AuditSpec extends SparkSpecBase {
     val cov = Audit.q173IndexCoverage(spark, dir).head()
     assert((0 to 3).forall(i => cov.getLong(i) == 0L) && cov.isNullAt(4) &&
       cov.isNullAt(5) && cov.getLong(6) == 0L, cov)
+    // skew audit: no rows at all (nothing to profile), not a crash
+    assert(Audit.q174JoinSkewAudit(spark, dir).count() == 0L)
   }
 }

@@ -108,6 +108,39 @@ class StorageSpec extends SparkSpecBase {
     assert(Storage.overlapPairs(dup) == 3L) // (1,2),(1,3),(2,3)
   }
 
+  test("q175 zorder: grid corners land in the 2x2 quadrant bins with per-bin bounding boxes") {
+    val dir = tmpDir()
+    val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    val d1 = java.sql.Timestamp.valueOf("1995-01-02 00:00:00")
+    // four corners of the (custkey, day) square: grid coords are 0 or
+    // 65535, so z is 0 / 0x55555555 / 0xAAAAAAAA / 0xFFFFFFFF and the
+    // top-4-bit bins are exactly the quadrants 0 / 5 / 10 / 15
+    write(dir, "orders", df(Tables.ordersSchema,
+      Row(1L, 0L, "O", 1.0, d0, "1-URGENT"),
+      Row(2L, 100L, "O", 1.0, d0, "1-URGENT"),
+      Row(3L, 0L, "O", 1.0, d1, "1-URGENT"),
+      Row(4L, 100L, "O", 1.0, d1, "1-URGENT")))
+    val out = Storage.q175ZorderPlan(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(6)))).toMap
+    assert(out.keySet == Set(0L, 5L, 10L, 15L))
+    // (bin -> (n_rows, z_lo, x_lo, y_lo)); y checked relatively
+    assert(out(0L)._1 == 1L && out(0L)._2 == 0L && out(0L)._3 == 0L)
+    assert(out(5L)._1 == 1L && out(5L)._2 == 0x55555555L && out(5L)._3 == 100L)
+    assert(out(10L)._1 == 1L && out(10L)._2 == 0xAAAAAAAAL && out(10L)._3 == 0L)
+    assert(out(15L)._1 == 1L && out(15L)._2 == 0xFFFFFFFFL && out(15L)._3 == 100L)
+    assert(out(10L)._4 == out(0L)._4 + 1) // day dimension advanced one
+  }
+
+  test("q175 zorder: degenerate single-value dimensions collapse to bin 0") {
+    val dir = tmpDir()
+    val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    write(dir, "orders", df(Tables.ordersSchema,
+      Row(1L, 7L, "O", 1.0, d0, "1-URGENT"),
+      Row(2L, 7L, "O", 1.0, d0, "1-URGENT")))
+    val out = Storage.q175ZorderPlan(spark, dir).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 0L && out.head.getLong(1) == 2L)
+  }
+
   test("empty warehouse: inventory rows exist with zero rows; audit reports clustered; plan is all bin 0") {
     val dir = tmpDir()
     writeEmptyWarehouse(dir)
@@ -118,5 +151,7 @@ class StorageSpec extends SparkSpecBase {
     assert(audit.forall(r => r.getLong(1) >= 1L && r.getLong(2) == 0L && r.getBoolean(3)))
     val plan = Storage.q166CompactionPlan(spark, dir).collect()
     assert(plan.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+    // zorder plan over zero orders: no bins, not a crash
+    assert(Storage.q175ZorderPlan(spark, dir).count() == 0L)
   }
 }
