@@ -215,6 +215,7 @@ object SparkEntry {
     "q165_clustering_audit" -> (graft.ops.Storage.q165ClusteringAudit _),
     "q166_compaction_plan" -> ((s, dir) => graft.ops.Storage.q166CompactionPlan(s, dir)),
     "q175_zorder_plan" -> (graft.ops.Storage.q175ZorderPlan _),
+    "q176_equidepth_histogram" -> (Analytics.q176EquidepthHistogram _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2080,6 +2081,18 @@ object SparkEntry {
         "min(y) AS y_lo, max(y) AS y_hi " +
         "FROM z GROUP BY bin_id ORDER BY bin_id"
     },
+    // q176: same cumulative sweep over the value domain; quantities are
+    // integral so the DOUBLE→BIGINT cast agrees between engines
+    // (Spark truncates, DuckDB rounds — identical on exact integers)
+    "q176_equidepth_histogram" ->
+      ("WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS v, count(*) AS cnt " +
+        "FROM lineitem GROUP BY v), " +
+        "w AS (SELECT v, cnt, coalesce(sum(cnt) OVER " +
+        "(ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rows_before, " +
+        "sum(cnt) OVER () AS n_total FROM c) " +
+        "SELECT CAST((rows_before * 16) // n_total AS BIGINT) AS bin_id, " +
+        "min(v) AS lo, max(v) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows, " +
+        "count(*) AS n_values FROM w GROUP BY bin_id ORDER BY bin_id"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

@@ -379,6 +379,43 @@ object Analytics {
       .select("event_type", "bin", "bin_lo", "n_events", "min_value", "max_value")
       .orderBy("event_type", "bin")
 
+  /** q176 — EQUI-DEPTH HISTOGRAM (the optimizer-statistics build q91's
+    * fixed-width bins can't replace): lineitem quantity summarized as
+    * ~16 bins of near-equal ROW mass. Construction is the standard
+    * value-indivisible equi-depth build every ANALYZE implementation
+    * uses: per-value counts (one map-combinable groupBy — the shuffle
+    * is VALUE-DOMAIN-sized, 50 rows here, never row-sized), then a
+    * cumulative sweep over the ordered value domain assigns each
+    * distinct value wholly to the bin where its first row falls
+    * (`bin = rows_before · 16 div n_total`). Heavy values are
+    * indivisible, so bin heights vary and some bin ids can be skipped —
+    * exactly how real engine histograms behave (a value with >1/16 of
+    * the mass owns its bin outright). The single-partition window is
+    * correct HERE because its input is the distinct-value relation
+    * (q118's catalog-sized discipline); a row-sized global sort never
+    * happens. All arithmetic integer-exact: quantities are integral
+    * (cast pinned by the spec), `div` on non-negative prefix sums.
+    * High-cardinality columns swap in q38b's KLL boundaries and keep
+    * this same readout contract.
+    */
+  def q176EquidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast(LongType).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val ord = Window.orderBy("v")
+    counts
+      .withColumn("rows_before",
+        coalesce(sum(col("cnt")).over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_total",
+        sum(col("cnt")).over(ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("bin_id", expr("(rows_before * 16) div n_total"))
+      .groupBy("bin_id")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("cnt")).cast(LongType).as("n_rows"),
+        count(lit(1)).as("n_values"))
+      .orderBy("bin_id")
+  }
+
   /** q92 — correlation / least-squares regression per group, computed
     * from exact decimal moments: sums of x, y, x², y², x·y accumulate
     * in DECIMAL(28,6) ([[Det.dsum4w]] — order-independent under any

@@ -22,4 +22,31 @@ class AnalyticsSpec extends SparkSpecBase {
         s"${r.getString(0)} col $i: approx $a vs exact $x")
     }
   }
+
+  test("q176 equi-depth: heavy value owns its bin, light values pack, skipped ids allowed") {
+    val dir = tmpDir()
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def li(id: Long, qty: Double) =
+      org.apache.spark.sql.Row(id, 9L, 7L, 1, qty, 2.0, 0.0, 0.0, "N", "O", ts)
+    // 16 rows of v=1 (2/3 of the mass) + one row each of v=2..9
+    val rows = (1L to 16L).map(li(_, 1.0)) ++ (2 to 9).map(v => li(100L + v, v.toDouble))
+    write(dir, "lineitem", df(Tables.lineitemSchema, rows: _*))
+    val out = Analytics.q176EquidepthHistogram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // hand-computed: rows_before*16 div 24 per value
+    assert(out.toSeq == Seq(
+      (0L, 1L, 1L, 16L, 1L),   // the heavy value owns bin 0; ids 1-9 skipped
+      (10L, 2L, 2L, 1L, 1L), (11L, 3L, 3L, 1L, 1L), (12L, 4L, 5L, 2L, 2L),
+      (13L, 6L, 6L, 1L, 1L), (14L, 7L, 8L, 2L, 2L), (15L, 9L, 9L, 1L, 1L)), out.toSeq)
+    assert(out.map(_._4).sum == 24L)
+    // bins partition the ordered domain: each bin's lo follows the
+    // previous bin's hi
+    assert(out.toSeq.sliding(2).forall { case Seq(a, b) => b._2 > a._3; case _ => true })
+  }
+
+  test("q176 equi-depth: empty lineitem yields zero bins, not a crash") {
+    val dir = tmpDir()
+    writeEmptyWarehouse(dir)
+    assert(Analytics.q176EquidepthHistogram(spark, dir).count() == 0L)
+  }
 }
