@@ -216,6 +216,7 @@ object SparkEntry {
     "q166_compaction_plan" -> ((s, dir) => graft.ops.Storage.q166CompactionPlan(s, dir)),
     "q175_zorder_plan" -> (graft.ops.Storage.q175ZorderPlan _),
     "q176_equidepth_histogram" -> (Analytics.q176EquidepthHistogram _),
+    "q177_triangle_census" -> (Similarity.q177TriangleCensus _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2093,6 +2094,24 @@ object SparkEntry {
         "SELECT CAST((rows_before * 16) // n_total AS BIGINT) AS bin_id, " +
         "min(v) AS lo, max(v) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows, " +
         "count(*) AS n_values FROM w GROUP BY bin_id ORDER BY bin_id"),
+    // q177: the same degree-ordered orientation over the shared
+    // group-edge universe; each triangle counted once at its unique
+    // (deg, id)-minimal vertex
+    "q177_triangle_census" ->
+      (s"WITH $ttGgCtes, ${groupEdgeSql("e0")}, " +
+        "d AS MATERIALIZED (SELECT v, count(*) AS deg FROM " +
+        "(SELECT ga AS v FROM e0 UNION ALL SELECT gb AS v FROM e0) GROUP BY v), " +
+        "o AS MATERIALIZED (SELECT CASE WHEN da.deg <= db.deg THEN e0.ga ELSE e0.gb END AS src, " +
+        "CASE WHEN da.deg <= db.deg THEN e0.gb ELSE e0.ga END AS dst, " +
+        "greatest(da.deg, db.deg) AS ddeg " +
+        "FROM e0 JOIN d da ON da.v = e0.ga JOIN d db ON db.v = e0.gb), " +
+        "w AS (SELECT o1.dst AS x, o2.dst AS y FROM o o1 JOIN o o2 ON o1.src = o2.src " +
+        "AND (o1.ddeg < o2.ddeg OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst))), " +
+        "t AS (SELECT count(*) AS n_triangles FROM w JOIN o ON o.src = w.x AND o.dst = w.y) " +
+        "SELECT (SELECT count(*) FROM d) AS n_vertices, " +
+        "(SELECT count(*) FROM e0) AS n_edges, " +
+        "(SELECT CAST(coalesce(sum((deg*(deg-1)) // 2), 0) AS BIGINT) FROM d) AS n_wedges, " +
+        "(SELECT n_triangles FROM t) AS n_triangles"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

@@ -1094,6 +1094,53 @@ object Similarity {
         (col("csz") - lit(1L)).as("n_removed"))
       .orderBy("cluster_id")
 
+  /** q177 — TRIANGLE CENSUS of the near-dup pair graph: vertex/edge
+    * counts, wedge count (Σ deg·(deg−1)/2 — the denominator of any
+    * clustering-coefficient readout) and the EXACT triangle count. A
+    * high triangle density tells the dedup operator its pair graph is
+    * transitively closed (mirror families — safe to collapse whole
+    * clusters, q62's stance); a low one flags chain-shaped "A≈B≈C but
+    * A≉C" drift where cluster-collapse over-merges (q126's containment
+    * stance). PageRank (q154) scores nodes; this scores the STRUCTURE.
+    *
+    * Algorithm: degree-ordered orientation — every edge points from
+    * its (deg, id)-smaller endpoint to the larger, so each triangle is
+    * enumerated exactly once as a wedge at its unique minimal vertex,
+    * and per-vertex wedge fan-out is bounded by ORIENTED out-degree
+    * (≤√m on any graph): the classic O(m^1.5) distributed triangle
+    * count, all equi-joins on vertex ids. The input is the STAGED
+    * group-level edge relation (exact-dup collapse already done —
+    * identical docs can't inflate the census), the same graph q154
+    * walks.
+    */
+  def q177TriangleCensus(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = stagedSetPairs45(spark, dir).select("ga", "gb")
+    val deg = e.select(explode(array(col("ga"), col("gb"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDegs = e
+      .join(deg.select(col("v").as("ga"), col("deg").as("da")), "ga")
+      .join(deg.select(col("v").as("gb"), col("deg").as("db")), "gb")
+    // orient toward the (deg, id)-larger endpoint; ga < gb canonically,
+    // so equal degrees keep ga as the source
+    val o = withDegs.select(
+      when(col("da") <= col("db"), col("ga")).otherwise(col("gb")).as("src"),
+      when(col("da") <= col("db"), col("gb")).otherwise(col("ga")).as("dst"),
+      greatest(col("da"), col("db")).as("ddeg"))
+      .localCheckpoint(true) // three self-join consumers, scan once
+    val wedges = o.select(col("src"), col("dst").as("x"), col("ddeg").as("dx"))
+      .join(o.select(col("src"), col("dst").as("y"), col("ddeg").as("dy")), "src")
+      .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+    val tri = wedges.join(o.select(col("src").as("src2"), col("dst").as("dst2")),
+        col("x") === col("src2") && col("y") === col("dst2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_vertices"),
+        coalesce(sum(expr("(deg * (deg - 1)) div 2")), lit(0L)).cast(LongType).as("n_wedges"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+      .select(col("n_vertices"), col("n_edges"), col("n_wedges"), col("n_triangles"))
+  }
+
   def q31EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     embedNeardupFrom(Tables.embeddings(spark, dir))

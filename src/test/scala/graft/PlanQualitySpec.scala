@@ -491,7 +491,10 @@ class PlanQualitySpec extends SparkSpecBase {
       "q171_freshness_audit",
       // q175: the one-row (xmn,xmx,ymn,ymx) grid-bounds broadcast —
       // q15/q17's scalar-not-relation shape
-      "q175_zorder_plan")
+      "q175_zorder_plan",
+      // q177: one-row census aggregates stitched into the single
+      // output row — q168's scalar-not-relation shape
+      "q177_triangle_census")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
