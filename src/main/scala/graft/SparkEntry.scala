@@ -217,6 +217,7 @@ object SparkEntry {
     "q175_zorder_plan" -> (graft.ops.Storage.q175ZorderPlan _),
     "q176_equidepth_histogram" -> (Analytics.q176EquidepthHistogram _),
     "q177_triangle_census" -> (Similarity.q177TriangleCensus _),
+    "q178_merkle_manifest" -> (Audit.q178MerkleManifest _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2112,6 +2113,17 @@ object SparkEntry {
         "(SELECT count(*) FROM e0) AS n_edges, " +
         "(SELECT CAST(coalesce(sum((deg*(deg-1)) // 2), 0) AS BIGINT) FROM d) AS n_wedges, " +
         "(SELECT n_triangles FROM t) AS n_triangles"),
+    // q178: q167's checksum term bucketed mod 256; NULL keys in the
+    // NULL bucket
+    "q178_merkle_manifest" -> {
+      val perTable = Audit.TablePk.map { case (table, pk) =>
+        val term = s"(($pk) % ${Audit.ChecksumMod}) * ${Audit.KnuthMult} % ${Audit.ChecksumMod}"
+        s"SELECT '$table' AS table_name, ($term) % 256 AS bucket, count(*) AS n_rows, " +
+          s"CAST(CAST(sum(CAST($term AS DECIMAL(38,0))) AS HUGEINT) % ${Audit.ChecksumMod} " +
+          s"AS BIGINT) AS checksum FROM $table GROUP BY bucket"
+      }
+      perTable.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name, bucket")
+    },
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

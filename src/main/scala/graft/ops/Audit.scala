@@ -269,6 +269,31 @@ object Audit {
         coalesce(sum(col("is_zero")), lit(0L)).as("n_zero_vectors"))
   }
 
+  /** q178 — MERKLE BUCKET MANIFEST: q167's replica-compare artifact at
+    * repair granularity. Each row buckets by its checksum term mod 256
+    * (hash-uniform — structured key ranges spread evenly), and the
+    * manifest carries per-(table, bucket) row counts and mod-p
+    * checksums. Two replicas that disagree compare ~256 rows per
+    * table, then exchange ONLY the differing buckets' rows — the
+    * anti-entropy repair loop every replicated store runs, and the
+    * reason a mismatch never triggers a full-table resend. Same
+    * additive-maintenance property as q167 (the bucket sum is
+    * commutative and survives mod p), one key-column scan per table,
+    * every groupBy partial-aggregated map-side to ≤256 rows. Rows with
+    * a NULL key land in a NULL bucket (counted, checksum NULL) so the
+    * manifest still covers them.
+    */
+  def q178MerkleManifest(spark: SparkSession, dir: String): DataFrame =
+    TablePk.map { case (table, pkExpr) =>
+      Tables.all(table)(spark, dir)
+        .select(expr(pkExpr).cast(LongType).as("pk"))
+        .withColumn("bucket", (checksumTerm(col("pk")) % 256).cast(LongType))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(checksumTerm(col("pk"))) % ChecksumMod).cast(LongType).as("checksum"))
+        .select(lit(table).as("table_name"), col("bucket"), col("n_rows"), col("checksum"))
+    }.reduce(_ unionByName _).orderBy("table_name", "bucket")
+
   /** The join-key columns the skew audit profiles — every key a
     * declared join in this library shuffles on (the FK edges' child
     * sides plus events' two power-law keys).

@@ -124,6 +124,40 @@ class AuditSpec extends SparkSpecBase {
     assert(u.getLong(4) == 20L && u.getString(5) == "1" && u.getBoolean(6))
   }
 
+  test("q178 merkle manifest: buckets roll up to the q167 checksum; one changed row touches one bucket") {
+    val d1 = tmpDir(); val d2 = tmpDir()
+    val keys = (1L to 50L)
+    writeWarehouse(d1, custKeys = keys)
+    writeWarehouse(d2, custKeys = keys :+ 9999L) // one extra row on the replica
+    def cust(d: String) = Audit.q178MerkleManifest(spark, d).collect()
+      .filter(_.getString(0) == "customer")
+      .map(r => (if (r.isNullAt(1)) -1L else r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val (m1, m2) = (cust(d1), cust(d2))
+    // bucket checksums sum (mod p) to the table-level q167 checksum
+    val table1 = Audit.q167IntegrityManifest(spark, d1).collect()
+      .find(_.getString(0) == "customer").get.getLong(2)
+    assert(m1.values.map(v => BigInt(v._2)).sum % P == table1)
+    // the replica with one extra row differs in EXACTLY one bucket —
+    // the repair set is that bucket, not the table
+    val allBuckets = m1.keySet ++ m2.keySet
+    val diff = allBuckets.filter(b => m1.get(b) != m2.get(b))
+    assert(diff.size == 1, s"diff=$diff")
+    assert(m2(diff.head)._1 == m1.getOrElse(diff.head, (0L, 0L))._1 + 1)
+  }
+
+  test("q178 merkle manifest: NULL keys land in the NULL bucket, counted with NULL checksum") {
+    val dir = tmpDir()
+    writeWarehouse(dir)
+    write(dir, "customer", df(Tables.customerSchema,
+      Row(1L, "c1", 0, 1.0, "SEG"), Row(null, "cx", 0, 1.0, "SEG"),
+      Row(null, "cy", 0, 1.0, "SEG")))
+    val rows = Audit.q178MerkleManifest(spark, dir).collect()
+      .filter(_.getString(0) == "customer")
+    val nullRow = rows.filter(_.isNullAt(1))
+    assert(nullRow.length == 1 && nullRow.head.getLong(2) == 2L && nullRow.head.isNullAt(3))
+    assert(rows.filterNot(_.isNullAt(1)).map(_.getLong(2)).sum == 1L)
+  }
+
   test("q169 DQ audit: injected violations count per constraint class; clean constraints pass") {
     val dir = tmpDir()
     writeWarehouse(dir)
