@@ -218,6 +218,7 @@ object SparkEntry {
     "q176_equidepth_histogram" -> (Analytics.q176EquidepthHistogram _),
     "q177_triangle_census" -> (Similarity.q177TriangleCensus _),
     "q178_merkle_manifest" -> (Audit.q178MerkleManifest _),
+    "q179_disorder_audit" -> (Events.q179DisorderAudit _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2124,6 +2125,18 @@ object SparkEntry {
       }
       perTable.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name, bucket")
     },
+    // q179: the oracle is the NAIVE per-type running-max window — the
+    // engine's two-level chunked construction must match it exactly
+    "q179_disorder_audit" ->
+      (s"WITH e AS (SELECT event_type, event_id, epoch_us($tsUs) AS us FROM events), " +
+        "r AS (SELECT event_type, us, max(us) OVER (PARTITION BY event_type " +
+        "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max FROM e) " +
+        "SELECT event_type, count(*) AS n_events, " +
+        "CAST(sum(CASE WHEN run_max > us THEN 1 ELSE 0 END) AS BIGINT) AS n_late, " +
+        "CAST(max(run_max - us) AS BIGINT) AS max_late_us, " +
+        "CAST(sum(CASE WHEN run_max - us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_over_1m, " +
+        "CAST(sum(CASE WHEN run_max - us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_over_1h " +
+        "FROM r GROUP BY event_type ORDER BY event_type"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

@@ -221,6 +221,52 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q179 — DISORDER AUDIT (the watermark-sizing input): per event
+    * type, how far events arrive BEHIND the stream's running maximum
+    * event time, with arrival order proxied by the monotone ingest id.
+    * `withWatermark("ts", X)` silently DROPS every event later than X —
+    * this audit is the only way to pick X from data instead of
+    * folklore: `max_late_us` is the X that loses nothing,
+    * `n_late_over_1m/1h` say what a tighter bound costs. q171 finds a
+    * source gone quiet, q172 the holes left behind; this measures the
+    * disorder WITHIN what did arrive.
+    *
+    * Scale shape: the running max is NOT computed as one window per
+    * type (a 5-key partitioning serializes the whole corpus through 5
+    * reducers) — arrival chunks of 4096 ids compute a LOCAL running
+    * max each (fine-grained (type, chunk) partitions), a chunk-count-
+    * sized window prefix-maxes the chunk summaries, and
+    * `greatest(local, prior-chunk max)` reassembles the exact global
+    * running max — q118's two-level prefix pattern applied to max.
+    * Identical output to the naive window (the oracle IS the naive
+    * window), scalable construction.
+    */
+  def q179DisorderAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        expr("event_id div 4096").as("chunk"))
+    val localW = Window.partitionBy("event_type", "chunk").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunkW = Window.partitionBy("event_type").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunkPrefix = ev.groupBy("event_type", "chunk")
+      .agg(max(col("us")).as("cmax"))
+      .withColumn("prior_max", max(col("cmax")).over(chunkW))
+      .select("event_type", "chunk", "prior_max")
+    ev.withColumn("local_run", max(col("us")).over(localW))
+      .join(chunkPrefix, Seq("event_type", "chunk"))
+      .withColumn("late_us",
+        greatest(col("local_run"), coalesce(col("prior_max"), col("local_run"))) - col("us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("late_us") > 0L).cast(LongType)).as("n_late"),
+        max(col("late_us")).as("max_late_us"),
+        sum((col("late_us") > 60L * 1000000).cast(LongType)).as("n_late_over_1m"),
+        sum((col("late_us") > 3600L * 1000000).cast(LongType)).as("n_late_over_1h"))
+      .orderBy("event_type")
+  }
+
   /** q172 — COMPLETENESS AUDIT: per event type, hour-bucket coverage
     * over the type's own active span — observed distinct hours vs the
     * [first, last] hour range, the missing-hour count a backfill

@@ -241,6 +241,41 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out == Map("added" -> 1L, "removed" -> 1L, "changed" -> 2L, "unchanged" -> 1L), out)
   }
 
+  test("q179 disorder: lateness vs the running max, including across the 4096-id chunk seam") {
+    val dir = tmpDir()
+    val S = Ns // one second
+    writeEvents(dir,
+      // type a, all ids in chunk 0: in-order, 50s regression, new max, 10s regression
+      (1L, T0 + 100 * S, 1L, "a", 0.0, "{}"),
+      (2L, T0 + 50 * S, 1L, "a", 0.0, "{}"),
+      (3L, T0 + 200 * S, 1L, "a", 0.0, "{}"),
+      (4L, T0 + 190 * S, 1L, "a", 0.0, "{}"),
+      // type b straddles ids 4095|4096 (chunk 0 -> 1): the running max
+      // must carry across the chunk boundary via the prior-chunk max
+      (4095L, T0 + 10000 * S, 2L, "b", 0.0, "{}"),
+      (4096L, T0 + 9000 * S, 2L, "b", 0.0, "{}"),
+      (4097L, T0 + 3000 * S, 2L, "b", 0.0, "{}"))
+    val out = Events.q179DisorderAudit(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // a: 2 late events, worst 50s, none over a minute
+    assert(out("a") == ((4L, 2L, 50L * 1000000, 0L, 0L)), out("a"))
+    // b: 1000s and 7000s late — both over 1m, one over 1h
+    assert(out("b") == ((3L, 2L, 7000L * 1000000, 2L, 1L)), out("b"))
+  }
+
+  test("q179 disorder: a perfectly ordered type reports all zeros") {
+    val dir = tmpDir()
+    writeEvents(dir,
+      (1L, T0, 1L, "a", 0.0, "{}"),
+      (2L, T0 + Hour, 1L, "a", 0.0, "{}"),
+      (3L, T0 + Hour, 1L, "a", 0.0, "{}")) // equal ts is NOT late (strict >)
+    val out = Events.q179DisorderAudit(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 0L, 0L)), r)
+  }
+
   test("q171 freshness: lag vs data anchor, 24h boundary inclusive, stale strictly beyond 1h") {
     val dir = tmpDir()
     writeEvents(dir,
