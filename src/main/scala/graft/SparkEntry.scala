@@ -219,6 +219,7 @@ object SparkEntry {
     "q177_triangle_census" -> (Similarity.q177TriangleCensus _),
     "q178_merkle_manifest" -> (Audit.q178MerkleManifest _),
     "q179_disorder_audit" -> (Events.q179DisorderAudit _),
+    "q180_activity_streaks" -> (Events.q180ActivityStreaks _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2137,6 +2138,16 @@ object SparkEntry {
         "CAST(sum(CASE WHEN run_max - us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_over_1m, " +
         "CAST(sum(CASE WHEN run_max - us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_over_1h " +
         "FROM r GROUP BY event_type ORDER BY event_type"),
+    // q180: the same day - row_number island anchor; day by exact
+    // integer floor-div of µs
+    "q180_activity_streaks" ->
+      (s"WITH d AS (SELECT DISTINCT user_id, epoch_us($tsUs) // 86400000000 AS day FROM events), " +
+        "r AS (SELECT user_id, day, day - row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY day) AS anchor FROM d), " +
+        "i AS (SELECT user_id, anchor, count(*) AS len FROM r GROUP BY user_id, anchor) " +
+        "SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days, " +
+        "count(*) AS n_islands, max(len) AS longest_streak " +
+        "FROM i GROUP BY user_id ORDER BY user_id"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

@@ -221,6 +221,34 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q180 — ACTIVITY STREAKS (gaps-and-islands): per user, the count
+    * of distinct active days, the number of maximal consecutive-day
+    * runs (islands), and the longest streak — the engagement shape
+    * q90's cohort grid summarizes at population level, resolved to the
+    * classic island construction: distinct (user, day) → `day −
+    * row_number` is constant exactly within a consecutive run → one
+    * groupBy per island, one per user. Both windows and both groupBys
+    * share the user_id partitioning (fine-grained keys — millions of
+    * users, never a coarse serializing key), and the distinct
+    * collapses volume to ≤ user·day granularity before any window
+    * runs. Day index by exact integer floor-div of µs.
+    */
+  def q180ActivityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), expr(Det.floorDivExpr("unix_micros(ts)", 86400000000L)).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("anchor", col("day") - row_number().over(w).cast(LongType))
+      .groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum(col("len")).cast(LongType).as("n_active_days"),
+        count(lit(1)).as("n_islands"),
+        max(col("len")).as("longest_streak"))
+      .orderBy("user_id")
+  }
+
   /** q179 — DISORDER AUDIT (the watermark-sizing input): per event
     * type, how far events arrive BEHIND the stream's running maximum
     * event time, with arrival order proxied by the monotone ingest id.

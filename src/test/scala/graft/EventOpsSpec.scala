@@ -264,6 +264,26 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out("b") == ((3L, 2L, 7000L * 1000000, 2L, 1L)), out("b"))
   }
 
+  test("q180 streaks: islands split on gaps, duplicate same-day events collapse, singletons count") {
+    val dir = tmpDir()
+    val Day = 24 * Hour
+    writeEvents(dir,
+      // user 1: days 0,1,2 then 5,6 then 9 → 6 active days, 3 islands, longest 3
+      (1L, T0, 1L, "a", 0.0, "{}"),
+      (2L, T0 + 1 * Day, 1L, "a", 0.0, "{}"),
+      (3L, T0 + 2 * Day, 1L, "a", 0.0, "{}"),
+      (4L, T0 + 2 * Day + Hour, 1L, "b", 0.0, "{}"), // same day, second event
+      (5L, T0 + 5 * Day, 1L, "a", 0.0, "{}"),
+      (6L, T0 + 6 * Day, 1L, "a", 0.0, "{}"),
+      (7L, T0 + 9 * Day, 1L, "a", 0.0, "{}"),
+      // user 2: one day only
+      (8L, T0, 2L, "a", 0.0, "{}"))
+    val out = Events.q180ActivityStreaks(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((6L, 3L, 3L)), out(1L))
+    assert(out(2L) == ((1L, 1L, 1L)), out(2L))
+  }
+
   test("q179 disorder: a perfectly ordered type reports all zeros") {
     val dir = tmpDir()
     writeEvents(dir,

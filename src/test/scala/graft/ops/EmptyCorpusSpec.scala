@@ -82,6 +82,7 @@ class EmptyCorpusSpec extends SparkSpecBase {
     assert(Events.q171FreshnessAudit(spark, dir).count() == 0)
     assert(Events.q172CompletenessAudit(spark, dir).count() == 0)
     assert(Events.q179DisorderAudit(spark, dir).count() == 0)
+    assert(Events.q180ActivityStreaks(spark, dir).count() == 0)
   }
 
   test("single doc: containment finds no pairs; entropy/calibration emit the one doc") {
