@@ -503,6 +503,42 @@ object StreamingOps {
       }
   }
 
+  case class RunMaxState(hasMax: Boolean, maxUs: Long)
+
+  /** Streaming disorder monitor (batch q179's stateful dual): one
+    * (event_type, event_id, late_us) record per event, lateness
+    * measured against the running max EVENT time carried across
+    * micro-batches in group state — the live view of the same signal
+    * q179 audits offline, and the input to a watermark-health alert
+    * (late_us climbing toward the configured watermark = data about to
+    * be dropped). Events inside a batch fold in ingest-id order
+    * (q179's arrival proxy); the audit readout is a downstream
+    * aggregate of these records, per [[transitionStream]]'s
+    * stream-does-the-stateful-part discipline. State is ONE Long per
+    * event type — bounded by type cardinality, no TTL needed; the
+    * coarse grouping key serializes each type's fold only WITHIN a
+    * micro-batch (bounded work), not across the corpus like a batch
+    * per-type window would.
+    */
+  def disorderStream(events: Dataset[Ev]): Dataset[(String, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[RunMaxState, (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[Ev], state: GroupState[RunMaxState]) =>
+          val evs = it.toSeq.sortBy(_.event_id)
+          var mx = state.getOption.filter(_.hasMax).map(_.maxUs).getOrElse(Long.MinValue)
+          val out = evs.map { e =>
+            val us = tsMicros(e.ts)
+            val late = if (mx != Long.MinValue && us < mx) mx - us else 0L
+            if (us > mx) mx = us
+            (tpe, e.event_id, late)
+          }
+          state.update(RunMaxState(mx != Long.MinValue, mx))
+          out.iterator
+      }
+  }
+
   /** Streaming DQ admission gate (batch q169's row-local constraints
     * at the ingest edge): tags every incoming event row with the list
     * of violated constraint names and a pass flag, evaluated from the

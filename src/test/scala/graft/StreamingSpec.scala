@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.Ev
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, sha2}
+import org.apache.spark.sql.functions.{col, count, lit, max, sha2, sum}
 
 /** Real streaming-execution specs: MemoryStream micro-batches through
   * the session-window and stateful forward-fill ops, and a file-source
@@ -414,6 +414,54 @@ class StreamingSpec extends SparkSpecBase {
         (id, (lang, ent, low, keep), (q119(id), q127(id), q128(id)))
     }
     assert(diverging.isEmpty, s"stream/batch gate divergence: ${diverging.take(5)}")
+  }
+
+  test("disorderStream: running max carries across micro-batches; aggregate equals batch q179") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir()
+    val S = Ns
+    val T0 = 1704067200L * Ns
+    // disordered type-a sequence; the seam after id 3 forces the
+    // running max (200s, set in batch 1) to survive into batch 2
+    writeEvents(dir,
+      (1L, T0 + 100 * S, 1L, "a", 0.0, "{}"),
+      (2L, T0 + 50 * S, 1L, "a", 0.0, "{}"),
+      (3L, T0 + 200 * S, 1L, "a", 0.0, "{}"),
+      (4L, T0 + 190 * S, 1L, "a", 0.0, "{}"),
+      (5L, T0 + 300 * S, 1L, "a", 0.0, "{}"),
+      (6L, T0 + 20 * S, 1L, "a", 0.0, "{}"),
+      (7L, T0, 2L, "b", 0.0, "{}"))
+    val evs = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Ev].collect().sortBy(_.event_id)
+    val (b1, b2) = evs.splitAt(3)
+    val ms = MemoryStream[StreamingOps.Ev]
+    val q = StreamingOps.disorderStream(ms.toDS())
+      .toDF("event_type", "event_id", "late_us")
+      .writeStream.format("memory").queryName("disorder").outputMode("append").start()
+    ms.addData(b1.toSeq: _*); q.processAllAvailable()
+    ms.addData(b2.toSeq: _*); q.processAllAvailable()
+    val streamed = spark.table("disorder")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("late_us") > 0L).cast("long")).as("n_late"),
+        max("late_us").as("max_late_us"),
+        sum((col("late_us") > 60000000L).cast("long")).as("n_late_over_1m"),
+        sum((col("late_us") > 3600000000L).cast("long")).as("n_late_over_1h"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    q.stop()
+    // the seam case directly: id 4 is 10s behind batch-1's max
+    val perEvent = spark.table("disorder").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(perEvent(4L) == 10L * 1000000, perEvent)
+    assert(perEvent(6L) == 280L * 1000000, perEvent)
+    val batch = graft.ops.Events.q179DisorderAudit(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(streamed == batch, s"stream/batch disorder divergence: $streamed vs $batch")
   }
 
   test("transitionStream: last-type state carries across micro-batches; counts equal batch q150") {
