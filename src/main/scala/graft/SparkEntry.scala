@@ -220,6 +220,7 @@ object SparkEntry {
     "q178_merkle_manifest" -> (Audit.q178MerkleManifest _),
     "q179_disorder_audit" -> (Events.q179DisorderAudit _),
     "q180_activity_streaks" -> (Events.q180ActivityStreaks _),
+    "q181_purchase_attribution" -> (Events.q181PurchaseAttribution _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2148,6 +2149,16 @@ object SparkEntry {
         "SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days, " +
         "count(*) AS n_islands, max(len) AS longest_streak " +
         "FROM i GROUP BY user_id ORDER BY user_id"),
+    // q181: identical packed-argmax window; 604800000000 = 7 days in µs
+    "q181_purchase_attribution" ->
+      (s"WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us($tsUs) AS us FROM events), " +
+        "p AS (SELECT *, max(CASE event_type WHEN 'click' THEN us * 8 + 1 " +
+        "WHEN 'view' THEN us * 8 + 2 END) OVER (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS carried FROM e) " +
+        "SELECT CASE WHEN carried IS NOT NULL AND us - carried // 8 <= 604800000000 " +
+        "THEN CASE carried % 8 WHEN 1 THEN 'click' ELSE 'view' END ELSE 'none' END AS attributed_type, " +
+        s"count(*) AS n_purchases, ${dsum("value")} AS total_value " +
+        "FROM p WHERE event_type = 'purchase' GROUP BY attributed_type ORDER BY attributed_type"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

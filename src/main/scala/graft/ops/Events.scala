@@ -221,6 +221,39 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q181 — LAST-TOUCH ATTRIBUTION: every purchase attributed to the
+    * user's most recent preceding touchpoint (click or view) within a
+    * 7-day lookback, with purchase counts and exact revenue per
+    * attributed channel — the conversion-credit query every growth
+    * pipeline runs. The "most recent preceding" argmax never
+    * materializes a self-join: touch events pack (µs, channel code)
+    * into ONE sortable long (`us·8 + code` — µs dominates, the code is
+    * a same-µs tiebreak), a user-partitioned running `max` over rows
+    * strictly BEFORE the current one carries the latest touch to every
+    * event, and purchase rows decode it — one window, one groupBy,
+    * fine-grained user keys. Out-of-window or touchless purchases
+    * credit 'none'. Exact decimal revenue ([[Det.dsum4]]).
+    */
+  def q181PurchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val sevenDaysUs = 7L * 86400000000L
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("packed",
+        expr("CASE event_type WHEN 'click' THEN us * 8 + 1 WHEN 'view' THEN us * 8 + 2 END"))
+      .withColumn("carried", max(col("packed")).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed_type",
+        when(col("carried").isNotNull && col("us") - expr("carried div 8") <= sevenDaysUs,
+          expr("CASE carried % 8 WHEN 1 THEN 'click' ELSE 'view' END"))
+          .otherwise(lit("none")))
+      .groupBy("attributed_type")
+      .agg(count(lit(1)).as("n_purchases"), Det.dsum4(col("value")).as("total_value"))
+      .orderBy("attributed_type")
+  }
+
   /** q180 — ACTIVITY STREAKS (gaps-and-islands): per user, the count
     * of distinct active days, the number of maximal consecutive-day
     * runs (islands), and the longest streak — the engagement shape

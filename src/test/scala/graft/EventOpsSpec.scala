@@ -264,6 +264,34 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out("b") == ((3L, 2L, 7000L * 1000000, 2L, 1L)), out("b"))
   }
 
+  test("q181 attribution: last preceding touch wins, 7-day boundary inclusive, same-us tiebreak by code") {
+    val dir = tmpDir()
+    val Day = 24 * Hour
+    writeEvents(dir,
+      // user 1: click then view then purchase → last touch = view
+      (1L, T0, 1L, "click", 0.0, "{}"),
+      (2L, T0 + Hour, 1L, "view", 0.0, "{}"),
+      (3L, T0 + 2 * Hour, 1L, "purchase", 10.0, "{}"),
+      // user 2: touch exactly 7 days before → still attributed (<=)
+      (4L, T0, 2L, "click", 0.0, "{}"),
+      (5L, T0 + 7 * Day, 2L, "purchase", 20.0, "{}"),
+      // user 3: touch strictly beyond 7 days → none
+      (6L, T0, 3L, "view", 0.0, "{}"),
+      (7L, T0 + 7 * Day + Ns, 3L, "purchase", 40.0, "{}"),
+      // user 4: touch only AFTER the purchase → none
+      (8L, T0 + Hour, 4L, "click", 0.0, "{}"),
+      (9L, T0, 4L, "purchase", 80.0, "{}"),
+      // user 5: click and view at the SAME µs → view (code 2) wins
+      (10L, T0, 5L, "click", 0.0, "{}"),
+      (11L, T0, 5L, "view", 0.0, "{}"),
+      (12L, T0 + Hour, 5L, "purchase", 160.0, "{}"))
+    val out = Events.q181PurchaseAttribution(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("view") == ((2L, 170.0)), out)   // users 1 and 5
+    assert(out("click") == ((1L, 20.0)), out)   // user 2 at the boundary
+    assert(out("none") == ((2L, 120.0)), out)   // users 3 and 4
+  }
+
   test("q180 streaks: islands split on gaps, duplicate same-day events collapse, singletons count") {
     val dir = tmpDir()
     val Day = 24 * Hour
