@@ -161,6 +161,8 @@ object GraftFunctions {
       exprs => BpeTokenCount(exprs.head,
         stringArrayArg("bpe_token_count.pats")(exprs(1)),
         stringArrayArg("bpe_token_count.reps")(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction("morton_interleave",
+      exprs => MortonInterleave(exprs.head, exprs(1)), "built-in")
   }
 }
 
@@ -205,6 +207,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       exprs => BpeTokenCount(exprs.head,
         GraftFunctions.stringArrayArg("bpe_token_count.pats")(exprs(1)),
         GraftFunctions.stringArrayArg("bpe_token_count.reps")(exprs(2))))
+    inject(e, "morton_interleave", classOf[MortonInterleave],
+      exprs => MortonInterleave(exprs.head, exprs(1)))
     // plan-policy guard: the PlanQualitySpec cartesian ban, enforced at
     // runtime for arbitrary user queries (see CartesianGuardRule). Two
     // hooks so the guard survives spark.sql.adaptive.enabled=false:

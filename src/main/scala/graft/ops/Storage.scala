@@ -232,10 +232,13 @@ object Storage {
 
   /** Bit-interleave the low 16 bits of two grid coordinates into a
     * 32-bit Z-value (Morton code) — a static 32-term codegen-friendly
-    * expression tree, no UDF.
+    * expression tree. Kept as the independent REFERENCE for the native
+    * [[graft.functions.MortonInterleave]] kernel q175 actually runs
+    * (FunctionsSpec pins them equal); the native expression replaces
+    * 32 shift/mask terms with the 4-step magic-number spread.
     */
-  private def interleave16(gx: org.apache.spark.sql.Column,
-                           gy: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def interleave16Ref(gx: org.apache.spark.sql.Column,
+                                   gy: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (0 until 16).map { i =>
       shiftleft(shiftright(gx, i).bitwiseAND(lit(1L)), 2 * i)
         .bitwiseOR(shiftleft(shiftright(gy, i).bitwiseAND(lit(1L)), 2 * i + 1))
@@ -264,6 +267,7 @@ object Storage {
     * range below 2^47.
     */
   def q175ZorderPlan(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val o = Tables.orders(spark, dir).select(
       col("o_custkey").cast(LongType).as("x"),
       expr("unix_micros(o_orderdate) div 86400000000").as("y"))
@@ -274,7 +278,7 @@ object Storage {
     o.crossJoin(broadcast(bounds))
       .withColumn("gx", grid("x", "xmn", "xmx"))
       .withColumn("gy", grid("y", "ymn", "ymx"))
-      .withColumn("z", interleave16(col("gx"), col("gy")))
+      .withColumn("z", expr("morton_interleave(gx, gy)"))
       .withColumn("bin_id", expr("z div 268435456")) // top 4 Z-bits: 16 bins
       .groupBy("bin_id")
       .agg(count(lit(1)).as("n_rows"),

@@ -203,6 +203,28 @@ class FunctionsSpec extends SparkSpecBase {
     assert(diff == 0L)
   }
 
+  test("morton_interleave: matches the 32-term expression-tree reference; masks beyond 16 bits") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // kernel unit cases
+    assert(graft.functions.MortonInterleave.compute(0L, 0L) == 0L)
+    assert(graft.functions.MortonInterleave.compute(0xFFFFL, 0L) == 0x55555555L)
+    assert(graft.functions.MortonInterleave.compute(0L, 0xFFFFL) == 0xAAAAAAAAL)
+    assert(graft.functions.MortonInterleave.compute(0xFFFFL, 0xFFFFL) == 0xFFFFFFFFL)
+    // x bit0 -> position 0 (1), y bit1 -> position 3 (8)
+    assert(graft.functions.MortonInterleave.compute(1L, 2L) == 9L)
+    // codegen path vs the independent expression tree, high bits masked
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((rnd.nextLong(), rnd.nextLong()))
+    val diff = rows.toDF("gx", "gy").select(
+      expr("morton_interleave(gx & 65535, gy & 65535)").as("fast"),
+      graft.ops.Storage.interleave16Ref(col("gx"), col("gy")).as("ref"),
+      expr("morton_interleave(gx, gy)").as("masked"))
+      .filter(col("fast") =!= col("ref") || col("masked") =!= col("ref")).count()
+    assert(diff == 0L)
+  }
+
   test("GraftExtensions injects the function at session build time") {
     // the running shared session wasn't built with the extension; verify
     // the injector wires the same builder without error
