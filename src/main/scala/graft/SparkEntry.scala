@@ -221,6 +221,8 @@ object SparkEntry {
     "q179_disorder_audit" -> (Events.q179DisorderAudit _),
     "q180_activity_streaks" -> (Events.q180ActivityStreaks _),
     "q181_purchase_attribution" -> (Events.q181PurchaseAttribution _),
+    "q182_join_cardinality" -> (Audit.q182JoinCardinality _),
+    "q183_traffic_spikes" -> (Events.q183TrafficSpikes _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2159,6 +2161,36 @@ object SparkEntry {
         "THEN CASE carried % 8 WHEN 1 THEN 'click' ELSE 'view' END ELSE 'none' END AS attributed_type, " +
         s"count(*) AS n_purchases, ${dsum("value")} AS total_value " +
         "FROM p WHERE event_type = 'purchase' GROUP BY attributed_type ORDER BY attributed_type"),
+    // q182: the same count-relation product per FK edge
+    "q182_join_cardinality" -> {
+      val perEdge = Audit.FkEdges.map { case (child, ck, parent, pk) =>
+        val cCnt = s"(SELECT $ck AS k, count(*) AS cc FROM $child WHERE $ck IS NOT NULL GROUP BY 1)"
+        val pCnt = s"(SELECT $pk AS k, count(*) AS pc FROM $parent WHERE $pk IS NOT NULL GROUP BY 1)"
+        s"SELECT '$child.$ck -> $parent.$pk' AS edge, " +
+          s"(SELECT count($ck) FROM $child) AS n_child_keyed, " +
+          s"(SELECT CAST(count(*) - count($ck) AS BIGINT) FROM $child) AS n_child_null, " +
+          s"(SELECT count(*) FROM $parent) AS n_parent, " +
+          s"(SELECT CAST(coalesce(sum(cc * pc), 0) AS BIGINT) FROM $cCnt c JOIN $pCnt p ON c.k = p.k) AS n_join_rows, " +
+          s"(SELECT CAST(coalesce(sum(cc), 0) AS BIGINT) FROM $cCnt c JOIN $pCnt p ON c.k = p.k) AS n_matched_child"
+      }
+      "SELECT edge, n_child_keyed, n_child_null, n_parent, n_join_rows, " +
+        "n_join_rows > n_child_keyed AS explodes, " +
+        "n_matched_child < n_child_keyed AS drops_children FROM (" +
+        perEdge.mkString(" UNION ALL ") + ") ORDER BY edge"
+    },
+    // q183: RANGE-framed trailing-24h baseline over the integer hour
+    // index; spike cross-multiplied, armed at >= 6 baseline hours
+    "q183_traffic_spikes" ->
+      (s"WITH h AS (SELECT event_type, epoch_us($tsUs) // 3600000000 AS hr FROM events), " +
+        "c AS (SELECT event_type, hr, count(*) AS n FROM h GROUP BY event_type, hr), " +
+        "b AS (SELECT event_type, hr, n, " +
+        "CAST(coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY hr " +
+        "RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS baseline_sum, " +
+        "count(n) OVER (PARTITION BY event_type ORDER BY hr " +
+        "RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS baseline_hours FROM c) " +
+        "SELECT event_type, hr, n, baseline_sum, baseline_hours, " +
+        "baseline_hours >= 6 AND n * baseline_hours > baseline_sum * 3 AS spike " +
+        "FROM b ORDER BY event_type, hr"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

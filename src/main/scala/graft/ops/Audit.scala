@@ -294,6 +294,42 @@ object Audit {
         .select(lit(table).as("table_name"), col("bucket"), col("n_rows"), col("checksum"))
     }.reduce(_ unionByName _).orderBy("table_name", "bucket")
 
+  /** q182 — JOIN-CARDINALITY AUDIT (q174's companion preflight): the
+    * EXACT output size of every FK-edge join, computed WITHOUT running
+    * the join — |child ⋈ parent| = Σ_k cnt_child(k)·cnt_parent(k) over
+    * the two per-key count relations. The two reads every optimizer
+    * estimate approximates, done exactly: `n_join_rows > n_child`
+    * means parent keys are duplicated, i.e. what should be a
+    * row-preserving FK lookup would EXPLODE (a PK violation q169's
+    * uniqueness check prices in rows-out terms); `n_join_rows <
+    * n_child_keyed` means orphaned children drop (q169's FK check in
+    * the same units). Per-key counts shuffle at key cardinality (not
+    * row size), the count-relation equi-join is the only join, and the
+    * products accumulate in DECIMAL(38,0) so a 10⁹×10³ hot key cannot
+    * overflow. NULL child keys never join — counted separately.
+    */
+  def q182JoinCardinality(spark: SparkSession, dir: String): DataFrame =
+    FkEdges.map { case (child, ck, parent, pk) =>
+      val c = Tables.all(child)(spark, dir).select(col(ck).as("k"))
+      val p = Tables.all(parent)(spark, dir).select(col(pk).as("k"))
+      val cCnt = c.filter(col("k").isNotNull).groupBy("k").agg(count(lit(1)).as("cc"))
+      val pCnt = p.filter(col("k").isNotNull).groupBy("k").agg(count(lit(1)).as("pc"))
+      val joined = cCnt.join(pCnt, "k")
+        .agg(coalesce(sum(col("cc").cast(DecimalType(38, 0)) * col("pc")), lit(0L))
+          .cast(LongType).as("n_join_rows"),
+          coalesce(sum(col("cc")), lit(0L)).cast(LongType).as("n_matched_child"))
+      c.agg(count(col("k")).as("n_child_keyed"),
+          coalesce(sum(when(col("k").isNull, 1L).otherwise(0L)), lit(0L))
+            .cast(LongType).as("n_child_null"))
+        .crossJoin(p.agg(count(lit(1)).as("n_parent")))
+        .crossJoin(joined)
+        .select(lit(s"$child.$ck -> $parent.$pk").as("edge"),
+          col("n_child_keyed"), col("n_child_null"), col("n_parent"),
+          col("n_join_rows"),
+          (col("n_join_rows") > col("n_child_keyed")).as("explodes"),
+          (col("n_matched_child") < col("n_child_keyed")).as("drops_children"))
+    }.reduce(_ unionByName _).orderBy("edge")
+
   /** The join-key columns the skew audit profiles — every key a
     * declared join in this library shuffles on (the FK edges' child
     * sides plus events' two power-law keys).

@@ -221,6 +221,35 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q183 — TRAFFIC-SPIKE AUDIT (the rate anomaly q152's value z-score
+    * does not see): per (event type, hour), the arrival count against
+    * its trailing-24-HOUR baseline, flagged when the hour carries >3×
+    * the baseline mean — the pager alert for a crawler gone hot, a
+    * replay storm, or an attack, and the upstream trigger for q174's
+    * salting decision when a spike concentrates on one key. The
+    * baseline window is RANGE-framed over the integer hour index
+    * (`RANGE 24 PRECEDING AND 1 PRECEDING`), so calendar gaps count as
+    * silence instead of stretching the frame (a ROWS frame would reach
+    * past quiet hours); the spike test cross-multiplies
+    * (`n·hours > 3·Σbaseline` — q40's boundary trick) and arms only
+    * with ≥6 baseline hours. The hour-count relation is
+    * calendar-bounded (hours × types), so the per-type window is
+    * span-sized — the one scan is the only row-sized pass.
+    */
+  def q183TrafficSpikes(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hr").rangeBetween(-24, -1)
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr(Det.floorDivExpr("unix_micros(ts)", 3600000000L)).as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+      .withColumn("baseline_sum", coalesce(sum(col("n")).over(w), lit(0L)).cast(LongType))
+      .withColumn("baseline_hours", count(col("n")).over(w))
+      .withColumn("spike",
+        col("baseline_hours") >= 6L &&
+          col("n") * col("baseline_hours") > col("baseline_sum") * 3L)
+      .orderBy("event_type", "hr")
+  }
+
   /** q181 — LAST-TOUCH ATTRIBUTION: every purchase attributed to the
     * user's most recent preceding touchpoint (click or view) within a
     * 7-day lookback, with purchase counts and exact revenue per

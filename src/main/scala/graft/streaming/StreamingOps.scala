@@ -539,6 +539,37 @@ object StreamingOps {
       }
   }
 
+  case class BucketState(n: Long, sumModP: Long)
+
+  /** Streaming Merkle-manifest maintenance (batch q178's incremental
+    * dual, and the PROOF of its additive-maintenance claim): each
+    * micro-batch folds its events' checksum terms into per-bucket
+    * group state (count + mod-p sum — addition commutes and survives
+    * the mod, so arrival order and batch boundaries cannot change the
+    * result) and emits the bucket's updated manifest row. The LAST
+    * emitted row per bucket after a drain is bit-identical to batch
+    * q178 over the same rows — an ingest pipeline keeps the repair
+    * manifest current without ever rescanning the table. State is
+    * bounded at 256 buckets regardless of corpus size.
+    */
+  def merkleStream(events: Dataset[Ev]): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    val P = graft.ops.Audit.ChecksumMod
+    val K = graft.ops.Audit.KnuthMult
+    events.groupByKey(e => (e.event_id % P) * K % P % 256)
+      .flatMapGroupsWithState[BucketState, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, it: Iterator[Ev], state: GroupState[BucketState]) =>
+          var s = state.getOption.getOrElse(BucketState(0L, 0L))
+          it.foreach { e =>
+            val term = (e.event_id % P) * K % P
+            s = BucketState(s.n + 1, (s.sumModP + term) % P)
+          }
+          state.update(s)
+          Iterator.single((bucket, s.n, s.sumModP))
+      }
+  }
+
   /** Streaming DQ admission gate (batch q169's row-local constraints
     * at the ingest edge): tags every incoming event row with the list
     * of violated constraint names and a pass flag, evaluated from the

@@ -264,6 +264,27 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out("b") == ((3L, 2L, 7000L * 1000000, 2L, 1L)), out("b"))
   }
 
+  test("q183 spikes: 3x-mean flag is strict, arms at 6 baseline hours, gaps stay silent") {
+    val dir = tmpDir()
+    def at(id: Long, tpe: String, hour: Long) = (id, T0 + hour * Hour, 1L, tpe, 0.0, "{}")
+    val a = (0L to 5L).map(h => at(1 + h, "a", h)) ++ (7L to 16L).map(id => at(id, "a", 6))
+    val b = (0L to 5L).map(h => at(20 + h, "b", h)) ++ (26L to 28L).map(id => at(id, "b", 6))
+    val c = Seq(at(40L, "c", 0), at(41L, "c", 40)) // 40h gap: baseline empty again
+    writeEvents(dir, (a ++ b ++ c): _*)
+    val out = Events.q183TrafficSpikes(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val hr0 = 1704067200L / 3600
+    // a@6: 10 events vs 6-hour baseline of 6 → 60 > 18 → spike
+    assert(out(("a", hr0 + 6)) == ((10L, 6L, 6L, true)))
+    // b@6: exactly 3x the mean → strict > → NOT a spike
+    assert(out(("b", hr0 + 6)) == ((3L, 6L, 6L, false)))
+    // c@40: gap emptied the 24h RANGE frame → unarmed, no spike
+    assert(out(("c", hr0 + 40)) == ((1L, 0L, 0L, false)))
+    // early hours: under 6 baseline hours → never armed
+    assert(!out(("a", hr0 + 3))._4)
+  }
+
   test("q181 attribution: last preceding touch wins, 7-day boundary inclusive, same-us tiebreak by code") {
     val dir = tmpDir()
     val Day = 24 * Hour

@@ -494,7 +494,10 @@ class PlanQualitySpec extends SparkSpecBase {
       "q175_zorder_plan",
       // q177: one-row census aggregates stitched into the single
       // output row — q168's scalar-not-relation shape
-      "q177_triangle_census")
+      "q177_triangle_census",
+      // q182: one-row per-edge totals stitched around the count-relation
+      // join — q168's scalar-not-relation shape
+      "q182_join_cardinality")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

@@ -416,6 +416,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(diverging.isEmpty, s"stream/batch gate divergence: ${diverging.take(5)}")
   }
 
+  test("merkleStream: incremental bucket manifest converges to batch q178 across a two-batch drain") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Ev].collect()
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val ms = MemoryStream[StreamingOps.Ev]
+    val q = StreamingOps.merkleStream(ms.toDS())
+      .toDF("bucket", "n_rows", "checksum")
+      .writeStream.format("memory").queryName("merkle").outputMode("append").start()
+    ms.addData(b1.toSeq: _*); q.processAllAvailable()
+    ms.addData(b2.toSeq: _*); q.processAllAvailable()
+    // n_rows grows monotonically per bucket, so the max-n row IS the
+    // final state of each bucket
+    val streamed = spark.table("merkle").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (b, rows) => b -> rows.map(_._2).maxBy(_._1) }
+    q.stop()
+    val batch = graft.ops.Audit.q178MerkleManifest(spark, sf).collect()
+      .filter(_.getString(0) == "events")
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed == batch,
+      s"stream/batch merkle divergence: ${(streamed.toSet diff batch.toSet).take(5)}")
+  }
+
   test("disorderStream: running max carries across micro-batches; aggregate equals batch q179") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -158,6 +158,45 @@ class AuditSpec extends SparkSpecBase {
     assert(rows.filterNot(_.isNullAt(1)).map(_.getLong(2)).sum == 1L)
   }
 
+  test("q182 join cardinality: exact product counts, explosion on dup parent, drop on orphan") {
+    val dir = tmpDir()
+    writeWarehouse(dir)
+    // orders edge: 4 orders over custkeys 1,1,2,9 — 9 is an orphan (no
+    // such customer) and customer 1 is DUPLICATED in its table, so the
+    // FK lookup both explodes (2 orders x 2 copies = 4 + 1 = 5 > 4
+    // keyed - 1 orphan... exact: joins = 2*2 + 1*1 = 5 > 4) and drops
+    // the orphan (matched 3 < 4)
+    write(dir, "customer", df(Tables.customerSchema,
+      Row(1L, "c1", 0, 1.0, "SEG"), Row(1L, "c1b", 0, 1.0, "SEG"),
+      Row(2L, "c2", 0, 1.0, "SEG")))
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    write(dir, "orders", df(Tables.ordersSchema,
+      Seq((100L, 1L), (101L, 1L), (102L, 2L), (103L, 9L)).map { case (o, c) =>
+        Row(o, c, "O", 1.0, ts, "1-URGENT")
+      }: _*))
+    val e = Audit.q182JoinCardinality(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val oc = e("orders.o_custkey -> customer.c_custkey")
+    assert(oc.getLong(1) == 4L && oc.getLong(2) == 0L && oc.getLong(3) == 3L)
+    assert(oc.getLong(4) == 5L) // 2 orders x 2 customer copies + 1 x 1
+    assert(oc.getBoolean(5) && oc.getBoolean(6), oc)
+    // the untouched region edge stays clean: row-preserving, no drops
+    val nr = e("nation.n_regionkey -> region.r_regionkey")
+    assert(nr.getLong(4) == nr.getLong(1) && !nr.getBoolean(5) && !nr.getBoolean(6), nr)
+  }
+
+  test("q182 join cardinality: NULL child keys counted separately, never joined") {
+    val dir = tmpDir()
+    writeWarehouse(dir)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    write(dir, "orders", df(Tables.ordersSchema,
+      Row(100L, 1L, "O", 1.0, ts, "1-URGENT"),
+      Row(101L, null, "O", 1.0, ts, "1-URGENT")))
+    val oc = Audit.q182JoinCardinality(spark, dir).collect()
+      .find(_.getString(0) == "orders.o_custkey -> customer.c_custkey").get
+    assert(oc.getLong(1) == 1L && oc.getLong(2) == 1L && oc.getLong(4) == 1L, oc)
+  }
+
   test("q169 DQ audit: injected violations count per constraint class; clean constraints pass") {
     val dir = tmpDir()
     writeWarehouse(dir)
