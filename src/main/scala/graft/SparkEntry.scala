@@ -2158,7 +2158,8 @@ object SparkEntry {
         "WHEN 'view' THEN us * 8 + 2 END) OVER (PARTITION BY user_id ORDER BY us, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS carried FROM e) " +
         "SELECT CASE WHEN carried IS NOT NULL AND us - carried // 8 <= 604800000000 " +
-        "THEN CASE carried % 8 WHEN 1 THEN 'click' ELSE 'view' END ELSE 'none' END AS attributed_type, " +
+        "THEN CASE carried - 8 * (carried // 8) WHEN 1 THEN 'click' ELSE 'view' END " +
+        "ELSE 'none' END AS attributed_type, " +
         s"count(*) AS n_purchases, ${dsum("value")} AS total_value " +
         "FROM p WHERE event_type = 'purchase' GROUP BY attributed_type ORDER BY attributed_type"),
     // q182: the same count-relation product per FK edge

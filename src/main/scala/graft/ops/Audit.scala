@@ -37,6 +37,14 @@ object Audit {
   private def checksumTerm(key: Column): Column =
     ((key % ChecksumMod) * KnuthMult % ChecksumMod).cast(DecimalType(38, 0))
 
+  /** The same per-key term in the Long domain — the ONE formula shared
+    * with the streaming manifest maintenance
+    * ([[graft.streaming.StreamingOps.merkleStream]]), so batch and
+    * stream cannot drift apart.
+    */
+  private[graft] def checksumTermLong(k: Long): Long =
+    (k % ChecksumMod) * KnuthMult % ChecksumMod
+
   /** Primary-key expression per table — lineitem's composite key packs
     * as orderkey·10+linenumber (TPC-H linenumber ∈ 1..7).
     */

@@ -274,9 +274,13 @@ object Events {
         expr("CASE event_type WHEN 'click' THEN us * 8 + 1 WHEN 'view' THEN us * 8 + 2 END"))
       .withColumn("carried", max(col("packed")).over(w))
       .filter(col("event_type") === "purchase")
+      // floor-div/pmod decode (Det.floorDivExpr discipline): a bare
+      // `div`/`%` diverges from the oracle's `//`-based decode on
+      // pre-epoch (negative-µs) packed values
       .withColumn("attributed_type",
-        when(col("carried").isNotNull && col("us") - expr("carried div 8") <= sevenDaysUs,
-          expr("CASE carried % 8 WHEN 1 THEN 'click' ELSE 'view' END"))
+        when(col("carried").isNotNull &&
+          col("us") - expr(Det.floorDivExpr("carried", 8L)) <= sevenDaysUs,
+          expr("CASE pmod(carried, 8L) WHEN 1 THEN 'click' ELSE 'view' END"))
           .otherwise(lit("none")))
       .groupBy("attributed_type")
       .agg(count(lit(1)).as("n_purchases"), Det.dsum4(col("value")).as("total_value"))

@@ -134,17 +134,25 @@ object Storage {
     *
     * Shape: ONE pruned-key-column scan per table builds the per-file
     * [mn, mx] range relation (map-side combined to one row per file);
-    * that relation is CATALOG-sized — the same size class as the file
-    * listing itself — so the pairwise analysis collects it and runs a
-    * driver-side mn-ordered sweep with Fenwick suffix counts,
-    * O(n log n) in file count. The earlier self-join formulation
-    * rescanned every table a second time (Spark plans the two join
-    * sides as different exchange types, so ReuseExchange never fires);
-    * this is the one-big-pass + metadata-compute split every
-    * lakehouse OPTIMIZE planner uses. n_files counts the INVENTORY
-    * (zero-row files and all-empty tables included — q164's
-    * discipline); ranges exist only for row-bearing files, which is
-    * exactly what the overlap sweep should see.
+    * the pair count then comes from the complement identity
+    * `overlaps = C(n,2) − disjoint`, where a disjoint pair is counted
+    * exactly once at its RIGHT interval (`mx_j < mn_i`): explode each
+    * range into its two boundary events (mn tag 0, mx tag 1), one
+    * cumulative window per table ordered by (value, tag) counts the
+    * mx-boundaries strictly below each mn (mn sorts before mx on
+    * ties, so a touching `mx == mn` pair correctly stays an overlap),
+    * and one aggregate folds both the disjoint sum and the range
+    * count. O(n log n) in file count, fully declarative and LAZY — no
+    * driver collect (an earlier version collected for a driver-side
+    * sweep, which executed 10 table scans at plan-construction time
+    * and hid the pipeline from the global plan audit), and no
+    * range-relation self-join (the version before that rescanned
+    * every table twice: the two join sides plan different exchange
+    * types, so ReuseExchange never fires). The boundary window is
+    * file-count-sized (q118's catalog-sized discipline). n_files
+    * counts the INVENTORY (zero-row files and all-empty tables
+    * included — q164's discipline); ranges exist only for row-bearing
+    * files, which is exactly what the overlap count should see.
     */
   def q165ClusteringAudit(spark: SparkSession, dir: String): DataFrame = {
     val ranges = Audit.TablePk.map { case (table, pkExpr) =>
@@ -157,51 +165,39 @@ object Storage {
       .filter(col("pk").isNotNull) // NULL keys carry no range (q169's stance)
       .groupBy("table_name", "fpath")
       .agg(min(col("pk")).as("mn"), max(col("pk")).as("mx"))
-      .collect() // catalog-sized: one row per row-bearing file
-    val pairsByTable = ranges.groupBy(_.getString(0)).map { case (t, rows) =>
-      t -> overlapPairs(rows.map(r => (r.getLong(2), r.getLong(3))).toSeq)
-    }
-    val out = Audit.TablePk.map { case (table, _) =>
-      (table, listFiles(spark, dir, table).length.toLong,
-        pairsByTable.getOrElse(table, 0L))
-    }
-    spark.createDataFrame(out).toDF("table_name", "n_files", "n_overlap_pairs")
-      .withColumn("clustered", col("n_overlap_pairs") === 0L)
+    inventory(spark, dir).groupBy("table_name").agg(count(lit(1)).as("n_files"))
+      .join(overlapPairCounts(ranges), Seq("table_name"), "left")
+      .withColumn("n_overlap_pairs", coalesce(col("n_overlap_pairs"), lit(0L)))
+      .select(col("table_name"), col("n_files"), col("n_overlap_pairs"),
+        (col("n_overlap_pairs") === 0L).as("clustered"))
       .orderBy("table_name")
   }
 
-  /** Count interval pairs (i ≠ j, unordered) whose [mn, mx] ranges
-    * intersect: sweep in (mn, mx) order; each interval overlaps
-    * exactly the previously-seen intervals whose mx ≥ its mn (their
-    * mn is ≤ ours by sort order, and our mx ≥ our mn ≥ their mn
-    * closes the other direction). "Previous mx ≥ mn" counts come from
-    * a Fenwick tree over coordinate-compressed mx values — O(n log n)
-    * total, driver-side, on the catalog-sized range inventory.
+  /** Per-table overlapping-pair counts for a (table_name, mn, mx)
+    * range relation — the q165 kernel, factored so StorageSpec can
+    * property-test it against brute force on synthetic intervals. All
+    * arithmetic integer (`div`; n·(n−1) is even, so the halving is
+    * exact at any file count where a double `/` would round).
     */
-  private[ops] def overlapPairs(ranges: Seq[(Long, Long)]): Long = {
-    if (ranges.length < 2) return 0L
-    val mxSorted = ranges.map(_._2).distinct.sorted.toArray
-    val bit = new Array[Long](mxSorted.length + 1)
-    def add(i0: Int): Unit = {
-      var i = i0 + 1
-      while (i <= mxSorted.length) { bit(i) += 1; i += i & -i }
-    }
-    def prefix(i0: Int): Long = { // count of inserted mx with index ≤ i0
-      var i = i0 + 1; var s = 0L
-      while (i > 0) { s += bit(i); i -= i & -i }
-      s
-    }
-    var total = 0L
-    var seen = 0L
-    ranges.sorted.foreach { case (mn, mx) =>
-      val p = java.util.Arrays.binarySearch(mxSorted, mn)
-      val lastBelow = if (p >= 0) p - 1 else -p - 2 // last compressed index with mx < mn
-      val below = if (lastBelow < 0) 0L else prefix(lastBelow)
-      total += seen - below
-      add(java.util.Arrays.binarySearch(mxSorted, mx))
-      seen += 1
-    }
-    total
+  private[graft] def overlapPairCounts(ranges: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("table_name").orderBy("v", "tag")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ranges
+      .select(col("table_name"), explode(array(
+        struct(col("mn").as("v"), lit(0L).as("tag")),
+        struct(col("mx").as("v"), lit(1L).as("tag")))).as("b"))
+      .select(col("table_name"), col("b.v").as("v"), col("b.tag").as("tag"))
+      .withColumn("mx_below", sum(col("tag")).over(w))
+      .groupBy("table_name")
+      .agg(
+        // each mn-boundary sees the count of mx strictly below it —
+        // summing those counts each disjoint pair exactly once
+        sum(when(col("tag") === 0L, col("mx_below")).otherwise(0L)).cast(LongType)
+          .as("n_disjoint"),
+        expr("count(1) div 2").as("n_ranges"))
+      .select(col("table_name"),
+        expr("n_ranges * (n_ranges - 1) div 2 - n_disjoint").as("n_overlap_pairs"))
   }
 
   /** q166 — COMPACTION PLAN: the file → output-bin assignment a
@@ -262,15 +258,15 @@ object Storage {
     * 4-value aggregate; the per-bin stats are one partial-aggregated
     * groupBy on a 16-value key. Executing the plan is
     * `repartitionByRange(col("z"))` + write — the stats here ARE the
-    * file statistics that write would produce. Dates are post-epoch so
-    * `div` is floor; the grid multiply stays under 2^63 for any key
-    * range below 2^47.
+    * file statistics that write would produce. The day index floors
+    * exactly ([[Det.floorDivExpr]] — pre-epoch dates included); the
+    * grid multiply stays under 2^63 for any key range below 2^47.
     */
   def q175ZorderPlan(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val o = Tables.orders(spark, dir).select(
       col("o_custkey").cast(LongType).as("x"),
-      expr("unix_micros(o_orderdate) div 86400000000").as("y"))
+      expr(graft.ops.Det.floorDivExpr("unix_micros(o_orderdate)", 86400000000L)).as("y"))
     val bounds = o.agg(min(col("x")).as("xmn"), max(col("x")).as("xmx"),
       min(col("y")).as("ymn"), max(col("y")).as("ymx"))
     def grid(v: String, mn: String, mx: String) =

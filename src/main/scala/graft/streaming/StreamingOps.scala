@@ -555,14 +555,13 @@ object StreamingOps {
   def merkleStream(events: Dataset[Ev]): Dataset[(Long, Long, Long)] = {
     import events.sparkSession.implicits._
     val P = graft.ops.Audit.ChecksumMod
-    val K = graft.ops.Audit.KnuthMult
-    events.groupByKey(e => (e.event_id % P) * K % P % 256)
+    events.groupByKey(e => graft.ops.Audit.checksumTermLong(e.event_id) % 256)
       .flatMapGroupsWithState[BucketState, (Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (bucket: Long, it: Iterator[Ev], state: GroupState[BucketState]) =>
           var s = state.getOption.getOrElse(BucketState(0L, 0L))
           it.foreach { e =>
-            val term = (e.event_id % P) * K % P
+            val term = graft.ops.Audit.checksumTermLong(e.event_id)
             s = BucketState(s.n + 1, (s.sumModP + term) % P)
           }
           state.update(s)

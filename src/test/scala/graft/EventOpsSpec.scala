@@ -305,11 +305,16 @@ class EventOpsSpec extends SparkSpecBase {
       // user 5: click and view at the SAME µs → view (code 2) wins
       (10L, T0, 5L, "click", 0.0, "{}"),
       (11L, T0, 5L, "view", 0.0, "{}"),
-      (12L, T0 + Hour, 5L, "purchase", 160.0, "{}"))
+      (12L, T0 + Hour, 5L, "purchase", 160.0, "{}"),
+      // user 6: PRE-EPOCH touch and purchase (negative µs → negative
+      // packed value) — the floor-div/pmod decode must still read
+      // 'click', not truncate to the wrong µs/code
+      (13L, -50 * Day, 6L, "click", 0.0, "{}"),
+      (14L, -50 * Day + Hour, 6L, "purchase", 320.0, "{}"))
     val out = Events.q181PurchaseAttribution(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(out("view") == ((2L, 170.0)), out)   // users 1 and 5
-    assert(out("click") == ((1L, 20.0)), out)   // user 2 at the boundary
+    assert(out("click") == ((2L, 340.0)), out)  // user 2 at the boundary + pre-epoch user 6
     assert(out("none") == ((2L, 120.0)), out)   // users 3 and 4
   }
 

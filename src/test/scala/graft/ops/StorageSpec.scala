@@ -90,22 +90,30 @@ class StorageSpec extends SparkSpecBase {
     assert(plan.nonEmpty && plan.forall(_.getLong(3) == 0L))
   }
 
-  test("overlapPairs sweep matches the brute-force pair count on deterministic random intervals") {
+  test("overlapPairCounts matches the brute-force pair count on deterministic random intervals") {
+    import spark.implicits._
     val rnd = new scala.util.Random(42)
-    for (n <- Seq(0, 1, 2, 7, 40, 200)) {
-      val ranges = Seq.fill(n) {
+    def brute(ranges: Seq[(Long, Long)]): Long = (for {
+      i <- ranges.indices; j <- (i + 1) until ranges.length
+      if ranges(i)._1 <= ranges(j)._2 && ranges(j)._1 <= ranges(i)._2
+    } yield 1).size.toLong
+    val tables = Seq(1, 2, 7, 40, 200).map { n =>
+      s"t$n" -> Seq.fill(n) {
         val a = rnd.nextLong() % 1000; val b = a + math.abs(rnd.nextLong() % 50)
         (a, b)
       }
-      val brute = (for {
-        i <- ranges.indices; j <- (i + 1) until ranges.length
-        if ranges(i)._1 <= ranges(j)._2 && ranges(j)._1 <= ranges(i)._2
-      } yield 1).size.toLong
-      assert(Storage.overlapPairs(ranges) == brute, s"n=$n")
     }
-    // duplicate endpoints and identical intervals
-    val dup = Seq((0L, 10L), (0L, 10L), (10L, 20L), (21L, 30L))
-    assert(Storage.overlapPairs(dup) == 3L) // (1,2),(1,3),(2,3)
+    // duplicate endpoints / identical / touching intervals: (0,10) twice
+    // overlaps each other and the touching (10,20); (21,30) is disjoint
+    val dup = "dup" -> Seq((0L, 10L), (0L, 10L), (10L, 20L), (21L, 30L))
+    val all = tables :+ dup
+    val in = all.flatMap { case (t, rs) => rs.map(r => (t, r._1, r._2)) }
+      .toDF("table_name", "mn", "mx")
+    val out = Storage.overlapPairCounts(in).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((t, rs) <- all)
+      assert(out(t) == brute(rs), s"$t: got ${out(t)}, want ${brute(rs)}")
+    assert(out("dup") == 3L)
   }
 
   test("q175 zorder: grid corners land in the 2x2 quadrant bins with per-bin bounding boxes") {
