@@ -223,6 +223,8 @@ object SparkEntry {
     "q181_purchase_attribution" -> (Events.q181PurchaseAttribution _),
     "q182_join_cardinality" -> (Audit.q182JoinCardinality _),
     "q183_traffic_spikes" -> (Events.q183TrafficSpikes _),
+    "q184_retention_plan" -> ((s, dir) => graft.ops.Storage.q184RetentionPlan(s, dir)),
+    "q185_schema_drift" -> (graft.ops.Storage.q185SchemaDrift _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —

@@ -123,6 +123,18 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents", documentsSchema)
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings", embeddingsSchema)
 
+  /** Declared column layout per table — the schema-drift audit's
+    * reference (q185). For events the NAME set is layout-invariant
+    * (the micros and raw-nanos layouts differ only in ts's physical
+    * type), which is exactly what a name-level drift compare wants.
+    */
+  val declaredSchemas: Map[String, StructType] = Map(
+    "region" -> regionSchema, "nation" -> nationSchema,
+    "customer" -> customerSchema, "supplier" -> supplierSchema,
+    "part" -> partSchema, "orders" -> ordersSchema,
+    "lineitem" -> lineitemSchema, "events" -> eventsSchema,
+    "documents" -> documentsSchema, "embeddings" -> embeddingsSchema)
+
   /** All table loaders by name (catalog registration, generic tools). */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "region" -> (region _), "nation" -> (nation _), "customer" -> (customer _),

@@ -55,15 +55,17 @@ object Storage {
     * `_SUCCESS` entries skipped). Catalog-bounded — this is the same
     * listing every Spark read performs.
     */
-  private[ops] def listFiles(spark: SparkSession, dir: String, table: String): Seq[(String, Long)] = {
+  private[ops] def listFiles(spark: SparkSession, dir: String, table: String): Seq[(String, Long)] =
+    listStatuses(spark, dir, table).map(s => (s.getPath.getName, s.getLen)).sortBy(_._1)
+
+  private def listStatuses(spark: SparkSession, dir: String,
+                           table: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
-    val files =
-      if (st.isFile) Seq(st)
-      else fs.listStatus(p).toSeq.filter(s => s.isFile &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-    files.map(s => (s.getPath.getName, s.getLen)).sortBy(_._1)
+    if (st.isFile) Seq(st)
+    else fs.listStatus(p).toSeq.filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
   }
 
   private def basename(c: org.apache.spark.sql.Column) =
@@ -171,6 +173,72 @@ object Storage {
       .select(col("table_name"), col("n_files"), col("n_overlap_pairs"),
         (col("n_overlap_pairs") === 0L).as("clustered"))
       .orderBy("table_name")
+  }
+
+  /** q184 — RETENTION-EXPIRY PLAN: the file → action map a TTL/GDPR
+    * retention job executes on the event log. Per events file, its
+    * [min, max] event-time range (ONE ts-column scan, map-side
+    * combined to one row per file) classifies against the retention
+    * cutoff — the corpus max minus the retention window (q17's
+    * data-anchored discipline, never wall clock):
+    *  - `drop`: every row is older than the cutoff → delete the FILE,
+    *    touch no rows (the whole point of time-ordered file layout —
+    *    expiry is a metadata operation);
+    *  - `keep`: every row is inside the window → untouched;
+    *  - `rewrite`: the file straddles the cutoff → the only files a
+    *    row-level filter must actually rewrite.
+    * A time-clustered table expires with `n_rewrite ≈ 0`; a
+    * time-shuffled one rewrites everything — this plan is q165's
+    * clustering argument priced in deletion I/O. Boundary: a row AT
+    * the cutoff is retained (strict `<` expires), matching q17's
+    * inclusive-window stance.
+    */
+  def q184RetentionPlan(spark: SparkSession, dir: String,
+                        retentionDays: Int = 30): DataFrame = {
+    val ranges = Tables.events(spark, dir)
+      .select(input_file_name().as("fpath"), unix_micros(col("ts")).as("us"))
+      .groupBy("fpath")
+      .agg(count(lit(1)).as("n_rows"), min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val anchor = ranges.agg(max(col("mx")).as("amax"))
+    ranges.crossJoin(broadcast(anchor))
+      .withColumn("cutoff", col("amax") - lit(retentionDays.toLong * 86400000000L))
+      .withColumn("action",
+        when(col("mx") < col("cutoff"), lit("drop"))
+          .when(col("mn") >= col("cutoff"), lit("keep"))
+          .otherwise(lit("rewrite")))
+      .withColumn("n_expired_rows",
+        when(col("action") === "drop", col("n_rows")).otherwise(lit(null).cast(LongType)))
+      .select(basename(col("fpath")).as("file"), col("n_rows"), col("mn"), col("mx"),
+        col("action"), col("n_expired_rows"))
+      .orderBy("file")
+  }
+
+  /** q185 — SCHEMA-DRIFT AUDIT: per (table, file), the footer schema's
+    * column names against the table's declared layout — missing
+    * columns (a file written before a column was added: scans read
+    * NULLs there) and extra columns (written by a newer producer:
+    * silently invisible to the declared schema). Incremental ingest
+    * accumulates exactly this skew, and it is invisible to every
+    * row-view check (Spark projects the declared schema over whatever
+    * the footer has). Driver-side per-file FOOTER probes — metadata
+    * reads bounded by file count, the q164 listing discipline; the
+    * compare is name-level, so the events table's dual ts layouts
+    * (micros vs raw-nanos, same names) never false-positive. No rows
+    * are read.
+    */
+  def q185SchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val out = Audit.TablePk.map(_._1).sorted.flatMap { table =>
+      val ref = Tables.declaredSchemas(table).fields.map(_.name).toSet
+      listStatuses(spark, dir, table).sortBy(_.getPath.getName).map { st =>
+        val cols = spark.read.parquet(st.getPath.toString).schema.fields.map(_.name).toSet
+        (table, st.getPath.getName, cols.size.toLong,
+          (ref -- cols).size.toLong, (cols -- ref).size.toLong)
+      }
+    }
+    spark.createDataFrame(out)
+      .toDF("table_name", "file", "n_cols", "n_missing_cols", "n_extra_cols")
+      .withColumn("drifted", col("n_missing_cols") > 0L || col("n_extra_cols") > 0L)
+      .orderBy("table_name", "file")
   }
 
   /** Per-table overlapping-pair counts for a (table_name, mn, mx)

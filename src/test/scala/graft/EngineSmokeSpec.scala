@@ -31,7 +31,12 @@ class EngineSmokeSpec extends SparkSpecBase {
       // q164-q166: file-LAYOUT facts (file names, byte sizes, per-file
       // rows) — the oracle's row views cannot observe storage layout;
       // StorageSpec pins exact outputs on controlled multi-file fixtures
-      "q164_storage_stats", "q165_clustering_audit", "q166_compaction_plan")
+      "q164_storage_stats", "q165_clustering_audit", "q166_compaction_plan",
+      // q184: per-FILE event-time ranges — same file-layout class
+      "q184_retention_plan",
+      // q185: per-file FOOTER schemas — invisible to the row views by
+      // construction (Spark projects the declared schema over them)
+      "q185_schema_drift")
 
   test("entry returns rows on a vanilla session") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -497,7 +497,10 @@ class PlanQualitySpec extends SparkSpecBase {
       "q177_triangle_census",
       // q182: one-row per-edge totals stitched around the count-relation
       // join — q168's scalar-not-relation shape
-      "q182_join_cardinality")
+      "q182_join_cardinality",
+      // q184: the one-row corpus-max anchor broadcast — q15/q17's
+      // scalar-not-relation shape
+      "q184_retention_plan")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

@@ -116,6 +116,83 @@ class StorageSpec extends SparkSpecBase {
     assert(out("dup") == 3L)
   }
 
+  /** Append one events part file with rows at the given epoch-second
+    * offsets (raw-nanos fixture layout, [[graft.SparkSpecBase.Ns]]).
+    */
+  private def appendEvents(dir: String, idsAndSec: Seq[(Long, Long)]): Unit =
+    df(Tables.eventsRawSchema, idsAndSec.map { case (id, sec) =>
+      Row(id, sec * Ns, 1L, "click", 1.0, "{}")
+    }: _*).coalesce(1).write.mode("append").parquet(s"$dir/events.parquet")
+
+  test("q184 retention: whole-old files drop, in-window keep, straddlers rewrite; cutoff row kept") {
+    val dir = tmpDir()
+    val day = 86400L
+    val anchor = 1704067200L // corpus max lands in file C
+    new java.io.File(s"$dir").mkdirs()
+    // A: entirely older than anchor-30d → drop
+    appendEvents(dir, Seq((1L, anchor - 40 * day), (2L, anchor - 35 * day)))
+    // B: straddles the cutoff → rewrite (one row exactly AT the cutoff
+    // is retained: strict < expires)
+    appendEvents(dir, Seq((3L, anchor - 31 * day), (4L, anchor - 30 * day)))
+    // C: inside the window (and sets the anchor) → keep
+    appendEvents(dir, Seq((5L, anchor - day), (6L, anchor)))
+    val out = Storage.q184RetentionPlan(spark, dir).collect()
+    assert(out.length == 3)
+    val byAction = out.groupBy(_.getString(4)).view.mapValues(_.toSeq).toMap
+    assert(byAction("drop").size == 1 && byAction("drop").head.getLong(5) == 2L)
+    assert(byAction("rewrite").size == 1 && byAction("rewrite").head.isNullAt(5))
+    assert(byAction("keep").size == 1)
+    // ranges are exact microseconds
+    assert(byAction("keep").head.getLong(3) == anchor * 1000000L)
+  }
+
+  test("q184 retention: single fresh file keeps everything") {
+    val dir = tmpDir()
+    appendEvents(dir, Seq((1L, 1704067200L), (2L, 1704067100L)))
+    val out = Storage.q184RetentionPlan(spark, dir).collect()
+    assert(out.length == 1 && out.head.getString(4) == "keep")
+  }
+
+  /** Write `data` as a single parquet part file and move it into the
+    * table's directory under `name` — a producer with a different
+    * schema version appending to a live table.
+    */
+  private def smuggleFile(dir: String, table: String, name: String,
+                          data: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = tmpDir()
+    data.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/$table.parquet/$name"))
+  }
+
+  test("q185 schema drift: missing and extra columns flagged per file; clean files pass") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir()
+    writeWarehouse(dir)
+    appendEvents(dir, Seq((1L, 1000L)))
+    // an old producer: no props column
+    smuggleFile(dir, "events", "drift-old.parquet", df(
+      StructType(Tables.eventsRawSchema.fields.filterNot(_.name == "props")),
+      Row(2L, 1000L * Ns, 1L, "click", 1.0)))
+    // a newer producer: adds a column the declared schema lacks
+    smuggleFile(dir, "events", "drift-new.parquet", df(
+      StructType(Tables.eventsRawSchema.fields :+ StructField("extra_col", LongType)),
+      Row(3L, 1000L * Ns, 1L, "click", 1.0, "{}", 9L)))
+    val out = Storage.q185SchemaDrift(spark, dir).collect()
+      .filter(_.getString(0) == "events")
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(out("drift-old.parquet") == ((5L, 1L, 0L, true)), out)
+    assert(out("drift-new.parquet") == ((7L, 0L, 1L, true)), out)
+    val clean = out.view.filterKeys(k => !k.startsWith("drift-")).values
+    assert(clean.nonEmpty && clean.forall(v => v._2 == 0L && v._3 == 0L && !v._4))
+    // every inventoried file of every table gets a row
+    val all = Storage.q185SchemaDrift(spark, dir).collect()
+    assert(all.map(_.getString(0)).toSet == Audit.TablePk.map(_._1).toSet)
+  }
+
   test("q175 zorder: grid corners land in the 2x2 quadrant bins with per-bin bounding boxes") {
     val dir = tmpDir()
     val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
