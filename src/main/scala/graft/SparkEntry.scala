@@ -225,6 +225,7 @@ object SparkEntry {
     "q183_traffic_spikes" -> (Events.q183TrafficSpikes _),
     "q184_retention_plan" -> ((s, dir) => graft.ops.Storage.q184RetentionPlan(s, dir)),
     "q185_schema_drift" -> (graft.ops.Storage.q185SchemaDrift _),
+    "q186_cooccurrence_lift" -> (Events.q186CooccurrenceLift _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2194,6 +2195,20 @@ object SparkEntry {
         "SELECT event_type, hr, n, baseline_sum, baseline_hours, " +
         "baseline_hours >= 6 AND n * baseline_hours > baseline_sum * 3 AS spike " +
         "FROM b ORDER BY event_type, hr"),
+    // q186: the same distinct-collapse + pair self-join; the
+    // association test cross-multiplied in HUGEINT
+    "q186_cooccurrence_lift" ->
+      ("WITH ut AS (SELECT DISTINCT user_id, event_type FROM events WHERE user_id IS NOT NULL), " +
+        "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab " +
+        "FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+        "GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1), " +
+        "u AS (SELECT count(DISTINCT user_id) AS n_users FROM ut) " +
+        "SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_ab, u.n_users, " +
+        "CAST(n_ab AS HUGEINT) * n_users > CAST(ta.n AS HUGEINT) * tb.n AS positively_associated " +
+        "FROM p JOIN t ta ON ta.event_type = p.type_a " +
+        "JOIN t tb ON tb.event_type = p.type_b CROSS JOIN u " +
+        "ORDER BY type_a, type_b"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

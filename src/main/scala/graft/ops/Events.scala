@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Event-stream operators: the reference's Kafka-log ETL vocabulary
   * (sessionization, forward-fill, per-group aggregation, dedup,
@@ -219,6 +219,45 @@ object Events {
       .withColumn("stale", col("lag_sec") > 3600L)
       .select("event_type", "n_events", "max_ts", "lag_sec", "n_last_24h", "stale")
       .orderBy("event_type")
+  }
+
+  /** q186 — CO-OCCURRENCE LIFT (market-basket association between
+    * event types, basket = user): for every unordered type pair, how
+    * many users show both, against the independence expectation —
+    * `positively_associated` is the exact cross-multiplied lift test
+    * `n_ab·n_users > n_a·n_b` (DECIMAL space, q40's boundary trick: no
+    * division, no overflow at any user count — a literal lift ratio
+    * would either round engine-dependently or overflow BIGINT at
+    * 10⁹ users). The raw counts ship alongside so any downstream
+    * ranking can derive lift/confidence/support exactly.
+    *
+    * Shape: ONE distinct collapse to (user, type) — volume drops to
+    * baskets × items before anything joins; the pair builder is a
+    * user-keyed equi self-join whose per-user fan-out is bounded by
+    * the TYPE vocabulary (≤C(|types|,2) rows per user, never events²);
+    * per-type and total-user counts are map-combinable aggregates of
+    * the same collapsed relation. NULL users carry no basket
+    * (filtered, mirrored in the oracle).
+    */
+  def q186CooccurrenceLift(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type")).distinct()
+    val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+    val perType = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val total = ut.agg(countDistinct(col("user_id")).as("n_users"))
+    pairs
+      .join(perType.select(col("event_type").as("type_a"), col("n").as("n_a")), Seq("type_a"))
+      .join(perType.select(col("event_type").as("type_b"), col("n").as("n_b")), Seq("type_b"))
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_ab"),
+        col("n_users"),
+        (col("n_ab").cast(DecimalType(38, 0)) * col("n_users") >
+          col("n_a").cast(DecimalType(38, 0)) * col("n_b")).as("positively_associated"))
+      .orderBy("type_a", "type_b")
   }
 
   /** q183 — TRAFFIC-SPIKE AUDIT (the rate anomaly q152's value z-score

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Events
+import org.apache.spark.sql.Row
 
 /** Semantic unit specs for the event-stream operators (SURVEY.md §5.2.2),
   * on hand-checkable fixtures including the §4.3 edge cases.
@@ -262,6 +263,28 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out("a") == ((4L, 2L, 50L * 1000000, 0L, 0L)), out("a"))
     // b: 1000s and 7000s late — both over 1m, one over 1h
     assert(out("b") == ((3L, 2L, 7000L * 1000000, 2L, 1L)), out("b"))
+  }
+
+  test("q186 co-occurrence: counts per pair, association flips with the user mix, null users dropped") {
+    val dir = tmpDir()
+    // users 1-3: {a,b}; user 4: {a}; user 5: {b}; user 6: {a,c}; null user: {a}
+    val rows = Seq[(Long, Any, String)](
+      (1L, 1L, "a"), (2L, 1L, "b"), (3L, 2L, "a"), (4L, 2L, "b"),
+      (5L, 3L, "a"), (6L, 3L, "b"), (7L, 4L, "a"), (8L, 5L, "b"),
+      (9L, 6L, "a"), (10L, 6L, "c"), (11L, 6L, "a"), // duplicate (6,a) collapses
+      (12L, null, "a")) // basketless: a NULL user must not join or count
+    write(dir, "events", df(Tables.eventsRawSchema,
+      rows.map { case (id, u, t) => Row(id, T0, u, t, 0.0, "{}") }: _*))
+    val out = Events.q186CooccurrenceLift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // n_users = 6; a: users 1,2,3,4,6 -> 5; b: 1,2,3,5 -> 4; c: 6 -> 1
+    // (a,b): 3 users; 3*6=18 < 5*4=20 -> not associated
+    assert(out(("a", "b")) == ((5L, 4L, 3L, 6L, false)), out)
+    // (a,c): 1 user; 1*6=6 > 5*1=5 -> associated
+    assert(out(("a", "c")) == ((5L, 1L, 1L, 6L, true)), out)
+    // no (b,c) pair: no shared user
+    assert(!out.contains(("b", "c")))
   }
 
   test("q183 spikes: 3x-mean flag is strict, arms at 6 baseline hours, gaps stay silent") {
