@@ -226,6 +226,7 @@ object SparkEntry {
     "q184_retention_plan" -> ((s, dir) => graft.ops.Storage.q184RetentionPlan(s, dir)),
     "q185_schema_drift" -> (graft.ops.Storage.q185SchemaDrift _),
     "q186_cooccurrence_lift" -> (Events.q186CooccurrenceLift _),
+    "q187_user_growth" -> (Events.q187UserGrowth _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2209,6 +2210,14 @@ object SparkEntry {
         "FROM p JOIN t ta ON ta.event_type = p.type_a " +
         "JOIN t tb ON tb.event_type = p.type_b CROSS JOIN u " +
         "ORDER BY type_a, type_b"),
+    // q187: running distinct = cumulative sum of first occurrences
+    "q187_user_growth" ->
+      (s"WITH f AS (SELECT user_id, min(epoch_us($tsUs) // 86400000000) AS day " +
+        "FROM events WHERE user_id IS NOT NULL GROUP BY user_id), " +
+        "d AS (SELECT day, count(*) AS n_new_users FROM f GROUP BY day) " +
+        "SELECT day, n_new_users, CAST(sum(n_new_users) OVER " +
+        "(ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS n_total_users FROM d ORDER BY day"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

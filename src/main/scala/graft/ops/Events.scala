@@ -221,6 +221,29 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q187 — USER GROWTH CURVE: per active day, the count of NEW users
+    * (first ever seen that day) and the cumulative registered-user
+    * total — the "running distinct count over time" every growth
+    * dashboard wants, which naive SQL writes as a distinct-inside-
+    * window (quadratic rescan per day). The scalable identity: a
+    * running distinct count IS the cumulative sum of first-occurrence
+    * events — one map-combinable min(day) per user, one day-keyed
+    * count, one prefix sum over the calendar-bounded day relation
+    * (q118's catalog-sized single-partition discipline). NULL users
+    * excluded (q186's basketless stance).
+    */
+  def q187UserGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), expr(Det.floorDivExpr("unix_micros(ts)", 86400000000L)).as("day"))
+      .groupBy("user_id").agg(min(col("day")).as("day"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDay.groupBy("day").agg(count(lit(1)).as("n_new_users"))
+      .withColumn("n_total_users", sum(col("n_new_users")).over(w).cast(LongType))
+      .orderBy("day")
+  }
+
   /** q186 — CO-OCCURRENCE LIFT (market-basket association between
     * event types, basket = user): for every unordered type pair, how
     * many users show both, against the independence expectation —

@@ -265,6 +265,20 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out("b") == ((3L, 2L, 7000L * 1000000, 2L, 1L)), out("b"))
   }
 
+  test("q187 growth: new users count on their FIRST day only; cumulative total runs over gaps") {
+    val dir = tmpDir()
+    val Day = 24 * Hour
+    writeEvents(dir,
+      (1L, T0, 1L, "a", 0.0, "{}"),            // user 1 first on day 0
+      (2L, T0 + 2 * Day, 1L, "a", 0.0, "{}"),  // returns later: NOT new again
+      (3L, T0, 2L, "a", 0.0, "{}"),            // user 2 first on day 0
+      (4L, T0 + 5 * Day, 3L, "a", 0.0, "{}"))  // user 3 first on day 5 (gap)
+    val out = Events.q187UserGrowth(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d0 = 1704067200L / 86400
+    assert(out.toSeq == Seq((d0, 2L, 2L), (d0 + 5, 1L, 3L)), out.toSeq)
+  }
+
   test("q186 co-occurrence: counts per pair, association flips with the user mix, null users dropped") {
     val dir = tmpDir()
     // users 1-3: {a,b}; user 4: {a}; user 5: {b}; user 6: {a,c}; null user: {a}
