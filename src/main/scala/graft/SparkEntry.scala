@@ -227,6 +227,7 @@ object SparkEntry {
     "q185_schema_drift" -> (graft.ops.Storage.q185SchemaDrift _),
     "q186_cooccurrence_lift" -> (Events.q186CooccurrenceLift _),
     "q187_user_growth" -> (Events.q187UserGrowth _),
+    "q188_mix_contingency" -> (TrainingData.q188MixContingency _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2218,6 +2219,18 @@ object SparkEntry {
         "SELECT day, n_new_users, CAST(sum(n_new_users) OVER " +
         "(ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
         "AS n_total_users FROM d ORDER BY day"),
+    // q188: marginals as rollups of the cell relation; independence
+    // flags cross-multiplied in HUGEINT
+    "q188_mix_contingency" ->
+      ("WITH c AS (SELECT source, lang, count(*) AS n_cell FROM documents GROUP BY 1, 2), " +
+        "s AS (SELECT source, CAST(sum(n_cell) AS BIGINT) AS n_source FROM c GROUP BY 1), " +
+        "l AS (SELECT lang, CAST(sum(n_cell) AS BIGINT) AS n_lang FROM c GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_cell) AS BIGINT) AS n_docs FROM c) " +
+        "SELECT c.source, c.lang, n_cell, n_source, n_lang, n_docs, " +
+        "CAST(n_cell AS HUGEINT) * n_docs > CAST(n_source AS HUGEINT) * n_lang AS over_represented, " +
+        "CAST(n_cell AS HUGEINT) * n_docs < CAST(n_source AS HUGEINT) * n_lang AS under_represented " +
+        "FROM c JOIN s ON s.source = c.source JOIN l ON l.lang = c.lang CROSS JOIN t " +
+        "ORDER BY c.source, c.lang"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

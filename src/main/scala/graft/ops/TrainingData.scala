@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DecimalType, LongType, StringType}
 
 /** Training-data pipeline text/multimodal operators beyond the
   * reference's surface: language-ID heuristics, quality scoring, token
@@ -1042,6 +1042,36 @@ object TrainingData {
         sum(col("chars")).as("total_chars"),
         davg4(col("toks")).as("avg_tokens"))
       .orderBy("source", "lang")
+
+  /** q188 — MIX-CONTINGENCY AUDIT: the source × language independence
+    * readout of the training mix — per cell, the observed doc count
+    * against the independence expectation (row·col/total), with
+    * over/under flags CROSS-MULTIPLIED into exact DECIMAL space
+    * (`n_cell·n_docs` vs `n_source·n_lang` — q186's trick: no
+    * division, no engine-dependent rounding, no overflow at any
+    * corpus size). q58 reports what each cell contains; this reports
+    * whether the mix is BALANCED — an over-represented (source, lang)
+    * cell means one crawl dominates a language (q113's source cap
+    * knows where to bite), an under-represented one is a coverage gap
+    * (q119's language-ID work list). One scan, one cell-keyed groupBy;
+    * marginals are rollups of the cell relation, never rescans.
+    */
+  def q188MixContingency(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("n_cell"))
+    val bySource = cells.groupBy("source").agg(sum(col("n_cell")).cast(LongType).as("n_source"))
+    val byLang = cells.groupBy("lang").agg(sum(col("n_cell")).cast(LongType).as("n_lang"))
+    val total = cells.agg(sum(col("n_cell")).cast(LongType).as("n_docs"))
+    cells.join(bySource, "source").join(byLang, "lang")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_cell"), col("n_source"),
+        col("n_lang"), col("n_docs"),
+        (col("n_cell").cast(DecimalType(38, 0)) * col("n_docs") >
+          col("n_source").cast(DecimalType(38, 0)) * col("n_lang")).as("over_represented"),
+        (col("n_cell").cast(DecimalType(38, 0)) * col("n_docs") <
+          col("n_source").cast(DecimalType(38, 0)) * col("n_lang")).as("under_represented"))
+      .orderBy("source", "lang")
+  }
 
   /** q129 — PADDING-BUCKET analysis: assign each doc to the smallest
     * power-of-two length bucket that holds it (16 … 2048, the

@@ -15,6 +15,25 @@ class TrainingDataSpec extends SparkSpecBase {
     dir
   }
 
+  test("q188 mix contingency: over/under flags follow the exact cross-multiplied expectation; balanced cell flags neither") {
+    val dir = tmpDir()
+    val rows =
+      (1 to 3).map(i => (10L + i, s"t$i", "en", "s1", 2L)) ++ Seq((14L, "t", "de", "s1", 1L)) ++
+      Seq((15L, "t", "en", "s2", 1L)) ++ (1 to 3).map(i => (20L + i, s"u$i", "de", "s2", 2L)) ++
+      Seq((30L, "t", "en", "s3", 1L), (31L, "t", "de", "s3", 1L))
+    writeDocuments(dir, rows: _*)
+    // totals: s1=4, s2=4, s3=2; en=5, de=5; n=10 → expectation 2/2/1
+    val out = graft.ops.TrainingData.q188MixContingency(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getBoolean(6), r.getBoolean(7))))
+      .toMap
+    assert(out(("s1", "en")) == ((3L, true, false)))  // 3·10 > 4·5
+    assert(out(("s1", "de")) == ((1L, false, true)))  // 1·10 < 4·5
+    assert(out(("s2", "en")) == ((1L, false, true)))
+    assert(out(("s2", "de")) == ((3L, true, false)))
+    assert(out(("s3", "en")) == ((1L, false, false))) // 1·10 = 2·5 — balanced
+    assert(out(("s3", "de")) == ((1L, false, false)))
+  }
+
   test("q25 minhash-lsh: identical docs always collide; output ⊆ exact q21") {
     val dir = docsFixture()
     val lsh = Sketches.q25MinhashNeardup(spark, dir).collect()

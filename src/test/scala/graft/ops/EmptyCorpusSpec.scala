@@ -87,6 +87,7 @@ class EmptyCorpusSpec extends SparkSpecBase {
     assert(Events.q183TrafficSpikes(spark, dir).count() == 0)
     assert(Events.q186CooccurrenceLift(spark, dir).count() == 0)
     assert(Events.q187UserGrowth(spark, dir).count() == 0)
+    assert(TrainingData.q188MixContingency(spark, dir).count() == 0)
   }
 
   test("single doc: containment finds no pairs; entropy/calibration emit the one doc") {
