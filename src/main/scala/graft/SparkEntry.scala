@@ -228,6 +228,7 @@ object SparkEntry {
     "q186_cooccurrence_lift" -> (Events.q186CooccurrenceLift _),
     "q187_user_growth" -> (Events.q187UserGrowth _),
     "q188_mix_contingency" -> (TrainingData.q188MixContingency _),
+    "q189_inter_arrival" -> (Events.q189InterArrival _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2231,6 +2232,17 @@ object SparkEntry {
         "CAST(n_cell AS HUGEINT) * n_docs < CAST(n_source AS HUGEINT) * n_lang AS under_represented " +
         "FROM c JOIN s ON s.source = c.source JOIN l ON l.lang = c.lang CROSS JOIN t " +
         "ORDER BY c.source, c.lang"),
+    // q189: the same per-(user, type) lag; q38's quantile_cont mapping
+    "q189_inter_arrival" ->
+      (s"WITH e AS (SELECT event_type, user_id, event_id, epoch_us($tsUs) AS us " +
+        "FROM events WHERE user_id IS NOT NULL), " +
+        "g AS (SELECT event_type, us - lag(us) OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY us, event_id) AS gap FROM e) " +
+        "SELECT event_type, count(*) AS n_gaps, CAST(min(gap) AS BIGINT) AS min_gap_us, " +
+        s"${rd4("quantile_cont(gap, 0.5)")} AS med_gap_us, " +
+        s"${rd4("quantile_cont(gap, 0.9)")} AS p90_gap_us, " +
+        "CAST(max(gap) AS BIGINT) AS max_gap_us " +
+        "FROM g WHERE gap IS NOT NULL GROUP BY event_type ORDER BY event_type"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

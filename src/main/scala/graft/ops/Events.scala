@@ -221,6 +221,33 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q189 — INTER-ARRIVAL PROFILE: per event type, the distribution of
+    * gaps between a user's consecutive events of that type — the
+    * cadence readout that sizes q13's session gap (a gap threshold
+    * should sit past the p90 of within-session cadence), q151's
+    * debounce window, and q179's watermark sanity floor. One lag
+    * window per (user, type) — fine-grained keys — then a
+    * map-combinable aggregate; percentiles are exact raw-µs order
+    * statistics (q38's percentile ↔ quantile_cont mapping), min/max
+    * exact longs.
+    */
+  def q189InterArrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap_us"),
+        Det.roundD4(expr("percentile(gap, 0.5)")).as("med_gap_us"),
+        Det.roundD4(expr("percentile(gap, 0.9)")).as("p90_gap_us"),
+        max(col("gap")).as("max_gap_us"))
+      .orderBy("event_type")
+  }
+
   /** q187 — USER GROWTH CURVE: per active day, the count of NEW users
     * (first ever seen that day) and the cumulative registered-user
     * total — the "running distinct count over time" every growth

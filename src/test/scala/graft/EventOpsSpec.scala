@@ -265,6 +265,25 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out("b") == ((3L, 2L, 7000L * 1000000, 2L, 1L)), out("b"))
   }
 
+  test("q189 inter-arrival: gaps are per (user, type); singletons contribute none; exact order stats") {
+    val dir = tmpDir()
+    writeEvents(dir,
+      // user 1, type a at 0s, 10s, 40s → gaps 10s, 30s
+      (1L, T0, 1L, "a", 0.0, "{}"),
+      (2L, T0 + 10 * Ns, 1L, "a", 0.0, "{}"),
+      (3L, T0 + 40 * Ns, 1L, "a", 0.0, "{}"),
+      // user 2, type a single event → no gap
+      (4L, T0, 2L, "a", 0.0, "{}"),
+      // user 1, type b interleaved with a: must NOT shrink a's gaps
+      (5L, T0 + 5 * Ns, 1L, "b", 0.0, "{}"))
+    val out = Events.q189InterArrival(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(5)))).toMap
+    // type a: 2 gaps (10s, 30s) → median 20s, min 10s, max 30s
+    assert(out(("a")) == ((2L, 10000000L, 20000000.0, 30000000L)), out)
+    assert(!out.contains("b")) // a single b event yields no gap row
+  }
+
   test("q187 growth: new users count on their FIRST day only; cumulative total runs over gaps") {
     val dir = tmpDir()
     val Day = 24 * Hour

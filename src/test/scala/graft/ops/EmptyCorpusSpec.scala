@@ -88,6 +88,7 @@ class EmptyCorpusSpec extends SparkSpecBase {
     assert(Events.q186CooccurrenceLift(spark, dir).count() == 0)
     assert(Events.q187UserGrowth(spark, dir).count() == 0)
     assert(TrainingData.q188MixContingency(spark, dir).count() == 0)
+    assert(Events.q189InterArrival(spark, dir).count() == 0)
   }
 
   test("single doc: containment finds no pairs; entropy/calibration emit the one doc") {
