@@ -539,6 +539,87 @@ object StreamingOps {
       }
   }
 
+  case class TouchState(hasTouch: Boolean, packed: Long)
+
+  /** Streaming last-touch attribution (batch q181's stateful dual):
+    * each user's latest click/view packs (µs·8 + channel code) into
+    * ONE Long of group state — q181's exact packed-argmax value,
+    * carried across micro-batches instead of recomputed by a window —
+    * and every purchase emits an attribution record at ingest time
+    * (the live feed a spend dashboard consumes; batch q181 is the
+    * end-of-day reconciliation). Events inside a batch fold in
+    * (ts, event_id) order ([[forwardFillStream]]'s discipline);
+    * decode is floor-div/pmod exactly like the batch side. State is
+    * one Long per user; an idle-TTL variant would follow
+    * [[transitionStream]]'s pattern when user cardinality is
+    * unbounded.
+    */
+  def attributionStream(events: Dataset[Ev],
+                        lookback: java.time.Duration = java.time.Duration.ofDays(7))
+      : Dataset[(Long, Long, String, Double)] = {
+    import events.sparkSession.implicits._
+    val lookbackUs = lookback.toMillis * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, (Long, Long, String, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[TouchState]) =>
+          var packed = state.getOption.filter(_.hasTouch).map(_.packed)
+          val out = Seq.newBuilder[(Long, Long, String, Double)]
+          it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+            val us = tsMicros(e.ts)
+            e.event_type match {
+              case "click" => packed = Some(math.max(packed.getOrElse(Long.MinValue), us * 8 + 1))
+              case "view"  => packed = Some(math.max(packed.getOrElse(Long.MinValue), us * 8 + 2))
+              case "purchase" =>
+                val attributed = packed match {
+                  case Some(p) if us - Math.floorDiv(p, 8) <= lookbackUs =>
+                    if (Math.floorMod(p, 8) == 1) "click" else "view"
+                  case _ => "none"
+                }
+                out += ((uid, e.event_id, attributed, e.value))
+              case _ => ()
+            }
+          }
+          packed.foreach(p => state.update(TouchState(hasTouch = true, p)))
+          out.result().iterator
+      }
+  }
+
+  case class SeenTypes(types: Seq[String])
+
+  /** Streaming co-occurrence discovery (batch q186's stateful dual):
+    * per user, the set of event types seen so far lives in group state
+    * (bounded by the TYPE VOCABULARY — a handful of strings, not event
+    * volume), and the arrival of a NEW type emits one (user, a, b)
+    * pair-discovery record against each previously seen type. Each
+    * (user, unordered pair) emits exactly once over the stream's
+    * lifetime, so the downstream pair count IS batch q186's `n_ab` —
+    * the association matrix updates live instead of by rescan.
+    * Marginals (n_a, n_users) are stateless distinct aggregates
+    * downstream of the same feed.
+    */
+  def cooccurrenceStream(events: Dataset[Ev]): Dataset[(Long, String, String)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeenTypes, (Long, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SeenTypes]) =>
+          var seen = state.getOption.map(_.types.toSet).getOrElse(Set.empty[String])
+          val out = Seq.newBuilder[(Long, String, String)]
+          it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+            if (!seen.contains(e.event_type)) {
+              seen.foreach { t =>
+                val (a, b) = if (t < e.event_type) (t, e.event_type) else (e.event_type, t)
+                out += ((uid, a, b))
+              }
+              seen += e.event_type
+            }
+          }
+          state.update(SeenTypes(seen.toSeq.sorted))
+          out.result().iterator
+      }
+  }
+
   case class BucketState(n: Long, sumModP: Long)
 
   /** Streaming Merkle-manifest maintenance (batch q178's incremental

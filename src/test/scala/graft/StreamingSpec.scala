@@ -416,6 +416,55 @@ class StreamingSpec extends SparkSpecBase {
     assert(diverging.isEmpty, s"stream/batch gate divergence: ${diverging.take(5)}")
   }
 
+  test("attributionStream: touch state carries across micro-batches; aggregate equals batch q181") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // split on global time order: purchases in batch 2 whose last touch
+    // landed in batch 1 attribute correctly ONLY if state carries
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val ms = MemoryStream[StreamingOps.Ev]
+    val q = StreamingOps.attributionStream(ms.toDS())
+      .toDF("user_id", "purchase_event_id", "attributed_type", "value")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    ms.addData(b1.toSeq: _*); q.processAllAvailable()
+    ms.addData(b2.toSeq: _*); q.processAllAvailable()
+    val streamed = spark.table("attr").groupBy("attributed_type")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        graft.ops.Det.dsum4(col("value")).as("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    q.stop()
+    val batch = graft.ops.Events.q181PurchaseAttribution(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed == batch, s"stream/batch attribution divergence: $streamed vs $batch")
+  }
+
+  test("cooccurrenceStream: each (user, pair) discovered once across batches; counts equal batch q186") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val ms = MemoryStream[StreamingOps.Ev]
+    val q = StreamingOps.cooccurrenceStream(ms.toDS())
+      .toDF("user_id", "type_a", "type_b")
+      .writeStream.format("memory").queryName("cooc").outputMode("append").start()
+    ms.addData(b1.toSeq: _*); q.processAllAvailable()
+    ms.addData(b2.toSeq: _*); q.processAllAvailable()
+    val streamed = spark.table("cooc").groupBy("type_a", "type_b").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    q.stop()
+    val batch = graft.ops.Events.q186CooccurrenceLift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(streamed == batch, s"stream/batch co-occurrence divergence: " +
+      s"${(streamed.toSet diff batch.toSet).take(5)} / ${(batch.toSet diff streamed.toSet).take(5)}")
+  }
+
   test("merkleStream: incremental bucket manifest converges to batch q178 across a two-batch drain") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
