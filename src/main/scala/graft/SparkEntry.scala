@@ -229,6 +229,7 @@ object SparkEntry {
     "q187_user_growth" -> (Events.q187UserGrowth _),
     "q188_mix_contingency" -> (TrainingData.q188MixContingency _),
     "q189_inter_arrival" -> (Events.q189InterArrival _),
+    "q190_ab_readout" -> (Events.q190AbReadout _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2243,6 +2244,26 @@ object SparkEntry {
         s"${rd4("quantile_cont(gap, 0.9)")} AS p90_gap_us, " +
         "CAST(max(gap) AS BIGINT) AS max_gap_us " +
         "FROM g WHERE gap IS NOT NULL GROUP BY event_type ORDER BY event_type"),
+    // q190: the shared checksum-term arm split; rate compare
+    // cross-multiplied in HUGEINT
+    "q190_ab_readout" -> {
+      val (p, k) = (Audit.ChecksumMod, Audit.KnuthMult)
+      s"WITH pu AS (SELECT user_id, (user_id % $p) * $k % $p % 2 AS arm, " +
+        "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted, " +
+        "coalesce(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(20,6)) END), 0) AS pvalue " +
+        "FROM events WHERE user_id IS NOT NULL GROUP BY user_id, arm) " +
+        "SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_a, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS n_conv_a, " +
+        "CAST(round(sum(CASE WHEN arm = 0 THEN pvalue END), 4) AS DOUBLE) AS value_a, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_b, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS n_conv_b, " +
+        "CAST(round(sum(CASE WHEN arm = 1 THEN pvalue END), 4) AS DOUBLE) AS value_b, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS HUGEINT) * " +
+        "sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > " +
+        "CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS HUGEINT) * " +
+        "sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS b_higher_conversion " +
+        "FROM pu"
+    },
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

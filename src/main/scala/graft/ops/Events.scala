@@ -221,6 +221,40 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q190 — A/B EXPERIMENT READOUT: users split into two arms by the
+    * shared deterministic hash term ([[Audit.checksumTermLong]]'s
+    * formula mod 2 — the same user always lands in the same arm, on
+    * any engine, with no RNG), conversion = at least one purchase,
+    * value = exact decimal purchase revenue. The headline
+    * `b_higher_conversion` is the cross-multiplied rate compare
+    * (`conv_b·users_a > conv_a·users_b` — q40's boundary trick; a
+    * significance test would consume these same four exact counts).
+    * One scan → per-user collapse (map-combinable conditional aggs) →
+    * ONE single-row conditional aggregate; nothing user-cardinality-
+    * sized survives past the collapse.
+    */
+  def q190AbReadout(spark: SparkSession, dir: String): DataFrame = {
+    val P = graft.ops.Audit.ChecksumMod
+    val K = graft.ops.Audit.KnuthMult
+    val perUser = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"),
+        coalesce(sum(when(col("event_type") === "purchase", col("value"))
+          .cast(DecimalType(20, 6))), lit(0).cast(DecimalType(20, 6))).as("pvalue"))
+      .withColumn("arm", expr(s"(user_id % ${P}L) * ${K}L % ${P}L % 2"))
+    def armAgg(a: Int, suffix: String) = Seq(
+      sum(when(col("arm") === a, 1L).otherwise(0L)).as(s"n_users_$suffix"),
+      sum(when(col("arm") === a, col("converted")).otherwise(0L)).as(s"n_conv_$suffix"),
+      round(sum(when(col("arm") === a, col("pvalue"))), 4).cast("double").as(s"value_$suffix"))
+    perUser.agg(armAgg(0, "a").head, (armAgg(0, "a").tail ++ armAgg(1, "b")): _*)
+      .select(col("n_users_a"), col("n_conv_a"), col("value_a"),
+        col("n_users_b"), col("n_conv_b"), col("value_b"),
+        (col("n_conv_b").cast(DecimalType(38, 0)) * col("n_users_a") >
+          col("n_conv_a").cast(DecimalType(38, 0)) * col("n_users_b"))
+          .as("b_higher_conversion"))
+  }
+
   /** q189 — INTER-ARRIVAL PROFILE: per event type, the distribution of
     * gaps between a user's consecutive events of that type — the
     * cadence readout that sizes q13's session gap (a gap threshold

@@ -265,6 +265,25 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out("b") == ((3L, 2L, 7000L * 1000000, 2L, 1L)), out("b"))
   }
 
+  test("q190 A/B readout: deterministic arms, conversion/value per arm, cross-multiplied compare") {
+    val dir = tmpDir()
+    def arm(u: Long): Long = graft.ops.Audit.checksumTermLong(u) % 2
+    // pick users so each arm has 2; convert exactly one arm-0 user and
+    // both arm-1 users → B's rate (2/2) beats A's (1/2)
+    val users = (1L to 20L).toSeq
+    val armA = users.filter(arm(_) == 0).take(2)
+    val armB = users.filter(arm(_) == 1).take(2)
+    val rows =
+      Seq((1L, armA(0), "purchase", 10.0), (2L, armA(0), "purchase", 5.0), // converts, 15.0
+        (3L, armA(1), "click", 0.0),                                      // does not
+        (4L, armB(0), "purchase", 7.0), (5L, armB(1), "purchase", 2.0))
+    writeEvents(dir, rows.map { case (id, u, t, v) => (id, T0, u, t, v, "{}") }: _*)
+    val r = Events.q190AbReadout(spark, dir).head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 1L, 15.0)), r)
+    assert((r.getLong(3), r.getLong(4), r.getDouble(5)) == ((2L, 2L, 9.0)), r)
+    assert(r.getBoolean(6)) // 2*2 > 1*2
+  }
+
   test("q189 inter-arrival: gaps are per (user, type); singletons contribute none; exact order stats") {
     val dir = tmpDir()
     writeEvents(dir,

@@ -89,6 +89,9 @@ class EmptyCorpusSpec extends SparkSpecBase {
     assert(Events.q187UserGrowth(spark, dir).count() == 0)
     assert(TrainingData.q188MixContingency(spark, dir).count() == 0)
     assert(Events.q189InterArrival(spark, dir).count() == 0)
+    // global aggregate: one row, NULL sums on both engines
+    val ab = Events.q190AbReadout(spark, dir).collect()
+    assert(ab.length == 1 && ab.head.isNullAt(0))
   }
 
   test("single doc: containment finds no pairs; entropy/calibration emit the one doc") {
