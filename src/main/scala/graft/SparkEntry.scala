@@ -230,6 +230,7 @@ object SparkEntry {
     "q188_mix_contingency" -> (TrainingData.q188MixContingency _),
     "q189_inter_arrival" -> (Events.q189InterArrival _),
     "q190_ab_readout" -> (Events.q190AbReadout _),
+    "q191_growth_accounting" -> (Relational.q191GrowthAccounting _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2264,6 +2265,18 @@ object SparkEntry {
         "sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS b_higher_conversion " +
         "FROM pu"
     },
+    // q191: same month index and first-month cohort convention; NULL
+    // revenue cells stay NULL on both sides
+    "q191_growth_accounting" ->
+      ("WITH o AS (SELECT o_custkey AS c, " +
+        "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mo, " +
+        "o_totalprice AS price FROM orders), " +
+        "f AS (SELECT c, min(mo) AS first_mo FROM o GROUP BY c) " +
+        "SELECT mo, count(*) AS n_orders, " +
+        "CAST(count(DISTINCT CASE WHEN mo = first_mo THEN o.c END) AS BIGINT) AS n_new_customers, " +
+        s"${dsum("CASE WHEN mo = first_mo THEN price END")} AS revenue_new, " +
+        s"${dsum("CASE WHEN mo > first_mo THEN price END")} AS revenue_returning " +
+        "FROM o JOIN f ON f.c = o.c GROUP BY mo ORDER BY mo"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

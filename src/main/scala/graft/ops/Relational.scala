@@ -691,4 +691,30 @@ object Relational {
       .select(col("p_partkey"), col("s_suppkey"), col("s_name"), col("avg_unit"))
       .orderBy("p_partkey")
   }
+
+  /** q191 — GROWTH ACCOUNTING: monthly revenue decomposed into NEW
+    * customers (placing their first-ever order that month — all their
+    * orders that month count as new, the standard cohort convention)
+    * vs RETURNING — the one decomposition every revenue dashboard
+    * leads with, and the input to q90's retention grid read in
+    * dollars. Month index = year·12 + month (exact date parts, no
+    * epoch arithmetic); per-customer first month is one map-combinable
+    * min; the decomposition is conditional exact-decimal sums after a
+    * customer-keyed equi-join. A month with no new (or no returning)
+    * revenue reports NULL, identically on both engines.
+    */
+  def q191GrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast(LongType).as("mo"),
+        col("o_totalprice").as("price"))
+    val first = o.groupBy("c").agg(min(col("mo")).as("first_mo"))
+    o.join(first, "c")
+      .groupBy("mo")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(when(col("mo") === col("first_mo"), col("c"))).as("n_new_customers"),
+        dsum4(when(col("mo") === col("first_mo"), col("price"))).as("revenue_new"),
+        dsum4(when(col("mo") > col("first_mo"), col("price"))).as("revenue_returning"))
+      .orderBy("mo")
+  }
 }

@@ -44,6 +44,24 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(out.toSeq.sliding(2).forall { case Seq(a, b) => b._2 > a._3; case _ => true })
   }
 
+  test("q191 growth accounting: first-month orders all count new; later months split by cohort") {
+    val dir = tmpDir()
+    def o(id: Long, c: Long, ym: String, price: Double) =
+      org.apache.spark.sql.Row(id, c, "O", price,
+        java.sql.Timestamp.valueOf(s"$ym-15 00:00:00"), "1-URGENT")
+    write(dir, "orders", df(Tables.ordersSchema,
+      o(1L, 1L, "2024-01", 10.0), o(2L, 1L, "2024-01", 20.0), // c1 new in Jan, 2 orders
+      o(3L, 1L, "2024-02", 40.0),                             // c1 returns in Feb
+      o(4L, 2L, "2024-02", 80.0)))                            // c2 new in Feb
+    val out = graft.ops.Relational.q191GrowthAccounting(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
+    val jan = 2024L * 12 + 1
+    assert(out(jan) == ((2L, 1L, 30.0, null)), out(jan))        // no returning revenue yet
+    assert(out(jan + 1) == ((2L, 1L, 80.0, 40.0)), out(jan + 1))
+  }
+
   test("q176 equi-depth: empty lineitem yields zero bins, not a crash") {
     val dir = tmpDir()
     writeEmptyWarehouse(dir)
