@@ -553,6 +553,13 @@ object StreamingOps {
     * one Long per user; an idle-TTL variant would follow
     * [[transitionStream]]'s pattern when user cardinality is
     * unbounded.
+    *
+    * INPUT CONTRACT ([[scd2Stream]]'s discipline): `user_id` must be
+    * non-null — [[Ev]]'s primitive decode rejects NULLs before this
+    * operator runs, so pre-filter the source (e.g. downstream of
+    * [[dqGateStream]]). Batch q181 RETAINS null-user purchases (they
+    * form their own window partition); a stream keyed by user cannot
+    * represent them, so reconcile the null-user remainder batch-side.
     */
   def attributionStream(events: Dataset[Ev],
                         lookback: java.time.Duration = java.time.Duration.ofDays(7))
@@ -597,6 +604,11 @@ object StreamingOps {
     * the association matrix updates live instead of by rescan.
     * Marginals (n_a, n_users) are stateless distinct aggregates
     * downstream of the same feed.
+    *
+    * INPUT CONTRACT: `user_id` must be non-null ([[Ev]]'s primitive
+    * decode rejects NULLs — pre-filter the source). Batch q186 drops
+    * null users too (basketless), so the parity contract is exact on
+    * filtered input.
     */
   def cooccurrenceStream(events: Dataset[Ev]): Dataset[(Long, String, String)] = {
     import events.sparkSession.implicits._

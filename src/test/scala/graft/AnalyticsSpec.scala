@@ -66,5 +66,7 @@ class AnalyticsSpec extends SparkSpecBase {
     val dir = tmpDir()
     writeEmptyWarehouse(dir)
     assert(Analytics.q176EquidepthHistogram(spark, dir).count() == 0L)
+    // growth accounting over zero orders: no months
+    assert(graft.ops.Relational.q191GrowthAccounting(spark, dir).count() == 0L)
   }
 }

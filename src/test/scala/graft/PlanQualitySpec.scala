@@ -500,7 +500,10 @@ class PlanQualitySpec extends SparkSpecBase {
       "q182_join_cardinality",
       // q184: the one-row corpus-max anchor broadcast — q15/q17's
       // scalar-not-relation shape
-      "q184_retention_plan")
+      "q184_retention_plan",
+      // q186/q188/q190-adjacent: the one-row n_users / n_docs total
+      // broadcast — q125/q53's scalar-not-relation shape
+      "q186_cooccurrence_lift", "q188_mix_contingency")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

@@ -238,5 +238,11 @@ class StorageSpec extends SparkSpecBase {
     assert(plan.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
     // zorder plan over zero orders: no bins, not a crash
     assert(Storage.q175ZorderPlan(spark, dir).count() == 0L)
+    // retention plan over zero events: no files to classify
+    assert(Storage.q184RetentionPlan(spark, dir).count() == 0L)
+    // schema drift: every zero-row file still audits, none drifted
+    val drift = Storage.q185SchemaDrift(spark, dir).collect()
+    assert(drift.map(_.getString(0)).toSet == Audit.TablePk.map(_._1).toSet)
+    assert(drift.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L && !r.getBoolean(5)))
   }
 }
