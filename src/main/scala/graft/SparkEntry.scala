@@ -231,6 +231,8 @@ object SparkEntry {
     "q189_inter_arrival" -> (Events.q189InterArrival _),
     "q190_ab_readout" -> (Events.q190AbReadout _),
     "q191_growth_accounting" -> (Relational.q191GrowthAccounting _),
+    "q192_posting_blocks" -> (TextOps.q192PostingBlocks _),
+    "q193_bm25" -> (TextOps.q193Bm25 _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2277,6 +2279,41 @@ object SparkEntry {
         s"${dsum("CASE WHEN mo = first_mo THEN price END")} AS revenue_new, " +
         s"${dsum("CASE WHEN mo > first_mo THEN price END")} AS revenue_returning " +
         "FROM o JOIN f ON f.c = o.c GROUP BY mo ORDER BY mo"),
+    // q192: 0-based posting position // 128; `//` == Spark `div` on the
+    // non-negative position; window df over the block relation
+    "q192_posting_blocks" ->
+      ("WITH tf AS (SELECT term, doc_id, count(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u " +
+        "WHERE term <> '' GROUP BY term, doc_id), " +
+        "p AS (SELECT term, doc_id, tf, row_number() OVER (PARTITION BY term " +
+        "ORDER BY doc_id) - 1 AS pos FROM tf), " +
+        s"b AS (SELECT term, pos // ${TextOps.PostingBlockSize} AS block_id, " +
+        "count(*) AS n_postings, min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id, " +
+        "CAST(sum(tf) AS BIGINT) AS sum_tf FROM p GROUP BY term, block_id) " +
+        "SELECT term, block_id, n_postings, min_doc_id, max_doc_id, sum_tf, " +
+        "CAST(sum(n_postings) OVER (PARTITION BY term) AS BIGINT) AS df " +
+        "FROM b ORDER BY term, block_id"),
+    // q193: the BM25 expression tree mirrored verbatim (pure IEEE
+    // double ops on exact integers + one exact avgdl division);
+    // contributions floored at 1 µnat then decimal-summed (q71)
+    "q193_bm25" ->
+      ("WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u " +
+        "WHERE term <> '' GROUP BY doc_id, term), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "qt AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 3), " +
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "a AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+        "s AS (SELECT tf.doc_id, floor(" +
+        "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(qt.df AS DOUBLE) + 0.5) / (CAST(qt.df AS DOUBLE) + 0.5)) * " +
+        "(CAST(tf.tf AS DOUBLE) * 2.2 / (CAST(tf.tf AS DOUBLE) + " +
+        "1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))) " +
+        "* 1000000 + 0.5)/1000000 AS c " +
+        "FROM tf JOIN qt ON tf.term = qt.term JOIN dl ON tf.doc_id = dl.doc_id " +
+        "CROSS JOIN n CROSS JOIN a) " +
+        s"SELECT doc_id, count(*) AS n_matched, ${dsum("c")} AS score " +
+        "FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

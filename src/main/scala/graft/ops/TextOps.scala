@@ -570,4 +570,101 @@ object TextOps {
         graft.ops.Det.roundD4(col("n_novel").cast("double") / col("n_grams")))
       .orderBy("doc_id")
   }
+
+  /** Postings per block for [[q192PostingBlocks]] — the Lucene-default
+    * block size (128 postings per packed block).
+    */
+  val PostingBlockSize: Long = 128L
+
+  /** q192 — INVERTED-INDEX BLOCK MANIFEST: the index-BUILD job behind
+    * every ranked-retrieval system (Lucene/ES segment writing as a
+    * Spark job). Per term, the doc-sorted posting list is cut into
+    * 128-posting blocks, and the manifest carries each block's posting
+    * count, doc-id range and total term frequency, plus the term's
+    * document frequency — exactly the skip-list metadata a block-max
+    * WAND query evaluator reads (min/max doc bound the block for
+    * skipping; sum_tf prices its contribution).
+    *
+    * Shape: tf collapses token volume to distinct (term, doc) rows
+    * map-side; ONE shuffle hash-partitions by term — which is
+    * precisely how a distributed index build shards (each reducer
+    * owns complete terms, so posting lists never cross workers) — and
+    * the doc-order row_number is a per-term sort, never global. Block
+    * stats then re-aggregate 128→1 within the same partitioning and
+    * df is a term-partitioned window over the ≤⌈df/128⌉ block rows
+    * (no second corpus pass). Posting position is 0-based so
+    * `pos div 128` is floor on a non-negative int — no `//` vs `div`
+    * divergence (Det.floorDivExpr's negative-dividend caveat doesn't
+    * arise).
+    */
+  def q192PostingBlocks(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "") // q53's empty-token rule
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val pos = row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+      .cast(LongType) - lit(1L)
+    tf.withColumn("pos", pos)
+      .withColumn("block_id", expr(s"pos div ${PostingBlockSize}L"))
+      .groupBy("term", "block_id")
+      .agg(count(lit(1)).as("n_postings"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        sum(col("tf")).as("sum_tf"))
+      .withColumn("df",
+        sum(col("n_postings")).over(Window.partitionBy("term")).cast(LongType))
+      .orderBy("term", "block_id")
+  }
+
+  /** q193 — BM25 RANKED RETRIEVAL (Okapi, k₁=1.2, b=0.75): the query
+    * side of [[q192PostingBlocks]]'s index — score every document
+    * against a query and return the top 20. The query is derived from
+    * the corpus itself (the 3 highest-df terms, ties broken by term) so
+    * the job is self-contained and the oracle replays it; a production
+    * deployment substitutes a literal term list without changing the
+    * plan. Per matched (doc, term): idf = ln(1 + (N − df + ½)/(df + ½))
+    * (Lucene's +1 shift — the raw Robertson-Spärck Jones idf goes
+    * NEGATIVE for any term in more than half the collection, which a
+    * highest-df query hits by construction) × the tf saturation term
+    * tf·(k₁+1)/(tf + k₁·(1 − b + b·dl/avgdl)); the per-doc score sums
+    * the ≤|query| contributions.
+    *
+    * Determinism: each contribution is pure double arithmetic on exact
+    * integers (tf, df, dl, N) plus avgdl (one exact-integer division —
+    * both engines evaluate the identical IEEE expression tree), floored
+    * at 1 µnat (q71's ln convention) so the cross-term sum is an exact
+    * DECIMAL fold immune to partition order; ranking ties break on
+    * doc_id. Scale: the query relation is 3 rows (broadcast); matched
+    * docs flow through one doc-keyed join with the dl relation; the
+    * top-20 is TakeOrderedAndProject (q18's pin), never a global sort;
+    * avgdl/N ride one-row broadcasts. dl/avgdl cover docs with ≥1
+    * token — tokenless docs match no term and score nothing.
+    */
+  def q193Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val d = Tables.documents(spark, dir)
+    val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = df.orderBy(desc("df"), asc("term")).limit(3)
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val avgdl = dl.agg((sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
+        (col("df").cast(DoubleType) + lit(0.5)))
+    val sat = col("tf").cast(DoubleType) * lit(2.2) /
+      (col("tf").cast(DoubleType) +
+        lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast(DoubleType) / col("avgdl")))
+    tf.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("c", floor(idf * sat * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"), Det.dsum4(col("c")).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+  }
 }

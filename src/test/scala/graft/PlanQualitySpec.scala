@@ -503,7 +503,10 @@ class PlanQualitySpec extends SparkSpecBase {
       "q184_retention_plan",
       // q186/q188/q190-adjacent: the one-row n_users / n_docs total
       // broadcast — q125/q53's scalar-not-relation shape
-      "q186_cooccurrence_lift", "q188_mix_contingency")
+      "q186_cooccurrence_lift", "q188_mix_contingency",
+      // q193: the one-row n_docs / avgdl constant broadcasts —
+      // q125/q53's scalar-not-relation shape
+      "q193_bm25")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

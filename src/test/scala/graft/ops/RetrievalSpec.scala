@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkSpecBase
+
+/** Behavior specs for the ranked-retrieval pair: the inverted-index
+  * block manifest (q192) and BM25 scoring over it (q193). Fixtures
+  * cross the 128-posting block boundary (so blocking is exercised, not
+  * vacuous) and pick documents where BM25's length normalization
+  * REORDERS a plain-tf ranking — the decision the operator exists for.
+  */
+class RetrievalSpec extends SparkSpecBase {
+
+  test("q192: posting lists cut at 128 docs; block stats and df reconcile") {
+    val dir = tmpDir()
+    // term x: docs 1..130 (doc 1 twice → tf 2); term y: doc 1 only
+    val rows = (1L to 130L).map { i =>
+      (i, if (i == 1L) "x x y" else "x", "en", "s", 1L)
+    }
+    writeDocuments(dir, rows: _*)
+    val out = TextOps.q192PostingBlocks(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // x block 0: postings for docs 1..128, tf sum 129 (doc 1 counts 2)
+    assert(out(("x", 0L)) == ((128L, 1L, 128L, 129L, 130L)), out)
+    // x block 1: the 2-posting tail
+    assert(out(("x", 1L)) == ((2L, 129L, 130L, 2L, 130L)), out)
+    assert(out(("y", 0L)) == ((1L, 1L, 1L, 1L, 1L)), out)
+    assert(out.size == 3)
+  }
+
+  test("q193: length normalization outranks raw tf; scores match the exact double formula") {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (1L, "q1 q1 q2 q3", "en", "s", 1L), //  dl 4, all 3 query terms
+      (2L, "q1 q2 q3 f1 f2 f3 f4 f5 f6 f7 f8 f9", "en", "s", 1L), // dl 12
+      (3L, "q1 x1", "en", "s", 1L), // dl 2, one match
+      (4L, "z1 z2", "en", "s", 1L)) // no query term: absent
+    // fixture-side replica of the scoring tree (same IEEE ops)
+    val n = 4.0; val avgdl = 5.0 // (4+12+2+2)/4
+    def contrib(tf: Double, df: Double, dl: Double): Double = {
+      val c = math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+      math.floor(c * 1000000.0 + 0.5) / 1000000.0
+    }
+    // the engine casts each term to DECIMAL(20,6) (half-up) before the
+    // exact sum — mirror that, then the 4-dp half-up of the total
+    def dec6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def r4(x: BigDecimal): Double =
+      x.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp1 = r4(dec6(contrib(2, 3, 4)) + dec6(contrib(1, 2, 4)) * 2)
+    val exp2 = r4(dec6(contrib(1, 3, 12)) + dec6(contrib(1, 2, 12)) * 2)
+    val exp3 = r4(dec6(contrib(1, 3, 2)))
+    val out = TextOps.q193Bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 1 wins on tf AND brevity; doc 3's single short match still
+    // beats nothing; doc 4 never scores
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L), out.toSeq)
+    assert(out.map(_._2).toSeq == Seq(3L, 3L, 1L), out.toSeq)
+    assert(out.map(_._3).toSeq == Seq(exp1, exp2, exp3), out.toSeq)
+    // Lucene's +1-shifted idf keeps every contribution positive even
+    // for the df=3-of-4 term
+    assert(out.forall(_._3 > 0.0))
+  }
+
+  test("q193: a long doc with more raw matches loses to a short focused one") {
+    val dir = tmpDir()
+    // All three docs carry all three query terms (df 3 each — the
+    // unambiguous top-3 over the df-1 fillers). Docs 1 and 2 have
+    // IDENTICAL tf vectors; doc 2 drowns them in filler. Plain tf ties
+    // them — BM25's b-term must break the tie toward the short doc.
+    val filler = (1 to 40).map(i => s"f$i").mkString(" ")
+    writeDocuments(dir,
+      (1L, "k k p r", "en", "s", 1L),
+      (2L, s"k k p r $filler", "en", "s", 1L),
+      (3L, "k p r", "en", "s", 1L))
+    val out = TextOps.q193Bm25(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(out.head == 1L, out)
+    assert(out.indexOf(1L) < out.indexOf(2L), out)
+    assert(out.toSet == Set(1L, 2L, 3L), out)
+  }
+
+  test("empty corpus: q192/q193 return 0 rows, not crashes") {
+    val dir = tmpDir()
+    writeDocuments(dir)
+    assert(TextOps.q192PostingBlocks(spark, dir).count() == 0)
+    assert(TextOps.q193Bm25(spark, dir).count() == 0)
+  }
+}
