@@ -233,6 +233,7 @@ object SparkEntry {
     "q191_growth_accounting" -> (Relational.q191GrowthAccounting _),
     "q192_posting_blocks" -> (TextOps.q192PostingBlocks _),
     "q193_bm25" -> (TextOps.q193Bm25 _),
+    "q194_k_anonymity" -> (Audit.q194KAnonymity _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2314,6 +2315,17 @@ object SparkEntry {
         "CROSS JOIN n CROSS JOIN a) " +
         s"SELECT doc_id, count(*) AS n_matched, ${dsum("c")} AS score " +
         "FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"),
+    // q194: both engines floor the identical IEEE division for the
+    // band; l-diversity = exact distinct balances within the class
+    "q194_k_anonymity" ->
+      ("SELECT c_nationkey AS nation_key, c_mktsegment AS segment, " +
+        "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket, " +
+        "count(*) AS class_size, " +
+        "CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_distinct, " +
+        s"count(*) >= ${Audit.KAnonThreshold} AS k_anonymous, " +
+        "count(DISTINCT c_acctbal) = 1 AS homogeneous " +
+        "FROM customer GROUP BY nation_key, segment, bal_bucket " +
+        "ORDER BY nation_key, segment, bal_bucket"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

@@ -396,4 +396,46 @@ object Audit {
           .as("salt_recommended"))
       .orderBy("rel")
   }
+
+  /** The k-anonymity threshold for [[q194KAnonymity]] — the
+    * conventional floor below which an equivalence class is considered
+    * re-identifiable.
+    */
+  val KAnonThreshold: Long = 5L
+
+  /** q194 — K-ANONYMITY AUDIT: the release gate a dataset passes
+    * before a quasi-identifier projection ships (the privacy
+    * counterpart of q63's PII scrub: scrubbing removes DIRECT
+    * identifiers; this measures whether the remaining columns still
+    * single people out IN COMBINATION). Quasi-identifiers: nation ×
+    * market segment × account-balance band (floor(acctbal/1000) — the
+    * generalization hierarchy's coarsening step). Per equivalence
+    * class: size, `k_anonymous` (size ≥ 5 — a smaller class
+    * re-identifies its members by linkage), and the l-diversity read
+    * on the sensitive EXACT balance: `l_distinct` counts distinct
+    * balances inside the class, and a `homogeneous` class (l = 1)
+    * discloses every member's exact balance even when k holds — the
+    * homogeneity attack the band was supposed to prevent.
+    *
+    * Shape: ONE scan, one groupBy at quasi-identifier-combination
+    * cardinality; the exact count-distinct collapses at
+    * (class, value) cardinality first (partial-aggregated — never
+    * row-sized past the first combine), everything else is
+    * map-combinable. Fixing a violation = coarsening a band or
+    * suppressing the class, then re-running the same audit; both
+    * engines floor the identical IEEE division, so bands agree
+    * bit-for-bit.
+    */
+  def q194KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nation_key"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / lit(1000.0)).as("bal_bucket"),
+        col("c_acctbal"))
+      .groupBy("nation_key", "segment", "bal_bucket")
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("c_acctbal")).as("l_distinct"))
+      .withColumn("k_anonymous", col("class_size") >= lit(KAnonThreshold))
+      .withColumn("homogeneous", col("l_distinct") === 1L)
+      .orderBy("nation_key", "segment", "bal_bucket")
 }

@@ -293,5 +293,30 @@ class AuditSpec extends SparkSpecBase {
       cov.isNullAt(5) && cov.getLong(6) == 0L, cov)
     // skew audit: no rows at all (nothing to profile), not a crash
     assert(Audit.q174JoinSkewAudit(spark, dir).count() == 0L)
+    // k-anonymity: no customers, no classes
+    assert(Audit.q194KAnonymity(spark, dir).count() == 0L)
+  }
+
+  test("q194 k-anonymity: class sizes, negative-band flooring, homogeneity disclosure") {
+    val dir = tmpDir()
+    writeWarehouse(dir)
+    write(dir, "customer", df(graft.Tables.customerSchema,
+      // class (0, SEG, 0): 5 members, 5 distinct balances — k holds, diverse
+      Row(1L, "c1", 0, 100.0, "SEG"), Row(2L, "c2", 0, 200.0, "SEG"),
+      Row(3L, "c3", 0, 300.0, "SEG"), Row(4L, "c4", 0, 400.0, "SEG"),
+      Row(5L, "c5", 0, 500.0, "SEG"),
+      // class (0, SEG, -1): floor(-500/1000) = -1 (floored, not
+      // truncated-to-zero); 2 members with the SAME balance — too
+      // small AND the band discloses the exact value
+      Row(6L, "c6", 0, -500.0, "SEG"), Row(7L, "c7", 0, -500.0, "SEG"),
+      // class (1, OTH, 1): singleton — trivially homogeneous
+      Row(8L, "c8", 1, 1500.0, "OTH")))
+    val out = Audit.q194KAnonymity(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(out((0, "SEG", 0L)) == ((5L, 5L, true, false)), out)
+    assert(out((0, "SEG", -1L)) == ((2L, 1L, false, true)), out)
+    assert(out((1, "OTH", 1L)) == ((1L, 1L, false, true)), out)
+    assert(out.size == 3)
   }
 }
