@@ -662,6 +662,86 @@ object StreamingOps {
       }
   }
 
+  /** State for [[interArrivalStream]]: the last event-time (µs) seen
+    * per (user, type) — ONE Long.
+    */
+  case class LastTsState(hasPrev: Boolean, lastUs: Long)
+
+  /** Streaming inter-arrival feed (batch q189's stateful dual): per
+    * (user, event_type), the previous event-time lives in group state
+    * (one Long) and every subsequent event emits its gap record at
+    * ingest — the live cadence feed whose downstream order-statistics
+    * readout (min/median/p90/max per type) is batch q189's table,
+    * kept current without rescanning history. Events inside a batch
+    * fold in (ts, event_id) order ([[forwardFillStream]]'s
+    * discipline); parity with the batch lag-window holds on a
+    * time-ordered drain (StreamingSpec pins it) — late arrivals
+    * produce arrival-order gaps, which [[disorderStream]] upstream
+    * exists to measure and bound.
+    *
+    * INPUT CONTRACT: `user_id` must be non-null ([[Ev]]'s primitive
+    * decode rejects NULLs — pre-filter the source). Batch q189 drops
+    * null users too, so the parity contract is exact on filtered
+    * input.
+    */
+  def interArrivalStream(events: Dataset[Ev]): Dataset[(String, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[LastTsState, (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((_, tpe), it: Iterator[Ev], state: GroupState[LastTsState]) =>
+          var prev = state.getOption.filter(_.hasPrev).map(_.lastUs)
+          val out = Seq.newBuilder[(String, Long, Long)]
+          it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+            val us = tsMicros(e.ts)
+            prev.foreach(p => out += ((tpe, e.event_id, us - p)))
+            prev = Some(us)
+          }
+          prev.foreach(p => state.update(LastTsState(hasPrev = true, p)))
+          out.result().iterator
+      }
+  }
+
+  /** State for [[userGrowthStream]]: the earliest event-day seen per
+    * user — ONE Long.
+    */
+  case class FirstDayState(hasDay: Boolean, day: Long)
+
+  /** Streaming user-growth maintenance (batch q187's stateful dual):
+    * per user, the running MINIMUM event-day lives in group state and
+    * a (user, day) record is emitted only when it decreases — the
+    * first sighting emits immediately, and a late-arriving EARLIER
+    * event emits a correction (append mode cannot retract, so the
+    * downstream contract is last-wins-by-minimum: `min(day) per user`
+    * over the emitted feed IS batch q187's first-occurrence relation,
+    * and the growth curve is its per-day count + prefix sum).
+    * Min-folding is order-independent, so no intra-batch sort is
+    * needed and batch seams cannot change the result — only WHEN
+    * corrections surface. State is one Long per user; emissions per
+    * user are strictly decreasing and in practice 1 + (#out-of-order
+    * first sightings), not event volume.
+    *
+    * INPUT CONTRACT: `user_id` must be non-null ([[Ev]]'s primitive
+    * decode rejects NULLs — pre-filter the source). Batch q187
+    * excludes null users too (q186's basketless stance).
+    */
+  def userGrowthStream(events: Dataset[Ev]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FirstDayState, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[FirstDayState]) =>
+          var cur = state.getOption.filter(_.hasDay).map(_.day)
+          val out = Seq.newBuilder[(Long, Long)]
+          it.foreach { e =>
+            val day = Math.floorDiv(tsMicros(e.ts), 86400000000L)
+            if (cur.forall(day < _)) { cur = Some(day); out += ((uid, day)) }
+          }
+          cur.foreach(d => state.update(FirstDayState(hasDay = true, d)))
+          out.result().iterator
+      }
+  }
+
   /** Streaming DQ admission gate (batch q169's row-local constraints
     * at the ingest edge): tags every incoming event row with the list
     * of violated constraint names and a pass flag, evaluated from the

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.Ev
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, count, lit, max, sha2, sum}
+import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sha2, sum}
 
 /** Real streaming-execution specs: MemoryStream micro-batches through
   * the session-window and stateful forward-fill ops, and a file-source
@@ -538,6 +538,96 @@ class StreamingSpec extends SparkSpecBase {
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
     assert(streamed == batch, s"stream/batch disorder divergence: $streamed vs $batch")
+  }
+
+  test("interArrivalStream: last-ts state carries across the seam; readout equals batch q189") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir()
+    val S = Ns
+    val T0 = 1704067200L * Ns
+    // user 1 type a: gaps 10s/15s/75s (the 10s gap crosses the seam);
+    // user 2 type a: 7s; user 1 type b: 1s — per-(user,type) isolation
+    writeEvents(dir,
+      (1L, T0, 1L, "a", 0.0, "{}"),
+      (2L, T0, 2L, "a", 0.0, "{}"),
+      (3L, T0 + 5 * S, 1L, "b", 0.0, "{}"),
+      (4L, T0 + 6 * S, 1L, "b", 0.0, "{}"),
+      (5L, T0 + 7 * S, 2L, "a", 0.0, "{}"),
+      (6L, T0 + 10 * S, 1L, "a", 0.0, "{}"),
+      (7L, T0 + 25 * S, 1L, "a", 0.0, "{}"),
+      (8L, T0 + 100 * S, 1L, "a", 0.0, "{}"))
+    val evs = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Ev].collect().sortBy(_.event_id)
+    val (b1, b2) = evs.splitAt(5)
+    val ms = MemoryStream[StreamingOps.Ev]
+    val q = StreamingOps.interArrivalStream(ms.toDS())
+      .toDF("event_type", "event_id", "gap_us")
+      .writeStream.format("memory").queryName("gaps").outputMode("append").start()
+    ms.addData(b1.toSeq: _*); q.processAllAvailable()
+    ms.addData(b2.toSeq: _*); q.processAllAvailable()
+    val perEvent = spark.table("gaps").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // the seam case directly: id 6 gaps against batch-1's id-1 state
+    assert(perEvent == Map(4L -> 1000000L, 5L -> 7000000L,
+      6L -> 10000000L, 7L -> 15000000L, 8L -> 75000000L), perEvent)
+    val streamed = spark.table("gaps")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), min("gap_us").as("min_gap_us"),
+        graft.ops.Det.roundD4(expr("percentile(gap_us, 0.5)")).as("med_gap_us"),
+        graft.ops.Det.roundD4(expr("percentile(gap_us, 0.9)")).as("p90_gap_us"),
+        max("gap_us").as("max_gap_us"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    q.stop()
+    val batch = graft.ops.Events.q189InterArrival(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(streamed == batch, s"stream/batch inter-arrival divergence: $streamed vs $batch")
+  }
+
+  test("userGrowthStream: out-of-order first sighting emits a correction; min-fold equals batch q187") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir()
+    val D = 86400L * Ns
+    val D0 = 19723L // 2024-01-01 in epoch days
+    // user 1: day 10 then a LATE day-5 arrival in batch 2 (correction);
+    // user 2: days 10, 12 (no correction); user 3: batch-2 only
+    writeEvents(dir,
+      (1L, (D0 + 10) * D, 1L, "a", 0.0, "{}"),
+      (2L, (D0 + 10) * D, 2L, "a", 0.0, "{}"),
+      (3L, (D0 + 5) * D, 1L, "a", 0.0, "{}"),
+      (4L, (D0 + 12) * D, 2L, "a", 0.0, "{}"),
+      (5L, (D0 + 11) * D, 3L, "a", 0.0, "{}"))
+    val evs = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Ev].collect().sortBy(_.event_id)
+    val (b1, b2) = evs.splitAt(2)
+    val ms = MemoryStream[StreamingOps.Ev]
+    val q = StreamingOps.userGrowthStream(ms.toDS())
+      .toDF("user_id", "day")
+      .writeStream.format("memory").queryName("growth").outputMode("append").start()
+    ms.addData(b1.toSeq: _*); q.processAllAvailable()
+    ms.addData(b2.toSeq: _*); q.processAllAvailable()
+    val emitted = spark.table("growth").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    // user 1 emitted twice (first sighting + correction), strictly decreasing
+    assert(emitted.filter(_._1 == 1L).map(_._2).toSeq == Seq(D0 + 10, D0 + 5), emitted.toSeq)
+    assert(emitted.filter(_._1 == 2L).map(_._2).toSeq == Seq(D0 + 10), emitted.toSeq)
+    assert(emitted.filter(_._1 == 3L).map(_._2).toSeq == Seq(D0 + 11), emitted.toSeq)
+    // last-wins-by-minimum readout reproduces the batch growth curve
+    val curve = emitted.groupBy(_._1).map(_._2.map(_._2).min).toSeq
+      .groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    val running = curve.toSeq.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (d, n)) => (d, acc + n) }.drop(1)
+    val streamedCurve = curve.toSeq.sortBy(_._1).zip(running)
+      .map { case ((d, n), (_, tot)) => (d, n, tot) }
+    val batch = graft.ops.Events.q187UserGrowth(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamedCurve == batch, s"stream/batch growth divergence: $streamedCurve vs $batch")
   }
 
   test("transitionStream: last-type state carries across micro-batches; counts equal batch q150") {
