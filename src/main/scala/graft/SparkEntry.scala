@@ -234,6 +234,7 @@ object SparkEntry {
     "q192_posting_blocks" -> (TextOps.q192PostingBlocks _),
     "q193_bm25" -> (TextOps.q193Bm25 _),
     "q194_k_anonymity" -> (Audit.q194KAnonymity _),
+    "q195_weighted_sample" -> (TrainingData.q195WeightedSample _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2326,6 +2327,16 @@ object SparkEntry {
         "count(DISTINCT c_acctbal) = 1 AS homogeneous " +
         "FROM customer GROUP BY nation_key, segment, bal_bucket " +
         "ORDER BY nation_key, segment, bal_bucket"),
+    // q195: A-ES key ln(u)/w ranked raw (both engines compute the
+    // identical double), output floored at 1 µnat; q190's hash term
+    "q195_weighted_sample" -> {
+      val (p, k) = (Audit.ChecksumMod, Audit.KnuthMult)
+      s"WITH t AS (SELECT doc_id, length(text) + 1 AS weight, " +
+        s"(CAST((doc_id % $p) * $k % $p AS DOUBLE) + 0.5) / $p.0 AS u FROM documents) " +
+        "SELECT doc_id, weight, " +
+        "floor((ln(u) / CAST(weight AS DOUBLE))*1000000 + 0.5)/1000000 AS es_key " +
+        "FROM t ORDER BY ln(u) / CAST(weight AS DOUBLE) DESC, doc_id LIMIT 20"
+    },
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, DecimalType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, LongType, StringType}
 
 /** Training-data pipeline text/multimodal operators beyond the
   * reference's surface: language-ID heuristics, quality scoring, token
@@ -211,6 +211,43 @@ object TrainingData {
       .filter(col("rk") <= 20)
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
+  }
+
+  /** q195 — WEIGHTED sampling without replacement (Efraimidis-
+    * Spirakis A-ES): keep the 20 docs with the largest ln(u)/w, where
+    * u is a per-doc deterministic uniform and w the doc's weight —
+    * exactly equivalent to ranking by u^(1/w), the classic one-pass
+    * distributed weighted reservoir. Where q54 samples uniformly and
+    * q65 APPLIES a computed mix, this is the primitive that DRAWS a
+    * size-biased sample in one pass (importance-weighted corpus
+    * subsetting, weighted eval-set draws). Weight = char length + 1
+    * (the always-positive size proxy; q105's BPE pricing swaps in
+    * without changing the plan).
+    *
+    * Determinism (the property RNG-stream sampling lacks): u derives
+    * from the shared q190 hash term — (id mod p)·K mod p, shifted by
+    * ½ and scaled into (0,1), an EXACTLY-representable double both
+    * engines construct bit-identically — and ln(u)/w is one
+    * correctly-rounded ln (q53's cross-engine convention) and one
+    * exact division. The sample is a pure function of the ids: stable
+    * under re-partitioning, re-runs, engine migration. Scale: the
+    * key is row-local; top-20 is TakeOrderedAndProject (per-partition
+    * heap + driver merge of 20), never a global sort; ties break on
+    * doc_id.
+    */
+  def q195WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val p = graft.ops.Audit.ChecksumMod
+    val k = graft.ops.Audit.KnuthMult
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (length(col("text")).cast(LongType) + lit(1L)).as("weight"))
+      .withColumn("u",
+        (expr(s"(doc_id % ${p}L) * ${k}L % ${p}L").cast(DoubleType) + lit(0.5)) /
+          lit(p.toDouble))
+      .withColumn("es_key", log(col("u")) / col("weight").cast(DoubleType))
+      .orderBy(desc("es_key"), asc("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("weight"),
+        (floor(col("es_key") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("es_key"))
   }
 
   /** q111 — deterministic hash SPLIT assignment (train/val/test): each

@@ -166,6 +166,35 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q195 weighted sample: ranking matches the exact A-ES formula; weight biases selection") {
+    val dir = tmpDir()
+    // 1 heavy doc (weight 2001) among 60 light ones (weight 9):
+    // u^(1/2001) crowds toward 1, so the heavy doc all but surely
+    // outranks most light docs — the size bias the op exists for
+    val heavy = (1L, "h" * 2000, "en", "s", 1L)
+    val light = (2L to 61L).map(d => (d, "12345678", "en", "s", 1L))
+    writeDocuments(dir, (heavy +: light): _*)
+    val out = TrainingData.q195WeightedSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 20)
+    // exact replica of the ranking key
+    def key(id: Long, w: Long): Double = {
+      val u = (((id % 1000000007L) * 2654435761L % 1000000007L).toDouble + 0.5) / 1.000000007e9
+      math.log(u) / w.toDouble
+    }
+    val expected = ((heavy +: light).map { case (d, t, _, _, _) => (d, t.length.toLong + 1) })
+      .sortBy { case (d, w) => (-key(d, w), d) }.take(20)
+      .map { case (d, w) =>
+        (d, w, math.floor(key(d, w) * 1000000.0 + 0.5) / 1000000.0) }
+    assert(out.toSeq == expected, s"got ${out.toSeq}\nexpected $expected")
+    // the heavy doc made the cut despite 60 competitors
+    assert(out.exists(_._1 == 1L), out.toSeq)
+    // pure function of the keys: stable under re-runs
+    val again = TrainingData.q195WeightedSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("q111 hash split: assignments stable under corpus growth, all splits populated") {
     val base = (1L to 400L).map(d => (d, s"doc body $d", "en", "s", 1L))
     val dirA = tmpDir()
