@@ -235,6 +235,7 @@ object SparkEntry {
     "q193_bm25" -> (TextOps.q193Bm25 _),
     "q194_k_anonymity" -> (Audit.q194KAnonymity _),
     "q195_weighted_sample" -> (TrainingData.q195WeightedSample _),
+    "q196_level_shift" -> (Events.q196LevelShift _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2337,6 +2338,28 @@ object SparkEntry {
         "floor((ln(u) / CAST(weight AS DOUBLE))*1000000 + 0.5)/1000000 AS es_key " +
         "FROM t ORDER BY ln(u) / CAST(weight AS DOUBLE) DESC, doc_id LIMIT 20"
     },
+    // q196: the max(0,·) CUSUM recurrence via the prefix-sum identity
+    // C = P - least(running min P, 0); exact 2*n0-scaled integers
+    "q196_level_shift" ->
+      ("WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n " +
+        "FROM events GROUP BY event_type, day), " +
+        "r AS (SELECT event_type, day, n, row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY day) AS rn FROM d), " +
+        "b AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS s0, count(*) AS n0 FROM r " +
+        s"WHERE rn <= ${Events.CusumBaselineDays} GROUP BY event_type), " +
+        "t AS (SELECT r.event_type, day, n, s0, 2*n0*n - 3*s0 AS t_up, s0 - 2*n0*n AS t_dn " +
+        s"FROM r JOIN b ON r.event_type = b.event_type " +
+        s"WHERE n0 = ${Events.CusumBaselineDays} AND rn > ${Events.CusumBaselineDays}), " +
+        "p AS (SELECT event_type, day, n, s0, CAST(sum(t_up) OVER w AS BIGINT) AS p_up, " +
+        "CAST(sum(t_dn) OVER w AS BIGINT) AS p_dn FROM t WINDOW w AS (" +
+        "PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_type, day, n, " +
+        "p_up - least(min(p_up) OVER w, 0) AS cusum_up, " +
+        "p_dn - least(min(p_dn) OVER w, 0) AS cusum_dn, " +
+        "p_up - least(min(p_up) OVER w, 0) > 8*s0 AS shift_up, " +
+        "p_dn - least(min(p_dn) OVER w, 0) > 8*s0 AS shift_dn " +
+        "FROM p WINDOW w AS (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY event_type, day"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

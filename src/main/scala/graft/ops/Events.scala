@@ -373,6 +373,61 @@ object Events {
       .orderBy("event_type", "hr")
   }
 
+  /** Baseline length (active days) for [[q196LevelShift]]'s reference
+    * mean.
+    */
+  val CusumBaselineDays: Long = 7L
+
+  /** q196 — CUSUM LEVEL-SHIFT DETECTOR: the SUSTAINED-shift monitor
+    * completing the anomaly family — q152 flags point outliers in
+    * values, q183 flags single hot hours, but a rate that drifts to
+    * 1.6× and STAYS there never trips either; the Page CUSUM
+    * accumulates every day's deviation beyond a slack and alarms when
+    * the cumulative evidence crosses a threshold. Per event type:
+    * baseline mean μ₀ from the first 7 active days, then for each
+    * later day the classic recurrences C⁺ = max(0, C⁺ + (x − 1.5μ₀))
+    * and C⁻ = max(0, C⁻ + (0.5μ₀ − x)), alarming at 4 baseline-day
+    * masses (sustained 2× traffic alarms in ~4 days, 1.75× in ~8).
+    *
+    * EXACT integer arithmetic throughout (μ₀ never divides out): work
+    * in 2·n₀-scaled units — t⁺ = 2n₀x − 3S₀, t⁻ = S₀ − 2n₀x — and
+    * resolve the max(0,·) recurrence by the prefix-sum identity
+    * C_d = P_d − min(0, min_{j≤d} P_j), two window sums + two running
+    * mins over the SAME type-partitioned pass; the alarm compare
+    * (C > 8·S₀ in scaled units) cross-multiplies (q40's trick). The
+    * day relation is calendar-bounded, so every window is span-sized;
+    * the one row-sized pass is the daily-count groupBy. Active-day
+    * semantics: silent days are absent rather than zero (the corpus
+    * has none; production densifies with a calendar relation upstream,
+    * same plan).
+    */
+  def q196LevelShift(spark: SparkSession, dir: String): DataFrame = {
+    val b = CusumBaselineDays
+    val byType = Window.partitionBy("event_type").orderBy("day")
+    val wRun = byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr(Det.floorDivExpr("unix_micros(ts)", 86400000000L)).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(byType).cast(LongType))
+    val base = daily.filter(col("rn") <= b)
+      .groupBy("event_type")
+      .agg(sum(col("n")).cast(LongType).as("s0"), count(lit(1)).as("n0"))
+    daily.join(base, "event_type")
+      .filter(col("n0") === b && col("rn") > b)
+      .withColumn("t_up", lit(2L) * col("n0") * col("n") - lit(3L) * col("s0"))
+      .withColumn("t_dn", col("s0") - lit(2L) * col("n0") * col("n"))
+      .withColumn("p_up", sum(col("t_up")).over(wRun).cast(LongType))
+      .withColumn("p_dn", sum(col("t_dn")).over(wRun).cast(LongType))
+      .withColumn("cusum_up", col("p_up") - least(min(col("p_up")).over(wRun), lit(0L)))
+      .withColumn("cusum_dn", col("p_dn") - least(min(col("p_dn")).over(wRun), lit(0L)))
+      // 4 baseline-day masses in 2·n0 units: 4·(2·n0·μ0) = 8·S0
+      .withColumn("shift_up", col("cusum_up") > lit(8L) * col("s0"))
+      .withColumn("shift_dn", col("cusum_dn") > lit(8L) * col("s0"))
+      .select("event_type", "day", "n", "cusum_up", "cusum_dn", "shift_up", "shift_dn")
+      .orderBy("event_type", "day")
+  }
+
   /** q181 — LAST-TOUCH ATTRIBUTION: every purchase attributed to the
     * user's most recent preceding touchpoint (click or view) within a
     * 7-day lookback, with purchase counts and exact revenue per

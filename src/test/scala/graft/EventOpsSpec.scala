@@ -360,6 +360,53 @@ class EventOpsSpec extends SparkSpecBase {
     assert(!out(("a", hr0 + 3))._4)
   }
 
+  test("q196 level shift: sustained rate alarms, single spike decays to zero, down-shift detected") {
+    val dir = tmpDir()
+    val Day = 24 * Hour
+    var id = 0L
+    def burst(tpe: String, day: Long, n: Int): Seq[(Long, Long, Long, String, Double, String)] =
+      (0 until n).map { i => id += 1; (id, T0 + day * Day + i * Ns, 1L, tpe, 0.0, "{}") }
+    writeEvents(dir, (
+      // a: 7 baseline days @10 (S0=70), then 6 days @25 — t_up=140/day,
+      // threshold 8*S0=560 → alarms strictly from post-day 5
+      (0L to 6L).flatMap(d => burst("a", d, 10)) ++
+        (7L to 12L).flatMap(d => burst("a", d, 25)) ++
+        // b: 7 baseline @20 (S0=140), then 10 days @1 — t_dn=126/day,
+        // threshold 1120 → down-alarm from post-day 9
+        (0L to 6L).flatMap(d => burst("b", d, 20)) ++
+        (7L to 16L).flatMap(d => burst("b", d, 1)) ++
+        // c: one 30-spike then normal — accumulates 210, decays to 0,
+        // never alarms (q183 would flag the hour; the CUSUM must not)
+        (0L to 6L).flatMap(d => burst("c", d, 10)) ++
+        burst("c", 7, 30) ++ (8L to 11L).flatMap(d => burst("c", d, 10))): _*)
+    val out = Events.q196LevelShift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+    val d0 = 1704067200L / 86400
+    // textbook max(0, C + t) recurrence — independent of the engine's
+    // prefix-sum identity
+    def cusums(s0: Long, xs: Seq[Long]): Seq[(Long, Long)] =
+      xs.scanLeft((0L, 0L)) { case ((up, dn), x) =>
+        (math.max(0L, up + 2 * 7 * x - 3 * s0), math.max(0L, dn + s0 - 2 * 7 * x))
+      }.drop(1)
+    def check(tpe: String, s0: Long, xs: Seq[Long]): Unit =
+      cusums(s0, xs).zipWithIndex.foreach { case ((up, dn), i) =>
+        val expect = (xs(i), up, dn, up > 8 * s0, dn > 8 * s0)
+        assert(out((tpe, d0 + 7 + i)) == expect,
+          s"$tpe post-day ${i + 1}: ${out((tpe, d0 + 7 + i))} != $expect")
+      }
+    check("a", 70L, Seq.fill(6)(25L))
+    check("b", 140L, Seq.fill(10)(1L))
+    check("c", 70L, 30L +: Seq.fill(4)(10L))
+    // alarm timing: a up-alarms on post-days 5-6; b down-alarms on 9-10
+    assert(out(("a", d0 + 11))._4 && out(("a", d0 + 12))._4 && !out(("a", d0 + 10))._4)
+    assert(out(("b", d0 + 15))._5 && out(("b", d0 + 16))._5 && !out(("b", d0 + 14))._5)
+    // c's spike decays back to exactly zero and never alarms
+    assert(out(("c", d0 + 11)) == ((10L, 0L, 0L, false, false)))
+    assert(out.keys.forall(k => k._2 > d0 + 6)) // baseline days excluded
+    assert(out.size == 6 + 10 + 5)
+  }
+
   test("q181 attribution: last preceding touch wins, 7-day boundary inclusive, same-us tiebreak by code") {
     val dir = tmpDir()
     val Day = 24 * Hour

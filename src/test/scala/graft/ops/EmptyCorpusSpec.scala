@@ -66,6 +66,8 @@ class EmptyCorpusSpec extends SparkSpecBase {
     assert(Events.q150EventTransitions(spark, dir).count() == 0)
     assert(Events.q151DebounceDedup(spark, dir).count() == 0)
     assert(Events.q152ValueAnomalies(spark, dir).count() == 0)
+    assert(Events.q196LevelShift(spark, dir).count() == 0)
+    assert(TrainingData.q195WeightedSample(spark, dir).count() == 0)
     // global aggregate: one row, zero counts, null percentiles
     val ft = Events.q153FunnelTiming(spark, dir).collect()
     assert(ft.length == 1 && ft.head.getLong(0) == 0L && ft.head.isNullAt(1))
