@@ -662,6 +662,76 @@ object StreamingOps {
       }
   }
 
+  /** State for [[postingStream]]: postings seen so far for the term,
+    * plus the OPEN block's running stats.
+    */
+  case class BlockState(nPostings: Long, blockN: Long, blockMin: Long,
+                        blockMax: Long, blockTf: Long)
+
+  /** The stateless tokenize→tf front of [[postingStream]]: one
+    * (term, doc_id, tf) row per distinct term of each incoming doc,
+    * computed ROW-LOCALLY (distinct-explode + a higher-order filter
+    * count — no streaming aggregation, so no watermark needed).
+    * Batch q192's tf relation built at the ingest edge.
+    */
+  def postingFeed(docs: DataFrame): Dataset[(String, Long, Long)] = {
+    import docs.sparkSession.implicits._
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(array_distinct(col("toks"))).as("term"))
+      .select(col("term"), col("doc_id"),
+        size(filter(col("toks"), t => t === col("term"))).cast("long").as("tf"))
+      .as[(String, Long, Long)]
+  }
+
+  /** Streaming inverted-index maintenance (batch q192's stateful
+    * dual): per term, the posting count and the OPEN 128-posting
+    * block's running stats live in group state; each micro-batch
+    * emits the updated manifest row of every block it touched —
+    * (term, block_id, n_postings, min_doc_id, max_doc_id, sum_tf),
+    * batch q192's columns minus df. Closed blocks are immutable
+    * (positions only grow), so the LAST emission per (term, block)
+    * after a drain is bit-identical to batch q192 over the same docs
+    * — the index segment stays current at ingest instead of by
+    * rebuild. The term's df never re-states closed blocks: it is
+    * derivable from the newest block alone (block_id·128 +
+    * n_postings), which is why the dual drops the column instead of
+    * violating append-mode immutability.
+    *
+    * INPUT CONTRACT: doc_ids must arrive in nondecreasing order per
+    * term and never re-ingest (the append-only-corpus condition a
+    * segment build runs under — monotone ids make arrival order =
+    * doc order, so posting lists stay doc-sorted). Out-of-order
+    * backfills go through the batch rebuild, exactly like
+    * [[prepStreamV2]]'s ExactSubstr stage.
+    */
+  def postingStream(postings: Dataset[(String, Long, Long)])
+      : Dataset[(String, Long, Long, Long, Long, Long)] = {
+    import postings.sparkSession.implicits._
+    val B = graft.ops.TextOps.PostingBlockSize
+    postings.groupByKey(_._1)
+      .flatMapGroupsWithState[BlockState, (String, Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (term: String, it: Iterator[(String, Long, Long)], state: GroupState[BlockState]) =>
+          var n = state.getOption.map(_.nPostings).getOrElse(0L)
+          var open = state.getOption.filter(_.nPostings > 0L)
+            .map(s => (s.blockN, s.blockMin, s.blockMax, s.blockTf))
+          val emitted = scala.collection.mutable.LinkedHashMap[Long, (Long, Long, Long, Long)]()
+          it.toSeq.sortBy(_._2).foreach { case (_, docId, tf) =>
+            val block = n / B
+            val cur = if (n % B == 0L) (0L, docId, docId, 0L) else open.get
+            val upd = (cur._1 + 1L, math.min(cur._2, docId), math.max(cur._3, docId),
+              cur._4 + tf)
+            open = Some(upd)
+            emitted(block) = upd
+            n += 1L
+          }
+          open.foreach(o => state.update(BlockState(n, o._1, o._2, o._3, o._4)))
+          emitted.iterator.map { case (b, (bn, mn, mx, tf)) => (term, b, bn, mn, mx, tf) }
+      }
+  }
+
   /** State for [[interArrivalStream]]: the last event-time (µs) seen
     * per (user, type) — ONE Long.
     */

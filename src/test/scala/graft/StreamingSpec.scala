@@ -540,6 +540,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch, s"stream/batch disorder divergence: $streamed vs $batch")
   }
 
+  test("postingStream: open-block state carries across the seam; last emission per block equals batch q192") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir()
+    // 130 docs sharing term x (doc 1: tf 2 + term y): block 0 fills
+    // across the seam, block 1 opens in batch 2
+    val rows = (1L to 130L).map(i => (i, if (i == 1L) "x x y" else "x"))
+    writeDocuments(dir, rows.map { case (i, t) => (i, t, "en", "s", 1L) }: _*)
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.postingStream(StreamingOps.postingFeed(
+        ms.toDS().toDF("doc_id", "text")))
+      .toDF("term", "block_id", "n_postings", "min_doc_id", "max_doc_id", "sum_tf")
+      .writeStream.format("memory").queryName("postings").outputMode("append").start()
+    val (b1, b2) = rows.splitAt(100)
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable()
+    val emissions = spark.table("postings").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    q.stop()
+    // the seam case directly: x/block-0 emitted partial (100 postings,
+    // batch 1) then final (128, batch 2) — the state genuinely carried
+    val xb0 = emissions.filter(_._1 == (("x", 0L))).map(_._2._1).sorted.toSeq
+    assert(xb0 == Seq(100L, 128L), emissions.toSeq)
+    // n_postings grows monotonically per block: max-n emission is final
+    val streamed = emissions.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    val batch = graft.ops.TextOps.q192PostingBlocks(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(streamed == batch,
+      s"stream/batch posting divergence: ${(streamed.toSet diff batch.toSet).take(5)}")
+    // df is derivable from the newest block alone: 1*128 + 2 = 130
+    val (maxBlock, (bn, _, _, _)) = streamed.filter(_._1._1 == "x").maxBy(_._1._2)
+    assert(maxBlock._2 * 128 + bn == 130L)
+  }
+
   test("interArrivalStream: last-ts state carries across the seam; readout equals batch q189") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
