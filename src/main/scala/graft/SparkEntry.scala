@@ -236,6 +236,8 @@ object SparkEntry {
     "q194_k_anonymity" -> (Audit.q194KAnonymity _),
     "q195_weighted_sample" -> (TrainingData.q195WeightedSample _),
     "q196_level_shift" -> (Events.q196LevelShift _),
+    "q197_bot_cadence" -> (Events.q197BotCadence _),
+    "q198_boolean_and" -> (TextOps.q198BooleanAnd _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2360,6 +2362,31 @@ object SparkEntry {
         "p_dn - least(min(p_dn) OVER w, 0) > 8*s0 AS shift_dn " +
         "FROM p WINDOW w AS (PARTITION BY event_type ORDER BY day " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY event_type, day"),
+    // q197: CV test cross-multiplied in 128-bit space (HUGEINT mirrors
+    // DECIMAL(38,0)); the second moment never reaches the output
+    "q197_bot_cadence" ->
+      ("WITH e AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS us " +
+        "FROM events WHERE user_id IS NOT NULL), " +
+        "g AS (SELECT user_id, event_type, us - lag(us) OVER (" +
+        "PARTITION BY user_id, event_type ORDER BY us, event_id) AS gap FROM e), " +
+        "a AS (SELECT user_id, event_type, count(*) AS n_gaps, " +
+        "CAST(sum(gap) AS BIGINT) AS s, sum(CAST(gap AS HUGEINT) * gap) AS q2 " +
+        "FROM g WHERE gap IS NOT NULL GROUP BY user_id, event_type) " +
+        "SELECT user_id, event_type, n_gaps, s AS sum_gap_us, " +
+        "n_gaps >= 5 AND 100 * (n_gaps * q2 - CAST(s AS HUGEINT) * s) < " +
+        "CAST(s AS HUGEINT) * s AS robotic, " +
+        "n_gaps >= 5 AND s < n_gaps * 1000000 AS superhuman " +
+        "FROM a ORDER BY user_id, event_type"),
+    // q198: posting intersection as semi-join + HAVING count = |query|
+    "q198_boolean_and" ->
+      ("WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u " +
+        "WHERE term <> '' GROUP BY doc_id, term), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "qt AS (SELECT term FROM df ORDER BY df DESC, term LIMIT 3) " +
+        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS sum_tf, min(tf) AS min_tf " +
+        "FROM tf JOIN qt ON tf.term = qt.term GROUP BY doc_id " +
+        "HAVING count(*) = 3 ORDER BY doc_id"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

@@ -282,6 +282,50 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q197 — BOT-CADENCE AUDIT: the per-actor read q189's population
+    * profile can't give — a scripted client's inter-arrival gaps are
+    * unnaturally REGULAR (low coefficient of variation) or
+    * unnaturally FAST (sub-second mean), and this flags both, per
+    * (user, event type). The traffic-integrity gate a crawler-heavy
+    * corpus pipeline runs before trusting engagement signals (a bot's
+    * events poison q181's attribution and q186's associations), armed
+    * only at ≥5 gaps so two coincidentally-even clicks can't flag.
+    *
+    * EXACT integer statistics: the CV test CV = σ/μ < 0.1 squares and
+    * cross-multiplies to `100·(n·Σg² − (Σg)²) ≥ 0 ∧ < (Σg)²` with Σg²
+    * in DECIMAL(38,0) (µs² second moments overflow BIGINT; 128-bit
+    * decimals hold ~10³⁸ — DuckDB's HUGEINT mirror is the same
+    * width), so the verdict is bit-identical at any scale and the
+    * second moment never leaves the aggregate (the OUTPUT carries
+    * only BIGINT-safe columns — the q38b lesson on HUGEINT→float
+    * driver casts). The speed test is `Σg < n·10⁶` (mean gap under a
+    * second). One lag window over fine-grained (user, type) keys —
+    * q189's pass, reused — then a map-combinable aggregate.
+    */
+  def q197BotCadence(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    val d38 = DecimalType(38, 0)
+    Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).cast(LongType).as("sum_gap_us"),
+        sum(col("gap").cast(d38) * col("gap")).as("q2"))
+      .withColumn("robotic",
+        col("n_gaps") >= 5L &&
+          lit(100L).cast(d38) * (col("n_gaps") * col("q2") -
+            col("sum_gap_us").cast(d38) * col("sum_gap_us")) <
+            col("sum_gap_us").cast(d38) * col("sum_gap_us"))
+      .withColumn("superhuman",
+        col("n_gaps") >= 5L && col("sum_gap_us") < col("n_gaps") * 1000000L)
+      .select("user_id", "event_type", "n_gaps", "sum_gap_us", "robotic", "superhuman")
+      .orderBy("user_id", "event_type")
+  }
+
   /** q187 — USER GROWTH CURVE: per active day, the count of NEW users
     * (first ever seen that day) and the cumulative registered-user
     * total — the "running distinct count over time" every growth

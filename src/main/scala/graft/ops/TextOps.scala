@@ -598,10 +598,7 @@ object TextOps {
     * arise).
     */
   def q192PostingBlocks(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "") // q53's empty-token rule
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val tf = tfRelation(spark, dir)
     val pos = row_number().over(Window.partitionBy("term").orderBy("doc_id"))
       .cast(LongType) - lit(1L)
     tf.withColumn("pos", pos)
@@ -640,14 +637,28 @@ object TextOps {
     * avgdl/N ride one-row broadcasts. dl/avgdl cover docs with ≥1
     * token — tokenless docs match no term and score nothing.
     */
+  /** The (doc, term, tf) relation shared by the retrieval family
+    * (q192/q193/q198) — q53's tokenize-and-count collapse.
+    */
+  private def tfRelation(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** The corpus-derived query for q193/q198: the 3 highest-df terms,
+    * ties broken by term — self-contained and oracle-replayable; a
+    * production run substitutes a literal term list, same plan.
+    */
+  private def topDfTerms(tf: DataFrame): DataFrame =
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("term")).limit(3)
+
   def q193Bm25(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
     val d = Tables.documents(spark, dir)
-    val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val qterms = df.orderBy(desc("df"), asc("term")).limit(3)
+    val tf = tfRelation(spark, dir)
+    val qterms = topDfTerms(tf)
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val avgdl = dl.agg((sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
@@ -666,5 +677,31 @@ object TextOps {
       .agg(count(lit(1)).as("n_matched"), Det.dsum4(col("c")).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(20)
+  }
+
+  /** q198 — CONJUNCTIVE BOOLEAN RETRIEVAL (AND over the query terms):
+    * the third leg of the retrieval family — q192 builds the index,
+    * q193 ranks, this answers the strict `t₁ AND t₂ AND t₃` that
+    * filters, joins and decontamination lookups run. Relational form
+    * of the classic df-ascending posting intersection: ONE broadcast
+    * semi-join of the tf relation against the 3-term query, one
+    * doc-keyed groupBy, and the HAVING count = |query| membership
+    * test (a doc contributes one row per matched term — distinct by
+    * construction). Output carries total and WEAKEST-term support
+    * (min tf — the candidate-pruning stat a ranked pass like q193
+    * refines first). Scale: the intersection shuffles at
+    * matched-postings size, never corpus size; a specialized engine
+    * skips unmatched blocks by q192's block-max metadata — same
+    * contract, physical shortcut.
+    */
+  def q198BooleanAnd(spark: SparkSession, dir: String): DataFrame = {
+    val tf = tfRelation(spark, dir)
+    tf.join(broadcast(topDfTerms(tf).select("term")), "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).cast(LongType).as("sum_tf"),
+        min(col("tf")).as("min_tf"))
+      .filter(col("n_terms") === 3L)
+      .select("doc_id", "sum_tf", "min_tf")
+      .orderBy("doc_id")
   }
 }

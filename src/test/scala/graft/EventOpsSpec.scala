@@ -407,6 +407,34 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out.size == 6 + 10 + 5)
   }
 
+  test("q197 bot cadence: regular and fast actors flag, jitter survives, humans and short runs don't") {
+    val dir = tmpDir()
+    val Sec = Ns
+    var id = 0L
+    def run(user: Long, tpe: String, offsetsSec: Seq[Double]): Seq[(Long, Long, Long, String, Double, String)] =
+      offsetsSec.map { o => id += 1; (id, T0 + (o * Sec).toLong, user, tpe, 0.0, "{}") }
+    writeEvents(dir, (
+      // user 1: metronomic 10s cadence → robotic, not superhuman
+      run(1L, "a", (0 to 5).map(_ * 10.0)) ++
+        // user 2: metronomic 0.5s cadence → robotic AND superhuman
+        run(2L, "a", (0 to 5).map(_ * 0.5)) ++
+        // user 3: human-irregular gaps (10s, 1s, 50s, 2s, 80s) → neither
+        run(3L, "a", Seq(0, 10, 11, 61, 63, 143).map(_.toDouble)) ++
+        // user 4: regular but only 2 gaps → unarmed
+        run(4L, "a", Seq(0.0, 10.0, 20.0)) ++
+        // user 5: 10s cadence with ±0.1s jitter (CV ≈ 0.009) → still robotic
+        run(5L, "a", Seq(0.0, 10.1, 19.9, 30.1, 39.9, 50.1))): _*)
+    val out = Events.q197BotCadence(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out((1L, "a")) == ((5L, 50000000L, true, false)), out)
+    assert(out((2L, "a")) == ((5L, 2500000L, true, true)), out)
+    assert(out((3L, "a")) == ((5L, 143000000L, false, false)), out)
+    assert(out((4L, "a")) == ((2L, 20000000L, false, false)), out)
+    assert(out((5L, "a"))._3 && !out((5L, "a"))._4, out)
+    assert(out.size == 5)
+  }
+
   test("q181 attribution: last preceding touch wins, 7-day boundary inclusive, same-us tiebreak by code") {
     val dir = tmpDir()
     val Day = 24 * Hour

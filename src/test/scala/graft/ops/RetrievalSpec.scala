@@ -80,10 +80,25 @@ class RetrievalSpec extends SparkSpecBase {
     assert(out.toSet == Set(1L, 2L, 3L), out)
   }
 
-  test("empty corpus: q192/q193 return 0 rows, not crashes") {
+  test("q198: only docs matching ALL query terms survive; support stats exact") {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (1L, "k k p r", "en", "s", 1L), //   all 3 → sum_tf 4, min_tf 1
+      (2L, "k p r r r", "en", "s", 1L), // all 3 → sum_tf 5, min_tf 1
+      (3L, "k p x", "en", "s", 1L), //     2 of 3 → excluded
+      (4L, "k k k k", "en", "s", 1L), //   1 of 3 (high tf!) → excluded
+      (5L, "z1 z2", "en", "s", 1L)) //     none → excluded
+    // df: k=4, p=3, r=2 > x/z* at 1 → query = {k, p, r}
+    val out = TextOps.q198BooleanAnd(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 4L, 1L), (2L, 5L, 1L)), out.toSeq)
+  }
+
+  test("empty corpus: q192/q193/q198 return 0 rows, not crashes") {
     val dir = tmpDir()
     writeDocuments(dir)
     assert(TextOps.q192PostingBlocks(spark, dir).count() == 0)
     assert(TextOps.q193Bm25(spark, dir).count() == 0)
+    assert(TextOps.q198BooleanAnd(spark, dir).count() == 0)
   }
 }
