@@ -238,6 +238,7 @@ object SparkEntry {
     "q196_level_shift" -> (Events.q196LevelShift _),
     "q197_bot_cadence" -> (Events.q197BotCadence _),
     "q198_boolean_and" -> (TextOps.q198BooleanAnd _),
+    "q199_fd_discovery" -> (Audit.q199FdDiscovery _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2387,6 +2388,15 @@ object SparkEntry {
         "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS sum_tf, min(tf) AS min_tf " +
         "FROM tf JOIN qt ON tf.term = qt.term GROUP BY doc_id " +
         "HAVING count(*) = 3 ORDER BY doc_id"),
+    // q199: generated from the SAME FdCandidates rows (q169/q170's
+    // one-source-of-truth pattern); NULL-handling mirrored
+    "q199_fd_discovery" ->
+      (Audit.FdCandidates.map { case (t, a, b) =>
+        s"SELECT '$t' AS table_name, '$a' AS lhs, '$b' AS rhs, count(*) AS n_lhs, " +
+          "coalesce(CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_violating_lhs, " +
+          "coalesce(CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT), 0) = 0 AS fd_holds " +
+          s"FROM (SELECT $a, count(DISTINCT $b) AS nb FROM $t WHERE $a IS NOT NULL GROUP BY $a) g"
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") u ORDER BY table_name, lhs, rhs")),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

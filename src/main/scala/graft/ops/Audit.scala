@@ -397,6 +397,54 @@ object Audit {
       .orderBy("rel")
   }
 
+  /** Candidate functional dependencies [[q199FdDiscovery]] tests:
+    * (table, lhs, rhs) — a declared list, the q169/q170
+    * one-source-of-truth pattern (the oracle SQL generates from the
+    * same rows). Mix of expected-true (key → attribute) and
+    * expected-false (the data decides) candidates.
+    */
+  private[graft] val FdCandidates: Seq[(String, String, String)] = Seq(
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("documents", "doc_id", "lang"),
+    ("documents", "source", "lang"),
+    ("events", "event_type", "user_id"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("orders", "o_orderkey", "o_orderpriority"))
+
+  /** q199 — FUNCTIONAL-DEPENDENCY DISCOVERY: the metadata-mining
+    * sibling of q170's column profile — does A determine B in the
+    * data? (A → B ⟺ no A-value co-occurs with two distinct Bs.) The
+    * read feeds three consumers: schema normalization (an FD that
+    * always holds is a table waiting to be factored out), optimizer
+    * statistics (FDs license group-by pruning), and drift monitoring
+    * (q185's schema drift catches type changes; a BROKEN FD catches
+    * semantic changes — "order status suddenly varies per customer").
+    * Output per declared candidate: distinct LHS values, the number
+    * of LHS values with ≥2 distinct RHS (the violation witnesses a
+    * repair would target), and the verdict.
+    *
+    * Shape: per candidate, groupBy(LHS) + count-distinct(RHS)
+    * partial-aggregates at (LHS, RHS)-distinct cardinality, then ONE
+    * summary row — candidates are a declared catalog-sized list, so
+    * the union is bounded. NULL LHS rows determine nothing (excluded);
+    * NULL RHS follows count-distinct semantics (ignored) — both
+    * mirrored in the oracle.
+    */
+  def q199FdDiscovery(spark: SparkSession, dir: String): DataFrame =
+    FdCandidates.map { case (t, a, b) =>
+      Tables.all(t)(spark, dir)
+        .filter(col(a).isNotNull)
+        .groupBy(col(a)).agg(countDistinct(col(b)).as("nb"))
+        .agg(count(lit(1)).as("n_lhs"),
+          coalesce(sum(when(col("nb") > 1L, 1L).otherwise(0L)), lit(0L)).as("n_violating_lhs"))
+        .select(lit(t).as("table_name"), lit(a).as("lhs"), lit(b).as("rhs"),
+          col("n_lhs"), col("n_violating_lhs"),
+          (col("n_violating_lhs") === 0L).as("fd_holds"))
+    }.reduce(_ unionByName _).orderBy("table_name", "lhs", "rhs")
+
   /** The k-anonymity threshold for [[q194KAnonymity]] — the
     * conventional floor below which an equivalence class is considered
     * re-identifiable.

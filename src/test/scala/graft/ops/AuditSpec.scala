@@ -295,6 +295,29 @@ class AuditSpec extends SparkSpecBase {
     assert(Audit.q174JoinSkewAudit(spark, dir).count() == 0L)
     // k-anonymity: no customers, no classes
     assert(Audit.q194KAnonymity(spark, dir).count() == 0L)
+    // FD discovery: every candidate audits, vacuously holds
+    val fd = Audit.q199FdDiscovery(spark, dir).collect()
+    assert(fd.length == Audit.FdCandidates.length)
+    assert(fd.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L && r.getBoolean(5)))
+  }
+
+  test("q199 FD discovery: key FD holds, non-key FD breaks with a counted witness, NULL LHS excluded") {
+    val dir = tmpDir()
+    writeWarehouse(dir)
+    write(dir, "customer", df(Tables.customerSchema,
+      Row(1L, "c1", 0, 1.0, "SEG"), // nation 0 → SEG ...
+      Row(2L, "c2", 0, 1.0, "OTH"), // ... and OTH: c_nationkey ↛ c_mktsegment
+      Row(3L, "c3", 1, 1.0, "SEG"),
+      Row(4L, "c4", 1, 1.0, "SEG"),
+      Row(5L, "c5", null, 1.0, "SEG"))) // NULL LHS determines nothing
+    val out = Audit.q199FdDiscovery(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // the key FD: every custkey (incl. the NULL-nation row) maps to one segment
+    assert(out(("customer", "c_custkey", "c_mktsegment")) == ((5L, 0L, true)), out)
+    // exactly one violating LHS value (nation 0); the NULL row is not an LHS value
+    assert(out(("customer", "c_nationkey", "c_mktsegment")) == ((2L, 1L, false)), out)
+    assert(out.size == Audit.FdCandidates.length)
   }
 
   test("q194 k-anonymity: class sizes, negative-band flooring, homogeneity disclosure") {
