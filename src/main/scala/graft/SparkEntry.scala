@@ -239,6 +239,7 @@ object SparkEntry {
     "q197_bot_cadence" -> (Events.q197BotCadence _),
     "q198_boolean_and" -> (TextOps.q198BooleanAnd _),
     "q199_fd_discovery" -> (Audit.q199FdDiscovery _),
+    "q200_peak_concurrency" -> (Events.q200PeakConcurrency _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -391,6 +392,22 @@ object SparkEntry {
   }
   private val tsUs = "CAST(ts AS TIMESTAMP)"
 
+  /** q13's session-span CTEs (e, m, s, sp) — the one gap-session
+    * definition on the oracle side, read by q13 (the session report)
+    * and q200 (the concurrency sweep), mirroring `sessionSpans` on
+    * the engine side.
+    */
+  private def sessionSpanCtes: String =
+    s"e AS (SELECT user_id, event_id, $tsUs AS ts2 FROM events), " +
+      "m AS (SELECT user_id, event_id, ts2, CASE WHEN " +
+      "lag(epoch_us(ts2)) OVER (PARTITION BY user_id ORDER BY ts2, event_id) IS NULL OR " +
+      "epoch_us(ts2) - lag(epoch_us(ts2)) OVER (PARTITION BY user_id ORDER BY ts2, event_id) > 86400000000 " +
+      "THEN 1 ELSE 0 END AS new_s FROM e), " +
+      "s AS (SELECT user_id, event_id, ts2, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts2, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m), " +
+      "sp AS (SELECT user_id, session_id, count(*) AS n_events, min(ts2) AS session_start, " +
+      "max(ts2) AS session_end FROM s GROUP BY user_id, session_id)"
+
   /** q89's funnel stage CTEs (e, v, c, p) — the one funnel definition,
     * read by q89 (per-user stages) and q153 (step timings).
     */
@@ -481,15 +498,9 @@ object SparkEntry {
       ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority " +
         "FROM orders WHERE o_orderkey = 42 ORDER BY o_orderkey"),
     "q13_sessionize" ->
-      (s"WITH e AS (SELECT user_id, event_id, $tsUs AS ts2 FROM events), " +
-        "m AS (SELECT user_id, event_id, ts2, CASE WHEN " +
-        "lag(epoch_us(ts2)) OVER (PARTITION BY user_id ORDER BY ts2, event_id) IS NULL OR " +
-        "epoch_us(ts2) - lag(epoch_us(ts2)) OVER (PARTITION BY user_id ORDER BY ts2, event_id) > 86400000000 " +
-        "THEN 1 ELSE 0 END AS new_s FROM e), " +
-        "s AS (SELECT user_id, event_id, ts2, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts2, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m) " +
-        "SELECT user_id, session_id, count(*) AS n_events, min(ts2) AS session_start, max(ts2) AS session_end " +
-        "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+      (s"WITH $sessionSpanCtes " +
+        "SELECT user_id, session_id, n_events, session_start, session_end " +
+        "FROM sp ORDER BY user_id, session_id"),
     "q14_forward_fill" ->
       (s"SELECT event_id, user_id, $tsUs AS ts, " +
         "last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) " +
@@ -2397,6 +2408,23 @@ object SparkEntry {
           "coalesce(CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT), 0) = 0 AS fd_holds " +
           s"FROM (SELECT $a, count(DISTINCT $b) AS nb FROM $t WHERE $a IS NOT NULL GROUP BY $a) g"
       }.mkString("SELECT * FROM (", " UNION ALL ", ") u ORDER BY table_name, lhs, rhs")),
+    // q200: the sweep over q13's session spans — one session CTE text
+    // (sessionSpanCtes) serves both readouts
+    "q200_peak_concurrency" ->
+      (s"WITH $sessionSpanCtes, " +
+        "b AS (SELECT epoch_us(session_start) // 86400000000 AS day, epoch_us(session_start) AS us, " +
+        "1 AS ds, 0 AS de FROM sp " +
+        "UNION ALL SELECT epoch_us(session_end) // 86400000000, epoch_us(session_end), 0, 1 FROM sp), " +
+        "g AS (SELECT day, us, CAST(sum(ds) AS BIGINT) AS n_starts, CAST(sum(de) AS BIGINT) AS n_ends " +
+        "FROM b GROUP BY day, us), " +
+        "r AS (SELECT day, us, n_starts, n_ends, CAST(sum(n_starts - n_ends) OVER " +
+        "(PARTITION BY day ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS s_after FROM g), " +
+        "d AS (SELECT day, CAST(sum(n_starts) AS BIGINT) AS n_starts, CAST(sum(n_ends) AS BIGINT) AS n_ends, " +
+        "max(s_after + n_ends) AS max_cand FROM r GROUP BY day) " +
+        "SELECT day, n_starts, n_ends, CAST(coalesce(sum(n_starts - n_ends) OVER " +
+        "(ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + max_cand AS BIGINT) " +
+        "AS peak_concurrent FROM d ORDER BY day"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

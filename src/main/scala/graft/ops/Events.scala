@@ -118,7 +118,16 @@ object Events {
     * lag-gap-cumsum: new-session flag, running sum per user = session id.
     * Gap compare is µs-exact integer arithmetic on both engines.
     */
-  def q13Sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def q13Sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionSpans(spark, dir).orderBy("user_id", "session_id")
+
+  /** The ONE session-span relation (user, session, n_events, start,
+    * end) — q13's output without its presentation sort, shared by
+    * [[q200PeakConcurrency]] so the sweep and the session report can
+    * never disagree on what a session is (the q89-funnel-CTE stance,
+    * engine side).
+    */
+  private def sessionSpans(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val prevUs = lag(unix_micros(col("ts")), 1).over(userWindow)
     val newSession = when(
@@ -131,7 +140,63 @@ object Events {
         count(lit(1)).as("n_events"),
         min("ts").as("session_start"),
         max("ts").as("session_end"))
-      .orderBy("user_id", "session_id")
+  }
+
+  /** q200 — PEAK CONCURRENT SESSIONS (capacity sweep): per active day,
+    * how many of [[q13Sessionize]]'s sessions were simultaneously open
+    * at the busiest instant — the number that sizes serving capacity,
+    * connection pools, and state-store memory for the streaming jobs
+    * (a watermark keeps one state entry per OPEN session: q179 bounds
+    * the lateness axis, this bounds the concurrency axis). Touching
+    * counts as concurrent: a session ending at t and one starting at t
+    * overlap at t (inclusive [start, end] spans), resolved by counting
+    * an instant's starts before its ends.
+    *
+    * The sweep-line, decomposed to Spark's execution model in three
+    * exact integer passes: (1) session spans become ±1 boundary rows,
+    * grouped to per-(day, instant) start/end counts — a shuffle at
+    * boundary cardinality (2·sessions), never events; (2) a per-DAY
+    * window computes the within-day running sum; the instant's peak
+    * candidate is `s_after + n_ends` (= concurrency BEFORE its ends
+    * retire, AFTER its starts open — the inclusive-touch rule); (3) a
+    * day-level prefix sum supplies each day's carry-in (sessions still
+    * open from prior days) — the global window runs over the
+    * calendar-bounded day relation (q187's single-partition
+    * discipline), never over rows. `max_cand ≥ 0` always (the first
+    * instant's candidate is its start count), so carry-in + max_cand
+    * also covers the day-start instant where only carried sessions are
+    * open. Days with boundary activity appear; a silent day inside a
+    * long session does not (its concurrency is the carry level —
+    * derivable, not a row).
+    */
+  def q200PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val sp = sessionSpans(spark, dir).select(
+      unix_micros(col("session_start")).as("sus"),
+      unix_micros(col("session_end")).as("eus"))
+    val bounds = sp.select(
+        expr(Det.floorDivExpr("sus", MicrosPerDay)).as("day"),
+        col("sus").as("us"), lit(1L).as("ds"), lit(0L).as("de"))
+      .unionByName(sp.select(
+        expr(Det.floorDivExpr("eus", MicrosPerDay)).as("day"),
+        col("eus").as("us"), lit(0L).as("ds"), lit(1L).as("de")))
+      .groupBy("day", "us")
+      .agg(sum("ds").cast(LongType).as("n_starts"),
+        sum("de").cast(LongType).as("n_ends"))
+    val wDay = Window.partitionBy("day").orderBy("us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDay = bounds
+      .withColumn("s_after", sum(col("n_starts") - col("n_ends")).over(wDay))
+      .groupBy("day")
+      .agg(sum("n_starts").cast(LongType).as("n_starts"),
+        sum("n_ends").cast(LongType).as("n_ends"),
+        max(col("s_after") + col("n_ends")).cast(LongType).as("max_cand"))
+    val wDays = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    perDay
+      .withColumn("carry_in",
+        coalesce(sum(col("n_starts") - col("n_ends")).over(wDays), lit(0L)).cast(LongType))
+      .select(col("day"), col("n_starts"), col("n_ends"),
+        (col("carry_in") + col("max_cand")).as("peak_concurrent"))
+      .orderBy("day")
   }
 
   /** W2 — forward-fill of slowly-changing state (reference carries

@@ -303,6 +303,34 @@ class EventOpsSpec extends SparkSpecBase {
     assert(!out.contains("b")) // a single b event yields no gap row
   }
 
+  test("q200 peak concurrency: touching sessions overlap, carry-in crosses days, calendar gaps hold") {
+    val dir = tmpDir()
+    val Day = 24 * Hour
+    writeEvents(dir,
+      // day 0: u1 session [0h,2h]; u2 [1h,1h]; u3 [2h,2h] — at 1h u1+u2
+      // overlap; at 2h u1 (ending) and u3 (starting) TOUCH → both open
+      (1L, T0, 1L, "a", 0.0, "{}"),
+      (2L, T0 + 2 * Hour, 1L, "a", 0.0, "{}"),
+      (3L, T0 + Hour, 2L, "a", 0.0, "{}"),
+      (4L, T0 + 2 * Hour, 3L, "a", 0.0, "{}"),
+      // u4: one session spanning day1 0h → day2 10h (gaps 20h, 14h ≤ 24h)
+      (5L, T0 + Day, 4L, "a", 0.0, "{}"),
+      (6L, T0 + Day + 20 * Hour, 4L, "a", 0.0, "{}"),
+      (7L, T0 + 2 * Day + 10 * Hour, 4L, "a", 0.0, "{}"),
+      // day 2: u5 [0h,0h] while u4 is carried in → peak 2
+      (8L, T0 + 2 * Day, 5L, "a", 0.0, "{}"),
+      // day 5 after a silent gap: carry is back to zero
+      (9L, T0 + 5 * Day, 6L, "a", 0.0, "{}"))
+    val out = Events.q200PeakConcurrency(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d0 = 1704067200L / 86400
+    assert(out.toSeq == Seq(
+      (d0, 3L, 3L, 2L),      // u1+u2 at 1h and u1+u3 at the 2h touch
+      (d0 + 1, 1L, 0L, 1L),  // u4 opens, nothing closes
+      (d0 + 2, 1L, 2L, 2L),  // u4 carried in + u5
+      (d0 + 5, 1L, 1L, 1L)), out.toSeq)
+  }
+
   test("q187 growth: new users count on their FIRST day only; cumulative total runs over gaps") {
     val dir = tmpDir()
     val Day = 24 * Hour
