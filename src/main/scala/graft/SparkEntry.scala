@@ -240,6 +240,7 @@ object SparkEntry {
     "q198_boolean_and" -> (TextOps.q198BooleanAnd _),
     "q199_fd_discovery" -> (Audit.q199FdDiscovery _),
     "q200_peak_concurrency" -> (Events.q200PeakConcurrency _),
+    "q201_spelling_variants" -> (TextOps.q201SpellingVariants _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2425,6 +2426,27 @@ object SparkEntry {
         "SELECT day, n_starts, n_ends, CAST(coalesce(sum(n_starts - n_ends) OVER " +
         "(ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + max_cand AS BIGINT) " +
         "AS peak_concurrent FROM d ORDER BY day"),
+    // q201: the same ≤2-deep deletion neighborhoods + levenshtein
+    // verify; both engines run classic Wagner-Fischer
+    "q201_spelling_variants" ->
+      ("WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents), " +
+        "v AS (SELECT t, count(*) AS n FROM tok WHERE length(t) >= 3 GROUP BY t), " +
+        "d1 AS (SELECT t, list_distinct(list_transform(range(1, length(t)+1), " +
+        "i -> substr(t, 1, CAST(i-1 AS BIGINT)) || substr(t, CAST(i+1 AS BIGINT)))) AS ks FROM v), " +
+        "kd AS (SELECT DISTINCT t, key FROM (" +
+        "SELECT t, UNNEST(list_distinct(flatten([[t], ks, " +
+        "flatten(list_transform(ks, s -> list_transform(range(1, length(s)+1), " +
+        "j -> substr(s, 1, CAST(j-1 AS BIGINT)) || substr(s, CAST(j+1 AS BIGINT)))))]))) AS key " +
+        "FROM d1)), " +
+        "c AS (SELECT DISTINCT a.t AS term_a, b.t AS term_b FROM kd a " +
+        "JOIN kd b ON a.key = b.key AND a.t < b.t), " +
+        "p AS (SELECT term_a, term_b, CAST(levenshtein(term_a, term_b) AS BIGINT) AS dist " +
+        "FROM c WHERE levenshtein(term_a, term_b) <= 2) " +
+        "SELECT term_a, term_b, dist, va.n AS n_a, vb.n AS n_b, " +
+        "CASE WHEN va.n > vb.n THEN term_a WHEN vb.n > va.n THEN term_b " +
+        "ELSE least(term_a, term_b) END AS canonical " +
+        "FROM p JOIN v va ON va.t = term_a JOIN v vb ON vb.t = term_b " +
+        "ORDER BY term_a, term_b"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

@@ -704,4 +704,53 @@ object TextOps {
       .select("doc_id", "sum_tf", "min_tf")
       .orderBy("doc_id")
   }
+
+  /** q201 — SPELLING-VARIANT LINKAGE (SymSpell deletion neighborhoods):
+    * vocabulary terms within Levenshtein distance ≤ 2 of each other —
+    * the OCR-noise / typo-variant map a corpus-cleaning pass applies
+    * before any token-keyed operator trusts term identity (a vocab
+    * where "query"/"quer y" split frequency mass poisons q53's TF-IDF
+    * and q110's LM alike). `canonical` is the repair direction: the
+    * higher-frequency spelling (ties → lexicographically smaller).
+    *
+    * The scale story is WHY this is SymSpell and not a similarity
+    * join: candidates come from an EQUI-join on deletion variants —
+    * every term emits its ≤2-deletion neighborhood (≤ 1 + L + L²/2
+    * keys, vocabulary-sized × term length, never corpus-sized), and
+    * the delete-only neighborhood is COMPLETE for distance ≤ 2 (any
+    * two strings within 2 edits share a ≤2-deep deletion variant —
+    * each edit costs one deletion on at most each side), so the exact
+    * integer `levenshtein ≤ 2` verify only ever prunes (transposition
+    * pairs like "ab"/"ba" collide at distance 2 anyway — harmless).
+    * No pairwise block scan, no n² anywhere; terms shorter than 3
+    * chars are excluded (their depth-2 neighborhoods degenerate to
+    * single letters and the empty string). Both engines run the same
+    * Wagner-Fischer levenshtein — the verify is bit-identical.
+    */
+  def q201SpellingVariants(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) >= 3)
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val del1 = "transform(sequence(1, length(t)), i -> " +
+      "concat(substring(t, 1, i-1), substring(t, i+1, length(t))))"
+    val keys = v.select(col("t"), explode(array_distinct(expr(
+      s"concat(array(t), $del1, flatten(transform($del1, s -> " +
+        "transform(sequence(1, length(s)), j -> " +
+        "concat(substring(s, 1, j-1), substring(s, j+1, length(s)))))))"))).as("key"))
+    val pairs = keys.as("a")
+      .join(keys.as("b"), col("a.key") === col("b.key") && col("a.t") < col("b.t"))
+      .select(col("a.t").as("term_a"), col("b.t").as("term_b")).distinct()
+      .withColumn("dist", levenshtein(col("term_a"), col("term_b")))
+      .filter(col("dist") <= 2)
+    pairs
+      .join(v.select(col("t").as("term_a"), col("n").as("n_a")), Seq("term_a"))
+      .join(v.select(col("t").as("term_b"), col("n").as("n_b")), Seq("term_b"))
+      .select(col("term_a"), col("term_b"), col("dist").cast(LongType).as("dist"),
+        col("n_a"), col("n_b"),
+        when(col("n_a") > col("n_b"), col("term_a"))
+          .when(col("n_b") > col("n_a"), col("term_b"))
+          .otherwise(least(col("term_a"), col("term_b"))).as("canonical"))
+      .orderBy("term_a", "term_b")
+  }
 }

@@ -103,4 +103,32 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(bySource("srcC") == Set(30L), bySource)
     assert(bySource("srcD") == (40L to 43L).toSet, bySource)
   }
+
+  test("q201 variants: distance-1 and depth-2 distance-2 pairs found, d3 excluded, repair direction") {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (1L, "color color color colour gray grey kitten", "en", "s", 1L),
+      (2L, "gray grey abc sitting", "en", "s", 1L),
+      (3L, "cba cba cba cba cba", "en", "s", 1L))
+    val out = graft.ops.TextOps.q201SpellingVariants(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(out.toSeq == Seq(
+      // depth-2 recall: double substitution (abc→cbc→cba) collides on a
+      // shared single-char deletion key and verifies at exactly 2
+      ("abc", "cba", 2L, 1L, 5L, "cba"),
+      ("color", "colour", 1L, 3L, 1L, "color"),
+      // tied frequencies → lexicographically smaller canonical
+      ("gray", "grey", 1L, 2L, 2L, "gray")), out.toSeq)
+    // kitten/sitting (distance 3) must NOT appear even as a candidate
+    assert(!out.exists(r => r._1 == "kitten" || r._2 == "sitting"))
+  }
+
+  test("q201 variants: empty corpus and all-short vocab return 0 rows") {
+    val dir = tmpDir()
+    writeDocuments(dir)
+    assert(graft.ops.TextOps.q201SpellingVariants(spark, dir).count() == 0)
+    writeDocuments(dir, (1L, "ab ba to od", "en", "s", 1L))
+    assert(graft.ops.TextOps.q201SpellingVariants(spark, dir).count() == 0)
+  }
 }
