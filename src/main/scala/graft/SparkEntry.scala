@@ -241,6 +241,7 @@ object SparkEntry {
     "q199_fd_discovery" -> (Audit.q199FdDiscovery _),
     "q200_peak_concurrency" -> (Events.q200PeakConcurrency _),
     "q201_spelling_variants" -> (TextOps.q201SpellingVariants _),
+    "q202_collocation_lift" -> (TextOps.q202CollocationLift _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2447,6 +2448,22 @@ object SparkEntry {
         "ELSE least(term_a, term_b) END AS canonical " +
         "FROM p JOIN v va ON va.t = term_a JOIN v vb ON vb.t = term_b " +
         "ORDER BY term_a, term_b"),
+    // q202: HUGEINT is DuckDB's 128-bit mirror of DECIMAL(38,0) — the
+    // lift verdict cross-multiplies identically on both engines
+    "q202_collocation_lift" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "u AS (SELECT UNNEST(w) AS tok FROM t), " +
+        "v AS (SELECT tok, count(*) AS c FROM u GROUP BY tok), " +
+        "bg AS (SELECT w[i-1] AS a, w[i] AS b FROM " +
+        "(SELECT w, UNNEST(range(2, len(w)+1)) AS i FROM t)), " +
+        "cb AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b " +
+        "HAVING count(*) >= 5), " +
+        "tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_tok, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM bg) AS n_big) " +
+        "SELECT a AS tok_a, b AS tok_b, c_ab, va.c AS c_a, vb.c AS c_b, " +
+        "CAST(c_ab AS HUGEINT)*n_tok*n_tok > 2*CAST(va.c AS HUGEINT)*vb.c*n_big AS collocated " +
+        "FROM cb JOIN v va ON va.tok = a JOIN v vb ON vb.tok = b CROSS JOIN tot " +
+        "ORDER BY tok_a, tok_b"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

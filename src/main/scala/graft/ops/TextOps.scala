@@ -753,4 +753,45 @@ object TextOps {
           .otherwise(least(col("term_a"), col("term_b"))).as("canonical"))
       .orderBy("term_a", "term_b")
   }
+
+  /** q202 — COLLOCATION LIFT (adjacent-bigram phrase mining): for every
+    * adjacent token pair with support ≥ 5, its corpus counts and the
+    * exact PMI-style verdict `collocated` ⟺ lift > 2, i.e.
+    * `c_ab·N_tok² > 2·c_a·c_b·N_big` cross-multiplied in DECIMAL(38,0)
+    * (q40's boundary trick — a log/float PMI would round
+    * engine-dependently; the product stays under 10³⁸ up to ~10¹²
+    * tokens, and past that the verdict shards per-source with the same
+    * formula). This is the vocabulary-level artifact the per-DOC
+    * readouts can't give: q110 scores documents BY a bigram LM, q133
+    * merges characters — this nominates multi-word units ("new york")
+    * for tokenizer pre-merge and q140's phrase-novelty gate.
+    *
+    * Shape: bigrams are array-local (one `transform` over the split —
+    * no window, no self-join, no per-doc shuffle); unigram and bigram
+    * counts are map-combinable; the two totals ride ONE broadcast
+    * one-row frame (scalar, not a relation); the c_a/c_b lookups are
+    * vocabulary-sized equi-joins.
+    */
+  def q202CollocationLift(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val t = Tables.documents(spark, dir).select(split(col("text"), " ").as("w"))
+    val uni = t.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val bg = t.select(explode(expr(
+        "CASE WHEN size(w) < 2 THEN array() ELSE transform(sequence(2, size(w)), " +
+          "i -> struct(element_at(w, i-1) AS a, element_at(w, i) AS b)) END")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cb = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5L)
+    val tot = uni.agg(sum(col("c")).cast(LongType).as("n_tok"))
+      .crossJoin(bg.agg(count(lit(1)).as("n_big")))
+    cb.join(uni.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a").as("tok_a"), col("b").as("tok_b"),
+        col("c_ab"), col("c_a"), col("c_b"),
+        (col("c_ab").cast(d38) * col("n_tok") * col("n_tok") >
+          col("c_a").cast(d38) * col("c_b") * col("n_big") * 2L).as("collocated"))
+      .orderBy("tok_a", "tok_b")
+  }
 }

@@ -131,4 +131,29 @@ class CorpusPrepSpec extends SparkSpecBase {
     writeDocuments(dir, (1L, "ab ba to od", "en", "s", 1L))
     assert(graft.ops.TextOps.q201SpellingVariants(spark, dir).count() == 0)
   }
+
+  test("q202 collocations: bound phrase flags, frequent-filler pairs don't, singleton doc is bigram-free") {
+    val dir = tmpDir()
+    // 5 docs of "new york" + 6 fillers; one single-token doc.
+    // N_tok = 41, N_big = 35; c(new)=c(york)=5, c(f)=30.
+    // (new,york): 5·41² = 8405 > 2·5·5·35  = 1750  → collocated
+    // (york,f):   5·41² = 8405 > 2·5·30·35 = 10500 fails → not
+    // (f,f):     25·41² = 42025 > 2·30·30·35 = 63000 fails → not
+    val docs = (1L to 5L).map(i => (i, "new york f f f f f f", "en", "s", 1L)) :+
+      ((6L, "solo", "en", "s", 1L))
+    writeDocuments(dir, docs: _*)
+    val out = graft.ops.TextOps.q202CollocationLift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      ("f", "f", 25L, 30L, 30L, false),
+      ("new", "york", 5L, 5L, 5L, true),
+      ("york", "f", 5L, 5L, 30L, false)), out.toSeq)
+  }
+
+  test("q202 collocations: empty corpus returns 0 rows") {
+    val dir = tmpDir()
+    writeDocuments(dir)
+    assert(graft.ops.TextOps.q202CollocationLift(spark, dir).count() == 0)
+  }
 }

@@ -506,7 +506,10 @@ class PlanQualitySpec extends SparkSpecBase {
       "q186_cooccurrence_lift", "q188_mix_contingency",
       // q193: the one-row n_docs / avgdl constant broadcasts —
       // q125/q53's scalar-not-relation shape
-      "q193_bm25")
+      "q193_bm25",
+      // q202: the one-row (n_tok, n_big) corpus-totals broadcast —
+      // q125/q53's scalar-not-relation shape
+      "q202_collocation_lift")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
