@@ -242,6 +242,7 @@ object SparkEntry {
     "q200_peak_concurrency" -> (Events.q200PeakConcurrency _),
     "q201_spelling_variants" -> (TextOps.q201SpellingVariants _),
     "q202_collocation_lift" -> (TextOps.q202CollocationLift _),
+    "q203_target_encoding" -> (TrainingData.q203TargetEncoding _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2464,6 +2465,22 @@ object SparkEntry {
         "CAST(c_ab AS HUGEINT)*n_tok*n_tok > 2*CAST(va.c AS HUGEINT)*vb.c*n_big AS collocated " +
         "FROM cb JOIN v va ON va.tok = a JOIN v vb ON vb.tok = b CROSS JOIN tot " +
         "ORDER BY tok_a, tok_b"),
+    // q203: the complement read over per-(segment, fold) partials; the
+    // mean mirrors davg's positive-sum floor-division formula with
+    // N = (S_seg − S_fold)·10⁶ and D = n_other·100
+    "q203_target_encoding" ->
+      ("WITH r AS (SELECT c_mktsegment AS segment, CAST(o_totalprice AS DECIMAL(20,6)) AS y, " +
+        "CAST(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1 " +
+        "AS BIGINT) % 4 AS fold FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "f AS (SELECT segment, fold, CAST(count(*) AS BIGINT) AS n_f, sum(y) AS s_f " +
+        "FROM r GROUP BY segment, fold), " +
+        "g AS (SELECT segment, CAST(sum(n_f) AS BIGINT) AS n_seg, sum(s_f) AS s_seg " +
+        "FROM f GROUP BY segment) " +
+        "SELECT segment, fold, n_f AS n_in_fold, n_seg - n_f AS n_other, " +
+        "CASE WHEN n_seg - n_f > 0 THEN " +
+        "CAST((2*CAST((s_seg - s_f)*1000000 AS HUGEINT) + (n_seg - n_f)*100) " +
+        "// (2*(n_seg - n_f)*100) AS DOUBLE)/10000.0 END AS encoding " +
+        "FROM f JOIN g USING (segment) ORDER BY segment, fold"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

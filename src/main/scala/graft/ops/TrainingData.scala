@@ -1398,4 +1398,45 @@ object TrainingData {
         roundD4(col("n_chars").cast("double") / col("bpe_tokens")))
       .orderBy("source", "lang")
   }
+
+  /** q203 — OUT-OF-FOLD TARGET ENCODING: the leakage-safe categorical
+    * feature build — encode each (segment, fold) cell as the exact
+    * mean order value over the OTHER folds, so a model trained on fold
+    * k never sees a statistic computed from its own rows (the classic
+    * target-leak that inflates validation scores). Folds are q111's
+    * engine-agnostic md5-hex assignment (first hex digit of the order
+    * key, mod 4) — reproducible across engines, stable across reruns,
+    * and uniform without a shuffle-order dependency.
+    *
+    * The OOF trick is ONE pass, not k: per-(segment, fold) partial
+    * sums/counts (map-combinable, catalog × 4 rows), a segment-level
+    * rollup of those partials, and the complement read
+    * `(S_seg − S_fold)/(n_seg − n_fold)` — never k re-scans of the fact
+    * table. Sums accumulate in DECIMAL(20,6) (Det.sumDec) and the mean
+    * rounds half-up in decimal space (Det.davg4's discipline; positive
+    * target, so the oracle's floor-division mirror is exact). A fold
+    * holding ALL of a segment's rows encodes NULL (no out-of-fold
+    * evidence — the consumer backs off to the global prior).
+    */
+  def q203TargetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val perFold = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_totalprice").cast(DecimalType(20, 6)).as("y"),
+        ((expr("instr('0123456789abcdef', substring(md5(cast(o_orderkey AS STRING)), 1, 1))")
+          - lit(1)) % 4).cast(LongType).as("fold"))
+      .groupBy("segment", "fold")
+      .agg(count(lit(1)).as("n_f"), sum(col("y")).as("s_f"))
+    val perSeg = perFold.groupBy("segment")
+      .agg(sum(col("n_f")).cast(LongType).as("n_seg"), sum(col("s_f")).as("s_seg"))
+    perFold.join(perSeg, Seq("segment"))
+      .select(col("segment"), col("fold"),
+        col("n_f").as("n_in_fold"),
+        (col("n_seg") - col("n_f")).as("n_other"),
+        when(col("n_seg") - col("n_f") > 0L,
+          round((col("s_seg") - col("s_f")) / (col("n_seg") - col("n_f")), 4)
+            .cast(DoubleType)).as("encoding"))
+      .orderBy("segment", "fold")
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.{Similarity, Sketches, TrainingData}
+import org.apache.spark.sql.Row
 
 /** Specs for the sketch + training-data extension operators. */
 class TrainingDataSpec extends SparkSpecBase {
@@ -396,5 +397,35 @@ class TrainingDataSpec extends SparkSpecBase {
     // ONE redaction: the 'user' inside the email local-part was consumed
     // by the email pass, so the term count must not see it
     assert(out(4L) == ("ping <EMAIL> today", 1L), out(4L))
+  }
+
+  test("q203 target encoding: complement means per fold, all-in-one-fold segment encodes NULL") {
+    val dir = tmpDir()
+    writeWarehouse(dir)
+    write(dir, "customer", df(Tables.customerSchema,
+      Row(1L, "c1", 0, 1.0, "A"), Row(2L, "c2", 0, 1.0, "B")))
+    // md5 first-hex-digit folds: keys 1,2,7,8,9 → 0; 6 → 1; 3 → 2
+    def o(id: Long, c: Long, price: Double) =
+      Row(id, c, "O", price, java.sql.Timestamp.valueOf("2024-01-15 00:00:00"), "P")
+    write(dir, "orders", df(Tables.ordersSchema,
+      o(1L, 1L, 10.0), o(2L, 1L, 20.0), // A fold 0: n=2, s=30
+      o(6L, 1L, 30.0),                  // A fold 1: n=1, s=30
+      o(3L, 1L, 40.0),                  // A fold 2: n=1, s=40
+      o(7L, 2L, 5.0), o(8L, 2L, 7.0), o(9L, 2L, 9.0))) // B: all fold 0
+    val out = graft.ops.TrainingData.q203TargetEncoding(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("A", 0L, 2L, 2L, 35.0),     // (100-30)/2
+      ("A", 1L, 1L, 3L, 23.3333),  // 70/3 half-up at 4 dp
+      ("A", 2L, 1L, 3L, 20.0),     // 60/3
+      ("B", 0L, 3L, 0L, null)),    // no out-of-fold evidence
+      out.toSeq)
+  }
+
+  test("q203 target encoding: empty orders yield no cells") {
+    val dir = tmpDir()
+    writeEmptyWarehouse(dir)
+    assert(graft.ops.TrainingData.q203TargetEncoding(spark, dir).count() == 0)
   }
 }
