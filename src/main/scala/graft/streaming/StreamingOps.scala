@@ -812,6 +812,70 @@ object StreamingOps {
       }
   }
 
+  /** State for [[cusumStream]]: baseline progress (active days closed
+    * so far and their count sum), the carried C⁺/C⁻ in 2·n₀-scaled
+    * units, and the OPEN day buffer (days not yet closed by a later
+    * arrival) as parallel seqs.
+    */
+  case class CusumState(nBase: Long, sBase: Long, cUp: Long, cDn: Long,
+                        openDays: Seq[Long], openCounts: Seq[Long])
+
+  /** Streaming CUSUM level-shift maintenance (batch q196's stateful
+    * dual): per event type, daily counts accumulate in an OPEN-day
+    * buffer; a day CLOSES when a strictly later day arrives for the
+    * type, folds into the first-7-active-days baseline, and then runs
+    * the classic Page recurrences C⁺ = max(0, C⁺ + (2n₀x − 3S₀)),
+    * C⁻ = max(0, C⁻ + (S₀ − 2n₀x)) in the same exact 2·n₀-scaled
+    * integers as the batch (the batch's prefix-sum identity is just
+    * the window-friendly form of this recurrence — streaming replays
+    * it directly because days arrive in order once closed). Emits one
+    * row per closed post-baseline day, bit-identical to q196's.
+    *
+    * INPUT CONTRACT: day-level disorder is tolerated only within the
+    * open horizon — events for a day that already closed (a later day
+    * had arrived before them) are out of contract, the same class of
+    * bound as [[scd2Stream]]'s; size the upstream watermark from q179
+    * so the horizon holds. Each type's LAST active day never closes
+    * on a bounded drain (nothing arrives after it): parity vs batch
+    * q196 is all rows except each type's final active day, and
+    * production closes the tail with an event-time timeout at the
+    * watermark. State is four longs + the open buffer (one entry per
+    * in-flight day — O(disorder horizon), not history).
+    */
+  def cusumStream(events: Dataset[Ev])
+      : Dataset[(String, Long, Long, Long, Long, Boolean, Boolean)] = {
+    import events.sparkSession.implicits._
+    val b = graft.ops.Events.CusumBaselineDays
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, (String, Long, Long, Long, Long, Boolean, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[Ev], state: GroupState[CusumState]) =>
+          val s0 = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L, Nil, Nil))
+          val buf = scala.collection.mutable.Map.from(s0.openDays.zip(s0.openCounts))
+          it.foreach { e =>
+            val day = Math.floorDiv(tsMicros(e.ts), 86400000000L)
+            buf.update(day, buf.getOrElse(day, 0L) + 1L)
+          }
+          var (nb, sb, cUp, cDn) = (s0.nBase, s0.sBase, s0.cUp, s0.cDn)
+          val out = Seq.newBuilder[(String, Long, Long, Long, Long, Boolean, Boolean)]
+          if (buf.nonEmpty) {
+            val mx = buf.keys.max
+            buf.keys.filter(_ < mx).toSeq.sorted.foreach { d =>
+              val n = buf.remove(d).get
+              if (nb < b) { nb += 1; sb += n }
+              else {
+                cUp = math.max(0L, cUp + (2L * b * n - 3L * sb))
+                cDn = math.max(0L, cDn + (sb - 2L * b * n))
+                out += ((tpe, d, n, cUp, cDn, cUp > 8L * sb, cDn > 8L * sb))
+              }
+            }
+          }
+          val open = buf.toSeq.sortBy(_._1)
+          state.update(CusumState(nb, sb, cUp, cDn, open.map(_._1), open.map(_._2)))
+          out.result().iterator
+      }
+  }
+
   /** Streaming DQ admission gate (batch q169's row-local constraints
     * at the ingest edge): tags every incoming event row with the list
     * of violated constraint names and a pass flag, evaluated from the

@@ -577,6 +577,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(maxBlock._2 * 128 + bn == 130L)
   }
 
+  test("cusumStream: days close on successor arrival across a mid-day seam; rows equal batch q196 minus each type's open tail") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns
+    val Day = 24 * Hour
+    // type a: 7 baseline days of 2 events (S0=14), then 4 days of 6
+    // (t_up = 84-42 = 42 per day → cUp 42,84,126,168; alarm > 112 from
+    // day 9). type b: only 3 active days → no baseline, no emission.
+    var id = 0L
+    def evs(day: Long, n: Int, tpe: String): Seq[(Long, Long, Long, String, Double, String)] =
+      (0 until n).map { k => id += 1; (id, T0 + day * Day + k * Hour, 1L, tpe, 0.0, "{}") }
+    val rows = (0L to 6L).flatMap(evs(_, 2, "a")) ++ (7L to 10L).flatMap(evs(_, 6, "a")) ++
+      (0L to 2L).flatMap(evs(_, 1, "b"))
+    writeEvents(dir, rows: _*)
+    val all = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().sortBy(_.event_id)
+    // seam splits day 8 (ids 21-26) down the middle: its count must
+    // still close as 6 when day 9 arrives in batch 2
+    val (b1, b2) = all.partition(_.event_id <= 23)
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.cusumStream(ms.toDS())
+      .toDF("event_type", "day", "n", "cusum_up", "cusum_dn", "shift_up", "shift_dn")
+      .writeStream.format("memory").queryName("cusum").outputMode("append").start()
+    ms.addData(b1.toSeq: _*); q.processAllAvailable()
+    ms.addData(b2.toSeq: _*); q.processAllAvailable()
+    val streamed = spark.table("cusum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toSet
+    q.stop()
+    val batch = graft.ops.Events.q196LevelShift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    // each type's LAST active day stays open on a bounded drain
+    val lastDay = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expected = batch.filter(r => r._2 < lastDay(r._1)).toSet
+    assert(streamed == expected, s"stream/batch CUSUM divergence: $streamed vs $expected")
+    assert(streamed.exists(r => r._1 == "a" && r._2 == (T0 / Ns / 86400) + 9 && r._6),
+      s"day-9 up-shift alarm missing: $streamed")
+    assert(!streamed.exists(_._1 == "b"), "type b has no complete baseline")
+  }
+
   test("interArrivalStream: last-ts state carries across the seam; readout equals batch q189") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
