@@ -243,6 +243,7 @@ object SparkEntry {
     "q201_spelling_variants" -> (TextOps.q201SpellingVariants _),
     "q202_collocation_lift" -> (TextOps.q202CollocationLift _),
     "q203_target_encoding" -> (TrainingData.q203TargetEncoding _),
+    "q204_weekday_profile" -> (Events.q204WeekdayProfile _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2481,6 +2482,15 @@ object SparkEntry {
         "CAST((2*CAST((s_seg - s_f)*1000000 AS HUGEINT) + (n_seg - n_f)*100) " +
         "// (2*(n_seg - n_f)*100) AS DOUBLE)/10000.0 END AS encoding " +
         "FROM f JOIN g USING (segment) ORDER BY segment, fold"),
+    // q204: pmod mirrored as ((x % 7) + 7) % 7 (DuckDB % truncates)
+    "q204_weekday_profile" ->
+      ("WITH d AS (SELECT event_type, " +
+        "(((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7) + 7) % 7 AS dow FROM events), " +
+        "g AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY event_type, dow), " +
+        "t AS (SELECT event_type, dow, n, CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) " +
+        "AS n_type FROM g) " +
+        "SELECT event_type, dow, n, n_type, n*7 > n_type*2 AS hot_day, n*14 < n_type AS quiet_day " +
+        "FROM t ORDER BY event_type, dow"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

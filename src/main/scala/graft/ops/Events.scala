@@ -537,6 +537,37 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** q204 — WEEKDAY SEASONALITY PROFILE: the PERIODIC leg of the
+    * anomaly family (q183 = single hot hours, q196 = sustained drift —
+    * a weekly batch job or a weekend-crawling bot trips neither): per
+    * (event type, weekday), exact arrival counts against the type's
+    * uniform share, with cross-multiplied verdicts `hot_day`
+    * (7·n > 2·n_type — over double the uniform share) and `quiet_day`
+    * (14·n < n_type — under half). Consumers: capacity schedules,
+    * q137-style mix schedules that must not oversample a weekday
+    * batch source, and q183's baseline sanity (a hot DAY is not a hot
+    * hour).
+    *
+    * Weekday is pure integer arithmetic — `pmod(day + 4, 7)` with 0 =
+    * Sunday (1970-01-01 was a Thursday), no calendar/timezone
+    * functions to diverge between engines, floor-div exact on
+    * pre-epoch days ([[Det.floorDivExpr]]; the oracle mirrors pmod as
+    * `((x % 7) + 7) % 7` since DuckDB's `%` truncates). One row-sized
+    * groupBy to (type, dow) — map-combinable — then a ≤7-row window
+    * per type for the share test.
+    */
+  def q204WeekdayProfile(spark: SparkSession, dir: String): DataFrame = {
+    val wType = Window.partitionBy("event_type")
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        pmod(expr(Det.floorDivExpr("unix_micros(ts)", MicrosPerDay)) + 4L, lit(7L)).as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+      .withColumn("n_type", sum(col("n")).over(wType).cast(LongType))
+      .withColumn("hot_day", col("n") * 7L > col("n_type") * 2L)
+      .withColumn("quiet_day", col("n") * 14L < col("n_type"))
+      .orderBy("event_type", "dow")
+  }
+
   /** q181 — LAST-TOUCH ATTRIBUTION: every purchase attributed to the
     * user's most recent preceding touchpoint (click or view) within a
     * 7-day lookback, with purchase counts and exact revenue per

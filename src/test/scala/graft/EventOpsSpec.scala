@@ -331,6 +331,31 @@ class EventOpsSpec extends SparkSpecBase {
       (d0 + 5, 1L, 1L, 1L)), out.toSeq)
   }
 
+  test("q204 weekday profile: integer dow, hot/quiet share verdicts, pre-epoch day floors correctly") {
+    val dir = tmpDir()
+    val Day = 24 * Hour
+    var id = 0L
+    def evs(dayOff: Long, n: Int, tpe: String) = (0 until n).map { k =>
+      id += 1; (id, T0 + dayOff * Day + k * Ns, 1L, tpe, 0.0, "{}")
+    }
+    // T0 = 2024-01-01, a Monday (dow 1 in the 0=Sunday convention).
+    // type a: Mon 8, Tue 2, Wed..Sun 1 → 15 total; type b uniform 1×7;
+    // type c: ONE pre-epoch event at −1 µs → 1969-12-31, a Wednesday
+    val rows = evs(0, 8, "a") ++ evs(1, 2, "a") ++ (2L to 6L).flatMap(evs(_, 1, "a")) ++
+      (0L to 6L).flatMap(evs(_, 1, "b")) :+ { id += 1; (id, -1000L, 1L, "c", 0.0, "{}") }
+    writeEvents(dir, rows: _*)
+    val out = Events.q204WeekdayProfile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out(("a", 1L)) == ((8L, 15L, true, false)), out)  // Monday: >2× share
+    assert(out(("a", 2L)) == ((2L, 15L, false, false)), out) // neither
+    assert(out(("a", 0L)) == ((1L, 15L, false, true)), out)  // Sunday: <½ share
+    assert((0L to 6L).forall(d => out(("b", d)) == ((1L, 7L, false, false))), out)
+    // pre-epoch floor-div: −1 µs lands on Wednesday 1969-12-31; a
+    // single-day type is trivially hot on its only day
+    assert(out.keys.count(_._1 == "c") == 1 && out(("c", 3L)) == ((1L, 1L, true, false)), out)
+  }
+
   test("q187 growth: new users count on their FIRST day only; cumulative total runs over gaps") {
     val dir = tmpDir()
     val Day = 24 * Hour
