@@ -244,6 +244,7 @@ object SparkEntry {
     "q202_collocation_lift" -> (TextOps.q202CollocationLift _),
     "q203_target_encoding" -> (TrainingData.q203TargetEncoding _),
     "q204_weekday_profile" -> (Events.q204WeekdayProfile _),
+    "q205_rfm_segments" -> (Events.q205RfmSegments _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2491,6 +2492,31 @@ object SparkEntry {
         "AS n_type FROM g) " +
         "SELECT event_type, dow, n, n_type, n*7 > n_type*2 AS hot_day, n*14 < n_type AS quiet_day " +
         "FROM t ORDER BY event_type, dow"),
+    // q205: quantile_cont mirrors Spark's interpolated percentile
+    // (q38's mapping); strict > against the boundaries keeps ties in
+    // the same bucket on both engines
+    "q205_rfm_segments" ->
+      (s"WITH p AS (SELECT user_id, epoch_us($tsUs) AS us, value FROM events " +
+        "WHERE event_type = 'purchase' AND user_id IS NOT NULL), " +
+        "u AS (SELECT user_id, max(us) AS last_us, CAST(count(*) AS BIGINT) AS f, " +
+        s"${dsum("value")} AS m FROM p GROUP BY user_id), " +
+        "a AS (SELECT max(us) AS anchor_us FROM p), " +
+        "r AS (SELECT u.*, (anchor_us - last_us) // 86400000000 AS r_days FROM u CROSS JOIN a), " +
+        "b AS (SELECT quantile_cont(r_days, [0.2,0.4,0.6,0.8]) AS rb, " +
+        "quantile_cont(f, [0.2,0.4,0.6,0.8]) AS fb, " +
+        "quantile_cont(m, [0.2,0.4,0.6,0.8]) AS mb FROM r), " +
+        "s AS (SELECT user_id, m, " +
+        "5 - ((CASE WHEN r_days > rb[1] THEN 1 ELSE 0 END) + (CASE WHEN r_days > rb[2] THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN r_days > rb[3] THEN 1 ELSE 0 END) + (CASE WHEN r_days > rb[4] THEN 1 ELSE 0 END)) AS r_score, " +
+        "1 + ((CASE WHEN f > fb[1] THEN 1 ELSE 0 END) + (CASE WHEN f > fb[2] THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN f > fb[3] THEN 1 ELSE 0 END) + (CASE WHEN f > fb[4] THEN 1 ELSE 0 END)) AS f_score, " +
+        "1 + ((CASE WHEN m > mb[1] THEN 1 ELSE 0 END) + (CASE WHEN m > mb[2] THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN m > mb[3] THEN 1 ELSE 0 END) + (CASE WHEN m > mb[4] THEN 1 ELSE 0 END)) AS m_score " +
+        "FROM r CROSS JOIN b) " +
+        "SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score, " +
+        "CAST(m_score AS BIGINT) AS m_score, CAST(count(*) AS BIGINT) AS n_users, " +
+        s"${dsum("m")} AS total_value " +
+        "FROM s GROUP BY r_score, f_score, m_score ORDER BY r_score, f_score, m_score"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

@@ -568,6 +568,52 @@ object Events {
       .orderBy("event_type", "dow")
   }
 
+  /** q205 — RFM SEGMENTATION: per purchasing user, quintile scores for
+    * Recency (days since last purchase, against the corpus max-purchase
+    * anchor — q17's data-anchored stance), Frequency (purchase count)
+    * and Monetary (exact decimal purchase sum, 4-dp rounded), rolled up
+    * to one row per (r, f, m) segment — ≤125 rows feeding campaign
+    * targeting and the churn readout (r_score 1 + m_score 5 = the
+    * at-risk whales). Higher is better on every axis (low recency =
+    * high score).
+    *
+    * Quintiles WITHOUT a global sort: a rank-based bucket (`ntile`)
+    * would drag every user through one ordered partition and
+    * coin-flip ties by row order; instead the four boundary values per
+    * metric come from ONE exact interpolated-percentile aggregate
+    * (q38's percentile ↔ quantile_cont engine mapping) and each user
+    * buckets by comparison against the broadcast 1-row boundary frame
+    * — scores = 1 + #(boundaries strictly below), so boundary-tied
+    * users land in the SAME bucket deterministically on both engines.
+    * Null-valued purchase sums contribute 0 to every strict compare on
+    * both engines (score 1). Scale: one user-keyed groupBy, two
+    * scalar broadcasts, a ≤125-group rollup.
+    */
+  def q205RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val pu = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+    val perUser = pu.groupBy("user_id").agg(
+      max(col("us")).as("last_us"), count(lit(1)).as("f"),
+      dsum4(col("value")).as("m"))
+    val anchor = pu.agg(max(col("us")).as("anchor_us"))
+    val withR = perUser.crossJoin(broadcast(anchor))
+      .withColumn("r_days", expr(Det.floorDivExpr("anchor_us - last_us", 86400000000L)))
+    val bounds = withR.agg(
+      expr("percentile(r_days, array(0.2, 0.4, 0.6, 0.8))").as("rb"),
+      expr("percentile(f, array(0.2, 0.4, 0.6, 0.8))").as("fb"),
+      expr("percentile(m, array(0.2, 0.4, 0.6, 0.8))").as("mb"))
+    def above(c: String, b: String): org.apache.spark.sql.Column =
+      (0 to 3).map(i => when(col(c) > expr(s"$b[$i]"), 1L).otherwise(0L)).reduce(_ + _)
+    withR.crossJoin(broadcast(bounds))
+      .withColumn("r_score", lit(5L) - above("r_days", "rb"))
+      .withColumn("f_score", lit(1L) + above("f", "fb"))
+      .withColumn("m_score", lit(1L) + above("m", "mb"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"), dsum4(col("m")).as("total_value"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   /** q181 — LAST-TOUCH ATTRIBUTION: every purchase attributed to the
     * user's most recent preceding touchpoint (click or view) within a
     * 7-day lookback, with purchase counts and exact revenue per

@@ -356,6 +356,29 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out.keys.count(_._1 == "c") == 1 && out(("c", 3L)) == ((1L, 1L, true, false)), out)
   }
 
+  test("q205 RFM: five distinct users land on the quintile diagonal; views and null users excluded") {
+    val dir = tmpDir()
+    val Day = 24 * Hour
+    // user k: k purchases of value 10k on day k (last at hour k−1) →
+    // r_days = 5−k (distinct 0..4), f = k, m = 10k². With five distinct
+    // values per metric, interpolated quintile boundaries (e.g. f:
+    // 1.8/2.6/3.4/4.2) put user k in bucket k on every axis.
+    var id = 0L
+    val rows = (1 to 5).flatMap { k =>
+      (0 until k).map { h =>
+        id += 1
+        Row(id, T0 + k * Day + h * Hour, k.toLong, "purchase", 10.0 * k, "{}")
+      }
+    } ++ Seq(
+      Row(90L, T0 + 5 * Day, 1L, "view", 999.0, "{}"),  // non-purchase: ignored
+      Row(91L, T0 + 5 * Day, null, "purchase", 999.0, "{}")) // null user: ignored
+    write(dir, "events", df(Tables.eventsRawSchema, rows: _*))
+    val out = Events.q205RfmSegments(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == (1 to 5).map(k => (k.toLong, k.toLong, k.toLong, 1L, 10.0 * k * k)),
+      out.toSeq)
+  }
+
   test("q187 growth: new users count on their FIRST day only; cumulative total runs over gaps") {
     val dir = tmpDir()
     val Day = 24 * Hour

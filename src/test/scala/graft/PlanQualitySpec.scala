@@ -509,7 +509,10 @@ class PlanQualitySpec extends SparkSpecBase {
       "q193_bm25",
       // q202: the one-row (n_tok, n_big) corpus-totals broadcast —
       // q125/q53's scalar-not-relation shape
-      "q202_collocation_lift")
+      "q202_collocation_lift",
+      // q205: the one-row max-purchase anchor + one-row quintile
+      // boundary frame — q15/q17's scalar-not-relation shape
+      "q205_rfm_segments")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

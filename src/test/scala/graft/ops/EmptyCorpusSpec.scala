@@ -91,6 +91,7 @@ class EmptyCorpusSpec extends SparkSpecBase {
     assert(Events.q187UserGrowth(spark, dir).count() == 0)
     assert(Events.q200PeakConcurrency(spark, dir).count() == 0)
     assert(Events.q204WeekdayProfile(spark, dir).count() == 0)
+    assert(Events.q205RfmSegments(spark, dir).count() == 0)
     assert(TrainingData.q188MixContingency(spark, dir).count() == 0)
     assert(Events.q189InterArrival(spark, dir).count() == 0)
     // global aggregate: one row, NULL sums on both engines
