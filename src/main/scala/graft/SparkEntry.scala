@@ -245,6 +245,7 @@ object SparkEntry {
     "q203_target_encoding" -> (TrainingData.q203TargetEncoding _),
     "q204_weekday_profile" -> (Events.q204WeekdayProfile _),
     "q205_rfm_segments" -> (Events.q205RfmSegments _),
+    "q206_embedding_drift" -> (Similarity.q206EmbeddingDrift _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2517,6 +2518,30 @@ object SparkEntry {
         "CAST(m_score AS BIGINT) AS m_score, CAST(count(*) AS BIGINT) AS n_users, " +
         s"${dsum("m")} AS total_value " +
         "FROM s GROUP BY r_score, f_score, m_score ORDER BY r_score, f_score, m_score"),
+    // q206: q142's centroid CTE discipline keyed by (label, half);
+    // the verdict compares the ROUNDED sim on both engines
+    "q206_embedding_drift" ->
+      ("WITH e AS (SELECT label, ((vec_id % 2) + 2) % 2 AS half, embedding AS emb " +
+        "FROM embeddings WHERE label IS NOT NULL), " +
+        "ix AS (SELECT label, half, emb, unnest(range(1, len(emb)+1)) AS i FROM e), " +
+        "px AS (SELECT label, half, i, CAST(floor(CAST(emb[i] AS DOUBLE)*1000000)/1000000 " +
+        "AS DECIMAL(12,6)) AS xq FROM ix), " +
+        "c AS (SELECT label, half, i, CAST(sum(xq) AS DECIMAL(18,6)) AS comp " +
+        "FROM px GROUP BY label, half, i), " +
+        "n AS (SELECT label, half, sqrt(CAST(sum(CAST(comp*comp AS DECIMAL(38,12))) AS DOUBLE)) " +
+        "AS nrm FROM c GROUP BY label, half), " +
+        "cnt AS (SELECT label, half, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY label, half), " +
+        "dt AS (SELECT a.label AS label, CAST(sum(CAST(a.comp*b.comp AS DECIMAL(38,12))) AS DOUBLE) " +
+        "AS dt FROM c a JOIN c b ON a.label = b.label AND a.i = b.i AND a.half = 0 AND b.half = 1 " +
+        "GROUP BY a.label) " +
+        "SELECT dt.label AS label, ca.n AS n_a, cb.n AS n_b, " +
+        "CASE WHEN na.nrm*nb.nrm > 0 THEN floor((dt/(na.nrm*nb.nrm))*10000 + 0.5)/10000 END AS sim, " +
+        "CASE WHEN na.nrm*nb.nrm > 0 THEN floor((dt/(na.nrm*nb.nrm))*10000 + 0.5)/10000 < 0.98 END " +
+        "AS drifted " +
+        "FROM dt JOIN n na ON dt.label = na.label AND na.half = 0 " +
+        "JOIN n nb ON dt.label = nb.label AND nb.half = 1 " +
+        "JOIN cnt ca ON dt.label = ca.label AND ca.half = 0 " +
+        "JOIN cnt cb ON dt.label = cb.label AND cb.half = 1 ORDER BY label"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

@@ -2111,6 +2111,58 @@ object Similarity {
       .orderBy("source_a", "source_b")
   }
 
+  /** q206 — EMBEDDING CENTROID DRIFT: per label, the cosine between
+    * the centroids of two ingestion halves (even vs odd vec_id — the
+    * deterministic stand-in for before/after batch ids), with half
+    * counts and a `drifted` verdict at sim < 0.98 — the
+    * distribution-shift gate an embedding pipeline runs before
+    * trusting a frozen IVF/quantization model (q32b's cells and
+    * q149's scales assume the ingest distribution hasn't moved;
+    * q116's KL drift is this op's text-side sibling). Labels missing
+    * either half drop out (no single-sided drift readout).
+    *
+    * Exactness: q142's centroid discipline verbatim — per-cell
+    * 6-dp-quantized DECIMAL(12,6) components summed exactly per
+    * (label, half, dim), norms and the cross-half dot folded in
+    * DECIMAL(38,12), ONE double division rounded via [[Det.roundD4]];
+    * the verdict compares the ROUNDED sim so both engines decide from
+    * identical doubles, and a zero-norm half yields NULL (guarded
+    * division, mirrored). Everything is map-combinable aggregates +
+    * a (label, dim)-keyed equi-join; nothing vector-count-squared.
+    */
+  def q206EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .filter(col("label").isNotNull)
+      .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"), col("embedding"))
+    val comps = e
+      .select(col("label"), col("half"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xq",
+        (floor(col("x").cast(DoubleType) * lit(1000000.0)) / lit(1000000.0))
+          .cast(DecimalType(12, 6)))
+      .groupBy("label", "half", "dim")
+      .agg(sum(col("xq")).cast(DecimalType(18, 6)).as("comp"))
+    val norms = comps.groupBy("label", "half")
+      .agg(sqrt(sum((col("comp") * col("comp")).cast(DecimalType(38, 12)))
+        .cast(DoubleType)).as("nrm"))
+    val counts = e.groupBy("label", "half").agg(count(lit(1)).as("n"))
+    val dots = comps.filter(col("half") === 0L)
+      .select(col("label"), col("dim"), col("comp").as("ca"))
+      .join(comps.filter(col("half") === 1L)
+        .select(col("label"), col("dim"), col("comp").as("cb")), Seq("label", "dim"))
+      .groupBy("label")
+      .agg(sum((col("ca") * col("cb")).cast(DecimalType(38, 12))).cast(DoubleType).as("dt"))
+    val sim = when(col("na") * col("nb") > 0.0,
+      roundD4(col("dt") / (col("na") * col("nb"))))
+    dots
+      .join(norms.filter(col("half") === 0L).select(col("label"), col("nrm").as("na")), "label")
+      .join(norms.filter(col("half") === 1L).select(col("label"), col("nrm").as("nb")), "label")
+      .join(counts.filter(col("half") === 0L).select(col("label"), col("n").as("n_a")), "label")
+      .join(counts.filter(col("half") === 1L).select(col("label"), col("n").as("n_b")), "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        sim.as("sim"), (sim < 0.98).as("drifted"))
+      .orderBy("label")
+  }
+
   /** q159 — SOURCE EMBEDDING DISPERSION: per source, the mean squared
     * distance of its vectors to their centroid, E|x−μ|² = E|x|² −
     * |μ|² — the DIVERSITY readout beside q142's direction: two sources

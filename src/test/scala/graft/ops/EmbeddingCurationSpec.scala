@@ -52,6 +52,28 @@ class EmbeddingCurationSpec extends SparkSpecBase {
     assert(out.size == 3, s"expected all unordered source pairs once: $out")
   }
 
+  test("q206 drift: aligned halves read 1.0, orthogonal halves drift, one-sided and zero-norm labels guarded") {
+    val dir = tmpDir()
+    writeEmbeddings(dir,
+      // label 1: even {2,4} and odd {1,3} centroids both along x → 1.0
+      (1L, Seq(1f, 0f), 1), (2L, Seq(1f, 0f), 1),
+      (3L, Seq(3f, 0f), 1), (4L, Seq(2f, 0f), 1),
+      // label 2: even along x, odd along y → 0.0, drifted
+      (6L, Seq(1f, 0f), 2), (7L, Seq(0f, 1f), 2),
+      // label 3: only an even half → no drift readout
+      (8L, Seq(1f, 1f), 3),
+      // label 4: zero-norm even half → NULL sim, NULL verdict
+      (10L, Seq(0f, 0f), 4), (11L, Seq(1f, 0f), 4))
+    val out = Similarity.q206EmbeddingDrift(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getBoolean(4)))).toMap
+    assert(out(1) == ((2L, 2L, 1.0, false)), out)
+    assert(out(2) == ((1L, 1L, 0.0, true)), out)
+    assert(out(4) == ((1L, 1L, null, null)), out)
+    assert(out.size == 3, s"label 3 must drop (no odd half): $out")
+  }
+
   test("q145: the runaway norm flags within its label; a single-row label never flags") {
     val dir = tmpDir()
     writeEmbeddings(dir,
