@@ -246,6 +246,7 @@ object SparkEntry {
     "q204_weekday_profile" -> (Events.q204WeekdayProfile _),
     "q205_rfm_segments" -> (Events.q205RfmSegments _),
     "q206_embedding_drift" -> (Similarity.q206EmbeddingDrift _),
+    "q207_supplier_concentration" -> (Relational.q207SupplierConcentration _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2542,6 +2543,16 @@ object SparkEntry {
         "JOIN n nb ON dt.label = nb.label AND nb.half = 1 " +
         "JOIN cnt ca ON dt.label = ca.label AND ca.half = 0 " +
         "JOIN cnt cb ON dt.label = cb.label AND cb.half = 1 ORDER BY label"),
+    // q207: Σq² in HUGEINT (DECIMAL(38,0)'s mirror); shares never float
+    "q207_supplier_concentration" ->
+      ("WITH s AS (SELECT p_brand, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qs " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand, l_suppkey), " +
+        "b AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_suppliers, " +
+        "CAST(sum(qs) AS BIGINT) AS total_qty, sum(CAST(qs AS HUGEINT) * qs) AS sum_sq " +
+        "FROM s GROUP BY p_brand) " +
+        "SELECT p_brand, n_suppliers, total_qty, CAST(sum_sq AS DECIMAL(38,0)) AS sum_sq, " +
+        "sum_sq * 4 > CAST(total_qty AS HUGEINT) * total_qty AS concentrated " +
+        "FROM b ORDER BY p_brand"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

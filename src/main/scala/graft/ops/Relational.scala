@@ -717,4 +717,39 @@ object Relational {
         dsum4(when(col("mo") > col("first_mo"), col("price"))).as("revenue_returning"))
       .orderBy("mo")
   }
+
+  /** q207 — SUPPLIER CONCENTRATION (HHI audit): per part brand, how
+    * concentrated shipped quantity is across suppliers — the
+    * supply-chain-risk read procurement runs before a brand's single
+    * dominant supplier becomes a single point of failure (and the
+    * market-concentration sibling of q174's join-skew audit: same
+    * Σshare² lens, business axis instead of shuffle axis). Emits
+    * supplier count, total quantity, the exact Herfindahl numerator
+    * Σq_s², and `concentrated` ⟺ HHI > 0.25, cross-multiplied as
+    * `4·Σq_s² > (Σq)²` — shares never materialize as floats (q40's
+    * boundary trick). Σq² and the squared total live in DECIMAL(38,0)
+    * (q197's second-moment discipline; DuckDB's HUGEINT is the same
+    * 128-bit width), quantities are integral by TPC-H construction
+    * and cast to exact longs.
+    *
+    * Shape: one (brand, supplier)-keyed partial-aggregating groupBy
+    * over the lineitem→part FK join (broadcastable dimension), then a
+    * brand-keyed rollup of the ≤|brands|·|suppliers| relation — both
+    * map-combinable, nothing row-sized past the first aggregate.
+    */
+  def q207SupplierConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_suppkey"), col("l_quantity").cast(LongType).as("q"))
+      .groupBy("p_brand", "l_suppkey").agg(sum(col("q")).as("qs"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("qs")).cast(LongType).as("total_qty"),
+        sum(col("qs").cast(d38) * col("qs")).as("sum_sq"))
+      .select(col("p_brand"), col("n_suppliers"), col("total_qty"), col("sum_sq"),
+        (col("sum_sq") * 4L >
+          col("total_qty").cast(d38) * col("total_qty")).as("concentrated"))
+      .orderBy("p_brand")
+  }
 }

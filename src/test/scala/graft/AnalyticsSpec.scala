@@ -44,6 +44,29 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(out.toSeq.sliding(2).forall { case Seq(a, b) => b._2 > a._3; case _ => true })
   }
 
+  test("q207 HHI: dominant supplier flags; the exact 0.25 boundary does not (strict compare)") {
+    val dir = tmpDir()
+    writeWarehouse(dir)
+    write(dir, "part", df(Tables.partSchema,
+      org.apache.spark.sql.Row(1L, "p1", "BR_A", "T", 1, 1.0),
+      org.apache.spark.sql.Row(2L, "p2", "BR_B", "T", 1, 1.0)))
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def li(id: Long, pk: Long, sk: Long, qty: Double) =
+      org.apache.spark.sql.Row(id, pk, sk, 1, qty, 1.0, 0.0, 0.0, "N", "O", ts)
+    write(dir, "lineitem", df(Tables.lineitemSchema,
+      // BR_A: 9 vs 1 → Σq² = 82, 4·82 > 10² → concentrated
+      li(1L, 1L, 1L, 9.0), li(2L, 1L, 2L, 1.0),
+      // BR_B: 4 × 5 → Σq² = 100, 4·100 = 20² exactly → NOT concentrated
+      li(3L, 2L, 1L, 5.0), li(4L, 2L, 2L, 5.0),
+      li(5L, 2L, 3L, 5.0), li(6L, 2L, 4L, 5.0)))
+    val out = graft.ops.Relational.q207SupplierConcentration(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).longValueExact(), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("BR_A", 2L, 10L, 82L, true),
+      ("BR_B", 4L, 20L, 100L, false)), out.toSeq)
+  }
+
   test("q191 growth accounting: first-month orders all count new; later months split by cohort") {
     val dir = tmpDir()
     def o(id: Long, c: Long, ym: String, price: Double) =
@@ -68,5 +91,7 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(Analytics.q176EquidepthHistogram(spark, dir).count() == 0L)
     // growth accounting over zero orders: no months
     assert(graft.ops.Relational.q191GrowthAccounting(spark, dir).count() == 0L)
+    // concentration over zero lineitems: no brands
+    assert(graft.ops.Relational.q207SupplierConcentration(spark, dir).count() == 0L)
   }
 }
