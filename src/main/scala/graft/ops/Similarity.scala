@@ -2082,15 +2082,20 @@ object Similarity {
     * source could hit and (under non-ANSI casts) turn into silent NULL
     * sims; (18,6)×(18,6) products are DECIMAL(37,12), still inside 38
     * — exact end to end. Shared by q142 (centroid cosine) and q159
-    * (dispersion).
+    * (dispersion) via the source keying, and by q206 (drift) keyed by
+    * (label, half) — ONE quantization/width definition for every
+    * centroid readout.
     */
-  private def sourceDimComps(spark: SparkSession, dir: String): DataFrame =
-    sourceVectors(spark, dir)
-      .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "x")))
+  private def keyedDimComps(vectors: DataFrame, keys: Seq[String]): DataFrame =
+    vectors
+      .select(keys.map(col) :+ posexplode(col("embedding")).as(Seq("dim", "x")): _*)
       .withColumn("xq", (floor(col("x").cast(DoubleType) * lit(1000000.0)) / lit(1000000.0))
         .cast(DecimalType(12, 6)))
-      .groupBy("source", "dim")
+      .groupBy((keys :+ "dim").map(col): _*)
       .agg(sum(col("xq")).cast(DecimalType(18, 6)).as("comp"))
+
+  private def sourceDimComps(spark: SparkSession, dir: String): DataFrame =
+    keyedDimComps(sourceVectors(spark, dir), Seq("source"))
 
   def q142SourceCentroidSim(spark: SparkSession, dir: String): DataFrame = {
     val comps = sourceDimComps(spark, dir)
@@ -2134,13 +2139,7 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
       .filter(col("label").isNotNull)
       .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"), col("embedding"))
-    val comps = e
-      .select(col("label"), col("half"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .withColumn("xq",
-        (floor(col("x").cast(DoubleType) * lit(1000000.0)) / lit(1000000.0))
-          .cast(DecimalType(12, 6)))
-      .groupBy("label", "half", "dim")
-      .agg(sum(col("xq")).cast(DecimalType(18, 6)).as("comp"))
+    val comps = keyedDimComps(e, Seq("label", "half"))
     val norms = comps.groupBy("label", "half")
       .agg(sqrt(sum((col("comp") * col("comp")).cast(DecimalType(38, 12)))
         .cast(DoubleType)).as("nrm"))

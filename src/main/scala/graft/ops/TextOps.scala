@@ -732,12 +732,16 @@ object TextOps {
       .select(explode(split(col("text"), " ")).as("t"))
       .filter(length(col("t")) >= 3)
       .groupBy("t").agg(count(lit(1)).as("n"))
-    val del1 = "transform(sequence(1, length(t)), i -> " +
-      "concat(substring(t, 1, i-1), substring(t, i+1, length(t))))"
-    val keys = v.select(col("t"), explode(array_distinct(expr(
-      s"concat(array(t), $del1, flatten(transform($del1, s -> " +
-        "transform(sequence(1, length(s)), j -> " +
-        "concat(substring(s, 1, j-1), substring(s, j+1, length(s)))))))"))).as("key"))
+    // depth-1 neighborhood bound ONCE (ks), then reused as both a key
+    // source and the depth-2 input — the O(L) delete array builds once
+    // per term, not twice
+    val keys = v
+      .withColumn("ks", expr("transform(sequence(1, length(t)), i -> " +
+        "concat(substring(t, 1, i-1), substring(t, i+1, length(t))))"))
+      .select(col("t"), explode(array_distinct(expr(
+        "concat(array(t), ks, flatten(transform(ks, s -> " +
+          "transform(sequence(1, length(s)), j -> " +
+          "concat(substring(s, 1, j-1), substring(s, j+1, length(s)))))))"))).as("key"))
     val pairs = keys.as("a")
       .join(keys.as("b"), col("a.key") === col("b.key") && col("a.t") < col("b.t"))
       .select(col("a.t").as("term_a"), col("b.t").as("term_b")).distinct()

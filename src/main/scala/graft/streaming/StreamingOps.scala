@@ -831,29 +831,35 @@ object StreamingOps {
     * it directly because days arrive in order once closed). Emits one
     * row per closed post-baseline day, bit-identical to q196's.
     *
-    * INPUT CONTRACT: day-level disorder is tolerated only within the
-    * open horizon — events for a day that already closed (a later day
-    * had arrived before them) are out of contract, the same class of
-    * bound as [[scd2Stream]]'s; size the upstream watermark from q179
-    * so the horizon holds. Each type's LAST active day never closes
-    * on a bounded drain (nothing arrives after it): parity vs batch
-    * q196 is all rows except each type's final active day, and
-    * production closes the tail with an event-time timeout at the
-    * watermark. State is four longs + the open buffer (one entry per
-    * in-flight day — O(disorder horizon), not history).
+    * INPUT: (event_type, ts) ticks only — deliberately NOT [[Ev]],
+    * whose primitive user_id/value decode rejects the NULLs that batch
+    * q196 happily counts (it groups on (type, day) alone); the narrow
+    * carrier keeps parity total over the real corpus, null users and
+    * all. A null event_type is its own group, like the batch groupBy;
+    * ts must be non-null (an event with no event time has no day).
+    * Day-level disorder is tolerated only within the open horizon —
+    * events for a day that already closed (a later day had arrived
+    * before them) are out of contract, the same class of bound as
+    * [[scd2Stream]]'s; size the upstream watermark from q179 so the
+    * horizon holds. Each type's LAST active day never closes on a
+    * bounded drain (nothing arrives after it): parity vs batch q196
+    * is all rows except each type's final active day, and production
+    * closes the tail with an event-time timeout at the watermark.
+    * State is four longs + the open buffer (one entry per in-flight
+    * day — O(disorder horizon), not history).
     */
-  def cusumStream(events: Dataset[Ev])
+  def cusumStream(events: Dataset[(String, java.sql.Timestamp)])
       : Dataset[(String, Long, Long, Long, Long, Boolean, Boolean)] = {
     import events.sparkSession.implicits._
     val b = graft.ops.Events.CusumBaselineDays
-    events.groupByKey(_.event_type)
+    events.groupByKey(_._1)
       .flatMapGroupsWithState[CusumState, (String, Long, Long, Long, Long, Boolean, Boolean)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (tpe: String, it: Iterator[Ev], state: GroupState[CusumState]) =>
+        (tpe: String, it: Iterator[(String, java.sql.Timestamp)], state: GroupState[CusumState]) =>
           val s0 = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L, Nil, Nil))
           val buf = scala.collection.mutable.Map.from(s0.openDays.zip(s0.openCounts))
           it.foreach { e =>
-            val day = Math.floorDiv(tsMicros(e.ts), 86400000000L)
+            val day = Math.floorDiv(tsMicros(e._2), 86400000000L)
             buf.update(day, buf.getOrElse(day, 0L) + 1L)
           }
           var (nb, sb, cUp, cDn) = (s0.nBase, s0.sBase, s0.cUp, s0.cDn)

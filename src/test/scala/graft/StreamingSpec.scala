@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.Ev
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sha2, sum}
 
@@ -586,19 +587,25 @@ class StreamingSpec extends SparkSpecBase {
     // type a: 7 baseline days of 2 events (S0=14), then 4 days of 6
     // (t_up = 84-42 = 42 per day → cUp 42,84,126,168; alarm > 112 from
     // day 9). type b: only 3 active days → no baseline, no emission.
+    // One NULL-user/NULL-value event on (still-open) day 8 — batch
+    // q196 counts it (groups on type+day alone), so the stream must
+    // too: that's why the carrier is (type, ts), not Ev. Day 8 then
+    // carries 7 events → cUp 42, 98, 140 with the alarm at day 9.
     var id = 0L
-    def evs(day: Long, n: Int, tpe: String): Seq[(Long, Long, Long, String, Double, String)] =
-      (0 until n).map { k => id += 1; (id, T0 + day * Day + k * Hour, 1L, tpe, 0.0, "{}") }
+    def evs(day: Long, n: Int, tpe: String): Seq[Row] =
+      (0 until n).map { k => id += 1; Row(id, T0 + day * Day + k * Hour, 1L, tpe, 0.0, "{}") }
     val rows = (0L to 6L).flatMap(evs(_, 2, "a")) ++ (7L to 10L).flatMap(evs(_, 6, "a")) ++
-      (0L to 2L).flatMap(evs(_, 1, "b"))
-    writeEvents(dir, rows: _*)
+      (0L to 2L).flatMap(evs(_, 1, "b")) :+
+      Row(999L, T0 + 8 * Day + 23 * Hour, null, "a", null, "{}")
+    write(dir, "events", df(Tables.eventsRawSchema, rows: _*))
     val all = Tables.events(spark, dir)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[Ev].collect().sortBy(_.event_id)
-    // seam splits day 8 (ids 21-26) down the middle: its count must
-    // still close as 6 when day 9 arrives in batch 2
-    val (b1, b2) = all.partition(_.event_id <= 23)
-    val ms = MemoryStream[Ev]
+      .select(col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)].collect().sortBy(_._1)
+    // seam splits day 8 (ids 21-26 + the null event) down the middle:
+    // its count must still close as 7 when day 9 arrives in batch 2
+    val (b1r, b2r) = all.partition(e => e._1 <= 23 || e._1 == 999L)
+    val (b1, b2) = (b1r.map(e => (e._2, e._3)), b2r.map(e => (e._2, e._3)))
+    val ms = MemoryStream[(String, java.sql.Timestamp)]
     val q = StreamingOps.cusumStream(ms.toDS())
       .toDF("event_type", "day", "n", "cusum_up", "cusum_dn", "shift_up", "shift_dn")
       .writeStream.format("memory").queryName("cusum").outputMode("append").start()
