@@ -247,6 +247,8 @@ object SparkEntry {
     "q205_rfm_segments" -> (Events.q205RfmSegments _),
     "q206_embedding_drift" -> (Similarity.q206EmbeddingDrift _),
     "q207_supplier_concentration" -> (Relational.q207SupplierConcentration _),
+    "q208_embedding_coverage" -> (TrainingData.q208EmbeddingCoverage _),
+    "q209_fulfillment_latency" -> (Relational.q209FulfillmentLatency _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2553,6 +2555,26 @@ object SparkEntry {
         "SELECT p_brand, n_suppliers, total_qty, CAST(sum_sq AS DECIMAL(38,0)) AS sum_sq, " +
         "sum_sq * 4 > CAST(total_qty AS HUGEINT) * total_qty AS concentrated " +
         "FROM b ORDER BY p_brand"),
+    "q208_embedding_coverage" ->
+      ("SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(e.vec_id) AS BIGINT) AS n_with_vec, " +
+        "CAST(count(*) - count(e.vec_id) AS BIGINT) AS n_missing, " +
+        "count(*) = count(e.vec_id) AS full_coverage " +
+        "FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id " +
+        "GROUP BY source ORDER BY source"),
+    // q209: lag in whole days via // (floorDivExpr's mirror); p50/p90
+    // under the q38 percentile ↔ quantile_cont mapping
+    "q209_fulfillment_latency" ->
+      ("WITH j AS (SELECT o_orderpriority, " +
+        "(epoch_us(CAST(l_shipdate AS TIMESTAMP)) - epoch_us(CAST(o_orderdate AS TIMESTAMP))) " +
+        "// 86400000000 AS lag_days " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey) " +
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, " +
+        "min(lag_days) AS min_days, " +
+        "floor((quantile_cont(lag_days, 0.5))*10000 + 0.5)/10000 AS med_days, " +
+        "floor((quantile_cont(lag_days, 0.9))*10000 + 0.5)/10000 AS p90_days, " +
+        "max(lag_days) AS max_days " +
+        "FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

@@ -737,6 +737,35 @@ object Relational {
     * brand-keyed rollup of the ≤|brands|·|suppliers| relation — both
     * map-combinable, nothing row-sized past the first aggregate.
     */
+  /** q209 — FULFILLMENT LATENCY PROFILE: per order priority, the
+    * distribution of ship lag (l_shipdate − o_orderdate in whole days)
+    * — the SLA readout that tells whether 1-URGENT actually ships
+    * faster than 5-LOW, and the business-side sibling of q189's
+    * event-cadence profile (same exact order-statistics contract:
+    * min/max as exact longs, p50/p90 as interpolated percentiles under
+    * q38's percentile ↔ quantile_cont mapping, 4-dp-rounded). Lag is
+    * exact integer floor-div of the µs difference ([[Det.floorDivExpr]]
+    * — negative lags from dirty data floor identically on both
+    * engines). One FK equi-join (orders side broadcastable at dim
+    * scale, AQE picks at fact scale) + one map-combinable aggregate
+    * per ≤5-value priority key.
+    */
+  def q209FulfillmentLatency(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), unix_micros(col("l_shipdate")).as("sus"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          unix_micros(col("o_orderdate")).as("ous")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_days", expr(Det.floorDivExpr("sus - ous", 86400000000L)))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        min(col("lag_days")).as("min_days"),
+        Det.roundD4(expr("percentile(lag_days, 0.5)")).as("med_days"),
+        Det.roundD4(expr("percentile(lag_days, 0.9)")).as("p90_days"),
+        max(col("lag_days")).as("max_days"))
+      .orderBy("o_orderpriority")
+
   def q207SupplierConcentration(spark: SparkSession, dir: String): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     Tables.lineitem(spark, dir)

@@ -1399,6 +1399,29 @@ object TrainingData {
       .orderBy("source", "lang")
   }
 
+  /** q208 — EMBEDDING COVERAGE AUDIT: per source, how much of the
+    * document corpus actually has an embedding row — the cross-TABLE
+    * completeness check (q172 audits completeness over TIME, q169
+    * row-local constraints; a missing embedding silently drops the doc
+    * from every vector op: q22/q31/q94/q114's joins are inner). A
+    * source with partial coverage biases SemDeDup and ANN retrieval
+    * toward its embedded subset — this is the gate that catches the
+    * embedding job that died mid-source. One FK-sized left join +
+    * a map-combinable per-source aggregate.
+    */
+  def q208EmbeddingCoverage(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(Tables.embeddings(spark, dir).select(col("vec_id")),
+        col("doc_id") === col("vec_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("vec_id")).as("n_with_vec"))
+      .select(col("source"), col("n_docs"), col("n_with_vec"),
+        (col("n_docs") - col("n_with_vec")).as("n_missing"),
+        (col("n_docs") === col("n_with_vec")).as("full_coverage"))
+      .orderBy("source")
+
   /** q203 — OUT-OF-FOLD TARGET ENCODING: the leakage-safe categorical
     * feature build — encode each (segment, fold) cell as the exact
     * mean order value over the OTHER folds, so a model trained on fold

@@ -67,6 +67,29 @@ class AnalyticsSpec extends SparkSpecBase {
       ("BR_B", 4L, 20L, 100L, false)), out.toSeq)
   }
 
+  test("q209 latency: interpolated p90, pre-order ship floors to -1, per-priority isolation") {
+    val dir = tmpDir()
+    writeWarehouse(dir)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    write(dir, "orders", df(Tables.ordersSchema,
+      org.apache.spark.sql.Row(1L, 1L, "O", 1.0, ts("2024-01-01 00:00:00"), "1-URGENT"),
+      org.apache.spark.sql.Row(2L, 1L, "O", 1.0, ts("2024-01-01 00:00:00"), "5-LOW")))
+    def li(id: Long, ok: Long, ship: String) =
+      org.apache.spark.sql.Row(ok, 9L, 7L, id.toInt, 1.0, 1.0, 0.0, 0.0, "N", "O", ts(ship))
+    write(dir, "lineitem", df(Tables.lineitemSchema,
+      li(1L, 1L, "2024-01-02 00:00:00"),   // +1 day
+      li(2L, 1L, "2024-01-03 00:00:00"),   // +2 days
+      li(3L, 1L, "2024-01-04 00:00:00"),   // +3 days
+      li(4L, 2L, "2023-12-31 12:00:00")))  // −12 h → floors to −1
+    val out = graft.ops.Relational.q209FulfillmentLatency(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    // p90 of [1,2,3]: 0.9·2 = 1.8 → 2 + 0.8·(3−2) = 2.8
+    assert(out.toSeq == Seq(
+      ("1-URGENT", 3L, 1L, 2.0, 2.8, 3L),
+      ("5-LOW", 1L, -1L, -1.0, -1.0, -1L)), out.toSeq)
+  }
+
   test("q191 growth accounting: first-month orders all count new; later months split by cohort") {
     val dir = tmpDir()
     def o(id: Long, c: Long, ym: String, price: Double) =
@@ -93,5 +116,7 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(graft.ops.Relational.q191GrowthAccounting(spark, dir).count() == 0L)
     // concentration over zero lineitems: no brands
     assert(graft.ops.Relational.q207SupplierConcentration(spark, dir).count() == 0L)
+    // latency over zero lineitems: no priorities
+    assert(graft.ops.Relational.q209FulfillmentLatency(spark, dir).count() == 0L)
   }
 }

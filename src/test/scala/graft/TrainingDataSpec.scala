@@ -399,6 +399,20 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(out(4L) == ("ping <EMAIL> today", 1L), out(4L))
   }
 
+  test("q208 coverage: per-source missing counts; orphan embeddings don't inflate coverage") {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (1L, "x", "en", "sA", 1L), (2L, "y", "en", "sA", 1L),
+      (3L, "z", "en", "sB", 1L), (4L, "w", "en", "sB", 1L))
+    writeEmbeddings(dir,
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0), // sA fully covered
+      (3L, Seq(1f, 1f), 0),                       // sB: doc 4 missing
+      (99L, Seq(9f, 9f), 0))                      // orphan: no such doc
+    val out = graft.ops.TrainingData.q208EmbeddingCoverage(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(("sA", 2L, 2L, 0L, true), ("sB", 2L, 1L, 1L, false)), out.toSeq)
+  }
+
   test("q203 target encoding: complement means per fold, all-in-one-fold segment encodes NULL") {
     val dir = tmpDir()
     writeWarehouse(dir)

@@ -59,6 +59,7 @@ class EmptyCorpusSpec extends SparkSpecBase {
     assert(Similarity.q141HardNegatives(spark, dir).count() == 0)
     assert(Similarity.q142SourceCentroidSim(spark, dir).count() == 0)
     assert(Similarity.q206EmbeddingDrift(spark, dir).count() == 0)
+    assert(TrainingData.q208EmbeddingCoverage(spark, dir).count() == 0)
     assert(Similarity.q145NormOutliers(spark, dir).count() == 0)
     assert(Sketches.q146SketchClusters(spark, dir).count() == 0)
     assert(Events.q147GridResample(spark, dir).count() == 0)
