@@ -254,6 +254,15 @@ object SparkEntry {
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
   // see its scaladoc for why rounding happens in decimal/integer space
   // or via the floor formula, never round(double)).
+  //
+  // fdiv: Det.floorDivExpr's DuckDB mirror. BOTH engines' native
+  // integer division truncates toward zero (DuckDB 1.0.0: -5 // 2 =
+  // -2), so wherever the engine floors a possibly-negative dividend
+  // (pre-epoch µs, ship lags), the oracle needs the same explicit
+  // pmod floor form — a bare `//` only mirrors on provably
+  // non-negative dividends.
+  private def fdiv(a: String, d: Long): String =
+    s"((($a) - (((($a) % $d) + $d) % $d)) // $d)"
   private def dsum(x: String) = s"CAST(round(sum(CAST($x AS DECIMAL(20,6))), 4) AS DOUBLE)"
   private def davg(x: String) =
     s"CAST((2*CAST(sum(CAST($x AS DECIMAL(20,6)))*1000000 AS HUGEINT) + count(*)*100) " +
@@ -2068,7 +2077,7 @@ object SparkEntry {
     // q172: hour buckets by integer floor-div of exact µs; coverage via
     // the shared floor rounding formula
     "q172_completeness_audit" ->
-      (s"WITH h AS (SELECT event_type, epoch_us($tsUs) // 3600000000 AS hr FROM events), " +
+      (s"WITH h AS (SELECT event_type, ${fdiv(s"epoch_us($tsUs)", 3600000000L)} AS hr FROM events), " +
         "g AS (SELECT event_type, count(DISTINCT hr) AS n_hours_observed, " +
         "max(hr) - min(hr) + 1 AS span_hours FROM h GROUP BY event_type) " +
         "SELECT event_type, n_hours_observed, span_hours, " +
@@ -2108,7 +2117,8 @@ object SparkEntry {
         "CAST(n_rows - n_null_rows AS HUGEINT) * 4 AS salt_recommended " +
         "FROM m ORDER BY rel"),
     // q175: the same 16-bit grid + Morton interleave, term by term;
-    // post-epoch days so // is floor on both sides
+    // post-epoch days and non-negative grid offsets, so truncating //
+    // coincides with floor on both sides
     "q175_zorder_plan" -> {
       val interleave = (0 until 16).map(i =>
         s"((((gx >> $i) & 1) << ${2 * i}) | (((gy >> $i) & 1) << ${2 * i + 1}))")
@@ -2178,9 +2188,9 @@ object SparkEntry {
         "CAST(sum(CASE WHEN run_max - us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_over_1h " +
         "FROM r GROUP BY event_type ORDER BY event_type"),
     // q180: the same day - row_number island anchor; day by exact
-    // integer floor-div of µs
+    // integer floor-div of µs (explicit floor form — pre-epoch safe)
     "q180_activity_streaks" ->
-      (s"WITH d AS (SELECT DISTINCT user_id, epoch_us($tsUs) // 86400000000 AS day FROM events), " +
+      (s"WITH d AS (SELECT DISTINCT user_id, ${fdiv(s"epoch_us($tsUs)", 86400000000L)} AS day FROM events), " +
         "r AS (SELECT user_id, day, day - row_number() OVER " +
         "(PARTITION BY user_id ORDER BY day) AS anchor FROM d), " +
         "i AS (SELECT user_id, anchor, count(*) AS len FROM r GROUP BY user_id, anchor) " +
@@ -2193,8 +2203,8 @@ object SparkEntry {
         "p AS (SELECT *, max(CASE event_type WHEN 'click' THEN us * 8 + 1 " +
         "WHEN 'view' THEN us * 8 + 2 END) OVER (PARTITION BY user_id ORDER BY us, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS carried FROM e) " +
-        "SELECT CASE WHEN carried IS NOT NULL AND us - carried // 8 <= 604800000000 " +
-        "THEN CASE carried - 8 * (carried // 8) WHEN 1 THEN 'click' ELSE 'view' END " +
+        s"SELECT CASE WHEN carried IS NOT NULL AND us - ${fdiv("carried", 8L)} <= 604800000000 " +
+        "THEN CASE ((carried % 8) + 8) % 8 WHEN 1 THEN 'click' ELSE 'view' END " +
         "ELSE 'none' END AS attributed_type, " +
         s"count(*) AS n_purchases, ${dsum("value")} AS total_value " +
         "FROM p WHERE event_type = 'purchase' GROUP BY attributed_type ORDER BY attributed_type"),
@@ -2218,7 +2228,7 @@ object SparkEntry {
     // q183: RANGE-framed trailing-24h baseline over the integer hour
     // index; spike cross-multiplied, armed at >= 6 baseline hours
     "q183_traffic_spikes" ->
-      (s"WITH h AS (SELECT event_type, epoch_us($tsUs) // 3600000000 AS hr FROM events), " +
+      (s"WITH h AS (SELECT event_type, ${fdiv(s"epoch_us($tsUs)", 3600000000L)} AS hr FROM events), " +
         "c AS (SELECT event_type, hr, count(*) AS n FROM h GROUP BY event_type, hr), " +
         "b AS (SELECT event_type, hr, n, " +
         "CAST(coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY hr " +
@@ -2244,7 +2254,7 @@ object SparkEntry {
         "ORDER BY type_a, type_b"),
     // q187: running distinct = cumulative sum of first occurrences
     "q187_user_growth" ->
-      (s"WITH f AS (SELECT user_id, min(epoch_us($tsUs) // 86400000000) AS day " +
+      (s"WITH f AS (SELECT user_id, min(${fdiv(s"epoch_us($tsUs)", 86400000000L)}) AS day " +
         "FROM events WHERE user_id IS NOT NULL GROUP BY user_id), " +
         "d AS (SELECT day, count(*) AS n_new_users FROM f GROUP BY day) " +
         "SELECT day, n_new_users, CAST(sum(n_new_users) OVER " +
@@ -2364,7 +2374,7 @@ object SparkEntry {
     // q196: the max(0,·) CUSUM recurrence via the prefix-sum identity
     // C = P - least(running min P, 0); exact 2*n0-scaled integers
     "q196_level_shift" ->
-      ("WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n " +
+      (s"WITH d AS (SELECT event_type, ${fdiv("epoch_us(ts)", 86400000000L)} AS day, count(*) AS n " +
         "FROM events GROUP BY event_type, day), " +
         "r AS (SELECT event_type, day, n, row_number() OVER (PARTITION BY event_type " +
         "ORDER BY day) AS rn FROM d), " +
@@ -2421,9 +2431,9 @@ object SparkEntry {
     // (sessionSpanCtes) serves both readouts
     "q200_peak_concurrency" ->
       (s"WITH $sessionSpanCtes, " +
-        "b AS (SELECT epoch_us(session_start) // 86400000000 AS day, epoch_us(session_start) AS us, " +
+        s"b AS (SELECT ${fdiv("epoch_us(session_start)", 86400000000L)} AS day, epoch_us(session_start) AS us, " +
         "1 AS ds, 0 AS de FROM sp " +
-        "UNION ALL SELECT epoch_us(session_end) // 86400000000, epoch_us(session_end), 0, 1 FROM sp), " +
+        s"UNION ALL SELECT ${fdiv("epoch_us(session_end)", 86400000000L)}, epoch_us(session_end), 0, 1 FROM sp), " +
         "g AS (SELECT day, us, CAST(sum(ds) AS BIGINT) AS n_starts, CAST(sum(de) AS BIGINT) AS n_ends " +
         "FROM b GROUP BY day, us), " +
         "r AS (SELECT day, us, n_starts, n_ends, CAST(sum(n_starts - n_ends) OVER " +
@@ -2490,7 +2500,7 @@ object SparkEntry {
     // q204: pmod mirrored as ((x % 7) + 7) % 7 (DuckDB % truncates)
     "q204_weekday_profile" ->
       ("WITH d AS (SELECT event_type, " +
-        "(((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7) + 7) % 7 AS dow FROM events), " +
+        s"(((${fdiv("epoch_us(CAST(ts AS TIMESTAMP))", 86400000000L)} + 4) % 7) + 7) % 7 AS dow FROM events), " +
         "g AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY event_type, dow), " +
         "t AS (SELECT event_type, dow, n, CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) " +
         "AS n_type FROM g) " +
@@ -2560,14 +2570,13 @@ object SparkEntry {
         "CAST(count(e.vec_id) AS BIGINT) AS n_with_vec, " +
         "CAST(count(*) - count(e.vec_id) AS BIGINT) AS n_missing, " +
         "count(*) = count(e.vec_id) AS full_coverage " +
-        "FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id " +
-        "GROUP BY source ORDER BY source"),
+        "FROM documents d LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) e " +
+        "ON d.doc_id = e.vec_id GROUP BY source ORDER BY source"),
     // q209: lag in whole days via // (floorDivExpr's mirror); p50/p90
     // under the q38 percentile ↔ quantile_cont mapping
     "q209_fulfillment_latency" ->
       ("WITH j AS (SELECT o_orderpriority, " +
-        "(epoch_us(CAST(l_shipdate AS TIMESTAMP)) - epoch_us(CAST(o_orderdate AS TIMESTAMP))) " +
-        "// 86400000000 AS lag_days " +
+        s"${fdiv("epoch_us(CAST(l_shipdate AS TIMESTAMP)) - epoch_us(CAST(o_orderdate AS TIMESTAMP))", 86400000000L)} AS lag_days " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey) " +
         "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, " +
         "min(lag_days) AS min_days, " +

@@ -75,14 +75,19 @@ object Det {
     floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
 
   /** Integer FLOOR-division SQL fragment for a positive literal
-    * divisor. Spark's `div` truncates toward zero (the Hive
-    * convention) while DuckDB's `//` floors — they differ by one on
-    * negative dividends (pre-epoch microseconds, negative prefix
-    * sums), so a bare `div` in the engine silently diverges from its
-    * `//` oracle mirror there. `a − pmod(a, d)` is the exact floor
-    * multiple (pmod ∈ [0, d)), and `div` of an exact multiple is
-    * floor; all arithmetic stays in Long — no double round-trip, so
-    * it is exact past 2^53 where `floor(a / d)` is not.
+    * divisor. BOTH engines' native integer division truncates toward
+    * zero — Spark's `div` (the Hive convention) and DuckDB's integer
+    * `//` alike (verified on DuckDB 1.0.0: `-5 // 2 = -2`) — but
+    * bucketing semantics (day/hour of a pre-epoch µs, negative prefix
+    * sums) need FLOOR, so neither bare operator is the right engine
+    * expression. `a − pmod(a, d)` is the exact floor multiple
+    * (pmod ∈ [0, d)), and `div` of an exact multiple is floor; all
+    * arithmetic stays in Long — no double round-trip, so it is exact
+    * past 2^53 where `floor(a / d)` is not. Oracle mirror on a
+    * possibly-negative dividend: the same pmod-expanded form,
+    * `(a - (((a % d) + d) % d)) // d` (SparkEntry's `fdivSql`); a bare
+    * `//` mirrors correctly ONLY where the dividend is provably
+    * non-negative.
     */
   def floorDivExpr(a: String, d: Long): String =
     s"((($a) - pmod(($a), ${d}L)) div ${d}L)"

@@ -737,6 +737,22 @@ object Relational {
     * brand-keyed rollup of the ≤|brands|·|suppliers| relation — both
     * map-combinable, nothing row-sized past the first aggregate.
     */
+  def q207SupplierConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_suppkey"), col("l_quantity").cast(LongType).as("q"))
+      .groupBy("p_brand", "l_suppkey").agg(sum(col("q")).as("qs"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("qs")).cast(LongType).as("total_qty"),
+        sum(col("qs").cast(d38) * col("qs")).as("sum_sq"))
+      .select(col("p_brand"), col("n_suppliers"), col("total_qty"), col("sum_sq"),
+        (col("sum_sq") * 4L >
+          col("total_qty").cast(d38) * col("total_qty")).as("concentrated"))
+      .orderBy("p_brand")
+  }
+
   /** q209 — FULFILLMENT LATENCY PROFILE: per order priority, the
     * distribution of ship lag (l_shipdate − o_orderdate in whole days)
     * — the SLA readout that tells whether 1-URGENT actually ships
@@ -744,11 +760,12 @@ object Relational {
     * event-cadence profile (same exact order-statistics contract:
     * min/max as exact longs, p50/p90 as interpolated percentiles under
     * q38's percentile ↔ quantile_cont mapping, 4-dp-rounded). Lag is
-    * exact integer floor-div of the µs difference ([[Det.floorDivExpr]]
-    * — negative lags from dirty data floor identically on both
-    * engines). One FK equi-join (orders side broadcastable at dim
-    * scale, AQE picks at fact scale) + one map-combinable aggregate
-    * per ≤5-value priority key.
+    * exact integer floor-div of the µs difference ([[Det.floorDivExpr]];
+    * negative dirty-data lags floor — the oracle mirrors with the
+    * explicit pmod floor form, since DuckDB's integer `//` truncates
+    * toward zero like Spark's `div`). One FK equi-join (orders side
+    * broadcastable at dim scale, AQE picks at fact scale) + one
+    * map-combinable aggregate per ≤5-value priority key.
     */
   def q209FulfillmentLatency(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -765,20 +782,4 @@ object Relational {
         Det.roundD4(expr("percentile(lag_days, 0.9)")).as("p90_days"),
         max(col("lag_days")).as("max_days"))
       .orderBy("o_orderpriority")
-
-  def q207SupplierConcentration(spark: SparkSession, dir: String): DataFrame = {
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    Tables.lineitem(spark, dir)
-      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
-      .select(col("p_brand"), col("l_suppkey"), col("l_quantity").cast(LongType).as("q"))
-      .groupBy("p_brand", "l_suppkey").agg(sum(col("q")).as("qs"))
-      .groupBy("p_brand")
-      .agg(count(lit(1)).as("n_suppliers"),
-        sum(col("qs")).cast(LongType).as("total_qty"),
-        sum(col("qs").cast(d38) * col("qs")).as("sum_sq"))
-      .select(col("p_brand"), col("n_suppliers"), col("total_qty"), col("sum_sq"),
-        (col("sum_sq") * 4L >
-          col("total_qty").cast(d38) * col("total_qty")).as("concentrated"))
-      .orderBy("p_brand")
-  }
 }

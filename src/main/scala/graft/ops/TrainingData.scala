@@ -1407,12 +1407,15 @@ object TrainingData {
     * source with partial coverage biases SemDeDup and ANN retrieval
     * toward its embedded subset — this is the gate that catches the
     * embedding job that died mid-source. One FK-sized left join +
-    * a map-combinable per-source aggregate.
+    * a map-combinable per-source aggregate; the embedding side
+    * collapses to DISTINCT vec_id first, so a retried job's duplicate
+    * vectors cannot inflate the document count (the audit must stay
+    * right exactly when the embedding job misbehaved).
     */
   def q208EmbeddingCoverage(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))
-      .join(Tables.embeddings(spark, dir).select(col("vec_id")),
+      .join(Tables.embeddings(spark, dir).select(col("vec_id")).distinct(),
         col("doc_id") === col("vec_id"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),

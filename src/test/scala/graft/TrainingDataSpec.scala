@@ -399,13 +399,14 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(out(4L) == ("ping <EMAIL> today", 1L), out(4L))
   }
 
-  test("q208 coverage: per-source missing counts; orphan embeddings don't inflate coverage") {
+  test("q208 coverage: per-source missing counts; orphan and duplicate embeddings don't inflate counts") {
     val dir = tmpDir()
     writeDocuments(dir,
       (1L, "x", "en", "sA", 1L), (2L, "y", "en", "sA", 1L),
       (3L, "z", "en", "sB", 1L), (4L, "w", "en", "sB", 1L))
     writeEmbeddings(dir,
       (1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0), // sA fully covered
+      (1L, Seq(1f, 0f), 0),                       // retried job: dup vec 1
       (3L, Seq(1f, 1f), 0),                       // sB: doc 4 missing
       (99L, Seq(9f, 9f), 0))                      // orphan: no such doc
     val out = graft.ops.TrainingData.q208EmbeddingCoverage(spark, dir).collect()
