@@ -882,6 +882,59 @@ object StreamingOps {
       }
   }
 
+  /** State for [[spikeStream]]: the open-hour buffer plus the closed
+    * trailing-24h baseline hours, both as parallel seqs (≤ 24 baseline
+    * entries — the RANGE frame is calendar-bounded).
+    */
+  case class SpikeState(openHrs: Seq[Long], openNs: Seq[Long],
+                        baseHrs: Seq[Long], baseNs: Seq[Long])
+
+  /** Streaming traffic-spike maintenance (batch q183's stateful dual,
+    * [[cusumStream]]'s sibling at hour grain): per event type, hourly
+    * counts accumulate in an open-hour buffer; an hour CLOSES when a
+    * strictly later hour arrives, reads its trailing-24-HOUR baseline
+    * from the ≤24 closed hours carried in state (calendar gaps count
+    * as silence — the RANGE-frame semantics, not a 24-row frame), and
+    * emits the same cross-multiplied verdict as the batch
+    * (`n·hours > 3·Σbaseline`, armed at ≥ 6 baseline hours). Same
+    * (type, ts) carrier, close-on-successor contract, and
+    * open-tail parity bound as [[cusumStream]] (emitted rows ≡ batch
+    * q183 minus each type's final active hour). State per type:
+    * the open buffer + at most 24 (hour, count) baseline pairs.
+    */
+  def spikeStream(events: Dataset[(String, java.sql.Timestamp)])
+      : Dataset[(String, Long, Long, Long, Long, Boolean)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SpikeState, (String, Long, Long, Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[(String, java.sql.Timestamp)], state: GroupState[SpikeState]) =>
+          val s0 = state.getOption.getOrElse(SpikeState(Nil, Nil, Nil, Nil))
+          val buf = scala.collection.mutable.Map.from(s0.openHrs.zip(s0.openNs))
+          it.foreach { e =>
+            val hr = Math.floorDiv(tsMicros(e._2), 3600000000L)
+            buf.update(hr, buf.getOrElse(hr, 0L) + 1L)
+          }
+          var base = s0.baseHrs.zip(s0.baseNs).toVector
+          val out = Seq.newBuilder[(String, Long, Long, Long, Long, Boolean)]
+          if (buf.nonEmpty) {
+            val mx = buf.keys.max
+            buf.keys.filter(_ < mx).toSeq.sorted.foreach { h =>
+              val n = buf.remove(h).get
+              base = base.filter(_._1 >= h - 24) // all entries are < h already
+              val bSum = base.map(_._2).sum
+              val bHrs = base.size.toLong
+              out += ((tpe, h, n, bSum, bHrs, bHrs >= 6L && n * bHrs > bSum * 3L))
+              base = base :+ ((h, n))
+            }
+          }
+          val open = buf.toSeq.sortBy(_._1)
+          state.update(SpikeState(open.map(_._1), open.map(_._2),
+            base.map(_._1), base.map(_._2)))
+          out.result().iterator
+      }
+  }
+
   /** Streaming DQ admission gate (batch q169's row-local constraints
     * at the ingest edge): tags every incoming event row with the list
     * of violated constraint names and a pass flag, evaluated from the

@@ -627,6 +627,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(!streamed.exists(_._1 == "b"), "type b has no complete baseline")
   }
 
+  test("spikeStream: trailing-24h baseline carries in state across a mid-hour seam; rows equal batch q183 minus each type's open tail") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns
+    val Min = 60 * Ns
+    // type a: 8 quiet hours of 2, a 30-event hour 8 (spike: 30·8 > 3·16),
+    // then 2 quiet hours; type c: 7 hours then a 33h calendar gap — the
+    // RANGE baseline must come back EMPTY at hour 40, not reach back
+    var id = 0L
+    def evs(hr: Long, n: Int, tpe: String): Seq[(Long, Long, Long, String, Double, String)] =
+      (0 until n).map { k => id += 1; (id, T0 + hr * Hour + k * Min, 1L, tpe, 0.0, "{}") }
+    val rows = (0L to 7L).flatMap(evs(_, 2, "a")) ++ evs(8L, 30, "a") ++
+      (9L to 10L).flatMap(evs(_, 2, "a")) ++
+      (0L to 6L).flatMap(evs(_, 1, "c")) :+ { id += 1; (id, T0 + 40 * Hour, 1L, "c", 0.0, "{}") }
+    writeEvents(dir, rows: _*)
+    val all = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)].collect().sortBy(_._1)
+    // seam splits hour 8 (ids 17-46) down the middle
+    val (b1r, b2r) = all.partition(_._1 <= 30)
+    val ms = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamingOps.spikeStream(ms.toDS())
+      .toDF("event_type", "hr", "n", "baseline_sum", "baseline_hours", "spike")
+      .writeStream.format("memory").queryName("spikes").outputMode("append").start()
+    ms.addData(b1r.map(e => (e._2, e._3)).toSeq: _*); q.processAllAvailable()
+    ms.addData(b2r.map(e => (e._2, e._3)).toSeq: _*); q.processAllAvailable()
+    val streamed = spark.table("spikes").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    q.stop()
+    val batch = graft.ops.Events.q183TrafficSpikes(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val lastHr = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expected = batch.filter(r => r._2 < lastHr(r._1)).toSet
+    assert(streamed == expected, s"stream/batch spike divergence: $streamed vs $expected")
+    val h0 = 1704067200L / 3600
+    assert(streamed.exists(r => r._1 == "a" && r._2 == h0 + 8 && r._6),
+      s"hour-8 spike missing: $streamed")
+    assert(!streamed.exists(r => r._1 == "a" && r._2 != h0 + 8 && r._6),
+      "no other hour may flag")
+  }
+
   test("interArrivalStream: last-ts state carries across the seam; readout equals batch q189") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
