@@ -249,6 +249,7 @@ object SparkEntry {
     "q207_supplier_concentration" -> (Relational.q207SupplierConcentration _),
     "q208_embedding_coverage" -> (TrainingData.q208EmbeddingCoverage _),
     "q209_fulfillment_latency" -> (Relational.q209FulfillmentLatency _),
+    "q210_ivm_merge" -> (Events.q210IvmMerge _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -263,6 +264,13 @@ object SparkEntry {
   // non-negative dividends.
   private def fdiv(a: String, d: Long): String =
     s"((($a) - (((($a) % $d) + $d) % $d)) // $d)"
+
+  /** q04's statement, shared verbatim by q210 (whose merge ≡ recompute
+    * contract IS this SQL — the q37 same-oracle-by-design pattern).
+    */
+  private def q04OracleSql: String =
+    s"SELECT user_id, ${davg("value")} AS avg_value, count(*) AS n_events, max($tsUs) AS max_ts " +
+      "FROM events GROUP BY user_id ORDER BY user_id"
   private def dsum(x: String) = s"CAST(round(sum(CAST($x AS DECIMAL(20,6))), 4) AS DOUBLE)"
   private def davg(x: String) =
     s"CAST((2*CAST(sum(CAST($x AS DECIMAL(20,6)))*1000000 AS HUGEINT) + count(*)*100) " +
@@ -471,9 +479,7 @@ object SparkEntry {
       ("SELECT c_custkey, c_name, o_orderkey, o_totalprice, o_orderdate " +
         "FROM customer JOIN orders ON c_custkey = o_custkey WHERE c_mktsegment = 'BUILDING' " +
         "ORDER BY o_orderkey"),
-    "q04_groupby_agg" ->
-      (s"SELECT user_id, ${davg("value")} AS avg_value, count(*) AS n_events, max($tsUs) AS max_ts " +
-        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "q04_groupby_agg" -> q04OracleSql,
     "q04b_multi_agg" ->
       (s"SELECT l_returnflag, l_linestatus, ${dsum("l_quantity")} AS sum_qty, " +
         s"${dsum("l_extendedprice")} AS sum_base_price, " +
@@ -2584,6 +2590,8 @@ object SparkEntry {
         "floor((quantile_cont(lag_days, 0.9))*10000 + 0.5)/10000 AS p90_days, " +
         "max(lag_days) AS max_days " +
         "FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // q210: q04's SQL verbatim — merge ≡ recompute IS the contract
+    "q210_ivm_merge" -> q04OracleSql,
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

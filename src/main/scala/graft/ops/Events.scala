@@ -537,6 +537,49 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** q210 — INCREMENTAL VIEW MAINTENANCE (partial-aggregate merge):
+    * [[q04GroupbyAgg]]'s per-user aggregate computed the way a 100 TB
+    * pipeline actually maintains it — a BASE shard and a DELTA shard
+    * (here: even/odd event ids, standing in for "yesterday's
+    * materialized state" and "today's ingest") aggregated
+    * independently and MERGED, never re-scanning history: counts add,
+    * exact decimal sums add (decimal addition is associative — the
+    * whole point of [[Det.sumDec]]), maxes take greatest, and the mean
+    * derives from the merged sums at the END (never an
+    * average-of-averages, which is wrong under unequal shard sizes).
+    * The oracle is q04's own SQL verbatim: merge ≡ recompute is the
+    * declared contract, hash-checked.
+    *
+    * Merge fine print (exactly the cases a naive IVM gets wrong): the
+    * two branches full-outer join NULL-SAFELY (`<=>`) so the null-user
+    * group stays ONE group; a user whose values are all NULL keeps a
+    * NULL sum (not 0) so the merged mean stays NULL like the
+    * recompute's; one-sided users coalesce the missing branch to
+    * empty-shard identity (0 count, 0 sum, NULL max).
+    */
+  def q210IvmMerge(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(20, 6)
+    val e = Tables.events(spark, dir)
+      .withColumn("shard", coalesce(pmod(col("event_id"), lit(2L)), lit(0L)))
+    def part(flag: Long, sfx: String) = e.filter(col("shard") === flag)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as(s"n$sfx"),
+        sum(col("value").cast(dec)).as(s"s$sfx"),
+        max("ts").as(s"mx$sfx"))
+      .withColumnRenamed("user_id", s"u$sfx")
+    val s = when(col("sa").isNull && col("sb").isNull, lit(null).cast(dec))
+      .otherwise(coalesce(col("sa"), lit(0).cast(dec)) + coalesce(col("sb"), lit(0).cast(dec)))
+    val n = coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))
+    part(0L, "a").join(part(1L, "b"), col("ua") <=> col("ub"), "full_outer")
+      .select(coalesce(col("ua"), col("ub")).as("user_id"),
+        col("na"), col("nb"), col("sa"), col("sb"), col("mxa"), col("mxb"))
+      .select(col("user_id"),
+        round(s / n, 4).cast(org.apache.spark.sql.types.DoubleType).as("avg_value"),
+        n.as("n_events"),
+        greatest(col("mxa"), col("mxb")).as("max_ts"))
+      .orderBy("user_id")
+  }
+
   /** q204 — WEEKDAY SEASONALITY PROFILE: the PERIODIC leg of the
     * anomaly family (q183 = single hot hours, q196 = sustained drift —
     * a weekly batch job or a weekend-crawling bot trips neither): per

@@ -379,6 +379,32 @@ class EventOpsSpec extends SparkSpecBase {
       out.toSeq)
   }
 
+  test("q210 IVM merge: equals q04 recompute incl. null-user group, all-null sums, one-sided users") {
+    val dir = tmpDir()
+    val rows = Seq[Row](
+      // user 1 straddles both shards (ids 1,3 delta; 2 base)
+      Row(1L, T0, 1L, "a", 1.0, "{}"), Row(2L, T0 + Ns, 1L, "a", 2.0, "{}"),
+      Row(3L, T0 + 2 * Ns, 1L, "a", 3.0, "{}"),
+      // user 2 exists only in the delta shard
+      Row(5L, T0, 2L, "a", 10.0, "{}"),
+      // user 3: all-NULL values → merged avg must stay NULL, not 0
+      Row(6L, T0, 3L, "a", null, "{}"), Row(7L, T0 + Ns, 3L, "a", null, "{}"),
+      // null user in BOTH shards → must merge to ONE group (<=> join)
+      Row(8L, T0, null, "a", 4.0, "{}"), Row(9L, T0 + Ns, null, "a", 6.0, "{}"),
+      // null event_id lands deterministically in the base shard
+      Row(null, T0 + 3 * Ns, 4L, "a", 8.0, "{}"))
+    write(dir, "events", df(Tables.eventsRawSchema, rows: _*))
+    def snap(d: org.apache.spark.sql.DataFrame) = d.collect().map(r => (
+      if (r.isNullAt(0)) null else r.getLong(0),
+      if (r.isNullAt(1)) null else r.getDouble(1),
+      r.getLong(2), r.getTimestamp(3))).toSeq
+    val merged = snap(Events.q210IvmMerge(spark, dir))
+    val recomputed = snap(Events.q04GroupbyAgg(spark, dir))
+    assert(merged == recomputed, s"merge != recompute: $merged vs $recomputed")
+    assert(merged.count(_._1 == null) == 1, "null-user group must stay ONE group")
+    assert(merged.exists(r => r._1 == 3L && r._2 == null), "all-null sum must stay NULL")
+  }
+
   test("q187 growth: new users count on their FIRST day only; cumulative total runs over gaps") {
     val dir = tmpDir()
     val Day = 24 * Hour
