@@ -250,6 +250,7 @@ object SparkEntry {
     "q208_embedding_coverage" -> (TrainingData.q208EmbeddingCoverage _),
     "q209_fulfillment_latency" -> (Relational.q209FulfillmentLatency _),
     "q210_ivm_merge" -> (Events.q210IvmMerge _),
+    "q211_json_profile" -> (Events.q211JsonProfile _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2592,6 +2593,18 @@ object SparkEntry {
         "FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     // q210: q04's SQL verbatim — merge ≡ recompute IS the contract
     "q210_ivm_merge" -> q04OracleSql,
+    // q211: json_valid/json_type guards mirror from_json's lax
+    // object-only parse; values compare as scalar strings
+    "q211_json_profile" ->
+      ("WITH o AS (SELECT props FROM events WHERE props IS NOT NULL AND json_valid(props) " +
+        "AND json_type(props) = 'OBJECT'), " +
+        "kv AS (SELECT key, json_extract_string(props, '$.\"' || key || '\"') AS value " +
+        "FROM (SELECT props, UNNEST(json_keys(props)) AS key FROM o)), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM events) " +
+        "SELECT key, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(DISTINCT value) AS BIGINT) AS n_distinct_values, n_total, " +
+        "count(*) = n_total AS ubiquitous " +
+        "FROM kv CROSS JOIN t GROUP BY key, n_total ORDER BY key"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

@@ -580,6 +580,40 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** q211 — JSON PAYLOAD PROFILE (semi-structured schema discovery):
+    * per key appearing in the `props` JSON objects — presence count,
+    * distinct-value count, and whether the key is ubiquitous (present
+    * on every event row) — the schema-ON-READ profile q185 can't give
+    * (it audits the declared parquet schema; this discovers the
+    * undeclared payload schema an upstream team silently evolves:
+    * "when did `device` stop being sent?"). Consumers: q07's typed
+    * extraction (which keys are safe to promote to columns), DQ
+    * constraint authoring, and payload-bloat audits.
+    *
+    * Semantics both engines agree on: only valid JSON OBJECTS profile
+    * (malformed rows, scalars, arrays, NULLs contribute nothing — a
+    * lax `from_json` map parse on the Spark side, explicit
+    * json_valid/json_type guards in the oracle); values compare as
+    * their scalar string forms, so the distinct COUNT is
+    * representation-independent (nested-object values are counted but
+    * their spelling is engine-specific — contract: scalar payloads,
+    * the testdata's shape). Shape: one row-local parse + explode, one
+    * key-keyed map-combinable aggregate, one broadcast scalar total.
+    */
+  def q211JsonProfile(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val total = e.agg(count(lit(1)).as("n_total"))
+    e.filter(col("props").isNotNull)
+      .select(explode(expr("from_json(props, 'map<string,string>')")).as(Seq("key", "value")))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("value")).as("n_distinct_values"))
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("n_rows"), col("n_distinct_values"), col("n_total"),
+        (col("n_rows") === col("n_total")).as("ubiquitous"))
+      .orderBy("key")
+  }
+
   /** q204 — WEEKDAY SEASONALITY PROFILE: the PERIODIC leg of the
     * anomaly family (q183 = single hot hours, q196 = sustained drift —
     * a weekly batch job or a weekend-crawling bot trips neither): per

@@ -405,6 +405,23 @@ class EventOpsSpec extends SparkSpecBase {
     assert(merged.exists(r => r._1 == 3L && r._2 == null), "all-null sum must stay NULL")
   }
 
+  test("q211 JSON profile: partial keys counted, scalars/arrays/malformed/NULL skipped, distinct values exact") {
+    val dir = tmpDir()
+    val rows = Seq[Row](
+      Row(1L, T0, 1L, "a", 0.0, """{"k": 69, "m": "x"}"""),
+      Row(2L, T0, 1L, "a", 0.0, """{"k": 70}"""),
+      Row(3L, T0, 1L, "a", 0.0, "not json"), // malformed: contributes nothing
+      Row(4L, T0, 1L, "a", 0.0, "5"),        // scalar: not an object
+      Row(5L, T0, 1L, "a", 0.0, "[1, 2]"),   // array: not an object
+      Row(6L, T0, 1L, "a", 0.0, null),       // null payload
+      Row(7L, T0, 1L, "a", 0.0, """{"k": 69}""")) // duplicate value of k
+    write(dir, "events", df(Tables.eventsRawSchema, rows: _*))
+    val out = Events.q211JsonProfile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // n_total counts ALL 7 rows; k appears on 3 with 2 distinct values
+    assert(out.toSeq == Seq(("k", 3L, 2L, 7L, false), ("m", 1L, 1L, 7L, false)), out.toSeq)
+  }
+
   test("q187 growth: new users count on their FIRST day only; cumulative total runs over gaps") {
     val dir = tmpDir()
     val Day = 24 * Hour

@@ -512,7 +512,10 @@ class PlanQualitySpec extends SparkSpecBase {
       "q202_collocation_lift",
       // q205: the one-row max-purchase anchor + one-row quintile
       // boundary frame — q15/q17's scalar-not-relation shape
-      "q205_rfm_segments")
+      "q205_rfm_segments",
+      // q211: the one-row table-total broadcast — q125/q53's
+      // scalar-not-relation shape
+      "q211_json_profile")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

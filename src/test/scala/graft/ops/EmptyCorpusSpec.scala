@@ -94,6 +94,8 @@ class EmptyCorpusSpec extends SparkSpecBase {
     assert(Events.q200PeakConcurrency(spark, dir).count() == 0)
     assert(Events.q204WeekdayProfile(spark, dir).count() == 0)
     assert(Events.q205RfmSegments(spark, dir).count() == 0)
+    assert(Events.q210IvmMerge(spark, dir).count() == 0)
+    assert(Events.q211JsonProfile(spark, dir).count() == 0)
     assert(TrainingData.q188MixContingency(spark, dir).count() == 0)
     assert(Events.q189InterArrival(spark, dir).count() == 0)
     // global aggregate: one row, NULL sums on both engines
