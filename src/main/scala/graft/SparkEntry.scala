@@ -1970,7 +1970,7 @@ object SparkEntry {
     // never decide), full outer on user_id, null-SAFE change test
     // (IS DISTINCT FROM ≡ the engine's !(a <=> b))
     "q162_snapshot_diff" ->
-      (s"WITH bnd AS (SELECT (epoch_us(min($tsUs)) + epoch_us(max($tsUs))) // 2 AS cut_us FROM events), " +
+      (s"WITH bnd AS (SELECT ${fdiv(s"epoch_us(min($tsUs)) + epoch_us(max($tsUs))", 2L)} AS cut_us FROM events), " +
         s"e AS (SELECT user_id, event_id, event_type, value, epoch_us($tsUs) AS us FROM events), " +
         "la AS (SELECT user_id, event_type AS type_a, value AS value_a FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn " +
@@ -2593,12 +2593,13 @@ object SparkEntry {
         "FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     // q210: q04's SQL verbatim — merge ≡ recompute IS the contract
     "q210_ivm_merge" -> q04OracleSql,
-    // q211: json_valid/json_type guards mirror from_json's lax
-    // object-only parse; values compare as scalar strings
+    // q211: json_valid/json_type guards mirror from_json's strict
+    // object-only parse (allowSingleQuotes=false); bare-key extraction
+    // (no path syntax) keeps dotted/quoted keys exact
     "q211_json_profile" ->
       ("WITH o AS (SELECT props FROM events WHERE props IS NOT NULL AND json_valid(props) " +
         "AND json_type(props) = 'OBJECT'), " +
-        "kv AS (SELECT key, json_extract_string(props, '$.\"' || key || '\"') AS value " +
+        "kv AS (SELECT key, json_extract_string(props, key) AS value " +
         "FROM (SELECT props, UNNEST(json_keys(props)) AS key FROM o)), " +
         "t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM events) " +
         "SELECT key, CAST(count(*) AS BIGINT) AS n_rows, " +

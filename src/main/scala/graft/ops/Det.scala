@@ -85,7 +85,7 @@ object Det {
     * arithmetic stays in Long — no double round-trip, so it is exact
     * past 2^53 where `floor(a / d)` is not. Oracle mirror on a
     * possibly-negative dividend: the same pmod-expanded form,
-    * `(a - (((a % d) + d) % d)) // d` (SparkEntry's `fdivSql`); a bare
+    * `(a - (((a % d) + d) % d)) // d` (SparkEntry's `fdiv`); a bare
     * `//` mirrors correctly ONLY where the dividend is provably
     * non-negative.
     */

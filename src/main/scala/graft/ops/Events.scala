@@ -567,8 +567,13 @@ object Events {
         sum(col("value").cast(dec)).as(s"s$sfx"),
         max("ts").as(s"mx$sfx"))
       .withColumnRenamed("user_id", s"u$sfx")
+    // the merged sum collapses back to sum-of-DECIMAL(20,6) width
+    // (30,6) before dividing: the (31,6) of adding two partial sums
+    // would divide at scale 13, one guard digit under davg4's ≥14
+    // tie-exactness bound — merge must round EXACTLY like recompute
     val s = when(col("sa").isNull && col("sb").isNull, lit(null).cast(dec))
       .otherwise(coalesce(col("sa"), lit(0).cast(dec)) + coalesce(col("sb"), lit(0).cast(dec)))
+      .cast(DecimalType(30, 6))
     val n = coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))
     part(0L, "a").join(part(1L, "b"), col("ua") <=> col("ub"), "full_outer")
       .select(coalesce(col("ua"), col("ub")).as("user_id"),
@@ -592,19 +597,23 @@ object Events {
     *
     * Semantics both engines agree on: only valid JSON OBJECTS profile
     * (malformed rows, scalars, arrays, NULLs contribute nothing — a
-    * lax `from_json` map parse on the Spark side, explicit
-    * json_valid/json_type guards in the oracle); values compare as
-    * their scalar string forms, so the distinct COUNT is
-    * representation-independent (nested-object values are counted but
-    * their spelling is engine-specific — contract: scalar payloads,
-    * the testdata's shape). Shape: one row-local parse + explode, one
-    * key-keyed map-combinable aggregate, one broadcast scalar total.
+    * `from_json` map parse with `allowSingleQuotes=false` on the
+    * Spark side, matching the oracle's json_valid/json_type strictness
+    * exactly: Jackson's other lenient toggles are already off by
+    * default, and NaN/Infinity are VALID to both engines, extracting
+    * as the same string); values compare as their scalar string
+    * forms, so the distinct COUNT is representation-independent
+    * (nested-object values are counted but their spelling is
+    * engine-specific — contract: scalar payloads, the testdata's
+    * shape). Shape: one row-local parse + explode, one key-keyed
+    * map-combinable aggregate, one broadcast scalar total.
     */
   def q211JsonProfile(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val total = e.agg(count(lit(1)).as("n_total"))
     e.filter(col("props").isNotNull)
-      .select(explode(expr("from_json(props, 'map<string,string>')")).as(Seq("key", "value")))
+      .select(explode(expr("from_json(props, 'map<string,string>', " +
+        "map('allowSingleQuotes', 'false'))")).as(Seq("key", "value")))
       .groupBy("key")
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("value")).as("n_distinct_values"))
@@ -1098,9 +1107,10 @@ object Events {
     */
   def q162SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    // FLOOR div, not bare `div`: DuckDB's `//` floors while Spark's
-    // `div` truncates — a pre-epoch corpus makes the midpoint sum
-    // negative and the two would cut one µs apart (Det.floorDivExpr)
+    // FLOOR div, not bare `div`: both engines' native integer division
+    // truncates toward zero (Det.floorDivExpr scaladoc) — a pre-epoch
+    // corpus makes the midpoint sum negative, where floor is the
+    // bucket-stable choice; the oracle mirrors with the fdiv pmod form
     val bounds = e.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
       .select(expr(graft.ops.Det.floorDivExpr("unix_micros(mn) + unix_micros(mx)", 2L))
         .as("cut_us"))

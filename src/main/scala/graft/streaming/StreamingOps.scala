@@ -883,8 +883,9 @@ object StreamingOps {
   }
 
   /** State for [[spikeStream]]: the open-hour buffer plus the closed
-    * trailing-24h baseline hours, both as parallel seqs (≤ 24 baseline
-    * entries — the RANGE frame is calendar-bounded).
+    * trailing baseline hours, both as parallel seqs (≤ 25 baseline
+    * entries: the ≤24-entry RANGE window plus the just-closed hour,
+    * which the NEXT close trims back into the window).
     */
   case class SpikeState(openHrs: Seq[Long], openNs: Seq[Long],
                         baseHrs: Seq[Long], baseNs: Seq[Long])

@@ -414,12 +414,13 @@ class EventOpsSpec extends SparkSpecBase {
       Row(4L, T0, 1L, "a", 0.0, "5"),        // scalar: not an object
       Row(5L, T0, 1L, "a", 0.0, "[1, 2]"),   // array: not an object
       Row(6L, T0, 1L, "a", 0.0, null),       // null payload
-      Row(7L, T0, 1L, "a", 0.0, """{"k": 69}""")) // duplicate value of k
+      Row(7L, T0, 1L, "a", 0.0, """{"k": 69}"""), // duplicate value of k
+      Row(8L, T0, 1L, "a", 0.0, "{'k': 1}")) // single quotes: invalid to BOTH engines
     write(dir, "events", df(Tables.eventsRawSchema, rows: _*))
     val out = Events.q211JsonProfile(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
-    // n_total counts ALL 7 rows; k appears on 3 with 2 distinct values
-    assert(out.toSeq == Seq(("k", 3L, 2L, 7L, false), ("m", 1L, 1L, 7L, false)), out.toSeq)
+    // n_total counts ALL 8 rows; k appears on 3 with 2 distinct values
+    assert(out.toSeq == Seq(("k", 3L, 2L, 8L, false), ("m", 1L, 1L, 8L, false)), out.toSeq)
   }
 
   test("q187 growth: new users count on their FIRST day only; cumulative total runs over gaps") {

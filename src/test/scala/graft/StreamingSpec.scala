@@ -639,9 +639,10 @@ class StreamingSpec extends SparkSpecBase {
     var id = 0L
     def evs(hr: Long, n: Int, tpe: String): Seq[(Long, Long, Long, String, Double, String)] =
       (0 until n).map { k => id += 1; (id, T0 + hr * Hour + k * Min, 1L, tpe, 0.0, "{}") }
+    // hour 41 exists so hour 40 CLOSES and its post-gap row is emitted
     val rows = (0L to 7L).flatMap(evs(_, 2, "a")) ++ evs(8L, 30, "a") ++
       (9L to 10L).flatMap(evs(_, 2, "a")) ++
-      (0L to 6L).flatMap(evs(_, 1, "c")) :+ { id += 1; (id, T0 + 40 * Hour, 1L, "c", 0.0, "{}") }
+      (0L to 6L).flatMap(evs(_, 1, "c")) ++ evs(40L, 3, "c") ++ evs(41L, 1, "c")
     writeEvents(dir, rows: _*)
     val all = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("ts"))
@@ -669,6 +670,10 @@ class StreamingSpec extends SparkSpecBase {
       s"hour-8 spike missing: $streamed")
     assert(!streamed.exists(r => r._1 == "a" && r._2 != h0 + 8 && r._6),
       "no other hour may flag")
+    // the 33h calendar gap: hour 40 closed with an EMPTY baseline (the
+    // 24h trim dropped all of hours 0-6), so n=3 cannot flag
+    assert(streamed(("c", h0 + 40, 3L, 0L, 0L, false)),
+      s"post-gap hour must read an empty baseline: $streamed")
   }
 
   test("interArrivalStream: last-ts state carries across the seam; readout equals batch q189") {
