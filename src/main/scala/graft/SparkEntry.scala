@@ -251,6 +251,7 @@ object SparkEntry {
     "q209_fulfillment_latency" -> (Relational.q209FulfillmentLatency _),
     "q210_ivm_merge" -> (Events.q210IvmMerge _),
     "q211_json_profile" -> (Events.q211JsonProfile _),
+    "q212_cluster_provenance" -> (Similarity.q212ClusterProvenance _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2606,6 +2607,15 @@ object SparkEntry {
         "CAST(count(DISTINCT value) AS BIGINT) AS n_distinct_values, n_total, " +
         "count(*) = n_total AS ubiquitous " +
         "FROM kv CROSS JOIN t GROUP BY key, n_total ORDER BY key"),
+    // q212: q62's recursive-CTE component truth (q108's pattern)
+    // joined to the doc→source map
+    "q212_cluster_provenance" ->
+      (s"SELECT cluster_id, n_docs, n_sources, n_majority, n_sources >= 2 AS cross_site FROM (" +
+        "SELECT cluster_id, CAST(sum(ns) AS BIGINT) AS n_docs, " +
+        "CAST(count(*) AS BIGINT) AS n_sources, CAST(max(ns) AS BIGINT) AS n_majority FROM (" +
+        s"SELECT cluster_id, source, count(*) AS ns FROM ($q62OracleCore) l " +
+        "JOIN documents USING (doc_id) GROUP BY cluster_id, source) g " +
+        "GROUP BY cluster_id) t WHERE n_docs >= 2 ORDER BY cluster_id"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

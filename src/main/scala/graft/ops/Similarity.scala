@@ -1874,6 +1874,35 @@ object Similarity {
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
       .orderBy("cluster_size")
 
+  /** q212 — CLUSTER PROVENANCE MIX: for every near-dup component with
+    * ≥2 members (the STAGED q62 labels — no CC recompute), its source
+    * composition: member count, distinct sources, the majority
+    * source's share numerator, and `cross_site` — the read that
+    * separates TRUE web-scale duplication (the same text mirrored
+    * across sites: collapse freely, q62's stance) from intra-site
+    * template stamping (one source repeating its own boilerplate:
+    * q124's boilerplate pass, not dedup, is the right tool — collapse
+    * would hide that the source needs cleaning, and q72's attribution
+    * would misread the drop). q177 reads the same distinction
+    * structurally; this reads it by provenance.
+    *
+    * Shape: staged labels join the doc→source map FK-style, then two
+    * map-combinable aggregates ((cluster, source) → cluster); nothing
+    * re-walks the pair graph. Oracle: q62's recursive-CTE component
+    * truth (q108's pattern) joined to documents.
+    */
+  def q212ClusterProvenance(spark: SparkSession, dir: String): DataFrame =
+    componentLabels(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("cluster_id", "source").agg(count(lit(1)).as("ns"))
+      .groupBy("cluster_id")
+      .agg(sum(col("ns")).cast(LongType).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        max(col("ns")).cast(LongType).as("n_majority"))
+      .filter(col("n_docs") >= 2L)
+      .withColumn("cross_site", col("n_sources") >= 2L)
+      .orderBy("cluster_id")
+
   /** q136 — cluster-quality keeper: for every near-dup component
     * (the STAGED q62 labels), keep the highest-quality member by q28's
     * composite score (ties → lowest doc_id) and report how many

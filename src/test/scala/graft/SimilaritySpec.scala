@@ -147,6 +147,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out(0L) == ((1, 2L, false)), s"v0 got ${out(0L)}")
   }
 
+  test("q212 provenance: cross-site mirror vs intra-site stamping; singletons excluded") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmpDir()
+    writeDocuments(dir,
+      // one text mirrored across two sites → cross_site
+      (1L, "alpha beta gamma delta epsilon", "en", "sA", 1L),
+      (2L, "alpha beta gamma delta epsilon", "en", "sB", 1L),
+      // one source stamping its own boilerplate ×3 → NOT cross_site
+      (3L, "zeta eta theta iota kappa", "en", "sC", 1L),
+      (4L, "zeta eta theta iota kappa", "en", "sC", 1L),
+      (5L, "zeta eta theta iota kappa", "en", "sC", 1L),
+      // singleton: no provenance row
+      (6L, "unique lonely text here now", "en", "sA", 1L))
+    val out = graft.ops.Similarity.q212ClusterProvenance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 1L, true),
+      (3L, 3L, 1L, 3L, false)), out.toSeq)
+  }
+
   test("q23 text stats: stopwords removed, rank by count desc then term") {
     val dir = tmpDir()
     writeDocuments(dir,

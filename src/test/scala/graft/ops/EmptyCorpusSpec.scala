@@ -27,6 +27,7 @@ class EmptyCorpusSpec extends SparkSpecBase {
     assert(Similarity.q62DedupClusters(spark, dir).count() == 0)
     assert(Similarity.q62bDedupClustersStar(spark, dir).count() == 0)
     assert(Similarity.q108ClusterStats(spark, dir).count() == 0)
+    assert(Similarity.q212ClusterProvenance(spark, dir).count() == 0)
     assert(TextOps.q104RepeatedSpans(spark, dir).count() == 0)
     assert(TextOps.q107SpanDedup(spark, dir).count() == 0)
     assert(Sketches.q25MinhashNeardup(spark, dir).count() == 0)
