@@ -109,6 +109,25 @@ object Bench {
     println(json)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json + "\n")
+    // The driver snapshots only the LAST ~2000 chars of stdout into
+    // BENCH_rNN.json's `tail`; a 200-query metric line is ~13 KB, so
+    // rounds 6-9 all recorded `parsed: null` and per-query history
+    // survived only via a hand-committed side file. Two fixes at the
+    // source: (a) the COMPLETE metric JSON self-persists to a committed
+    // path (BENCH_FULL_latest.json — commit it each round), and (b) a
+    // compact summary line — guaranteed to fit the 2000-char window —
+    // prints LAST, so the driver's JSON-line scan always parses
+    // something: totals, failure list, host-health verdict, and the
+    // slowest 10 queries (the ones any regression triage reads first).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL_latest.json"), json + "\n")
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,""" +
+      s""""n_queries":${results.size},"failed":$fails,""" +
+      f""""median_spread":$medianSpread%.3f,"host_loaded":$hostLoaded,""" +
+      s""""sf":"$sfDir","note":"queries=slowest10; full per-query map in BENCH_FULL_latest.json"}""")
     spark.stop()
   }
 }

@@ -2034,8 +2034,12 @@ object SparkEntry {
       val fk = Audit.FkEdges.map { case (ct, ck, pt, pkc) =>
         s"SELECT '$ct' AS table_name, 'fk_$pt' AS constraint_name, " +
           s"(SELECT count(*) FROM $ct) AS n_checked, " +
+          // IS NOT NULL inside the subquery: a NULL parent key would
+          // make NOT IN three-valued-NULL for EVERY unmatched child
+          // (0 violations reported) while the engine's left_anti still
+          // counts orphans — anti-join semantics need the filter
           s"(SELECT count(*) FROM $ct WHERE $ck IS NOT NULL AND $ck NOT IN " +
-          s"(SELECT $pkc FROM $pt)) AS n_violations"
+          s"(SELECT $pkc FROM $pt WHERE $pkc IS NOT NULL)) AS n_violations"
       }
       val local = Audit.RowConstraints.flatMap { case (t, cs) =>
         cs.map { case (n, p) =>
@@ -2097,8 +2101,11 @@ object SparkEntry {
     "q173_index_coverage" ->
       ("SELECT (SELECT count(*) FROM documents) AS n_docs, " +
         "(SELECT count(*) FROM embeddings) AS n_vecs, " +
-        "(SELECT count(*) FROM documents WHERE doc_id NOT IN (SELECT vec_id FROM embeddings)) AS n_docs_without_vec, " +
-        "(SELECT count(*) FROM embeddings WHERE vec_id NOT IN (SELECT doc_id FROM documents)) AS n_vecs_without_doc, " +
+        // IS NOT NULL inside each NOT IN subquery (q169's discipline):
+        // one NULL key on the inner side would NULL-out every
+        // unmatched outer row while the engine's anti-join still counts
+        "(SELECT count(*) FROM documents WHERE doc_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL)) AS n_docs_without_vec, " +
+        "(SELECT count(*) FROM embeddings WHERE vec_id NOT IN (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL)) AS n_vecs_without_doc, " +
         "(SELECT CAST(min(len(embedding)) AS BIGINT) FROM embeddings) AS min_dim, " +
         "(SELECT CAST(max(len(embedding)) AS BIGINT) FROM embeddings) AS max_dim, " +
         "(SELECT count(*) FROM embeddings WHERE len(list_filter(embedding, x -> x <> 0)) = 0) AS n_zero_vectors"),
@@ -2563,14 +2570,16 @@ object SparkEntry {
         "JOIN n nb ON dt.label = nb.label AND nb.half = 1 " +
         "JOIN cnt ca ON dt.label = ca.label AND ca.half = 0 " +
         "JOIN cnt cb ON dt.label = cb.label AND cb.half = 1 ORDER BY label"),
-    // q207: Σq² in HUGEINT (DECIMAL(38,0)'s mirror); shares never float
+    // q207: Σq² in HUGEINT internally (DECIMAL(38,0)'s mirror) — but
+    // the OUTPUT column is BIGINT on both sides (SURVEY §7.3: no wide
+    // decimals in declared outputs; the driver hashes dtypes)
     "q207_supplier_concentration" ->
       ("WITH s AS (SELECT p_brand, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qs " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand, l_suppkey), " +
         "b AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_suppliers, " +
         "CAST(sum(qs) AS BIGINT) AS total_qty, sum(CAST(qs AS HUGEINT) * qs) AS sum_sq " +
         "FROM s GROUP BY p_brand) " +
-        "SELECT p_brand, n_suppliers, total_qty, CAST(sum_sq AS DECIMAL(38,0)) AS sum_sq, " +
+        "SELECT p_brand, n_suppliers, total_qty, CAST(sum_sq AS BIGINT) AS sum_sq, " +
         "sum_sq * 4 > CAST(total_qty AS HUGEINT) * total_qty AS concentrated " +
         "FROM b ORDER BY p_brand"),
     "q208_embedding_coverage" ->

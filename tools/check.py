@@ -2,17 +2,39 @@
 """Dev-only local oracle checker (mimics the driver's DuckDB compare).
 
 Not part of the Scala library. Usage:
-    python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+    python3 tools/check.py [--strict] <sfDir> <verifyOutDir> [query ...]
 
 For each query dumped by graft.Verify, runs the corresponding oracle SQL
 from oracle_sql.json in DuckDB (tables registered as views over the same
 parquet) and compares: column set (sorted by name), row count, and
 values row-by-row.
+
+--strict additionally mimics the DRIVER's asymmetric read paths, which
+the default mode cannot see because it routes BOTH sides through DuckDB
+fetchdf (collapsing every decimal to float64): the driver reads the
+ORACLE via fetchdf but the SPARK parquet natively via pyarrow, where a
+decimal128 column survives as pandas `object` (Decimal values) and
+hash-mismatches a float64 oracle even when every value agrees — q207's
+round-9 red row. Strict mode re-reads the spark output through pyarrow
+and compares post-collapse pandas dtypes (tz/unit-normalized), so a
+wide-decimal output fails locally before the driver sees it. Verified
+calibration: old-q207 fails strict; q90/q91/q158/q160 (date-vs-ts and
+small-decimal-vs-double oracles, driver-green in r09) pass.
 """
 import json
 import sys
 
 import duckdb
+import pyarrow.dataset as pads
+
+
+def canon_dtype(s):
+    """Canonical pandas dtype name: collapse tz/unit variants the
+    driver's compare normalizes, keep class differences (object ≠
+    float64 ≠ int64)."""
+    if s.startswith("datetime64"):
+        return "datetime64"
+    return s
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -27,8 +49,12 @@ def norm(df):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = sys.argv[1:]
+    strict = "--strict" in argv
+    if strict:
+        argv = [a for a in argv if a != "--strict"]
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -65,6 +91,20 @@ def main():
             print(f"FAIL {name}: dtype mismatch (oracle vs spark): {dt_diff}")
             n_fail += 1
             continue
+        if strict:
+            # oracle through fetchdf (driver's path, = `exp` above);
+            # spark parquet through PYARROW, not DuckDB — the driver's
+            # other path, where decimals don't collapse to float64
+            pa_df = pads.dataset(f"{out_dir}/{name}", format="parquet").to_table().to_pandas()
+            exp_t = {c: canon_dtype(str(exp[c].dtype)) for c in exp.columns}
+            got_t = {c: canon_dtype(str(pa_df[c].dtype)) for c in pa_df.columns}
+            at_diff = [(c, exp_t[c], got_t.get(c)) for c in sorted(exp_t)
+                       if exp_t[c] != got_t.get(c)]
+            if at_diff:
+                print(f"FAIL {name}: STRICT post-collapse dtype mismatch "
+                      f"(oracle-fetchdf vs spark-pyarrow): {at_diff}")
+                n_fail += 1
+                continue
         diff_cols = []
         for c in exp.columns:
             a, b = exp[c], got[c]
