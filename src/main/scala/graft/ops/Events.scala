@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
 object Events {
   import Det._
 
-  private val MicrosPerDay = 86400000000L
+  private[graft] val MicrosPerDay = 86400000000L
 
   /** Per-user event-ordered window; ties on ts broken by event_id so
     * window results are deterministic (determinism rule 1 applied to
@@ -169,10 +169,19 @@ object Events {
     * long session does not (its concurrency is the carry level —
     * derivable, not a row).
     */
-  def q200PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
-    val sp = sessionSpans(spark, dir).select(
+  def q200PeakConcurrency(spark: SparkSession, dir: String): DataFrame =
+    concurrencySweep(sessionSpans(spark, dir).select(
       unix_micros(col("session_start")).as("sus"),
-      unix_micros(col("session_end")).as("eus"))
+      unix_micros(col("session_end")).as("eus")))
+
+  /** The q200 sweep readout factored over ANY span relation
+    * (`sus`/`eus` µs columns) so the batch query and the streaming
+    * dual's drained-feed readout share one definition — the
+    * sweep-and-session-report-can-never-disagree stance, extended to
+    * the closed-span feed [[graft.streaming.StreamingOps.concurrencyStream]]
+    * emits.
+    */
+  private[graft] def concurrencySweep(sp: DataFrame): DataFrame = {
     val bounds = sp.select(
         expr(Det.floorDivExpr("sus", MicrosPerDay)).as("day"),
         col("sus").as("us"), lit(1L).as("ds"), lit(0L).as("de"))
@@ -597,11 +606,14 @@ object Events {
     *
     * Semantics both engines agree on: only valid JSON OBJECTS profile
     * (malformed rows, scalars, arrays, NULLs contribute nothing — a
-    * `from_json` map parse with `allowSingleQuotes=false` on the
-    * Spark side, matching the oracle's json_valid/json_type strictness
-    * exactly: Jackson's other lenient toggles are already off by
-    * default, and NaN/Infinity are VALID to both engines, extracting
-    * as the same string); values compare as their scalar string
+    * `from_json` map parse with `allowSingleQuotes=false` AND
+    * `allowNonNumericNumbers=false` on the Spark side, matching the
+    * oracle's json_valid/json_type strictness exactly: Jackson's
+    * other lenient toggles are already off by default, but
+    * NaN/Infinity are NOT symmetric — Spark's from_json default
+    * allows them while DuckDB's json_valid is strict RFC 8259
+    * (yyjson rejects them), so both engines must reject such
+    * payloads); values compare as their scalar string
     * forms, so the distinct COUNT is representation-independent
     * (nested-object values are counted but their spelling is
     * engine-specific — contract: scalar payloads, the testdata's
@@ -613,7 +625,8 @@ object Events {
     val total = e.agg(count(lit(1)).as("n_total"))
     e.filter(col("props").isNotNull)
       .select(explode(expr("from_json(props, 'map<string,string>', " +
-        "map('allowSingleQuotes', 'false'))")).as(Seq("key", "value")))
+        "map('allowSingleQuotes', 'false', 'allowNonNumericNumbers', 'false'))"))
+        .as(Seq("key", "value")))
       .groupBy("key")
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("value")).as("n_distinct_values"))

@@ -1061,4 +1061,130 @@ object StreamingOps {
           Iterator.single((uid, st.lastType, st.value, st.valueIsNull, st.us, st.eventId))
       }
   }
+
+  /** The stateless parse front of [[jsonProfileStream]]: one
+    * (key, value) row per entry of each valid-JSON-OBJECT payload,
+    * under EXACTLY batch q211's parse contract
+    * (`allowSingleQuotes=false`, `allowNonNumericNumbers=false` —
+    * malformed rows, scalars, arrays, NULLs contribute nothing).
+    * Row-local, so no watermark and no state.
+    */
+  def jsonKvFeed(rows: DataFrame): Dataset[(String, String)] = {
+    import rows.sparkSession.implicits._
+    rows.filter(col("props").isNotNull)
+      .select(explode(expr("from_json(props, 'map<string,string>', " +
+        "map('allowSingleQuotes', 'false', 'allowNonNumericNumbers', 'false'))"))
+        .as(Seq("key", "value")))
+      .as[(String, String)]
+  }
+
+  /** State for [[jsonProfileStream]]: the row count plus the 64-bit
+    * value-hash set backing the exact distinct count.
+    */
+  case class JsonKeyState(nRows: Long, valueHashes: Seq[Long])
+
+  /** Streaming JSON payload profiling (batch q211's stateful dual —
+    * the schema-on-read drift monitor run where it matters most, at
+    * the ingest edge: a new key or a cardinality explosion surfaces in
+    * the NEXT micro-batch, not the next nightly profile). Per payload
+    * key, group state carries the row count and the distinct-value
+    * set as 64-bit hashes (two-seed murmur over the value string —
+    * 16 B/value instead of the value body; exact up to 64-bit
+    * collisions, i.e. ~n²/2⁶⁵); each micro-batch emits the updated
+    * (key, n_rows, n_distinct_values) row of every key it touched
+    * ([[merkleStream]]'s emission contract), so the LAST emission per
+    * key after a drain matches batch q211's per-key columns
+    * bit-for-bit (StreamingSpec pins it; the batch's n_total /
+    * `ubiquitous` columns are a corpus-global readout, derivable
+    * downstream from the total ingested count, not per-key state).
+    * A NULL map value counts toward n_rows but never the distinct set
+    * (batch countDistinct semantics).
+    *
+    * STATE CONTRACT: O(distinct values) per key — right for the
+    * profile's purpose (payload fields are enum-ish; that is what
+    * makes them promotable to columns). A key whose value cardinality
+    * is unbounded (an id field) is exactly what the monitor exists to
+    * FLAG, and once flagged belongs in a q47-style HLL sketch state,
+    * not an exact set — swap `valueHashes` for the sketch bytes at
+    * that point.
+    */
+  def jsonProfileStream(kvs: Dataset[(String, String)])
+      : Dataset[(String, Long, Long)] = {
+    import kvs.sparkSession.implicits._
+    kvs.groupByKey(_._1)
+      .flatMapGroupsWithState[JsonKeyState, (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, String)], state: GroupState[JsonKeyState]) =>
+          val s0 = state.getOption.getOrElse(JsonKeyState(0L, Nil))
+          var n = s0.nRows
+          val hashes = scala.collection.mutable.Set.from(s0.valueHashes)
+          it.foreach { case (_, v) =>
+            n += 1L
+            if (v != null) {
+              val h = (scala.util.hashing.MurmurHash3.stringHash(v, 0x9747b28c).toLong << 32) |
+                (scala.util.hashing.MurmurHash3.stringHash(v, 0x5bd1e995).toLong & 0xffffffffL)
+              hashes += h
+            }
+          }
+          state.update(JsonKeyState(n, hashes.toSeq))
+          Iterator.single((key, n, hashes.size.toLong))
+      }
+  }
+
+  /** State for [[concurrencyStream]]: the user's OPEN session —
+    * start/last event-time (µs) and its event count.
+    */
+  case class OpenSession(hasOpen: Boolean, startUs: Long, lastUs: Long, n: Long)
+
+  /** Streaming gap-session spans (batch q13's EXACT-span dual and the
+    * feed under q200's capacity sweep): per user, the open session
+    * lives in group state — start, last-seen event time, event count,
+    * three longs, precisely the "one state entry per OPEN session"
+    * story q200's scaladoc tells, which makes the store's size AT any
+    * instant the concurrency q200 reports — and a session CLOSES when
+    * an event arrives more than the 24 h gap
+    * ([[graft.ops.Events.MicrosPerDay]]) after it, emitting the
+    * finished (user, start_us, end_us, n_events) span. Unlike
+    * [[sessionize]] (the `session_window` form, which emits on
+    * WATERMARK passage and returns gap-padded window bounds), the
+    * close-on-successor form emits exact event-time spans, so closed
+    * spans are bit-identical to batch [[graft.ops.Events.q13Sessionize]]
+    * rows and running [[graft.ops.Events.concurrencySweep]] over the
+    * drained feed plus the still-open tails reproduces batch q200
+    * exactly (StreamingSpec pins both). Events inside a batch fold in
+    * ts order; each user's final session never closes on a bounded
+    * drain ([[cusumStream]]'s open-tail parity bound — production
+    * closes it with an event-time timeout at the watermark).
+    *
+    * INPUT CONTRACT: (user_id, ts), both non-null (batch q13 windows
+    * partition on user_id; a null user is its own batch partition but
+    * a degenerate singleton stream group — pre-filter, like
+    * [[interArrivalStream]]). Within-user disorder beyond the open
+    * horizon is out of contract ([[scd2Stream]]'s bound).
+    */
+  def concurrencyStream(events: Dataset[(Long, java.sql.Timestamp)])
+      : Dataset[(Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    val gap = graft.ops.Events.MicrosPerDay
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp)], state: GroupState[OpenSession]) =>
+          var cur = state.getOption.filter(_.hasOpen)
+          val out = Seq.newBuilder[(Long, Long, Long, Long)]
+          it.toSeq.map(e => tsMicros(e._2)).sorted.foreach { us =>
+            cur match {
+              case Some(s) if us - s.lastUs > gap =>
+                out += ((uid, s.startUs, s.lastUs, s.n))
+                cur = Some(OpenSession(hasOpen = true, us, us, 1L))
+              case Some(s) =>
+                cur = Some(s.copy(lastUs = math.max(s.lastUs, us), n = s.n + 1L))
+              case None =>
+                cur = Some(OpenSession(hasOpen = true, us, us, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

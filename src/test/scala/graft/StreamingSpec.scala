@@ -991,4 +991,109 @@ class StreamingSpec extends SparkSpecBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed == batch, s"stream/batch snapshot-diff divergence: $streamed vs $batch")
   }
+
+  test("jsonProfileStream: distinct-value state carries across the seam; last emission per key equals batch q211") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns
+    // color: 5 profiled rows, distinct {red, blue} (the JSON-null value
+    // counts a row but never the set); size: {1,2,3}; the single-quote,
+    // NaN (allowNonNumericNumbers=false — the DuckDB-parity stance),
+    // malformed, array, and NULL-props rows contribute NOTHING
+    writeEvents(dir,
+      (1L, T0 + 0 * Ns, 1L, "a", 0.0, """{"color":"red","size":"1"}"""),
+      (2L, T0 + 1 * Ns, 1L, "a", 0.0, """{"color":"red","size":"2"}"""),
+      (3L, T0 + 2 * Ns, 1L, "a", 0.0, """{"color":"blue"}"""),
+      (4L, T0 + 3 * Ns, 1L, "a", 0.0, """{"color":null}"""),
+      (5L, T0 + 4 * Ns, 1L, "a", 0.0, """{'color':'green'}"""),
+      (6L, T0 + 5 * Ns, 1L, "a", 0.0, """{"ratio":NaN}"""),
+      (7L, T0 + 6 * Ns, 1L, "a", 0.0, "not json"),
+      (8L, T0 + 7 * Ns, 1L, "a", 0.0, "[1,2]"),
+      (9L, T0 + 8 * Ns, 1L, "a", 0.0, null),
+      (10L, T0 + 9 * Ns, 1L, "a", 0.0, """{"color":"red","size":"3"}"""))
+    val props = Tables.events(spark, dir).select("event_id", "props")
+      .collect().sortBy(_.getLong(0)).map(r => r.getString(1))
+    val ms = MemoryStream[String]
+    val q = StreamingOps.jsonProfileStream(
+      StreamingOps.jsonKvFeed(ms.toDF().withColumnRenamed("value", "props")))
+      .toDF("key", "n_rows", "n_distinct_values")
+      .writeStream.format("memory").queryName("jsonprof").outputMode("append").start()
+    // seam splits color's accumulation: ids 1-4 then 5-10 — if the
+    // hash-set state were lost, batch 2's red would re-count distinct=1
+    ms.addData(props.take(4).toIndexedSeq: _*); q.processAllAvailable()
+    ms.addData(props.drop(4).toIndexedSeq: _*); q.processAllAvailable()
+    val emissions = spark.table("jsonprof").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    q.stop()
+    // batch 1 snapshot emitted mid-stream: color had 4 rows, 2 distinct
+    assert(emissions.contains(("color", 4L, 2L)), emissions.toSeq)
+    // n_rows grows monotonically per key: max-n emission is the final
+    val streamed = emissions.groupBy(_._1)
+      .map { case (k, vs) => k -> { val f = vs.maxBy(_._2); (f._2, f._3) } }
+    val batch = graft.ops.Events.q211JsonProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed == batch, s"stream/batch JSON profile divergence: $streamed vs $batch")
+    assert(!streamed.contains("ratio"), "NaN payload must be rejected by both engines")
+  }
+
+  test("concurrencyStream: open-session state carries across the seam; closed spans equal batch q13 and the sweep readout equals batch q200") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns
+    val Day = 24 * Hour
+    // user 1: a 3-event session on day 0, a 2-event session on day 2
+    // (25h gap), a 1-event session on day 5; user 2: day 0 then day 3.
+    // Overlap structure exercises the sweep: day-0 has both users open.
+    writeEvents(dir,
+      (1L, T0 + 10 * Hour, 1L, "a", 0.0, "{}"),
+      (2L, T0 + 10 * Hour + 30 * 60 * Ns, 1L, "a", 0.0, "{}"),
+      (3L, T0 + 11 * Hour, 1L, "a", 0.0, "{}"),
+      (4L, T0 + 2 * Day + 12 * Hour, 1L, "a", 0.0, "{}"),
+      (5L, T0 + 2 * Day + 13 * Hour, 1L, "a", 0.0, "{}"),
+      (6L, T0 + 5 * Day, 1L, "a", 0.0, "{}"),
+      (7L, T0 + 10 * Hour + 45 * 60 * Ns, 2L, "a", 0.0, "{}"),
+      (8L, T0 + 3 * Day, 2L, "a", 0.0, "{}"))
+    val evs = Tables.events(spark, dir)
+      .select("event_id", "user_id", "ts")
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(1), r.getTimestamp(2)))
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingOps.concurrencyStream(ms.toDS())
+      .toDF("user_id", "start_us", "end_us", "n_events")
+      .writeStream.format("memory").queryName("spans").outputMode("append").start()
+    // seam splits user 1's first session (events 1-2 | 3-...)
+    ms.addData(evs.take(2).toIndexedSeq: _*); q.processAllAvailable()
+    ms.addData(evs.drop(2).toIndexedSeq: _*); q.processAllAvailable()
+    def spans() = spark.table("spans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.ops.Events.q13Sessionize(spark, dir)
+      .select(col("user_id"), expr("unix_micros(session_start)"),
+        expr("unix_micros(session_end)"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // bounded-drain parity: everything but each user's final session —
+    // and the mid-session seam must NOT have split session A
+    val lastStart = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(spans() == batch.filter(s => s._2 < lastStart(s._1)).toSet,
+      s"stream/batch span divergence: ${spans()} vs ${batch.toSet}")
+    // stream-only sentinels (NOT in the parquet) close each final
+    // session the way a production event-time timeout would
+    ms.addData((1L, new java.sql.Timestamp((T0 + 100 * Day) / 1000000L)),
+      (2L, new java.sql.Timestamp((T0 + 100 * Day) / 1000000L)))
+    q.processAllAvailable()
+    val all = spans()
+    q.stop()
+    assert(all == batch.toSet, s"post-close span divergence: $all vs ${batch.toSet}")
+    // the q200 readout over the drained feed IS batch q200
+    val sweep = graft.ops.Events.concurrencySweep(
+        all.toSeq.toDF("user_id", "sus", "eus", "n_events").select("sus", "eus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val q200 = graft.ops.Events.q200PeakConcurrency(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sweep.toSeq == q200.toSeq,
+      s"sweep/batch q200 divergence: ${sweep.toSeq} vs ${q200.toSeq}")
+    // the overlap fact itself: day 0 peaks at 2 concurrent sessions
+    assert(q200.head._4 == 2L, q200.toSeq)
+  }
 }
