@@ -292,6 +292,17 @@ object Audit {
     * manifest still covers them.
     */
   def q178MerkleManifest(spark: SparkSession, dir: String): DataFrame =
+    // Shape note (round 10): the union-first alternative (one
+    // scan-union feeding a single (table_name, bucket) exchange) was
+    // measured head-to-head in one JVM, 4 interleaved reps each at
+    // sf0.1 — ten-stage 1.93-2.11 s vs union-first 2.20-2.57 s. The
+    // union-first form shuffles a STRING grouping key at 10× the group
+    // cardinality and loses; the per-table aggregates below keep a
+    // 256-group long-keyed partial agg per subplan. The 11× rep-spread
+    // seen in round-9 FULL-SUITE runs does not reproduce isolated
+    // (spread ~1.2 over 8 reps for both shapes): it is inter-query
+    // GC/page-cache pollution landing on the suite's widest multi-job
+    // query, not a property of this plan.
     TablePk.map { case (table, pkExpr) =>
       Tables.all(table)(spark, dir)
         .select(expr(pkExpr).cast(LongType).as("pk"))
