@@ -252,6 +252,7 @@ object SparkEntry {
     "q210_ivm_merge" -> (Events.q210IvmMerge _),
     "q211_json_profile" -> (Events.q211JsonProfile _),
     "q212_cluster_provenance" -> (Similarity.q212ClusterProvenance _),
+    "q213_blockmax_wand" -> (TextOps.q213BlockMaxWand _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -266,6 +267,29 @@ object SparkEntry {
   // non-negative dividends.
   private def fdiv(a: String, d: Long): String =
     s"((($a) - (((($a) % $d) + $d) % $d)) // $d)"
+
+  /** The brute-force BM25 top-20, shared verbatim by q193 (the exact
+    * scorer) and q213 (the block-max WAND evaluator, which is exact
+    * pruning — the q37 same-oracle-by-design pattern).
+    */
+  private def bm25OracleSql: String =
+    "WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (" +
+      "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u " +
+      "WHERE term <> '' GROUP BY doc_id, term), " +
+      "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+      "qt AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 3), " +
+      "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id), " +
+      "n AS (SELECT count(*) AS n_docs FROM documents), " +
+      "a AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+      "s AS (SELECT tf.doc_id, floor(" +
+      "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(qt.df AS DOUBLE) + 0.5) / (CAST(qt.df AS DOUBLE) + 0.5)) * " +
+      "(CAST(tf.tf AS DOUBLE) * 2.2 / (CAST(tf.tf AS DOUBLE) + " +
+      "1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))) " +
+      "* 1000000 + 0.5)/1000000 AS c " +
+      "FROM tf JOIN qt ON tf.term = qt.term JOIN dl ON tf.doc_id = dl.doc_id " +
+      "CROSS JOIN n CROSS JOIN a) " +
+      s"SELECT doc_id, count(*) AS n_matched, ${dsum("c")} AS score " +
+      "FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"
 
   /** q04's statement, shared verbatim by q210 (whose merge ≡ recompute
     * contract IS this SQL — the q37 same-oracle-by-design pattern).
@@ -2347,24 +2371,10 @@ object SparkEntry {
     // q193: the BM25 expression tree mirrored verbatim (pure IEEE
     // double ops on exact integers + one exact avgdl division);
     // contributions floored at 1 µnat then decimal-summed (q71)
-    "q193_bm25" ->
-      ("WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (" +
-        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u " +
-        "WHERE term <> '' GROUP BY doc_id, term), " +
-        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
-        "qt AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 3), " +
-        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id), " +
-        "n AS (SELECT count(*) AS n_docs FROM documents), " +
-        "a AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
-        "s AS (SELECT tf.doc_id, floor(" +
-        "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(qt.df AS DOUBLE) + 0.5) / (CAST(qt.df AS DOUBLE) + 0.5)) * " +
-        "(CAST(tf.tf AS DOUBLE) * 2.2 / (CAST(tf.tf AS DOUBLE) + " +
-        "1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))) " +
-        "* 1000000 + 0.5)/1000000 AS c " +
-        "FROM tf JOIN qt ON tf.term = qt.term JOIN dl ON tf.doc_id = dl.doc_id " +
-        "CROSS JOIN n CROSS JOIN a) " +
-        s"SELECT doc_id, count(*) AS n_matched, ${dsum("c")} AS score " +
-        "FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"),
+    "q193_bm25" -> bm25OracleSql,
+    // q213: EXACT q193 by construction (block-max WAND prunes, never
+    // approximates) — SAME oracle by design, the q37/q210 pattern
+    "q213_blockmax_wand" -> bm25OracleSql,
     // q194: both engines floor the identical IEEE division for the
     // band; l-diversity = exact distinct balances within the class
     "q194_k_anonymity" ->

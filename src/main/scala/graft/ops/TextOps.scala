@@ -654,6 +654,42 @@ object TextOps {
     tf.groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), asc("term")).limit(3)
 
+  /** The Okapi idf term (Lucene's +1 shift) over `df`/`n_docs` cols. */
+  private def bm25Idf: Column = {
+    import org.apache.spark.sql.types.DoubleType
+    log(lit(1.0) +
+      (col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
+        (col("df").cast(DoubleType) + lit(0.5)))
+  }
+
+  /** The tf saturation term over `tf`/`dl`/`avgdl` cols (k₁=1.2,
+    * b=0.75) — the IDENTICAL expression tree on every call site, so
+    * the exact scorer (q193), the WAND evaluator's re-score (q213) and
+    * its block upper bounds can never drift numerically.
+    */
+  private def bm25Sat: Column = {
+    import org.apache.spark.sql.types.DoubleType
+    col("tf").cast(DoubleType) * lit(2.2) /
+      (col("tf").cast(DoubleType) +
+        lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast(DoubleType) / col("avgdl")))
+  }
+
+  /** Exact BM25 per-doc scoring over a (term, doc_id, tf, df) posting
+    * relation — q193's whole scorer factored out so q213's
+    * candidate-pruned pass re-scores with the SAME plan tail
+    * (µ-nat-floored contributions, exact DECIMAL fold, q18's top-k
+    * pin applied by the caller).
+    */
+  private def bm25Score(postings: DataFrame, dl: DataFrame,
+                        nDocs: DataFrame, avgdl: DataFrame): DataFrame =
+    postings
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("c", floor(bm25Idf * bm25Sat * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"), Det.dsum4(col("c")).as("score"))
+
   def q193Bm25(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
     val d = Tables.documents(spark, dir)
@@ -662,19 +698,7 @@ object TextOps {
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val avgdl = dl.agg((sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
-    val idf = log(lit(1.0) +
-      (col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
-        (col("df").cast(DoubleType) + lit(0.5)))
-    val sat = col("tf").cast(DoubleType) * lit(2.2) /
-      (col("tf").cast(DoubleType) +
-        lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast(DoubleType) / col("avgdl")))
-    tf.join(broadcast(qterms), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(nDocs))
-      .crossJoin(broadcast(avgdl))
-      .withColumn("c", floor(idf * sat * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_matched"), Det.dsum4(col("c")).as("score"))
+    bm25Score(tf.join(broadcast(qterms), "term"), dl, nDocs, avgdl)
       .orderBy(desc("score"), asc("doc_id"))
       .limit(20)
   }
@@ -703,6 +727,136 @@ object TextOps {
       .filter(col("n_terms") === 3L)
       .select("doc_id", "sum_tf", "min_tf")
       .orderBy("doc_id")
+  }
+
+  /** Safety margin added to every per-(term, block) BM25 upper bound:
+    * the exact scorer publishes `floor(x·10⁶ + 0.5)/10⁶`, which can
+    * EXCEED the raw product x by up to 5·10⁻⁷, and the bound's own
+    * product can sit a few ulps under its true supremum — 10⁻⁶ covers
+    * both. The margin only ever makes skipping MORE conservative, so
+    * exactness never rests on it being tight.
+    */
+  private val WandMargin = 1e-6
+
+  /** Everything the WAND evaluator shares between the declared query
+    * ([[q213BlockMaxWand]]) and the pruning-visibility view
+    * ([[wandBlockSurvival]]): query-term postings with q192's block
+    * assignment, per-block score upper bounds, the seed threshold θ,
+    * and the survival filter.
+    */
+  private def wandInternals(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.DoubleType
+    val d = Tables.documents(spark, dir)
+    val tf = tfRelation(spark, dir)
+    val qterms = topDfTerms(tf)
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val avgdl = dl.agg((sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    // the most favorable document length any posting could carry —
+    // saturation decreases in dl, so dl_min maximizes it (one row)
+    val dlMin = dl.agg(min(col("dl")).as("dl_min"))
+    val qp = tf.join(broadcast(qterms), "term") // term, doc_id, tf, df
+    val posts = qp
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy("term").orderBy("doc_id")).cast(LongType) - lit(1L))
+      .withColumn("block_id", expr(s"pos div ${PostingBlockSize}L"))
+    // per-(term, block): the block-max tf is the only stat the bound
+    // needs beyond the term's df (q192's manifest carries it as the
+    // skip metadata this evaluator is the consumer of)
+    val blocks = posts.groupBy("term", "block_id")
+      .agg(max(col("tf")).as("max_tf"), max(col("df")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(avgdl))
+      .crossJoin(broadcast(dlMin))
+      .withColumn("ub",
+        floor(bm25Idf *
+          (col("max_tf").cast(DoubleType) * lit(2.2) /
+            (col("max_tf").cast(DoubleType) +
+              lit(1.2) * (lit(1.0) - lit(0.75) +
+                lit(0.75) * col("dl_min").cast(DoubleType) / col("avgdl")))) *
+          lit(1000000.0) + lit(0.5)) / lit(1000000.0) + lit(WandMargin))
+      .select("term", "block_id", "max_tf", "df", "ub")
+    val maxUb = blocks.groupBy("term").agg(max(col("ub")).as("max_ub"))
+    val sumMax = maxUb.agg(sum(col("max_ub")).as("sum_max_ub"))
+    // θ seed: exactly score the docs of each term's top-ub block
+    // (≤ 3·128 docs) and take the 20th-best — a LOWER bound on the
+    // final 20th-best score, because the candidate set only grows
+    val seedBlocks = blocks
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("term").orderBy(desc("ub"), asc("block_id"))))
+      .filter(col("rn") === 1).select("term", "block_id")
+    val seedDocs = posts.join(broadcast(seedBlocks), Seq("term", "block_id"))
+      .select("doc_id").distinct()
+    val theta = bm25Score(qp.join(broadcast(seedDocs), Seq("doc_id"), "left_semi"),
+        dl, nDocs, avgdl)
+      .orderBy(desc("score"), asc("doc_id")).limit(20)
+      .agg(coalesce(min(col("score")), lit(-1e300)).as("theta"))
+    // block-max WAND skip rule: a block is skippable when even its own
+    // bound plus every OTHER term's best block bound cannot reach θ —
+    // any doc living only in skipped blocks scores strictly below θ,
+    // hence below the final 20th-best (see q213's exactness argument)
+    val survival = blocks.join(broadcast(maxUb), "term")
+      .crossJoin(broadcast(sumMax))
+      .crossJoin(broadcast(theta))
+      .withColumn("bound", col("ub") + (col("sum_max_ub") - col("max_ub")))
+      .withColumn("survives", col("bound") >= col("theta"))
+    (posts, qp, dl, nDocs, avgdl, survival)
+  }
+
+  /** The per-(term, block) pruning view behind [[q213BlockMaxWand]] —
+    * block bounds, the seed threshold and the survival verdict — so a
+    * spec can MEASURE blocks skipped (the point of carrying block-max
+    * metadata at all) instead of trusting the claim.
+    */
+  private[graft] def wandBlockSurvival(spark: SparkSession, dir: String): DataFrame =
+    wandInternals(spark, dir)._6
+      .select("term", "block_id", "max_tf", "ub", "bound", "theta", "survives")
+      .orderBy("term", "block_id")
+
+  /** q213 — BLOCK-MAX WAND TOP-K RETRIEVAL: q193's exact top-20 by way
+    * of q192's skip metadata — the fourth leg of the retrieval family
+    * (q192 builds the block manifest, q193 brute-force ranks, q198
+    * intersects; this one PRUNES, which is how a production engine
+    * actually evaluates top-k). Three phases, all relational:
+    * (1) per-(term, block) score upper bounds from the block-max tf +
+    * the corpus-min dl (saturation is increasing in tf, decreasing in
+    * dl, idf ≥ 0 under Lucene's +1 shift); (2) a threshold θ = the
+    * 20th-best EXACT score among the docs of each term's best block
+    * (≤ 3·128 seed docs — one cheap scoring pass); (3) the WAND skip
+    * rule — a block survives iff `ub + Σ_{other terms} max_ub ≥ θ` —
+    * and only surviving blocks' docs are re-scored exactly (every
+    * matched term of a candidate participates, including postings that
+    * sit in skipped blocks of OTHER terms).
+    *
+    * EXACTNESS (why the output is bit-identical to q193, and the
+    * oracle is q193's SQL verbatim — the q37/q210 same-oracle-by-design
+    * pattern): every per-term contribution of a doc in block b is
+    * ≤ ub(b) ([[WandMargin]] absorbs the µ-nat round-up and ulp), so a
+    * doc ALL of whose blocks are skipped scores ≤ max over its terms
+    * of [ub(block) + Σ_{t'≠t} max_ub(t')] < θ; and θ ≤ the full
+    * candidate set's 20th-best (the seed set is a subset — adding docs
+    * can only raise the 20th score), so no skipped doc can displace a
+    * top-20 row even on ties (a tie needs score = θ's successor,
+    * skipped docs sit STRICTLY below θ). The final re-score and top-k
+    * pin are [[q193Bm25]]'s own plan tail via the shared scorer.
+    *
+    * Scale: the bound/θ/survival relations are all block- or
+    * row-count-sized (⌈df/128⌉ rows per term, one-row broadcasts); the
+    * only corpus-sized flows are the posting build (q192's shape) and
+    * the candidate re-score, which is the PRUNED subset — on a skewed
+    * corpus the evaluator touches the high-impact blocks and proves it
+    * skipped the rest (Wand13Spec measures the skip count).
+    */
+  def q213BlockMaxWand(spark: SparkSession, dir: String): DataFrame = {
+    val (posts, qp, dl, nDocs, avgdl, survival) = wandInternals(spark, dir)
+    val candDocs = posts
+      .join(broadcast(survival.filter(col("survives")).select("term", "block_id")),
+        Seq("term", "block_id"))
+      .select("doc_id").distinct()
+    bm25Score(qp.join(candDocs, Seq("doc_id"), "left_semi"), dl, nDocs, avgdl)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
   }
 
   /** q201 — SPELLING-VARIANT LINKAGE (SymSpell deletion neighborhoods):

@@ -507,6 +507,9 @@ class PlanQualitySpec extends SparkSpecBase {
       // q193: the one-row n_docs / avgdl constant broadcasts —
       // q125/q53's scalar-not-relation shape
       "q193_bm25",
+      // q213: q193's scalar broadcasts plus the one-row dl_min /
+      // Σmax_ub / θ bound constants — all scalar-not-relation
+      "q213_blockmax_wand",
       // q202: the one-row (n_tok, n_big) corpus-totals broadcast —
       // q125/q53's scalar-not-relation shape
       "q202_collocation_lift",

@@ -94,11 +94,45 @@ class RetrievalSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, 4L, 1L), (2L, 5L, 1L)), out.toSeq)
   }
 
-  test("empty corpus: q192/q193/q198 return 0 rows, not crashes") {
+  test("empty corpus: q192/q193/q198/q213 return 0 rows, not crashes") {
     val dir = tmpDir()
     writeDocuments(dir)
     assert(TextOps.q192PostingBlocks(spark, dir).count() == 0)
     assert(TextOps.q193Bm25(spark, dir).count() == 0)
     assert(TextOps.q198BooleanAnd(spark, dir).count() == 0)
+    assert(TextOps.q213BlockMaxWand(spark, dir).count() == 0)
+  }
+
+  test("q213: block-max WAND skips the low-impact blocks and still returns q193's exact top-20") {
+    val dir = tmpDir()
+    // 30 high-impact docs (tf 8 per query term, dl 24) at LOW doc ids —
+    // posting lists are doc-sorted, so they all land in block 0 — plus
+    // 330 tf-1 long-tail docs spilling into blocks 1-2 per term, plus
+    // 200 no-query-term docs so the query terms' idf is materially > 0
+    // (df 360 of 560; without them idf ≈ ln(1.0015) and every score
+    // collapses toward the µ-nat floor).
+    val high = (1L to 30L).map(i =>
+      (i, Seq.fill(8)("t1 t2 t3").mkString(" "), "en", "s", 1L))
+    val tail = (1001L to 1330L).map(i =>
+      (i, "t1 t2 t3 " + (1 to 45).map(k => s"f${i}x$k").mkString(" "), "en", "s", 1L))
+    val inert = (2001L to 2200L).map(i => (i, s"g${i}a g${i}b", "en", "s", 1L))
+    writeDocuments(dir, (high ++ tail ++ inert): _*)
+    // exact equality with the brute-force scorer — WAND prunes, never
+    // approximates (same ORDER BY score DESC, doc_id tie-break)
+    val brute = TextOps.q193Bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val wand = TextOps.q213BlockMaxWand(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(wand == brute, s"WAND diverged from brute force:\n$wand\nvs\n$brute")
+    assert(brute.map(_._1).toSet == (1L to 20L).toSet, brute)
+    // the pruning actually happened: each term's 360 postings cut into
+    // 3 blocks; block 0 (the high-tf seeds) must survive, the tf-1
+    // tail blocks must be provably un-competitive
+    val surv = TextOps.wandBlockSurvival(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(6)).toMap
+    assert(surv.size == 9, surv)
+    assert(Seq("t1", "t2", "t3").forall(t => surv((t, 0L))), surv)
+    val skipped = surv.count(!_._2)
+    assert(skipped == 6, s"expected all 6 tail blocks skipped: $surv")
   }
 }
