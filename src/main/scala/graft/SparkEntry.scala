@@ -253,6 +253,9 @@ object SparkEntry {
     "q211_json_profile" -> (Events.q211JsonProfile _),
     "q212_cluster_provenance" -> (Similarity.q212ClusterProvenance _),
     "q213_blockmax_wand" -> (TextOps.q213BlockMaxWand _),
+    "q214_manifest_diff" -> (Audit.q214ManifestDiff _),
+    "q215_transition_dwell" -> (Events.q215TransitionDwell _),
+    "q216_dim_variance" -> (Similarity.q216DimVariance _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2375,6 +2378,52 @@ object SparkEntry {
     // q213: EXACT q193 by construction (block-max WAND prunes, never
     // approximates) — SAME oracle by design, the q37/q210 pattern
     "q213_blockmax_wand" -> bm25OracleSql,
+    // q214: q178's checksum-term formula on both manifests; the B
+    // replica's mod-997 drop mirrored in pmod form; IS DISTINCT FROM
+    // keeps one-side-only buckets a repair verdict, not NULL
+    "q214_manifest_diff" -> {
+      val (p, k) = (Audit.ChecksumMod, Audit.KnuthMult)
+      def man(pred: String, sfx: String) =
+        s"SELECT ((event_id % $p) * $k % $p) % 256 AS bucket, " +
+          s"CAST(count(*) AS BIGINT) AS n_$sfx, " +
+          s"CAST(sum(CAST((event_id % $p) * $k % $p AS DECIMAL(38,0))) % $p AS BIGINT) AS ck_$sfx " +
+          s"FROM events $pred GROUP BY 1"
+      s"WITH a AS (${man("", "a")}), " +
+        s"b AS (${man("WHERE ((event_id % 997) + 997) % 997 <> 0", "b")}) " +
+        "SELECT coalesce(a.bucket, b.bucket) AS bucket, " +
+        "CAST(coalesce(n_a, 0) AS BIGINT) AS n_rows_a, " +
+        "CAST(coalesce(n_b, 0) AS BIGINT) AS n_rows_b, " +
+        "ck_a AS checksum_a, ck_b AS checksum_b, " +
+        "(n_a IS DISTINCT FROM n_b) OR (ck_a IS DISTINCT FROM ck_b) AS needs_repair " +
+        "FROM a FULL JOIN b ON a.bucket = b.bucket ORDER BY bucket"
+    },
+    // q215: q150's window (both leads share it) priced in exact µs;
+    // p50/p90 under the q38 percentile ↔ quantile_cont mapping
+    "q215_transition_dwell" ->
+      (s"WITH s AS (SELECT event_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type, " +
+        s"lead(epoch_us($tsUs)) OVER (PARTITION BY user_id ORDER BY ts, event_id) - epoch_us($tsUs) AS dwell " +
+        "FROM events) " +
+        "SELECT event_type, next_type, count(*) AS n, " +
+        "CAST(min(dwell) AS BIGINT) AS min_dwell_us, " +
+        s"${rd4("quantile_cont(dwell, 0.5)")} AS med_dwell_us, " +
+        s"${rd4("quantile_cont(dwell, 0.9)")} AS p90_dwell_us, " +
+        "CAST(max(dwell) AS BIGINT) AS max_dwell_us " +
+        "FROM s WHERE next_type IS NOT NULL " +
+        "GROUP BY event_type, next_type ORDER BY event_type, next_type"),
+    // q216: q142's quantize-then-exact-decimal-sum CTEs; the mean and
+    // computational variance evaluate ONE identical IEEE tree from
+    // exact decimal inputs; dead = exact decimal min=max
+    "q216_dim_variance" ->
+      ("WITH ix AS (SELECT embedding AS emb, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings), " +
+        "px AS (SELECT i, CAST(floor(CAST(emb[i] AS DOUBLE)*1000000)/1000000 AS DECIMAL(12,6)) AS xq FROM ix), " +
+        "g AS (SELECT CAST(i - 1 AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n_vals, " +
+        "CAST(sum(xq) AS DECIMAL(20,6)) AS s1, sum(CAST(xq*xq AS DECIMAL(38,12))) AS s2, " +
+        "min(xq) AS mn, max(xq) AS mx FROM px GROUP BY i) " +
+        s"SELECT dim, n_vals, ${rd4("CAST(s1 AS DOUBLE)/n_vals")} AS mean_q, " +
+        s"${rd4("(n_vals*CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))/(n_vals*n_vals)")} AS variance_q, " +
+        "CAST(mn AS DOUBLE) AS min_q, CAST(mx AS DOUBLE) AS max_q, mn = mx AS dead " +
+        "FROM g ORDER BY dim"),
     // q194: both engines floor the identical IEEE division for the
     // band; l-diversity = exact distinct balances within the class
     "q194_k_anonymity" ->

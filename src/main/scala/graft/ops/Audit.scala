@@ -313,6 +313,44 @@ object Audit {
         .select(lit(table).as("table_name"), col("bucket"), col("n_rows"), col("checksum"))
     }.reduce(_ unionByName _).orderBy("table_name", "bucket")
 
+  /** q214 — MANIFEST DIFF (anti-entropy repair plan): the CONSUMER of
+    * [[q178MerkleManifest]]'s artifact — compare two replicas' bucket
+    * manifests and emit, per bucket, both sides' counts and checksums
+    * plus the `needs_repair` verdict; the repair loop then exchanges
+    * ONLY flagged buckets' rows (at 256 buckets, a single lost row
+    * re-sends ~1/256th of a table instead of all of it — exactly why
+    * q178 buckets at repair granularity). Replica B is simulated
+    * deterministically as the events table minus every 997th event id
+    * (a mod drop — the oracle replays it), standing in for a replica
+    * that missed a delivery; a production run substitutes two real
+    * manifest reads and keeps the diff, which is the operator.
+    *
+    * Scale: two ≤256-row manifests (each built exactly like q178 —
+    * key-column-only scan, map-combined to bucket rows) full-outer
+    * joined on bucket — the diff itself never touches table rows, the
+    * defining property of anti-entropy. Null-safe compares (`<=>`)
+    * make a bucket PRESENT on one side only (possible when a whole
+    * bucket's rows are missing) a repair, not a NULL verdict.
+    */
+  def q214ManifestDiff(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_id").cast(LongType).as("pk"))
+    def manifest(rows: DataFrame, side: String): DataFrame = rows
+      .withColumn("bucket", (checksumTerm(col("pk")) % 256).cast(LongType))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as(s"n_$side"),
+        (sum(checksumTerm(col("pk"))) % ChecksumMod).cast(LongType).as(s"ck_$side"))
+    val a = manifest(e, "a")
+    val b = manifest(e.filter(pmod(col("pk"), lit(997L)) =!= 0L), "b")
+    a.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_rows_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_rows_b"),
+        col("ck_a").as("checksum_a"), col("ck_b").as("checksum_b"),
+        (!(col("n_a") <=> col("n_b")) || !(col("ck_a") <=> col("ck_b")))
+          .as("needs_repair"))
+      .orderBy("bucket")
+  }
+
   /** q182 — JOIN-CARDINALITY AUDIT (q174's companion preflight): the
     * EXACT output size of every FK-edge join, computed WITHOUT running
     * the join — |child ⋈ parent| = Σ_k cnt_child(k)·cnt_parent(k) over

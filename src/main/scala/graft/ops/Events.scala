@@ -1059,6 +1059,37 @@ object Events {
       .orderBy("event_type", "next_type")
   }
 
+  /** q215 — TRANSITION DWELL PROFILE: q150's matrix priced in TIME —
+    * per (from, to) event-type edge, the distribution of how long a
+    * user sits on `from` before `to` arrives (count, exact min/max µs,
+    * interpolated p50/p90 under q38's percentile ↔ quantile_cont
+    * mapping). q150 says WHERE users go; this says how long each hop
+    * takes — the latency readout behind funnel-step timeouts (q153
+    * prices one hand-picked path; this prices every edge), q151's
+    * per-edge debounce windows, and UX "time on step" dashboards.
+    *
+    * Both leads ride ONE per-user window pass ([[userWindow]]'s tie
+    * rule, the same partition-bounded exchange q150 already pays —
+    * Spark fuses same-window functions into a single WindowExec), then
+    * a map-combinable aggregate at |types|² cardinality. Dwell is
+    * exact integer µs (unix_micros before subtraction — never a
+    * timestamp diff that could round); NULL-user rows form their own
+    * partition in BOTH engines (q150's stance, mirrored verbatim).
+    */
+  def q215TransitionDwell(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(userWindow))
+      .withColumn("dwell",
+        lead(unix_micros(col("ts")), 1).over(userWindow) - unix_micros(col("ts")))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("dwell")).as("min_dwell_us"),
+        roundD4(expr("percentile(dwell, 0.5)")).as("med_dwell_us"),
+        roundD4(expr("percentile(dwell, 0.9)")).as("p90_dwell_us"),
+        max(col("dwell")).as("max_dwell_us"))
+      .orderBy("event_type", "next_type")
+
   /** q147 — TIME-GRID RESAMPLE with forward fill: each user's irregular
     * event series re-expressed on a regular 6-hour grid spanning
     * [hour-floor(first event), last event], carrying the latest

@@ -2145,6 +2145,48 @@ object Similarity {
       .orderBy("source_a", "source_b")
   }
 
+  /** q216 — DIMENSION VARIANCE AUDIT (dead-dimension detector): per
+    * embedding dimension, value count, 4-dp mean/variance and exact
+    * min/max of the 6-dp-quantized components, plus the `dead` verdict
+    * (min = max — EVERY vector agrees on the dimension, an exact
+    * decimal fact, not a rounded-variance threshold). A dead or
+    * near-dead dimension is an encoder bug (a stuck ReLU, a truncated
+    * export) that silently wastes index width: q32's IVF cells, q123's
+    * int8 scales and q22's dot products all pay for coordinates that
+    * cannot discriminate. Complements q145 (per-VECTOR norm outliers)
+    * and q149 (quantization width) with the per-COORDINATE read.
+    *
+    * Exactness: q142's component discipline — floor-quantized
+    * DECIMAL(12,6) values, exact decimal Σx (20,6 — 10¹⁴-vector
+    * headroom) and Σx² (38,12), then ONE double evaluation of
+    * mean = s1/n and the computational variance
+    * (n·s2 − s1²)/n² as the IDENTICAL IEEE expression tree on both
+    * engines (the decimal inputs are exact and equal, so the doubles
+    * are bit-equal), 4-dp-rounded. Shape: one posexplode + one
+    * map-combinable groupBy at DIMENSION cardinality — the whole
+    * audit shuffles ≤ dim rows of six aggregates, never vectors.
+    */
+  def q216DimVariance(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xq",
+        (floor(col("x").cast(DoubleType) * lit(1000000.0)) / lit(1000000.0))
+          .cast(DecimalType(12, 6)))
+      .groupBy(col("dim").cast(LongType).as("dim"))
+      .agg(count(lit(1)).as("n_vals"),
+        sum(col("xq")).cast(DecimalType(20, 6)).as("s1"),
+        sum((col("xq") * col("xq")).cast(DecimalType(38, 12))).as("s2"),
+        min(col("xq")).as("mn"), max(col("xq")).as("mx"))
+      .select(col("dim"), col("n_vals"),
+        roundD4(col("s1").cast(DoubleType) / col("n_vals")).as("mean_q"),
+        roundD4((col("n_vals") * col("s2").cast(DoubleType)
+          - col("s1").cast(DoubleType) * col("s1").cast(DoubleType))
+          / (col("n_vals") * col("n_vals"))).as("variance_q"),
+        col("mn").cast(DoubleType).as("min_q"),
+        col("mx").cast(DoubleType).as("max_q"),
+        (col("mn") === col("mx")).as("dead"))
+      .orderBy("dim")
+
   /** q206 — EMBEDDING CENTROID DRIFT: per label, the cosine between
     * the centroids of two ingestion halves (even vs odd vec_id — the
     * deterministic stand-in for before/after batch ids), with half

@@ -692,4 +692,28 @@ class EventOpsSpec extends SparkSpecBase {
       (1L, 3L, "a", t0ms + 3 * 3600 * 1000L, None),
       (2L, 1L, "c", t0ms, None)), out.toSeq)
   }
+
+  test("q215 transition dwell: exact per-edge gaps, interpolated percentiles, null users form one partition") {
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns
+    val S = Ns // one second
+    write(dir, "events", df(Tables.eventsRawSchema,
+      Row(1L, T0, 1L, "a", 0.0, "{}"),
+      Row(2L, T0 + 10 * S, 1L, "b", 0.0, "{}"),
+      Row(3L, T0 + 30 * S, 1L, "a", 0.0, "{}"),
+      Row(4L, T0, 2L, "a", 0.0, "{}"),
+      Row(5L, T0 + 100 * S, 2L, "b", 0.0, "{}"),
+      // the null-user pair: ONE partition in both engines (q150's
+      // stance) — its a→b hop must fold into the edge's distribution
+      Row(6L, T0, null, "a", 0.0, "{}"),
+      Row(7L, T0 + 5 * S, null, "b", 0.0, "{}")))
+    val out = Events.q215TransitionDwell(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))).toMap
+    // (a,b): gaps 5s/10s/100s → med = middle order stat, p90 at
+    // index 1.8 interpolates 1e7 + 0.8·9e7 = 8.2e7
+    assert(out(("a", "b")) == ((3L, 5000000L, 1.0e7, 8.2e7, 100000000L)), out)
+    assert(out(("b", "a")) == ((1L, 20000000L, 2.0e7, 2.0e7, 20000000L)), out)
+    assert(out.size == 2)
+  }
 }

@@ -342,4 +342,39 @@ class AuditSpec extends SparkSpecBase {
     assert(out((1, "OTH", 1L)) == ((1L, 1L, false, true)), out)
     assert(out.size == 3)
   }
+
+  test("q214 manifest diff: dropped ids flag exactly their buckets; a bucket missing on one side reads zero rows, not NULL verdicts") {
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns
+    // ids 0 and 997 are the mod-997 drops; id 0 is ALONE in bucket 0
+    // (term(0) = 0), so replica B misses that bucket entirely — the
+    // full-outer edge; id 997's bucket collides with id 1's (both land
+    // on 163), exercising a partially-diverged bucket
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 997L)
+    writeEvents(dir, ids.map(i => (i, T0 + i * Ns, 1L, "a", 0.0, "{}")): _*)
+    val out = Audit.q214ManifestDiff(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getBoolean(5)))).toMap
+    def man(s: Seq[Long]) = s.groupBy(i => Audit.checksumTermLong(i) % 256)
+      .view.mapValues(g => (g.size.toLong,
+        (g.map(i => BigInt(Audit.checksumTermLong(i))).sum % Audit.ChecksumMod).toLong))
+      .toMap
+    val ma = man(ids)
+    val mb = man(ids.filterNot(_ % 997 == 0))
+    assert(out.keySet == ma.keySet ++ mb.keySet)
+    for ((b, row) <- out) {
+      assert(row._1 == ma.get(b).map(_._1).getOrElse(0L), s"bucket $b n_rows_a")
+      assert(row._2 == mb.get(b).map(_._1).getOrElse(0L), s"bucket $b n_rows_b")
+      assert(row._3 == ma.get(b).map(_._2), s"bucket $b checksum_a")
+      assert(row._4 == mb.get(b).map(_._2), s"bucket $b checksum_b")
+      assert(row._5 == (ma.get(b) != mb.get(b)), s"bucket $b needs_repair")
+    }
+    // exactly the two dropped ids' buckets need repair
+    val flagged = out.filter(_._2._5).keySet
+    assert(flagged == Seq(0L, 997L).map(i => Audit.checksumTermLong(i) % 256).toSet, flagged)
+    // the one-side-only bucket: B reads 0 rows with a NULL checksum
+    assert(out(0L) == ((1L, 0L, Some(0L), None, true)), out(0L))
+  }
 }

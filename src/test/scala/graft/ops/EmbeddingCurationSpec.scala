@@ -236,4 +236,21 @@ class EmbeddingCurationSpec extends SparkSpecBase {
     info(f"per-doc label agreement vs exact q62: $frac%.4f over ${sketch.size} docs")
     assert(frac >= 0.95, s"agreement $frac below the measured floor")
   }
+
+  test("q216: stuck dimensions flag dead via exact min=max; the live dimension's variance is the computational formula") {
+    val dir = tmpDir()
+    // dims 0 and 2 stuck (every vector agrees), dim 1 spreads {0, .5, 1}
+    writeEmbeddings(dir,
+      (1L, Seq(1f, 0f, 2f), 0),
+      (2L, Seq(1f, 0.5f, 2f), 0),
+      (3L, Seq(1f, 1f, 2f), 1))
+    val out = Similarity.q216DimVariance(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L) == ((3L, 1.0, 0.0, 1.0, 1.0, true)), out)
+    assert(out(2L) == ((3L, 2.0, 0.0, 2.0, 2.0, true)), out)
+    // dim 1: mean .5; (n·Σx² − (Σx)²)/n² = (3·1.25 − 2.25)/9 = 1/6 → .1667
+    assert(out(1L) == ((3L, 0.5, 0.1667, 0.0, 1.0, false)), out)
+  }
 }

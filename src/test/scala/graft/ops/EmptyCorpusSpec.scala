@@ -49,6 +49,7 @@ class EmptyCorpusSpec extends SparkSpecBase {
     writeEmbeddings(dir) // zero rows, full schema
     graft.functions.GraftFunctions.register(spark)
     assert(Similarity.q123Int8Ann(spark, dir).count() == 0)
+    assert(Similarity.q216DimVariance(spark, dir).count() == 0)
   }
 
   test("empty corpus + embeddings: round-7 embedding-curation ops return 0 rows") {
