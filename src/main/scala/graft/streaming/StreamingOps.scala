@@ -1131,6 +1131,87 @@ object StreamingOps {
       }
   }
 
+  /** State for [[dwellStream]]: the user's last event — type + time
+    * (µs) + id for the tie rule.
+    */
+  case class LastEvState(has: Boolean, lastType: String, lastUs: Long, lastId: Long)
+
+  /** Streaming transition-dwell feed (batch q215's stateful dual, and
+    * [[interArrivalStream]]'s sibling keyed per USER instead of
+    * (user, type)): the user's previous event (type, time) lives in
+    * group state and every subsequent event emits its hop record
+    * (from_type, to_type, dwell_µs) at ingest — the live edge-latency
+    * feed whose per-edge order-statistics readout (count, min/max,
+    * p50/p90) is batch q215's table. Events inside a batch fold in
+    * (ts, event_id) order (the batch userWindow's tie rule, state
+    * carrying the id so cross-batch ties break identically); parity
+    * with the batch lead-window holds on a time-ordered drain, late
+    * arrivals produce arrival-order hops ([[interArrivalStream]]'s
+    * bound, measured upstream by [[disorderStream]]). NULL users form
+    * their own batch partition but a degenerate stream group —
+    * pre-filter, or accept the one synthetic group (batch q215 keeps
+    * them; the parity test feeds them as one key).
+    */
+  def dwellStream(events: Dataset[Ev]): Dataset[(String, String, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvState, (String, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Ev], state: GroupState[LastEvState]) =>
+          var prev = state.getOption.filter(_.has)
+          val out = Seq.newBuilder[(String, String, Long)]
+          it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+            val us = tsMicros(e.ts)
+            prev.foreach(p => out += ((p.lastType, e.event_type, us - p.lastUs)))
+            prev = Some(LastEvState(has = true, e.event_type, us, e.event_id))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** State for [[growthAccountingStream]]: the customer's first order
+    * month — ONE Long.
+    */
+  case class FirstMoState(has: Boolean, firstMo: Long)
+
+  /** Streaming growth accounting (batch q191's stateful dual): per
+    * customer, the FIRST order month lives in group state (one Long)
+    * and every order emits its classified record
+    * (custkey, month, is_new, price) at ingest — `is_new` is the
+    * standard cohort convention (every order in the customer's first
+    * month counts new). The month-level readout — order counts,
+    * new-customer counts, new/returning revenue — is a plain batch
+    * aggregate over the feed and equals q191's table on a drain
+    * (StreamingSpec pins it), kept current per micro-batch instead of
+    * by monthly rescan.
+    *
+    * INPUT CONTRACT: per customer, order months must arrive
+    * nondecreasing ACROSS micro-batches ([[postingStream]]'s monotone
+    * contract — intra-batch disorder folds in month order); an
+    * out-of-order EARLIER first month would re-classify already-
+    * emitted orders, which append mode cannot retract — backfills go
+    * through the batch rebuild. custkey must be non-null (TPC-H FK;
+    * [[interArrivalStream]]'s stance).
+    */
+  def growthAccountingStream(orders: Dataset[(Long, Long, Double)])
+      : Dataset[(Long, Long, Boolean, Double)] = {
+    import orders.sparkSession.implicits._
+    orders.groupByKey(_._1)
+      .flatMapGroupsWithState[FirstMoState, (Long, Long, Boolean, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (c: Long, it: Iterator[(Long, Long, Double)], state: GroupState[FirstMoState]) =>
+          var first = state.getOption.filter(_.has).map(_.firstMo)
+          val out = Seq.newBuilder[(Long, Long, Boolean, Double)]
+          it.toSeq.sortBy(_._2).foreach { case (_, mo, price) =>
+            if (first.isEmpty) first = Some(mo)
+            out += ((c, mo, mo == first.get, price))
+          }
+          first.foreach(f => state.update(FirstMoState(has = true, f)))
+          out.result().iterator
+      }
+  }
+
   /** State for [[concurrencyStream]]: the user's OPEN session —
     * start/last event-time (µs) and its event count.
     */

@@ -992,6 +992,98 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch, s"stream/batch snapshot-diff divergence: $streamed vs $batch")
   }
 
+  test("growthAccountingStream: first-month state carries across the seam; feed readout equals batch q191") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir()
+    // customer 1: two orders in Jan (both NEW — first-month cohort
+    // convention), one in Feb (returning); customer 2 first orders in
+    // Feb (new there)
+    write(dir, "orders", df(Tables.ordersSchema,
+      Row(1L, 1L, "O", 100.0, ts("2024-01-05 00:00:00"), "1-URGENT"),
+      Row(2L, 1L, "O", 50.0, ts("2024-01-20 00:00:00"), "1-URGENT"),
+      Row(3L, 1L, "O", 70.0, ts("2024-02-10 00:00:00"), "1-URGENT"),
+      Row(4L, 2L, "O", 30.0, ts("2024-02-15 00:00:00"), "1-URGENT")))
+    val feed = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (org.apache.spark.sql.functions.year(col("o_orderdate")) * 12 +
+          org.apache.spark.sql.functions.month(col("o_orderdate"))).cast("long"),
+        col("o_totalprice"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ms = MemoryStream[(Long, Long, Double)]
+    val q = StreamingOps.growthAccountingStream(ms.toDS())
+      .toDF("c", "mo", "is_new", "price")
+      .writeStream.format("memory").queryName("growth").outputMode("append").start()
+    // seam splits customer 1's first month (orders 1 | 2..4): order 2
+    // must still classify NEW off the carried state
+    ms.addData(feed.take(1).toIndexedSeq: _*); q.processAllAvailable()
+    ms.addData(feed.drop(1).toIndexedSeq: _*); q.processAllAvailable()
+    val records = spark.table("growth").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3))).toSet
+    q.stop()
+    assert(records(((1L, 24289L, true, 50.0))), s"seam order must classify new: $records")
+    // the month readout over the feed IS batch q191 (same aggregate)
+    val got = spark.table("growth").groupBy("mo")
+      .agg(count(lit(1)).as("n_orders"),
+        org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.when(col("is_new"), col("c"))).as("n_new"),
+        graft.ops.Det.dsum4(org.apache.spark.sql.functions.when(col("is_new"), col("price"))).as("rev_new"),
+        graft.ops.Det.dsum4(org.apache.spark.sql.functions.when(!col("is_new"), col("price"))).as("rev_ret"))
+      .orderBy("mo").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSeq
+    val batch = graft.ops.Relational.q191GrowthAccounting(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSeq
+    assert(got == batch, s"stream/batch growth divergence: $got vs $batch")
+  }
+
+  test("dwellStream: last-event state carries across the seam; per-edge readout equals batch q215") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns
+    writeEvents(dir,
+      (1L, T0, 1L, "a", 0.0, "{}"),
+      (2L, T0 + 10 * Ns, 1L, "b", 0.0, "{}"),
+      (3L, T0 + 30 * Ns, 1L, "a", 0.0, "{}"),
+      (4L, T0, 2L, "a", 0.0, "{}"),
+      (5L, T0 + 100 * Ns, 2L, "b", 0.0, "{}"))
+    val evs = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().sortBy(_.event_id)
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.dwellStream(ms.toDS())
+      .toDF("from_type", "to_type", "dwell")
+      .writeStream.format("memory").queryName("dwell").outputMode("append").start()
+    // seam after event 2: user 1's b@+10s sits in state, so the
+    // (b, a, 20s) hop must emit from the carried tuple in batch 2
+    val (b1, b2) = evs.splitAt(2)
+    ms.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+    ms.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    val hops = spark.table("dwell").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(hops(("b", "a", 20000000L)), s"seam hop missing: $hops")
+    // the per-edge order-statistics readout IS batch q215
+    val got = spark.table("dwell").groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("dwell")).as("mn"),
+        graft.ops.Det.roundD4(expr("percentile(dwell, 0.5)")).as("p50"),
+        graft.ops.Det.roundD4(expr("percentile(dwell, 0.9)")).as("p90"),
+        max(col("dwell")).as("mx"))
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toSeq
+    q.stop()
+    val batch = graft.ops.Events.q215TransitionDwell(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toSeq
+    assert(got == batch, s"stream/batch dwell divergence: $got vs $batch")
+  }
+
   test("jsonProfileStream: distinct-value state carries across the seam; last emission per key equals batch q211") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
