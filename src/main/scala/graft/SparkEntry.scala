@@ -256,6 +256,8 @@ object SparkEntry {
     "q214_manifest_diff" -> (Audit.q214ManifestDiff _),
     "q215_transition_dwell" -> (Events.q215TransitionDwell _),
     "q216_dim_variance" -> (Similarity.q216DimVariance _),
+    "q217_session_entry_exit" -> (Events.q217SessionEntryExit _),
+    "q218_dedup_token_budget" -> (Similarity.q218DedupTokenBudget _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -453,12 +455,12 @@ object SparkEntry {
     * the engine side.
     */
   private def sessionSpanCtes: String =
-    s"e AS (SELECT user_id, event_id, $tsUs AS ts2 FROM events), " +
-      "m AS (SELECT user_id, event_id, ts2, CASE WHEN " +
+    s"e AS (SELECT user_id, event_id, event_type, $tsUs AS ts2 FROM events), " +
+      "m AS (SELECT user_id, event_id, event_type, ts2, CASE WHEN " +
       "lag(epoch_us(ts2)) OVER (PARTITION BY user_id ORDER BY ts2, event_id) IS NULL OR " +
       "epoch_us(ts2) - lag(epoch_us(ts2)) OVER (PARTITION BY user_id ORDER BY ts2, event_id) > 86400000000 " +
       "THEN 1 ELSE 0 END AS new_s FROM e), " +
-      "s AS (SELECT user_id, event_id, ts2, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts2, event_id " +
+      "s AS (SELECT user_id, event_id, event_type, ts2, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts2, event_id " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m), " +
       "sp AS (SELECT user_id, session_id, count(*) AS n_events, min(ts2) AS session_start, " +
       "max(ts2) AS session_end FROM s GROUP BY user_id, session_id)"
@@ -2424,6 +2426,37 @@ object SparkEntry {
         s"${rd4("(n_vals*CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))/(n_vals*n_vals)")} AS variance_q, " +
         "CAST(mn AS DOUBLE) AS min_q, CAST(mx AS DOUBLE) AS max_q, mn = mx AS dead " +
         "FROM g ORDER BY dim"),
+    // q217: q13's session CTEs (one definition) + entry/exit via
+    // row_number from both ends under the same (ts, event_id) tie rule
+    "q217_session_entry_exit" ->
+      (s"WITH $sessionSpanCtes, " +
+        "o AS (SELECT user_id, session_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts2, event_id) AS rn_a, " +
+        "row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts2 DESC, event_id DESC) AS rn_d, " +
+        "count(*) OVER (PARTITION BY user_id, session_id) AS n_events FROM s), " +
+        "p AS (SELECT user_id, session_id, " +
+        "max(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type, " +
+        "max(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type, " +
+        "max(n_events) AS n_events FROM o GROUP BY user_id, session_id), " +
+        "t AS (SELECT count(*) AS n_total FROM p) " +
+        "SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions, " +
+        "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces, " +
+        s"${rd4("CAST(count(*) AS DOUBLE)/n_total")} AS share " +
+        "FROM p CROSS JOIN t GROUP BY entry_type, exit_type, n_total " +
+        "ORDER BY entry_type, exit_type"),
+    // q218: q62's recursive-CTE component truth (q108's subquery
+    // pattern) joined to the token projection; all-integer sums, one
+    // floored ratio
+    "q218_dedup_token_budget" ->
+      ("SELECT tok.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(tok.n_tokens) AS BIGINT) AS n_tokens_raw, " +
+        "CAST(sum(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters_led, " +
+        "CAST(sum(CASE WHEN c.doc_id = c.cluster_id THEN tok.n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_effective, " +
+        s"${rd4("CAST(sum(CASE WHEN c.doc_id = c.cluster_id THEN tok.n_tokens ELSE 0 END) AS DOUBLE)/sum(tok.n_tokens)")} AS dedup_ratio " +
+        s"FROM ($q62OracleCore) c JOIN " +
+        "(SELECT doc_id, source, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens " +
+        "FROM documents) tok ON c.doc_id = tok.doc_id " +
+        "WHERE tok.n_tokens > 0 GROUP BY tok.source ORDER BY tok.source"),
     // q194: both engines floor the identical IEEE division for the
     // band; l-diversity = exact distinct balances within the class
     "q194_k_anonymity" ->

@@ -127,7 +127,12 @@ object Events {
     * never disagree on what a session is (the q89-funnel-CTE stance,
     * engine side).
     */
-  private def sessionSpans(spark: SparkSession, dir: String): DataFrame = {
+  /** Every event with its session id — the per-EVENT form of the one
+    * session definition, shared by [[sessionSpans]] (q13/q200's
+    * aggregate view) and [[q217SessionEntryExit]] (which needs the
+    * events back to read entry/exit types).
+    */
+  private def sessionizedEvents(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val prevUs = lag(unix_micros(col("ts")), 1).over(userWindow)
     val newSession = when(
@@ -135,11 +140,49 @@ object Events {
     e.withColumn("new_s", newSession)
       .withColumn("session_id",
         sum("new_s").over(userWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private def sessionSpans(spark: SparkSession, dir: String): DataFrame =
+    sessionizedEvents(spark, dir)
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),
         min("ts").as("session_start"),
         max("ts").as("session_end"))
+
+  /** q217 — SESSION ENTRY/EXIT MATRIX: per (entry event type, exit
+    * event type) over q13's sessions — session count, BOUNCE count
+    * (single-event sessions, where entry IS exit) and the 4-dp share
+    * of all sessions. The landing-page/abandonment readout product
+    * analytics runs on top of sessionization: which entry points
+    * retain (entry ≠ exit, long sessions) vs bounce, feeding q89's
+    * funnel-step choice the same way q150 feeds its ordering.
+    *
+    * Entry/exit are struct-ordered min/max over (us, event_id, type)
+    * — the userWindow tie rule expressed as an aggregate, so no
+    * second window pass: one groupBy at session cardinality on the
+    * already-windowed relation, one |types|² rollup, one-row total
+    * broadcast for the share (scalar, not a relation).
+    */
+  def q217SessionEntryExit(spark: SparkSession, dir: String): DataFrame = {
+    val per = sessionizedEvents(spark, dir)
+      .select(col("user_id"), col("session_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("us"), col("event_id"), col("event_type"))).as("en"),
+        max(struct(col("us"), col("event_id"), col("event_type"))).as("ex"))
+      .select(col("en.event_type").as("entry_type"),
+        col("ex.event_type").as("exit_type"), col("n_events"))
+    val total = per.agg(count(lit(1)).as("n_total"))
+    per.groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).cast(LongType).as("n_bounces"))
+      .crossJoin(broadcast(total))
+      .select(col("entry_type"), col("exit_type"), col("n_sessions"), col("n_bounces"),
+        roundD4(col("n_sessions").cast(org.apache.spark.sql.types.DoubleType)
+          / col("n_total")).as("share"))
+      .orderBy("entry_type", "exit_type")
   }
 
   /** q200 — PEAK CONCURRENT SESSIONS (capacity sweep): per active day,

@@ -2145,6 +2145,44 @@ object Similarity {
       .orderBy("source_a", "source_b")
   }
 
+  /** q218 — DEDUP TOKEN BUDGET: the training-budget read of the
+    * near-dup clusters — per source: raw doc/token counts vs the
+    * EFFECTIVE token budget after dedup, where each cluster counts
+    * exactly once through its representative (the min-doc-id label
+    * holder, q62's cluster_id by construction — attributed to the
+    * REP's source, matching what a keeper-based pack like q122
+    * actually ships). `dedup_ratio` = effective/raw at 4 dp is the
+    * per-source epochs-equivalent discount a mix schedule (q114/q137)
+    * should apply before token-budget math — a source that is 40%
+    * internal copies contributes 40% fewer effective tokens than its
+    * raw count claims.
+    *
+    * All-integer aggregates over the STAGED labels joined FK-style to
+    * a doc-sized (id, source, token-count) projection — no pair-graph
+    * walk, one groupBy at source cardinality. Tokenless docs carry no
+    * budget and drop (both engines filter n_tokens > 0; q62's label
+    * universe covers every such doc).
+    */
+  def q218DedupTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast(LongType).as("n_tokens"))
+      .filter(col("n_tokens") > 0L)
+    componentLabels(spark, dir).join(toks, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("n_tokens_raw"),
+        sum(when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+          .cast(LongType).as("n_clusters_led"),
+        sum(when(col("doc_id") === col("cluster_id"), col("n_tokens")).otherwise(0L))
+          .cast(LongType).as("n_tokens_effective"))
+      .select(col("source"), col("n_docs"), col("n_tokens_raw"),
+        col("n_clusters_led"), col("n_tokens_effective"),
+        roundD4(col("n_tokens_effective").cast(DoubleType)
+          / col("n_tokens_raw")).as("dedup_ratio"))
+      .orderBy("source")
+  }
+
   /** q216 — DIMENSION VARIANCE AUDIT (dead-dimension detector): per
     * embedding dimension, value count, 4-dp mean/variance and exact
     * min/max of the 6-dp-quantized components, plus the `dead` verdict

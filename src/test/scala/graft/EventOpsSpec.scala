@@ -716,4 +716,33 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out(("b", "a")) == ((1L, 20000000L, 2.0e7, 2.0e7, 20000000L)), out)
     assert(out.size == 2)
   }
+
+  test("q217 session entry/exit: bounces are single-event sessions; same-instant ties break on event_id") {
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns
+    val Day = 24 * 3600 * Ns
+    write(dir, "events", df(Tables.eventsRawSchema,
+      // user 1, session 1: a → b; session 2 (25h later): the c bounce
+      Row(1L, T0, 1L, "a", 0.0, "{}"),
+      Row(2L, T0 + 10 * Ns, 1L, "b", 0.0, "{}"),
+      Row(3L, T0 + Day + 3600L * Ns, 1L, "c", 0.0, "{}"),
+      // user 2: the a bounce
+      Row(4L, T0, 2L, "a", 0.0, "{}"),
+      // user 3: two events at the SAME instant — entry/exit must
+      // split on event_id (the userWindow tie rule)
+      Row(10L, T0, 3L, "x", 0.0, "{}"),
+      Row(11L, T0, 3L, "y", 0.0, "{}")))
+    val out = Events.q217SessionEntryExit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("a", "b")) == ((1L, 0L, 0.25)), out)
+    assert(out(("c", "c")) == ((1L, 1L, 0.25)), out)
+    assert(out(("a", "a")) == ((1L, 1L, 0.25)), out)
+    assert(out(("x", "y")) == ((1L, 0L, 0.25)), out)
+    assert(out.size == 4)
+    // empty events: no sessions, no rows, no division by zero
+    val empty = tmpDir()
+    write(empty, "events", df(Tables.eventsRawSchema))
+    assert(Events.q217SessionEntryExit(spark, empty).count() == 0)
+  }
 }

@@ -518,7 +518,10 @@ class PlanQualitySpec extends SparkSpecBase {
       "q205_rfm_segments",
       // q211: the one-row table-total broadcast — q125/q53's
       // scalar-not-relation shape
-      "q211_json_profile")
+      "q211_json_profile",
+      // q217: the one-row session-total broadcast for the share —
+      // q125/q53's scalar-not-relation shape
+      "q217_session_entry_exit")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

@@ -176,4 +176,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSeq ==
       Seq((1L, "cat", 3L), (2L, "dog", 2L)))
   }
+
+  test("q218 token budget: cluster reps carry the effective budget into THEIR source; tokenless docs drop") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmpDir()
+    writeDocuments(dir,
+      // intra-source pair in sA: rep (min id) holds the budget once
+      (1L, "alpha beta gamma delta epsilon", "en", "sA", 1L),
+      (2L, "alpha beta gamma delta epsilon", "en", "sA", 1L),
+      // cross-source pair: rep 5 sits in sB, so sC leads NO cluster
+      (5L, "zeta eta theta iota kappa", "en", "sB", 1L),
+      (6L, "zeta eta theta iota kappa", "en", "sC", 1L),
+      // singleton in sB
+      (7L, "unique lonely text here now", "en", "sB", 1L),
+      // tokenless: no budget contribution anywhere
+      (8L, "", "en", "sA", 1L))
+    val out = graft.ops.Similarity.q218DedupTokenBudget(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    // sA: 2 docs × 5 tokens raw, one rep → 5 effective, ratio 0.5
+    assert(out("sA") == ((2L, 10L, 1L, 5L, 0.5)), out)
+    // sB: rep of the cross-source pair + the singleton → all effective
+    assert(out("sB") == ((2L, 10L, 2L, 10L, 1.0)), out)
+    // sC: its only doc is a non-rep copy — zero effective budget
+    assert(out("sC") == ((1L, 5L, 0L, 0L, 0.0)), out)
+    assert(out.size == 3)
+  }
 }

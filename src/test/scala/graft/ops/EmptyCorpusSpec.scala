@@ -32,6 +32,7 @@ class EmptyCorpusSpec extends SparkSpecBase {
     assert(TextOps.q107SpanDedup(spark, dir).count() == 0)
     assert(Sketches.q25MinhashNeardup(spark, dir).count() == 0)
     assert(Sketches.indexSignatures(spark, dir).count() == 0)
+    assert(Similarity.q218DedupTokenBudget(spark, dir).count() == 0)
   }
 
   test("empty corpus: round-6 text/quality operators return 0 rows, not crashes") {
