@@ -59,9 +59,11 @@ class AnalyticsSpec extends SparkSpecBase {
       // BR_B: 4 × 5 → Σq² = 100, 4·100 = 20² exactly → NOT concentrated
       li(3L, 2L, 1L, 5.0), li(4L, 2L, 2L, 5.0),
       li(5L, 2L, 3L, 5.0), li(6L, 2L, 4L, 5.0)))
+    // sum_sq is BIGINT at the output edge since round 10 (SURVEY §7.3:
+    // wide decimals stay internal)
     val out = graft.ops.Relational.q207SupplierConcentration(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getDecimal(3).longValueExact(), r.getBoolean(4)))
+        r.getLong(3), r.getBoolean(4)))
     assert(out.toSeq == Seq(
       ("BR_A", 2L, 10L, 82L, true),
       ("BR_B", 4L, 20L, 100L, false)), out.toSeq)
