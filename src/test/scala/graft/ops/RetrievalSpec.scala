@@ -103,6 +103,30 @@ class RetrievalSpec extends SparkSpecBase {
     assert(TextOps.q213BlockMaxWand(spark, dir).count() == 0)
   }
 
+  test("q213 ≡ q193 on randomized corpora (seeded): pruning is exact under skew, uniformity, and tiny-df tails") {
+    // deterministic PRNG — the WAND/brute-force equivalence must hold
+    // on EVERY corpus, so sample shapes the fixed fixture doesn't:
+    // uniform tf, near-tie scores, sub-128-posting terms (single
+    // block, nothing skippable), dl extremes
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 4).foreach { trial =>
+      val dir = tmpDir()
+      val nDocs = 150 + rnd.nextInt(150)
+      val vocab = Seq("qa", "qb", "qc") ++ (1 to 20).map(i => s"w$i")
+      val rows = (1L to nDocs.toLong).map { i =>
+        val len = 3 + rnd.nextInt(40)
+        val toks = (1 to len).map(_ => vocab(rnd.nextInt(vocab.size)))
+        (i, toks.mkString(" "), "en", "s", 1L)
+      }
+      writeDocuments(dir, rows: _*)
+      val brute = TextOps.q193Bm25(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val wand = TextOps.q213BlockMaxWand(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(wand == brute, s"trial $trial (nDocs=$nDocs): WAND diverged\n$wand\nvs\n$brute")
+    }
+  }
+
   test("q213: block-max WAND skips the low-impact blocks and still returns q193's exact top-20") {
     val dir = tmpDir()
     // 30 high-impact docs (tf 8 per query term, dl 24) at LOW doc ids —
