@@ -258,6 +258,7 @@ object SparkEntry {
     "q216_dim_variance" -> (Similarity.q216DimVariance _),
     "q217_session_entry_exit" -> (Events.q217SessionEntryExit _),
     "q218_dedup_token_budget" -> (Similarity.q218DedupTokenBudget _),
+    "q219_dedup_degree_hist" -> (Similarity.q219DedupDegreeHist _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -359,14 +360,19 @@ object SparkEntry {
     * via a recursive CTE, min label per doc — algorithm-independent
     * component truth.
     */
-  private val q62OracleCore: String =
-    "WITH RECURSIVE " +
-      "t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks " +
+  /** The all-pairs J ≥ 0.8 doc-pair truth (t → tt → e0) — shared by
+    * q62/q62b's component labels (below) and q219's degree histogram.
+    */
+  private val neardupPairCtes: String =
+    "t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks " +
       "FROM documents), " +
       "tt AS (SELECT * FROM t WHERE len(toks) > 0), " +
       "e0 AS (SELECT a.doc_id AS u, b.doc_id AS v FROM tt a JOIN tt b ON a.doc_id < b.doc_id " +
       "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
-      "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8), " +
+      "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8)"
+
+  private val q62OracleCore: String =
+    s"WITH RECURSIVE $neardupPairCtes, " +
       "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), " +
       "r AS (SELECT doc_id AS v, doc_id AS lbl FROM tt " +
       "UNION SELECT e.v, r.lbl FROM r JOIN e ON e.u = r.v) " +
@@ -2457,6 +2463,14 @@ object SparkEntry {
         "(SELECT doc_id, source, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens " +
         "FROM documents) tok ON c.doc_id = tok.doc_id " +
         "WHERE tok.n_tokens > 0 GROUP BY tok.source ORDER BY tok.source"),
+    // q219: the shared all-pairs J≥0.8 truth, degrees from the
+    // both-directions union — degree-exact against the staged expand
+    "q219_dedup_degree_hist" ->
+      (s"WITH $neardupPairCtes, " +
+        "d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM " +
+        "(SELECT u AS doc_id FROM e0 UNION ALL SELECT v AS doc_id FROM e0) GROUP BY doc_id) " +
+        "SELECT degree, CAST(count(*) AS BIGINT) AS n_docs FROM d " +
+        "GROUP BY degree ORDER BY degree"),
     // q194: both engines floor the identical IEEE division for the
     // band; l-diversity = exact distinct balances within the class
     "q194_k_anonymity" ->

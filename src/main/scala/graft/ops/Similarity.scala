@@ -2145,6 +2145,34 @@ object Similarity {
       .orderBy("source_a", "source_b")
   }
 
+  /** q219 — DEDUP DEGREE DISTRIBUTION: per near-dup-graph degree d,
+    * how many documents have exactly d partners at J ≥ 0.8 — q177's
+    * structural read at VERTEX grain (the census says how cliquey the
+    * graph is overall; this says WHERE the mass sits). A long
+    * power-law tail means template hubs (one boilerplate matching
+    * thousands — q124's cleaning problem, and the skew q62's hash-min
+    * rounds and q37-style salting must absorb); a spike at d = 1
+    * means mirror pairs (collapse freely). The histogram is also the
+    * exact input to sizing the pair-graph ops themselves: Σd = 2·|E|,
+    * max d bounds the q177 adjacency row.
+    *
+    * Shape: the STAGED collapsed pairs expand to doc pairs (q21's
+    * relation, minus its presentation sort), one explode → two
+    * map-combinable groupBys (doc then degree cardinality). Oracle:
+    * the all-pairs J ≥ 0.8 truth (q62's e0 CTEs) + the same double
+    * count — degree-exact, so any expansion bug (lost within-group
+    * pair, double-counted cross pair) shifts a histogram bucket.
+    */
+  def q219DedupDegreeHist(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    expandWithMembers(stagedSetPairs45(spark, dir),
+        stagedUnigramGroups(spark, dir), "jaccard", lit(1.0))
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
   /** q218 — DEDUP TOKEN BUDGET: the training-budget read of the
     * near-dup clusters — per source: raw doc/token counts vs the
     * EFFECTIVE token budget after dedup, where each cluster counts

@@ -202,4 +202,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out("sC") == ((1L, 5L, 0L, 0L, 0.0)), out)
     assert(out.size == 3)
   }
+
+  test("q219 degree histogram: mirror pair at d=1, stamping clique at d=2, singleton absent") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (1L, "alpha beta gamma delta epsilon", "en", "sA", 1L),
+      (2L, "alpha beta gamma delta epsilon", "en", "sB", 1L),
+      (3L, "zeta eta theta iota kappa", "en", "sC", 1L),
+      (4L, "zeta eta theta iota kappa", "en", "sC", 1L),
+      (5L, "zeta eta theta iota kappa", "en", "sC", 1L),
+      (6L, "unique lonely text here now", "en", "sA", 1L))
+    val out = graft.ops.Similarity.q219DedupDegreeHist(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // docs 1,2 have one partner each; docs 3,4,5 form a 3-clique
+    // (degree 2 each — the WITHIN-group pairs must be counted); doc 6
+    // has no partners and no row
+    assert(out == Seq((1L, 2L), (2L, 3L)), out)
+  }
 }
