@@ -114,18 +114,24 @@ object Bench {
     // rounds 6-9 all recorded `parsed: null` and per-query history
     // survived only via a hand-committed side file. Two fixes at the
     // source: (a) the COMPLETE metric JSON self-persists to a committed
-    // path (BENCH_FULL_latest.json — commit it each round), and (b) a
-    // compact summary line — guaranteed to fit the 2000-char window —
-    // prints LAST, so the driver's JSON-line scan always parses
-    // something: totals, failure list, host-health verdict, and the
-    // slowest 10 queries (the ones any regression triage reads first).
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL_latest.json"), json + "\n")
+    // path (BENCH_FULL_latest.json — commit it each round) — FULL-SUITE
+    // runs only, so a SPARK_GRAFT_BENCH_ONLY profiling subset can never
+    // clobber the committed history artifact; and (b) a compact summary
+    // line — bounded to fit the 2000-char window — prints LAST, so the
+    // driver's JSON-line scan always parses something: totals, a CAPPED
+    // failure list (a mass failure is exactly when the tail must still
+    // parse), host-health verdict, and the slowest 10 queries (the ones
+    // any regression triage reads first).
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL_latest.json"), json + "\n")
     val slowest = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val failsCapped = (failed.take(10).map("\"" + _ + "\"") ++
+      (if (failed.size > 10) Seq("\"...\"") else Nil)).mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,""" +
-      s""""n_queries":${results.size},"failed":$fails,""" +
+      s""""n_queries":${results.size},"n_failed":${failed.size},"failed":$failsCapped,""" +
       f""""median_spread":$medianSpread%.3f,"host_loaded":$hostLoaded,""" +
       s""""sf":"$sfDir","note":"queries=slowest10; full per-query map in BENCH_FULL_latest.json"}""")
     spark.stop()

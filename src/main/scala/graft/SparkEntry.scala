@@ -1702,6 +1702,15 @@ object SparkEntry {
         // sketch_labels: every doc gets a label (the sketch path's edge
         // set can only shrink components, never the labeled universe)
         "UNION ALL SELECT 'sketch_labels', (SELECT count(*) FROM documents) " +
+        // tf_postings: distinct non-empty (doc, term) pairs — the
+        // retrieval family's shared collapse
+        "UNION ALL SELECT 'tf_postings', (SELECT count(*) FROM " +
+        "(SELECT DISTINCT doc_id, term FROM (SELECT doc_id, " +
+        "unnest(string_split(text, ' ')) AS term FROM documents) WHERE term <> '')) " +
+        // doc_lengths: one row per tokenized doc (the dl relation)
+        "UNION ALL SELECT 'doc_lengths', (SELECT count(*) FROM " +
+        "(SELECT DISTINCT doc_id FROM (SELECT doc_id, " +
+        "unnest(string_split(text, ' ')) AS term FROM documents) WHERE term <> '')) " +
         "UNION ALL SELECT 'unigram_groups', (SELECT count(*) FROM gg)" +
         ") ORDER BY relation"),
     // q136: q62's recursive-CTE component truth (as a subquery, the

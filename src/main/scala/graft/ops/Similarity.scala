@@ -235,10 +235,10 @@ object Similarity {
     * is deterministic under any query execution order.
     */
   private val ManifestFamilies = Seq(
-    "bpe_merges", "clean_pack", "component_labels", "dsir_weights",
-    "ivf_model", "prep_deduped", "prep_groups", "prep_pairs_45",
-    "pagerank_scores", "set_pairs_45", "shingle_groups", "sketch_labels",
-    "unigram_groups")
+    "bpe_merges", "clean_pack", "component_labels", "doc_lengths",
+    "dsir_weights", "ivf_model", "prep_deduped", "prep_groups",
+    "prep_pairs_45", "pagerank_scores", "set_pairs_45", "shingle_groups",
+    "sketch_labels", "tf_postings", "unigram_groups")
 
   /** q135 — the staging-registry MANIFEST: one row per staged relation
     * family with its exact staged row count — the artifact inventory a
@@ -270,6 +270,8 @@ object Similarity {
     graft.ops.TrainingData.stagedDsirWeights(spark, dir)
     graft.ops.Sketches.stagedSketchLabels(spark, dir)
     stagedPagerankScores(spark, dir)
+    graft.ops.TextOps.stagedTfPostings(spark, dir)
+    graft.ops.TextOps.stagedDocLengths(spark, dir)
     val wanted = ManifestFamilies.toSet
     stagedEntries(spark, dir)
       .collect { case e if wanted(e.key) => (e.key, e.rows) }

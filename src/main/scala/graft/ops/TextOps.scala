@@ -638,13 +638,35 @@ object TextOps {
     * token — tokenless docs match no term and score nothing.
     */
   /** The (doc, term, tf) relation shared by the retrieval family
-    * (q192/q193/q198) — q53's tokenize-and-count collapse.
+    * (q192/q193/q198/q213) — q53's tokenize-and-count collapse,
+    * STAGED once per (session, corpus) since round 10: four declared
+    * queries consume it (q213 alone reads it three times — postings,
+    * θ seed, re-score), so the tokenize+collapse corpus pass ran up
+    * to six times per session before staging. All-long/string schema
+    * → exact parquet round trip; the family is inventoried by q135
+    * and its count independently recomputed by the oracle.
     */
   private def tfRelation(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    stagedTfPostings(spark, dir)
+
+  private[graft] def stagedTfPostings(spark: SparkSession, dir: String): DataFrame =
+    Similarity.stagedTable(spark, dir, "tf_postings") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    }
+
+  /** Per-doc token length (dl), staged beside [[stagedTfPostings]]:
+    * the BM25 scorers read it once per scoring subplan (q193 once,
+    * q213 twice — θ seed and final re-score), and Spark re-executes
+    * shared subplans per consumer, so un-staged it was a full
+    * tf-aggregate pass EACH time. One row per tokenized doc.
+    */
+  private[graft] def stagedDocLengths(spark: SparkSession, dir: String): DataFrame =
+    Similarity.stagedTable(spark, dir, "doc_lengths") {
+      stagedTfPostings(spark, dir).groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    }
 
   /** The corpus-derived query for q193/q198: the 3 highest-df terms,
     * ties broken by term — self-contained and oracle-replayable; a
@@ -695,7 +717,7 @@ object TextOps {
     val d = Tables.documents(spark, dir)
     val tf = tfRelation(spark, dir)
     val qterms = topDfTerms(tf)
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dl = stagedDocLengths(spark, dir)
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val avgdl = dl.agg((sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
     bm25Score(tf.join(broadcast(qterms), "term"), dl, nDocs, avgdl)
@@ -749,18 +771,28 @@ object TextOps {
     import org.apache.spark.sql.types.DoubleType
     val d = Tables.documents(spark, dir)
     val tf = tfRelation(spark, dir)
-    val qterms = topDfTerms(tf)
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    // Spark re-executes shared subplans once per consumer, and this
+    // evaluator fans its intermediates out 3-4 ways — the tiny ones
+    // (3-row query, block manifest, one-row θ) pin with EAGER
+    // localCheckpoints (q177's discipline) so the vocab aggregate and
+    // the posting window each run ONCE, not once per consumer; the
+    // corpus-sized relations (tf, dl) come staged instead.
+    val qterms = topDfTerms(tf).localCheckpoint(true)
+    val dl = stagedDocLengths(spark, dir)
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val avgdl = dl.agg((sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
     // the most favorable document length any posting could carry —
     // saturation decreases in dl, so dl_min maximizes it (one row)
     val dlMin = dl.agg(min(col("dl")).as("dl_min"))
     val qp = tf.join(broadcast(qterms), "term") // term, doc_id, tf, df
+    // query-term postings only (Σ df over 3 terms — the posting lists
+    // a production evaluator materializes anyway); consumed by the
+    // block build, the seed probe and the candidate expansion
     val posts = qp
       .withColumn("pos", row_number()
         .over(Window.partitionBy("term").orderBy("doc_id")).cast(LongType) - lit(1L))
       .withColumn("block_id", expr(s"pos div ${PostingBlockSize}L"))
+      .localCheckpoint(true)
     // per-(term, block): the block-max tf is the only stat the bound
     // needs beyond the term's df (q192's manifest carries it as the
     // skip metadata this evaluator is the consumer of)
@@ -777,6 +809,7 @@ object TextOps {
                 lit(0.75) * col("dl_min").cast(DoubleType) / col("avgdl")))) *
           lit(1000000.0) + lit(0.5)) / lit(1000000.0) + lit(WandMargin))
       .select("term", "block_id", "max_tf", "df", "ub")
+      .localCheckpoint(true) // ⌈df/128⌉·|query| rows, 4 consumers
     val maxUb = blocks.groupBy("term").agg(max(col("ub")).as("max_ub"))
     val sumMax = maxUb.agg(sum(col("max_ub")).as("sum_max_ub"))
     // θ seed: exactly score the docs of each term's top-ub block
@@ -788,10 +821,18 @@ object TextOps {
       .filter(col("rn") === 1).select("term", "block_id")
     val seedDocs = posts.join(broadcast(seedBlocks), Seq("term", "block_id"))
       .select("doc_id").distinct()
+    // θ is a valid lower bound on the final 20th-best ONLY when a full
+    // 20 seed scores exist: min over a smaller set is the set's LAST
+    // score, which top-20 membership does not have to beat (a corpus
+    // whose seed blocks are small partial tail blocks would otherwise
+    // prune legitimate winners). Fewer than 20 seeds → θ = -∞, skip
+    // nothing — exactness never depends on the seed being lucky.
     val theta = bm25Score(qp.join(broadcast(seedDocs), Seq("doc_id"), "left_semi"),
         dl, nDocs, avgdl)
       .orderBy(desc("score"), asc("doc_id")).limit(20)
-      .agg(coalesce(min(col("score")), lit(-1e300)).as("theta"))
+      .agg(when(count(lit(1)) === 20L, min(col("score")))
+        .otherwise(lit(-1e300)).as("theta"))
+      .localCheckpoint(true) // one row; its subplan is a scoring pass
     // block-max WAND skip rule: a block is skippable when even its own
     // bound plus every OTHER term's best block bound cannot reach θ —
     // any doc living only in skipped blocks scores strictly below θ,

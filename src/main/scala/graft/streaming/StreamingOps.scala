@@ -1142,12 +1142,16 @@ object StreamingOps {
     * group state and every subsequent event emits its hop record
     * (from_type, to_type, dwell_µs) at ingest — the live edge-latency
     * feed whose per-edge order-statistics readout (count, min/max,
-    * p50/p90) is batch q215's table. Events inside a batch fold in
-    * (ts, event_id) order (the batch userWindow's tie rule, state
-    * carrying the id so cross-batch ties break identically); parity
-    * with the batch lead-window holds on a time-ordered drain, late
-    * arrivals produce arrival-order hops ([[interArrivalStream]]'s
-    * bound, measured upstream by [[disorderStream]]). NULL users form
+    * p50/p90) is batch q215's table. The carried state joins the
+    * incoming batch as an ELEMENT of the (ts, event_id) sort — the
+    * batch userWindow's tie rule — so an event tying the carried one
+    * on ts emits its hops in the batch direction regardless of which
+    * micro-batch it arrived in. Parity with the batch lead-window
+    * holds on a time-ordered drain; an event sorting BEFORE the
+    * carried one (a cross-batch tie with a smaller id, or a late
+    * arrival) gets ITS local hops right, but hops already emitted are
+    * never retracted ([[interArrivalStream]]'s arrival-order bound,
+    * measured upstream by [[disorderStream]]). NULL users form
     * their own batch partition but a degenerate stream group —
     * pre-filter, or accept the one synthetic group (batch q215 keeps
     * them; the parity test feeds them as one key).
@@ -1158,15 +1162,17 @@ object StreamingOps {
       .flatMapGroupsWithState[LastEvState, (String, String, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Long, it: Iterator[Ev], state: GroupState[LastEvState]) =>
-          var prev = state.getOption.filter(_.has)
-          val out = Seq.newBuilder[(String, String, Long)]
-          it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
-            val us = tsMicros(e.ts)
-            prev.foreach(p => out += ((p.lastType, e.event_type, us - p.lastUs)))
-            prev = Some(LastEvState(has = true, e.event_type, us, e.event_id))
-          }
-          prev.foreach(state.update)
-          out.result().iterator
+          val carried = state.getOption.filter(_.has)
+            .map(p => (p.lastUs, p.lastId, p.lastType)).toSeq
+          val merged = (carried ++
+            it.map(e => (tsMicros(e.ts), e.event_id, e.event_type)))
+            .sortBy(t => (t._1, t._2))
+          val out = merged.iterator.sliding(2).withPartial(false)
+            .map { case Seq(a, b) => (a._3, b._3, b._1 - a._1) }
+          val res = out.toVector
+          val last = merged.last
+          state.update(LastEvState(has = true, last._3, last._1, last._2))
+          res.iterator
       }
   }
 

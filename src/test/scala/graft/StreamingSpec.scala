@@ -1084,6 +1084,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == batch, s"stream/batch dwell divergence: $got vs $batch")
   }
 
+  test("dwellStream: a cross-batch ts tie emits its hop in the batch (ts, event_id) direction") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val T0us = 1704067200L * 1000000L
+    def ev(id: Long, us: Long, tpe: String) =
+      Ev(id, new java.sql.Timestamp(us / 1000L), 1L, tpe, 0.0)
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.dwellStream(ms.toDS())
+      .toDF("from_type", "to_type", "dwell")
+      .writeStream.format("memory").queryName("dwell_tie").outputMode("append").start()
+    ms.addData(ev(1L, T0us, "a"), ev(2L, T0us + 10000000L, "b"))
+    q.processAllAvailable()
+    // event 0 TIES the carried (b, +10s, id 2) on ts with a SMALLER id:
+    // the batch userWindow orders it BEFORE b, so the zero-dwell hop is
+    // x→b, never b→x — the carried id must participate in the sort
+    ms.addData(ev(0L, T0us + 10000000L, "x"), ev(3L, T0us + 30000000L, "a"))
+    q.processAllAvailable()
+    val hops = spark.table("dwell_tie").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(hops(("x", "b", 0L)), s"tie hop direction wrong: $hops")
+    assert(!hops(("b", "x", 0L)), s"reversed tie hop emitted: $hops")
+    assert(hops(("b", "a", 20000000L)), s"post-tie chain must leave from b: $hops")
+  }
+
   test("jsonProfileStream: distinct-value state carries across the seam; last emission per key equals batch q211") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

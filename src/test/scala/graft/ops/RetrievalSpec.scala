@@ -103,6 +103,29 @@ class RetrievalSpec extends SparkSpecBase {
     assert(TextOps.q213BlockMaxWand(spark, dir).count() == 0)
   }
 
+  test("q213: fewer than 20 seed docs disarms θ — a small partial top block must not prune the winners") {
+    val dir = tmpDir()
+    // each term's top-ub block is the PARTIAL LAST block (5 postings):
+    // the 3 monster docs (tf 50) sit at the highest doc ids, so
+    // df = 133 puts them in block 1 with only docs 129-130 — 5 seed
+    // docs < 20. A min-over-5 θ would be a monster-level score and
+    // (pre-fix) prune every tf-1 block, returning 5 rows vs brute's 20.
+    val tail = (1L to 130L).map(i =>
+      (i, "t1 t2 t3 " + (1 to 20).map(k => s"f${i}x$k").mkString(" "), "en", "s", 1L))
+    val monsters = (9001L to 9003L).map(i =>
+      (i, Seq.fill(50)("t1 t2 t3").mkString(" "), "en", "s", 1L))
+    writeDocuments(dir, (tail ++ monsters): _*)
+    val brute = TextOps.q193Bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val wand = TextOps.q213BlockMaxWand(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(brute.size == 20, s"fixture must fill the top-20: ${brute.size}")
+    assert(wand == brute, s"under-seeded θ pruned winners:\n$wand\nvs\n$brute")
+    // θ disarmed ⇒ every block survives
+    val surv = TextOps.wandBlockSurvival(spark, dir).collect().map(_.getBoolean(6))
+    assert(surv.forall(identity), "no block may be skipped when θ is disarmed")
+  }
+
   test("q213 ≡ q193 on randomized corpora (seeded): pruning is exact under skew, uniformity, and tiny-df tails") {
     // deterministic PRNG — the WAND/brute-force equivalence must hold
     // on EVERY corpus, so sample shapes the fixed fixture doesn't:

@@ -234,9 +234,21 @@ class StagedRegistrySpec extends SparkSpecBase {
     GraftFunctions.register(spark)
     val m = Similarity.q135StagingManifest(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(m.keySet == Set("bpe_merges", "clean_pack", "component_labels", "dsir_weights",
-      "ivf_model", "pagerank_scores", "prep_deduped", "prep_groups", "prep_pairs_45",
-      "set_pairs_45", "shingle_groups", "sketch_labels", "unigram_groups"))
+    assert(m.keySet == Set("bpe_merges", "clean_pack", "component_labels", "doc_lengths",
+      "dsir_weights", "ivf_model", "pagerank_scores", "prep_deduped", "prep_groups",
+      "prep_pairs_45", "set_pairs_45", "shingle_groups", "sketch_labels",
+      "tf_postings", "unigram_groups"))
+    // doc_lengths: one row per tokenized doc
+    assert(m("doc_lengths") == graft.ops.TextOps.stagedTfPostings(spark, sf)
+      .select("doc_id").distinct().count())
+    // tf_postings: independently recomputed from the raw corpus
+    assert(m("tf_postings") == graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " ")).as("term"))
+      .filter(org.apache.spark.sql.functions.col("term") =!= "")
+      .select("doc_id", "term").distinct().count())
     assert(m("sketch_labels") == Sketches.q146SketchClusters(spark, sf).count())
     assert(m("pagerank_scores") == Similarity.q154SimilarityPagerank(spark, sf).count())
     assert(m("prep_pairs_45") == graft.ops.CorpusPrep.stagedPrepPairs45(spark, sf).count())
