@@ -259,6 +259,7 @@ object SparkEntry {
     "q217_session_entry_exit" -> (Events.q217SessionEntryExit _),
     "q218_dedup_token_budget" -> (Similarity.q218DedupTokenBudget _),
     "q219_dedup_degree_hist" -> (Similarity.q219DedupDegreeHist _),
+    "q220_filter_funnel" -> (TrainingData.q220FilterFunnel _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2480,6 +2481,30 @@ object SparkEntry {
         "(SELECT u AS doc_id FROM e0 UNION ALL SELECT v AS doc_id FROM e0) GROUP BY doc_id) " +
         "SELECT degree, CAST(count(*) AS BIGINT) AS n_docs FROM d " +
         "GROUP BY degree ORDER BY degree"),
+    // q220: q28's shared feature CTEs + a first-fail CASE in the
+    // engine's rule order; the funnel window runs over 5 stage rows.
+    // All-integer (the repetition verdict is cross-multiplied); sums
+    // CAST to BIGINT per the §7.3 HUGEINT edge rule
+    "q220_filter_funnel" ->
+      (s"WITH $qualityScoreCtes, " +
+        "tfq AS (SELECT doc_id, term, count(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) " +
+        "WHERE term <> '' GROUP BY doc_id, term), " +
+        "mx AS (SELECT doc_id, max(tf) AS max_tf FROM tfq GROUP BY doc_id), " +
+        "ff AS (SELECT CASE WHEN n_tokens < 20 THEN 1 WHEN n_tokens > 80 THEN 2 " +
+        "WHEN avg_tok_len < 3.0 OR avg_tok_len > 5.0 THEN 3 " +
+        "WHEN stop_ratio <= 0.0 THEN 4 " +
+        "WHEN 8*COALESCE(max_tf, 0) > n_tokens THEN 5 ELSE 0 END AS first_fail " +
+        "FROM qs LEFT JOIN mx USING (doc_id)), " +
+        "d AS (SELECT first_fail, count(*) AS nd FROM ff GROUP BY first_fail), " +
+        "s(stage, rule) AS (VALUES (1, 'min_tokens'), (2, 'max_tokens'), " +
+        "(3, 'avg_tok_len'), (4, 'has_stopword'), (5, 'repetition')), " +
+        "j AS (SELECT CAST(stage AS BIGINT) AS stage, rule, " +
+        "CAST(COALESCE(nd, 0) AS BIGINT) AS n_dropped FROM s LEFT JOIN d ON d.first_fail = s.stage), " +
+        "f AS (SELECT stage, rule, n_dropped, (SELECT count(*) FROM documents) " +
+        "- COALESCE(sum(n_dropped) OVER (ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_in FROM j) " +
+        "SELECT stage, rule, CAST(n_in AS BIGINT) AS n_in, n_dropped, " +
+        "CAST(n_in - n_dropped AS BIGINT) AS n_out FROM f ORDER BY stage"),
     // q194: both engines floor the identical IEEE division for the
     // band; l-diversity = exact distinct balances within the class
     "q194_k_anonymity" ->

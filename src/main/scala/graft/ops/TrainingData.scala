@@ -97,6 +97,63 @@ object TrainingData {
       .orderBy("source", "rk")
   }
 
+  /** q220 — quality-filter FUNNEL: the Gopher/C4-style ORDERED rule
+    * cascade as an attrition report — per stage, how many docs entered,
+    * how many the rule dropped, how many survived into the next stage.
+    * Every production curation pipeline publishes exactly this table:
+    * rule ordering matters (a doc failing two rules is charged to the
+    * FIRST — `first_fail` — so the stage counts tell you what each
+    * rule REMOVES GIVEN its predecessors, which is what re-ordering or
+    * re-thresholding decisions need, not the marginal per-rule counts
+    * q28's score conflates). Rules: token-count floor/ceiling,
+    * avg-token-length band, stopword presence, and a top-unigram
+    * repetition cap — the last compared cross-multiplied
+    * (8·max_tf > n_tokens ⟺ max_tf/n_tokens > 1/8) so the verdict is
+    * exact-integer on both engines.
+    *
+    * Shape: row-local features (q28's shared extraction) + one
+    * doc-grain max over the STAGED tf postings, joined FK-style; the
+    * funnel itself is a 5-row stage table with a cumulative window —
+    * catalog-sized by construction, the single-partition exemption.
+    * All counts BIGINT (the §7.3 no-wide-decimal edge rule). At
+    * 100 TB nothing changes: the per-doc pass is one map stage over
+    * the staged postings aggregate, and only 5 rows ever sit under
+    * the window.
+    */
+  def q220FilterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mx = TextOps.stagedTfPostings(spark, dir)
+      .groupBy("doc_id").agg(max(col("tf")).as("max_tf"))
+    // left join: a tokenless doc has no posting row; it still enters
+    // the funnel (and fails the token floor) rather than vanishing
+    val ff = qualityScored(Tables.documents(spark, dir))
+      .join(mx, Seq("doc_id"), "left")
+      .select(col("n_tokens"), col("avg_tok_len"), col("stop_ratio"),
+        coalesce(col("max_tf"), lit(0L)).as("max_tf"))
+      .select(
+        when(col("n_tokens") < 20L, 1L)
+          .when(col("n_tokens") > 80L, 2L)
+          .when(!col("avg_tok_len").between(3.0, 5.0), 3L)
+          .when(col("stop_ratio") <= 0.0, 4L)
+          .when(lit(8L) * col("max_tf") > col("n_tokens"), 5L)
+          .otherwise(0L).as("first_fail"))
+    val drops = ff.groupBy("first_fail").agg(count(lit(1)).as("n_dropped"))
+    val total = ff.agg(count(lit(1)).as("n_total"))
+    val stages = Seq((1L, "min_tokens"), (2L, "max_tokens"),
+      (3L, "avg_tok_len"), (4L, "has_stopword"), (5L, "repetition"))
+      .toDF("stage", "rule")
+    // n_in(k) = total − Σ_{j<k} dropped(j): 5-row unpartitioned window
+    val w = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, -1)
+    stages.join(drops.withColumnRenamed("first_fail", "stage"), Seq("stage"), "left")
+      .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
+      .crossJoin(broadcast(total)) // one-row total onto the 5 stages
+      .withColumn("n_in", col("n_total")
+        - coalesce(sum(col("n_dropped")).over(w), lit(0L)))
+      .select(col("stage"), col("rule"), col("n_in"), col("n_dropped"),
+        (col("n_in") - col("n_dropped")).as("n_out"))
+      .orderBy("stage")
+  }
+
   /** q29 — token counting: whitespace tokens plus a BPE-ish regex split
     * (alpha runs / digit runs / single other-chars) — the standard cheap
     * proxy for tokenizer cost before running a real BPE.

@@ -521,7 +521,10 @@ class PlanQualitySpec extends SparkSpecBase {
       "q211_json_profile",
       // q217: the one-row session-total broadcast for the share —
       // q125/q53's scalar-not-relation shape
-      "q217_session_entry_exit")
+      "q217_session_entry_exit",
+      // q220: the one-row corpus-total broadcast onto the 5 funnel
+      // stage rows — q125/q53's scalar-not-relation shape
+      "q220_filter_funnel")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

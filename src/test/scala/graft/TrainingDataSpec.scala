@@ -443,4 +443,32 @@ class TrainingDataSpec extends SparkSpecBase {
     writeEmptyWarehouse(dir)
     assert(graft.ops.TrainingData.q203TargetEncoding(spark, dir).count() == 0)
   }
+
+  test("q220 filter funnel: each doc is charged to its FIRST failing rule; n_in chains through the stages") {
+    val dir = tmpDir()
+    val fill = (1 to 10).map(i => f"fx$i%02d") // distinct 4-char tokens
+    writeDocuments(dir,
+      (1L, "aa bb cc dd ee ff gg hh ii jj", "en", "s", 1L),       // 10 toks → stage 1
+      (2L, Seq.fill(100)("abcd").mkString(" "), "en", "s", 1L),    // 100 toks → stage 2 (repetition never reached)
+      (3L, Seq.fill(20)("abcdefghij").mkString(" "), "en", "s", 1L), // avg 10 → stage 3
+      (4L, Seq.fill(20)("abcd").mkString(" "), "en", "s", 1L),     // no stopword → stage 4 (before repetition)
+      (5L, (Seq.fill(10)("the") ++ fill).mkString(" "), "en", "s", 1L), // max_tf 10/20 → stage 5
+      (6L, ("the" +: (1 to 19).map(i => f"gy$i%02d")).mkString(" "), "en", "s", 1L)) // passes all
+    val out = graft.ops.TrainingData.q220FilterFunnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "min_tokens", 6L, 1L, 5L),
+      (2L, "max_tokens", 5L, 1L, 4L),
+      (3L, "avg_tok_len", 4L, 1L, 3L),
+      (4L, "has_stopword", 3L, 1L, 2L),
+      (5L, "repetition", 2L, 1L, 1L)), s"funnel mismatch: ${out.toSeq}")
+  }
+
+  test("q220 filter funnel: empty corpus yields the 5 stage rows, all zero") {
+    val dir = tmpDir()
+    writeDocuments(dir)
+    val out = graft.ops.TrainingData.q220FilterFunnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == (1L to 5L).map(s => (s, 0L, 0L, 0L)).toSeq)
+  }
 }
