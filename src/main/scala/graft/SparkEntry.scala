@@ -260,6 +260,8 @@ object SparkEntry {
     "q218_dedup_token_budget" -> (Similarity.q218DedupTokenBudget _),
     "q219_dedup_degree_hist" -> (Similarity.q219DedupDegreeHist _),
     "q220_filter_funnel" -> (TrainingData.q220FilterFunnel _),
+    "q221_phrase_match" -> (TextOps.q221PhraseMatch _),
+    "q222_query_likelihood" -> (TextOps.q222QueryLikelihood _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2505,6 +2507,39 @@ object SparkEntry {
         "- COALESCE(sum(n_dropped) OVER (ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_in FROM j) " +
         "SELECT stage, rule, CAST(n_in AS BIGINT) AS n_in, n_dropped, " +
         "CAST(n_in - n_dropped AS BIGINT) AS n_out FROM f ORDER BY stage"),
+    // q221: the oracle derives the same most-frequent adjacent bigram
+    // (lead-window form of the engine's array transform) and rescans —
+    // exact-integer counts, 1-based positions on both sides
+    "q221_phrase_match" ->
+      ("WITH p AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos, " +
+        "unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "bg AS (SELECT doc_id, pos, term AS t1, " +
+        "lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS t2 FROM p), " +
+        "cnt AS (SELECT t1, t2, count(*) AS c FROM bg WHERE t2 IS NOT NULL GROUP BY t1, t2), " +
+        "ph AS (SELECT t1, t2 FROM cnt ORDER BY c DESC, t1, t2 LIMIT 1), " +
+        "m AS (SELECT doc_id, pos FROM bg JOIN ph USING (t1, t2)) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences, " +
+        "CAST(min(pos) AS BIGINT) AS first_pos FROM m GROUP BY doc_id ORDER BY doc_id"),
+    // q222: q193's determinism discipline on the Dirichlet LM — both
+    // engines evaluate the identical IEEE tree over exact integers,
+    // floor at 1 µnat, exact DECIMAL fold; nll ranks ascending
+    "q222_query_likelihood" ->
+      ("WITH tfq AS (SELECT doc_id, term, count(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u " +
+        "WHERE term <> '' GROUP BY doc_id, term), " +
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tfq GROUP BY doc_id), " +
+        "qt AS (SELECT term FROM (SELECT term, count(*) AS df FROM tfq GROUP BY term) " +
+        "ORDER BY df DESC, term LIMIT 3), " +
+        "cf AS (SELECT tfq.term, CAST(sum(tf) AS BIGINT) AS cf FROM tfq " +
+        "JOIN qt ON tfq.term = qt.term GROUP BY tfq.term), " +
+        "ct AS (SELECT CAST(sum(dl) AS BIGINT) AS c_total FROM dl), " +
+        "x AS (SELECT dl.doc_id, dl.dl, cf.cf, COALESCE(t.tf, 0) AS tf_d FROM dl " +
+        "CROSS JOIN cf LEFT JOIN tfq t ON t.doc_id = dl.doc_id AND t.term = cf.term), " +
+        "s AS (SELECT doc_id, tf_d, floor(-ln((CAST(tf_d AS DOUBLE) + " +
+        "300.0*CAST(cf AS DOUBLE)/CAST(c_total AS DOUBLE))/(CAST(dl AS DOUBLE) + 300.0))" +
+        "*1000000 + 0.5)/1000000 AS c FROM x CROSS JOIN ct) " +
+        "SELECT doc_id, CAST(sum(CASE WHEN tf_d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched, " +
+        s"${dsum("c")} AS nll FROM s GROUP BY doc_id ORDER BY nll, doc_id LIMIT 20"),
     // q194: both engines floor the identical IEEE division for the
     // band; l-diversity = exact distinct balances within the class
     "q194_k_anonymity" ->

@@ -993,4 +993,88 @@ object TextOps {
           col("c_a").cast(d38) * col("c_b") * col("n_big") * 2L).as("collocated"))
       .orderBy("tok_a", "tok_b")
   }
+
+  /** q221 — PHRASE MATCH (positional retrieval): every document
+    * containing the query PHRASE — two tokens ADJACENT in order, the
+    * query class a bag-of-words index (q192/q193/q198) cannot answer
+    * ("new york" ≠ "york … new") and the reason production posting
+    * lists carry positions. The phrase is corpus-derived (the most
+    * frequent adjacent bigram, ties broken lexicographically — q193's
+    * self-contained-query convention; a production run substitutes
+    * literals, same plan). Output per matching doc: occurrence count
+    * and the 1-based position of the first hit, both exact integers.
+    *
+    * Shape: bigram selection reuses q202's array-local transform (no
+    * window, no self-join) into one map-combinable count at VOCAB²
+    * cardinality; the match scan is then fully ROW-LOCAL — one filter
+    * over the token array's index range against the broadcast one-row
+    * phrase — so the corpus never shuffles at all for scoring. At
+    * 100 TB a positional posting index (q192's layout + a pos column)
+    * would replace the scan with two block-skipped posting list
+    * intersections; the declared semantics are identical.
+    */
+  def q221PhraseMatch(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val ph = d.select(explode(expr(
+        "CASE WHEN size(w) < 2 THEN array() ELSE transform(sequence(2, size(w)), " +
+          "i -> struct(element_at(w, i-1) AS t1, element_at(w, i) AS t2)) END")).as("p"))
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("t1"), asc("t2")).limit(1)
+    d.crossJoin(broadcast(ph)) // one-row phrase onto the corpus scan
+      .withColumn("hits", expr(
+        "CASE WHEN size(w) < 2 THEN array() ELSE filter(sequence(1, size(w) - 1), " +
+          "i -> element_at(w, i) = t1 AND element_at(w, i + 1) = t2) END"))
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"),
+        size(col("hits")).cast(LongType).as("n_occurrences"),
+        element_at(col("hits"), 1).cast(LongType).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** q222 — DIRICHLET QUERY-LIKELIHOOD RETRIEVAL (LM scoring, µ=300):
+    * the language-modeling alternative to q193's BM25 over the same
+    * staged index — score every tokenized doc by the negative log
+    * likelihood of the query under the doc's Dirichlet-smoothed
+    * unigram LM: nll = Σ_t −ln((tf + µ·cf_t/|C|)/(dl + µ)), ranked
+    * ASCENDING (smaller = more likely). Unlike BM25, a doc missing a
+    * term still pays the smoothed background cost — which is why the
+    * scan is over the dl relation (every tokenized doc), not the
+    * matched postings. The two scorers disagreeing on a doc is the
+    * classic retrieval-eval probe; n_matched carries the overlap
+    * diagnostic.
+    *
+    * Determinism: q193's discipline verbatim — every contribution is
+    * one IEEE expression tree over exact integers (tf, cf, dl, |C|),
+    * floored at 1 µnat (contributions are provably ≥ 0: the smoothed
+    * ratio never exceeds 1 since tf ≤ dl and µ·cf/|C| ≤ µ), then an
+    * exact DECIMAL fold. Scale: the query side is 3 rows + two
+    * one-row totals (broadcast scalars); the only corpus-sized moves
+    * are the staged dl scan and one (doc, term)-keyed left join of
+    * the 3n probe rows against the staged postings.
+    */
+  def q222QueryLikelihood(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val tf = tfRelation(spark, dir)
+    val dl = stagedDocLengths(spark, dir)
+    val cf = tf.join(broadcast(topDfTerms(tf).select("term")), "term")
+      .groupBy("term").agg(sum(col("tf")).cast(LongType).as("cf"))
+    val ctot = dl.agg(sum(col("dl")).cast(LongType).as("c_total"))
+    val mu = lit(300.0)
+    dl.crossJoin(broadcast(cf)) // 3 query-term rows per doc
+      .join(tf.withColumnRenamed("tf", "tf_d"), Seq("doc_id", "term"), "left")
+      .withColumn("tf_d", coalesce(col("tf_d"), lit(0L)))
+      .crossJoin(broadcast(ctot))
+      .withColumn("c", floor(-log(
+        (col("tf_d").cast(DoubleType) + mu * col("cf").cast(DoubleType)
+          / col("c_total").cast(DoubleType))
+          / (col("dl").cast(DoubleType) + mu)) * lit(1000000.0) + lit(0.5))
+        / lit(1000000.0))
+      .groupBy("doc_id")
+      .agg(sum(when(col("tf_d") > 0L, 1L).otherwise(0L)).cast(LongType).as("n_matched"),
+        Det.dsum4(col("c")).as("nll"))
+      .orderBy(asc("nll"), asc("doc_id"))
+      .limit(20)
+  }
 }

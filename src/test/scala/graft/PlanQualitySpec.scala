@@ -524,7 +524,13 @@ class PlanQualitySpec extends SparkSpecBase {
       "q217_session_entry_exit",
       // q220: the one-row corpus-total broadcast onto the 5 funnel
       // stage rows — q125/q53's scalar-not-relation shape
-      "q220_filter_funnel")
+      "q220_filter_funnel",
+      // q221: the one-row phrase broadcast onto the row-local array
+      // scan — q15/q17's scalar-not-relation shape
+      "q221_phrase_match",
+      // q222: the 3-row query-term broadcast (q22/q193's tiny-relation
+      // scoring class) + the one-row |C| total
+      "q222_query_likelihood")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

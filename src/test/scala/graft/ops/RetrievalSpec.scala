@@ -94,13 +94,50 @@ class RetrievalSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, 4L, 1L), (2L, 5L, 1L)), out.toSeq)
   }
 
-  test("empty corpus: q192/q193/q198/q213 return 0 rows, not crashes") {
+  test("q221: adjacency in ORDER only — reversed pairs don't match; tie-break picks the lexicographic phrase") {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (1L, "p q p q z", "en", "s", 1L), // (p,q)×2, (q,p)×1, (q,z)×1
+      (2L, "q p z z", "en", "s", 1L),   // (q,p)×1 more — reversed, must NOT match
+      (3L, "x p q y", "en", "s", 1L),   // (p,q)×1 → phrase (p,q) at c=3 over (q,p) c=2
+      (4L, "p p q", "en", "s", 1L))     // (p,p) then (p,q): hit at pos 2 only
+    val out = TextOps.q221PhraseMatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1L), (3L, 1L, 2L), (4L, 1L, 2L)), out.toSeq)
+  }
+
+  test("q221: overlapping self-phrase occurrences all count") {
+    val dir = tmpDir()
+    writeDocuments(dir, (7L, "a a a a", "en", "s", 1L)) // phrase (a,a), hits 1/2/3
+    val out = TextOps.q221PhraseMatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((7L, 3L, 1L)), out.toSeq)
+  }
+
+  test("q222: equal-length docs rank by query mass; an unmatched doc still scores (background cost) with n_matched 0") {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (1L, "k k k k p p r r", "en", "s", 1L),            // dl 8, heavy query mass
+      (2L, "k p r f1 f2 f3 f4 f5", "en", "s", 1L),        // dl 8, one of each
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8", "en", "s", 1L))     // dl 8, no query term
+    // df: k=p=r=2 > fillers at 1 → query {k, p, r}
+    val out = TextOps.q222QueryLikelihood(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L), out.toSeq)
+    assert(out.map(_._2).toSeq == Seq(3L, 3L, 0L), out.toSeq)
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted.toSeq, out.toSeq) // ascending nll
+    assert(out.forall(_._3 > 0.0), out.toSeq) // contributions provably ≥ 0
+  }
+
+  test("empty corpus: q192/q193/q198/q213/q221/q222 return 0 rows, not crashes") {
     val dir = tmpDir()
     writeDocuments(dir)
     assert(TextOps.q192PostingBlocks(spark, dir).count() == 0)
     assert(TextOps.q193Bm25(spark, dir).count() == 0)
     assert(TextOps.q198BooleanAnd(spark, dir).count() == 0)
     assert(TextOps.q213BlockMaxWand(spark, dir).count() == 0)
+    assert(TextOps.q221PhraseMatch(spark, dir).count() == 0)
+    assert(TextOps.q222QueryLikelihood(spark, dir).count() == 0)
   }
 
   test("q213: fewer than 20 seed docs disarms θ — a small partial top block must not prune the winners") {
