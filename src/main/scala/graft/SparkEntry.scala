@@ -262,6 +262,7 @@ object SparkEntry {
     "q220_filter_funnel" -> (TrainingData.q220FilterFunnel _),
     "q221_phrase_match" -> (TextOps.q221PhraseMatch _),
     "q222_query_likelihood" -> (TextOps.q222QueryLikelihood _),
+    "q223_daily_autocorr" -> (Events.q223DailyAutocorr _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2540,6 +2541,27 @@ object SparkEntry {
         "*1000000 + 0.5)/1000000 AS c FROM x CROSS JOIN ct) " +
         "SELECT doc_id, CAST(sum(CASE WHEN tf_d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched, " +
         s"${dsum("c")} AS nll FROM s GROUP BY doc_id ORDER BY nll, doc_id LIMIT 20"),
+    // q223: exact HUGEINT moments over the zero-filled day grid mirror
+    // the engine's DECIMAL(38,0) fold; one double division + sqrt at
+    // the edge, 4-dp floored; constant series → NULL
+    "q223_daily_autocorr" ->
+      (s"WITH e AS (SELECT event_type, ${fdiv(s"epoch_us($tsUs)", 86400000000L)} AS day FROM events), " +
+        "b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM e), " +
+        "g AS (SELECT event_type, unnest(generate_series(dmin, dmax)) AS day FROM " +
+        "(SELECT DISTINCT event_type FROM e) CROSS JOIN b), " +
+        "c AS (SELECT event_type, day, count(*) AS c FROM e GROUP BY event_type, day), " +
+        "dense AS (SELECT g.event_type, g.day, COALESCE(c.c, 0) AS x FROM g " +
+        "LEFT JOIN c ON c.event_type = g.event_type AND c.day = g.day), " +
+        "p AS (SELECT event_type, day, x, lead(x) OVER (PARTITION BY event_type ORDER BY day) AS y FROM dense), " +
+        "a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy " +
+        "FROM p WHERE y IS NOT NULL GROUP BY event_type) " +
+        "SELECT event_type, n_pairs, " +
+        "CASE WHEN (n_pairs*sxx - sx*sx) > 0 AND (n_pairs*syy - sy*sy) > 0 THEN " +
+        "floor((CAST(n_pairs*sxy - sx*sy AS DOUBLE) / " +
+        "sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE) * CAST(n_pairs*syy - sy*sy AS DOUBLE)))" +
+        "*10000 + 0.5)/10000 ELSE NULL END AS r_lag1 " +
+        "FROM a ORDER BY event_type"),
     // q194: both engines floor the identical IEEE division for the
     // band; l-diversity = exact distinct balances within the class
     "q194_k_anonymity" ->

@@ -710,6 +710,62 @@ object Events {
       .orderBy("event_type", "dow")
   }
 
+  /** q223 — DAILY LAG-1 AUTOCORRELATION: per event type, the Pearson
+    * correlation between consecutive days' arrival counts over the
+    * DENSE global day grid (zero-filled — a type that skips days is
+    * anti-persistent, and dropping the zeros would hide exactly that).
+    * The memory-structure read completing the anomaly family's time
+    * axis: q204 asks "does the weekday matter", this asks "does
+    * yesterday predict today" — r near +1 = momentum/trend (a ramping
+    * rollout, an escalating incident), near −1 = alternation (a
+    * day-on/day-off batch job), near 0 = memoryless arrivals. Feeds
+    * q196's baseline validity (CUSUM assumes independence; high |r|
+    * says widen the baseline window).
+    *
+    * Exactness: all five moments are exact DECIMAL(38,0) sums of
+    * integer day counts (products cast before multiplying — day
+    * counts to ~10⁹ over ~10³ days keep every product under 10³⁸);
+    * ONE double division + sqrt at the edge as the identical IEEE
+    * tree on both engines, 4-dp floored. A constant series (either
+    * variance 0) yields NULL, not NaN. Scale: the corpus-sized work
+    * is one map-combinable (type, day) count; the grid, window and
+    * moments all live at type × span cardinality — thousands of rows,
+    * each type's ordered partition bounded by the calendar, never by
+    * event volume.
+    */
+  def q223DailyAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val d38 = DecimalType(38, 0)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr(Det.floorDivExpr("unix_micros(ts)", MicrosPerDay)).as("day"))
+    val bounds = ev.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds)) // one-row day-span anchor
+      .select(col("event_type"), explode(sequence(col("dmin"), col("dmax"))).as("day"))
+    val counts = ev.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val dense = grid.join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("c"), lit(0L)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val pairs = dense.withColumn("y", lead(col("x"), 1).over(w))
+      .filter(col("y").isNotNull)
+    val agg = pairs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"),
+        sum(col("x").cast(d38) * col("x")).as("sxx"),
+        sum(col("y").cast(d38) * col("y")).as("syy"))
+    val num = agg("n_pairs") * agg("sxy") - agg("sx") * agg("sy")
+    val dx = agg("n_pairs") * agg("sxx") - agg("sx") * agg("sx")
+    val dy = agg("n_pairs") * agg("syy") - agg("sy") * agg("sy")
+    agg.select(col("event_type"), col("n_pairs"),
+      when(dx > 0 && dy > 0,
+        roundD4(num.cast(DoubleType)
+          / sqrt(dx.cast(DoubleType) * dy.cast(DoubleType))))
+        .otherwise(lit(null).cast(DoubleType)).as("r_lag1"))
+      .orderBy("event_type")
+  }
+
   /** q205 — RFM SEGMENTATION: per purchasing user, quintile scores for
     * Recency (days since last purchase, against the corpus max-purchase
     * anchor — q17's data-anchored stance), Frequency (purchase count)

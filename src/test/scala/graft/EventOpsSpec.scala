@@ -745,4 +745,38 @@ class EventOpsSpec extends SparkSpecBase {
     write(empty, "events", df(Tables.eventsRawSchema))
     assert(Events.q217SessionEntryExit(spark, empty).count() == 0)
   }
+
+  test("q223 daily autocorr: alternation → −1, trend → +1, constant → NULL, day gaps zero-fill") {
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns // midnight UTC — day-aligned
+    val Day = 86400L * Ns
+    var id = 0L
+    def burst(tpe: String, day: Int, c: Int): Seq[Row] =
+      (1 to c).map { k => id += 1; Row(id, T0 + day * Day + k * Ns, 1L, tpe, 0.0, "{}") }
+    val rows =
+      // alt: [2,0,2,0,2] → perfect alternation, r = −1
+      Seq(0, 2, 4).flatMap(d => burst("alt", d, 2)) ++
+      // mono: [1,2,3,4,5] → perfect trend, r = +1
+      (0 to 4).flatMap(d => burst("mono", d, d + 1)) ++
+      // const: [1,1,1,1,1] → zero variance, r NULL (not NaN)
+      (0 to 4).flatMap(d => burst("const", d, 1)) ++
+      // gap: [3,0,0,0,3] — without zero-fill the only pair would be
+      // (3,3); the filled grid makes r = −9/27 = −1/3
+      Seq(0, 4).flatMap(d => burst("gap", d, 3))
+    write(dir, "events", df(Tables.eventsRawSchema, rows: _*))
+    val out = Events.q223DailyAutocorr(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.toSeq == Seq(
+      ("alt", 4L, Some(-1.0)),
+      ("const", 4L, None),
+      ("gap", 4L, Some(-0.3333)),
+      ("mono", 4L, Some(1.0))), out.toSeq)
+  }
+
+  test("q223 daily autocorr: empty events yield no rows") {
+    val dir = tmpDir()
+    write(dir, "events", df(Tables.eventsRawSchema))
+    assert(Events.q223DailyAutocorr(spark, dir).count() == 0)
+  }
 }

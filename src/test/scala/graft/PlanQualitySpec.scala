@@ -530,7 +530,10 @@ class PlanQualitySpec extends SparkSpecBase {
       "q221_phrase_match",
       // q222: the 3-row query-term broadcast (q22/q193's tiny-relation
       // scoring class) + the one-row |C| total
-      "q222_query_likelihood")
+      "q222_query_likelihood",
+      // q223: the one-row (dmin, dmax) day-span anchor broadcast —
+      // q15/q17's scalar-not-relation shape
+      "q223_daily_autocorr")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
