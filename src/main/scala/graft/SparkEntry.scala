@@ -263,6 +263,7 @@ object SparkEntry {
     "q221_phrase_match" -> (TextOps.q221PhraseMatch _),
     "q222_query_likelihood" -> (TextOps.q222QueryLikelihood _),
     "q223_daily_autocorr" -> (Events.q223DailyAutocorr _),
+    "q225_edge_jaccard" -> (Similarity.q225EdgeJaccard _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2562,6 +2563,20 @@ object SparkEntry {
         "sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE) * CAST(n_pairs*syy - sy*sy AS DOUBLE)))" +
         "*10000 + 0.5)/10000 ELSE NULL END AS r_lag1 " +
         "FROM a ORDER BY event_type"),
+    // q225: the shared group-edge universe; full neighbor lists via the
+    // both-directions union, list_intersect for cn (set semantics match
+    // the engine's sorted merge — adjacency lists are duplicate-free),
+    // one identical IEEE division 4-dp floored
+    "q225_edge_jaccard" ->
+      (s"WITH $ttGgCtes, ${groupEdgeSql("ge")}, " +
+        "nb AS MATERIALIZED (SELECT v, list_sort(list(n)) AS nbrs, CAST(count(*) AS BIGINT) AS deg FROM " +
+        "(SELECT ga AS v, gb AS n FROM ge UNION ALL SELECT gb, ga FROM ge) GROUP BY v), " +
+        "x AS (SELECT ge.ga, ge.gb, CAST(len(list_intersect(a.nbrs, b.nbrs)) AS BIGINT) AS cn, " +
+        "a.deg AS deg_a, b.deg AS deg_b " +
+        "FROM ge JOIN nb a ON a.v = ge.ga JOIN nb b ON b.v = ge.gb) " +
+        "SELECT ga, gb, cn, deg_a, deg_b, " +
+        s"${rd4("CAST(cn AS DOUBLE)/CAST(deg_a + deg_b - cn AS DOUBLE)")} AS jaccard " +
+        "FROM x ORDER BY ga, gb"),
     // q194: both engines floor the identical IEEE division for the
     // band; l-diversity = exact distinct balances within the class
     "q194_k_anonymity" ->

@@ -1151,6 +1151,46 @@ object Similarity {
       .select(col("n_vertices"), col("n_edges"), col("n_wedges"), col("n_triangles"))
   }
 
+  /** q225 — EDGE NEIGHBORHOOD JACCARD (link-prediction scoring on the
+    * near-dup group graph): per staged J ≥ 4/5 edge, the common-neighbor
+    * count and neighborhood Jaccard cn/(deg_a + deg_b − cn) — the
+    * structural-cohesion read at EDGE grain that q177 (global census)
+    * and q219 (vertex degrees) can't give: an edge with high
+    * neighborhood overlap sits inside a dense template cluster (its
+    * endpoints duplicate with the same crowd — collapse confidently),
+    * while a cn = 0 bridge joins two otherwise-unrelated groups — the
+    * edge a dedup reviewer audits FIRST, since one false positive
+    * merges two whole clusters (q62's hash-min happily propagates the
+    * mistake). Endpoints never count themselves (no self-loops ⇒
+    * u ∉ N(u)), so the denominator is provably ≥ 2.
+    *
+    * Shape — q177's adjacency discipline, NOT its orientation: per-edge
+    * cn needs FULL sorted adjacency on both sides, so the cost is one
+    * row-local `sorted_intersect_count` merge per edge, Σ(deg_a+deg_b)
+    * = 2·wedge total ops INSIDE codegen — the formulation that melted
+    * at 50 s (q177 pre-fix) was materializing those wedges as rows
+    * through a shuffle; here nothing but the |E|-sized result ever
+    * shuffles. The exact-integer cn and degrees make the 4-dp Jaccard
+    * one identical IEEE division on both engines.
+    */
+  def q225EdgeJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    graft.functions.GraftFunctions.register(spark)
+    val e = stagedSetPairs45(spark, dir).select("ga", "gb")
+    val adj = e.select(col("ga").as("v"), col("gb").as("n"))
+      .union(e.select(col("gb").as("v"), col("ga").as("n")))
+      .groupBy("v").agg(sort_array(collect_list(col("n"))).as("nbrs"),
+        count(lit(1)).cast(LongType).as("deg"))
+    e.join(adj.select(col("v").as("ga"), col("nbrs").as("na"), col("deg").as("deg_a")), "ga")
+      .join(adj.select(col("v").as("gb"), col("nbrs").as("nb"), col("deg").as("deg_b")), "gb")
+      .select(col("ga"), col("gb"),
+        expr("CAST(sorted_intersect_count(na, nb) AS BIGINT)").as("cn"),
+        col("deg_a"), col("deg_b"))
+      .withColumn("jaccard", roundD4(col("cn").cast(DoubleType)
+        / (col("deg_a") + col("deg_b") - col("cn")).cast(DoubleType)))
+      .orderBy("ga", "gb")
+  }
+
   def q31EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     embedNeardupFrom(Tables.embeddings(spark, dir))

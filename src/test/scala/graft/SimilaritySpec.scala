@@ -220,4 +220,36 @@ class SimilaritySpec extends SparkSpecBase {
     // has no partners and no row
     assert(out == Seq((1L, 2L), (2L, 3L)), out)
   }
+
+  test("q225 edge jaccard: path edges are cn=0 bridges, triangle edges share one neighbor") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmpDir()
+    val t = (1 to 10).map(i => s"t$i")
+    val v = (1 to 10).map(i => s"v$i")
+    writeDocuments(dir,
+      // path 1–2–3: J(1,2)=J(2,3)=9/11 ≥ 4/5, J(1,3)=8/12 < 4/5
+      (1L, t.mkString(" "), "en", "s", 1L),
+      (2L, (t.take(9) :+ "u1").mkString(" "), "en", "s", 1L),
+      (3L, (t.take(8) ++ Seq("u1", "u2")).mkString(" "), "en", "s", 1L),
+      // triangle 4–5–6: every pair at 9/11
+      (4L, v.mkString(" "), "en", "s", 1L),
+      (5L, (v.take(9) :+ "w1").mkString(" "), "en", "s", 1L),
+      (6L, (v.take(9) :+ "w2").mkString(" "), "en", "s", 1L))
+    val out = graft.ops.Similarity.q225EdgeJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(out == Seq(
+      (1L, 2L, 0L, 1L, 2L, 0.0),      // bridge: endpoints share nobody
+      (2L, 3L, 0L, 2L, 1L, 0.0),
+      (4L, 5L, 1L, 2L, 2L, 0.3333),   // the third vertex is the common neighbor
+      (4L, 6L, 1L, 2L, 2L, 0.3333),
+      (5L, 6L, 1L, 2L, 2L, 0.3333)), out)
+  }
+
+  test("q225 edge jaccard: empty corpus yields no edges") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmpDir()
+    writeDocuments(dir)
+    assert(graft.ops.Similarity.q225EdgeJaccard(spark, dir).count() == 0)
+  }
 }
