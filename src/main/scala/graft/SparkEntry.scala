@@ -263,6 +263,7 @@ object SparkEntry {
     "q221_phrase_match" -> (TextOps.q221PhraseMatch _),
     "q222_query_likelihood" -> (TextOps.q222QueryLikelihood _),
     "q223_daily_autocorr" -> (Events.q223DailyAutocorr _),
+    "q224_core_decomposition" -> (Similarity.q224CoreDecomposition _),
     "q225_edge_jaccard" -> (Similarity.q225EdgeJaccard _),
   )
 
@@ -1698,9 +1699,11 @@ object SparkEntry {
         "UNION ALL SELECT 'prep_pairs_45', (SELECT count(*) FROM pgg a JOIN pgg b ON a.gid < b.gid " +
         "AND 5*len(list_intersect(a.ts, b.ts)) >= " +
         "4*(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))) " +
-        // pagerank_scores: one row per edge-touched node of the J ≥ 0.8
-        // group graph (the PageRank loop's node universe)
+        // pagerank_scores / coreness: one row per edge-touched node of
+        // the J ≥ 0.8 group graph (each iterative loop's node universe)
         "UNION ALL SELECT 'pagerank_scores', (SELECT count(DISTINCT gid) FROM " +
+        "(SELECT ga AS gid FROM spr45 UNION ALL SELECT gb AS gid FROM spr45)) " +
+        "UNION ALL SELECT 'coreness', (SELECT count(DISTINCT gid) FROM " +
         "(SELECT ga AS gid FROM spr45 UNION ALL SELECT gb AS gid FROM spr45)) " +
         "UNION ALL SELECT 'set_pairs_45', (SELECT count(*) FROM spr45) " +
         "UNION ALL SELECT 'shingle_groups', (SELECT c FROM shc) " +

@@ -235,7 +235,7 @@ object Similarity {
     * is deterministic under any query execution order.
     */
   private val ManifestFamilies = Seq(
-    "bpe_merges", "clean_pack", "component_labels", "doc_lengths",
+    "bpe_merges", "clean_pack", "component_labels", "coreness", "doc_lengths",
     "dsir_weights", "ivf_model", "prep_deduped", "prep_groups",
     "prep_pairs_45", "pagerank_scores", "set_pairs_45", "shingle_groups",
     "sketch_labels", "tf_postings", "unigram_groups")
@@ -270,6 +270,7 @@ object Similarity {
     graft.ops.TrainingData.stagedDsirWeights(spark, dir)
     graft.ops.Sketches.stagedSketchLabels(spark, dir)
     stagedPagerankScores(spark, dir)
+    stagedCoreness(spark, dir)
     graft.ops.TextOps.stagedTfPostings(spark, dir)
     graft.ops.TextOps.stagedDocLengths(spark, dir)
     val wanted = ManifestFamilies.toSet
@@ -1190,6 +1191,70 @@ object Similarity {
         / (col("deg_a") + col("deg_b") - col("cn")).cast(DoubleType)))
       .orderBy("ga", "gb")
   }
+
+  /** q224 — CORE DECOMPOSITION (coreness histogram) of the near-dup
+    * group graph, via the iterated neighborhood H-index (Lü et al.,
+    * Nat. Commun. 2016: h⁰ = degree, hᵗ⁺¹(v) = H-index of neighbors'
+    * hᵗ, the fixpoint IS the k-core number). Coreness separates what
+    * q219's degrees conflate: a degree-50 vertex may be a STAR hub
+    * (coreness 1 — a boilerplate template matched by 50 otherwise
+    * unrelated docs; severing it shatters nothing) or sit in a dense
+    * 50-clique (coreness 49 — a true template blob to collapse
+    * whole). The max row is the graph's degeneracy — the exact upper
+    * bound on clique size and the right bucket-capacity estimate for
+    * the pair-graph ops (q177/q225's adjacency rows).
+    *
+    * Same iterative contract as q62's hash-min ([[hashMinLabels]]):
+    * symmetric edges checkpointed ONCE; per round one equi-join + one
+    * map-combinable groupBy collecting the neighbor multiset, the
+    * H-index then ROW-LOCAL over the sorted array (h = #{i :
+    * vals[i] ≥ i}, monotone since vals is sorted desc — no second
+    * pass). Values only DECREASE from the degree start, bounded by 0,
+    * so convergence is certain; clique-heavy dedup graphs settle in a
+    * handful of rounds (cliques are h-index fixpoints immediately),
+    * chains need O(length) — the 128 cap covers any plausible
+    * near-dup chain (q62b's 40-chain fixture needs ~20). Not
+    * oracle-expressible (iterated deletion/fixpoint is beyond one
+    * recursive CTE): OracleFree, with CoreDecompositionSpec pinning
+    * exact coreness on clique + pendant-triangle fixtures.
+    */
+  def q224CoreDecomposition(spark: SparkSession, dir: String): DataFrame =
+    stagedCoreness(spark, dir)
+      .groupBy(col("c").as("coreness")).agg(count(lit(1)).as("n_vertices"))
+      .orderBy("coreness")
+
+  /** The PERSISTED coreness relation (v, c) — one row per edge-touched
+    * vertex of the J ≥ 4/5 group graph, its k-core number. Its own
+    * staging family ([[stagedPagerankScores]]' discipline: the
+    * iterative fixpoint runs once per (session, corpus); readouts
+    * scan). All-long schema → exact parquet round trip.
+    */
+  private[graft] def stagedCoreness(spark: SparkSession, dir: String): DataFrame =
+    stagedTable(spark, dir, "coreness") {
+      val e = stagedSetPairs45(spark, dir).select("ga", "gb")
+      val sym = e.select(col("ga").as("v"), col("gb").as("n"))
+        .union(e.select(col("gb").as("v"), col("ga").as("n")))
+        .localCheckpoint(true) // built once, cycled every round
+      var cur = sym.groupBy("v").agg(count(lit(1)).cast(LongType).as("c"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 128) {
+        val next = sym
+          .join(cur.select(col("v").as("n"), col("c").as("nc")), "n")
+          .groupBy("v")
+          .agg(sort_array(collect_list(col("nc")), asc = false).as("vals"))
+          .select(col("v"), expr("CAST(size(filter(sequence(1, size(vals)), " +
+            "i -> element_at(vals, i) >= i)) AS BIGINT)").as("c"))
+          .localCheckpoint(true)
+        changed = next.join(cur.withColumnRenamed("c", "prev"), "v")
+          .filter(col("c") =!= col("prev")).count()
+        cur = next
+        rounds += 1
+      }
+      require(changed == 0, s"h-index coreness did not converge in $rounds rounds")
+      cur
+    }
 
   def q31EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

@@ -36,7 +36,10 @@ class EngineSmokeSpec extends SparkSpecBase {
       "q184_retention_plan",
       // q185: per-file FOOTER schemas — invisible to the row views by
       // construction (Spark projects the declared schema over them)
-      "q185_schema_drift")
+      "q185_schema_drift",
+      // q224: an iterated fixpoint (h-index → coreness) — beyond one
+      // recursive CTE; CoreDecompositionSpec pins exact coreness
+      "q224_core_decomposition")
 
   test("entry returns rows on a vanilla session") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpecBase
+
+/** q224's correctness guard (OracleFree — an iterated fixpoint is
+  * beyond one recursive CTE): exact coreness on fixtures where the
+  * k-core structure is known by hand, including the case degree gets
+  * WRONG (a star hub: high degree, coreness 1), which is the
+  * operator's whole reason to exist next to q219.
+  */
+class CoreDecompositionSpec extends SparkSpecBase {
+
+  test("q224: 4-clique → coreness 3; triangle → 2; pendant and star leaves → 1; hub degree ≠ coreness") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmpDir()
+    val x = (1 to 10).map(i => s"x$i")
+    val v = (1 to 10).map(i => s"v$i")
+    writeDocuments(dir,
+      // 4-clique (J = 9/11 on every pair): coreness 3 each
+      (1L, x.mkString(" "), "en", "s", 1L),
+      (2L, (x.take(9) :+ "y1").mkString(" "), "en", "s", 1L),
+      (3L, (x.take(9) :+ "y2").mkString(" "), "en", "s", 1L),
+      (4L, (x.take(9) :+ "y3").mkString(" "), "en", "s", 1L),
+      // triangle 5-6-7 + pendant 8 hanging off 5: triangle coreness 2,
+      // pendant 1 — and vertex 5 has DEGREE 3 (= the clique vertices'
+      // degree) yet coreness 2: degree alone cannot tell these apart
+      (5L, v.mkString(" "), "en", "s", 1L),
+      (6L, (v.take(9) :+ "w1").mkString(" "), "en", "s", 1L),
+      (7L, (v.take(9) :+ "w2").mkString(" "), "en", "s", 1L),
+      (8L, (v.drop(1) :+ "z1").mkString(" "), "en", "s", 1L))
+    val out = Similarity.q224CoreDecomposition(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (2L, 3L), (3L, 4L)), out)
+  }
+
+  test("q224: a 20-chain is all coreness 1 (the long-convergence shape stays under the round cap)") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmpDir()
+    // chain doc i ~ doc i+1 only: token windows sliding by one over a
+    // long alphabet — adjacent windows share 9 of 11 distinct tokens
+    // (J = 9/11), windows two apart share 8 of 12 (J = 2/3 < 4/5)
+    val toks = (1 to 40).map(i => s"c$i")
+    val rows = (0 until 20).map { i =>
+      ((i + 1).toLong, toks.slice(i, i + 10).mkString(" "), "en", "s", 1L)
+    }
+    writeDocuments(dir, rows: _*)
+    val out = Similarity.q224CoreDecomposition(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 20L)), out)
+  }
+
+  test("q224: empty corpus yields no rows") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmpDir()
+    writeDocuments(dir)
+    assert(Similarity.q224CoreDecomposition(spark, dir).count() == 0)
+  }
+}

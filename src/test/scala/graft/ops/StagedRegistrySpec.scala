@@ -234,9 +234,9 @@ class StagedRegistrySpec extends SparkSpecBase {
     GraftFunctions.register(spark)
     val m = Similarity.q135StagingManifest(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(m.keySet == Set("bpe_merges", "clean_pack", "component_labels", "doc_lengths",
-      "dsir_weights", "ivf_model", "pagerank_scores", "prep_deduped", "prep_groups",
-      "prep_pairs_45", "set_pairs_45", "shingle_groups", "sketch_labels",
+    assert(m.keySet == Set("bpe_merges", "clean_pack", "component_labels", "coreness",
+      "doc_lengths", "dsir_weights", "ivf_model", "pagerank_scores", "prep_deduped",
+      "prep_groups", "prep_pairs_45", "set_pairs_45", "shingle_groups", "sketch_labels",
       "tf_postings", "unigram_groups"))
     // doc_lengths: one row per tokenized doc
     assert(m("doc_lengths") == graft.ops.TextOps.stagedTfPostings(spark, sf)
@@ -251,6 +251,11 @@ class StagedRegistrySpec extends SparkSpecBase {
       .select("doc_id", "term").distinct().count())
     assert(m("sketch_labels") == Sketches.q146SketchClusters(spark, sf).count())
     assert(m("pagerank_scores") == Similarity.q154SimilarityPagerank(spark, sf).count())
+    // coreness: same node universe as pagerank (both iterate the staged
+    // J >= 4/5 group graph); q224's histogram sums back to it
+    assert(m("coreness") == m("pagerank_scores"))
+    assert(m("coreness") == Similarity.q224CoreDecomposition(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_vertices")).collect()(0).getLong(0))
     assert(m("prep_pairs_45") == graft.ops.CorpusPrep.stagedPrepPairs45(spark, sf).count())
     // spot-check against the relations themselves
     assert(m("ivf_model") == 8L)
