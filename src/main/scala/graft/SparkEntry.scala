@@ -265,6 +265,7 @@ object SparkEntry {
     "q223_daily_autocorr" -> (Events.q223DailyAutocorr _),
     "q224_core_decomposition" -> (Similarity.q224CoreDecomposition _),
     "q225_edge_jaccard" -> (Similarity.q225EdgeJaccard _),
+    "q226_query_expansion" -> (TextOps.q226QueryExpansion _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -284,24 +285,54 @@ object SparkEntry {
     * scorer) and q213 (the block-max WAND evaluator, which is exact
     * pruning — the q37 same-oracle-by-design pattern).
     */
-  private def bm25OracleSql: String =
-    "WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (" +
+  /** The retrieval family's shared oracle CTEs (postings, df, base
+    * query, dl, N, avgdl) — ONE definition consumed by q193/q213/q226.
+    */
+  private val bm25BaseCtes: String =
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM (" +
       "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u " +
       "WHERE term <> '' GROUP BY doc_id, term), " +
       "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
       "qt AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 3), " +
       "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id), " +
       "n AS (SELECT count(*) AS n_docs FROM documents), " +
-      "a AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
-      "s AS (SELECT tf.doc_id, floor(" +
-      "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(qt.df AS DOUBLE) + 0.5) / (CAST(qt.df AS DOUBLE) + 0.5)) * " +
+      "a AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl)"
+
+  /** Per-posting µ-rounded BM25 contribution against query CTE `q`
+    * (term, df) — the mirror of TextOps.bm25Idf × bm25Sat, shared by
+    * both of q226's passes and q193/q213's single pass.
+    */
+  private def bm25ContribSql(q: String): String =
+    "SELECT tf.doc_id, floor(" +
+      s"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST($q.df AS DOUBLE) + 0.5) / (CAST($q.df AS DOUBLE) + 0.5)) * " +
       "(CAST(tf.tf AS DOUBLE) * 2.2 / (CAST(tf.tf AS DOUBLE) + " +
       "1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))) " +
       "* 1000000 + 0.5)/1000000 AS c " +
-      "FROM tf JOIN qt ON tf.term = qt.term JOIN dl ON tf.doc_id = dl.doc_id " +
-      "CROSS JOIN n CROSS JOIN a) " +
-      s"SELECT doc_id, count(*) AS n_matched, ${dsum("c")} AS score " +
-      "FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"
+      s"FROM tf JOIN $q ON tf.term = $q.term JOIN dl ON tf.doc_id = dl.doc_id " +
+      "CROSS JOIN n CROSS JOIN a"
+
+  private def bm25TopSql(s: String): String =
+    s"SELECT doc_id, count(*) AS n_matched, ${dsum("c")} AS score " +
+      s"FROM $s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"
+
+  private def bm25OracleSql: String =
+    s"WITH $bm25BaseCtes, s AS (${bm25ContribSql("qt")}) ${bm25TopSql("s")}"
+
+  /** q226's two-pass PRF chain: base scoring → rounded-score top-10
+    * feedback cut → all-integer expansion pick (base terms excluded)
+    * → the same scorer over the 6-term query.
+    */
+  private def prfOracleSql: String =
+    s"WITH $bm25BaseCtes, s1 AS (${bm25ContribSql("qt")}), " +
+      s"r1 AS (SELECT doc_id, ${dsum("c")} AS score FROM s1 GROUP BY doc_id), " +
+      "fb AS (SELECT doc_id FROM r1 ORDER BY score DESC, doc_id LIMIT 10), " +
+      "exq AS (SELECT term FROM (SELECT tf.term AS term, count(*) AS n_fb, " +
+      "CAST(sum(tf.tf) AS BIGINT) AS fb_tf FROM tf JOIN fb ON tf.doc_id = fb.doc_id " +
+      "WHERE tf.term NOT IN (SELECT term FROM qt) GROUP BY tf.term " +
+      "ORDER BY n_fb DESC, fb_tf DESC, term LIMIT 3)), " +
+      "q2 AS (SELECT term, df FROM df WHERE term IN " +
+      "(SELECT term FROM qt UNION ALL SELECT term FROM exq)), " +
+      s"s2 AS (${bm25ContribSql("q2")}) ${bm25TopSql("s2")}"
 
   /** q04's statement, shared verbatim by q210 (whose merge ≡ recompute
     * contract IS this SQL — the q37 same-oracle-by-design pattern).
@@ -2403,6 +2434,9 @@ object SparkEntry {
     // q213: EXACT q193 by construction (block-max WAND prunes, never
     // approximates) — SAME oracle by design, the q37/q210 pattern
     "q213_blockmax_wand" -> bm25OracleSql,
+    // q226: both passes replay bm25ContribSql; the feedback cut ranks
+    // on the ROUNDED pass-1 score exactly as the engine does
+    "q226_query_expansion" -> prfOracleSql,
     // q214: q178's checksum-term formula on both manifests; the B
     // replica's mod-997 drop mirrored in pmod form; IS DISTINCT FROM
     // keeps one-side-only buckets a repair verdict, not NULL

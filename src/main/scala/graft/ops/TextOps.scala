@@ -1077,4 +1077,55 @@ object TextOps {
       .orderBy(asc("nll"), asc("doc_id"))
       .limit(20)
   }
+
+  /** q226 — PSEUDO-RELEVANCE-FEEDBACK QUERY EXPANSION (Rocchio's
+    * blind-feedback loop, the two-pass shape every production search
+    * stack runs): score the base query exactly (q193's BM25, same
+    * plan tail), take the top-10 docs as the feedback set, promote
+    * the 3 terms most characteristic of that set (most feedback docs
+    * containing it, then highest feedback tf, then term — base terms
+    * excluded by anti-join), and re-score the 6-term expanded query.
+    * The final top-20 is what the family's other legs can't produce:
+    * docs matching the query's NEIGHBORHOOD vocabulary that share no
+    * base term at all (they enter with n_matched counted over all 6
+    * terms).
+    *
+    * Determinism: both passes are [[q193Bm25]]'s exact scorer verbatim
+    * (µ-rounded IEEE contributions, exact DECIMAL fold, 4-dp edge);
+    * the feedback cut ranks on the ROUNDED pass-1 score (doc_id ties)
+    * so the oracle replays it bit-for-bit; expansion ranking is
+    * all-integer. Scale: pass artifacts are tiny — 3-row query, 10-row
+    * feedback set, 6-row expanded query — each pinned with an eager
+    * localCheckpoint (wandInternals' discipline) and BROADCAST; the
+    * corpus-sized relations (tf postings, dl) come staged, and each
+    * pass moves only matched-postings-sized data through one doc-keyed
+    * join. The expansion-candidate agg runs on the feedback docs'
+    * postings only (≤ 10 docs' terms).
+    */
+  def q226QueryExpansion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val d = Tables.documents(spark, dir)
+    val tf = tfRelation(spark, dir)
+    val qterms = topDfTerms(tf).localCheckpoint(true)
+    val dl = stagedDocLengths(spark, dir)
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val avgdl = dl.agg((sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    // pass 1: exact base-query BM25; the 10-row feedback set
+    val fb = bm25Score(tf.join(broadcast(qterms), "term"), dl, nDocs, avgdl)
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
+      .select("doc_id").localCheckpoint(true)
+    // expansion candidates live in the feedback docs' postings only
+    val ex = tf.join(broadcast(fb), "doc_id")
+      .join(broadcast(qterms.select("term")), Seq("term"), "left_anti")
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_fb"), sum(col("tf")).cast(LongType).as("fb_tf"))
+      .orderBy(desc("n_fb"), desc("fb_tf"), asc("term")).limit(3)
+    val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val q2 = qterms.select("term").union(ex.select("term"))
+      .join(dfRel, "term").localCheckpoint(true)
+    // pass 2: the same exact scorer over the expanded 6-term query
+    bm25Score(tf.join(broadcast(q2), "term"), dl, nDocs, avgdl)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+  }
 }

@@ -531,6 +531,8 @@ class PlanQualitySpec extends SparkSpecBase {
       // q222: the 3-row query-term broadcast (q22/q193's tiny-relation
       // scoring class) + the one-row |C| total
       "q222_query_likelihood",
+      // q226: q193's scalar broadcasts in both passes (n_docs / avgdl)
+      "q226_query_expansion",
       // q223: the one-row (dmin, dmax) day-span anchor broadcast —
       // q15/q17's scalar-not-relation shape
       "q223_daily_autocorr")

@@ -129,7 +129,7 @@ class RetrievalSpec extends SparkSpecBase {
     assert(out.forall(_._3 > 0.0), out.toSeq) // contributions provably ≥ 0
   }
 
-  test("empty corpus: q192/q193/q198/q213/q221/q222 return 0 rows, not crashes") {
+  test("empty corpus: q192/q193/q198/q213/q221/q222/q226 return 0 rows, not crashes") {
     val dir = tmpDir()
     writeDocuments(dir)
     assert(TextOps.q192PostingBlocks(spark, dir).count() == 0)
@@ -138,6 +138,31 @@ class RetrievalSpec extends SparkSpecBase {
     assert(TextOps.q213BlockMaxWand(spark, dir).count() == 0)
     assert(TextOps.q221PhraseMatch(spark, dir).count() == 0)
     assert(TextOps.q222QueryLikelihood(spark, dir).count() == 0)
+    assert(TextOps.q226QueryExpansion(spark, dir).count() == 0)
+  }
+
+  test("q226: a doc with ZERO base-query terms enters via the expansion vocabulary") {
+    val dir = tmpDir()
+    // df(a)=df(b)=df(c)=11 (docs 1-10 + 12), df(e)=11 (docs 1-10 + 11):
+    // the four-way df tie breaks lexicographically → base query {a,b,c},
+    // e stays OUT of the base query by one tie-break step — the
+    // tightest fixture for the exclusion + promotion path
+    val rows = (1L to 10L).map(i => (i, "a b c e", "en", "s", 1L)) ++ Seq(
+      (11L, "e zz", "en", "s", 1L),   // no base term at all
+      (12L, "a b c", "en", "s", 1L))  // shortest base match → tops pass 1
+    writeDocuments(dir, rows: _*)
+    val out = TextOps.q226QueryExpansion(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // pass 1 feedback = doc 12 (dl 3, highest) + docs 1..9; their only
+    // non-base vocabulary is e (n_fb 9) → expanded query {a,b,c,e}
+    // doc 11 ("e zz") matched NOTHING in pass 1; now it scores on e
+    assert(out.contains(11L), out)
+    assert(out(11L)._1 == 1L, out) // n_matched counts expanded terms
+    assert(out(11L)._2 > 0.0, out)
+    // full-match docs count all 4 expanded terms; doc 12 only the base 3
+    assert(out(1L)._1 == 4L, out)
+    assert(out(12L)._1 == 3L, out)
+    assert(out.size == 12, out)
   }
 
   test("q213: fewer than 20 seed docs disarms θ — a small partial top block must not prune the winners") {
