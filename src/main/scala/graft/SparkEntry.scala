@@ -266,6 +266,7 @@ object SparkEntry {
     "q224_core_decomposition" -> (Similarity.q224CoreDecomposition _),
     "q225_edge_jaccard" -> (Similarity.q225EdgeJaccard _),
     "q226_query_expansion" -> (TextOps.q226QueryExpansion _),
+    "q227_clustering_by_degree" -> (Similarity.q227ClusteringByDegree _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2614,6 +2615,26 @@ object SparkEntry {
         "SELECT ga, gb, cn, deg_a, deg_b, " +
         s"${rd4("CAST(cn AS DOUBLE)/CAST(deg_a + deg_b - cn AS DOUBLE)")} AS jaccard " +
         "FROM x ORDER BY ga, gb"),
+    // q227: q225's per-edge cn CTEs folded per vertex (each edge feeds
+    // both endpoints) then per degree class; the class mean collapses
+    // to ONE division (d fixed within the class) mirrored verbatim;
+    // sum(cn-fold) is provably even so // 2 is exact
+    "q227_clustering_by_degree" ->
+      (s"WITH $ttGgCtes, ${groupEdgeSql("ge")}, " +
+        "nb AS MATERIALIZED (SELECT v, list_sort(list(n)) AS nbrs, CAST(count(*) AS BIGINT) AS deg FROM " +
+        "(SELECT ga AS v, gb AS n FROM ge UNION ALL SELECT gb, ga FROM ge) GROUP BY v), " +
+        "x AS (SELECT ge.ga, ge.gb, CAST(len(list_intersect(a.nbrs, b.nbrs)) AS BIGINT) AS cn " +
+        "FROM ge JOIN nb a ON a.v = ge.ga JOIN nb b ON b.v = ge.gb), " +
+        "t2 AS (SELECT v, CAST(sum(cn) AS BIGINT) AS tri2 FROM " +
+        "(SELECT ga AS v, cn FROM x UNION ALL SELECT gb, cn FROM x) GROUP BY v), " +
+        "vz AS (SELECT nb.v, nb.deg, coalesce(t2.tri2, 0) AS tri2 " +
+        "FROM nb LEFT JOIN t2 ON nb.v = t2.v) " +
+        "SELECT deg, count(*) AS n_vertices, " +
+        "CAST(CAST(sum(tri2) AS BIGINT) // 2 AS BIGINT) AS n_tri_corners, " +
+        "CASE WHEN deg >= 2 THEN " +
+        s"${rd4("CAST(sum(tri2) AS DOUBLE)/CAST(count(*) * deg * (deg - 1) AS DOUBLE)")} " +
+        "ELSE NULL END AS avg_lcc " +
+        "FROM vz GROUP BY deg ORDER BY deg"),
     // q194: both engines floor the identical IEEE division for the
     // band; l-diversity = exact distinct balances within the class
     "q194_k_anonymity" ->

@@ -1192,6 +1192,59 @@ object Similarity {
       .orderBy("ga", "gb")
   }
 
+  /** q227 — CLUSTERING COEFFICIENT BY DEGREE, the c(d) curve of the
+    * near-dup group graph: per degree class, vertex count,
+    * triangle-CORNER count (a triangle contributes one per member
+    * vertex in the class), and the class-average local clustering
+    * coefficient. Where
+    * q177 gives ONE global transitivity number, q224 the peeling depth
+    * and q219 raw degrees, c(d) is the canonical hierarchical-structure
+    * probe (Ravasz & Barabási 2003): flat c(d) = uniformly dense
+    * near-dup blobs; c(d) ~ 1/d = hub-and-spoke boilerplate, where
+    * high-degree vertices are TEMPLATES joining otherwise-unconnected
+    * docs — exactly the vertices exact-substring dedup (q104) should
+    * take over from set-Jaccard collapse.
+    *
+    * Arithmetic is exact end-to-end: per-edge common-neighbor counts
+    * (the [[q225EdgeJaccard]] kernel — one row-local
+    * `sorted_intersect_count` merge per edge, wedge work INSIDE
+    * codegen, never as shuffled rows) fold per vertex to
+    * tri2(v) = 2·tri(v); within a degree class d the mean lcc
+    * collapses to Σtri2 / (n_d·d·(d−1)) — ONE division per output row,
+    * 4-dp floored, NULL at d = 1 (no wedge exists). Σtri2 is provably
+    * even, so `div 2` is the exact class triangle-corner count. Only
+    * |E|-sized (long, long) rows and the degree-class readout ever
+    * shuffle.
+    */
+  def q227ClusteringByDegree(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    graft.functions.GraftFunctions.register(spark)
+    val e = stagedSetPairs45(spark, dir).select("ga", "gb")
+    val adj = e.select(col("ga").as("v"), col("gb").as("n"))
+      .union(e.select(col("gb").as("v"), col("ga").as("n")))
+      .groupBy("v").agg(sort_array(collect_list(col("n"))).as("nbrs"),
+        count(lit(1)).cast(LongType).as("deg"))
+    val cn = e
+      .join(adj.select(col("v").as("ga"), col("nbrs").as("na")), "ga")
+      .join(adj.select(col("v").as("gb"), col("nbrs").as("nb")), "gb")
+      .select(col("ga"), col("gb"),
+        expr("CAST(sorted_intersect_count(na, nb) AS BIGINT)").as("cn"))
+    val tri2 = cn.select(col("ga").as("v"), col("cn"))
+      .union(cn.select(col("gb").as("v"), col("cn")))
+      .groupBy("v").agg(sum(col("cn")).cast(LongType).as("tri2"))
+    adj.select("v", "deg")
+      .join(tri2, Seq("v"), "left")
+      .withColumn("tri2", coalesce(col("tri2"), lit(0L)))
+      .groupBy("deg")
+      .agg(count(lit(1)).as("n_vertices"), sum(col("tri2")).cast(LongType).as("t2"))
+      .select(col("deg"), col("n_vertices"),
+        expr("t2 div 2").as("n_tri_corners"),
+        when(col("deg") >= 2L, roundD4(col("t2").cast(DoubleType)
+          / (col("n_vertices") * col("deg") * (col("deg") - 1L)).cast(DoubleType)))
+          .otherwise(lit(null).cast(DoubleType)).as("avg_lcc"))
+      .orderBy("deg")
+  }
+
   /** q224 — CORE DECOMPOSITION (coreness histogram) of the near-dup
     * group graph, via the iterated neighborhood H-index (Lü et al.,
     * Nat. Commun. 2016: h⁰ = degree, hᵗ⁺¹(v) = H-index of neighbors'

@@ -252,4 +252,33 @@ class SimilaritySpec extends SparkSpecBase {
     writeDocuments(dir)
     assert(graft.ops.Similarity.q225EdgeJaccard(spark, dir).count() == 0)
   }
+
+  test("q227 c(d): path endpoints (d=1) get NULL lcc; the triangle's class averages in the open wedge") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmpDir()
+    val t = (1 to 10).map(i => s"t$i")
+    val v = (1 to 10).map(i => s"v$i")
+    // q225's fixture: path 1–2–3 (edges 12, 23) + triangle 4–5–6
+    writeDocuments(dir,
+      (1L, t.mkString(" "), "en", "s", 1L),
+      (2L, (t.take(9) :+ "u1").mkString(" "), "en", "s", 1L),
+      (3L, (t.take(8) ++ Seq("u1", "u2")).mkString(" "), "en", "s", 1L),
+      (4L, v.mkString(" "), "en", "s", 1L),
+      (5L, (v.take(9) :+ "w1").mkString(" "), "en", "s", 1L),
+      (6L, (v.take(9) :+ "w2").mkString(" "), "en", "s", 1L))
+    val out = graft.ops.Similarity.q227ClusteringByDegree(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    // d=1: vertices 1 and 3, no wedge possible → NULL lcc
+    // d=2: vertices 2 (open wedge, lcc 0) and 4/5/6 (closed, lcc 1)
+    //      → Σtri2 = 6, c(2) = 6/(4·2·1) = 0.75, 3 triangle-ends/2... = 3
+    assert(out == Seq((1L, 2L, 0L, None), (2L, 4L, 3L, Some(0.75))), out)
+  }
+
+  test("q227 c(d): empty corpus yields no rows") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmpDir()
+    writeDocuments(dir)
+    assert(graft.ops.Similarity.q227ClusteringByDegree(spark, dir).count() == 0)
+  }
 }
