@@ -267,6 +267,7 @@ object SparkEntry {
     "q225_edge_jaccard" -> (Similarity.q225EdgeJaccard _),
     "q226_query_expansion" -> (TextOps.q226QueryExpansion _),
     "q227_clustering_by_degree" -> (Similarity.q227ClusteringByDegree _),
+    "q228_survival_curve" -> (Events.q228SurvivalCurve _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2635,6 +2636,20 @@ object SparkEntry {
         s"${rd4("CAST(sum(tri2) AS DOUBLE)/CAST(count(*) * deg * (deg - 1) AS DOUBLE)")} " +
         "ELSE NULL END AS avg_lcc " +
         "FROM vz GROUP BY deg ORDER BY deg"),
+    // q228: spans are non-negative so bare // floors; dense day grid
+    // via range; reverse cumulative = window sum ordered day DESC
+    "q228_survival_curve" ->
+      (s"WITH u AS (SELECT user_id, (max(epoch_us($tsUs)) - min(epoch_us($tsUs))) // 86400000000 AS life " +
+        "FROM events GROUP BY user_id), " +
+        "g AS (SELECT unnest(range(0, (SELECT max(life) FROM u) + 1)) AS day), " +
+        "h AS (SELECT life AS day, count(*) AS n FROM u GROUP BY life), " +
+        "s AS (SELECT g.day, CAST(coalesce(h.n, 0) AS BIGINT) AS n_ended " +
+        "FROM g LEFT JOIN h ON g.day = h.day), " +
+        "c AS (SELECT day, n_ended, CAST(sum(n_ended) OVER (ORDER BY day DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_surviving FROM s) " +
+        "SELECT day, n_ended, n_surviving, " +
+        s"${rd4("CAST(n_surviving AS DOUBLE)/CAST((SELECT count(*) FROM u) AS DOUBLE)")} AS survival " +
+        "FROM c ORDER BY day"),
     // q194: both engines floor the identical IEEE division for the
     // band; l-diversity = exact distinct balances within the class
     "q194_k_anonymity" ->

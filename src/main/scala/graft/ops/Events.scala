@@ -766,6 +766,53 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q228 — USER-LIFETIME SURVIVAL CURVE: the empirical survival
+    * function of observed activity spans — per day d (dense 0..max),
+    * how many users' observed lifetime (whole days between their first
+    * and last event, floor) ended exactly at d, how many survived at
+    * least d, and the surviving fraction of all users. The
+    * product-analytics read q90's cohort matrix and q187's growth
+    * accounting both presuppose: HOW LONG an acquired user stays.
+    * S(0) = 1 by construction; the curve's knee is the retention
+    * cliff a lifecycle intervention targets. Contract: UNCENSORED
+    * observed spans (every user's window closes at their last event;
+    * a right-censored Kaplan–Meier estimate needs an
+    * activity-assumption parameter this declared query doesn't take —
+    * the q13/q200 explicit-semantics stance).
+    *
+    * Exact end-to-end: spans floor-divided in µs-long space
+    * (Det.floorDivExpr; non-negative here, but the ONE blessed form),
+    * the grid zero-filled (q223's discipline — dropping empty days
+    * would hide exactly the cliffs this curve exists to show), the
+    * reverse cumulative count an integer window sum over the
+    * day-span-sized grid (single partition, catalog-sized by
+    * construction), and ONE 4-dp-floored division per row against the
+    * one-row user-total broadcast. Corpus-sized work = one user-keyed
+    * min/max aggregate; everything after is span-sized.
+    */
+  def q228SurvivalCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val life = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx"))
+      .select(expr(Det.floorDivExpr("mx - mn", MicrosPerDay)).as("life"))
+    val total = life.agg(count(lit(1)).as("n_users"))
+    val grid = life.agg(max(col("life")).as("maxd"))
+      .select(explode(sequence(lit(0L), col("maxd"))).as("day"))
+    val ended = life.groupBy(col("life").as("day"))
+      .agg(count(lit(1)).as("n_ended"))
+    val w = Window.orderBy(desc("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(ended, Seq("day"), "left")
+      .withColumn("n_ended", coalesce(col("n_ended"), lit(0L)))
+      .withColumn("n_surviving", sum(col("n_ended")).over(w).cast(LongType))
+      .crossJoin(broadcast(total)) // one-row user-total anchor
+      .select(col("day"), col("n_ended"), col("n_surviving"),
+        Det.roundD4(col("n_surviving").cast(DoubleType)
+          / col("n_users").cast(DoubleType)).as("survival"))
+      .orderBy("day")
+  }
+
   /** q205 — RFM SEGMENTATION: per purchasing user, quintile scores for
     * Recency (days since last purchase, against the corpus max-purchase
     * anchor — q17's data-anchored stance), Frequency (purchase count)

@@ -779,4 +779,32 @@ class EventOpsSpec extends SparkSpecBase {
     write(dir, "events", df(Tables.eventsRawSchema))
     assert(Events.q223DailyAutocorr(spark, dir).count() == 0)
   }
+
+  test("q228 survival: spans floor to whole days, empty days zero-fill, S(0)=1, reverse counts exact") {
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns
+    val Day = 86400L * Ns
+    write(dir, "events", df(Tables.eventsRawSchema,
+      // u1: exactly 3 days → life 3
+      Row(1L, T0, 1L, "a", 0.0, "{}"), Row(2L, T0 + 3 * Day, 1L, "a", 0.0, "{}"),
+      // u2: single event → life 0
+      Row(3L, T0 + Day / 24, 2L, "a", 0.0, "{}"),
+      // u3: 1.5 days FLOORS to life 1 — the whole-days contract
+      Row(4L, T0, 3L, "a", 0.0, "{}"), Row(5L, T0 + Day + Day / 2, 3L, "a", 0.0, "{}"),
+      // u4: 3 days, off-midnight start (span is anchor-free) → life 3
+      Row(6L, T0 + Day / 4, 4L, "a", 0.0, "{}"),
+      Row(7L, T0 + Day / 4 + 3 * Day, 4L, "a", 0.0, "{}")))
+    val out = Events.q228SurvivalCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // day 2 ends nobody but must still appear (zero-filled grid)
+    assert(out == Seq(
+      (0L, 1L, 4L, 1.0), (1L, 1L, 3L, 0.75),
+      (2L, 0L, 2L, 0.5), (3L, 2L, 2L, 0.5)), out)
+  }
+
+  test("q228 survival: empty events yield no rows") {
+    val dir = tmpDir()
+    write(dir, "events", df(Tables.eventsRawSchema))
+    assert(Events.q228SurvivalCurve(spark, dir).count() == 0)
+  }
 }

@@ -535,7 +535,10 @@ class PlanQualitySpec extends SparkSpecBase {
       "q226_query_expansion",
       // q223: the one-row (dmin, dmax) day-span anchor broadcast —
       // q15/q17's scalar-not-relation shape
-      "q223_daily_autocorr")
+      "q223_daily_autocorr",
+      // q228: the one-row user-total anchor broadcast — q15/q17's
+      // scalar-not-relation shape
+      "q228_survival_curve")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
