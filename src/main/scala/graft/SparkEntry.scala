@@ -390,6 +390,19 @@ object SparkEntry {
     "tt AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
       "gg AS (SELECT min(doc_id) AS gid, toks FROM tt GROUP BY toks)"
 
+  /** The group graph's sorted adjacency (nb) + per-edge common-neighbor
+    * counts with endpoint degrees (x) over an edge CTE named `ge` —
+    * the oracle mirror of Similarity.edgeCommonNeighbors, shared by
+    * q225 and q227 (list_intersect's set semantics match the engine's
+    * sorted merge: adjacency lists are duplicate-free).
+    */
+  private val edgeCnCtes: String =
+    "nb AS MATERIALIZED (SELECT v, list_sort(list(n)) AS nbrs, CAST(count(*) AS BIGINT) AS deg FROM " +
+      "(SELECT ga AS v, gb AS n FROM ge UNION ALL SELECT gb, ga FROM ge) GROUP BY v), " +
+      "x AS (SELECT ge.ga, ge.gb, CAST(len(list_intersect(a.nbrs, b.nbrs)) AS BIGINT) AS cn, " +
+      "a.deg AS deg_a, b.deg AS deg_b " +
+      "FROM ge JOIN nb a ON a.v = ge.ga JOIN nb b ON b.v = ge.gb)"
+
   private def groupEdgeSql(alias: String): String =
     s"$alias AS MATERIALIZED (SELECT a.gid AS ga, b.gid AS gb FROM gg a JOIN gg b ON a.gid < b.gid " +
       "AND 5*len(list_intersect(a.toks, b.toks)) >= " +
@@ -2594,7 +2607,10 @@ object SparkEntry {
         "LEFT JOIN c ON c.event_type = g.event_type AND c.day = g.day), " +
         "p AS (SELECT event_type, day, x, lead(x) OVER (PARTITION BY event_type ORDER BY day) AS y FROM dense), " +
         "a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs, " +
-        "sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy " +
+        // products cast BEFORE multiplying — the engine's DECIMAL(38,0)
+        // discipline mirrored (raw BIGINT*BIGINT would overflow first)
+        "sum(x) AS sx, sum(y) AS sy, sum(CAST(x AS HUGEINT)*y) AS sxy, " +
+        "sum(CAST(x AS HUGEINT)*x) AS sxx, sum(CAST(y AS HUGEINT)*y) AS syy " +
         "FROM p WHERE y IS NOT NULL GROUP BY event_type) " +
         "SELECT event_type, n_pairs, " +
         "CASE WHEN (n_pairs*sxx - sx*sx) > 0 AND (n_pairs*syy - sy*sy) > 0 THEN " +
@@ -2607,35 +2623,25 @@ object SparkEntry {
     // the engine's sorted merge — adjacency lists are duplicate-free),
     // one identical IEEE division 4-dp floored
     "q225_edge_jaccard" ->
-      (s"WITH $ttGgCtes, ${groupEdgeSql("ge")}, " +
-        "nb AS MATERIALIZED (SELECT v, list_sort(list(n)) AS nbrs, CAST(count(*) AS BIGINT) AS deg FROM " +
-        "(SELECT ga AS v, gb AS n FROM ge UNION ALL SELECT gb, ga FROM ge) GROUP BY v), " +
-        "x AS (SELECT ge.ga, ge.gb, CAST(len(list_intersect(a.nbrs, b.nbrs)) AS BIGINT) AS cn, " +
-        "a.deg AS deg_a, b.deg AS deg_b " +
-        "FROM ge JOIN nb a ON a.v = ge.ga JOIN nb b ON b.v = ge.gb) " +
+      (s"WITH $ttGgCtes, ${groupEdgeSql("ge")}, $edgeCnCtes " +
         "SELECT ga, gb, cn, deg_a, deg_b, " +
         s"${rd4("CAST(cn AS DOUBLE)/CAST(deg_a + deg_b - cn AS DOUBLE)")} AS jaccard " +
         "FROM x ORDER BY ga, gb"),
-    // q227: q225's per-edge cn CTEs folded per vertex (each edge feeds
-    // both endpoints) then per degree class; the class mean collapses
-    // to ONE division (d fixed within the class) mirrored verbatim;
-    // sum(cn-fold) is provably even so // 2 is exact
+    // q227: the shared per-edge cn relation folded per edge ENDPOINT
+    // (degree = incident-edge count and tri2 = Σcn in one aggregate,
+    // the engine's own fold) then per degree class; the class mean
+    // collapses to ONE division (d fixed within the class) mirrored
+    // verbatim; sum(tri2) is provably even so // 2 is exact
     "q227_clustering_by_degree" ->
-      (s"WITH $ttGgCtes, ${groupEdgeSql("ge")}, " +
-        "nb AS MATERIALIZED (SELECT v, list_sort(list(n)) AS nbrs, CAST(count(*) AS BIGINT) AS deg FROM " +
-        "(SELECT ga AS v, gb AS n FROM ge UNION ALL SELECT gb, ga FROM ge) GROUP BY v), " +
-        "x AS (SELECT ge.ga, ge.gb, CAST(len(list_intersect(a.nbrs, b.nbrs)) AS BIGINT) AS cn " +
-        "FROM ge JOIN nb a ON a.v = ge.ga JOIN nb b ON b.v = ge.gb), " +
-        "t2 AS (SELECT v, CAST(sum(cn) AS BIGINT) AS tri2 FROM " +
-        "(SELECT ga AS v, cn FROM x UNION ALL SELECT gb, cn FROM x) GROUP BY v), " +
-        "vz AS (SELECT nb.v, nb.deg, coalesce(t2.tri2, 0) AS tri2 " +
-        "FROM nb LEFT JOIN t2 ON nb.v = t2.v) " +
+      (s"WITH $ttGgCtes, ${groupEdgeSql("ge")}, $edgeCnCtes, " +
+        "t2 AS (SELECT v, CAST(count(*) AS BIGINT) AS deg, CAST(sum(cn) AS BIGINT) AS tri2 FROM " +
+        "(SELECT ga AS v, cn FROM x UNION ALL SELECT gb, cn FROM x) GROUP BY v) " +
         "SELECT deg, count(*) AS n_vertices, " +
         "CAST(CAST(sum(tri2) AS BIGINT) // 2 AS BIGINT) AS n_tri_corners, " +
         "CASE WHEN deg >= 2 THEN " +
         s"${rd4("CAST(sum(tri2) AS DOUBLE)/CAST(count(*) * deg * (deg - 1) AS DOUBLE)")} " +
         "ELSE NULL END AS avg_lcc " +
-        "FROM vz GROUP BY deg ORDER BY deg"),
+        "FROM t2 GROUP BY deg ORDER BY deg"),
     // q228: spans are non-negative so bare // floors; dense day grid
     // via range; reverse cumulative = window sum ordered day DESC
     "q228_survival_curve" ->

@@ -1176,6 +1176,22 @@ object Similarity {
     */
   def q225EdgeJaccard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
+    edgeCommonNeighbors(spark, dir)
+      .withColumn("jaccard", roundD4(col("cn").cast(DoubleType)
+        / (col("deg_a") + col("deg_b") - col("cn")).cast(DoubleType)))
+      .orderBy("ga", "gb")
+  }
+
+  /** Per staged J ≥ 4/5 edge: the common-neighbor count and endpoint
+    * degrees — (ga, gb, cn, deg_a, deg_b). THE shared edge-grain
+    * structural kernel: full sorted adjacency on both sides, ONE
+    * row-local `sorted_intersect_count` merge per edge (wedge work
+    * stays INSIDE codegen — the wedge-as-rows shuffle is what melted
+    * pre-fix q177). Consumed by q225 (edge Jaccard) and q227 (the
+    * per-vertex tri2 fold); its oracle mirror is [[SparkEntry]]'s
+    * shared nb/x CTE pair.
+    */
+  private def edgeCommonNeighbors(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = stagedSetPairs45(spark, dir).select("ga", "gb")
     val adj = e.select(col("ga").as("v"), col("gb").as("n"))
@@ -1187,9 +1203,6 @@ object Similarity {
       .select(col("ga"), col("gb"),
         expr("CAST(sorted_intersect_count(na, nb) AS BIGINT)").as("cn"),
         col("deg_a"), col("deg_b"))
-      .withColumn("jaccard", roundD4(col("cn").cast(DoubleType)
-        / (col("deg_a") + col("deg_b") - col("cn")).cast(DoubleType)))
-      .orderBy("ga", "gb")
   }
 
   /** q227 — CLUSTERING COEFFICIENT BY DEGREE, the c(d) curve of the
@@ -1218,23 +1231,14 @@ object Similarity {
     */
   def q227ClusteringByDegree(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
-    graft.functions.GraftFunctions.register(spark)
-    val e = stagedSetPairs45(spark, dir).select("ga", "gb")
-    val adj = e.select(col("ga").as("v"), col("gb").as("n"))
-      .union(e.select(col("gb").as("v"), col("ga").as("n")))
-      .groupBy("v").agg(sort_array(collect_list(col("n"))).as("nbrs"),
-        count(lit(1)).cast(LongType).as("deg"))
-    val cn = e
-      .join(adj.select(col("v").as("ga"), col("nbrs").as("na")), "ga")
-      .join(adj.select(col("v").as("gb"), col("nbrs").as("nb")), "gb")
-      .select(col("ga"), col("gb"),
-        expr("CAST(sorted_intersect_count(na, nb) AS BIGINT)").as("cn"))
-    val tri2 = cn.select(col("ga").as("v"), col("cn"))
+    val cn = edgeCommonNeighbors(spark, dir)
+    // one fold per edge ENDPOINT: the per-vertex degree (incident-edge
+    // count) and tri2 = Σcn land in the SAME aggregate — no separate
+    // adjacency join, and the two stay consistent by construction
+    cn.select(col("ga").as("v"), col("cn"))
       .union(cn.select(col("gb").as("v"), col("cn")))
-      .groupBy("v").agg(sum(col("cn")).cast(LongType).as("tri2"))
-    adj.select("v", "deg")
-      .join(tri2, Seq("v"), "left")
-      .withColumn("tri2", coalesce(col("tri2"), lit(0L)))
+      .groupBy("v")
+      .agg(count(lit(1)).cast(LongType).as("deg"), sum(col("cn")).cast(LongType).as("tri2"))
       .groupBy("deg")
       .agg(count(lit(1)).as("n_vertices"), sum(col("tri2")).cast(LongType).as("t2"))
       .select(col("deg"), col("n_vertices"),
@@ -1263,10 +1267,12 @@ object Similarity {
     * H-index then ROW-LOCAL over the sorted array (h = #{i :
     * vals[i] ≥ i}, monotone since vals is sorted desc — no second
     * pass). Values only DECREASE from the degree start, bounded by 0,
-    * so convergence is certain; clique-heavy dedup graphs settle in a
-    * handful of rounds (cliques are h-index fixpoints immediately),
-    * chains need O(length) — the 128 cap covers any plausible
-    * near-dup chain (q62b's 40-chain fixture needs ~20). Not
+    * so convergence is certain within 2|E| rounds (each non-converged
+    * round spends ≥ 1 of the ≤ Σdeg total decreases — the loop's
+    * runaway backstop, never a data-shape limit); clique-heavy dedup
+    * graphs settle in a handful of rounds (cliques are h-index
+    * fixpoints immediately), chains need O(length) (q62b's 40-chain
+    * fixture needs ~20). Not
     * oracle-expressible (iterated deletion/fixpoint is beyond one
     * recursive CTE): OracleFree, with CoreDecompositionSpec pinning
     * exact coreness on clique + pendant-triangle fixtures.
@@ -1290,9 +1296,16 @@ object Similarity {
         .localCheckpoint(true) // built once, cycled every round
       var cur = sym.groupBy("v").agg(count(lit(1)).cast(LongType).as("c"))
         .localCheckpoint(true)
+      // Certain termination bound, not a tuning knob: values start at
+      // the degrees, only ever DECREASE, and every non-converged round
+      // decreases at least one vertex by ≥ 1, so total rounds ≤ Σdeg =
+      // 2|E| = |sym|. A long drift CHAIN (the slow shape — ~n/2 rounds
+      // for n groups) stays far inside it; the require below is a
+      // genuine invariant violation, not a plausible-data failure.
+      val maxRounds = sym.count() + 64L
       var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 128) {
+      var rounds = 0L
+      while (changed > 0 && rounds < maxRounds) {
         val next = sym
           .join(cur.select(col("v").as("n"), col("c").as("nc")), "n")
           .groupBy("v")

@@ -835,13 +835,20 @@ object TextOps {
       .localCheckpoint(true) // one row; its subplan is a scoring pass
     // block-max WAND skip rule: a block is skippable when even its own
     // bound plus every OTHER term's best block bound cannot reach θ —
-    // any doc living only in skipped blocks scores strictly below θ,
-    // hence below the final 20th-best (see q213's exactness argument)
+    // any doc living only in skipped blocks then ROUNDS strictly below
+    // θ, hence below the final 20th-best (see q213's exactness
+    // argument). The 6e-5 slack exists because θ is a 4-dp HALF-UP
+    // OUTPUT value (Det.dsum4) while the bound caps the doc's RAW
+    // contribution sum: a raw sum in [θ−5e-5, θ) still rounds to θ and
+    // could win the doc_id tie-break in q193's output, so the skip
+    // cutoff must sit below the rounding midpoint θ−5e-5 — the extra
+    // 1e-5 swallows the binary representation error of the subtraction
+    // (conservatism only ever keeps MORE blocks alive).
     val survival = blocks.join(broadcast(maxUb), "term")
       .crossJoin(broadcast(sumMax))
       .crossJoin(broadcast(theta))
       .withColumn("bound", col("ub") + (col("sum_max_ub") - col("max_ub")))
-      .withColumn("survives", col("bound") >= col("theta"))
+      .withColumn("survives", col("bound") >= col("theta") - lit(6e-5))
     (posts, qp, dl, nDocs, avgdl, survival)
   }
 
@@ -874,13 +881,16 @@ object TextOps {
     * oracle is q193's SQL verbatim — the q37/q210 same-oracle-by-design
     * pattern): every per-term contribution of a doc in block b is
     * ≤ ub(b) ([[WandMargin]] absorbs the µ-nat round-up and ulp), so a
-    * doc ALL of whose blocks are skipped scores ≤ max over its terms
-    * of [ub(block) + Σ_{t'≠t} max_ub(t')] < θ; and θ ≤ the full
-    * candidate set's 20th-best (the seed set is a subset — adding docs
-    * can only raise the 20th score), so no skipped doc can displace a
-    * top-20 row even on ties (a tie needs score = θ's successor,
-    * skipped docs sit STRICTLY below θ). The final re-score and top-k
-    * pin are [[q193Bm25]]'s own plan tail via the shared scorer.
+    * doc ALL of whose blocks are skipped has RAW contribution sum
+    * ≤ max over its terms of [ub(block) + Σ_{t'≠t} max_ub(t')]
+    * < θ − 6·10⁻⁵ — strictly below the 4-dp HALF-UP midpoint θ − 5·10⁻⁵,
+    * so its ROUNDED output score (Det.dsum4) lands at ≤ θ − 10⁻⁴ < θ;
+    * and θ ≤ the full candidate set's 20th-best (the seed set is a
+    * subset — adding docs can only raise the 20th score), so no skipped
+    * doc can displace a top-20 row even on doc_id ties (a tie needs
+    * rounded score = θ; skipped docs round STRICTLY below it). The
+    * final re-score and top-k pin are [[q193Bm25]]'s own plan tail via
+    * the shared scorer.
     *
     * Scale: the bound/θ/survival relations are all block- or
     * row-count-sized (⌈df/128⌉ rows per term, one-row broadcasts); the

@@ -25,7 +25,6 @@ import json
 import sys
 
 import duckdb
-import pyarrow.dataset as pads
 
 
 def canon_dtype(s):
@@ -94,7 +93,9 @@ def main():
         if strict:
             # oracle through fetchdf (driver's path, = `exp` above);
             # spark parquet through PYARROW, not DuckDB — the driver's
-            # other path, where decimals don't collapse to float64
+            # other path, where decimals don't collapse to float64.
+            # Imported lazily: the default path needs only duckdb.
+            import pyarrow.dataset as pads
             pa_df = pads.dataset(f"{out_dir}/{name}", format="parquet").to_table().to_pandas()
             exp_t = {c: canon_dtype(str(exp[c].dtype)) for c in exp.columns}
             got_t = {c: canon_dtype(str(pa_df[c].dtype)) for c in pa_df.columns}
