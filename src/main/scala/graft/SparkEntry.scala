@@ -268,6 +268,9 @@ object SparkEntry {
     "q226_query_expansion" -> (TextOps.q226QueryExpansion _),
     "q227_clustering_by_degree" -> (Similarity.q227ClusteringByDegree _),
     "q228_survival_curve" -> (Events.q228SurvivalCurve _),
+    "q229_zipf_fit" -> (TextOps.q229ZipfFit _),
+    "q230_heaps_curve" -> (TextOps.q230HeapsCurve _),
+    "q231_event_burstiness" -> (Events.q231EventBurstiness _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -506,6 +509,19 @@ object SparkEntry {
     s"CASE WHEN $zero THEN 'und' $arms ELSE '${langs.last}' END"
   }
   private val tsUs = "CAST(ts AS TIMESTAMP)"
+
+  /** The zero-filled (event_type, day) grid (e → b → g → c → dense) —
+    * the oracle mirror of Events.denseDailyCounts, shared by q223 and
+    * q231.
+    */
+  private def denseDayCtes: String =
+    s"e AS (SELECT event_type, ${fdiv(s"epoch_us($tsUs)", 86400000000L)} AS day FROM events), " +
+      "b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM e), " +
+      "g AS (SELECT event_type, unnest(generate_series(dmin, dmax)) AS day FROM " +
+      "(SELECT DISTINCT event_type FROM e) CROSS JOIN b), " +
+      "c AS (SELECT event_type, day, count(*) AS c FROM e GROUP BY event_type, day), " +
+      "dense AS (SELECT g.event_type, g.day, COALESCE(c.c, 0) AS x FROM g " +
+      "LEFT JOIN c ON c.event_type = g.event_type AND c.day = g.day)"
 
   /** q13's session-span CTEs (e, m, s, sp) — the one gap-session
     * definition on the oracle side, read by q13 (the session report)
@@ -2598,13 +2614,7 @@ object SparkEntry {
     // the engine's DECIMAL(38,0) fold; one double division + sqrt at
     // the edge, 4-dp floored; constant series → NULL
     "q223_daily_autocorr" ->
-      (s"WITH e AS (SELECT event_type, ${fdiv(s"epoch_us($tsUs)", 86400000000L)} AS day FROM events), " +
-        "b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM e), " +
-        "g AS (SELECT event_type, unnest(generate_series(dmin, dmax)) AS day FROM " +
-        "(SELECT DISTINCT event_type FROM e) CROSS JOIN b), " +
-        "c AS (SELECT event_type, day, count(*) AS c FROM e GROUP BY event_type, day), " +
-        "dense AS (SELECT g.event_type, g.day, COALESCE(c.c, 0) AS x FROM g " +
-        "LEFT JOIN c ON c.event_type = g.event_type AND c.day = g.day), " +
+      (s"WITH $denseDayCtes, " +
         "p AS (SELECT event_type, day, x, lead(x) OVER (PARTITION BY event_type ORDER BY day) AS y FROM dense), " +
         "a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs, " +
         // products cast BEFORE multiplying — the engine's DECIMAL(38,0)
@@ -2656,6 +2666,66 @@ object SparkEntry {
         "SELECT day, n_ended, n_surviving, " +
         s"${rd4("CAST(n_surviving AS DOUBLE)/CAST((SELECT count(*) FROM u) AS DOUBLE)")} AS survival " +
         "FROM c ORDER BY day"),
+    // q229: q216's quantize-then-exact-decimal-fold discipline; rank
+    // via row_number over (gtf DESC, term) then LIMIT; the OLS tree
+    // evaluates in double from exact decimal moments, 4-dp floored
+    "q229_zipf_fit" -> {
+      val slopeExpr = "((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))"
+      val dxExpr = "(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))"
+      val dyExpr = "(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))"
+      val numExpr = "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
+      "WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u " +
+        "WHERE term <> '' GROUP BY doc_id, term), " +
+        "g AS (SELECT term, CAST(sum(tf) AS BIGINT) AS gtf FROM tf GROUP BY term), " +
+        "top AS (SELECT gtf, row_number() OVER (ORDER BY gtf DESC, term) AS rank FROM g " +
+        s"ORDER BY gtf DESC, term LIMIT ${TextOps.ZipfFitRanks}), " +
+        "p AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE))*1000000 + 0.5)/1000000 AS DECIMAL(12,6)) AS xq, " +
+        "CAST(floor(ln(CAST(gtf AS DOUBLE))*1000000 + 0.5)/1000000 AS DECIMAL(12,6)) AS yq FROM top), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(xq) AS sx, sum(yq) AS sy, " +
+        "sum(CAST(xq*yq AS DECIMAL(38,12))) AS sxy, sum(CAST(xq*xq AS DECIMAL(38,12))) AS sxx, " +
+        "sum(CAST(yq*yq AS DECIMAL(38,12))) AS syy FROM p) " +
+        "SELECT n AS n_terms, " +
+        s"CASE WHEN $dxExpr > 0 THEN ${rd4(slopeExpr)} ELSE NULL END AS slope, " +
+        s"CASE WHEN $dxExpr > 0 THEN ${rd4(s"(CAST(sy AS DOUBLE) - $slopeExpr*CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)")} ELSE NULL END AS intercept, " +
+        s"CASE WHEN $dxExpr > 0 AND $dyExpr > 0 THEN ${rd4(s"$numExpr*$numExpr / ($dxExpr*$dyExpr)")} ELSE NULL END AS r2 " +
+        "FROM a"
+    },
+    // q230: first-occurrence doc per term; decile boundaries via
+    // quantile_cont (q38's percentile mapping); row-local bucketing
+    // 1 + #{boundaries < id}; 10-row cumulative window
+    "q230_heaps_curve" ->
+      ("WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u " +
+        "WHERE term <> '' GROUP BY doc_id, term), " +
+        "fst AS (SELECT term, min(doc_id) AS fd FROM tf GROUP BY term), " +
+        "b AS (SELECT quantile_cont(doc_id, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS bs FROM documents), " +
+        "db AS (SELECT 1 + len(list_filter(bs, x -> x < CAST(doc_id AS DOUBLE))) AS k " +
+        "FROM documents CROSS JOIN b), " +
+        "dn AS (SELECT k, count(*) AS nd FROM db GROUP BY k), " +
+        "tb AS (SELECT 1 + len(list_filter(bs, x -> x < CAST(fd AS DOUBLE))) AS k " +
+        "FROM fst CROSS JOIN b), " +
+        "tn AS (SELECT k, count(*) AS nt FROM tb GROUP BY k), " +
+        "g AS (SELECT unnest(range(1, 11)) AS decile), " +
+        "z AS (SELECT decile, CAST(coalesce(nd, 0) AS BIGINT) AS nd, " +
+        "CAST(coalesce(nt, 0) AS BIGINT) AS n_new_terms " +
+        "FROM g LEFT JOIN dn ON g.decile = dn.k LEFT JOIN tn ON g.decile = tn.k) " +
+        "SELECT decile, n_new_terms, " +
+        "CAST(sum(nd) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_docs_cum, " +
+        "CAST(sum(n_new_terms) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_terms_cum " +
+        "FROM z ORDER BY decile"),
+    // q231: q223's shared grid; Fano collapses to (n·Σx² − (Σx)²)/(n·Σx)
+    // — HUGEINT moments (products cast pre-multiply), one 4-dp division
+    "q231_event_burstiness" ->
+      (s"WITH $denseDayCtes, " +
+        "a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, " +
+        "sum(x) AS s1, sum(CAST(x AS HUGEINT)*x) AS s2 FROM dense GROUP BY event_type) " +
+        "SELECT event_type, n_days, CAST(s1 AS BIGINT) AS n_events, " +
+        "CASE WHEN s1 > 0 THEN " +
+        s"${rd4("CAST(n_days*s2 - s1*s1 AS DOUBLE)/CAST(n_days*s1 AS DOUBLE)")} " +
+        "ELSE NULL END AS fano " +
+        "FROM a ORDER BY event_type"),
     // q194: both engines floor the identical IEEE division for the
     // band; l-diversity = exact distinct balances within the class
     "q194_k_anonymity" ->

@@ -733,9 +733,14 @@ object Events {
     * each type's ordered partition bounded by the calendar, never by
     * event volume.
     */
-  def q223DailyAutocorr(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DoubleType
-    val d38 = DecimalType(38, 0)
+  /** The zero-filled (event_type, day) count grid over the GLOBAL day
+    * span — (event_type, day, x). Dropping empty days would hide
+    * exactly the structure its consumers read (q223's alternation,
+    * q231's bursts), so the grid is dense by construction. Shared by
+    * q223 (lag-1 memory) and q231 (dispersion); oracle mirror is
+    * SparkEntry's denseDayCtes.
+    */
+  private def denseDailyCounts(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"),
         expr(Det.floorDivExpr("unix_micros(ts)", MicrosPerDay)).as("day"))
@@ -744,8 +749,14 @@ object Events {
       .crossJoin(broadcast(bounds)) // one-row day-span anchor
       .select(col("event_type"), explode(sequence(col("dmin"), col("dmax"))).as("day"))
     val counts = ev.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
-    val dense = grid.join(counts, Seq("event_type", "day"), "left")
+    grid.join(counts, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("day"), coalesce(col("c"), lit(0L)).as("x"))
+  }
+
+  def q223DailyAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val d38 = DecimalType(38, 0)
+    val dense = denseDailyCounts(spark, dir)
     val w = Window.partitionBy("event_type").orderBy("day")
     val pairs = dense.withColumn("y", lead(col("x"), 1).over(w))
       .filter(col("y").isNotNull)
@@ -763,6 +774,44 @@ object Events {
         roundD4(num.cast(DoubleType)
           / sqrt(dx.cast(DoubleType) * dy.cast(DoubleType))))
         .otherwise(lit(null).cast(DoubleType)).as("r_lag1"))
+      .orderBy("event_type")
+  }
+
+  /** q231 — DAILY-ARRIVAL BURSTINESS (Fano factor / index of
+    * dispersion): per event type, variance ÷ mean of the zero-filled
+    * daily counts. The DISPERSION axis completing the anomaly family's
+    * distributional reads (q223 = memory, q204 = seasonality, this =
+    * clumping): a Poisson-like arrival process sits at 1 (q196's CUSUM
+    * noise model is calibrated for that); ≫ 1 means arrivals clump
+    * into bursts (batch jobs, crawler waves — q183's spikes as a
+    * standing property, so widen alert bands); ≪ 1 means a scheduler's
+    * metronome regularity (q197's robotic verdict at the aggregate
+    * grain). Same grid as q223, so a type's two readings compose.
+    *
+    * Exactness: Fano = ((n·Σx² − (Σx)²)/n²) ÷ (Σx/n) collapses to
+    * (n·Σx² − (Σx)²)/(n·Σx) — moments folded in DECIMAL(38,0)
+    * (products cast pre-multiply, q197's second-moment discipline,
+    * wide decimals never in the output), ONE 4-dp-floored division per
+    * type at the edge. Σx ≥ 1 for every type present, but the guard
+    * keeps the all-zero case NULL rather than a division error.
+    * Corpus-sized work = the one (type, day) count; the moment fold
+    * runs at type × span cardinality.
+    */
+  def q231EventBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val d38 = DecimalType(38, 0)
+    val agg = denseDailyCounts(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x").cast(d38)).as("s1"),
+        sum(col("x").cast(d38) * col("x")).as("s2"))
+    val num = agg("n_days") * agg("s2") - agg("s1") * agg("s1")
+    val den = agg("n_days") * agg("s1")
+    agg.select(col("event_type"), col("n_days"),
+      col("s1").cast(LongType).as("n_events"),
+      when(col("s1") > 0,
+        roundD4(num.cast(DoubleType) / den.cast(DoubleType)))
+        .otherwise(lit(null).cast(DoubleType)).as("fano"))
       .orderBy("event_type")
   }
 

@@ -1138,4 +1138,111 @@ object TextOps {
       .orderBy(desc("score"), asc("doc_id"))
       .limit(20)
   }
+
+  /** How many ranks the Zipf fit uses — the classical head where the
+    * power law holds; the long tail (hapax plateau) would bias the
+    * slope and is exactly what q125's vocab-coverage view reads
+    * instead.
+    */
+  private[graft] val ZipfFitRanks = 1000
+
+  /** q229 — ZIPF RANK-FREQUENCY FIT: OLS of ln(frequency) on ln(rank)
+    * over the top-1000 corpus terms — slope (Zipf's s, ≈ −1 for
+    * natural language), intercept, and R². The one-number corpus
+    * health check a curation pipeline reads before tokenizer training:
+    * a slope far above −1 means boilerplate flattened the head (q124's
+    * problem surfacing statistically), far below −1 a template spiked
+    * it; R² dropping means the corpus mixes regimes (two languages or
+    * a code/prose blend — q27/q119's populations visible in one
+    * scalar). Complements q125 (tail coverage) and q53 (per-doc
+    * weights) at the corpus-statistics grain.
+    *
+    * Determinism (q216's quantize-then-exact-fold discipline): ranks
+    * come from the total-tf ordering with term tie-break; ln(rank) and
+    * ln(tf) are µ-rounded to 6 dp (exactly representable), cast to
+    * DECIMAL(12,6), and all five moments fold EXACTLY in decimal
+    * space; the slope/intercept/R² then evaluate ONE identical IEEE
+    * tree from those exact inputs, 4-dp floored, NULL when the
+    * variance guard fails (≤ 1 distinct point). Scale: one
+    * vocabulary-sized map-combinable agg → TakeOrderedAndProject
+    * top-1000 → a 1000-row single-partition window (catalog-sized by
+    * construction) → one 5-moment fold.
+    */
+  /** q230 — HEAPS' LAW VOCABULARY-GROWTH CURVE: distinct-term count as
+    * the corpus grows doc by doc (doc_id order), read at ten decile
+    * checkpoints — per decile: cumulative docs, cumulative vocabulary,
+    * and the NEW terms that decile contributed. The tokenizer-sizing
+    * read q229's static head and q125's static tail can't give: a
+    * curve still steep at decile 10 means vocabulary hasn't saturated
+    * (train the tokenizer on more data, or the corpus keeps importing
+    * new domains); a flat tail with a q124-flagged head means new docs
+    * are recombinations of known boilerplate.
+    *
+    * Relational form — NO global sort, NO corpus-sized window: a
+    * term's growth contribution is fully determined by its FIRST
+    * containing doc (min doc_id over the staged postings — one
+    * vocabulary-sized agg), decile boundaries come from ONE exact
+    * interpolated-percentile aggregate over doc_id (q38's
+    * percentile ↔ quantile_cont engine mapping, q205's
+    * bucket-by-broadcast-boundary discipline), every doc and term then
+    * buckets ROW-LOCALLY against the broadcast 10-value frame
+    * (k = 1 + #{boundaries < id}, boundary ties land identically on
+    * both engines), and the cumulative counts are a 10-row window.
+    */
+  def q230HeapsCurve(spark: SparkSession, dir: String): DataFrame = {
+    val pcts = ((1 to 9).map(k => s"0.$k") :+ "1.0").mkString(", ")
+    val first = tfRelation(spark, dir).groupBy("term").agg(min(col("doc_id")).as("fd"))
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val bnds = docs.agg(expr(
+      s"percentile(doc_id, array($pcts))").as("bs"))
+    def bucket(df: DataFrame, idCol: String): DataFrame = df
+      .crossJoin(broadcast(bnds)) // one-row boundary frame
+      .select(expr(s"1 + CAST(size(filter(bs, b -> b < CAST($idCol AS DOUBLE))) AS BIGINT)").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val dn = bucket(docs, "doc_id").withColumnRenamed("n", "nd")
+    val tn = bucket(first, "fd").withColumnRenamed("n", "nt")
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.range(1, 11).select(col("id").as("decile"))
+      .join(dn, col("decile") === col("k"), "left").drop("k")
+      .join(tn, col("decile") === col("k"), "left").drop("k")
+      .select(col("decile"),
+        coalesce(col("nd"), lit(0L)).as("nd"), coalesce(col("nt"), lit(0L)).as("n_new_terms"))
+      .withColumn("n_docs_cum", sum(col("nd")).over(w).cast(LongType))
+      .withColumn("n_terms_cum", sum(col("n_new_terms")).over(w).cast(LongType))
+      .select("decile", "n_new_terms", "n_docs_cum", "n_terms_cum")
+      .orderBy("decile")
+  }
+
+  def q229ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val top = tfRelation(spark, dir)
+      .groupBy("term").agg(sum(col("tf")).cast(LongType).as("gtf"))
+      .orderBy(desc("gtf"), asc("term")).limit(ZipfFitRanks)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(desc("gtf"), asc("term"))))
+    def q6(c: Column): Column =
+      (floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).cast(DecimalType(12, 6))
+    val a = ranked
+      .select(q6(log(col("rank").cast(DoubleType))).as("xq"),
+        q6(log(col("gtf").cast(DoubleType))).as("yq"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum((col("xq") * col("yq")).cast(DecimalType(38, 12))).as("sxy"),
+        sum((col("xq") * col("xq")).cast(DecimalType(38, 12))).as("sxx"),
+        sum((col("yq") * col("yq")).cast(DecimalType(38, 12))).as("syy"))
+    val nD = col("n").cast(DoubleType)
+    def d(name: String): Column = col(name).cast(DoubleType)
+    val num = nD * d("sxy") - d("sx") * d("sy")
+    val dx = nD * d("sxx") - d("sx") * d("sx")
+    val dy = nD * d("syy") - d("sy") * d("sy")
+    val slope = num / dx
+    a.select(col("n").cast(LongType).as("n_terms"),
+      when(dx > 0.0, Det.roundD4(slope))
+        .otherwise(lit(null).cast(DoubleType)).as("slope"),
+      when(dx > 0.0, Det.roundD4((d("sy") - slope * d("sx")) / nD))
+        .otherwise(lit(null).cast(DoubleType)).as("intercept"),
+      when(dx > 0.0 && dy > 0.0, Det.roundD4(num * num / (dx * dy)))
+        .otherwise(lit(null).cast(DoubleType)).as("r2"))
+  }
 }

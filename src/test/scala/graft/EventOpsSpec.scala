@@ -780,6 +780,35 @@ class EventOpsSpec extends SparkSpecBase {
     assert(Events.q223DailyAutocorr(spark, dir).count() == 0)
   }
 
+  test("q231 fano: a one-day burst disperses ≫1, a constant rate is 0, a trend sits between; shared global grid") {
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns
+    val Day = 86400L * Ns
+    var id = 0L
+    def burst(tpe: String, day: Int, c: Int): Seq[Row] =
+      (1 to c).map { k => id += 1; Row(id, T0 + day * Day + k * Ns, 1L, tpe, 0.0, "{}") }
+    val rows =
+      // burst: [5,0,0,0,0] over the 5-day global grid → (5·25−25)/(5·5) = 4
+      burst("burst", 0, 5) ++
+      // const: [1,1,1,1,1] → variance 0 → fano 0
+      (0 to 4).flatMap(d => burst("const", d, 1)) ++
+      // mono: [1,2,3,4,5] → (5·55−225)/(5·15) = 2/3
+      (0 to 4).flatMap(d => burst("mono", d, d + 1))
+    write(dir, "events", df(Tables.eventsRawSchema, rows: _*))
+    val out = Events.q231EventBurstiness(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("burst", 5L, 5L, 4.0),
+      ("const", 5L, 5L, 0.0),
+      ("mono", 5L, 15L, 0.6667)), out)
+  }
+
+  test("q231 fano: empty events yield no rows") {
+    val dir = tmpDir()
+    write(dir, "events", df(Tables.eventsRawSchema))
+    assert(Events.q231EventBurstiness(spark, dir).count() == 0)
+  }
+
   test("q228 survival: spans floor to whole days, empty days zero-fill, S(0)=1, reverse counts exact") {
     val dir = tmpDir()
     val T0 = 1704067200L * Ns

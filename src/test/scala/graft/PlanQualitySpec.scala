@@ -538,7 +538,12 @@ class PlanQualitySpec extends SparkSpecBase {
       "q223_daily_autocorr",
       // q228: the one-row user-total anchor broadcast — q15/q17's
       // scalar-not-relation shape
-      "q228_survival_curve")
+      "q228_survival_curve",
+      // q230: the one-row decile-boundary frame broadcast — q205's
+      // bucket-by-broadcast-boundary shape
+      "q230_heaps_curve",
+      // q231: q223's one-row (dmin, dmax) day-span anchor broadcast
+      "q231_event_burstiness")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

@@ -275,6 +275,47 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out == Seq((1L, 2L, 0L, None), (2L, 4L, 3L, Some(0.75))), out)
   }
 
+  test("q229 zipf: a perfect 1/r law fits slope −1, r2 1, intercept ln C; empty corpus reports n=0/NULLs") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmpDir()
+    // freq(r) = 6/r for ranks 1..3: a, b, c at 6, 3, 2 occurrences —
+    // ln(freq) = ln6 − ln(rank) exactly, so OLS recovers the law
+    writeDocuments(dir,
+      (1L, "a a a b b c", "en", "s", 1L),
+      (2L, "a a a b c", "en", "s", 1L))
+    val out = graft.ops.TextOps.q229ZipfFit(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(0) == 3L, r)
+    assert(r.getDouble(1) == -1.0, r)            // slope = Zipf's s
+    assert(r.getDouble(2) == 1.7918, r)          // intercept = ln 6 (4-dp)
+    assert(r.getDouble(3) == 1.0, r)             // perfect fit
+    val empty = tmpDir()
+    writeDocuments(empty)
+    val e = graft.ops.TextOps.q229ZipfFit(spark, empty).collect()
+    assert(e.length == 1 && e(0).getLong(0) == 0L && e(0).isNullAt(1)
+      && e(0).isNullAt(2) && e(0).isNullAt(3), e.toSeq)
+  }
+
+  test("q230 heaps: one new term per doc accumulates; the decile grid is dense; empty corpus = 10 zero rows") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmpDir()
+    // doc i = {common, w_i}: vocabulary grows by exactly one per doc
+    // after doc 1's two; doc_ids 1..10 put one doc in each decile
+    writeDocuments(dir, (1L to 10L).map(i => (i, s"common w$i", "en", "s", 1L)): _*)
+    val out = graft.ops.TextOps.q230HeapsCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val expected = (1L to 10L).map { k =>
+      (k, if (k == 1L) 2L else 1L, k, k + 1L)
+    }
+    assert(out == expected, out)
+    val empty = tmpDir()
+    writeDocuments(empty)
+    val e = graft.ops.TextOps.q230HeapsCurve(spark, empty).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(e == (1L to 10L).map(k => (k, 0L, 0L, 0L)), e)
+  }
+
   test("q227 c(d): empty corpus yields no rows") {
     graft.functions.GraftFunctions.register(spark)
     val dir = tmpDir()
