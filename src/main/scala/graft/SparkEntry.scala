@@ -271,6 +271,7 @@ object SparkEntry {
     "q229_zipf_fit" -> (TextOps.q229ZipfFit _),
     "q230_heaps_curve" -> (TextOps.q230HeapsCurve _),
     "q231_event_burstiness" -> (Events.q231EventBurstiness _),
+    "q232_time_weighted_value" -> (Events.q232TimeWeightedValue _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2725,6 +2726,22 @@ object SparkEntry {
         "CASE WHEN s1 > 0 THEN " +
         s"${rd4("CAST(n_days*s2 - s1*s1 AS DOUBLE)/CAST(n_days*s1 AS DOUBLE)")} " +
         "ELSE NULL END AS fano " +
+        "FROM a ORDER BY event_type"),
+    // q232: user-local holding intervals over non-null readings; exact
+    // decimal weighted fold; one 4-dp division per type
+    "q232_time_weighted_value" ->
+      (s"WITH s AS (SELECT event_type, user_id, event_id, " +
+        "CAST(floor(value*1000000 + 0.5)/1000000 AS DECIMAL(18,6)) AS vq, " +
+        s"epoch_us($tsUs) AS us, " +
+        s"lead(epoch_us($tsUs)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS nxt " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals, " +
+        "CAST(sum(nxt - us) AS BIGINT) AS total_us, " +
+        "sum(vq * (nxt - us)) AS swx FROM s WHERE nxt IS NOT NULL GROUP BY event_type) " +
+        "SELECT event_type, n_intervals, total_us, " +
+        "CASE WHEN total_us > 0 THEN " +
+        s"${rd4("CAST(swx AS DOUBLE)/CAST(total_us AS DOUBLE)")} " +
+        "ELSE NULL END AS twap " +
         "FROM a ORDER BY event_type"),
     // q194: both engines floor the identical IEEE division for the
     // band; l-diversity = exact distinct balances within the class

@@ -777,6 +777,50 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q232 — TIME-WEIGHTED VALUE (TWAP-style step-function mean): per
+    * event type, Σ(value·Δt)/ΣΔt over per-user holding intervals —
+    * each non-null reading holds from its event until the user's next
+    * non-null event of the same type; the user's last reading holds
+    * nothing (no fabricated horizon). The read q04's plain mean gets
+    * WRONG whenever sampling is value-correlated (a sensor reporting
+    * more often when hot, a price ticking faster in volatility —
+    * precisely q231's ≫1 regime): plain averages over-weight the
+    * bursts; the step-function integral weights by TIME HELD.
+    *
+    * Grain choice is the scale design: intervals are USER-local, so
+    * the window is user+type-partitioned (many small partitions —
+    * q150's shape), never a per-type global ordering (inherently
+    * sequential at corpus scale); the pooled per-type ratio then needs
+    * only the two interval sums. Exactness: values µ-rounded to 6 dp
+    * (exactly representable) → DECIMAL(18,6), Δt exact µs longs, the
+    * weighted sum an exact decimal fold, ONE 4-dp-floored division per
+    * type. NULL-valued events are excluded UP FRONT (an interval spans
+    * to the next KNOWN reading) — the explicit-contract stance, and it
+    * keeps the time base and the value sum over the same row set.
+    */
+  def q232TimeWeightedValue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val iv = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        (floor(col("value") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .cast(DecimalType(18, 6)).as("vq"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dt").isNotNull)
+    iv.groupBy("event_type")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).cast(LongType).as("total_us"),
+        sum(col("vq") * col("dt")).as("swx"))
+      .select(col("event_type"), col("n_intervals"), col("total_us"),
+        when(col("total_us") > 0L,
+          roundD4(col("swx").cast(DoubleType) / col("total_us").cast(DoubleType)))
+          .otherwise(lit(null).cast(DoubleType)).as("twap"))
+      .orderBy("event_type")
+  }
+
   /** q231 — DAILY-ARRIVAL BURSTINESS (Fano factor / index of
     * dispersion): per event type, variance ÷ mean of the zero-filled
     * daily counts. The DISPERSION axis completing the anomaly family's

@@ -803,6 +803,37 @@ class EventOpsSpec extends SparkSpecBase {
       ("mono", 5L, 15L, 0.6667)), out)
   }
 
+  test("q232 twap: time-held weighting pools across users, skips null readings, handles negatives") {
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns
+    val S = Ns // one second of raw-ts ticks
+    write(dir, "events", df(Tables.eventsRawSchema,
+      // u1/m: 10 held 1s, 20 held 2s; the 7 at the end holds nothing
+      Row(1L, T0, 1L, "m", 10.0, "{}"),
+      Row(2L, T0 + S, 1L, "m", 20.0, "{}"),
+      Row(3L, T0 + 3 * S, 1L, "m", 7.0, "{}"),
+      // a null reading mid-stream is EXCLUDED: 10's interval still
+      // spans t0 → t0+1s (to the next KNOWN reading)
+      Row(4L, T0 + S / 2, 1L, "m", null, "{}"),
+      // u2/m: 0 held 1s — pools with u1: (10·1 + 20·2 + 0·1)/4s = 12.5
+      Row(5L, T0, 2L, "m", 0.0, "{}"),
+      Row(6L, T0 + S, 2L, "m", 9.0, "{}"),
+      // negative readings weight exactly
+      Row(7L, T0, 3L, "n", -5.0, "{}"),
+      Row(8L, T0 + 2 * S, 3L, "n", 1.0, "{}")))
+    val out = Events.q232TimeWeightedValue(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("m", 3L, 4000000L, 12.5),
+      ("n", 1L, 2000000L, -5.0)), out)
+  }
+
+  test("q232 twap: empty events yield no rows") {
+    val dir = tmpDir()
+    write(dir, "events", df(Tables.eventsRawSchema))
+    assert(Events.q232TimeWeightedValue(spark, dir).count() == 0)
+  }
+
   test("q231 fano: empty events yield no rows") {
     val dir = tmpDir()
     write(dir, "events", df(Tables.eventsRawSchema))
