@@ -1176,6 +1176,50 @@ object StreamingOps {
       }
   }
 
+  /** State for [[twapStream]]: the (user, type) key's latest reading —
+    * time (µs), id for the tie rule, and the 6-dp-quantized value it
+    * holds until the next reading closes the interval.
+    */
+  case class LastReading(has: Boolean, lastUs: Long, lastId: Long, lastVq: Double)
+
+  /** Streaming holding-interval feed (batch q232's stateful dual,
+    * [[dwellStream]]'s shape keyed per (user, type) and carrying the
+    * VALUE): each new reading closes its predecessor's interval and
+    * emits (event_type, Δt_µs, held_vq) at ingest — the live TWAP feed
+    * whose pooled per-type readout (exact decimal Σ(vq·Δt) / ΣΔt, the
+    * batch fold verbatim) is batch q232's table minus each key's final
+    * OPEN interval (the batch also holds nothing after the last
+    * reading, so parity is total on a drained stream). Values quantize
+    * to 6 dp INSIDE the stream — the same exactly-representable grid
+    * as the batch, so the downstream decimal fold cannot drift. The
+    * carried reading joins the incoming batch as an element of the
+    * (ts, event_id) sort (the batch window's tie rule); same
+    * arrival-order bound as [[dwellStream]] for late events. Input
+    * contract: callers pre-filter NULL values (batch q232 excludes
+    * them up front; [[Ev]]'s primitive decode would reject them —
+    * [[EvN]]'s scaladoc discipline).
+    */
+  def twapStream(events: Dataset[Ev]): Dataset[(String, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[LastReading, (String, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), it: Iterator[Ev], state: GroupState[LastReading]) =>
+          val carried = state.getOption.filter(_.has)
+            .map(p => (p.lastUs, p.lastId, p.lastVq)).toSeq
+          val merged = (carried ++
+            it.map(e => (tsMicros(e.ts), e.event_id,
+              math.floor(e.value * 1000000.0 + 0.5) / 1000000.0)))
+            .sortBy(t => (t._1, t._2))
+          val res = merged.iterator.sliding(2).withPartial(false)
+            .map { case Seq(a, b) => (key._2, b._1 - a._1, a._3) }
+            .toVector
+          val last = merged.last
+          state.update(LastReading(has = true, last._1, last._2, last._3))
+          res.iterator
+      }
+  }
+
   /** State for [[growthAccountingStream]]: the customer's first order
     * month — ONE Long.
     */

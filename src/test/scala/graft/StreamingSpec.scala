@@ -1041,6 +1041,52 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == batch, s"stream/batch growth divergence: $got vs $batch")
   }
 
+  test("twapStream: holding intervals close across the seam; pooled readout equals batch q232") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns
+    write(dir, "events", df(graft.Tables.eventsRawSchema,
+      Row(1L, T0, 1L, "m", 10.0, "{}"),
+      Row(2L, T0 + Ns, 1L, "m", 20.0, "{}"),
+      Row(3L, T0 + 3 * Ns, 1L, "m", 7.0, "{}"),
+      // null reading: excluded by BOTH sides' up-front contract
+      Row(4L, T0 + Ns / 2, 1L, "m", null, "{}"),
+      Row(5L, T0, 2L, "m", 0.0, "{}"),
+      Row(6L, T0 + Ns, 2L, "m", 9.0, "{}"),
+      Row(7L, T0, 3L, "n", -5.0, "{}"),
+      Row(8L, T0 + 2 * Ns, 3L, "n", 1.0, "{}")))
+    val evs = graft.Tables.events(spark, dir)
+      .filter(col("value").isNotNull) // the input contract
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().sortBy(_.event_id)
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.twapStream(ms.toDS())
+      .toDF("event_type", "dt", "vq")
+      .writeStream.format("memory").queryName("twap").outputMode("append").start()
+    // seam after event 1: u1/m's 10.0@t0 sits OPEN in state; batch 2's
+    // 20.0@+1s must close it from the carried reading
+    val (b1, b2) = evs.splitAt(1)
+    ms.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+    ms.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    val seam = spark.table("twap").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(seam(("m", 1000000L, 10.0)), s"seam interval missing: $seam")
+    // the pooled per-type readout IS batch q232 (same decimal fold)
+    val got = spark.table("twap").groupBy("event_type")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).cast("long").as("total_us"),
+        sum(col("vq").cast(org.apache.spark.sql.types.DecimalType(18, 6)) * col("dt")).as("swx"))
+      .select(col("event_type"), col("n_intervals"), col("total_us"),
+        graft.ops.Det.roundD4(col("swx").cast("double") / col("total_us").cast("double")).as("twap"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    q.stop()
+    val batch = graft.ops.Events.q232TimeWeightedValue(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == batch, s"stream/batch twap divergence: $got vs $batch")
+  }
+
   test("dwellStream: last-event state carries across the seam; per-edge readout equals batch q215") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
