@@ -272,6 +272,7 @@ object SparkEntry {
     "q230_heaps_curve" -> (TextOps.q230HeapsCurve _),
     "q231_event_burstiness" -> (Events.q231EventBurstiness _),
     "q232_time_weighted_value" -> (Events.q232TimeWeightedValue _),
+    "q233_event_gini" -> (Events.q233EventGini _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2743,6 +2744,22 @@ object SparkEntry {
         s"${rd4("CAST(swx AS DOUBLE)/CAST(total_us AS DOUBLE)")} " +
         "ELSE NULL END AS twap " +
         "FROM a ORDER BY event_type"),
+    // q233: the closed-form tie-group Lorenz numerator — prefix window
+    // over DISTINCT count values only; HUGEINT products cast pre-multiply
+    "q233_event_gini" ->
+      ("WITH c AS (SELECT user_id, count(*) AS x FROM events GROUP BY user_id), " +
+        "v AS (SELECT x, CAST(count(*) AS BIGINT) AS nx FROM c GROUP BY x), " +
+        "p AS (SELECT x, nx, CAST(coalesce(sum(nx) OVER (ORDER BY x " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM v), " +
+        "t AS (SELECT CAST(sum(nx) AS BIGINT) AS n, sum(CAST(x AS HUGEINT)*nx) AS sx FROM v), " +
+        "a AS (SELECT sum(CAST(x AS HUGEINT) * (CAST(s AS HUGEINT)*2*nx + " +
+        "CAST(nx AS HUGEINT)*(nx + 1) - CAST(n + 1 AS HUGEINT)*nx)) AS num " +
+        "FROM p CROSS JOIN t) " +
+        "SELECT n AS n_users, CAST(sx AS BIGINT) AS n_events, " +
+        "CASE WHEN n > 0 THEN " +
+        s"${rd4("CAST(num AS DOUBLE)/CAST(n*sx AS DOUBLE)")} " +
+        "ELSE NULL END AS gini " +
+        "FROM t CROSS JOIN a"),
     // q194: both engines floor the identical IEEE division for the
     // band; l-diversity = exact distinct balances within the class
     "q194_k_anonymity" ->

@@ -777,6 +777,49 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q233 — EVENT-VOLUME GINI (traffic concentration): the exact Gini
+    * coefficient of per-user event counts, with the Lorenz numerator
+    * in closed form per TIE GROUP. The one-scalar inequality read
+    * behind q174's join-skew audit and q197's bot hunt: G → 0 means
+    * uniform usage, G → 1 means a handful of users (bots, crawlers,
+    * whales) generate the traffic — the regime where per-user
+    * partitions skew and q61's salting earns its keep.
+    *
+    * THE SCALE FORMULATION IS THE POINT: the textbook
+    * G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx) needs a global VALUE-SORTED rank —
+    * a corpus-sized single-partition window. But Gini is invariant to
+    * tie order, so a tie group of n_x users on count x occupying ranks
+    * (s, s+n_x] contributes x·(2·s·n_x + n_x(n_x+1) − (n+1)·n_x)
+    * IN CLOSED FORM: one map-combinable per-user count, one
+    * value-keyed rollup, and a prefix window over DISTINCT count
+    * values (grid-class cardinality, ≪ users — the day-grid window
+    * discipline), never a per-user rank. All products fold in
+    * DECIMAL(38,0) (cast pre-multiply), ONE 4-dp division at the edge.
+    * Empty events → one all-NULL report row on both engines.
+    */
+  def q233EventGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val d38 = DecimalType(38, 0)
+    val byVal = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("nx"))
+    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    val pre = byVal.withColumn("s", coalesce(sum(col("nx")).over(w), lit(0L)))
+    val totals = byVal.agg(sum(col("nx")).cast(LongType).as("n"),
+      sum(col("x").cast(d38) * col("nx")).as("sx"))
+    val tieGroup = col("s").cast(d38) * 2L * col("nx") +
+      col("nx").cast(d38) * (col("nx") + 1L) -
+      (col("n") + 1L).cast(d38) * col("nx")
+    val numRow = pre.crossJoin(broadcast(totals)) // one-row totals anchor
+      .agg(sum(col("x").cast(d38) * tieGroup).as("num"))
+    totals.crossJoin(numRow)
+      .select(col("n").as("n_users"), col("sx").cast(LongType).as("n_events"),
+        when(col("n") > 0L,
+          roundD4(col("num").cast(DoubleType)
+            / (col("n") * col("sx")).cast(DoubleType)))
+          .otherwise(lit(null).cast(DoubleType)).as("gini"))
+  }
+
   /** q232 — TIME-WEIGHTED VALUE (TWAP-style step-function mean): per
     * event type, Σ(value·Δt)/ΣΔt over per-user holding intervals —
     * each non-null reading holds from its event until the user's next

@@ -803,6 +803,31 @@ class EventOpsSpec extends SparkSpecBase {
       ("mono", 5L, 15L, 0.6667)), out)
   }
 
+  test("q233 gini: uniform usage is 0, a dominant user concentrates; closed tie-group form matches textbook") {
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns
+    var id = 0L
+    def evs(user: Long, c: Int): Seq[Row] =
+      (1 to c).map { k => id += 1; Row(id, T0 + id * Ns, user, "a", 0.0, "{}") }
+    // uniform: 4 users × 2 events → G = 0
+    write(dir, "events", df(Tables.eventsRawSchema,
+      (1L to 4L).flatMap(u => evs(u, 2)): _*))
+    val u = Events.q233EventGini(spark, dir).collect()(0)
+    assert((u.getLong(0), u.getLong(1), u.getDouble(2)) == ((4L, 8L, 0.0)), u)
+    // counts [1,1,1,7]: textbook Σ(2i−n−1)x = −3−1+1+21 = 18 → 18/40
+    val dir2 = tmpDir()
+    id = 0L
+    write(dir2, "events", df(Tables.eventsRawSchema,
+      ((1L to 3L).flatMap(u => evs(u, 1)) ++ evs(4L, 7)): _*))
+    val c = Events.q233EventGini(spark, dir2).collect()(0)
+    assert((c.getLong(0), c.getLong(1), c.getDouble(2)) == ((4L, 10L, 0.45)), c)
+    // empty events: one all-NULL report row (both engines)
+    val empty = tmpDir()
+    write(empty, "events", df(Tables.eventsRawSchema))
+    val e = Events.q233EventGini(spark, empty).collect()
+    assert(e.length == 1 && e(0).isNullAt(0) && e(0).isNullAt(1) && e(0).isNullAt(2), e.toSeq)
+  }
+
   test("q232 twap: time-held weighting pools across users, skips null readings, handles negatives") {
     val dir = tmpDir()
     val T0 = 1704067200L * Ns

@@ -543,7 +543,10 @@ class PlanQualitySpec extends SparkSpecBase {
       // bucket-by-broadcast-boundary shape
       "q230_heaps_curve",
       // q231: q223's one-row (dmin, dmax) day-span anchor broadcast
-      "q231_event_burstiness")
+      "q231_event_burstiness",
+      // q233: the one-row totals anchor + the one-row numerator fold —
+      // q168's scalar-not-relation shape
+      "q233_event_gini")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
