@@ -273,6 +273,7 @@ object SparkEntry {
     "q231_event_burstiness" -> (Events.q231EventBurstiness _),
     "q232_time_weighted_value" -> (Events.q232TimeWeightedValue _),
     "q233_event_gini" -> (Events.q233EventGini _),
+    "q234_embedding_outliers" -> (Similarity.q234EmbeddingOutliers _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2760,6 +2761,22 @@ object SparkEntry {
         s"${rd4("CAST(num AS DOUBLE)/CAST(n*sx AS DOUBLE)")} " +
         "ELSE NULL END AS gini " +
         "FROM t CROSS JOIN a"),
+    // q234: q216's quantize/stat CTEs; the z² contribution is ONE IEEE
+    // tree per (vec, dim) µ-rounded at 1e-6; dead dims excluded
+    "q234_embedding_outliers" -> {
+      val zSq = "((CAST(px.xq AS DOUBLE) - mean_q)/sqrt(variance_q)) * " +
+        "((CAST(px.xq AS DOUBLE) - mean_q)/sqrt(variance_q))"
+      "WITH ix AS (SELECT vec_id, embedding AS emb, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings), " +
+        "px AS (SELECT vec_id, i, CAST(floor(CAST(emb[i] AS DOUBLE)*1000000)/1000000 AS DECIMAL(12,6)) AS xq FROM ix), " +
+        "g AS (SELECT i, CAST(count(*) AS BIGINT) AS n_vals, CAST(sum(xq) AS DECIMAL(20,6)) AS s1, " +
+        "sum(CAST(xq*xq AS DECIMAL(38,12))) AS s2 FROM px GROUP BY i), " +
+        s"st AS (SELECT i, ${rd4("CAST(s1 AS DOUBLE)/n_vals")} AS mean_q, " +
+        s"${rd4("(n_vals*CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))/(n_vals*n_vals)")} AS variance_q FROM g), " +
+        s"sc AS (SELECT vec_id, floor(($zSq)*1000000 + 0.5)/1000000 AS c " +
+        "FROM px JOIN st ON px.i = st.i WHERE variance_q > 0) " +
+        s"SELECT vec_id, ${dsum("c")} AS z2, max(c) AS max_dim_z2 " +
+        "FROM sc GROUP BY vec_id ORDER BY z2 DESC, vec_id LIMIT 20"
+    },
     // q194: both engines floor the identical IEEE division for the
     // band; l-diversity = exact distinct balances within the class
     "q194_k_anonymity" ->

@@ -2426,6 +2426,44 @@ object Similarity {
         (col("mn") === col("mx")).as("dead"))
       .orderBy("dim")
 
+  /** q234 — STANDARDIZED EMBEDDING OUTLIERS (diagonal-Mahalanobis
+    * top-k): per vector, z² = Σ_d ((x_d − μ_d)/σ_d)² against the
+    * corpus's per-dimension mean/variance ([[q216DimVariance]]'s
+    * ROUNDED stats — the published model, so both engines standardize
+    * from identical doubles), top-20 by z². The multivariate
+    * complement of q145's norm outliers: a vector can be norm-typical
+    * yet sit far off-manifold on low-variance dimensions — mis-encoded
+    * payloads, wrong-modality rows, the junk SemDeDup (q94) would
+    * otherwise average into its centroids. `max_dim_z2` carries the
+    * dominating dimension's share: broad drift vs one broken dim.
+    *
+    * Exactness: 6-dp-quantized components (q216's grid), the z²
+    * contribution ONE IEEE tree per (vector, dim) µ-rounded at 1e-6
+    * (provably ≥ 0), exact DECIMAL fold per vector, 4-dp edge. Dead
+    * dims (variance 0) are excluded on both sides — a constant
+    * dimension carries no outlier signal and would divide by zero.
+    * Scale: the stats relation is dim-sized and BROADCAST; scoring is
+    * one row-local explode + a vec-keyed map-combinable fold; top-20
+    * is TakeOrderedAndProject.
+    */
+  def q234EmbeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val stats = q216DimVariance(spark, dir)
+      .filter(col("variance_q") > 0.0)
+      .select(col("dim"), col("mean_q"), col("variance_q"))
+    val z = (col("xq") - col("mean_q")) / sqrt(col("variance_q"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast(LongType).as("dim"),
+        (floor(col("x").cast(DoubleType) * lit(1000000.0)) / lit(1000000.0)).as("xq"))
+      .join(broadcast(stats), "dim")
+      .withColumn("c", floor(z * z * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .groupBy("vec_id")
+      .agg(Det.dsum4(col("c")).as("z2"), max(col("c")).as("max_dim_z2"))
+      .orderBy(desc("z2"), asc("vec_id"))
+      .limit(20)
+  }
+
   /** q206 — EMBEDDING CENTROID DRIFT: per label, the cosine between
     * the centroids of two ingestion halves (even vs odd vec_id — the
     * deterministic stand-in for before/after batch ids), with half

@@ -275,6 +275,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out == Seq((1L, 2L, 0L, None), (2L, 4L, 3L, Some(0.75))), out)
   }
 
+  test("q234 outliers: the off-manifold vector tops z²; the dead dim is excluded; hand stats verify") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmpDir()
+    // dim0 [0,2,0,2,1]: μ=1, σ²=0.8; dim1 [0,0,2,2,10]: μ=2.8,
+    // σ²=13.76 (both exact at q216's 4-dp); dim2 constant → DEAD
+    writeEmbeddings(dir,
+      (1L, Seq(0f, 0f, 5f), 0), (2L, Seq(2f, 0f, 5f), 0),
+      (3L, Seq(0f, 2f, 5f), 0), (4L, Seq(2f, 2f, 5f), 0),
+      (5L, Seq(1f, 10f, 5f), 0))
+    val out = graft.ops.Similarity.q234EmbeddingOutliers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(out.length == 5, out)
+    // v5: dim0 z²=0, dim1 z²=(10−2.8)²/13.76=3.767442 (6-dp floor);
+    // the dead dim contributes nothing
+    assert(out.head == ((5L, 3.7674, 3.767442)), out.head)
+    assert(out.map(_._2).sorted.reverse == out.map(_._2), out) // z² desc
+  }
+
+  test("q234 outliers: empty embeddings yield no rows") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmpDir()
+    writeEmbeddings(dir)
+    assert(graft.ops.Similarity.q234EmbeddingOutliers(spark, dir).count() == 0)
+  }
+
   test("q229 zipf: a perfect 1/r law fits slope −1, r2 1, intercept ln C; empty corpus reports n=0/NULLs") {
     graft.functions.GraftFunctions.register(spark)
     val dir = tmpDir()
