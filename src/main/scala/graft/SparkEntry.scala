@@ -274,6 +274,7 @@ object SparkEntry {
     "q232_time_weighted_value" -> (Events.q232TimeWeightedValue _),
     "q233_event_gini" -> (Events.q233EventGini _),
     "q234_embedding_outliers" -> (Similarity.q234EmbeddingOutliers _),
+    "q235_lorenz_deciles" -> (Events.q235LorenzDeciles _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2761,6 +2762,26 @@ object SparkEntry {
         s"${rd4("CAST(num AS DOUBLE)/CAST(n*sx AS DOUBLE)")} " +
         "ELSE NULL END AS gini " +
         "FROM t CROSS JOIN a"),
+    // q235: q233's tie-group prefixes + the closed-form bottom-m cut
+    // (m − s)·x inside the containing group; 10-row decile frame
+    "q235_lorenz_deciles" ->
+      ("WITH c AS (SELECT user_id, count(*) AS x FROM events GROUP BY user_id), " +
+        "v AS (SELECT x, CAST(count(*) AS BIGINT) AS nx FROM c GROUP BY x), " +
+        "p AS (SELECT x, nx, CAST(coalesce(sum(nx) OVER (ORDER BY x " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s, " +
+        "coalesce(sum(CAST(x AS HUGEINT)*nx) OVER (ORDER BY x " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ex FROM v), " +
+        "t AS (SELECT CAST(sum(nx) AS BIGINT) AS n, sum(CAST(x AS HUGEINT)*nx) AS sx FROM v), " +
+        "g AS (SELECT unnest(range(1, 11)) AS decile), " +
+        "gm AS (SELECT decile, (decile * n) // 10 AS m, n, sx FROM g CROSS JOIN t), " +
+        "mt AS (SELECT gm.decile, ex + CAST(gm.m - p.s AS HUGEINT) * p.x AS cum " +
+        "FROM p JOIN gm ON p.s < gm.m AND gm.m <= p.s + p.nx) " +
+        "SELECT gm.decile, gm.m AS n_bottom_users, " +
+        "CASE WHEN gm.n > 0 THEN CAST(coalesce(mt.cum, 0) AS BIGINT) ELSE NULL END AS cum_events, " +
+        "CASE WHEN gm.n > 0 THEN " +
+        s"${rd4("CAST(coalesce(mt.cum, 0) AS DOUBLE)/CAST(gm.sx AS DOUBLE)")} " +
+        "ELSE NULL END AS share " +
+        "FROM gm LEFT JOIN mt ON gm.decile = mt.decile ORDER BY gm.decile"),
     // q234: q216's quantize/stat CTEs; the z² contribution is ONE IEEE
     // tree per (vec, dim) µ-rounded at 1e-6; dead dims excluded
     "q234_embedding_outliers" -> {

@@ -820,6 +820,54 @@ object Events {
           .otherwise(lit(null).cast(DoubleType)).as("gini"))
   }
 
+  /** q235 — LORENZ CURVE AT USER DECILES: the curve behind q233's
+    * scalar — per decile k, the bottom ⌊k·n/10⌋ users by event count
+    * and the exact share of all events they generate. Where q233 says
+    * HOW unequal, this says WHERE the mass sits ("the bottom 80% of
+    * users produce 9% of traffic") — the capacity-planning and
+    * bot-quota read, and the shape q113's source caps are tuned
+    * against on the corpus side.
+    *
+    * Same no-global-rank discipline as q233: within a tie group the
+    * bottom-m cut takes (m − s)·x events in CLOSED FORM, so the curve
+    * needs only the distinct-count-value relation with user/event
+    * prefix sums (grid-class window), a 10-row decile frame, and ONE
+    * containing-group range join of that 10-row broadcast against the
+    * value relation — never a per-user rank. All-integer/decimal until
+    * the one 4-dp share division. Empty events → 10 NULL-share rows.
+    */
+  def q235LorenzDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val d38 = DecimalType(38, 0)
+    val byVal = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("nx"))
+    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    val pre = byVal
+      .withColumn("s", coalesce(sum(col("nx")).over(w), lit(0L)))
+      .withColumn("ex",
+        coalesce(sum((col("x").cast(d38) * col("nx"))).over(w), lit(0L).cast(d38)))
+    val totals = byVal.agg(sum(col("nx")).cast(LongType).as("n"),
+      sum(col("x").cast(d38) * col("nx")).as("sx"))
+    val grid = spark.range(1, 11).select(col("id").as("decile"))
+      .crossJoin(broadcast(totals)) // one-row totals anchor
+      .withColumn("m", expr("(decile * n) div 10"))
+    // the tie group CONTAINING rank m: s < m ≤ s + nx (≤ 10 matches)
+    val matched = pre.join(broadcast(grid.select("decile", "m")),
+        col("s") < col("m") && col("m") <= col("s") + col("nx"))
+      .select(col("decile"),
+        (col("ex") + (col("m") - col("s")).cast(d38) * col("x")).as("cum"))
+    grid.join(matched, Seq("decile"), "left")
+      .select(col("decile"), col("m").as("n_bottom_users"),
+        when(col("n") > 0L, coalesce(col("cum"), lit(0L).cast(d38)))
+          .otherwise(lit(null).cast(d38)).cast(LongType).as("cum_events"),
+        when(col("n") > 0L,
+          roundD4(coalesce(col("cum"), lit(0L).cast(d38)).cast(DoubleType)
+            / col("sx").cast(DoubleType)))
+          .otherwise(lit(null).cast(DoubleType)).as("share"))
+      .orderBy("decile")
+  }
+
   /** q232 — TIME-WEIGHTED VALUE (TWAP-style step-function mean): per
     * event type, Σ(value·Δt)/ΣΔt over per-user holding intervals —
     * each non-null reading holds from its event until the user's next

@@ -828,6 +828,28 @@ class EventOpsSpec extends SparkSpecBase {
     assert(e.length == 1 && e(0).isNullAt(0) && e(0).isNullAt(1) && e(0).isNullAt(2), e.toSeq)
   }
 
+  test("q235 lorenz: bottom-m cuts land inside tie groups exactly; the whale owns the last decile jump") {
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns
+    var id = 0L
+    def evs(user: Long, c: Int): Seq[Row] =
+      (1 to c).map { k => id += 1; Row(id, T0 + id * Ns, user, "a", 0.0, "{}") }
+    // counts [1,1,1,7]: m_k = (4k) div 10 → cuts at 0,0,1,1,2,2,2,3,3,4
+    write(dir, "events", df(Tables.eventsRawSchema,
+      ((1L to 3L).flatMap(u => evs(u, 1)) ++ evs(4L, 7)): _*))
+    val out = Events.q235LorenzDeciles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 0.0), (2L, 0L, 0L, 0.0), (3L, 1L, 1L, 0.1), (4L, 1L, 1L, 0.1),
+      (5L, 2L, 2L, 0.2), (6L, 2L, 2L, 0.2), (7L, 2L, 2L, 0.2),
+      (8L, 3L, 3L, 0.3), (9L, 3L, 3L, 0.3), (10L, 4L, 10L, 1.0)), out)
+    // empty events: 10 rows, NULL members/shares
+    val empty = tmpDir()
+    write(empty, "events", df(Tables.eventsRawSchema))
+    val e = Events.q235LorenzDeciles(spark, empty).collect()
+    assert(e.length == 10 && e.forall(r => r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3)), e.toSeq)
+  }
+
   test("q232 twap: time-held weighting pools across users, skips null readings, handles negatives") {
     val dir = tmpDir()
     val T0 = 1704067200L * Ns

@@ -546,7 +546,10 @@ class PlanQualitySpec extends SparkSpecBase {
       "q231_event_burstiness",
       // q233: the one-row totals anchor + the one-row numerator fold —
       // q168's scalar-not-relation shape
-      "q233_event_gini")
+      "q233_event_gini",
+      // q235: the one-row totals anchor + the 10-row decile frame's
+      // containing-group range join (tiny-broadcast scoring class)
+      "q235_lorenz_deciles")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
