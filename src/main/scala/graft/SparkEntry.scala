@@ -275,6 +275,7 @@ object SparkEntry {
     "q233_event_gini" -> (Events.q233EventGini _),
     "q234_embedding_outliers" -> (Similarity.q234EmbeddingOutliers _),
     "q235_lorenz_deciles" -> (Events.q235LorenzDeciles _),
+    "q236_boxplot_stats" -> (Events.q236BoxplotStats _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2782,6 +2783,24 @@ object SparkEntry {
         s"${rd4("CAST(coalesce(mt.cum, 0) AS DOUBLE)/CAST(gm.sx AS DOUBLE)")} " +
         "ELSE NULL END AS share " +
         "FROM gm LEFT JOIN mt ON gm.decile = mt.decile ORDER BY gm.decile"),
+    // q236: 6-dp grid before quantile_cont (identical interpolation
+    // inputs); fence compares on unrounded doubles; 4-dp at the edge
+    "q236_boxplot_stats" ->
+      ("WITH e AS (SELECT event_type, floor(value*1000000 + 0.5)/1000000 AS vq " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "q AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "quantile_cont(vq, 0.25) AS p25, quantile_cont(vq, 0.5) AS p50, " +
+        "quantile_cont(vq, 0.75) AS p75 FROM e GROUP BY event_type), " +
+        "f AS (SELECT event_type, n, p25, p50, p75, p75 - p25 AS iqr, " +
+        "p25 - 1.5*(p75 - p25) AS lo, p75 + 1.5*(p75 - p25) AS hi FROM q), " +
+        "o AS (SELECT e.event_type, " +
+        "CAST(sum(CASE WHEN vq < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers, " +
+        "CAST(sum(CASE WHEN vq > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers " +
+        "FROM e JOIN f ON e.event_type = f.event_type GROUP BY e.event_type) " +
+        "SELECT f.event_type, n, " +
+        s"${rd4("p25")} AS p25, ${rd4("p50")} AS p50, ${rd4("p75")} AS p75, " +
+        s"${rd4("iqr")} AS iqr, n_low_outliers, n_high_outliers " +
+        "FROM f JOIN o ON f.event_type = o.event_type ORDER BY f.event_type"),
     // q234: q216's quantize/stat CTEs; the z² contribution is ONE IEEE
     // tree per (vec, dim) µ-rounded at 1e-6; dead dims excluded
     "q234_embedding_outliers" -> {

@@ -820,6 +820,51 @@ object Events {
           .otherwise(lit(null).cast(DoubleType)).as("gini"))
   }
 
+  /** q236 — BOXPLOT / TUKEY-FENCE STATS: per event type, n, the
+    * quartiles, IQR, and the counts outside the 1.5·IQR fences — the
+    * ROBUST distributional readout q152's z-scores can't give (a mean
+    * already dragged by the outliers it hunts): quartiles don't move
+    * when a bot dumps extreme values, so the fences stay calibrated to
+    * the typical mass; n_high ≫ n_low says heavy right tail (price
+    * spikes, abuse), symmetric counts say wide-but-honest variance.
+    * The boxplot primitive every dashboard draws, as a declared query.
+    *
+    * Determinism: values µ-rounded onto the 6-dp grid BEFORE the
+    * interpolated percentile (both engines then interpolate identical
+    * doubles — q38's percentile ↔ quantile_cont mapping), fence
+    * arithmetic ONE shared IEEE tree, fence COMPARISONS on the
+    * unrounded doubles, quartiles/IQR 4-dp only at the output edge.
+    * Scale: one type-keyed percentile aggregate, the type-sized fence
+    * frame broadcast back over one map-combinable outlier count pass.
+    * NULL values excluded up front (q232's contract).
+    */
+  def q236BoxplotStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (floor(col("value") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("vq"))
+    val qs = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(vq, array(0.25, 0.5, 0.75))").as("q"))
+      .select(col("event_type"), col("n"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"))
+      .withColumn("iqr", col("p75") - col("p25"))
+      .withColumn("lo", col("p25") - lit(1.5) * col("iqr"))
+      .withColumn("hi", col("p75") + lit(1.5) * col("iqr"))
+    val outl = ev.join(broadcast(qs.select("event_type", "lo", "hi")), "event_type")
+      .groupBy("event_type")
+      .agg(sum(when(col("vq") < col("lo"), 1L).otherwise(0L)).cast(LongType).as("n_low_outliers"),
+        sum(when(col("vq") > col("hi"), 1L).otherwise(0L)).cast(LongType).as("n_high_outliers"))
+    qs.join(outl, "event_type")
+      .select(col("event_type"), col("n"),
+        roundD4(col("p25")).as("p25"), roundD4(col("p50")).as("p50"),
+        roundD4(col("p75")).as("p75"), roundD4(col("iqr")).as("iqr"),
+        col("n_low_outliers"), col("n_high_outliers"))
+      .orderBy("event_type")
+  }
+
   /** q235 — LORENZ CURVE AT USER DECILES: the curve behind q233's
     * scalar — per decile k, the bottom ⌊k·n/10⌋ users by event count
     * and the exact share of all events they generate. Where q233 says

@@ -828,6 +828,32 @@ class EventOpsSpec extends SparkSpecBase {
     assert(e.length == 1 && e(0).isNullAt(0) && e(0).isNullAt(1) && e(0).isNullAt(2), e.toSeq)
   }
 
+  test("q236 boxplot: exact quartiles fence the outlier; interpolation and null exclusion pin") {
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns
+    var id = 0L
+    def ev(tpe: String, v: Any): Row = { id += 1; Row(id, T0 + id * Ns, 1L, tpe, v, "{}") }
+    write(dir, "events", df(Tables.eventsRawSchema,
+      // a: 1..8 + 100 → q25/q50/q75 = 3/5/7, fences (−3, 13), one high
+      ((1 to 8).map(v => ev("a", v.toDouble)) :+ ev("a", 100.0)) ++
+        // a null reading is excluded before the percentile
+        Seq(ev("a", null),
+          // b: two points → interpolated quartiles 2.5/5/7.5
+          ev("b", 0.0), ev("b", 10.0)): _*))
+    val out = Events.q236BoxplotStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(out == Seq(
+      ("a", 9L, 3.0, 5.0, 7.0, 4.0, 0L, 1L),
+      ("b", 2L, 2.5, 5.0, 7.5, 5.0, 0L, 0L)), out)
+  }
+
+  test("q236 boxplot: empty events yield no rows") {
+    val dir = tmpDir()
+    write(dir, "events", df(Tables.eventsRawSchema))
+    assert(Events.q236BoxplotStats(spark, dir).count() == 0)
+  }
+
   test("q235 lorenz: bottom-m cuts land inside tie groups exactly; the whale owns the last decile jump") {
     val dir = tmpDir()
     val T0 = 1704067200L * Ns
