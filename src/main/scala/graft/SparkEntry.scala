@@ -276,6 +276,7 @@ object SparkEntry {
     "q234_embedding_outliers" -> (Similarity.q234EmbeddingOutliers _),
     "q235_lorenz_deciles" -> (Events.q235LorenzDeciles _),
     "q236_boxplot_stats" -> (Events.q236BoxplotStats _),
+    "q237_special_token_scan" -> (TrainingData.q237SpecialTokenScan _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2801,6 +2802,25 @@ object SparkEntry {
         s"${rd4("p25")} AS p25, ${rd4("p50")} AS p50, ${rd4("p75")} AS p75, " +
         s"${rd4("iqr")} AS iqr, n_low_outliers, n_high_outliers " +
         "FROM f JOIN o ON f.event_type = o.event_type ORDER BY f.event_type"),
+    // q237: markers generated from the ONE shared constant; exact
+    // substring counts via the length-difference form (no regex)
+    "q237_special_token_scan" -> {
+      val vals = graft.ops.TrainingData.SpecialTokenMarkers
+        .map(m => s"('$m')").mkString(", ")
+      s"WITH mk(marker) AS (VALUES $vals), " +
+        "h AS (SELECT marker, source, " +
+        "CAST((length(text) - length(replace(text, marker, ''))) // length(marker) AS BIGINT) AS occ " +
+        "FROM documents CROSS JOIN mk), " +
+        "ps AS (SELECT marker, source, CAST(sum(occ) AS BIGINT) AS s_occ FROM h " +
+        "WHERE occ > 0 GROUP BY marker, source), " +
+        "ws AS (SELECT marker, source AS worst_source FROM " +
+        "(SELECT marker, source, row_number() OVER (PARTITION BY marker " +
+        "ORDER BY s_occ DESC, source) AS rn FROM ps) WHERE rn = 1) " +
+        "SELECT h.marker, CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit, " +
+        "CAST(sum(occ) AS BIGINT) AS n_hits, ws.worst_source AS worst_source " +
+        "FROM h LEFT JOIN ws ON h.marker = ws.marker " +
+        "GROUP BY h.marker, ws.worst_source ORDER BY h.marker"
+    },
     // q234: q216's quantize/stat CTEs; the z² contribution is ONE IEEE
     // tree per (vec, dim) µ-rounded at 1e-6; dead dims excluded
     "q234_embedding_outliers" -> {

@@ -15,6 +15,53 @@ import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, LongType
 object TrainingData {
   import Det._
 
+  /** The tokenizer control markers q237 scans for — shared with the
+    * generated oracle SQL (the BpeMerges one-source-of-truth pattern).
+    * Plain `contains`-style literals, NOT regexes: the scan must be
+    * exact-substring (an attacker's marker is byte-literal).
+    */
+  private[graft] val SpecialTokenMarkers: Seq[String] =
+    Seq("<|endoftext|>", "<|im_start|>", "<|im_end|>", "</s>", "<pad>", "<unk>")
+
+  /** q237 — SPECIAL-TOKEN CONTAMINATION SCAN: per tokenizer control
+    * marker, how many docs contain it, total occurrences, and the
+    * worst source — the injection defense a training pipeline runs
+    * BEFORE tokenization: a document carrying a literal
+    * `<|endoftext|>` (scraped model output, adversarial posts) splices
+    * fake document boundaries into the packed stream (q80's packer
+    * trusts its input), and instruction markers fake turn structure.
+    * Zero-hit markers still report (the audit must say "checked, clean"
+    * — q172's completeness stance, a dense marker grid).
+    *
+    * All exact integers, row-local: per (marker, doc) occurrences =
+    * (len(text) − len(replace(text, marker)))/len(marker) — the
+    * cross-multiplied count, no regex (markers are byte-literals and
+    * contain regex metacharacters). The 6-row marker frame broadcasts
+    * over ONE corpus pass (q222's tiny-relation scoring class); the
+    * worst source is a deterministic max-struct (hits DESC, source ASC
+    * — NULL when the marker is clean).
+    */
+  def q237SpecialTokenScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val markers = SpecialTokenMarkers.toDF("marker")
+    val hits = Tables.documents(spark, dir)
+      .crossJoin(broadcast(markers)) // 6-row marker frame
+      .select(col("marker"), col("source"),
+        ((length(col("text")) - length(expr("replace(text, marker, '')")))
+          / length(col("marker"))).cast(LongType).as("occ"))
+    val perSource = hits.filter(col("occ") > 0L)
+      .groupBy("marker", "source").agg(sum(col("occ")).cast(LongType).as("s_occ"))
+      .groupBy("marker")
+      // (hits DESC, source ASC) via the repo's min(-key, tiebreak) form
+      .agg(min(struct((-col("s_occ")).as("neg"), col("source").as("source")))
+        .getField("source").as("worst_source"))
+    hits.groupBy("marker")
+      .agg(sum(when(col("occ") > 0L, 1L).otherwise(0L)).cast(LongType).as("n_docs_hit"),
+        sum(col("occ")).cast(LongType).as("n_hits"))
+      .join(perSource, Seq("marker"), "left")
+      .orderBy("marker")
+  }
+
   /** q27 — n-gram-heuristic language ID: character-class profile
     * features (vowel ratio, average token length) and a deterministic
     * CASE classifier over the ROUNDED features (so the class boundary is

@@ -549,7 +549,10 @@ class PlanQualitySpec extends SparkSpecBase {
       "q233_event_gini",
       // q235: the one-row totals anchor + the 10-row decile frame's
       // containing-group range join (tiny-broadcast scoring class)
-      "q235_lorenz_deciles")
+      "q235_lorenz_deciles",
+      // q237: the 6-row marker frame broadcast — q222's tiny-relation
+      // scoring class
+      "q237_special_token_scan")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

@@ -35,6 +35,27 @@ class EmptyCorpusSpec extends SparkSpecBase {
     assert(Similarity.q218DedupTokenBudget(spark, dir).count() == 0)
   }
 
+  test("q237: marker occurrences count exactly; zero-hit markers still report; worst source ties break ascending") {
+    val dir = tmpDir()
+    writeDocuments(dir,
+      (1L, "clean prose only", "en", "srcA", 1L),
+      (2L, "x <|endoftext|> y <|endoftext|> z", "en", "srcB", 1L),
+      (3L, "one <|endoftext|> here", "en", "srcA", 1L),
+      // srcA ties srcB at 2 total hits → ascending tie-break picks srcA
+      (4L, "another <|endoftext|> there", "en", "srcA", 1L),
+      (5L, "</s> marker", "en", "srcC", 1L))
+    val out = TrainingData.q237SpecialTokenScan(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getString(3)))).toSeq
+    assert(out == Seq(
+      ("</s>", 1L, 1L, Some("srcC")),
+      ("<pad>", 0L, 0L, None),
+      ("<unk>", 0L, 0L, None),
+      ("<|endoftext|>", 3L, 4L, Some("srcA")),
+      ("<|im_end|>", 0L, 0L, None),
+      ("<|im_start|>", 0L, 0L, None)), out)
+  }
+
   test("empty corpus: round-6 text/quality operators return 0 rows, not crashes") {
     val dir = emptyDir()
     graft.functions.GraftFunctions.register(spark)
