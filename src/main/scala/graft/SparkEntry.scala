@@ -516,6 +516,19 @@ object SparkEntry {
   }
   private val tsUs = "CAST(ts AS TIMESTAMP)"
 
+  /** The tie-group relation (c → v → p → t) over per-user event
+    * counts — the oracle mirror of Events.countTieGroups, shared by
+    * q233 (Gini) and q235 (Lorenz deciles).
+    */
+  private def tieGroupCtes: String =
+    "c AS (SELECT user_id, count(*) AS x FROM events GROUP BY user_id), " +
+      "v AS (SELECT x, CAST(count(*) AS BIGINT) AS nx FROM c GROUP BY x), " +
+      "p AS (SELECT x, nx, CAST(coalesce(sum(nx) OVER (ORDER BY x " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s, " +
+      "coalesce(sum(CAST(x AS HUGEINT)*nx) OVER (ORDER BY x " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ex FROM v), " +
+      "t AS (SELECT CAST(sum(nx) AS BIGINT) AS n, sum(CAST(x AS HUGEINT)*nx) AS sx FROM v)"
+
   /** The zero-filled (event_type, day) grid (e → b → g → c → dense) —
     * the oracle mirror of Events.denseDailyCounts, shared by q223 and
     * q231.
@@ -2751,11 +2764,7 @@ object SparkEntry {
     // q233: the closed-form tie-group Lorenz numerator — prefix window
     // over DISTINCT count values only; HUGEINT products cast pre-multiply
     "q233_event_gini" ->
-      ("WITH c AS (SELECT user_id, count(*) AS x FROM events GROUP BY user_id), " +
-        "v AS (SELECT x, CAST(count(*) AS BIGINT) AS nx FROM c GROUP BY x), " +
-        "p AS (SELECT x, nx, CAST(coalesce(sum(nx) OVER (ORDER BY x " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM v), " +
-        "t AS (SELECT CAST(sum(nx) AS BIGINT) AS n, sum(CAST(x AS HUGEINT)*nx) AS sx FROM v), " +
+      (s"WITH $tieGroupCtes, " +
         "a AS (SELECT sum(CAST(x AS HUGEINT) * (CAST(s AS HUGEINT)*2*nx + " +
         "CAST(nx AS HUGEINT)*(nx + 1) - CAST(n + 1 AS HUGEINT)*nx)) AS num " +
         "FROM p CROSS JOIN t) " +
@@ -2767,13 +2776,7 @@ object SparkEntry {
     // q235: q233's tie-group prefixes + the closed-form bottom-m cut
     // (m − s)·x inside the containing group; 10-row decile frame
     "q235_lorenz_deciles" ->
-      ("WITH c AS (SELECT user_id, count(*) AS x FROM events GROUP BY user_id), " +
-        "v AS (SELECT x, CAST(count(*) AS BIGINT) AS nx FROM c GROUP BY x), " +
-        "p AS (SELECT x, nx, CAST(coalesce(sum(nx) OVER (ORDER BY x " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s, " +
-        "coalesce(sum(CAST(x AS HUGEINT)*nx) OVER (ORDER BY x " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ex FROM v), " +
-        "t AS (SELECT CAST(sum(nx) AS BIGINT) AS n, sum(CAST(x AS HUGEINT)*nx) AS sx FROM v), " +
+      (s"WITH $tieGroupCtes, " +
         "g AS (SELECT unnest(range(1, 11)) AS decile), " +
         "gm AS (SELECT decile, (decile * n) // 10 AS m, n, sx FROM g CROSS JOIN t), " +
         "mt AS (SELECT gm.decile, ex + CAST(gm.m - p.s AS HUGEINT) * p.x AS cum " +

@@ -797,16 +797,32 @@ object Events {
     * DECIMAL(38,0) (cast pre-multiply), ONE 4-dp division at the edge.
     * Empty events → one all-NULL report row on both engines.
     */
-  def q233EventGini(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DoubleType
+  /** The tie-group relation behind q233/q235 (ONE definition, mirrored
+    * by SparkEntry's tieGroupCtes): distinct per-user event counts
+    * (x, nx) with the user prefix `s` and event prefix `ex` (users /
+    * events on strictly smaller counts), plus the one-row totals
+    * (n, sx). Corpus-sized work = the per-user count; the prefix
+    * window runs over DISTINCT count values only.
+    */
+  private def countTieGroups(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d38 = DecimalType(38, 0)
     val byVal = Tables.events(spark, dir)
       .groupBy("user_id").agg(count(lit(1)).as("x"))
       .groupBy("x").agg(count(lit(1)).as("nx"))
     val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
-    val pre = byVal.withColumn("s", coalesce(sum(col("nx")).over(w), lit(0L)))
+    val pre = byVal
+      .withColumn("s", coalesce(sum(col("nx")).over(w), lit(0L)))
+      .withColumn("ex",
+        coalesce(sum((col("x").cast(d38) * col("nx"))).over(w), lit(0L).cast(d38)))
     val totals = byVal.agg(sum(col("nx")).cast(LongType).as("n"),
       sum(col("x").cast(d38) * col("nx")).as("sx"))
+    (pre, totals)
+  }
+
+  def q233EventGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val d38 = DecimalType(38, 0)
+    val (pre, totals) = countTieGroups(spark, dir)
     val tieGroup = col("s").cast(d38) * 2L * col("nx") +
       col("nx").cast(d38) * (col("nx") + 1L) -
       (col("n") + 1L).cast(d38) * col("nx")
@@ -884,16 +900,7 @@ object Events {
   def q235LorenzDeciles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
     val d38 = DecimalType(38, 0)
-    val byVal = Tables.events(spark, dir)
-      .groupBy("user_id").agg(count(lit(1)).as("x"))
-      .groupBy("x").agg(count(lit(1)).as("nx"))
-    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
-    val pre = byVal
-      .withColumn("s", coalesce(sum(col("nx")).over(w), lit(0L)))
-      .withColumn("ex",
-        coalesce(sum((col("x").cast(d38) * col("nx"))).over(w), lit(0L).cast(d38)))
-    val totals = byVal.agg(sum(col("nx")).cast(LongType).as("n"),
-      sum(col("x").cast(d38) * col("nx")).as("sx"))
+    val (pre, totals) = countTieGroups(spark, dir)
     val grid = spark.range(1, 11).select(col("id").as("decile"))
       .crossJoin(broadcast(totals)) // one-row totals anchor
       .withColumn("m", expr("(decile * n) div 10"))

@@ -1168,6 +1168,39 @@ object TextOps {
     * top-1000 → a 1000-row single-partition window (catalog-sized by
     * construction) → one 5-moment fold.
     */
+
+  def q229ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val top = tfRelation(spark, dir)
+      .groupBy("term").agg(sum(col("tf")).cast(LongType).as("gtf"))
+      .orderBy(desc("gtf"), asc("term")).limit(ZipfFitRanks)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(desc("gtf"), asc("term"))))
+    def q6(c: Column): Column =
+      (floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).cast(DecimalType(12, 6))
+    val a = ranked
+      .select(q6(log(col("rank").cast(DoubleType))).as("xq"),
+        q6(log(col("gtf").cast(DoubleType))).as("yq"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum((col("xq") * col("yq")).cast(DecimalType(38, 12))).as("sxy"),
+        sum((col("xq") * col("xq")).cast(DecimalType(38, 12))).as("sxx"),
+        sum((col("yq") * col("yq")).cast(DecimalType(38, 12))).as("syy"))
+    val nD = col("n").cast(DoubleType)
+    def d(name: String): Column = col(name).cast(DoubleType)
+    val num = nD * d("sxy") - d("sx") * d("sy")
+    val dx = nD * d("sxx") - d("sx") * d("sx")
+    val dy = nD * d("syy") - d("sy") * d("sy")
+    val slope = num / dx
+    a.select(col("n").cast(LongType).as("n_terms"),
+      when(dx > 0.0, Det.roundD4(slope))
+        .otherwise(lit(null).cast(DoubleType)).as("slope"),
+      when(dx > 0.0, Det.roundD4((d("sy") - slope * d("sx")) / nD))
+        .otherwise(lit(null).cast(DoubleType)).as("intercept"),
+      when(dx > 0.0 && dy > 0.0, Det.roundD4(num * num / (dx * dy)))
+        .otherwise(lit(null).cast(DoubleType)).as("r2"))
+  }
+
   /** q230 — HEAPS' LAW VOCABULARY-GROWTH CURVE: distinct-term count as
     * the corpus grows doc by doc (doc_id order), read at ten decile
     * checkpoints — per decile: cumulative docs, cumulative vocabulary,
@@ -1212,37 +1245,5 @@ object TextOps {
       .withColumn("n_terms_cum", sum(col("n_new_terms")).over(w).cast(LongType))
       .select("decile", "n_new_terms", "n_docs_cum", "n_terms_cum")
       .orderBy("decile")
-  }
-
-  def q229ZipfFit(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val top = tfRelation(spark, dir)
-      .groupBy("term").agg(sum(col("tf")).cast(LongType).as("gtf"))
-      .orderBy(desc("gtf"), asc("term")).limit(ZipfFitRanks)
-    val ranked = top.withColumn("rank",
-      row_number().over(Window.orderBy(desc("gtf"), asc("term"))))
-    def q6(c: Column): Column =
-      (floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).cast(DecimalType(12, 6))
-    val a = ranked
-      .select(q6(log(col("rank").cast(DoubleType))).as("xq"),
-        q6(log(col("gtf").cast(DoubleType))).as("yq"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
-        sum((col("xq") * col("yq")).cast(DecimalType(38, 12))).as("sxy"),
-        sum((col("xq") * col("xq")).cast(DecimalType(38, 12))).as("sxx"),
-        sum((col("yq") * col("yq")).cast(DecimalType(38, 12))).as("syy"))
-    val nD = col("n").cast(DoubleType)
-    def d(name: String): Column = col(name).cast(DoubleType)
-    val num = nD * d("sxy") - d("sx") * d("sy")
-    val dx = nD * d("sxx") - d("sx") * d("sx")
-    val dy = nD * d("syy") - d("sy") * d("sy")
-    val slope = num / dx
-    a.select(col("n").cast(LongType).as("n_terms"),
-      when(dx > 0.0, Det.roundD4(slope))
-        .otherwise(lit(null).cast(DoubleType)).as("slope"),
-      when(dx > 0.0, Det.roundD4((d("sy") - slope * d("sx")) / nD))
-        .otherwise(lit(null).cast(DoubleType)).as("intercept"),
-      when(dx > 0.0 && dy > 0.0, Det.roundD4(num * num / (dx * dy)))
-        .otherwise(lit(null).cast(DoubleType)).as("r2"))
   }
 }

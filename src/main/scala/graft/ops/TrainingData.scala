@@ -37,28 +37,35 @@ object TrainingData {
     * (len(text) − len(replace(text, marker)))/len(marker) — the
     * cross-multiplied count, no regex (markers are byte-literals and
     * contain regex metacharacters). The 6-row marker frame broadcasts
-    * over ONE corpus pass (q222's tiny-relation scoring class); the
-    * worst source is a deterministic max-struct (hits DESC, source ASC
-    * — NULL when the marker is clean).
+    * over ONE corpus pass into an eagerly-pinned (marker, source)
+    * rollup (q222's tiny-relation scoring class); the worst source is
+    * a deterministic min-struct (hits DESC, source ASC — NULL when
+    * the marker is clean).
     */
   def q237SpecialTokenScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val markers = SpecialTokenMarkers.toDF("marker")
-    val hits = Tables.documents(spark, dir)
+    // ONE corpus pass: the (marker, source) rollup is pinned eagerly
+    // (wandInternals' discipline — tiny, ≤ markers × sources rows) so
+    // its two consumers below cannot re-execute the documents scan
+    val perSrc = Tables.documents(spark, dir)
       .crossJoin(broadcast(markers)) // 6-row marker frame
       .select(col("marker"), col("source"),
         ((length(col("text")) - length(expr("replace(text, marker, '')")))
           / length(col("marker"))).cast(LongType).as("occ"))
-    val perSource = hits.filter(col("occ") > 0L)
-      .groupBy("marker", "source").agg(sum(col("occ")).cast(LongType).as("s_occ"))
+      .groupBy("marker", "source")
+      .agg(sum(when(col("occ") > 0L, 1L).otherwise(0L)).cast(LongType).as("n_docs_src"),
+        sum(col("occ")).cast(LongType).as("s_occ"))
+      .localCheckpoint(true)
+    val worst = perSrc.filter(col("s_occ") > 0L)
       .groupBy("marker")
       // (hits DESC, source ASC) via the repo's min(-key, tiebreak) form
       .agg(min(struct((-col("s_occ")).as("neg"), col("source").as("source")))
         .getField("source").as("worst_source"))
-    hits.groupBy("marker")
-      .agg(sum(when(col("occ") > 0L, 1L).otherwise(0L)).cast(LongType).as("n_docs_hit"),
-        sum(col("occ")).cast(LongType).as("n_hits"))
-      .join(perSource, Seq("marker"), "left")
+    perSrc.groupBy("marker")
+      .agg(sum(col("n_docs_src")).cast(LongType).as("n_docs_hit"),
+        sum(col("s_occ")).cast(LongType).as("n_hits"))
+      .join(worst, Seq("marker"), "left")
       .orderBy("marker")
   }
 
