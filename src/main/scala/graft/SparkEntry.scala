@@ -277,6 +277,8 @@ object SparkEntry {
     "q235_lorenz_deciles" -> (Events.q235LorenzDeciles _),
     "q236_boxplot_stats" -> (Events.q236BoxplotStats _),
     "q237_special_token_scan" -> (TrainingData.q237SpecialTokenScan _),
+    "q238_abc_classes" -> (TrainingData.q238AbcClasses _),
+    "q239_rolling_actives" -> (Events.q239RollingActives _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2824,6 +2826,32 @@ object SparkEntry {
         "FROM h LEFT JOIN ws ON h.marker = ws.marker " +
         "GROUP BY h.marker, ws.worst_source ORDER BY h.marker"
     },
+    // q238: cross-multiplied integer class boundaries (never a double
+    // compare); the rank/cumsum window at source cardinality
+    "q238_abc_classes" ->
+      ("WITH v AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY source), " +
+        "t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM v), " +
+        "c AS (SELECT source, n_tokens, CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM v) " +
+        "SELECT source, n_tokens, cum_tokens, " +
+        s"${rd4("CAST(cum_tokens AS DOUBLE)/CAST(total AS DOUBLE)")} AS cum_share, " +
+        "CASE WHEN cum_tokens * 100 <= total * 80 THEN 'A' " +
+        "WHEN cum_tokens * 100 <= total * 95 THEN 'B' ELSE 'C' END AS abc_class " +
+        "FROM c CROSS JOIN t ORDER BY n_tokens DESC, source"),
+    // q239: the exact sliding distinct via 7-way fan-out of the
+    // distinct user-day relation; dense day grid zero-fills
+    "q239_rolling_actives" ->
+      (s"WITH ud AS (SELECT DISTINCT user_id, ${fdiv(s"epoch_us($tsUs)", 86400000000L)} AS day FROM events), " +
+        "b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM ud), " +
+        "g AS (SELECT unnest(generate_series(dmin, dmax)) AS day FROM b), " +
+        "f AS (SELECT DISTINCT user_id, day + o AS day2 FROM ud " +
+        "CROSS JOIN (SELECT unnest(range(0, 7)) AS o)), " +
+        "w AS (SELECT day2 AS day, CAST(count(*) AS BIGINT) AS wau FROM f GROUP BY day2), " +
+        "d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day) " +
+        "SELECT g.day, CAST(coalesce(d.dau, 0) AS BIGINT) AS dau, " +
+        "CAST(coalesce(w.wau, 0) AS BIGINT) AS wau_7d " +
+        "FROM g LEFT JOIN d ON g.day = d.day LEFT JOIN w ON g.day = w.day ORDER BY g.day"),
     // q234: q216's quantize/stat CTEs; the z² contribution is ONE IEEE
     // tree per (vec, dim) µ-rounded at 1e-6; dead dims excluded
     "q234_embedding_outliers" -> {

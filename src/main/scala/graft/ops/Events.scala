@@ -836,6 +836,40 @@ object Events {
           .otherwise(lit(null).cast(DoubleType)).as("gini"))
   }
 
+  /** q239 — ROLLING 7-DAY ACTIVE USERS: per day of the dense observed
+    * span, DAU and the exact count of users active in [d−6, d] — the
+    * stickiness pair (DAU/WAU ratio) product analytics reads daily,
+    * and the exact ground truth q57's HLL rollup approximates. A
+    * sliding DISTINCT cannot reuse adjacent windows (users overlap),
+    * so the exact relational form is the 7-way FAN-OUT: each distinct
+    * (user, active-day) supports the 7 window-ends it can see, one
+    * distinct collapse, one count — shuffles 7× the user-day relation,
+    * never the raw events. That 7× is the exactness price; at q57's
+    * scale regime the HLL sketch table merges 7 day-sketches per
+    * window instead (documented swap-in, same output schema).
+    *
+    * All exact integers; the day grid zero-fills (a dead week must
+    * read 0, not vanish — q223's discipline); window-ends past the
+    * observed span are cut by the broadcast bounds.
+    */
+  def q239RollingActives(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(Det.floorDivExpr("unix_micros(ts)", MicrosPerDay)).as("day"))
+      .distinct()
+    val bounds = ud.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val grid = bounds.select(explode(sequence(col("dmin"), col("dmax"))).as("day"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6L)).as("day"))
+      .distinct() // a user active twice inside one window counts once
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    grid.join(dau, Seq("day"), "left").join(wau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau_7d"))
+      .orderBy("day")
+  }
+
   /** q236 — BOXPLOT / TUKEY-FENCE STATS: per event type, n, the
     * quartiles, IQR, and the counts outside the 1.5·IQR fences — the
     * ROBUST distributional readout q152's z-scores can't give (a mean

@@ -69,6 +69,40 @@ object TrainingData {
       .orderBy("marker")
   }
 
+  /** q238 — ABC / PARETO SOURCE CLASSIFICATION: sources ranked by
+    * whitespace-token volume with cumulative share and the classic
+    * A/B/C cut (A carries the first 80% of tokens, B to 95%, C the
+    * tail) — the triage view a curation team runs before spending
+    * effort: A-sources get per-source quality review (q128), C-sources
+    * get a cheap keep/drop rule (q113's cap), and a B→A migration
+    * between snapshots means one crawl started dominating the mix.
+    *
+    * Exactness: class boundaries are CROSS-MULTIPLIED longs
+    * (100·cum ≤ 80·total), never a double compare — a share sitting
+    * exactly on the 80% line classifies identically on both engines;
+    * the 4-dp share column is display-only. The rank/cumsum window
+    * runs at SOURCE cardinality (catalog-sized by construction);
+    * corpus-sized work is one map-combinable token sum.
+    */
+  def q238AbcClasses(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val vol = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast(LongType)).cast(LongType).as("n_tokens"))
+    val w = Window.orderBy(desc("n_tokens"), asc("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vol
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast(LongType))
+      .crossJoin(broadcast(vol.agg(sum(col("n_tokens")).cast(LongType).as("total"))))
+      .select(col("source"), col("n_tokens"), col("cum_tokens"),
+        roundD4(col("cum_tokens").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("cum_share"),
+        when(col("cum_tokens") * 100L <= col("total") * 80L, "A")
+          .when(col("cum_tokens") * 100L <= col("total") * 95L, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy(desc("n_tokens"), asc("source"))
+  }
+
   /** q27 — n-gram-heuristic language ID: character-class profile
     * features (vowel ratio, average token length) and a deterministic
     * CASE classifier over the ROUNDED features (so the class boundary is

@@ -828,6 +828,30 @@ class EventOpsSpec extends SparkSpecBase {
     assert(e.length == 1 && e(0).isNullAt(0) && e(0).isNullAt(1) && e(0).isNullAt(2), e.toSeq)
   }
 
+  test("q239 rolling actives: windows slide over the zero-filled grid; repeat activity counts once") {
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns
+    val Day = 86400L * Ns
+    val base = 1704067200L / 86400L // T0's day number
+    write(dir, "events", df(Tables.eventsRawSchema,
+      // u1: twice on day 0 (DAU counts once) and on day 3
+      Row(1L, T0, 1L, "a", 0.0, "{}"), Row(2L, T0 + Ns, 1L, "a", 0.0, "{}"),
+      Row(3L, T0 + 3 * Day, 1L, "a", 0.0, "{}"),
+      Row(4L, T0, 2L, "a", 0.0, "{}"),
+      Row(5L, T0 + 8 * Day, 3L, "a", 0.0, "{}")))
+    val out = Events.q239RollingActives(spark, dir).collect()
+      .map(r => (r.getLong(0) - base, r.getLong(1), r.getLong(2))).toSeq
+    val dau = Seq(2L, 0L, 0L, 1L, 0L, 0L, 0L, 0L, 1L)
+    val wau = Seq(2L, 2L, 2L, 2L, 2L, 2L, 2L, 1L, 2L)
+    assert(out == (0 to 8).map(i => (i.toLong, dau(i), wau(i))), out)
+  }
+
+  test("q239 rolling actives: empty events yield no rows") {
+    val dir = tmpDir()
+    write(dir, "events", df(Tables.eventsRawSchema))
+    assert(Events.q239RollingActives(spark, dir).count() == 0)
+  }
+
   test("q236 boxplot: exact quartiles fence the outlier; interpolation and null exclusion pin") {
     val dir = tmpDir()
     val T0 = 1704067200L * Ns

@@ -552,7 +552,10 @@ class PlanQualitySpec extends SparkSpecBase {
       "q235_lorenz_deciles",
       // q237: the 6-row marker frame broadcast — q222's tiny-relation
       // scoring class
-      "q237_special_token_scan")
+      "q237_special_token_scan",
+      // q238: the one-row corpus-total broadcast — q125/q53's
+      // scalar-not-relation shape
+      "q238_abc_classes")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = physical(fn(spark, sf))
       val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil

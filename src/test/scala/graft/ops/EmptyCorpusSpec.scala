@@ -56,6 +56,23 @@ class EmptyCorpusSpec extends SparkSpecBase {
       ("<|im_start|>", 0L, 0L, None)), out)
   }
 
+  test("q238: exact-boundary cuts classify A/B/C by cross-multiplication, not a double compare") {
+    val dir = tmpDir()
+    def toks(p: String, n: Int): String = (1 to n).map(i => s"$p$i").mkString(" ")
+    // volumes 80/15/5 of 100: cum shares land EXACTLY on the 80% and
+    // 95% boundaries — the (<=) cut must include both
+    writeDocuments(dir,
+      (1L, toks("a", 80), "en", "srcA", 1L),
+      (2L, toks("b", 15), "en", "srcB", 1L),
+      (3L, toks("c", 5), "en", "srcC", 1L))
+    val out = TrainingData.q238AbcClasses(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))).toSeq
+    assert(out == Seq(
+      ("srcA", 80L, 80L, 0.8, "A"),
+      ("srcB", 15L, 95L, 0.95, "B"),
+      ("srcC", 5L, 100L, 1.0, "C")), out)
+  }
+
   test("empty corpus: round-6 text/quality operators return 0 rows, not crashes") {
     val dir = emptyDir()
     graft.functions.GraftFunctions.register(spark)
