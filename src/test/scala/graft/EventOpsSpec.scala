@@ -846,6 +846,49 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out == (0 to 8).map(i => (i.toLong, dau(i), wau(i))), out)
   }
 
+  test("q233 ≡ textbook rank formula and q239 ≡ brute-force windows on randomized events (seeded)") {
+    val rnd = new scala.util.Random(20260815L)
+    val T0 = 1704067200L * Ns
+    val Day = 86400L * Ns
+    val base = 1704067200L / 86400L
+    (1 to 3).foreach { trial =>
+      val dir = tmpDir()
+      var id = 0L
+      val nUsers = 5 + rnd.nextInt(20)
+      val userDays = (1L to nUsers.toLong).map { u =>
+        u -> (0 until 1 + rnd.nextInt(6)).map(_ => rnd.nextInt(15)).distinct
+      }
+      val rows = userDays.flatMap { case (u, days) =>
+        days.flatMap { d =>
+          (0 until 1 + rnd.nextInt(3)).map { _ =>
+            id += 1; Row(id, T0 + d * Day + id * Ns, u, "a", 0.0, "{}")
+          }
+        }
+      }
+      write(dir, "events", df(Tables.eventsRawSchema, rows: _*))
+      // q233 vs the textbook sorted-rank sum over per-user TOTALS
+      val counts = rows.groupBy(r => r.getLong(2)).values.map(_.size.toLong).toSeq.sorted
+      val n = counts.size.toLong
+      val sx = counts.sum
+      val num = counts.zipWithIndex.map { case (x, i0) => (2L * (i0 + 1) - n - 1) * x }.sum
+      val expG = math.floor(num.toDouble / (n * sx).toDouble * 10000.0 + 0.5) / 10000.0
+      val g = Events.q233EventGini(spark, dir).collect()(0)
+      assert((g.getLong(0), g.getLong(1), g.getDouble(2)) == ((n, sx, expG)), s"trial $trial gini")
+      // q239 vs brute-force per-day window distinct
+      val active = userDays.flatMap { case (u, ds) => ds.map(d => (u, d)) }.toSet
+      val dmin = active.map(_._2).min
+      val dmax = active.map(_._2).max
+      val exp = (dmin to dmax).map { d =>
+        (base + d,
+          active.count(_._2 == d).toLong,
+          active.collect { case (u, ad) if ad >= d - 6 && ad <= d => u }.size.toLong)
+      }
+      val got = Events.q239RollingActives(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == exp, s"trial $trial wau: $got vs $exp")
+    }
+  }
+
   test("q239 rolling actives: empty events yield no rows") {
     val dir = tmpDir()
     write(dir, "events", df(Tables.eventsRawSchema))

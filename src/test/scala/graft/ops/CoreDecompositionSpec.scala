@@ -49,6 +49,55 @@ class CoreDecompositionSpec extends SparkSpecBase {
     assert(out == Seq((1L, 20L)), out)
   }
 
+  test("q224 ≡ brute-force peel on randomized corpora (seeded): the H-index fixpoint IS the k-core number") {
+    val rnd = new scala.util.Random(20260815L)
+    // single-substitution docs off a shared base: same-position subs
+    // form cliques (J = 9/11), the base doc bridges them, double-subs
+    // add sparse tails — clique + bridge + chain shapes in one corpus
+    val alphabet = (1 to 30).map(i => s"t$i")
+    (1 to 3).foreach { trial =>
+      val dir = tmpDir()
+      val base = rnd.shuffle(alphabet).take(10)
+      val nDocs = 20 + rnd.nextInt(20)
+      val rows = (1L to nDocs.toLong).map { i =>
+        val nSub = rnd.nextInt(3) // 0, 1 or 2 substitutions
+        val positions = rnd.shuffle((0 until 10).toList).take(nSub)
+        val toks = base.zipWithIndex.map { case (t, p) =>
+          if (positions.contains(p)) s"u${p}_${rnd.nextInt(3)}" else t
+        }
+        (i, toks.mkString(" "), "en", "s", 1L)
+      }
+      writeDocuments(dir, rows: _*)
+      // test-side replica: collapse → group graph → classic peel
+      val sets = rows.map { case (id, text, _, _, _) => id -> text.split(" ").toSet }
+      val groups = sets.groupBy(_._2).map { case (s, ds) => ds.map(_._1).min -> s }
+      val gids = groups.keys.toSeq
+      def jac(a: Set[String], b: Set[String]): Boolean =
+        5 * a.intersect(b).size >= 4 * a.union(b).size
+      val adj = collection.mutable.Map[Long, collection.mutable.Set[Long]]()
+      for (x <- gids; y <- gids if x < y && jac(groups(x), groups(y))) {
+        adj.getOrElseUpdate(x, collection.mutable.Set()) += y
+        adj.getOrElseUpdate(y, collection.mutable.Set()) += x
+      }
+      val core = collection.mutable.Map[Long, Long]()
+      var k = 0L
+      while (adj.nonEmpty) {
+        val peel = adj.collect { case (v, ns) if ns.size <= k => v }.toList
+        if (peel.isEmpty) k += 1
+        else peel.foreach { v =>
+          core(v) = k
+          adj(v).foreach(n => adj.get(n).foreach(_ -= v))
+          adj -= v
+        }
+      }
+      val expected = core.values.groupBy(identity)
+        .map { case (c, vs) => (c, vs.size.toLong) }.toSeq.sortBy(_._1)
+      val got = Similarity.q224CoreDecomposition(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expected, s"trial $trial (nDocs=$nDocs): $got vs $expected")
+    }
+  }
+
   test("q224: empty corpus yields no rows") {
     graft.functions.GraftFunctions.register(spark)
     val dir = tmpDir()
