@@ -279,6 +279,7 @@ object SparkEntry {
     "q237_special_token_scan" -> (TrainingData.q237SpecialTokenScan _),
     "q238_abc_classes" -> (TrainingData.q238AbcClasses _),
     "q239_rolling_actives" -> (Events.q239RollingActives _),
+    "q240_traffic_trend" -> (Events.q240TrafficTrend _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -2852,6 +2853,19 @@ object SparkEntry {
         "SELECT g.day, CAST(coalesce(d.dau, 0) AS BIGINT) AS dau, " +
         "CAST(coalesce(w.wau, 0) AS BIGINT) AS wau_7d " +
         "FROM g LEFT JOIN d ON g.day = d.day LEFT JOIN w ON g.day = w.day ORDER BY g.day"),
+    // q240: q223's shared grid; integer OLS moments in HUGEINT
+    // (products cast pre-multiply); one division per type, 4-dp
+    "q240_traffic_trend" ->
+      (s"WITH $denseDayCtes, " +
+        "a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, " +
+        "sum(CAST(day AS HUGEINT)) AS sd, sum(x) AS sy, " +
+        "sum(CAST(day AS HUGEINT)*x) AS sdy, sum(CAST(day AS HUGEINT)*day) AS sdd " +
+        "FROM dense GROUP BY event_type) " +
+        "SELECT event_type, n_days, CAST(sy AS BIGINT) AS n_events, " +
+        "CASE WHEN (n_days*sdd - sd*sd) > 0 THEN " +
+        s"${rd4("CAST(n_days*sdy - sd*sy AS DOUBLE)/CAST(n_days*sdd - sd*sd AS DOUBLE)")} " +
+        "ELSE NULL END AS slope_per_day " +
+        "FROM a ORDER BY event_type"),
     // q234: q216's quantize/stat CTEs; the z² contribution is ONE IEEE
     // tree per (vec, dim) µ-rounded at 1e-6; dead dims excluded
     "q234_embedding_outliers" -> {

@@ -998,6 +998,43 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q240 — TRAFFIC TREND (OLS slope of daily counts on day): per
+    * event type, the fitted events-per-day-per-day slope over the
+    * zero-filled grid — the fourth axis of the day-grid family (q196 =
+    * sustained LEVEL shifts, q223 = day-to-day MEMORY, q231 =
+    * DISPERSION; this = secular TREND): a positive slope on 'signup'
+    * is growth, on 'error' it's a burn-down alarm, and a steep slope
+    * invalidates q196's stationary-baseline assumption (its scaladoc's
+    * declared blind spot). Dropping empty days would bias the slope UP
+    * — the zero-fill is load-bearing, q223's discipline.
+    *
+    * Exactness: days and counts are integers, so all five OLS moments
+    * fold EXACTLY in DECIMAL(38,0) (products cast pre-multiply —
+    * q197's second-moment discipline, wide decimals never in the
+    * output); slope = (n·Σdy − Σd·Σy)/(n·Σd² − (Σd)²) is ONE IEEE
+    * division per type, 4-dp floored, NULL on a single-day span (no
+    * trend from one point). Same shared grid as q223/q231 — the
+    * family's three readings compose off one relation.
+    */
+  def q240TrafficTrend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val d38 = DecimalType(38, 0)
+    val agg = denseDailyCounts(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("day").cast(d38)).as("sd"),
+        sum(col("x").cast(d38)).as("sy"),
+        sum(col("day").cast(d38) * col("x")).as("sdy"),
+        sum(col("day").cast(d38) * col("day")).as("sdd"))
+    val num = agg("n_days") * agg("sdy") - agg("sd") * agg("sy")
+    val den = agg("n_days") * agg("sdd") - agg("sd") * agg("sd")
+    agg.select(col("event_type"), col("n_days"),
+      col("sy").cast(LongType).as("n_events"),
+      when(den > 0, roundD4(num.cast(DoubleType) / den.cast(DoubleType)))
+        .otherwise(lit(null).cast(DoubleType)).as("slope_per_day"))
+      .orderBy("event_type")
+  }
+
   /** q231 — DAILY-ARRIVAL BURSTINESS (Fano factor / index of
     * dispersion): per event type, variance ÷ mean of the zero-filled
     * daily counts. The DISPERSION axis completing the anomaly family's

@@ -780,6 +780,40 @@ class EventOpsSpec extends SparkSpecBase {
     assert(Events.q223DailyAutocorr(spark, dir).count() == 0)
   }
 
+  test("q240 trend: slopes fit exactly on the zero-filled grid; a one-day span has no trend") {
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns
+    val Day = 86400L * Ns
+    var id = 0L
+    def burst(tpe: String, day: Int, c: Int): Seq[Row] =
+      (1 to c).map { k => id += 1; Row(id, T0 + day * Day + k * Ns, tpe.hashCode.toLong, tpe, 0.0, "{}") }
+    write(dir, "events", df(Tables.eventsRawSchema,
+      ((0 to 4).flatMap(d => burst("grow", d, d + 1)) ++      // [1,2,3,4,5] → +1/day
+        (0 to 4).flatMap(d => burst("decay", d, 5 - d)) ++    // [5,4,3,2,1] → −1/day
+        (0 to 4).flatMap(d => burst("flat", d, 2)) ++         // [2,2,2,2,2] → 0
+        Seq(0, 4).flatMap(d => burst("gap", d, 3))): _*))     // [3,0,0,0,3] → 0 (symmetric)
+    val out = Events.q240TrafficTrend(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(out == Seq(
+      ("decay", 5L, 15L, Some(-1.0)),
+      ("flat", 5L, 10L, Some(0.0)),
+      ("gap", 5L, 6L, Some(0.0)),
+      ("grow", 5L, 15L, Some(1.0))), out)
+    // a one-day global span: no trend from one point → NULL
+    val one = tmpDir()
+    write(one, "events", df(Tables.eventsRawSchema,
+      Row(1L, T0, 1L, "a", 0.0, "{}"), Row(2L, T0 + Ns, 2L, "a", 0.0, "{}")))
+    val o = Events.q240TrafficTrend(spark, one).collect()(0)
+    assert((o.getString(0), o.getLong(1), o.getLong(2), o.isNullAt(3)) == (("a", 1L, 2L, true)), o)
+  }
+
+  test("q240 trend: empty events yield no rows") {
+    val dir = tmpDir()
+    write(dir, "events", df(Tables.eventsRawSchema))
+    assert(Events.q240TrafficTrend(spark, dir).count() == 0)
+  }
+
   test("q231 fano: a one-day burst disperses ≫1, a constant rate is 0, a trend sits between; shared global grid") {
     val dir = tmpDir()
     val T0 = 1704067200L * Ns
