@@ -80,9 +80,9 @@ object TrainingData {
     * Exactness: class boundaries are CROSS-MULTIPLIED longs
     * (100·cum ≤ 80·total), never a double compare — a share sitting
     * exactly on the 80% line classifies identically on both engines;
-    * the 4-dp share column is display-only. The rank/cumsum window
-    * runs at SOURCE cardinality (catalog-sized by construction);
-    * corpus-sized work is one map-combinable token sum.
+    * the 4-dp share column is display-only. The rank/cumsum and total
+    * windows run at SOURCE cardinality (catalog-sized by
+    * construction); corpus-sized work is one map-combinable token sum.
     */
   def q238AbcClasses(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
@@ -91,9 +91,13 @@ object TrainingData {
       .agg(sum(size(split(col("text"), " ")).cast(LongType)).cast(LongType).as("n_tokens"))
     val w = Window.orderBy(desc("n_tokens"), asc("source"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // total via a global window over the PER-SOURCE relation (q137's
+    // shape): a crossJoin(agg) would re-plan the corpus agg twice and
+    // introduce the one join shape the global plan audit bans
     vol
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast(LongType))
-      .crossJoin(broadcast(vol.agg(sum(col("n_tokens")).cast(LongType).as("total"))))
+      .withColumn("total",
+        sum(col("n_tokens")).over(Window.partitionBy(lit(1))).cast(LongType))
       .select(col("source"), col("n_tokens"), col("cum_tokens"),
         roundD4(col("cum_tokens").cast(DoubleType) / col("total").cast(DoubleType))
           .as("cum_share"),

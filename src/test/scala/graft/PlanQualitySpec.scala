@@ -553,9 +553,6 @@ class PlanQualitySpec extends SparkSpecBase {
       // q237: the 6-row marker frame broadcast — q222's tiny-relation
       // scoring class
       "q237_special_token_scan",
-      // q238: the one-row corpus-total broadcast — q125/q53's
-      // scalar-not-relation shape
-      "q238_abc_classes",
       // q240: q223/q231's one-row (dmin, dmax) day-span anchor
       "q240_traffic_trend")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -50,6 +50,7 @@ class CoreDecompositionSpec extends SparkSpecBase {
   }
 
   test("q224 ≡ brute-force peel on randomized corpora (seeded): the H-index fixpoint IS the k-core number") {
+    graft.functions.GraftFunctions.register(spark)
     val rnd = new scala.util.Random(20260815L)
     // single-substitution docs off a shared base: same-position subs
     // form cliques (J = 9/11), the base doc bridges them, double-subs

@@ -71,6 +71,10 @@ class EmptyCorpusSpec extends SparkSpecBase {
       ("srcA", 80L, 80L, 0.8, "A"),
       ("srcB", 15L, 95L, 0.95, "B"),
       ("srcC", 5L, 100L, 1.0, "C")), out)
+    // empty corpus: 0 rows — the total window must not fabricate one
+    val empty = tmpDir()
+    writeDocuments(empty)
+    assert(TrainingData.q238AbcClasses(spark, empty).count() == 0)
   }
 
   test("empty corpus: round-6 text/quality operators return 0 rows, not crashes") {
