@@ -99,6 +99,48 @@ class CoreDecompositionSpec extends SparkSpecBase {
     }
   }
 
+  test("q227 ≡ brute-force c(d) on randomized corpora (seeded): triangle corners and class means exact") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = (1 to 30).map(i => s"t$i")
+    (1 to 3).foreach { trial =>
+      val dir = tmpDir()
+      val base = rnd.shuffle(alphabet).take(10)
+      val nDocs = 20 + rnd.nextInt(20)
+      val rows = (1L to nDocs.toLong).map { i =>
+        val positions = rnd.shuffle((0 until 10).toList).take(rnd.nextInt(3))
+        val toks = base.zipWithIndex.map { case (t, p) =>
+          if (positions.contains(p)) s"u${p}_${rnd.nextInt(3)}" else t
+        }
+        (i, toks.mkString(" "), "en", "s", 1L)
+      }
+      writeDocuments(dir, rows: _*)
+      // replica graph (q224's test construction), then brute c(d)
+      val sets = rows.map { case (id, text, _, _, _) => id -> text.split(" ").toSet }
+      val groups = sets.groupBy(_._2).map { case (s, ds) => ds.map(_._1).min -> s }
+      val gids = groups.keys.toSeq
+      def jac(a: Set[String], b: Set[String]): Boolean =
+        5 * a.intersect(b).size >= 4 * a.union(b).size
+      val nbrs = gids.map(x => x -> gids.filter(y => y != x && jac(groups(x), groups(y))).toSet)
+        .filter(_._2.nonEmpty).toMap
+      val perV = nbrs.toSeq.map { case (_, ns) =>
+        val tri2 = ns.toSeq.map(u => (nbrs(u) & ns).size.toLong).sum
+        (ns.size.toLong, tri2)
+      }
+      val expected = perV.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, vs) =>
+        val t2 = vs.map(_._2).sum
+        val lcc = if (d >= 2) Some(math.floor(
+          t2.toDouble / (vs.size * d * (d - 1)).toDouble * 10000.0 + 0.5) / 10000.0)
+        else None
+        (d, vs.size.toLong, t2 / 2, lcc)
+      }
+      val got = Similarity.q227ClusteringByDegree(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+      assert(got == expected, s"trial $trial (nDocs=$nDocs): $got vs $expected")
+    }
+  }
+
   test("q224: empty corpus yields no rows") {
     graft.functions.GraftFunctions.register(spark)
     val dir = tmpDir()
