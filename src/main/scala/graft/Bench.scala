@@ -82,11 +82,21 @@ object Bench {
       // reported in `failed` but contributes nothing to queries/total
       if (sec.isInfinity) None else Some(name -> sec)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Minimal JSON string encoder for every interpolated string (query
+    // names, failure list, sfDir): a path or exception-derived name
+    // containing a quote/backslash/control char must not make the one
+    // line the driver tail-scans unparseable.
+    def jstr(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }.mkString("\"", "", "\"")
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fails = failed.map(jstr).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val spreadJson = spreads.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    val spreadJson = spreads.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val medianSpread = if (spreads.isEmpty) 1.0 else {
       val s = spreads.values.toSeq.sorted
@@ -103,7 +113,7 @@ object Bench {
     // is also listed in `failed`.
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,""" +
-      f""""rep_spread":$spreadJson,"median_spread":$medianSpread%.3f,"host_loaded":$hostLoaded,"sf":"$sfDir"}"""
+      f""""rep_spread":$spreadJson,"median_spread":$medianSpread%.3f,"host_loaded":$hostLoaded,"sf":${jstr(sfDir)}}"""
     // stdout for humans; the file for the driver — sbt prefixes stdout
     // lines with [info], which broke machine parsing of round 1's metric.
     println(json)
@@ -126,14 +136,14 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_FULL_latest.json"), json + "\n")
     val slowest = results.toSeq.sortBy(-_._2).take(10)
-      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val failsCapped = (failed.take(10).map("\"" + _ + "\"") ++
+      .map { case (k, v) => jstr(k) + f":$v%.3f" }.mkString("{", ",", "}")
+    val failsCapped = (failed.take(10).map(jstr) ++
       (if (failed.size > 10) Seq("\"...\"") else Nil)).mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,""" +
       s""""n_queries":${results.size},"n_failed":${failed.size},"failed":$failsCapped,""" +
       f""""median_spread":$medianSpread%.3f,"host_loaded":$hostLoaded,""" +
-      s""""sf":"$sfDir","note":"queries=slowest10; full per-query map in BENCH_FULL_latest.json"}""")
+      s""""sf":${jstr(sfDir)},"note":"queries=slowest10; full per-query map in BENCH_FULL_latest.json"}""")
     spark.stop()
   }
 }

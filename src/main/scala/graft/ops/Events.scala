@@ -850,7 +850,12 @@ object Events {
     *
     * All exact integers; the day grid zero-fills (a dead week must
     * read 0, not vanish — q223's discipline); window-ends past the
-    * observed span are cut by the broadcast bounds.
+    * observed span drop at the grid LEFT-join (the grid stops at dmax,
+    * so the ≤6 phantom window-end rows each user's last active day
+    * fans past the span never match a grid day). They do ride the wau
+    * exchange first — a bounded ≤6-rows-per-user overhang, not a
+    * corpus-sized leak — and pre-filtering them would need the dmax
+    * scalar replanned under the fan-out, costing more than it trims.
     */
   def q239RollingActives(spark: SparkSession, dir: String): DataFrame = {
     val ud = Tables.events(spark, dir)

@@ -751,10 +751,16 @@ object Relational {
       // reach a declared output — the driver's hash layer distinguishes
       // decimal from int64 even when values agree). Σq² fits BIGINT at
       // any tested sf: q ≤ 50·|lineitem per (brand,supplier)| < 2³¹, so
-      // Σq² < |suppliers|·2⁶² / |suppliers| per brand — the cast is
-      // checked-exact (Spark ANSI-off cast of an in-range decimal).
+      // Σq² < |suppliers|·2⁶² / |suppliers| per brand. ANSI is off, so
+      // an out-of-range decimal→long cast would be a SILENT NULL — the
+      // guard below turns that into a loud plan-level failure instead
+      // of a wrong row, making the BIGINT-range assumption enforced
+      // rather than argued.
       .select(col("p_brand"), col("n_suppliers"), col("total_qty"),
-        col("sum_sq_w").cast(LongType).as("sum_sq"),
+        when(col("sum_sq_w") > lit(Long.MaxValue).cast(d38),
+          raise_error(concat(lit("q207: sum_sq overflows BIGINT for brand "),
+            col("p_brand"))))
+          .otherwise(col("sum_sq_w").cast(LongType)).as("sum_sq"),
         (col("sum_sq_w") * 4L >
           col("total_qty").cast(d38) * col("total_qty")).as("concentrated"))
       .orderBy("p_brand")
