@@ -261,6 +261,7 @@ object SparkEntry {
     "q219_dedup_degree_hist" -> (Similarity.q219DedupDegreeHist _),
     "q220_filter_funnel" -> (TrainingData.q220FilterFunnel _),
     "q221_phrase_match" -> (TextOps.q221PhraseMatch _),
+    "q221b_phrase_match_indexed" -> (TextOps.q221bPhraseMatchIndexed _),
     "q222_query_likelihood" -> (TextOps.q222QueryLikelihood _),
     "q223_daily_autocorr" -> (Events.q223DailyAutocorr _),
     "q224_core_decomposition" -> (Similarity.q224CoreDecomposition _),
@@ -279,6 +280,7 @@ object SparkEntry {
     "q237_special_token_scan" -> (TrainingData.q237SpecialTokenScan _),
     "q238_abc_classes" -> (TrainingData.q238AbcClasses _),
     "q239_rolling_actives" -> (Events.q239RollingActives _),
+    "q239b_rolling_actives_hll" -> (Events.q239bRollingActivesHll _),
     "q240_traffic_trend" -> (Events.q240TrafficTrend _),
   )
 
@@ -331,6 +333,23 @@ object SparkEntry {
 
   private def bm25OracleSql: String =
     s"WITH $bm25BaseCtes, s AS (${bm25ContribSql("qt")}) ${bm25TopSql("s")}"
+
+  /** Shared by q221 (array-scan) and q221b (positional-index) — ONE
+    * truth for the phrase-match semantics, the bm25OracleSql pattern:
+    * derive the most frequent adjacent bigram (ties lexicographic),
+    * report per matching doc its occurrence count and 1-based first
+    * position.
+    */
+  private def phraseMatchOracleSql: String =
+    "WITH p AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos, " +
+      "unnest(string_split(text, ' ')) AS term FROM documents), " +
+      "bg AS (SELECT doc_id, pos, term AS t1, " +
+      "lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS t2 FROM p), " +
+      "cnt AS (SELECT t1, t2, count(*) AS c FROM bg WHERE t2 IS NOT NULL GROUP BY t1, t2), " +
+      "ph AS (SELECT t1, t2 FROM cnt ORDER BY c DESC, t1, t2 LIMIT 1), " +
+      "m AS (SELECT doc_id, pos FROM bg JOIN ph USING (t1, t2)) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences, " +
+      "CAST(min(pos) AS BIGINT) AS first_pos FROM m GROUP BY doc_id ORDER BY doc_id"
 
   /** q226's two-pass PRF chain: base scoring → rounded-score top-10
     * feedback cut → all-integer expansion pick (base terms excluded)
@@ -1803,6 +1822,10 @@ object SparkEntry {
         "UNION ALL SELECT 'doc_lengths', (SELECT count(*) FROM " +
         "(SELECT DISTINCT doc_id FROM (SELECT doc_id, " +
         "unnest(string_split(text, ' ')) AS term FROM documents) WHERE term <> '')) " +
+        // pos_postings: one row per RAW split-array element (empty
+        // tokens kept — positions index the array verbatim)
+        "UNION ALL SELECT 'pos_postings', " +
+        "(SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM documents) " +
         "UNION ALL SELECT 'unigram_groups', (SELECT count(*) FROM gg)" +
         ") ORDER BY relation"),
     // q136: q62's recursive-CTE component truth (as a subquery, the
@@ -2602,16 +2625,10 @@ object SparkEntry {
     // q221: the oracle derives the same most-frequent adjacent bigram
     // (lead-window form of the engine's array transform) and rescans —
     // exact-integer counts, 1-based positions on both sides
-    "q221_phrase_match" ->
-      ("WITH p AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos, " +
-        "unnest(string_split(text, ' ')) AS term FROM documents), " +
-        "bg AS (SELECT doc_id, pos, term AS t1, " +
-        "lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS t2 FROM p), " +
-        "cnt AS (SELECT t1, t2, count(*) AS c FROM bg WHERE t2 IS NOT NULL GROUP BY t1, t2), " +
-        "ph AS (SELECT t1, t2 FROM cnt ORDER BY c DESC, t1, t2 LIMIT 1), " +
-        "m AS (SELECT doc_id, pos FROM bg JOIN ph USING (t1, t2)) " +
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences, " +
-        "CAST(min(pos) AS BIGINT) AS first_pos FROM m GROUP BY doc_id ORDER BY doc_id"),
+    "q221_phrase_match" -> phraseMatchOracleSql,
+    // q221b: the positional-index leg answers the SAME question — the
+    // q213/q193 shared-oracle pattern pins index-vs-scan equivalence
+    "q221b_phrase_match_indexed" -> phraseMatchOracleSql,
     // q222: q193's determinism discipline on the Dirichlet LM — both
     // engines evaluate the identical IEEE tree over exact integers,
     // floor at 1 µnat, exact DECIMAL fold; nll ranks ascending
@@ -2650,6 +2667,27 @@ object SparkEntry {
         "sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE) * CAST(n_pairs*syy - sy*sy AS DOUBLE)))" +
         "*10000 + 0.5)/10000 ELSE NULL END AS r_lag1 " +
         "FROM a ORDER BY event_type"),
+    // q224: the h-index coreness fixpoint as ONE recursive CTE with a
+    // GENERATED round-count constant (the BpeMerges/PageRank
+    // one-source-of-truth pattern): the engine's staged build latches
+    // its converged round count before oracleSql is dumped (Verify
+    // runs queries first), and iterating the h-index PAST its fixpoint
+    // is a no-op, so unrolling max(latched, 32) rounds always lands on
+    // the fixpoint. Per round: h-index of neighbor values via a
+    // rank-vs-value window (h = max rank r with vals[r] >= r, vals
+    // desc), the engine's sorted-array filter re-expressed relationally.
+    "q224_core_decomposition" -> {
+      val k = math.max(graft.ops.Similarity.corenessRoundsLatch.get, 32L)
+      s"WITH RECURSIVE $ttGgCtes, ${groupEdgeSql("ge")}, " +
+        "sym AS MATERIALIZED (SELECT ga AS v, gb AS n FROM ge UNION ALL SELECT gb, ga FROM ge), " +
+        "it(v, c, r) AS (SELECT v, CAST(count(*) AS BIGINT), 0 FROM sym GROUP BY v " +
+        "UNION ALL SELECT v, CAST(COALESCE(max(CASE WHEN c >= rn THEN rn END), 0) AS BIGINT), r + 1 " +
+        "FROM (SELECT s.v AS v, it.c AS c, it.r AS r, " +
+        "row_number() OVER (PARTITION BY s.v, it.r ORDER BY it.c DESC) AS rn " +
+        s"FROM it JOIN sym s ON s.n = it.v WHERE it.r < $k) GROUP BY v, r) " +
+        s"SELECT c AS coreness, CAST(count(*) AS BIGINT) AS n_vertices FROM it WHERE r = $k " +
+        "GROUP BY c ORDER BY coreness"
+    },
     // q225: the shared group-edge universe; full neighbor lists via the
     // both-directions union, list_intersect for cn (set semantics match
     // the engine's sorted merge — adjacency lists are duplicate-free),

@@ -875,6 +875,40 @@ object Events {
       .orderBy("day")
   }
 
+  /** q239b — ROLLING ACTIVES VIA HLL SKETCH MERGE: [[q239RollingActives]]'
+    * documented scale swap-in made a declared key (the q38b/q38
+    * exact-vs-sketch pairing), same output schema (day, dau, wau_7d).
+    * Instead of fanning every (user, day) row out to its 7 window-ends
+    * (exactness price: a 7× shuffle of the user-day relation), ONE
+    * fixed-size HLL sketch per day is built (map-side mergeable — the
+    * only user-keyed pass), and each 7-day window merges 7 day-sketches
+    * via `hll_union_agg`: the moved data drops from 7×|user-days| rows
+    * to 7×|days| ~1.5 KB sketches — q57's pre-aggregation pattern
+    * applied to the sliding window, and the form that survives 100 TB
+    * (the day-sketch table is ALSO the artifact any other window grain
+    * rolls up from, after the fact). dau/wau are both sketch estimates
+    * so the two columns stay mutually consistent. Sketch registers are
+    * engine-specific → rows-only (q47/q57's class);
+    * RollingActivesSketchSpec bounds the relative WAU error against
+    * exact q239 at sf0.01 and pins the day grid identical.
+    */
+  def q239bRollingActivesHll(spark: SparkSession, dir: String): DataFrame = {
+    val ds = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(Det.floorDivExpr("unix_micros(ts)", MicrosPerDay)).as("day"))
+      .groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val bounds = ds.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val grid = bounds.select(explode(sequence(col("dmin"), col("dmax"))).as("day"))
+    val dau = ds.select(col("day"), hll_sketch_estimate(col("sk")).as("dau"))
+    val wau = ds
+      .select(col("sk"), explode(sequence(col("day"), col("day") + 6L)).as("day"))
+      .groupBy("day").agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau"))
+    grid.join(dau, Seq("day"), "left").join(wau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau_7d"))
+      .orderBy("day")
+  }
+
   /** q236 — BOXPLOT / TUKEY-FENCE STATS: per event type, n, the
     * quartiles, IQR, and the counts outside the 1.5·IQR fences — the
     * ROBUST distributional readout q152's z-scores can't give (a mean

@@ -236,7 +236,7 @@ object Similarity {
     */
   private val ManifestFamilies = Seq(
     "bpe_merges", "clean_pack", "component_labels", "coreness", "doc_lengths",
-    "dsir_weights", "ivf_model", "prep_deduped", "prep_groups",
+    "dsir_weights", "ivf_model", "pos_postings", "prep_deduped", "prep_groups",
     "prep_pairs_45", "pagerank_scores", "set_pairs_45", "shingle_groups",
     "sketch_labels", "tf_postings", "unigram_groups")
 
@@ -273,6 +273,7 @@ object Similarity {
     stagedCoreness(spark, dir)
     graft.ops.TextOps.stagedTfPostings(spark, dir)
     graft.ops.TextOps.stagedDocLengths(spark, dir)
+    graft.ops.TextOps.stagedPositionalPostings(spark, dir)
     val wanted = ManifestFamilies.toSet
     stagedEntries(spark, dir)
       .collect { case e if wanted(e.key) => (e.key, e.rows) }
@@ -1272,15 +1273,30 @@ object Similarity {
     * runaway backstop, never a data-shape limit); clique-heavy dedup
     * graphs settle in a handful of rounds (cliques are h-index
     * fixpoints immediately), chains need O(length) (q62b's 40-chain
-    * fixture needs ~20). Not
-    * oracle-expressible (iterated deletion/fixpoint is beyond one
-    * recursive CTE): OracleFree, with CoreDecompositionSpec pinning
-    * exact coreness on clique + pendant-triangle fixtures.
+    * fixture needs ~20).
+    *
+    * Oracled via the GENERATED-CONSTANT recursive CTE (the
+    * BpeMerges/PageRank one-source-of-truth pattern): the h-index
+    * recurrence IS one recursive CTE once the round count is a
+    * constant, and iterating PAST the fixpoint is harmless (the
+    * fixpoint is stable), so the staged build latches its converged
+    * round count ([[corenessRoundsLatch]]) and the oracle unrolls
+    * max(latched, 32) rounds — always ≥ convergence because Verify
+    * runs every query BEFORE dumping oracle_sql.json.
+    * CoreDecompositionSpec additionally pins exact coreness on clique
+    * + pendant-triangle + randomized-peel fixtures.
     */
   def q224CoreDecomposition(spark: SparkSession, dir: String): DataFrame =
     stagedCoreness(spark, dir)
       .groupBy(col("c").as("coreness")).agg(count(lit(1)).as("n_vertices"))
       .orderBy("coreness")
+
+  /** Converged round count of the most recent [[stagedCoreness]] build
+    * (max across corpora seen this JVM), read by the generated q224
+    * oracle to size its recursive-CTE unroll. Overshooting is safe
+    * (fixpoint stability), so the max across corpora is conservative.
+    */
+  private[graft] val corenessRoundsLatch = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The PERSISTED coreness relation (v, c) — one row per edge-touched
     * vertex of the J ≥ 4/5 group graph, its k-core number. Its own
@@ -1319,6 +1335,7 @@ object Similarity {
         rounds += 1
       }
       require(changed == 0, s"h-index coreness did not converge in $rounds rounds")
+      corenessRoundsLatch.getAndUpdate(r => math.max(r, rounds))
       cur
     }
 

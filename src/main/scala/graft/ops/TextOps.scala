@@ -1043,6 +1043,68 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The POSITIONAL posting relation (term, doc_id, pos) —
+    * [[stagedTfPostings]]' layout extended with the 1-based token
+    * position, the index artifact that makes PHRASE queries (q221)
+    * answerable without touching document text: production posting
+    * lists carry positions for exactly this (reference api.py's search
+    * endpoint rescans text per request; this is the index that
+    * retires that scan). Staged once per (session, corpus).
+    *
+    * Unlike stagedTfPostings, EMPTY tokens are KEPT: positions must
+    * index the raw split array verbatim, or a run of spaces would
+    * shift every later token's position and q221b's output would
+    * drift from q221's array-scan semantics. At 100 TB the table is
+    * written partitioned/bucketed by term so a phrase query reads
+    * exactly its two terms' posting ranges; the consumers below are
+    * agnostic to that layout.
+    */
+  private[graft] def stagedPositionalPostings(spark: SparkSession, dir: String): DataFrame =
+    Similarity.stagedTable(spark, dir, "pos_postings") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "term")))
+        .select(col("term"), col("doc_id"), (col("i") + 1L).cast(LongType).as("pos"))
+    }
+
+  /** q221b — PHRASE MATCH OVER THE POSITIONAL INDEX: q221's documented
+    * 100 TB swap-in made real (same semantics, same oracle VERBATIM —
+    * the q213/q193 pattern). The scan-based q221 filters every
+    * document's token array; this leg never reads document text at
+    * all: the phrase is derived FROM THE INDEX (adjacent pairs are the
+    * (doc, pos)→(doc, pos+1) equi-self-join of the postings — exact
+    * bigram counts including empty tokens, so selection ties with
+    * q221's array-local count bit-for-bit), and the match is two
+    * posting-list reads intersected on (doc_id, pos+1 = pos). Post
+    * staging, the executed plan contains NO documents scan —
+    * PositionalIndexSpec pins that and output-equality against q221.
+    *
+    * Scale: with the index partitioned by term, a LITERAL phrase query
+    * (the production case — derivation here only keeps the job
+    * self-contained) reads two posting ranges and shuffles their
+    * intersection keys, independent of corpus text size; the
+    * derivation self-join costs one (doc_id, pos)-keyed exchange of
+    * the postings relation, an index-build-time shape, not a
+    * query-time one.
+    */
+  def q221bPhraseMatchIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val p = stagedPositionalPostings(spark, dir)
+    val ph = p.as("l").join(p.as("r"),
+        col("l.doc_id") === col("r.doc_id") && col("r.pos") === col("l.pos") + 1L)
+      .groupBy(col("l.term").as("t1"), col("r.term").as("t2"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("t1"), asc("t2")).limit(1)
+      .localCheckpoint(true) // 1-row phrase, consumed by both legs below
+    val a = p.join(broadcast(ph.select("t1")), col("term") === col("t1"))
+      .select(col("doc_id"), col("pos").as("pa"))
+    val b = p.join(broadcast(ph.select("t2")), col("term") === col("t2"))
+      .select(col("doc_id").as("doc_b"), col("pos").as("pb"))
+    a.join(b, col("doc_id") === col("doc_b") && col("pb") === col("pa") + 1L)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_occurrences"),
+        min(col("pa")).cast(LongType).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** q222 — DIRICHLET QUERY-LIKELIHOOD RETRIEVAL (LM scoring, µ=300):
     * the language-modeling alternative to q193's BM25 over the same
     * staged index — score every tokenized doc by the negative log

@@ -25,6 +25,10 @@ class EngineSmokeSpec extends SparkSpecBase {
     Set("q25_minhash_neardup", "q26_simhash_neardup", "q32b_ivf_trained",
       "q32c_ivf_multiprobe", "q38b_approx_percentiles", "q47_approx_distinct",
       "q50_stratified_sample", "q57_sketch_rollup", "q94_semdedup",
+      // q239b: HLL day-sketch merge — sketch registers are
+      // engine-specific (q47/q57's class); RollingActivesSketchSpec
+      // bounds the WAU error against exact q239
+      "q239b_rolling_actives_hll",
       "q120_knn_label_ivf", "q131_ivf_sq8",
       // q146: LSH-banded candidate edges (Spark xxhash64) — q25's class
       "q146_sketch_clusters",
@@ -36,10 +40,7 @@ class EngineSmokeSpec extends SparkSpecBase {
       "q184_retention_plan",
       // q185: per-file FOOTER schemas — invisible to the row views by
       // construction (Spark projects the declared schema over them)
-      "q185_schema_drift",
-      // q224: an iterated fixpoint (h-index → coreness) — beyond one
-      // recursive CTE; CoreDecompositionSpec pins exact coreness
-      "q224_core_decomposition")
+      "q185_schema_drift")
 
   test("entry returns rows on a vanilla session") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -114,6 +114,50 @@ class RetrievalSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((7L, 3L, 1L)), out.toSeq)
   }
 
+  test("q221b ≡ q221 on the adjacency/tie-break and overlap fixtures; empty tokens don't drift positions") {
+    def both(dir: String): (Seq[(Long, Long, Long)], Seq[(Long, Long, Long)]) = {
+      def c(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      (c(TextOps.q221PhraseMatch(spark, dir)), c(TextOps.q221bPhraseMatchIndexed(spark, dir)))
+    }
+    val d1 = tmpDir()
+    writeDocuments(d1,
+      (1L, "p q p q z", "en", "s", 1L),
+      (2L, "q p z z", "en", "s", 1L),
+      (3L, "x p q y", "en", "s", 1L),
+      (4L, "p p q", "en", "s", 1L))
+    val (scan1, idx1) = both(d1)
+    assert(idx1 == scan1 && idx1 == Seq((1L, 2L, 1L), (3L, 1L, 2L), (4L, 1L, 2L)), (scan1, idx1))
+    val d2 = tmpDir()
+    writeDocuments(d2, (7L, "a a a a", "en", "s", 1L)) // overlapping self-phrase
+    val (scan2, idx2) = both(d2)
+    assert(idx2 == scan2 && idx2 == Seq((7L, 3L, 1L)), (scan2, idx2))
+    // a run of spaces splits to an EMPTY token that occupies a position:
+    // the index keeps it, so the (a,b) hit after the gap sits at pos 4
+    // on both legs (dropping empties would misreport it as 3)
+    val d3 = tmpDir()
+    writeDocuments(d3,
+      (8L, "a b  a b", "en", "s", 1L),  // tokens: a b '' a b → (a,b) at 1 and 4
+      (9L, "a b x", "en", "s", 1L))
+    val (scan3, idx3) = both(d3)
+    assert(idx3 == scan3 && idx3 == Seq((8L, 2L, 1L), (9L, 1L, 1L)), (scan3, idx3))
+  }
+
+  test("q221b: post-staging, the executed plan reads ONLY the positional index — no document-text scan") {
+    val sf = "/root/testdata/sf0.001"
+    // force the staging build so the consumer plan is the steady state
+    TextOps.stagedPositionalPostings(spark, sf).count()
+    val df = TextOps.q221bPhraseMatchIndexed(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_stage_pos_postings"),
+      "positional index scan expected:\n" + p)
+    assert(!p.contains("documents.parquet"),
+      "the corpus text scan must be gone from the indexed leg:\n" + p)
+    // and the indexed leg answers exactly what the scan leg answers
+    val scan = TextOps.q221PhraseMatch(spark, sf).collect().toSeq
+    assert(df.collect().toSeq == scan)
+  }
+
   test("q222: equal-length docs rank by query mass; an unmatched doc still scores (background cost) with n_matched 0") {
     val dir = tmpDir()
     writeDocuments(dir,
@@ -137,6 +181,7 @@ class RetrievalSpec extends SparkSpecBase {
     assert(TextOps.q198BooleanAnd(spark, dir).count() == 0)
     assert(TextOps.q213BlockMaxWand(spark, dir).count() == 0)
     assert(TextOps.q221PhraseMatch(spark, dir).count() == 0)
+    assert(TextOps.q221bPhraseMatchIndexed(spark, dir).count() == 0)
     assert(TextOps.q222QueryLikelihood(spark, dir).count() == 0)
     assert(TextOps.q226QueryExpansion(spark, dir).count() == 0)
   }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpecBase
+
+/** q239b (HLL day-sketch rolling actives) vs exact q239: identical day
+  * grid, bounded relative error. The sketch leg is declared rows-only
+  * (registers are engine-specific), so THIS spec is its correctness
+  * contract — the q38b/q38 exact-vs-sketch pairing.
+  */
+class RollingActivesSketchSpec extends SparkSpecBase {
+
+  test("q239b: same day grid as exact q239; DAU/WAU within 5% relative error at sf0.01") {
+    val sf = "/root/testdata/sf0.01"
+    val exact = Events.q239RollingActives(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = Events.q239bRollingActivesHll(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet,
+      s"day grids must match: ${(approx.keySet -- exact.keySet, exact.keySet -- approx.keySet)}")
+    // default DataSketches HLL (lgK 12) holds ~1.6% rsd; 5% is the
+    // loose gate that still catches a wrong merge (a dropped day's
+    // sketch shows up as a ~1/7 WAU dent, far outside it)
+    for ((day, (dauE, wauE)) <- exact) {
+      val (dauA, wauA) = approx(day)
+      if (dauE > 0)
+        assert(math.abs(dauA - dauE).toDouble / dauE <= 0.05,
+          s"day $day dau: exact $dauE approx $dauA")
+      else assert(dauA == 0L, s"day $day: empty day must estimate 0, got $dauA")
+      if (wauE > 0)
+        assert(math.abs(wauA - wauE).toDouble / wauE <= 0.05,
+          s"day $day wau: exact $wauE approx $wauA")
+      else assert(wauA == 0L, s"day $day: empty window must estimate 0, got $wauA")
+    }
+  }
+
+  test("q239b: a user active on several window days counts once (sketch union dedups)") {
+    val dir = tmpDir()
+    // one user active every day for 10 days + a second user on day 3
+    val day0 = 1704067200L * Ns // 2024-01-01 in raw nanos
+    val dayNs = 86400L * Ns
+    val rows = (0L until 10L).map(d =>
+      (d, day0 + d * dayNs, 1L, "click", 1.0, "{}")) :+
+      (100L, day0 + 3L * dayNs, 2L, "click", 1.0, "{}")
+    writeEvents(dir, rows: _*)
+    val out = Events.q239bRollingActivesHll(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // at these cardinalities (1-2 users) HLL is exact: every window
+    // containing day 3 reads 2, the rest 1 — never 7 (union, not sum)
+    val byDay = out.map(t => t._1 -> t).toMap
+    val d0 = out.map(_._1).min
+    for ((day, dau, wau) <- out) {
+      val expDau = if (day == d0 + 3) 2L else 1L
+      val expWau = if (day >= d0 + 3 && day <= d0 + 9) 2L else 1L
+      assert(dau == expDau, s"day ${day - d0}: dau $dau != $expDau")
+      assert(wau == expWau, s"day ${day - d0}: wau $wau != $expWau")
+    }
+    assert(byDay.size == 10)
+  }
+}

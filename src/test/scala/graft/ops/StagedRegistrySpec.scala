@@ -235,9 +235,16 @@ class StagedRegistrySpec extends SparkSpecBase {
     val m = Similarity.q135StagingManifest(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m.keySet == Set("bpe_merges", "clean_pack", "component_labels", "coreness",
-      "doc_lengths", "dsir_weights", "ivf_model", "pagerank_scores", "prep_deduped",
-      "prep_groups", "prep_pairs_45", "set_pairs_45", "shingle_groups", "sketch_labels",
-      "tf_postings", "unigram_groups"))
+      "doc_lengths", "dsir_weights", "ivf_model", "pagerank_scores", "pos_postings",
+      "prep_deduped", "prep_groups", "prep_pairs_45", "set_pairs_45", "shingle_groups",
+      "sketch_labels", "tf_postings", "unigram_groups"))
+    // pos_postings: one row per RAW split-array element (empties kept)
+    assert(m("pos_postings") == graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " "))))
+      .collect()(0).getLong(0))
     // doc_lengths: one row per tokenized doc
     assert(m("doc_lengths") == graft.ops.TextOps.stagedTfPostings(spark, sf)
       .select("doc_id").distinct().count())
