@@ -812,6 +812,75 @@ object StreamingOps {
       }
   }
 
+  /** State for [[rollingActivesStream]]: the last emitted grid day
+    * (valid when hasEmitted) plus the retained per-day distinct-user
+    * sets as parallel seqs — open days and the ≤6 closed days a
+    * future window can still reach back to.
+    */
+  case class RollingActivesState(hasEmitted: Boolean, lastEmitted: Long,
+                                 days: Seq[Long], users: Seq[Seq[Long]])
+
+  /** Streaming DAU/WAU maintenance (batch q239's stateful dual — the
+    * growth/stickiness monitor is most valuable LIVE): per-day
+    * distinct-user sets accumulate in group state; a grid day CLOSES
+    * when a strictly later event-day arrives, emitting
+    * (day, dau, wau_7d) with wau the exact distinct-user union over
+    * [d−6, d] — including zero-fill rows for silent grid days between
+    * arrivals (a dead week must read 0, q239's discipline; its window
+    * can still be non-zero from retained earlier days). Retention is
+    * exactly the window's reach: after emitting day e, sets for days
+    * < e−5 drop, so state is ≤ 7 in-reach days × their distinct users
+    * plus the open-day buffer, never history.
+    *
+    * ONE global group — the readout is corpus-level by definition. At
+    * production scale the exact per-day set state is the bound to
+    * watch (state ~ DAU): the documented swap-ins are (a) key by a
+    * user-hash shard and re-merge shard emissions per day downstream
+    * (set unions are associative), or (b) q239b's HLL register as the
+    * state (fixed-size, same merge) — this dual keeps exact sets, the
+    * q239 EXACT contract. Parity on a bounded drain: emitted rows ≡
+    * batch q239 minus the final (still-open) grid day, cusumStream's
+    * open-tail bound. Events for an already-emitted day are out of
+    * contract (scd2Stream's disorder class — size the upstream
+    * watermark from q179). INPUT: user_id/ts non-null ([[Ev]]'s
+    * primitive decode; the driver corpus has no null users).
+    */
+  def rollingActivesStream(events: Dataset[Ev]): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_ => 0)
+      .flatMapGroupsWithState[RollingActivesState, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[Ev], state: GroupState[RollingActivesState]) =>
+          val s0 = state.getOption.getOrElse(RollingActivesState(false, 0L, Nil, Nil))
+          val buf = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+          s0.days.zip(s0.users).foreach { case (d, us) =>
+            buf(d) = scala.collection.mutable.Set.from(us)
+          }
+          it.foreach { e =>
+            val day = Math.floorDiv(tsMicros(e.ts), 86400000000L)
+            buf.getOrElseUpdate(day, scala.collection.mutable.Set.empty) += e.user_id
+          }
+          val out = Seq.newBuilder[(Long, Long, Long)]
+          var hasEm = s0.hasEmitted
+          var last = s0.lastEmitted
+          if (buf.nonEmpty) {
+            val mx = buf.keys.max
+            val start = if (hasEm) last + 1L else buf.keys.min
+            var d = start
+            while (d < mx) { // every grid day strictly before the max closes
+              val dau = buf.get(d).map(_.size.toLong).getOrElse(0L)
+              val wau = (d - 6L to d).iterator.flatMap(buf.get).flatten.toSet.size.toLong
+              out += ((d, dau, wau))
+              hasEm = true; last = d; d += 1L
+            }
+            if (hasEm) buf.keys.filter(_ < last - 5L).toSeq.foreach(buf.remove)
+          }
+          val days = buf.keys.toSeq.sorted
+          state.update(RollingActivesState(hasEm, last, days, days.map(d => buf(d).toSeq.sorted)))
+          out.result().iterator
+      }
+  }
+
   /** State for [[cusumStream]]: baseline progress (active days closed
     * so far and their count sum), the carried C⁺/C⁻ in 2·n₀-scaled
     * units, and the OPEN day buffer (days not yet closed by a later

@@ -578,6 +578,53 @@ class StreamingSpec extends SparkSpecBase {
     assert(maxBlock._2 * 128 + bn == 130L)
   }
 
+  test("rollingActivesStream: grid days close on later arrival across a mid-day seam; rows equal batch q239 minus the open tail") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns
+    val Day = 24 * Hour
+    // users 1-3 on day 0; user 1 repeats twice on day 1 (distinct per
+    // day); days 2-3 SILENT (grid zero-fill: dau 0, wau carries the
+    // earlier days); user 4 on day 4; day 8 far enough that days 5-7
+    // zero-fill and day 4 leaves the window reach mid-gap; day 9 only
+    // closes day 8 (and stays open itself)
+    val rows = Seq(
+      (1L, 0L, 1L), (2L, 0L, 2L), (3L, 0L, 3L),
+      (4L, 1L, 1L), (5L, 1L, 1L), (6L, 1L, 2L),
+      (7L, 4L, 4L),
+      (8L, 8L, 5L), (9L, 8L, 1L),
+      (10L, 9L, 6L)
+    ).map { case (id, day, uid) => (id, T0 + day * Day + id * Hour % Day, uid, "click", 1.0, "{}") }
+    writeEvents(dir, rows: _*)
+    val all = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().sortBy(_.event_id)
+    // seam splits day 1 mid-day (ids 1-4 | 5-10): day 1's dau must
+    // still read 2 when it closes in batch 2
+    val (b1, b2) = all.partition(_.event_id <= 4L)
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.rollingActivesStream(ms.toDS())
+      .toDF("day", "dau", "wau_7d")
+      .writeStream.format("memory").queryName("ractives").outputMode("append").start()
+    ms.addData(b1.toSeq: _*); q.processAllAvailable()
+    ms.addData(b2.toSeq: _*); q.processAllAvailable()
+    val streamed = spark.table("ractives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    val batch = graft.ops.Events.q239RollingActives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lastDay = batch.map(_._1).max
+    val expected = batch.filter(_._1 < lastDay).toSet
+    assert(streamed == expected, s"stream/batch rolling-actives divergence: $streamed vs $expected")
+    // the zero-fill rows really carry window mass: day 2 has dau 0 yet
+    // wau 3 (users 1-3 from days 0-1 are within [d-6, d])
+    val d0 = T0 / Ns / 86400
+    assert(streamed.contains((d0 + 2, 0L, 3L)), s"silent grid day must zero-fill dau and keep wau: $streamed")
+    // day 8's window reaches back only to day 2: users 5 and 1 (day 8)
+    assert(streamed.contains((d0 + 8, 2L, 3L)), s"window must include day 4's user while in reach: $streamed")
+  }
+
   test("cusumStream: days close on successor arrival across a mid-day seam; rows equal batch q196 minus each type's open tail") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
