@@ -1796,7 +1796,10 @@ object SparkEntry {
         "UNION ALL SELECT 'component_labels', (SELECT count(*) FROM documents) " +
         "UNION ALL SELECT 'dsir_weights', " +
         "(SELECT count(*) FROM documents WHERE len(string_split(text, ' ')) >= 2) " +
-        "UNION ALL SELECT 'ivf_model', CAST(8 AS BIGINT) " +
+        // ivf_model: nlist = max(8, min(4096, floor(sqrt(n/8)))) — the
+        // engine's ivfNlist sizing replayed from the raw corpus
+        "UNION ALL SELECT 'ivf_model', GREATEST(CAST(8 AS BIGINT), LEAST(CAST(4096 AS BIGINT), " +
+        "CAST(floor(sqrt((SELECT count(*) FROM embeddings) / 8.0)) AS BIGINT))) " +
         "UNION ALL SELECT 'prep_deduped', (SELECT count(*) FROM ded) " +
         "UNION ALL SELECT 'prep_groups', (SELECT count(*) FROM pgg) " +
         "UNION ALL SELECT 'prep_pairs_45', (SELECT count(*) FROM pgg a JOIN pgg b ON a.gid < b.gid " +

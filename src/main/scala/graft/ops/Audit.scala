@@ -292,15 +292,19 @@ object Audit {
     * manifest still covers them.
     */
   def q178MerkleManifest(spark: SparkSession, dir: String): DataFrame =
-    // Shape note (round 10): the union-first alternative (one
-    // scan-union feeding a single (table_name, bucket) exchange) was
-    // measured head-to-head in one JVM, 4 interleaved reps each at
-    // sf0.1 — ten-stage 1.93-2.11 s vs union-first 2.20-2.57 s. The
-    // union-first form shuffles a STRING grouping key at 10× the group
-    // cardinality and loses; the per-table aggregates below keep a
-    // 256-group long-keyed partial agg per subplan. The 11× rep-spread
-    // seen in round-9 FULL-SUITE runs does not reproduce isolated
-    // (spread ~1.2 over 8 reps for both shapes): it is inter-query
+    // Shape note (rounds 10-11): the union-first alternative was
+    // measured head-to-head in one JVM TWICE and lost both times —
+    // round 10 with a (table_name, bucket) STRING key (ten-stage
+    // 1.93-2.11 s vs 2.20-2.57 s), round 11 with the stronger packed
+    // LONG key tbl_id·257+bucket over an int-tagged pre-agg union
+    // (1.64 s vs 2.44 s; graft.tools.Q178Shape, output-identical
+    // proven in-run, SCALING.md §4). The per-table subplans each keep
+    // a narrow scan → 256-group map-side partial agg in their own
+    // codegen stage; the union forces one generic pipeline over the
+    // widened stream. At real scale the per-table aggregates are
+    // independent jobs a scheduler overlaps. The 11× rep-spread seen
+    // in round-9 FULL-SUITE runs does not reproduce isolated (spread
+    // ~1.2 over 8 reps for both shapes): it is inter-query
     // GC/page-cache pollution landing on the suite's widest multi-job
     // query, not a property of this plan.
     TablePk.map { case (table, pkExpr) =>
@@ -312,6 +316,41 @@ object Audit {
           (sum(checksumTerm(col("pk"))) % ChecksumMod).cast(LongType).as("checksum"))
         .select(lit(table).as("table_name"), col("bucket"), col("n_rows"), col("checksum"))
     }.reduce(_ unionByName _).orderBy("table_name", "bucket")
+
+  /** The packed-long one-exchange alternative shape for q178 (probe
+    * only — see Q178Shape): tag each pk projection with an int table
+    * id, union BEFORE any aggregate, run ONE exchange keyed on the
+    * packed long tbl_id·256 + bucket (≤ 2,560 groups), and re-attach
+    * names from a 10-row broadcast. Round 10's union-first experiment
+    * grouped on the table-name STRING and lost; this tests whether
+    * the string key (not the union) was the cost.
+    */
+  private[graft] def q178MerkleManifestPacked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tagged = TablePk.zipWithIndex.map { case ((table, pkExpr), tid) =>
+      Tables.all(table)(spark, dir)
+        .select(lit(tid).as("tid"), expr(pkExpr).cast(LongType).as("pk"))
+    }.reduce(_ unionByName _)
+    val names = TablePk.zipWithIndex
+      .map { case ((table, _), tid) => (tid, table) }.toDF("tid", "table_name")
+    tagged
+      .withColumn("bucket", (checksumTerm(col("pk")) % 256).cast(LongType))
+      // NULL pk → NULL bucket: pack it to slot 256 so the packed key
+      // stays total, then unpack back to a NULL bucket row
+      .withColumn("slot", coalesce(col("bucket"), lit(256L)))
+      .groupBy((col("tid").cast(LongType) * 257L + col("slot")).as("packed"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(checksumTerm(col("pk"))) % ChecksumMod).cast(LongType).as("checksum"))
+      .select((col("packed") % 257L).as("slot"),
+        expr("CAST(packed div 257 AS INT)").as("tid"),
+        col("n_rows"), col("checksum"))
+      .join(broadcast(names), "tid")
+      .select(col("table_name"),
+        when(col("slot") === 256L, lit(null).cast(LongType))
+          .otherwise(col("slot")).as("bucket"),
+        col("n_rows"), col("checksum"))
+      .orderBy("table_name", "bucket")
+  }
 
   /** q214 — MANIFEST DIFF (anti-entropy repair plan): the CONSUMER of
     * [[q178MerkleManifest]]'s artifact — compare two replicas' bucket

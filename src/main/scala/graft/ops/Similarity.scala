@@ -1682,8 +1682,28 @@ object Similarity {
     * IvfRecallSpec proves the parquet round trip searches
     * bit-identically, so staging cannot change any consumer's output.
     */
+  /** IVF nlist sizing — a PURE function of corpus size, shared with the
+    * q135 oracle's generated count (the BpeMerges one-source-of-truth
+    * pattern). The SCALING.md 10× sweep measured the round-10 fixed
+    * k=8 model driving q120 to a 28.9× growth ratio (bucket pair work
+    * is n²·probes/k — a constant k re-creates the quadratic the IVF
+    * exists to break); k = ⌊√(n/8)⌋ keeps expected bucket size at
+    * √(8n), so bucket-join work grows n^1.5 — the textbook IVF trade
+    * (per-query cost √n). Floored at 8 (sf0.001/0.01 train the same
+    * 8-centroid model as every earlier round, pinning the measured
+    * recall/agreement specs) and capped at 4096 (the model relation
+    * stays trivially broadcastable).
+    */
+  private[graft] def ivfNlist(n: Long): Int =
+    math.max(8, math.min(4096, math.floor(math.sqrt(n / 8.0)).toInt))
+
   private[graft] def stagedIvfModel(spark: SparkSession, dir: String): DataFrame =
-    stagedTable(spark, dir, "ivf_model")(trainIvfModel(spark, dir))
+    stagedTable(spark, dir, "ivf_model") {
+      // the count runs once per (session, corpus), inside the staged
+      // build that already runs the training jobs
+      val n = Tables.embeddings(spark, dir).count()
+      trainIvfModel(spark, dir, k = ivfNlist(n))
+    }
 
   /** Nearest-centroid assignment (top-`probes` clusters per row), the
     * shared primitive of IVF training and search. The centroid relation

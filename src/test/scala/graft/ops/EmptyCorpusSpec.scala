@@ -176,6 +176,60 @@ class EmptyCorpusSpec extends SparkSpecBase {
     assert(out == Seq((1L, 3L, 3L, 0L, "a b c"), (2L, 2L, 2L, 0L, "d e")))
   }
 
+  /** Keys that legitimately return rows on a fully EMPTY warehouse —
+    * global one-row aggregates (a count readout must say 0, not
+    * vanish), dense audit grids (a checker must say "checked, clean"
+    * per rule/marker/file), and file-layout inventories (empty tables
+    * still have footer files). Everything else must return 0 rows.
+    * Audited exhaustively by the global test below: a new key landing
+    * in this set unreviewed is a test failure, the
+    * EngineSmokeSpec.OracleFree discipline.
+    */
+  private val NonEmptyOnEmpty: Set[String] = Set(
+    // global one-row aggregates: a count/ratio readout must SAY zero
+    // (or NULL), not vanish
+    "q75_promo_revenue", "q76_disjunctive_predicates",
+    "q85_small_quantity_revenue", "q96_filtered_global_agg",
+    "q153_funnel_timing", "q177_triangle_census", "q190_ab_readout",
+    "q229_zipf_fit", "q230_heaps_curve", "q233_event_gini",
+    // fixed frames: the decile/stage/shard grid exists independent of
+    // the data mass that lands in it
+    "q235_lorenz_deciles", "q138_shard_skew", "q220_filter_funnel",
+    // declared-structure inventories: one row per table/column/rule/
+    // file/family — the audit must say "checked, clean/zero" per unit
+    "q135_staging_manifest",   // one row per staged family, 0 counts
+    "q164_storage_stats",      // empty part FILES still exist on disk
+    "q165_clustering_audit", "q166_compaction_plan",
+    "q167_integrity_manifest", // one row per table: counted-zero
+    "q168_purge_cascade",      // per-table purge readout: 0 purged each
+    "q169_dq_audit",           // dense rule grid: every rule clean
+    "q170_table_profile",      // one row per declared column, zero stats
+    "q173_index_coverage",     // declared index inventory vs empty stats
+    "q182_join_cardinality",   // one row per declared FK preflight
+    "q185_schema_drift",       // per-file footer columns of empty files
+    "q199_fd_discovery")       // candidate grid: FDs vacuously hold
+
+  test("GLOBAL EMPTY AUDIT: every declared key runs on an empty warehouse; non-empty outputs are the audited set") {
+    val dir = tmpDir()
+    writeEmptyWarehouse(dir)
+    graft.functions.GraftFunctions.register(spark)
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val nonEmpty = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try { if (fn(spark, dir).count() > 0) nonEmpty += name }
+      catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString
+          failures += s"$name: ${e.getClass.getSimpleName}: ${msg.take(160)}"
+      }
+    }
+    assert(failures.isEmpty,
+      s"declared keys must survive an empty warehouse:\n${failures.mkString("\n")}")
+    assert(nonEmpty.toSet == NonEmptyOnEmpty,
+      s"unaudited non-empty-on-empty keys: ${nonEmpty.toSet -- NonEmptyOnEmpty}; " +
+        s"audited keys now empty: ${NonEmptyOnEmpty -- nonEmpty.toSet}")
+  }
+
   test("single doc: no pairs, one singleton cluster, survivor kept") {
     val dir = tmpDir()
     writeDocuments(dir, (7L, (1 to 20).map(i => s"w$i").mkString(" "), "en", "s", 1L))
