@@ -82,16 +82,11 @@ object Bench {
       // reported in `failed` but contributes nothing to queries/total
       if (sec.isInfinity) None else Some(name -> sec)
     }.toMap
-    // Minimal JSON string encoder for every interpolated string (query
-    // names, failure list, sfDir): a path or exception-derived name
-    // containing a quote/backslash/control char must not make the one
-    // line the driver tail-scans unparseable.
-    def jstr(s: String): String = s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }.mkString("\"", "", "\"")
+    // Every interpolated string (query names, failure list, sfDir)
+    // goes through the shared encoder: a path or exception-derived
+    // name containing a quote/backslash/control char must not make the
+    // one line the driver tail-scans unparseable.
+    def jstr(s: String): String = JsonStr(s)
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val fails = failed.map(jstr).mkString("[", ",", "]")

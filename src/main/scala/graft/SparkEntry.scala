@@ -1828,7 +1828,7 @@ object SparkEntry {
         // pos_postings: one row per RAW split-array element (empty
         // tokens kept — positions index the array verbatim)
         "UNION ALL SELECT 'pos_postings', " +
-        "(SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM documents) " +
+        "(SELECT CAST(COALESCE(sum(len(string_split(text, ' '))), 0) AS BIGINT) FROM documents) " +
         "UNION ALL SELECT 'unigram_groups', (SELECT count(*) FROM gg)" +
         ") ORDER BY relation"),
     // q136: q62's recursive-CTE component truth (as a subquery, the

@@ -891,6 +891,14 @@ object Events {
     * engine-specific → rows-only (q47/q57's class);
     * RollingActivesSketchSpec bounds the relative WAU error against
     * exact q239 at sf0.01 and pins the day grid identical.
+    *
+    * NULL-user contract divergence (beyond sketch error): exact q239's
+    * distinct() keeps a (NULL, day) row and counts it, while
+    * `hll_sketch_agg` skips NULLs — on a corpus with null-user events
+    * this leg reads up to 1 lower on their days. The driver corpus has
+    * no null users; a deployment that does must pre-coalesce to a
+    * reserved id or accept the documented off-by-one (the
+    * q181/scd2Stream null-contract discipline).
     */
   def q239bRollingActivesHll(spark: SparkSession, dir: String): DataFrame = {
     val ds = Tables.events(spark, dir)

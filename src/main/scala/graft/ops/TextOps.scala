@@ -1076,7 +1076,7 @@ object TextOps {
     * q221's array-local count bit-for-bit), and the match is two
     * posting-list reads intersected on (doc_id, pos+1 = pos). Post
     * staging, the executed plan contains NO documents scan —
-    * PositionalIndexSpec pins that and output-equality against q221.
+    * RetrievalSpec pins that and output-equality against q221.
     *
     * Scale: with the index partitioned by term, a LITERAL phrase query
     * (the production case — derivation here only keeps the job

@@ -840,9 +840,15 @@ object StreamingOps {
     * state (fixed-size, same merge) — this dual keeps exact sets, the
     * q239 EXACT contract. Parity on a bounded drain: emitted rows ≡
     * batch q239 minus the final (still-open) grid day, cusumStream's
-    * open-tail bound. Events for an already-emitted day are out of
-    * contract (scd2Stream's disorder class — size the upstream
-    * watermark from q179). INPUT: user_id/ts non-null ([[Ev]]'s
+    * open-tail bound. Disorder contract: once any grid day has been
+    * emitted, an arriving event whose day is ≤ the LAST EMITTED day is
+    * out of contract — whether that day itself was emitted (a late
+    * event for a closed day) or lies BELOW the first emitted day (a
+    * late-discovered earlier dmin: grid rows before it can no longer
+    * appear, and already-emitted windows reaching back to it were
+    * sealed without its users). Both are scd2Stream's disorder class —
+    * size the upstream watermark from q179 so day-level disorder stays
+    * inside the open horizon. INPUT: user_id/ts non-null ([[Ev]]'s
     * primitive decode; the driver corpus has no null users).
     */
   def rollingActivesStream(events: Dataset[Ev]): Dataset[(Long, Long, Long)] = {

@@ -36,8 +36,6 @@ object Q178Shape {
       println(f"[q178shape] $label%-12s min ${ts.map(_._1).min}%.2f s  " +
         f"reps ${ts.map(t => f"${t._1}%.2f").mkString(", ")}  rows ${ts.head._2}")
     }
-    // interleave the shapes so neither claims the cold-cache rep
-    (1 to reps).foreach { _ => }
     val a = () => graft.ops.Audit.q178MerkleManifest(spark, sfDir)
     val b = () => graft.ops.Audit.q178MerkleManifestPacked(spark, sfDir)
     // equality first: the packed shape must be output-identical
@@ -45,6 +43,8 @@ object Q178Shape {
     val rowsB = b().collect().map(_.toSeq).toSeq
     require(rowsA == rowsB, s"shape divergence: ${rowsA.diff(rowsB).take(3)} vs ${rowsB.diff(rowsA).take(3)}")
     println(s"[q178shape] outputs identical (${rowsA.size} rows)")
+    // a/b/a/b call order interleaves the shapes so neither claims the
+    // cold-cache rep (the equality check above is the shared warmup)
     time("ten-stage", a().count())
     time("packed", b().count())
     time("ten-stage", a().count())
