@@ -625,6 +625,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.contains((d0 + 8, 2L, 3L)), s"window must include day 4's user while in reach: $streamed")
   }
 
+  test("rollingActivesStream ≡ batch q239 on randomized streams with randomized seams (seeded)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // deterministic PRNG — parity must hold for EVERY in-contract
+    // arrival order: events sorted by ts split at RANDOM seam points
+    // (a ts-sorted split is always in contract: no later day precedes
+    // a still-open one), random gaps, random repeat activity
+    val rnd = new scala.util.Random(20260815L)
+    val T0 = 1704067200L * Ns
+    val Day = 24 * Hour
+    (1 to 3).foreach { trial =>
+      val dir = tmpDir()
+      val nEvents = 25 + rnd.nextInt(40)
+      val rows = (1 to nEvents).map { i =>
+        val day = rnd.nextInt(15).toLong
+        val user = (1 + rnd.nextInt(12)).toLong
+        (i.toLong, T0 + day * Day + i * Ns, user, "click", 1.0, "{}")
+      }
+      writeEvents(dir, rows: _*)
+      val all = Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      // 1-3 random seam points → 2-4 contiguous ts-ordered batches
+      val cuts = (1 to 1 + rnd.nextInt(2)).map(_ => rnd.nextInt(all.length)).sorted.distinct
+      val batches = (Seq(0) ++ cuts ++ Seq(all.length)).sliding(2)
+        .map { case Seq(a, b) => all.slice(a, b) }.filter(_.nonEmpty).toSeq
+      val ms = MemoryStream[Ev]
+      val q = StreamingOps.rollingActivesStream(ms.toDS())
+        .toDF("day", "dau", "wau_7d")
+        .writeStream.format("memory").queryName(s"ractrnd$trial").outputMode("append").start()
+      batches.foreach { b => ms.addData(b.toSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table(s"ractrnd$trial").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      q.stop()
+      val batch = graft.ops.Events.q239RollingActives(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val lastDay = batch.map(_._1).max
+      val expected = batch.filter(_._1 < lastDay).toSet
+      assert(streamed == expected,
+        s"trial $trial (n=$nEvents, seams=${cuts.mkString(",")}): $streamed vs $expected")
+    }
+  }
+
   test("cusumStream: days close on successor arrival across a mid-day seam; rows equal batch q196 minus each type's open tail") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

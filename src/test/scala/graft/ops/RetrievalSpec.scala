@@ -233,6 +233,36 @@ class RetrievalSpec extends SparkSpecBase {
     assert(surv.forall(identity), "no block may be skipped when θ is disarmed")
   }
 
+  test("q221b ≡ q221 on randomized corpora (seeded): the positional index answers exactly what the scan answers") {
+    // deterministic PRNG — index/scan equivalence must hold on EVERY
+    // corpus, so sample shapes the fixed fixtures don't: tiny vocab
+    // (dense bigram ties exercising the lexicographic tie-break),
+    // self-bigrams from repeated tokens, and raw double spaces (empty
+    // split tokens occupying positions)
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 4).foreach { trial =>
+      val dir = tmpDir()
+      val nDocs = 40 + rnd.nextInt(60)
+      val vocab = (1 to 6).map(i => s"t$i")
+      val rows = (1L to nDocs.toLong).map { i =>
+        val len = 1 + rnd.nextInt(15)
+        val toks = (1 to len).map(_ => vocab(rnd.nextInt(vocab.size)))
+        // seeded double spaces: ~1 in 5 docs carries an empty token
+        val text = if (rnd.nextInt(5) == 0 && len > 2)
+          toks.take(len / 2).mkString(" ") + "  " + toks.drop(len / 2).mkString(" ")
+        else toks.mkString(" ")
+        (i, text, "en", "s", 1L)
+      }
+      writeDocuments(dir, rows: _*)
+      val scan = TextOps.q221PhraseMatch(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val idx = TextOps.q221bPhraseMatchIndexed(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(idx == scan, s"trial $trial (nDocs=$nDocs): index diverged\n$idx\nvs\n$scan")
+      assert(scan.nonEmpty, s"trial $trial: degenerate fixture — no phrase matched")
+    }
+  }
+
   test("q213 ≡ q193 on randomized corpora (seeded): pruning is exact under skew, uniformity, and tiny-df tails") {
     // deterministic PRNG — the WAND/brute-force equivalence must hold
     // on EVERY corpus, so sample shapes the fixed fixture doesn't:

@@ -33,6 +33,36 @@ class RollingActivesSketchSpec extends SparkSpecBase {
     }
   }
 
+  test("q239b ≡ q239 EXACTLY on randomized small-cardinality corpora (seeded): HLL coupon mode + union stay exact") {
+    // below ~hundreds of distinct values a DataSketches HLL (lgK 12)
+    // holds raw coupons and estimates EXACTLY, and a union of
+    // coupon-mode sketches stays coupon-mode — so at small cardinality
+    // the sketch leg must equal the exact leg bit-for-bit, which turns
+    // the ≤5% error gate into an equality property. Randomized shapes:
+    // sparse user sets, multi-day gaps (zero-fill windows), repeat
+    // activity inside one window (union-not-sum).
+    val rnd = new scala.util.Random(20260815L)
+    val day0 = 1704067200L * Ns
+    val dayNs = 86400L * Ns
+    (1 to 4).foreach { trial =>
+      val dir = tmpDir()
+      val nEvents = 30 + rnd.nextInt(50)
+      var id = 0L
+      val rows = (1 to nEvents).map { _ =>
+        id += 1
+        val day = rnd.nextInt(20).toLong
+        val user = (1 + rnd.nextInt(25)).toLong // ≤ 25 distinct users
+        (id, day0 + day * dayNs + id * 1000L, user, "click", 1.0, "{}")
+      }
+      writeEvents(dir, rows: _*)
+      val exact = Events.q239RollingActives(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val approx = Events.q239bRollingActivesHll(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(approx == exact, s"trial $trial (n=$nEvents): sketch diverged\n$approx\nvs\n$exact")
+    }
+  }
+
   test("q239b: a user active on several window days counts once (sketch union dedups)") {
     val dir = tmpDir()
     // one user active every day for 10 days + a second user on day 3
