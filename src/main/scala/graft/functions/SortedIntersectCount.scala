@@ -163,6 +163,8 @@ object GraftFunctions {
         stringArrayArg("bpe_token_count.reps")(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction("morton_interleave",
       exprs => MortonInterleave(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("top_k_struct",
+      exprs => TopKStruct(exprs.head, exprs(1)), "built-in")
   }
 }
 
@@ -209,6 +211,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         GraftFunctions.stringArrayArg("bpe_token_count.reps")(exprs(2))))
     inject(e, "morton_interleave", classOf[MortonInterleave],
       exprs => MortonInterleave(exprs.head, exprs(1)))
+    inject(e, "top_k_struct", classOf[TopKStruct],
+      exprs => TopKStruct(exprs.head, exprs(1)))
     // plan-policy guard: the PlanQualitySpec cartesian ban, enforced at
     // runtime for arbitrary user queries (see CartesianGuardRule). Two
     // hooks so the guard survives spark.sql.adaptive.enabled=false:

@@ -7,6 +7,39 @@ import graft.functions.GraftFunctions
   */
 class FunctionsSpec extends SparkSpecBase {
 
+  test("top_k_struct: k smallest by lexicographic struct order; ties break on later fields; partial/final merge across partitions") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // 1000 rows over 3 groups, REPARTITIONED so every group spans
+    // partitions and the map-side partial heaps must MERGE correctly
+    val df = (1 to 1000).map { i =>
+      (i % 3, (i % 7).toDouble, i.toLong) // (g, key with heavy ties, id)
+    }.toDF("g", "key", "id").repartition(8)
+    val out = df
+      .selectExpr("g", "struct(key, id) AS s")
+      .groupBy("g")
+      .agg(org.apache.spark.sql.functions.call_function("top_k_struct",
+        org.apache.spark.sql.functions.col("s"),
+        org.apache.spark.sql.functions.lit(4)).as("top"))
+      .selectExpr("g", "explode(top) AS t")
+      .select("g", "t.key", "t.id")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    // brute-force reference: 4 smallest (key, id) per group, ASC
+    val exp = (1 to 1000).map(i => (i % 3, ((i % 7).toDouble, i.toLong)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(4).toSeq).toMap
+    assert(out == exp, s"$out vs $exp")
+  }
+
+  test("top_k_struct: k larger than the group returns the whole group sorted; NULL structs are skipped") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT top_k_struct(s, 10) FROM (SELECT IF(v IS NULL, NULL, struct(v)) AS s " +
+        "FROM VALUES (3), (1), (NULL), (2) AS t(v))").collect().head
+    val got = r.getSeq[org.apache.spark.sql.Row](0).map(_.getInt(0))
+    assert(got == Seq(1, 2, 3), got)
+  }
+
   test("sorted_intersect_count via SQL: overlap, disjoint, empty, null") {
     GraftFunctions.register(spark)
     val r = spark.sql(
