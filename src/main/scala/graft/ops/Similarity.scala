@@ -33,6 +33,31 @@ object Similarity {
   private[ops] def norm(a: Column): Column =
     sqrt(call_function("float_vec_dot", a, a))
 
+  /** The ANN/kNN read-path k-cut, shared by q22/q123/q32-family/q131
+    * (q115/q120/q141 inline the same shape with extra carried columns):
+    * per-query top-k by (sim DESC, tid ASC) as the `top_k_struct`
+    * bounded-heap AGGREGATE instead of a row_number window. A window
+    * ships every candidate row to its group's sort — the candidate
+    * universe; the heap folds map-side to ≤ k rows per (query,
+    * partition), so the exchange carries the answer (Q115Prof: the
+    * window was ~half of q115's non-kernel cost; output proven
+    * hash-identical — k smallest (−sim, tid) ≡ (sim DESC, tid ASC),
+    * exact for the 4-dp finite sims all callers produce).
+    *
+    * Input: (qid, tid, sim); output (qid, rk BIGINT 1..k, tid, sim)
+    * ordered by (qid, rk).
+    */
+  private[ops] def topKPerQuery(df: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col("qid"), struct((-col("sim")).as("ns"), col("tid")).as("s"))
+      .groupBy("qid")
+      .agg(call_function("top_k_struct", col("s"), lit(k)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("qid"), (col("i") + 1L).cast(LongType).as("rk"),
+        col("t.tid").as("tid"), (-col("t.ns")).as("sim"))
+      .orderBy("qid", "rk")
+  }
+
   /** Docs as sorted long token-set arrays (+ set size) — the shared
     * front end of the exact (q21) and MinHash-LSH (q25) near-dup joins.
     *
@@ -764,13 +789,8 @@ object Similarity {
       .select(col("vec_id").as("tid"), col("embedding").as("te"))
       .withColumn("tn", norm(col("te")))
     val sim = roundD4(dot(col("qe"), col("te")) / (col("qn") * col("tn")))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
-    corpus.crossJoin(broadcast(queries))
-      .withColumn("sim", sim)
-      .withColumn("rk", row_number().over(w).cast(LongType)) // BIGINT in DuckDB
-      .filter(col("rk") <= 10)
-      .select("qid", "rk", "tid", "sim")
-      .orderBy("qid", "rk")
+    topKPerQuery(corpus.crossJoin(broadcast(queries))
+      .select(col("qid"), col("tid"), sim.as("sim")), 10)
   }
 
   /** Embedding-cosine near-dup: the top-20 most-similar vector pairs
@@ -916,13 +936,8 @@ object Similarity {
         col("embedding").cast("array<double>").as("qe"))
       .withColumn("qn", sqrt(ddot(col("qe"), col("qe"))))
     val sim = roundD4(ddot(col("qe"), col("th")) / (col("qn") * col("tn")))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
-    corpus.crossJoin(broadcast(queries))
-      .withColumn("sim", sim)
-      .withColumn("rk", row_number().over(w).cast(LongType)) // BIGINT in DuckDB
-      .filter(col("rk") <= 10)
-      .select("qid", "rk", "tid", "sim")
-      .orderBy("qid", "rk")
+    topKPerQuery(corpus.crossJoin(broadcast(queries))
+      .select(col("qid"), col("tid"), sim.as("sim")), 10)
   }
 
   /** q149 — QUANTIZATION-ERROR REPORT: per vector, the max and mean
@@ -1531,13 +1546,9 @@ object Similarity {
     val targets = assign(
       e.filter(col("vec_id") >= 5).select(col("vec_id").as("tid"), col("embedding").as("te")),
       "tid", "te").withColumn("tn", norm(col("te")))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
-    targets.join(broadcast(queries), col("cid") === col("qcid"))
-      .withColumn("sim", roundD4(dot(col("qe"), col("te")) / (col("qn") * col("tn"))))
-      .withColumn("rk", row_number().over(w).cast(LongType)) // BIGINT in DuckDB
-      .filter(col("rk") <= 10)
-      .select("qid", "rk", "tid", "sim")
-      .orderBy("qid", "rk")
+    topKPerQuery(targets.join(broadcast(queries), col("cid") === col("qcid"))
+      .select(col("qid"), col("tid"),
+        roundD4(dot(col("qe"), col("te")) / (col("qn") * col("tn"))).as("sim")), 10)
   }
 
   /** q56 — near-dup SURVIVOR selection: the dedup decision on top of
@@ -1784,13 +1795,9 @@ object Similarity {
     val targets = assignToCentroids(trained,
       corpus.filter(col("vec_id") >= 5).select(col("vec_id").as("tid"), col("embedding").as("te")),
       "tid", "te").withColumn("tn", norm(col("te")))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
-    targets.join(broadcast(queries), col("cid") === col("qcid"))
-      .withColumn("sim", roundD4(dot(col("qe"), col("te")) / (col("qn") * col("tn"))))
-      .withColumn("rk", row_number().over(w).cast(LongType)) // BIGINT like q22/q32
-      .filter(col("rk") <= 10)
-      .select("qid", "rk", "tid", "sim")
-      .orderBy("qid", "rk")
+    topKPerQuery(targets.join(broadcast(queries), col("cid") === col("qcid"))
+      .select(col("qid"), col("tid"),
+        roundD4(dot(col("qe"), col("te")) / (col("qn") * col("tn"))).as("sim")), 10)
   }
 
   /** q131 — IVF-SQ8: cluster pruning (q32b/q32c's trained, staged
@@ -1825,13 +1832,9 @@ object Similarity {
       .crossJoin(broadcast(model))
       .select(col("tid"), col("cid"), dequantized(col("te")).as("th"))
       .withColumn("tn", sqrt(ddot(col("th"), col("th"))))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
-    targets.join(broadcast(queries), col("cid") === col("qcid"))
-      .withColumn("sim", roundD4(ddot(col("qe"), col("th")) / (col("qn") * col("tn"))))
-      .withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= 10)
-      .select("qid", "rk", "tid", "sim")
-      .orderBy("qid", "rk")
+    topKPerQuery(targets.join(broadcast(queries), col("cid") === col("qcid"))
+      .select(col("qid"), col("tid"),
+        roundD4(ddot(col("qe"), col("th")) / (col("qn") * col("tn"))).as("sim")), 10)
   }
 
   /** q62 — near-dup CLUSTER LABELS: connected components over the
@@ -2281,17 +2284,22 @@ object Similarity {
       .select(col("vec_id").as("tid"), col("label").as("neg_label"), col("embedding").as("te"))
       .withColumn("tn", norm(col("te")))
     val sim = roundD4(dot(col("qe"), col("te")) / (col("qn") * col("tn")))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
     corpus.join(boundedBroadcast(q, probeBytes,
         "q141_hard_negatives (exact cross-label top-k)",
         "q120_knn_label_ivf's IVF bucketing (both sides assign to centroids)"),
         col("neg_label") =!= col("q_label"))
-      // project the vectors away BEFORE the window exchange (q115's
-      // discipline): the shuffle ships (qid, labels, sim) only
-      .select(col("qid"), col("q_label"), col("tid"), col("neg_label"), sim.as("sim"))
-      .withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= HardNegK)
-      .select("qid", "q_label", "rk", "tid", "neg_label", "sim")
+      // q115's round-11 discipline: vectors projected away, the k-cut
+      // as the map-side-combinable bounded heap — the exchange carries
+      // <= k rows per (query, partition), never the cross-label
+      // candidate stream; rk recovers as the ASC array position
+      .select(col("qid"), col("q_label"),
+        struct((-sim).as("ns"), col("tid"), col("neg_label")).as("s"))
+      .groupBy("qid", "q_label")
+      .agg(call_function("top_k_struct", col("s"), lit(HardNegK)).as("top"))
+      .select(col("qid"), col("q_label"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("qid"), col("q_label"), (col("i") + 1L).cast(LongType).as("rk"),
+        col("t.tid").as("tid"), col("t.neg_label").as("neg_label"),
+        (-col("t.ns")).as("sim"))
       .orderBy("qid", "rk")
   }
 
