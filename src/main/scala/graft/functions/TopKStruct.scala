@@ -25,12 +25,17 @@ import org.apache.spark.sql.types._
   *
   * Ordering contract: lexicographic over the struct's fields via each
   * field's natural ordering (the caller encodes DESC by negating a
-  * numeric key — exact for all non-NaN doubles). Struct values
-  * themselves must be non-null; a NULL struct input is skipped (the
-  * usual aggregate null contract). k must be a foldable positive int
-  * literal. NaN sort keys are out of contract (negation flips their
-  * rank vs a DESC window): q115-class callers produce 4-dp-rounded
-  * finite sims by construction.
+  * numeric key — exact for all non-NaN doubles); a NULL FIELD orders
+  * GREATEST, so a NULL sort key can never displace a real candidate —
+  * the `DESC NULLS LAST` window semantics the kNN callers replaced
+  * (a NULL sim from a zero-norm or NULL embedding ranks behind every
+  * finite one, though like the window it can still surface when a
+  * group has fewer than k non-null candidates). A NULL struct input
+  * is skipped (the usual aggregate null contract). k must be a
+  * foldable positive int literal — enforced at analysis time. NaN
+  * sort keys are out of contract (negation flips their rank vs a
+  * DESC window): q115-class callers produce 4-dp-rounded finite sims
+  * by construction.
   *
   * Buffer = a k-bounded max-heap of copied rows (evict-largest on
   * insert), so update is O(log k) and memory is O(k) per group —
@@ -55,22 +60,41 @@ case class TopKStruct(
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case s: StructType if s.fields.nonEmpty && kExpr.foldable &&
         kExpr.dataType == IntegerType =>
-      if (s.fields.forall(f => TopKStruct.orderable(f.dataType)))
-        TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires atomically-ordered struct fields, got $s")
+      if (!s.fields.forall(f => TopKStruct.orderable(f.dataType)))
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires atomically-ordered struct fields, got $s")
+      else kExpr.eval(InternalRow.empty) match {
+        // enforce the documented contract at ANALYSIS time: k = 0 would
+        // otherwise surface as a bare NoSuchElementException mid-task
+        case i: Int if i > 0 => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a positive int k literal, got $other")
+      }
     case _ => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (struct, foldable int), got " +
         s"(${child.dataType}, ${kExpr.dataType})")
   }
 
-  /** Field-by-field lexicographic ordering over struct VALUES; max-heap
-    * (PriorityQueue dequeues the LARGEST) so insert-then-evict keeps
-    * the k smallest.
+  /** Field-by-field lexicographic ordering over struct VALUES with
+    * NULL fields ordered GREATEST (so they can never displace a
+    * non-null key from the kept-smallest set — the replaced
+    * `ORDER BY key DESC NULLS LAST` window semantics under the
+    * caller's key negation; a raw interpreted atomic ordering would
+    * instead UNBOX a null double to 0.0 and rank a NULL key as if it
+    * were zero, or NPE on strings). Max-heap (PriorityQueue dequeues
+    * the LARGEST) so insert-then-evict keeps the k smallest.
     */
   private lazy val fieldOrderings: Array[Ordering[Any]] =
-    structType.fields.map(f =>
-      TypeUtils.getInterpretedOrdering(f.dataType).asInstanceOf[Ordering[Any]])
+    structType.fields.map { f =>
+      val base = TypeUtils.getInterpretedOrdering(f.dataType).asInstanceOf[Ordering[Any]]
+      new Ordering[Any] {
+        override def compare(a: Any, b: Any): Int =
+          if (a == null && b == null) 0
+          else if (a == null) 1
+          else if (b == null) -1
+          else base.compare(a, b)
+      }
+    }
   private lazy val rowOrdering: Ordering[InternalRow] = new Ordering[InternalRow] {
     override def compare(a: InternalRow, b: InternalRow): Int = {
       var i = 0

@@ -46,6 +46,21 @@ object Similarity {
     *
     * Input: (qid, tid, sim); output (qid, rk BIGINT 1..k, tid, sim)
     * ordered by (qid, rk).
+    *
+    * Aggregation mode note: ObjectHashAggregateExec falls back to
+    * SORT-BASED aggregation past 128 distinct keys per task
+    * (spark.sql.objectHashAggregate.sortBased.fallbackThreshold), so
+    * with thousands of queries each partition pays a local key sort
+    * before combining. That is accepted deliberately: the conf is
+    * GLOBAL and also governs unbounded-buffer aggregates (percentile,
+    * collect_list) where the fallback is the OOM valve — an op builder
+    * must not raise it session-wide. The scale property that matters —
+    * the exchange carries ≤ k rows per (query, partition), never the
+    * candidate stream — holds in both modes (the sort is map-side,
+    * pre-combine, per-partition); Q115Prof measured the raised-
+    * threshold hash mode worth only ~0.3 s of q115's 2.5 s at sf0.1.
+    * A deployment whose aggregates are all k-bounded can raise the
+    * knob per session and reclaim it.
     */
   private[ops] def topKPerQuery(df: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)

@@ -42,10 +42,15 @@ object Q25Part {
       println(f"[q25part] partitions=$p%-4d min ${ts.min}%.2f s  reps ${ts.map(t => f"$t%.2f").mkString(", ")}")
     }
     // join-regime readout: does the verify side still broadcast at this
-    // scale, or has the 32 MB gate degraded it to a shuffle join?
+    // scale, or has the 32 MB gate degraded it to a shuffle join? The
+    // plan is inspected AFTER execution — under AQE the pre-execution
+    // executedPlan is the initial (isFinalPlan=false) plan, and AQE can
+    // swap join strategies at runtime; only the post-run final plan
+    // reports the regime that actually executed.
     spark.conf.set("spark.sql.shuffle.partitions", 32)
-    val plan = graft.ops.Sketches.q25MinhashNeardup(spark, sfDir)
-      .queryExecution.executedPlan.toString
+    val df = graft.ops.Sketches.q25MinhashNeardup(spark, sfDir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
     def count(s: String, pat: String): Int = s.sliding(pat.length).count(_ == pat)
     println(s"[q25part] plan joins: BroadcastHashJoin=${count(plan, "BroadcastHashJoin")} " +
       s"SortMergeJoin=${count(plan, "SortMergeJoin")} ShuffledHashJoin=${count(plan, "ShuffledHashJoin")}")

@@ -40,6 +40,34 @@ class FunctionsSpec extends SparkSpecBase {
     assert(got == Seq(1, 2, 3), got)
   }
 
+  test("top_k_struct: a NULL sort key orders GREATEST (DESC NULLS LAST parity), never displacing a real candidate") {
+    GraftFunctions.register(spark)
+    // negative keys present: a NULL unboxed-as-0.0 would beat them and
+    // steal a top-2 slot; NULLS-GREATEST keeps it out
+    val r = spark.sql(
+      "SELECT top_k_struct(struct(v, id), 2) FROM VALUES " +
+        "(CAST(NULL AS DOUBLE), 1L), (-0.5D, 2L), (-0.2D, 3L), (0.1D, 4L) AS t(v, id)"
+    ).collect().head
+    val got = r.getSeq[org.apache.spark.sql.Row](0).map(x => (x.getDouble(0), x.getLong(1)))
+    assert(got == Seq((-0.5, 2L), (-0.2, 3L)), got)
+    // but like the window it replaced, a NULL key still surfaces when
+    // the group runs out of non-null candidates
+    val r2 = spark.sql(
+      "SELECT top_k_struct(struct(v, id), 2) FROM VALUES " +
+        "(CAST(NULL AS DOUBLE), 1L), (0.3D, 2L) AS t(v, id)").collect().head
+    val got2 = r2.getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (if (x.isNullAt(0)) None else Some(x.getDouble(0)), x.getLong(1)))
+    assert(got2 == Seq((Some(0.3), 2L), (None, 1L)), got2)
+  }
+
+  test("top_k_struct: k must be a positive int literal — analysis error, not a mid-task crash") {
+    GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT top_k_struct(struct(v), 0) FROM VALUES (1) AS t(v)").collect()
+    }
+    assert(e.getMessage.contains("positive int k"), e.getMessage)
+  }
+
   test("sorted_intersect_count via SQL: overlap, disjoint, empty, null") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -648,7 +648,7 @@ class StreamingSpec extends SparkSpecBase {
         .select("event_id", "ts", "user_id", "event_type", "value")
         .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
       // 1-3 random seam points → 2-4 contiguous ts-ordered batches
-      val cuts = (1 to 1 + rnd.nextInt(2)).map(_ => rnd.nextInt(all.length)).sorted.distinct
+      val cuts = (1 to 1 + rnd.nextInt(3)).map(_ => rnd.nextInt(all.length)).sorted.distinct
       val batches = (Seq(0) ++ cuts ++ Seq(all.length)).sliding(2)
         .map { case Seq(a, b) => all.slice(a, b) }.filter(_.nonEmpty).toSeq
       val ms = MemoryStream[Ev]
