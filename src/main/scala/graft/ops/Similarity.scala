@@ -62,7 +62,7 @@ object Similarity {
     * A deployment whose aggregates are all k-bounded can raise the
     * knob per session and reclaim it.
     */
-  private[ops] def topKPerQuery(df: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKPerQuery(df: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col("qid"), struct((-col("sim")).as("ns"), col("tid")).as("s"))
       .groupBy("qid")

@@ -60,6 +60,37 @@ class FunctionsSpec extends SparkSpecBase {
     assert(got2 == Seq((Some(0.3), 2L), (None, 1L)), got2)
   }
 
+  test("topKPerQuery ≡ the row_number window it replaced, on randomized candidates (seeded, with ties and NULL sims)") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 3).foreach { trial =>
+      val rows = (1 to 800).map { i =>
+        val qid = rnd.nextInt(12).toLong
+        // coarse 1-dp grid forces heavy sim ties; ~5% NULL sims
+        val sim = if (rnd.nextInt(20) == 0) None
+        else Some(math.floor(rnd.nextDouble() * 20 - 10) / 10.0)
+        (qid, i.toLong, sim)
+      }
+      val df = rows.toDF("qid", "tid", "sim")
+      val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("tid"))
+      val windowed = df
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 7)
+        .select("qid", "rk", "tid", "sim")
+        .orderBy("qid", "rk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+      val heaped = graft.ops.Similarity.topKPerQuery(df, 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+      assert(heaped == windowed, s"trial $trial: heap diverged from window\n" +
+        s"${heaped.diff(windowed).take(5)} vs ${windowed.diff(heaped).take(5)}")
+    }
+  }
+
   test("top_k_struct: k must be a positive int literal — analysis error, not a mid-task crash") {
     GraftFunctions.register(spark)
     val e = intercept[org.apache.spark.sql.AnalysisException] {
