@@ -439,6 +439,24 @@ object SparkEntry {
       "AND 5*len(list_intersect(a.toks, b.toks)) >= " +
       "4*(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))"
 
+  /** The q224 recursive-CTE coreness oracle unrolled to `k` h-index
+    * rounds — k comes from the engine's latched converged round count
+    * (iterating past the fixpoint is a no-op, so any k ≥ converged
+    * lands on the fixpoint). Per round: h-index of neighbor values via
+    * a rank-vs-value window (h = max rank r with vals[r] >= r, vals
+    * desc), the engine's sorted-array filter re-expressed relationally.
+    */
+  private def corenessOracleSql(k: Long): String =
+    s"WITH RECURSIVE $ttGgCtes, ${groupEdgeSql("ge")}, " +
+      "sym AS MATERIALIZED (SELECT ga AS v, gb AS n FROM ge UNION ALL SELECT gb, ga FROM ge), " +
+      "it(v, c, r) AS (SELECT v, CAST(count(*) AS BIGINT), 0 FROM sym GROUP BY v " +
+      "UNION ALL SELECT v, CAST(COALESCE(max(CASE WHEN c >= rn THEN rn END), 0) AS BIGINT), r + 1 " +
+      "FROM (SELECT s.v AS v, it.c AS c, it.r AS r, " +
+      "row_number() OVER (PARTITION BY s.v, it.r ORDER BY it.c DESC) AS rn " +
+      s"FROM it JOIN sym s ON s.n = it.v WHERE it.r < $k) GROUP BY v, r) " +
+      s"SELECT c AS coreness, CAST(count(*) AS BIGINT) AS n_vertices FROM it WHERE r = $k " +
+      "GROUP BY c ORDER BY coreness"
+
   /** Shared by q62 (hash-min) and q62b (large/small-star): reachability
     * via a recursive CTE, min label per doc — algorithm-independent
     * component truth.
@@ -883,9 +901,15 @@ object SparkEntry {
         "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem " +
         "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) " +
         "SELECT * FROM u ORDER BY l_orderkey, l_linenumber, metric, val"),
-    // q50 sampling rides the engine's seeded RNG stream — not
-    // reproducible in another engine; rows-only, with the spec pinning
-    // seed determinism and per-stratum rates.
+    // q50's draw is the shared deterministic hash term (q190/q195's
+    // (doc_id mod p)·K mod p) against integer thresholds — pure
+    // function of the keys, so DuckDB replays it exactly
+    "q50_stratified_sample" ->
+      ("SELECT doc_id, lang, source FROM (SELECT doc_id, lang, source, " +
+        "(doc_id % 1000000007) * 2654435761 % 1000000007 AS h FROM documents) " +
+        "WHERE (lang = 'en' AND h * 2 < 1000000007) " +
+        "OR (lang = 'de' AND h * 4 < 1000000007) " +
+        "OR (lang = 'fr' AND h * 10 < 1000000007) ORDER BY doc_id"),
     "q51_bag_set_ops" ->
       ("WITH r AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'), " +
         "a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'), " +
@@ -2670,26 +2694,25 @@ object SparkEntry {
         "sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE) * CAST(n_pairs*syy - sy*sy AS DOUBLE)))" +
         "*10000 + 0.5)/10000 ELSE NULL END AS r_lag1 " +
         "FROM a ORDER BY event_type"),
-    // q224: the h-index coreness fixpoint as ONE recursive CTE with a
-    // GENERATED round-count constant (the BpeMerges/PageRank
-    // one-source-of-truth pattern): the engine's staged build latches
-    // its converged round count before oracleSql is dumped (Verify
-    // runs queries first), and iterating the h-index PAST its fixpoint
-    // is a no-op, so unrolling max(latched, 32) rounds always lands on
-    // the fixpoint. Per round: h-index of neighbor values via a
-    // rank-vs-value window (h = max rank r with vals[r] >= r, vals
-    // desc), the engine's sorted-array filter re-expressed relationally.
+    // q224: the h-index coreness fixpoint as ONE recursive CTE
+    // ([[corenessOracleSql]]) with a GENERATED round-count constant
+    // (the BpeMerges/PageRank one-source-of-truth pattern): the
+    // engine's staged build latches its converged round count before
+    // oracleSql is dumped (Verify runs every query first). Latch = 0
+    // means the build did NOT run in this session (a VERIFY_ONLY
+    // subset excluding q224, or q224 failing under Verify's
+    // catch-and-continue) — a fixed-round fallback could then
+    // under-unroll a chain-shaped graph needing ~n/2 rounds and dump a
+    // silently WRONG oracle, so emit a loud sentinel instead: the
+    // driver's DuckDB run errors on it, and a missing latch reads as
+    // "q224 unverifiable this run", never as a false pass/fail against
+    // an under-converged unroll (OracleLatchSpec pins both paths).
     "q224_core_decomposition" -> {
-      val k = math.max(graft.ops.Similarity.corenessRoundsLatch.get, 32L)
-      s"WITH RECURSIVE $ttGgCtes, ${groupEdgeSql("ge")}, " +
-        "sym AS MATERIALIZED (SELECT ga AS v, gb AS n FROM ge UNION ALL SELECT gb, ga FROM ge), " +
-        "it(v, c, r) AS (SELECT v, CAST(count(*) AS BIGINT), 0 FROM sym GROUP BY v " +
-        "UNION ALL SELECT v, CAST(COALESCE(max(CASE WHEN c >= rn THEN rn END), 0) AS BIGINT), r + 1 " +
-        "FROM (SELECT s.v AS v, it.c AS c, it.r AS r, " +
-        "row_number() OVER (PARTITION BY s.v, it.r ORDER BY it.c DESC) AS rn " +
-        s"FROM it JOIN sym s ON s.n = it.v WHERE it.r < $k) GROUP BY v, r) " +
-        s"SELECT c AS coreness, CAST(count(*) AS BIGINT) AS n_vertices FROM it WHERE r = $k " +
-        "GROUP BY c ORDER BY coreness"
+      val latched = graft.ops.Similarity.corenessRoundsLatch.get
+      if (latched == 0L)
+        "SELECT error('q224 oracle requires the in-session staged coreness build " +
+          "(corenessRoundsLatch = 0: q224 did not run, or failed, before the dump)')"
+      else corenessOracleSql(math.max(latched, 32L))
     },
     // q225: the shared group-edge universe; full neighbor lists via the
     // both-directions union, list_intersect for cn (set semantics match

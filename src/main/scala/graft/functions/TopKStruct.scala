@@ -32,10 +32,16 @@ import org.apache.spark.sql.types._
   * finite one, though like the window it can still surface when a
   * group has fewer than k non-null candidates). A NULL struct input
   * is skipped (the usual aggregate null contract). k must be a
-  * foldable positive int literal — enforced at analysis time. NaN
-  * sort keys are out of contract (negation flips their rank vs a
-  * DESC window): q115-class callers produce 4-dp-rounded finite sims
-  * by construction.
+  * foldable positive int literal — enforced at analysis time. A NaN
+  * double/float FIELD is rejected at UPDATE time with a named error
+  * (negation would flip its rank vs a DESC window — Spark sorts NaN
+  * greatest, so a DESC window ranks NaN FIRST while the negated heap
+  * would rank it LAST): the function is registered for arbitrary
+  * session SQL, so the out-of-contract input fails loudly instead of
+  * silently diverging. q115-class callers produce 4-dp-rounded finite
+  * sims by construction and never trip it; a caller with possibly-NaN
+  * keys must pre-filter (or nullify — NULL orders greatest,
+  * deterministically) before aggregating.
   *
   * Buffer = a k-bounded max-heap of copied rows (evict-largest on
   * insert), so update is O(log k) and memory is O(k) per group —
@@ -111,12 +117,39 @@ case class TopKStruct(
   override def createAggregationBuffer(): scala.collection.mutable.PriorityQueue[InternalRow] =
     scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrdering)
 
+  /** Top-level double/float field ordinals, checked for NaN on every
+    * update — see the NaN paragraph in the class scaladoc. (Nested
+    * orderable types can't carry a caller-negated sort key in any
+    * current or sane call shape; the contract names top-level fields.)
+    */
+  private lazy val floatingOrdinals: Array[(Int, Boolean)] =
+    structType.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == DoubleType => (i, true)
+      case (f, i) if f.dataType == FloatType => (i, false)
+    }
+
+  private def rejectNaN(row: InternalRow): Unit = {
+    var j = 0
+    while (j < floatingOrdinals.length) {
+      val (i, isDouble) = floatingOrdinals(j)
+      if (!row.isNullAt(i)) {
+        val nan = if (isDouble) row.getDouble(i).isNaN else row.getFloat(i).isNaN
+        if (nan) throw new IllegalArgumentException(
+          s"top_k_struct: NaN in sort field '${structType(i).name}' — NaN keys are " +
+            "out of contract (rank flips vs a DESC window under negation); " +
+            "pre-filter or nullify NaN keys before aggregating")
+      }
+      j += 1
+    }
+  }
+
   override def update(
       buf: scala.collection.mutable.PriorityQueue[InternalRow],
       input: InternalRow): scala.collection.mutable.PriorityQueue[InternalRow] = {
     val v = child.eval(input)
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
+      rejectNaN(row)
       // admit only rows that can enter the top k — below capacity, or
       // strictly smaller than the current worst (copy only then)
       if (buf.size < k) buf.enqueue(row.copy())

@@ -892,17 +892,25 @@ object Events {
     * RollingActivesSketchSpec bounds the relative WAU error against
     * exact q239 at sf0.01 and pins the day grid identical.
     *
-    * NULL-user contract divergence (beyond sketch error): exact q239's
-    * distinct() keeps a (NULL, day) row and counts it, while
-    * `hll_sketch_agg` skips NULLs — on a corpus with null-user events
-    * this leg reads up to 1 lower on their days. The driver corpus has
-    * no null users; a deployment that does must pre-coalesce to a
-    * reserved id or accept the documented off-by-one (the
-    * q181/scd2Stream null-contract discipline).
+    * NULL users COUNT, as in exact q239 (whose distinct() keeps a
+    * (NULL, day) row): `hll_sketch_agg` would silently skip NULLs, so
+    * user_id pre-coalesces to the reserved id Long.MinValue — outside
+    * the generator/event-id key space, so it can never collide with a
+    * real user — and the sketch leg keeps count parity with the exact
+    * leg on null-user corpora (RollingActivesSketchSpec's null-user
+    * fixture pins it).
+    *
+    * wau_7d clamps to ≥ dau at projection: per-day and 7-way-union
+    * sketches are INDEPENDENT estimates and HLL union estimates are
+    * not monotone in a member's own estimate, so a raw day could read
+    * wau_7d < dau — an inconsistency exact q239 can never show. The
+    * clamp stays within the sketch error contract (true wau ≥ true
+    * dau always) and spares every downstream ratio a divide-by-shrunk
+    * guard.
     */
   def q239bRollingActivesHll(spark: SparkSession, dir: String): DataFrame = {
     val ds = Tables.events(spark, dir)
-      .select(col("user_id"),
+      .select(coalesce(col("user_id"), lit(Long.MinValue)).as("user_id"),
         expr(Det.floorDivExpr("unix_micros(ts)", MicrosPerDay)).as("day"))
       .groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
     val bounds = ds.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
@@ -913,7 +921,7 @@ object Events {
       .groupBy("day").agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau"))
     grid.join(dau, Seq("day"), "left").join(wau, Seq("day"), "left")
       .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
-        coalesce(col("wau"), lit(0L)).as("wau_7d"))
+        greatest(coalesce(col("wau"), lit(0L)), coalesce(col("dau"), lit(0L))).as("wau_7d"))
       .orderBy("day")
   }
 

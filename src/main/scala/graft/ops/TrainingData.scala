@@ -328,19 +328,32 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
-  /** q50 — seeded stratified sampling (`sampleBy` on the lang column):
-    * the corpus-subsampling primitive of every pretraining-data mix
-    * (per-source/per-language rates). Bernoulli per row against a
-    * seeded hash — row-local, no shuffle, rates are plan constants.
-    * Sampling decisions depend on the engine's RNG stream, so the
-    * query is declared oracle-free (rows-only); the spec pins seed
-    * determinism and per-stratum rate bounds instead.
+  /** q50 — DETERMINISTIC stratified Bernoulli sampling (per-language
+    * rates en 0.5 / de 0.25 / fr 0.1, unlisted strata dropped): the
+    * corpus-subsampling primitive of every pretraining-data mix
+    * (per-source/per-language rates). The draw is the shared q190/q195
+    * hash term h = (doc_id mod p)·K mod p compared against an INTEGER
+    * threshold (`h·b < p·a` for rate a/b — no float rounding anywhere),
+    * so the sample is a pure function of the keys: stable under
+    * re-partitioning, re-runs, and engine migration, and therefore
+    * ORACLE-CHECKED (DuckDB computes the identical draw) — unlike
+    * Spark's `sampleBy`, whose rand(seed) stream is evaluated in
+    * partition-iteration order and resamples differently after any
+    * repartition. Row-local, no shuffle; rates are plan constants;
+    * sizes are binomial (q54 is the exact-N-per-stratum twin, q195 the
+    * weighted one).
     */
-  def q50StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+  def q50StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val p = graft.ops.Audit.ChecksumMod
+    val k = graft.ops.Audit.KnuthMult
     Tables.documents(spark, dir)
-      .stat.sampleBy("lang", Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1), seed = 42L)
+      .withColumn("h", expr(s"(doc_id % ${p}L) * ${k}L % ${p}L"))
+      .filter((col("lang") === "en" && col("h") * lit(2L) < lit(p)) ||
+        (col("lang") === "de" && col("h") * lit(4L) < lit(p)) ||
+        (col("lang") === "fr" && col("h") * lit(10L) < lit(p)))
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
+  }
 
   /** q54 — deterministic hash-ordered stratified sampling: per language
     * keep the 20 docs with the smallest md5(doc_id) digest. The

@@ -24,7 +24,7 @@ class EngineSmokeSpec extends SparkSpecBase {
   private val OracleFree: Set[String] =
     Set("q25_minhash_neardup", "q26_simhash_neardup", "q32b_ivf_trained",
       "q32c_ivf_multiprobe", "q38b_approx_percentiles", "q47_approx_distinct",
-      "q50_stratified_sample", "q57_sketch_rollup", "q94_semdedup",
+      "q57_sketch_rollup", "q94_semdedup",
       // q239b: HLL day-sketch merge — sketch registers are
       // engine-specific (q47/q57's class); RollingActivesSketchSpec
       // bounds the WAU error against exact q239

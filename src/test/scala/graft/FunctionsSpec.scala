@@ -99,6 +99,27 @@ class FunctionsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("positive int k"), e.getMessage)
   }
 
+  test("top_k_struct: a NaN double/float sort field fails LOUDLY at update (out of contract — rank would flip vs a DESC window under negation)") {
+    GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.sql("SELECT top_k_struct(struct(v, id), 2) FROM VALUES " +
+        "(CAST('NaN' AS DOUBLE), 1L), (0.5D, 2L) AS t(v, id)").collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg != null && msg.contains("NaN"), s"want the named NaN rejection, got: $msg")
+    val ef = intercept[org.apache.spark.SparkException] {
+      spark.sql("SELECT top_k_struct(struct(v), 1) FROM VALUES " +
+        "(CAST('NaN' AS FLOAT)) AS t(v)").collect()
+    }
+    val msgF = Option(ef.getCause).map(_.getMessage).getOrElse(ef.getMessage)
+    assert(msgF != null && msgF.contains("NaN"), s"float field too: $msgF")
+    // and a NULL key (the documented escape hatch for possibly-NaN
+    // inputs, `nullif`-style) still aggregates fine, ordering greatest
+    val ok = spark.sql("SELECT top_k_struct(struct(v, id), 2) AS a FROM VALUES " +
+      "(CAST(NULL AS DOUBLE), 1L), (0.5D, 2L) AS t(v, id)").collect().head
+    assert(ok.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)) == Seq(2L, 1L))
+  }
+
   test("sorted_intersect_count via SQL: overlap, disjoint, empty, null") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -229,12 +229,23 @@ class TrainingDataSpec extends SparkSpecBase {
     }
   }
 
-  test("q50 stratified sample: seed-deterministic, rates honored per stratum") {
+  test("q50 stratified sample: exact hash-draw membership, rates honored, unlisted strata dropped") {
     val sf = "/root/testdata/sf0.001"
     val out = TrainingData.q50StratifiedSample(spark, sf).collect()
-    val again = TrainingData.q50StratifiedSample(spark, sf).collect()
-    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq, "same seed must resample identically")
-    val byLang = out.groupBy(_.getString(1)).view.mapValues(_.length.toDouble).toMap
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // the draw is a PURE function of (doc_id, lang): recompute the
+    // expected member set from the raw table and demand equality —
+    // the property that makes the sample engine-portable and oracled
+    val p = 1000000007L
+    val kM = 2654435761L
+    val rate = Map("en" -> 2L, "de" -> 4L, "fr" -> 10L)
+    val expected = Tables.documents(spark, sf).select("doc_id", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter { case (id, lang, _) =>
+        rate.get(lang).exists(b => ((id % p) * kM % p) * b < p) }
+      .sortBy(_._1).toSeq
+    assert(out == expected, s"hash-draw membership diverged: ${out.size} vs ${expected.size}")
+    val byLang = out.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
     assert(byLang.keySet.subsetOf(Set("en", "de", "fr")), "unlisted strata must be excluded")
     // loose Bernoulli bounds on ~70-190 rows per stratum
     assert(byLang("en") / 193 > 0.3 && byLang("en") / 193 < 0.7)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.SparkSpecBase
+import graft.{SparkSpecBase, Tables}
 
 /** q239b (HLL day-sketch rolling actives) vs exact q239: identical day
   * grid, bounded relative error. The sketch leg is declared rows-only
@@ -60,6 +60,37 @@ class RollingActivesSketchSpec extends SparkSpecBase {
       val approx = Events.q239bRollingActivesHll(spark, dir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       assert(approx == exact, s"trial $trial (n=$nEvents): sketch diverged\n$approx\nvs\n$exact")
+    }
+  }
+
+  test("q239b: NULL users count, in parity with exact q239 (pre-coalesced to the reserved id)") {
+    // exact q239's distinct() keeps a (NULL, day) row and counts it;
+    // hll_sketch_agg would skip NULLs, so the op coalesces user_id to
+    // Long.MinValue first. At these cardinalities HLL is coupon-mode
+    // exact, so the two legs must agree EXACTLY on a null-user corpus.
+    val dir = tmpDir()
+    val day0 = 1704067200L * Ns
+    val dayNs = 86400L * Ns
+    import org.apache.spark.sql.Row
+    write(dir, "events", df(Tables.eventsRawSchema,
+      Row(1L, day0, 1L, "click", 1.0, "{}"),
+      Row(2L, day0, null, "click", 1.0, "{}"), // null user, day 0
+      Row(3L, day0 + dayNs, null, "view", 1.0, "{}"), // null user, day 1
+      Row(4L, day0 + 2L * dayNs, 2L, "click", 1.0, "{}")))
+    val exact = Events.q239RollingActives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val approx = Events.q239bRollingActivesHll(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(exact.head._2 == 2L, s"exact q239 must count the null user on day 0: $exact")
+    assert(approx == exact, s"null-user corpus: sketch leg diverged\n$approx\nvs\n$exact")
+  }
+
+  test("q239b: wau_7d is never below dau (clamped — independent sketch estimates are not monotone)") {
+    val sf = "/root/testdata/sf0.01"
+    val out = Events.q239bRollingActivesHll(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"day ${r.getLong(0)}: wau_7d ${r.getLong(2)} < dau ${r.getLong(1)}")
     }
   }
 
