@@ -426,6 +426,36 @@ object Audit {
           (col("n_matched_child") < col("n_child_keyed")).as("drops_children"))
     }.reduce(_ unionByName _).orderBy("edge")
 
+  /** q182's verdict computed from a per-(edge, key) count relation
+    * (edge, k, cc, pc) — the sink-side readout of
+    * [[graft.streaming.StreamingOps.keyCountStream]]'s drained
+    * last-wins feed (child ticks = side 0 → cc, parent ticks =
+    * side 1 → pc). Same output schema and flags as
+    * [[q182JoinCardinality]], derived identically: the inner cCnt⋈pCnt
+    * of the batch is `k IS NOT NULL AND pc > 0` here (a key only a
+    * parent carries has cc = 0 and contributes nothing), n_parent
+    * counts every parent row null keys included, and the explode/drop
+    * flags compare the same exact integers. StreamingSpec proves the
+    * two paths row-identical on a drained warehouse replay.
+    */
+  private[graft] def cardinalityReadout(perEdgeKey: DataFrame): DataFrame =
+    perEdgeKey.groupBy("edge").agg(
+        coalesce(sum(when(col("k").isNotNull, col("cc"))), lit(0L))
+          .cast(LongType).as("n_child_keyed"),
+        coalesce(sum(when(col("k").isNull, col("cc"))), lit(0L))
+          .cast(LongType).as("n_child_null"),
+        coalesce(sum(col("pc")), lit(0L)).cast(LongType).as("n_parent"),
+        coalesce(sum(when(col("k").isNotNull,
+            col("cc").cast(DecimalType(38, 0)) * col("pc"))), lit(0L))
+          .cast(LongType).as("n_join_rows"),
+        coalesce(sum(when(col("k").isNotNull && col("pc") > 0, col("cc"))), lit(0L))
+          .cast(LongType).as("n_matched_child"))
+      .select(col("edge"), col("n_child_keyed"), col("n_child_null"),
+        col("n_parent"), col("n_join_rows"),
+        (col("n_join_rows") > col("n_child_keyed")).as("explodes"),
+        (col("n_matched_child") < col("n_child_keyed")).as("drops_children"))
+      .orderBy("edge")
+
   /** The join-key columns the skew audit profiles — every key a
     * declared join in this library shuffles on (the FK edges' child
     * sides plus events' two power-law keys).
@@ -458,14 +488,24 @@ object Audit {
     * which this audit's contract (top key + threshold flag) is shaped
     * to accept.
     */
-  def q174JoinSkewAudit(spark: SparkSession, dir: String): DataFrame = {
-    val perKey = SkewKeys.map { case (t, cols) =>
+  def q174JoinSkewAudit(spark: SparkSession, dir: String): DataFrame =
+    skewReadout(SkewKeys.map { case (t, cols) =>
       Tables.all(t)(spark, dir)
         .select(explode(array(cols.map(c =>
           struct(lit(s"$t.$c").as("rel"), col(c).cast(StringType).as("k"))): _*)).as("x"))
         .select("x.*")
     }.reduce(_ unionByName _)
-      .groupBy("rel", "k").agg(count(lit(1)).as("cnt"))
+      .groupBy("rel", "k").agg(count(lit(1)).as("cnt")))
+
+  /** q174's readout factored over ANY per-key count relation
+    * (rel, k, cnt) — the [[graft.ops.Events.concurrencySweep]]
+    * discipline: the batch audit feeds it the scan-built counts, and
+    * the streaming dual's drained last-wins feed
+    * ([[graft.streaming.StreamingOps.keyCountStream]]) feeds it the
+    * state-maintained ones, so the skew verdict has exactly one
+    * definition in two runtimes.
+    */
+  private[graft] def skewReadout(perKey: DataFrame): DataFrame = {
     val stats = perKey.groupBy("rel").agg(
       sum(col("cnt")).cast(LongType).as("n_rows"),
       coalesce(sum(when(col("k").isNull, col("cnt"))), lit(0L)).cast(LongType)

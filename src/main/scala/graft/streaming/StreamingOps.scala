@@ -1011,6 +1011,136 @@ object StreamingOps {
       }
   }
 
+  /** State for [[freshnessStream]]: the running GLOBAL max event
+    * micros (the data anchor) plus, per event type (parallel seqs),
+    * the running event count, running max micros, and the retained
+    * event micros inside the trailing 24 h of the anchor.
+    */
+  case class FreshState(anchorUs: Long, types: Seq[String], counts: Seq[Long],
+                        maxes: Seq[Long], recents: Seq[Seq[Long]])
+
+  /** Streaming freshness maintenance (batch q171's stateful dual —
+    * ingestion health is the monitor you most want LIVE): after every
+    * micro-batch, emits the full per-type audit snapshot — n_events,
+    * max event micros, lag vs the corpus anchor (the running GLOBAL
+    * max event time, q17/q171's data-anchored "now" — never the wall
+    * clock), the µs-exact trailing-24h arrival count, and the strict
+    * 1h stale flag — each row tagged with its anchor so the sink's
+    * last-wins readout is `rows with max(anchor_us)`.
+    *
+    * Unlike the close-on-successor duals ([[cusumStream]],
+    * [[spikeStream]], [[rollingActivesStream]]), freshness has NO
+    * open-tail parity bound and NO disorder contract: every fold is
+    * commutative (count, max, and window membership vs an anchor that
+    * only grows — a retained µs can never re-enter a window it left,
+    * and a late event older than anchor−24h never enters it), so the
+    * final drained snapshot equals batch q171 EXACTLY under any
+    * micro-batch seam or arrival order (StreamingSpec pins a late
+    * cross-seam arrival). A NULL event_type is its own group, like the
+    * batch groupBy; the (type, ts) carrier keeps NULL-user/value rows
+    * counted, cusumStream's reasoning.
+    *
+    * ONE global group — the anchor is corpus-level by definition, so
+    * per-type maxes and the global max live in one state row. At
+    * production scale the swap-ins (rollingActivesStream's
+    * discipline) are: (a) key by event_type and resolve the anchor at
+    * the SINK (max over the per-type snapshot rows — the same
+    * one-row-broadcast join shape as the batch, moved downstream), or
+    * (b) key by (type, user-hash shard) and re-merge shard snapshots
+    * (all folds are associative). State per type is two longs + the
+    * trailing-24h micros — the µs-exactness price (state ~ 24 h of
+    * arrivals); the documented approximations are hour-bucket counts
+    * (spikeStream's grain, boundary-hour inexact) or a q239b-class
+    * sketch when ±few-% arrival counts suffice.
+    */
+  def freshnessStream(events: Dataset[(String, java.sql.Timestamp)])
+      : Dataset[(String, Long, Long, Long, Long, Boolean, Long)] = {
+    import events.sparkSession.implicits._
+    val day = graft.ops.Events.MicrosPerDay
+    events.groupByKey(_ => 0)
+      .flatMapGroupsWithState[FreshState, (String, Long, Long, Long, Long, Boolean, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[(String, java.sql.Timestamp)], state: GroupState[FreshState]) =>
+          val s0 = state.getOption.getOrElse(FreshState(Long.MinValue, Nil, Nil, Nil, Nil))
+          val m = scala.collection.mutable.HashMap
+            .empty[Option[String], (Long, Long, Vector[Long])]
+          s0.types.indices.foreach { i =>
+            m(Option(s0.types(i))) = (s0.counts(i), s0.maxes(i), s0.recents(i).toVector)
+          }
+          var anchor = s0.anchorUs
+          it.foreach { e =>
+            val us = tsMicros(e._2)
+            anchor = math.max(anchor, us)
+            val (c, mx, rec) = m.getOrElse(Option(e._1), (0L, Long.MinValue, Vector.empty[Long]))
+            m(Option(e._1)) = (c + 1L, math.max(mx, us), rec :+ us)
+          }
+          // prune to the exact window floor — safe because the anchor
+          // only grows, so a dropped µs can never re-qualify
+          val pruned = m.view.map { case (t, (c, mx, rec)) =>
+            (t, (c, mx, rec.filter(_ >= anchor - day))) }.toMap
+          val keys = pruned.keys.toSeq.sorted
+          state.update(FreshState(anchor, keys.map(_.orNull), keys.map(pruned(_)._1),
+            keys.map(pruned(_)._2), keys.map(pruned(_)._3.sorted)))
+          keys.iterator.map { t =>
+            val (c, mx, rec) = pruned(t)
+            val lagSec = Math.floorDiv(anchor - mx, 1000000L)
+            (t.orNull, c, mx, lagSec, rec.size.toLong, lagSec > 3600L, anchor)
+          }
+      }
+  }
+
+  /** State for [[keyCountStream]]: the two side counters of one
+    * (group, key) — e.g. child and parent row counts of an FK edge.
+    */
+  case class SideCounts(n0: Long, n1: Long)
+
+  /** Streaming join-preflight maintenance — the SHARED stateful dual
+    * of batch q174 (join-skew audit) and q182 (join-cardinality
+    * audit): both verdicts are pure functions of per-key row counts,
+    * so ONE stream maintains the counts and each audit is a sink-side
+    * readout over the drained last-wins feed. Input ticks are
+    * (group, side, key) — group = the audited relation.column (q174)
+    * or FK edge name (q182), side = 0 (q174's only side; q182's
+    * child) or 1 (q182's parent), key = the join key cast to string
+    * (injective on the integer warehouse keys; NULL keys flow — the
+    * batch audits count them separately). Emits one updated
+    * (group, key, n0, n1) snapshot per touched key per micro-batch;
+    * the sink keeps the last (counts are monotone, so max ≡ last).
+    *
+    * Readouts — one definition, two runtimes (dqGateStream's
+    * discipline): [[graft.ops.Audit.skewReadout]] over the feed
+    * renamed (rel, k, cnt = n0) ≡ batch q174;
+    * [[graft.ops.Audit.cardinalityReadout]] over (edge, k, cc = n0,
+    * pc = n1) ≡ batch q182. Like [[freshnessStream]], counting is
+    * commutative: NO disorder contract, NO open-tail bound — the
+    * final feed equals the batch counts exactly under any seam or
+    * arrival order.
+    *
+    * Scale: state is two longs per distinct (group, key) — the same
+    * key-cardinality-sized relation the batch audits shuffle, held
+    * incrementally instead of rebuilt per run (the q210 IVM argument:
+    * a 100 TB preflight you re-scan nightly vs counts you maintain).
+    * The documented swap-in when even distinct keys overflow state is
+    * the batch scaladoc's Misra-Gries/count-min heavy-hitter pass,
+    * which q174's contract (top key + threshold flag) is shaped to
+    * accept.
+    */
+  def keyCountStream(ticks: Dataset[(String, Int, String)])
+      : Dataset[(String, String, Long, Long)] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(t => (t._1, t._3))
+      .flatMapGroupsWithState[SideCounts, (String, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((grp, key), it: Iterator[(String, Int, String)], state: GroupState[SideCounts]) =>
+          var s = state.getOption.getOrElse(SideCounts(0L, 0L))
+          it.foreach { t =>
+            s = if (t._2 == 0) s.copy(n0 = s.n0 + 1L) else s.copy(n1 = s.n1 + 1L)
+          }
+          state.update(s)
+          Iterator.single((grp, key, s.n0, s.n1))
+      }
+  }
+
   /** Streaming DQ admission gate (batch q169's row-local constraints
     * at the ingest edge): tags every incoming event row with the list
     * of violated constraint names and a pass flag, evaluated from the

@@ -766,6 +766,124 @@ class StreamingSpec extends SparkSpecBase {
       s"post-gap hour must read an empty baseline: $streamed")
   }
 
+  test("freshnessStream: final snapshot equals batch q171 EXACTLY under a seam with late cross-seam arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir()
+    val T0 = 1704067200L * Ns
+    // anchor = id3 at T0+26h. type a: fresh (lag 0), one event EXACTLY
+    // at anchor−24h (boundary is inclusive in both engines); type b:
+    // 2h lag → stale, and an event 25h old that must stay OUT of the
+    // trailing window; a null-type event is its own audit row.
+    val rows = Seq(
+      (1L, T0, 1L, "a", 1.0, "{}"),
+      (2L, T0 + 10 * Hour, 1L, "a", 1.0, "{}"),
+      (3L, T0 + 26 * Hour, 1L, "a", 1.0, "{}"),
+      (4L, T0 + 1 * Hour, 2L, "b", 1.0, "{}"),
+      (5L, T0 + 24 * Hour, 2L, "b", 1.0, "{}"),
+      (6L, T0 + 3 * Hour, 3L, null, 1.0, "{}"),
+      (7L, T0 + 2 * Hour, 1L, "a", 1.0, "{}"))
+    writeEvents(dir, rows: _*)
+    val all = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)].collect().sortBy(_._1)
+    // seam: ids 6 and 7 arrive in batch 2 BEHIND the anchor (id 3) —
+    // late arrivals the commutative folds must absorb; the batch-2
+    // anchor jump T0+10h → T0+26h also forces the window prune of
+    // ids 1 and 4 out of state.
+    val (b1r, b2r) = all.partition(e => e._1 <= 2 || e._1 == 4L)
+    val ms = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamingOps.freshnessStream(ms.toDS())
+      .toDF("event_type", "n_events", "max_us", "lag_sec", "n_last_24h", "stale", "anchor_us")
+      .writeStream.format("memory").queryName("fresh").outputMode("append").start()
+    ms.addData(b1r.map(e => (e._2, e._3)).toSeq: _*); q.processAllAvailable()
+    ms.addData(b2r.map(e => (e._2, e._3)).toSeq: _*); q.processAllAvailable()
+    val drained = spark.table("fresh").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getLong(6)))
+    q.stop()
+    // both snapshots present with their own anchors (last-wins readout)
+    assert(drained.map(_._7).distinct.sorted.toSeq ==
+      Seq(T0 / 1000 + 10 * Hour / 1000, T0 / 1000 + 26 * Hour / 1000),
+      s"expected one snapshot per micro-batch anchor: ${drained.toSeq}")
+    val anchor = drained.map(_._7).max
+    val streamed = drained.filter(_._7 == anchor).map(t => (t._1, t._2, t._3, t._4, t._5, t._6)).toSet
+    val batch = graft.ops.Events.q171FreshnessAudit(spark, dir)
+      .select(col("event_type"), col("n_events"), expr("unix_micros(max_ts)"),
+        col("lag_sec"), col("n_last_24h"), col("stale")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    assert(streamed == batch, s"stream/batch freshness divergence: $streamed vs $batch")
+    // pinned semantics: boundary event counts (a: 3 of 4 in-window),
+    // the 25h-old b event does not, b is stale, null type audited
+    assert(streamed.exists(r => r._1 == "a" && r._2 == 4L && r._5 == 3L && !r._6))
+    assert(streamed.exists(r => r._1 == "b" && r._2 == 2L && r._4 == 7200L && r._5 == 1L && r._6))
+    assert(streamed.exists(r => r._1 == null && r._2 == 1L && r._5 == 1L && r._6))
+  }
+
+  test("keyCountStream: one maintained count feed reproduces batch q174 AND q182 exactly across a seam") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir()
+    // dup parent (c_custkey 1 twice) → orders→customer explodes;
+    // orphan lineitem (l_orderkey 999) → lineitem→orders drops;
+    // null o_custkey → null-key accounting on both audits;
+    // events: user 1 ×20 vs four singletons → salt_recommended flips
+    // (20·5 ≥ 4·24) on exactly one audited relation.
+    writeWarehouse(dir, custKeys = Seq(1L, 1L, 2L))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    write(dir, "orders", df(Tables.ordersSchema,
+      Row(100L, 1L, "O", 10.0, t0, "1-URGENT"),
+      Row(101L, null, "O", 11.0, t0, "2-HIGH"),
+      Row(102L, 2L, "F", 12.0, t0, "3-MEDIUM")))
+    write(dir, "lineitem", df(Tables.lineitemSchema,
+      Row(100L, 9L, 7L, 1, 1.0, 2.0, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      Row(999L, 9L, 7L, 1, 1.0, 2.0, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))))
+    writeEvents(dir, ((1 to 20).map(i => (i.toLong, 1704067200L * Ns + i * Ns, 1L, "click", 1.0, "{}")) ++
+      (2 to 5).map(u => (20L + u, 1704067200L * Ns + u * Hour, u.toLong, "view", 1.0, "{}"))): _*)
+    def colTicks(t: String, c: String, grp: String, side: Int): Seq[(String, Int, String)] =
+      Tables.all(t)(spark, dir).select(col(c).cast("string")).collect()
+        .map(r => (grp, side, if (r.isNullAt(0)) null else r.getString(0))).toSeq
+    val ticks = graft.ops.Audit.SkewKeys.flatMap { case (t, cols) =>
+      cols.flatMap(c => colTicks(t, c, s"$t.$c", 0)) } ++
+      graft.ops.Audit.FkEdges.flatMap { case (ct, ck, pt, pk) =>
+        val edge = s"$ct.$ck -> $pt.$pk"
+        colTicks(ct, ck, edge, 0) ++ colTicks(pt, pk, edge, 1) }
+    // seam: alternate ticks across two micro-batches so nearly every
+    // key's count ACCUMULATES across the state boundary
+    val (b1, b2) = ticks.zipWithIndex.partition(_._2 % 2 == 0)
+    val ms = MemoryStream[(String, Int, String)]
+    val q = StreamingOps.keyCountStream(ms.toDS())
+      .toDF("grp", "k", "n0", "n1")
+      .writeStream.format("memory").queryName("keycounts").outputMode("append").start()
+    ms.addData(b1.map(_._1): _*); q.processAllAvailable()
+    ms.addData(b2.map(_._1): _*); q.processAllAvailable()
+    val feed = spark.table("keycounts").groupBy("grp", "k")
+      .agg(max("n0").as("n0"), max("n1").as("n1")) // counts are monotone: max ≡ last
+    val got174 = graft.ops.Audit.skewReadout(
+      feed.filter(!col("grp").contains("->"))
+        .select(col("grp").as("rel"), col("k"), col("n0").as("cnt")))
+      .collect().map(_.toSeq).toSeq
+    val got182 = graft.ops.Audit.cardinalityReadout(
+      feed.filter(col("grp").contains("->"))
+        .select(col("grp").as("edge"), col("k"), col("n0").as("cc"), col("n1").as("pc")))
+      .collect().map(_.toSeq).toSeq
+    q.stop()
+    val batch174 = graft.ops.Audit.q174JoinSkewAudit(spark, dir).collect().map(_.toSeq).toSeq
+    val batch182 = graft.ops.Audit.q182JoinCardinality(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got174 == batch174, s"stream/batch q174 divergence:\n$got174\nvs\n$batch174")
+    assert(got182 == batch182, s"stream/batch q182 divergence:\n$got182\nvs\n$batch182")
+    // the fixture actually exercised the interesting verdicts
+    assert(batch174.exists(r => r.head == "events.user_id" && r.last == true),
+      "hot-user salt flag must flip")
+    assert(batch182.exists(r => r.head.toString.startsWith("orders.o_custkey") && r(5) == true),
+      "dup-parent edge must explode")
+    assert(batch182.exists(r => r.head.toString.startsWith("lineitem.l_orderkey") && r(6) == true),
+      "orphan edge must drop children")
+  }
+
   test("interArrivalStream: last-ts state carries across the seam; readout equals batch q189") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
