@@ -486,15 +486,72 @@ object Similarity {
           prefixJoinCandidates(groups, p, q), groups, p.toDouble / q, docBytes)
     }
 
+  /** The PPJoin CANONICAL ORDER: every token of a collapsed corpus
+    * remapped to its rank under (document frequency ASC, token ASC) —
+    * injective, deterministic, and the order that makes prefix
+    * filtering actually prune. Token arrays here are hash-sorted, so a
+    * prefix is a UNIFORM sample of each set: under a Zipfian corpus the
+    * frequent tokens land in prefixes at their natural rate and their
+    * candidate buckets grow as the SQUARE of corpus scale — the
+    * superlinear term the round-12 cascade sweep measured (set_pairs_45
+    * slope 1.75 on the 3×→10× step, isolated from shuffle density by
+    * tools.SetPairsPart: 128 vs 32 partitions moved 297 s to only
+    * 271 s at 30×, so the growth was candidate volume, not partition
+    * fatness). Rank-ordered arrays put each set's RAREST tokens in its
+    * prefix (the PPJoin/AllPairs design, Xiao et al. 2008, public
+    * algorithm), so a bucket's size is bounded by the token's df and
+    * the quadratic term collapses to the near-dup graph's true density.
+    *
+    * The rank is assigned WITHOUT a global window: bucket by
+    * (df, t div 2⁵⁵) — monotone in the target order — then q80's
+    * two-level construction (per-bucket row_number + a global prefix
+    * sum over the bucket-count relation, which is ≤ 512 rows per
+    * distinct df value: the tiny-metadata class the global window is
+    * allowed on). The df=1 hapax mass — most of a real vocabulary —
+    * spreads across the 512 hash buckets instead of one skewed window
+    * partition. Ranks are a pure function of (df, t): deterministic
+    * across runs, no sampling.
+    *
+    * The remap lives INSIDE candidate generation only: verify reads the
+    * original hash-sorted toks, so staged relations, jaccard values,
+    * and every downstream consumer are byte-identical (ranks never
+    * leak). The ranks join is vocab-keyed (Catalyst broadcasts it under
+    * the gate; above it, it is the same shuffle class as the collapse
+    * itself) and the re-aggregation is one extra pass over token
+    * instances — unigram_groups-build class (4.4 s at 30× vs the 400 s
+    * candidate join it cuts).
+    */
+  private[ops] def dfRankedSets(groups: DataFrame): DataFrame = {
+    val ranks0 = groups.select(explode(col("toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+      .withColumn("tb", expr("t div 36028797018963968L")) // 2^55: 512 hash buckets
+    val wIn = Window.partitionBy("df", "tb").orderBy("t")
+    val wBuckets = Window.orderBy("df", "tb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = ranks0.groupBy("df", "tb").agg(count(lit(1)).as("n"))
+      .withColumn("off", sum(col("n")).over(wBuckets) - col("n"))
+      .select("df", "tb", "off")
+    val ranks = ranks0.withColumn("r_in", row_number().over(wIn).cast(LongType))
+      .join(broadcast(offsets), Seq("df", "tb"))
+      .select(col("t"), (col("off") + col("r_in")).as("rank"))
+    groups.select(col("gid"), col("sz"), explode(col("toks")).as("t"))
+      .join(ranks, "t")
+      .groupBy("gid", "sz").agg(sort_array(collect_list(col("rank"))).as("toks"))
+      .select(col("gid"), col("toks"), col("sz"))
+  }
+
   /** Prefix-filtered candidate join over distinct token-set groups, for
     * a rational Jaccard threshold t = p/q (exact integer bounds — see
     * q21's scaladoc for the double-rounding trap). Emits each candidate
     * (ga, gb) pair exactly once (first-shared-token emission + PPJoin
     * position filter); see the predicate walkthrough at the q21 call
-    * site.
+    * site. Candidates are generated in [[dfRankedSets]]' canonical
+    * rank space (rarest-first prefixes — the pruning order); the
+    * emitted (ga, gb) pairs are order-independent and verify reads the
+    * original arrays.
     */
   private[ops] def prefixJoinCandidates(groups: DataFrame, p: Int, q: Int): DataFrame = {
-    val pref = groups
+    val pref = dfRankedSets(groups)
       .withColumn("pre", slice(col("toks"), lit(1), expr(s"sz - (($p*sz + ${q - 1}) div $q) + 1")))
       .select(col("gid"), col("sz"), col("pre"),
         posexplode(col("pre")).as(Seq("pos", "tok_id")))

@@ -43,7 +43,6 @@ object Inflate {
 
   def main(args: Array[String]): Unit = {
     val Array(src, out, copiesStr) = args
-    val copies = copiesStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -53,7 +52,14 @@ object Inflate {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, out, copiesStr.toInt)
+    spark.stop()
+  }
 
+  /** The inflation body, callable from an existing session
+    * ([[Canary]] builds its 3× corpus through this).
+    */
+  def run(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
     // one scan per table: the copy axis is an exploded sequence, so the
     // inflator itself is shuffle-free (scan → explode → project → write)
     def cloned(name: String): DataFrame =
@@ -107,6 +113,5 @@ object Inflate {
       .withColumn("vec_id", offL("vec_id")), "embeddings")
 
     println(s"[inflate] wrote ${copies}x clone of $src to $out")
-    spark.stop()
   }
 }

@@ -47,10 +47,16 @@ class CascadeInternalsSpec extends SparkSpecBase {
       def verifyPlan(docBytes: BigInt): String =
         Similarity.verifySetJaccardWithMembers(cands, groups, 0.8, docBytes)
           .queryExecution.executedPlan.toString()
-      assert(verifyPlan(BigInt(1)).contains("BroadcastHashJoin"),
-        "under-gate verify must broadcast the group dimension via the hint")
-      assert(!verifyPlan(BigInt(Long.MaxValue)).contains("BroadcastHashJoin"),
-        "over-gate verify must fall back to a shuffle join")
+      // assert on the two canon LOOKUP joins (keyed ga/gb) specifically:
+      // the candidate subtree legitimately broadcasts its tiny df-rank
+      // offsets relation at ANY corpus size, so a blanket plan-wide
+      // BroadcastHashJoin scan would misread the gate
+      val under = verifyPlan(BigInt(1))
+      val over = verifyPlan(BigInt(Long.MaxValue))
+      assert(under.contains("BroadcastHashJoin [ga") && under.contains("BroadcastHashJoin [gb"),
+        s"under-gate verify must broadcast the group dimension via the hint:\n$under")
+      assert(!over.contains("BroadcastHashJoin [ga") && !over.contains("BroadcastHashJoin [gb"),
+        s"over-gate verify must fall back to a shuffle join for the group dimension:\n$over")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
