@@ -24,7 +24,15 @@ import graft.functions.GraftFunctions
   */
 class LshAdvantageSpec extends SparkSpecBase {
 
-  private def adversarialCorpus(nDocs: Int): String = {
+  /** Round 11's adversarial corpus (30 tokens from one shared pool +
+    * 30 unique per doc) defeated the HASH-ordered prefix join: the
+    * pool's lowest hashes sat in every prefix and all 4,950 pairs were
+    * candidates. Round 12's canonical (df ASC, token ASC) ordering
+    * DEFEATS that corpus — pool tokens are the most frequent, sort
+    * last, and never enter a prefix (measured: 0 candidates). The
+    * test below keeps that as a pin.
+    */
+  private def sharedPoolCorpus(nDocs: Int): String = {
     val dir = tmpDir()
     val docs = (0 until nDocs).map { i =>
       val common = (0 until 30).map(k => s"common$k")
@@ -35,20 +43,49 @@ class LshAdvantageSpec extends SparkSpecBase {
     dir
   }
 
+  /** The CANONICAL order's residual worst case: a quadratic prefix
+    * blow-up needs a high-df token inside prefixes, which rarest-first
+    * ordering forbids — unless EVERY token has the same df, leaving
+    * the order no pruning signal. 60 tokens per doc drawn
+    * seeded-uniform from a 150-token universe (just above the ≤64
+    * bitmask fast path): df ≈ 40 everywhere, every doc's 13-token
+    * prefix concentrates on the same lowest-ranked tokens, and most
+    * pairs collide — while pairwise Jaccard stays ≈ 0.25, far under
+    * 0.8, so banding collides rarely. Candidates are what each
+    * strategy PAYS to verify; both still answer (empty) correctly.
+    */
+  private def uniformDfCorpus(nDocs: Int): String = {
+    val dir = tmpDir()
+    val docs = (0 until nDocs).map { i =>
+      val rnd = new scala.util.Random(i * 2654435761L + 1)
+      val toks = rnd.shuffle((0 until 150).toVector).take(60).sorted
+        .map(t => s"tok$t")
+      (i.toLong, toks.mkString(" "), "en", "s", 1L)
+    }
+    writeDocuments(dir, docs: _*)
+    dir
+  }
+
   test("banding candidates ≪ prefix candidates where prefix filtering degrades") {
-    val dir = adversarialCorpus(100)
     GraftFunctions.register(spark)
+    // pin the round-12 win first: the shared-frequent-pool corpus that
+    // degenerated the hash-ordered prefix join to ALL 4,950 pairs now
+    // yields ZERO candidates under canonical ordering (pool tokens
+    // sort last and stay out of every prefix)
+    val poolGroups = Similarity.tokenSetGroups(spark, sharedPoolCorpus(100))
+    assert(Similarity.prefixJoinCandidates(poolGroups, 4, 5).count() == 0L,
+      "canonical df-ordering must keep shared frequent tokens out of prefixes")
+    // the residual worst case: uniform df leaves the canonical order no
+    // signal and the prefix join degrades toward all pairs again
+    val dir = uniformDfCorpus(100)
     val groups = Similarity.tokenSetGroups(spark, dir)
     val prefixCands = Similarity.prefixJoinCandidates(groups, 4, 5).count()
     val lshCands = Sketches.minhashBandCandidates(groups).count()
-    // the prefix filter fully degenerates: every one of the C(100,2)
-    // pairs shares a prefix token, so the exact path must verify all of
-    // them (measured: 4950 = all pairs)
-    assert(prefixCands == 100L * 99 / 2,
-      s"corpus should defeat the prefix filter, got $prefixCands candidates")
-    // banding prunes by ACTUAL similarity, which is low — measured 1154
-    // (≈ 23% of pairs); assert strictly under half to leave slack for
-    // hash-function changes while keeping the advantage real
+    assert(prefixCands > 100L * 99 / 2 / 2,
+      s"uniform-df corpus should defeat the prefix filter, got $prefixCands candidates")
+    // banding prunes by ACTUAL similarity, which is low; assert strictly
+    // under half of the prefix join's set to leave slack for hash-
+    // function changes while keeping the advantage real
     assert(lshCands < prefixCands / 2,
       s"LSH candidate set ($lshCands) should be well under the prefix join's ($prefixCands)")
     // and both still give the right (empty) answer — candidates are not
