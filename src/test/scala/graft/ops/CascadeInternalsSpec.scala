@@ -198,4 +198,48 @@ class CascadeInternalsSpec extends SparkSpecBase {
       .orderBy("doc_a", "doc_b").collect().map(_.toString).toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("setPairsAbove ≡ brute force on seeded random corpora (both universe regimes, canonical-order candidates)") {
+    // zero-false-negative guarantee of the prefix cascade, re-proven
+    // after round 12 moved candidate generation into dfRankedSets' (df
+    // ASC, token ASC) rank space: on every corpus, the qualifying pair
+    // set must equal the all-group-pairs brute force. Trials cover the
+    // general (>64-token universe, prefix join) and masked (≤64,
+    // bitmask-fused join) strategies, Zipf-skewed and uniform token
+    // draws, and planted near-dup pairs (1 mutation on ~15 tokens:
+    // J = 14/16 ≥ 4/5).
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 6) {
+      val dir = tmpDir()
+      val vocabN = if (trial % 2 == 0) 40 else 80 + rnd.nextInt(60)
+      val zipf = trial % 3 == 0
+      def draw(): Int =
+        if (zipf) math.min(vocabN - 1, (math.pow(rnd.nextDouble(), 3) * vocabN).toInt)
+        else rnd.nextInt(vocabN)
+      val base = scala.collection.mutable.ArrayBuffer.empty[Set[Int]]
+      val docs = (0 until (30 + rnd.nextInt(30))).map { i =>
+        val set: Set[Int] =
+          if (base.nonEmpty && rnd.nextDouble() < 0.3) {
+            val src = base(rnd.nextInt(base.size)) // near-dup: mutate one token
+            if (src.size > 2 && rnd.nextBoolean()) src - src.head + draw() else src
+          } else (0 until (10 + rnd.nextInt(10))).map(_ => draw()).toSet
+        base += set
+        (i.toLong, set.toSeq.sorted.map(t => s"w$t").mkString(" "), "en", "s", 1L)
+      }
+      writeDocuments(dir, docs: _*)
+      val groups = Similarity.tokenSetGroups(spark, dir)
+      val gs = groups.select("gid", "toks").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toSet))
+      val expected = (for {
+        (ga, ta) <- gs; (gb, tb) <- gs if ga < gb
+        inter = (ta & tb).size
+        if 5L * inter >= 4L * (ta.size + tb.size - inter) // J >= 4/5 exactly
+      } yield (ga, gb)).toSet
+      val got = Similarity.setPairsAbove(groups, 4, 5, Similarity.documentsSizeBytes(spark, dir))
+        .select("ga", "gb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"trial $trial (vocab $vocabN, zipf $zipf): cascade ${got.size} pairs vs brute ${expected.size}; " +
+          s"missing ${expected -- got}, extra ${got -- expected}")
+    }
+  }
 }
