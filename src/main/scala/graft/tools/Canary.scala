@@ -95,6 +95,7 @@ object Canary {
         else None
       },
       "q62b_dedup_clusters_star" -> { _: String => None },
+      "q55_shingle_neardup" -> { _: String => None },
       "q213_blockmax_wand" -> { _: String => None },
       "q178_merkle_manifest" -> { _: String => None },
     )
