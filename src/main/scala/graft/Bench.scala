@@ -40,33 +40,35 @@ object Bench {
     // should be retaken, a judgment the consumer can now make without
     // re-running anything.
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        // A failed rep reports +Inf, not its elapsed-until-failure — a
-        // partial duration is not a measurement of the query, and letting
-        // it into the min would publish a bogus short time for a query
-        // that crashed on one rep and succeeded on another.
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            if (!failed.contains(name)) failed += name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-        }
-        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
-        // Untimed inter-query cleanup: dead broadcasts and shuffle state
-        // from query N are only reclaimed by ContextCleaner after a GC, so
-        // without this, query N+1 pays query N's garbage (observed 5-10×
-        // inflation late in the run vs the same query in isolation).
-        // localCheckpoint RDDs (q62's label-propagation rounds) and any
-        // cached relations are unpersisted EXPLICITLY — ContextCleaner
-        // only reclaims them after their references are GC'd, which can
-        // lag several queries behind.
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        spark.catalog.clearCache()
-        System.gc()
-        sec
+    val ordered = selected.toSeq.sortBy(_._1)
+    // One timed rep of `fn` with the untimed inter-query cleanup: dead
+    // broadcasts and shuffle state from query N are only reclaimed by
+    // ContextCleaner after a GC, so without this, query N+1 pays query
+    // N's garbage (observed 5-10× inflation late in the run vs the same
+    // query in isolation). localCheckpoint RDDs (q62's label-propagation
+    // rounds) and any cached relations are unpersisted EXPLICITLY —
+    // ContextCleaner only reclaims them after their references are
+    // GC'd, which can lag several queries behind.
+    def timedRep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      // A failed rep reports +Inf, not its elapsed-until-failure — a
+      // partial duration is not a measurement of the query, and letting
+      // it into the min would publish a bogus short time for a query
+      // that crashed on one rep and succeeded on another.
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          if (!failed.contains(name)) failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
       }
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      System.gc()
+      sec
+    }
+    val base = ordered.flatMap { case (name, fn) =>
+      val times = (1 to reps).map(_ => timedRep(name, fn))
       val sec = times.min
       // spread over reps AFTER the first successful one: rep 1
       // legitimately carries the query's one-time codegen/JIT (and, for
@@ -82,6 +84,21 @@ object Bench {
       // reported in `failed` but contributes nothing to queries/total
       if (sec.isInfinity) None else Some(name -> sec)
     }.toMap
+    // Post-pass for the run's FIRST keys (VERDICT r12 Next #6): the
+    // first few queries execute while the JVM is still compiling
+    // Spark's own hot paths, and min-of-N over CONSECUTIVE early reps
+    // cannot shed that — observed as a spurious +0.3-0.5 s on q01-q07
+    // in round-over-round full-map diffs, each re-measuring at its
+    // prior value in isolation. One extra rep at the END of the run,
+    // when the JVM is as warm as it will get, folded into each early
+    // key's min — so first-run keys are measured under the same JIT
+    // state as everything else. (~3 s of extra wall clock.)
+    val results = base ++ ordered.take(12).flatMap { case (name, fn) =>
+      if (!base.contains(name)) None else {
+        val sec = timedRep(name, fn)
+        if (sec.isInfinity) None else Some(name -> math.min(base(name), sec))
+      }
+    }
     // Every interpolated string (query names, failure list, sfDir)
     // goes through the shared encoder: a path or exception-derived
     // name containing a quote/backslash/control char must not make the

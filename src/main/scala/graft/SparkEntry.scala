@@ -282,6 +282,9 @@ object SparkEntry {
     "q239_rolling_actives" -> (Events.q239RollingActives _),
     "q239b_rolling_actives_hll" -> (Events.q239bRollingActivesHll _),
     "q240_traffic_trend" -> (Events.q240TrafficTrend _),
+    "q241_sketch_refinement_audit" -> (Sketches.q241SketchRefinementAudit _),
+    "q242_tf_postings_delta_merge" -> (TextOps.q242TfPostingsDeltaMerge _),
+    "q243_collapse_delta_merge" -> (Similarity.q243CollapseDeltaMerge _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -1837,6 +1840,9 @@ object SparkEntry {
         "(SELECT ga AS gid FROM spr45 UNION ALL SELECT gb AS gid FROM spr45)) " +
         "UNION ALL SELECT 'set_pairs_45', (SELECT count(*) FROM spr45) " +
         "UNION ALL SELECT 'shingle_groups', (SELECT c FROM shc) " +
+        // shingle_ranked: the canonical-order remap of shingle_groups —
+        // same rows, toks re-expressed as (df ASC, t ASC) ranks
+        "UNION ALL SELECT 'shingle_ranked', (SELECT c FROM shc) " +
         // sketch_labels: every doc gets a label (the sketch path's edge
         // set can only shrink components, never the labeled universe)
         "UNION ALL SELECT 'sketch_labels', (SELECT count(*) FROM documents) " +
@@ -3206,6 +3212,27 @@ object SparkEntry {
         s"SELECT cluster_id, source, count(*) AS ns FROM ($q62OracleCore) l " +
         "JOIN documents USING (doc_id) GROUP BY cluster_id, source) g " +
         "GROUP BY cluster_id) t WHERE n_docs >= 2 ORDER BY cluster_id"),
+    // q241: the oracle IS the refinement invariant — sketch clusters
+    // are verified at q62's own threshold over a candidate SUBSET, so
+    // no sketch cluster can span two exact clusters, and both label
+    // paths cover every document; the engine recomputes both sides
+    // from its staged label families and must land on the constants
+    "q241_sketch_refinement_audit" ->
+      ("SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_labeled, " +
+        "CAST(0 AS BIGINT) AS n_refinement_violations"),
+    // q242: merge ≡ recompute — the oracle rebuilds the postings from
+    // the raw corpus in one statement (q210's contract)
+    "q242_tf_postings_delta_merge" ->
+      ("SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) " +
+        "WHERE term <> '' GROUP BY doc_id, term ORDER BY doc_id, term"),
+    // q243: merge ≡ recompute for the exact-dup collapse — the oracle
+    // is the cold one-pass collapse (tt→gg), invariant under the
+    // injective token relabeling (q55's argument)
+    "q243_collapse_delta_merge" ->
+      (s"WITH $ttGgCtes " +
+        "SELECT tt.doc_id, gg.gid AS group_id FROM tt JOIN gg USING (toks) " +
+        "ORDER BY tt.doc_id"),
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by

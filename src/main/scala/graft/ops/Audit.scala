@@ -435,11 +435,21 @@ object Audit {
     * of the batch is `k IS NOT NULL AND pc > 0` here (a key only a
     * parent carries has cc = 0 and contributes nothing), n_parent
     * counts every parent row null keys included, and the explode/drop
-    * flags compare the same exact integers. StreamingSpec proves the
-    * two paths row-identical on a drained warehouse replay.
+    * flags compare the same exact integers. The grouped counts are
+    * LEFT-JOINED onto the declared [[FkEdges]] seed (one literal row
+    * per edge, zeros when the feed carried no tick for it) because the
+    * batch side always emits one row per declared edge even over empty
+    * tables — a bare groupBy("edge") would drop exactly those edges
+    * and break the 'same output, derived identically' contract on the
+    * empty-edge degenerate case (round-12 ADVICE). StreamingSpec
+    * proves the two paths row-identical on a drained warehouse replay,
+    * absent-edge case included.
     */
-  private[graft] def cardinalityReadout(perEdgeKey: DataFrame): DataFrame =
-    perEdgeKey.groupBy("edge").agg(
+  private[graft] def cardinalityReadout(perEdgeKey: DataFrame): DataFrame = {
+    import perEdgeKey.sparkSession.implicits._
+    val seed = FkEdges.map { case (child, ck, parent, pk) =>
+      s"$child.$ck -> $parent.$pk" }.toDF("edge")
+    val counts = perEdgeKey.groupBy("edge").agg(
         coalesce(sum(when(col("k").isNotNull, col("cc"))), lit(0L))
           .cast(LongType).as("n_child_keyed"),
         coalesce(sum(when(col("k").isNull, col("cc"))), lit(0L))
@@ -450,11 +460,16 @@ object Audit {
           .cast(LongType).as("n_join_rows"),
         coalesce(sum(when(col("k").isNotNull && col("pc") > 0, col("cc"))), lit(0L))
           .cast(LongType).as("n_matched_child"))
+    seed.join(counts, Seq("edge"), "left")
+      .select(col("edge") +:
+        Seq("n_child_keyed", "n_child_null", "n_parent", "n_join_rows",
+          "n_matched_child").map(c => coalesce(col(c), lit(0L)).as(c)): _*)
       .select(col("edge"), col("n_child_keyed"), col("n_child_null"),
         col("n_parent"), col("n_join_rows"),
         (col("n_join_rows") > col("n_child_keyed")).as("explodes"),
         (col("n_matched_child") < col("n_child_keyed")).as("drops_children"))
       .orderBy("edge")
+  }
 
   /** The join-key columns the skew audit profiles — every key a
     * declared join in this library shuffles on (the FK edges' child

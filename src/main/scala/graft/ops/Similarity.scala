@@ -126,6 +126,58 @@ object Similarity {
   def collapsedCorpus(spark: SparkSession, dir: String): DataFrame =
     tokenSetGroups(spark, dir)
 
+  /** Batch DELTA-MERGE for the exact-dup collapse (round-12 VERDICT
+    * Next #4): fold a fresh ingest batch into an existing staged
+    * collapse WITHOUT re-scanning the base corpus — the incremental
+    * path q81 gives doc-level dedup, now for the staged `unigram_groups`
+    * family itself. `baseGroups` is the materialized (gid, toks, sz,
+    * members) relation; `deltaDocToks` is the new batch as (doc_id,
+    * toks). The merge re-keys BOTH sides by the token set: members
+    * concatenate (sorted), gid re-derives as the min over the merged
+    * members — associative and commutative, so merge ≡ recompute
+    * exactly (DeltaMergeSpec pins row identity against the cold
+    * rebuild, q210's contract). Shuffle volume is |base groups| +
+    * |delta docs| keyed rows — the base corpus's raw text is never
+    * read again; at 100 TB with a daily ingest of ~0.1% the rebuild
+    * this replaces is three orders of magnitude more I/O.
+    *
+    * Precondition (same as every append-only ingest contract here,
+    * q81/q210): delta doc_ids are NEW — a re-sent doc_id would appear
+    * in two members lists. gid stability fine print: a delta doc with
+    * a smaller doc_id than its group's current gid RELABELS that group
+    * (gid = min member is the collapse's defining invariant, so the
+    * cold rebuild does the same — equality is preserved; consumers
+    * keyed on gid re-read the merged relation, exactly as they re-read
+    * a rebuilt one).
+    */
+  def collapseMerge(baseGroups: DataFrame, deltaDocToks: DataFrame): DataFrame =
+    baseGroups.select(col("toks"), col("gid"), col("members"))
+      .unionByName(tokenSetGroupsBy(deltaDocToks)
+        .select(col("toks"), col("gid"), col("members")))
+      .groupBy("toks")
+      .agg(min(col("gid")).as("gid"),
+        sort_array(flatten(collect_list(col("members")))).as("members"))
+      .withColumn("sz", size(col("toks")))
+      .select(col("toks"), col("gid"), col("members"), col("sz"))
+
+  /** q243 — the collapse delta-merge as a declared, oracle-checked
+    * query: the corpus split into a BASE shard (even doc_id — the
+    * staged state) and a DELTA shard (odd doc_id — today's ingest),
+    * the base collapsed cold, the delta folded in via [[collapseMerge]],
+    * and the merged collapse read out as (doc_id, group_id) — the same
+    * readout shape as q62. The oracle recomputes the collapse from the
+    * raw corpus in one pass: merge ≡ recompute is the declared,
+    * hash-checked contract (q210's pattern, applied to the staged
+    * family whose digests are additive).
+    */
+  def q243CollapseDeltaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docTokenSets(spark, dir)
+    val base = tokenSetGroupsBy(toks.filter(pmod(col("doc_id"), lit(2L)) === 0))
+    val merged = collapseMerge(base, toks.filter(pmod(col("doc_id"), lit(2L)) === 1))
+    merged.select(explode(col("members")).as("doc_id"), col("gid").as("group_id"))
+      .orderBy("doc_id")
+  }
+
   /** Eagerly materialize a cascade-shared relation ONCE and feed every
     * downstream consumer from the materialized copy — the in-query form
     * of the staged-cascade pattern (write [[collapsedCorpus]] to a
@@ -278,7 +330,7 @@ object Similarity {
     "bpe_merges", "clean_pack", "component_labels", "coreness", "doc_lengths",
     "dsir_weights", "ivf_model", "pos_postings", "prep_deduped", "prep_groups",
     "prep_pairs_45", "pagerank_scores", "set_pairs_45", "shingle_groups",
-    "sketch_labels", "tf_postings", "unigram_groups")
+    "shingle_ranked", "sketch_labels", "tf_postings", "unigram_groups")
 
   /** q135 — the staging-registry MANIFEST: one row per staged relation
     * family with its exact staged row count — the artifact inventory a
@@ -300,6 +352,7 @@ object Similarity {
     stagedUnigramGroups(spark, dir)
     stagedSetPairs45(spark, dir)
     stagedShingleGroups(spark, dir)
+    stagedShingleRanked(spark, dir)
     componentLabels(spark, dir)
     stagedIvfModel(spark, dir)
     graft.ops.TrainingData.stagedBpeMerges(spark, dir)
@@ -366,6 +419,54 @@ object Similarity {
   private[graft] def stagedSetPairs45(spark: SparkSession, dir: String): DataFrame =
     stagedTable(spark, dir, "set_pairs_45")(
       setPairsAbove(stagedUnigramGroups(spark, dir), 4, 5, documentsSizeBytes(spark, dir)))
+
+  /** Deterministic candidate VOLUME of the unigram J ≥ 4/5 prefix join
+    * — the exact quantity the round-12 quadratic grew through (candidate
+    * buckets of Zipf-frequent tokens, SCALING.md §2.3) and the round-13
+    * canary pin against a silent revert of the canonical ordering: the
+    * PRE-fix cascade still passed the wall-time ceiling at 3× (156.9 s
+    * vs the 225 s gate), but its candidate count at 3× is ~an order
+    * over the canonical ordering's, so pinning the COUNT catches the
+    * regression class wall time cannot at this scale. Ranks are a pure
+    * function of (df, t) and the prefix filter is deterministic, so the
+    * count is run-stable — a ceiling on it never flaps. Forces the
+    * prefix-join path explicitly (no smallUniverse routing): the pin
+    * targets candidate generation itself.
+    */
+  private[graft] def cascadeCandidateCount(spark: SparkSession, dir: String): Long =
+    prefixJoinCandidates(stagedUnigramGroups(spark, dir), 4, 5).count()
+
+  /** Data-statistic ROUTING for candidate generation where the caller
+    * tolerates sub-unit recall (the sketch label family; round-12
+    * VERDICT Next #5): rarest-first prefix filtering prunes EXACTLY
+    * when prefixes can be filled with low-df tokens — PPJoin's
+    * pruning precondition — and LshAdvantageSpec pins the residual
+    * worst case where it can't (every token same df → no signal, the
+    * prefix join degrades toward all pairs while banding keeps pruning
+    * by actual similarity). The routing statistic is that precondition
+    * read off the corpus: the fraction of DISTINCT tokens with df ≤ 2.
+    * Zipf-like corpora (any natural-language vocabulary — the hapax
+    * mass dominates) sit near 1 → prefix-join candidates, which are
+    * EXACT (recall 1, strictly better than banding) and, post the
+    * round-12 canonical ordering, linear in true near-dup density;
+    * flat-df corpora sit near 0 → banded candidates, whose volume
+    * tracks actual similarity instead of prefix collisions. The probe
+    * is one aggregation shipping two longs to the driver, run at
+    * STAGING time (the smallUniverse discipline: strategy picked by a
+    * data statistic, eager probes sanctioned where the build is
+    * already eager). Exact-contract consumers (q21/q55) never route —
+    * their answer must not depend on a heuristic; they always run the
+    * prefix join + full verify.
+    */
+  private[graft] def zipfLikeDf(groups: DataFrame): Boolean = {
+    val r = groups.select(explode(col("toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("v"),
+        coalesce(sum(when(col("df") <= 2, 1L).otherwise(0L)), lit(0L)).as("rare"))
+      .head()
+    val vocab = r.getLong(0)
+    vocab > 0 && r.getLong(1) * 2 >= vocab
+  }
 
   /** Generic collapse for any (doc_id, toks) relation — shared by the
     * unigram (q21/q25/q26) and shingle (q55) cascades. Docs whose token
@@ -469,6 +570,16 @@ object Similarity {
     * each qualifying pair exactly once with identical jaccard values.
     */
   private[graft] def setPairsAbove(groups: DataFrame, p: Int, q: Int, docBytes: BigInt): DataFrame =
+    setPairsAboveRankedBy(groups, dfRankedSets(groups), p, q, docBytes)
+
+  /** [[setPairsAbove]] with the canonical-order remap supplied by the
+    * caller (by-name: the masked small-universe path never builds it) —
+    * lets a staged remap ([[stagedShingleRanked]]) replace the
+    * in-query [[dfRankedSets]] pass. Outputs are identical either way:
+    * ranks only order candidates; verify reads the original arrays.
+    */
+  private[graft] def setPairsAboveRankedBy(groups: DataFrame, ranked: => DataFrame,
+      p: Int, q: Int, docBytes: BigInt): DataFrame =
     smallUniverse(groups) match {
       case Some(v) =>
         def docSide(df: DataFrame): DataFrame =
@@ -483,7 +594,7 @@ object Similarity {
         // the smallUniverse probe, a second eager driver-blocking job
         // guaranteed to return None again)
         verifySetJaccardWithMembersGeneral(
-          prefixJoinCandidates(groups, p, q), groups, p.toDouble / q, docBytes)
+          prefixJoinCandidatesRanked(ranked, p, q), groups, p.toDouble / q, docBytes)
     }
 
   /** The PPJoin CANONICAL ORDER: every token of a collapsed corpus
@@ -503,14 +614,30 @@ object Similarity {
     * the quadratic term collapses to the near-dup graph's true density.
     *
     * The rank is assigned WITHOUT a global window: bucket by
-    * (df, t div 2⁵⁵) — monotone in the target order — then q80's
-    * two-level construction (per-bucket row_number + a global prefix
-    * sum over the bucket-count relation, which is ≤ 512 rows per
-    * distinct df value: the tiny-metadata class the global window is
-    * allowed on). The df=1 hapax mass — most of a real vocabulary —
-    * spreads across the 512 hash buckets instead of one skewed window
-    * partition. Ranks are a pure function of (df, t): deterministic
-    * across runs, no sampling.
+    * (min(df, 1024), t div 2⁵⁵) — monotone in the target order — then
+    * q80's two-level construction (per-bucket row_number + a global
+    * prefix sum over the bucket-count relation). The df=1 hapax mass —
+    * most of a real vocabulary — spreads across the 512 hash buckets
+    * instead of one skewed window partition. Ranks are a pure function
+    * of (df, t): deterministic across runs, no sampling.
+    *
+    * The df CAP is what makes the bucket-count relation's size a
+    * PROVABLE hard bound rather than a corpus-dependent hope (round-12
+    * ADVICE): distinct capped-df values ≤ [[DfRankCap]] and hash
+    * buckets = 512, so `offsets` is ≤ 512·1024 ≈ 524k rows (~13 MB)
+    * for ANY corpus — uncapped, distinct-df count grows up to
+    * √(2·token-instances) (df values are distinct positive integers
+    * summing to the instance count), which at 100 TB breaks both the
+    * forced broadcast and the single-partition prefix-sum window this
+    * construction relies on. Capping is ORDER-SAFE: prefix-filter
+    * correctness (zero false negatives) holds for ANY total order —
+    * only pruning quality depends on it — and tokens with df ≥ 1024
+    * are all deep Zipf-head; rarest-first pruning only needs the RARE
+    * end ordered finely, so above the cap the within-class hash order
+    * costs nothing (a set whose prefix reaches df ≥ 1024 tokens is the
+    * flat-df worst case no ordering helps — see LshAdvantageSpec).
+    * Injectivity is untouched: ranks are still per-(class, bucket)
+    * row_numbers over distinct tokens plus disjoint offsets.
     *
     * The remap lives INSIDE candidate generation only: verify reads the
     * original hash-sorted toks, so staged relations, jaccard values,
@@ -519,20 +646,25 @@ object Similarity {
     * the gate; above it, it is the same shuffle class as the collapse
     * itself) and the re-aggregation is one extra pass over token
     * instances — unigram_groups-build class (4.4 s at 30× vs the 400 s
-    * candidate join it cuts).
+    * candidate join it cuts). For per-query consumers the remap of a
+    * STAGED collapse is itself staged (e.g. [[stagedShingleRanked]]) so
+    * steady-state queries skip the pass entirely.
     */
+  private[ops] val DfRankCap = 1024L
+
   private[ops] def dfRankedSets(groups: DataFrame): DataFrame = {
     val ranks0 = groups.select(explode(col("toks")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("df"))
+      .withColumn("dfc", least(col("df"), lit(DfRankCap)))
       .withColumn("tb", expr("t div 36028797018963968L")) // 2^55: 512 hash buckets
-    val wIn = Window.partitionBy("df", "tb").orderBy("t")
-    val wBuckets = Window.orderBy("df", "tb")
+    val wIn = Window.partitionBy("dfc", "tb").orderBy("t")
+    val wBuckets = Window.orderBy("dfc", "tb")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = ranks0.groupBy("df", "tb").agg(count(lit(1)).as("n"))
+    val offsets = ranks0.groupBy("dfc", "tb").agg(count(lit(1)).as("n"))
       .withColumn("off", sum(col("n")).over(wBuckets) - col("n"))
-      .select("df", "tb", "off")
+      .select("dfc", "tb", "off")
     val ranks = ranks0.withColumn("r_in", row_number().over(wIn).cast(LongType))
-      .join(broadcast(offsets), Seq("df", "tb"))
+      .join(broadcast(offsets), Seq("dfc", "tb"))
       .select(col("t"), (col("off") + col("r_in")).as("rank"))
     groups.select(col("gid"), col("sz"), explode(col("toks")).as("t"))
       .join(ranks, "t")
@@ -550,8 +682,16 @@ object Similarity {
     * emitted (ga, gb) pairs are order-independent and verify reads the
     * original arrays.
     */
-  private[ops] def prefixJoinCandidates(groups: DataFrame, p: Int, q: Int): DataFrame = {
-    val pref = dfRankedSets(groups)
+  private[ops] def prefixJoinCandidates(groups: DataFrame, p: Int, q: Int): DataFrame =
+    prefixJoinCandidatesRanked(dfRankedSets(groups), p, q)
+
+  /** [[prefixJoinCandidates]] over an ALREADY-RANKED (gid, toks, sz)
+    * relation — the entry point for consumers whose [[dfRankedSets]]
+    * remap is staged once per (session, corpus) (q55 via
+    * [[stagedShingleRanked]]) instead of recomputed per query.
+    */
+  private[ops] def prefixJoinCandidatesRanked(ranked: DataFrame, p: Int, q: Int): DataFrame = {
+    val pref = ranked
       .withColumn("pre", slice(col("toks"), lit(1), expr(s"sz - (($p*sz + ${q - 1}) div $q) + 1")))
       .select(col("gid"), col("sz"), col("pre"),
         posexplode(col("pre")).as(Seq("pos", "tok_id")))
@@ -740,6 +880,16 @@ object Similarity {
     *     doc-level join.
     *
     * The MinHash-LSH probabilistic variant is the q25 sketch op.
+    *
+    * Strategy note (VERDICT r12 #5): this key's contract is EXACT, so
+    * it never routes to a sketch — the prefix join + full verify always
+    * runs (the small-universe bitmask path is the one alternative, and
+    * it is exact too). The df-statistic routing between prefix-join and
+    * banded candidates ([[zipfLikeDf]]) applies where sub-unit recall
+    * is tolerated: the `sketch_labels` staged family. On a flat-df
+    * corpus — the prefix filter's measured worst case
+    * (LshAdvantageSpec) — this exact key pays the dense candidate set;
+    * that density is the corpus's true geometry, not a plan defect.
     */
   def q21JaccardNeardup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -787,6 +937,15 @@ object Similarity {
     expandWithMembers(setPairsAbove(groups, p, q, docBytes), groups, "jaccard", lit(1.0))
       .orderBy("doc_a", "doc_b")
 
+  /** [[nearDupPairsFrom]] with a caller-supplied (typically staged)
+    * canonical-order remap — q55's steady-state entry: the remap pass
+    * runs once per (session, corpus) instead of once per query.
+    */
+  def nearDupPairsFromRanked(groups: DataFrame, ranked: => DataFrame,
+      p: Int, q: Int, docBytes: BigInt): DataFrame =
+    expandWithMembers(setPairsAboveRankedBy(groups, ranked, p, q, docBytes),
+      groups, "jaccard", lit(1.0)).orderBy("doc_a", "doc_b")
+
   /** q132 — MODALITY-AGREEMENT check (the genuine cross-modal join the
     * round-6 verdict asked for): every text-side near-dup pair (token
     * Jaccard ≥ 4/5, the staged q21 relation) is joined against the
@@ -831,6 +990,12 @@ object Similarity {
     * [[docTokenSets]]); docs under 3 words have no shingles and drop
     * out. Threshold 3/5 in exact integer bounds via
     * [[prefixJoinCandidates]].
+    *
+    * Strategy note: exact contract — never routed to a sketch (see the
+    * q21 scaladoc; [[zipfLikeDf]] routing applies to `sketch_labels`
+    * only). Shingle corpora are the routing statistic's easy case:
+    * 3-gram vocabularies are hapax-dominated at any scale, so the
+    * rarest-first prefix order always has pruning signal here.
     */
   def q55ShingleNeardup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -838,9 +1003,14 @@ object Similarity {
     // native codegen'd build ([[graft.functions.ShingleHashes]]) — the
     // HOF formulation is interpreted per window and was the bottleneck
     // the shingle collapse is a cross-query staged relation
-    // ([[stagedShingleGroups]]) shared with q126's containment pass
+    // ([[stagedShingleGroups]]) shared with q126's containment pass;
+    // the canonical-order remap is staged beside it
+    // ([[stagedShingleRanked]]) so the per-query cost is the candidate
+    // join + verify only — the round-12 fix moved the remap in-query
+    // (0.86 → 1.49 s at sf0.1) and this staging takes it back out
     val groups = stagedShingleGroups(spark, dir)
-    nearDupPairsFrom(groups, 3, 5, docBytes) // threshold 3/5 = 0.6
+    nearDupPairsFromRanked(groups, stagedShingleRanked(spark, dir),
+      3, 5, docBytes) // threshold 3/5 = 0.6
   }
 
   /** E3 — top-k cosine similarity search, brute-force exact baseline:
@@ -884,6 +1054,19 @@ object Similarity {
       tokenSetGroupsBy(Tables.documents(spark, dir).select(col("doc_id"),
         call_function("shingle_hashes", split(col("text"), " "), lit(3)).as("toks")))
     }
+
+  /** The staged [[dfRankedSets]] remap of [[stagedShingleGroups]] —
+    * same (gid, toks, sz) rows with toks in canonical PPJoin rank space
+    * (long arrays round-trip parquet exactly; ranks are a pure function
+    * of (df, t), so the staged copy equals the in-query remap). Staged
+    * once per (session, corpus) so q55's steady state pays the
+    * candidate join + verify only, not the remap pass — the unigram
+    * twin needs no such family because its PAIRS are staged whole
+    * ([[stagedSetPairs45]]).
+    */
+  private[graft] def stagedShingleRanked(spark: SparkSession, dir: String): DataFrame =
+    stagedTable(spark, dir, "shingle_ranked")(
+      dfRankedSets(stagedShingleGroups(spark, dir)))
 
   /** q126 — CONTAINMENT near-dup at phrase granularity: pairs where the
     * smaller word-3-gram set is ≥ 90% inside the larger one

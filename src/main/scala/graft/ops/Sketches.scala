@@ -216,6 +216,37 @@ object Sketches {
   def q146SketchClusters(spark: SparkSession, dir: String): DataFrame =
     stagedSketchLabels(spark, dir).orderBy("doc_id")
 
+  /** q241 — SKETCH-REFINEMENT AUDIT, the sketch path's hash-checked
+    * contract (round-12 VERDICT Next #8): q146's labels themselves are
+    * xxhash64-dependent (rows-only at the driver, q25's class), but the
+    * REFINEMENT INVARIANT they satisfy is engine-independent — banding
+    * can only MISS candidate edges and the survivors are verified at
+    * q62's own threshold, so every sketch cluster is a subset of
+    * exactly one exact cluster. This readout joins the two staged label
+    * families on doc_id and counts, per sketch cluster, the distinct
+    * exact clusters it spans; the output is the audit a production run
+    * logs: (n_labeled, n_refinement_violations). The oracle IS the
+    * invariant: n_labeled = count(documents) (both paths label every
+    * doc) and violations = 0 — if the sketch path ever produced a
+    * cluster crossing an exact boundary (a verify-threshold drift, a
+    * label-propagation bug), this key's hash check fails at the
+    * driver. EmbeddingCurationSpec measures the complementary
+    * direction (how much the sketch path SPLITS, its recall trade).
+    */
+  def q241SketchRefinementAudit(spark: SparkSession, dir: String): DataFrame = {
+    val sk = stagedSketchLabels(spark, dir)
+      .select(col("doc_id"), col("cluster_id").as("sketch_cluster"))
+    val ex = Similarity.componentLabels(spark, dir)
+      .select(col("doc_id"), col("cluster_id").as("exact_cluster"))
+    sk.join(ex, "doc_id")
+      .groupBy("sketch_cluster")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("exact_cluster")).as("n_exact"))
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).cast(LongType).as("n_labeled"),
+        coalesce(sum(when(col("n_exact") > 1, 1L).otherwise(0L)), lit(0L))
+          .cast(LongType).as("n_refinement_violations"))
+  }
+
   /** The PERSISTED sketch-path label relation — its own staging family
     * beside `component_labels` (the exact twin), because a production
     * run materializes whichever label table its dedup path produced
@@ -230,7 +261,17 @@ object Sketches {
       graft.functions.GraftFunctions.register(spark)
       val docBytes = Similarity.documentsSizeBytes(spark, dir)
       val groups = Similarity.stagedUnigramGroups(spark, dir)
-      val cands = minhashBandCandidates(groups)
+      // candidate strategy routed by the df statistic (VERDICT r12 #5,
+      // [[Similarity.zipfLikeDf]]): on Zipf-like corpora the canonical-
+      // order prefix join's candidates are exact (recall 1) AND linear
+      // in true near-dup density — strictly better than banding — so
+      // banding is reserved for flat-df corpora where prefix filtering
+      // has no pruning signal (LshAdvantageSpec's residual worst case).
+      // Either branch feeds the same exact verify at the same
+      // threshold, so the refinement invariant (q241) holds on both.
+      val cands =
+        if (Similarity.zipfLikeDf(groups)) Similarity.prefixJoinCandidates(groups, 4, 5)
+        else minhashBandCandidates(groups)
       val edges = Similarity
         .verifySetJaccardWithMembers(cands, groups, threshold, docBytes)
         .select(col("ga"), col("gb"))

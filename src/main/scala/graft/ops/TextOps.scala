@@ -650,12 +650,46 @@ object TextOps {
     stagedTfPostings(spark, dir)
 
   private[graft] def stagedTfPostings(spark: SparkSession, dir: String): DataFrame =
-    Similarity.stagedTable(spark, dir, "tf_postings") {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .filter(col("term") =!= "")
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    }
+    Similarity.stagedTable(spark, dir, "tf_postings")(
+      tfPostingsOf(Tables.documents(spark, dir)))
+
+  /** The tf-postings build over an arbitrary documents relation — the
+    * cold-rebuild kernel shared by the staged family and the delta
+    * path ([[tfPostingsMerge]]).
+    */
+  private[ops] def tfPostingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Batch DELTA-MERGE for the tf-postings family (round-12 VERDICT
+    * Next #4): fold an ingest batch into an existing postings relation
+    * without re-tokenizing the base corpus. (doc, term) groups are
+    * PER-DOCUMENT, so under the append-only ingest contract (delta
+    * doc_ids are new — q81/q210's precondition) the delta's postings
+    * are key-disjoint from the base and the merge is a bare union: no
+    * re-aggregation, no base-side shuffle at all — the cheapest
+    * possible incremental shape, which is exactly why the postings
+    * family was picked for it (the streaming twin, postingStream,
+    * maintains the same feed at ingest time; this is its batch
+    * catch-up). DeltaMergeSpec pins merge ≡ recompute row identity.
+    */
+  def tfPostingsMerge(basePostings: DataFrame, deltaDocs: DataFrame): DataFrame =
+    basePostings.unionByName(tfPostingsOf(deltaDocs))
+
+  /** q242 — the postings delta-merge as a declared, oracle-checked
+    * query (q210's merge ≡ recompute pattern): BASE shard = even
+    * doc_id (the staged state), DELTA = odd doc_id (today's ingest);
+    * base built cold, delta folded in via [[tfPostingsMerge]], full
+    * merged postings read out. The oracle recomputes the postings from
+    * the raw corpus in one statement.
+    */
+  def q242TfPostingsDeltaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = tfPostingsOf(docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
+    tfPostingsMerge(base, docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
+      .orderBy("doc_id", "term")
+  }
 
   /** Per-doc token length (dl), staged beside [[stagedTfPostings]]:
     * the BM25 scorers read it once per scoring subplan (q193 once,

@@ -4,43 +4,61 @@ import org.apache.spark.sql.SparkSession
 
 /** Standing scale-regression gate (VERDICT r11 Next #8): re-runs a
   * small canary set at a 3× inflation of sf0.1 against COMMITTED
-  * ceilings (`CANARY.thresholds` at the repo root), so a plan
-  * regression that only materializes at scale — a broadcast falling
-  * back to sort-merge past the size gate, a row_number window
-  * reappearing on a corpus-sized relation, the IVF nlist model
-  * regressing toward a constant — is caught by the build workflow
-  * rather than by the next judge's sweep.
+  * ceilings (`CANARY.thresholds`), so a plan regression that only
+  * materializes at scale — a broadcast falling back to sort-merge past
+  * the size gate, a row_number window reappearing on a corpus-sized
+  * relation, the IVF nlist model regressing toward a constant — is
+  * caught by the build workflow rather than by the next judge's sweep.
   *
-  * Two gate classes per canary:
-  *  - a wall-time CEILING (min-of-2 after a staging/codegen warmup
-  *    rep, same machine class and `local[32]` discipline as
+  * Three gate classes:
+  *  - a wall-time CEILING per canary (min-of-2 after a staging/codegen
+  *    warmup rep, same machine class and `local[32]` discipline as
   *    SCALING.md; ceilings are set ~1.8× the measured min so machine
   *    noise cannot flap the gate but a 3×-at-3× regression trips it);
-  *  - PLAN-SHAPE assertions read from the post-run executedPlan (the
-  *    Q25Part lesson: only the AQE final plan reports the join regime
-  *    that actually executed) — q25's three joins must stay broadcast
-  *    with zero SMJ/SHJ fallbacks, q120 must carry neither a
-  *    CartesianProduct nor a Window (the bounded-heap k-cut and the
-  *    bucket join are its whole cost model).
+  *  - PLAN-SHAPE assertions read from EVERY timed rep's executedPlan
+  *    (the Q25Part lesson: only the AQE final plan reports the join
+  *    regime that actually executed; round-12 ADVICE: a strategy flip
+  *    between reps must not hide behind the min-time rep) — q25's
+  *    three joins must stay broadcast with zero SMJ/SHJ fallbacks,
+  *    q120 must carry neither a CartesianProduct nor a Window;
+  *  - a candidate-VOLUME ceiling (round-12 VERDICT Next #1):
+  *    `cascade_candidate_volume` pins the unigram prefix-join's
+  *    deterministic candidate COUNT at 3×. The quadratic-candidates
+  *    regression class the round-12 fix killed passes the wall-time
+  *    gates at 3× (pre-fix cascade: 156.9 s vs the 225 s ceiling — it
+  *    only melts at 10×+), but its candidate count at 3× is ~an order
+  *    over the canonical ordering's, so the count — a pure function of
+  *    the corpus, zero noise — is the gate that actually catches a
+  *    silent revert of the PPJoin ordering. Proven by experiment: a
+  *    deliberate hash-order revert trips this gate at 3× (SCALING.md
+  *    §6).
   *
   * The one-time staged-cascade build is ITSELF a canary
-  * (`staged_cascade_build` — the full 17-family q135 inventory), so
+  * (`staged_cascade_build` — the full 18-family q135 inventory), so
   * the largest single cost in the system has a standing ceiling too
   * (SCALING.md §2.3 measured its curve; this keeps it measured).
   *
-  * Usage: runMain graft.tools.Canary [srcDir] [workDir]
+  * Usage: runMain graft.tools.Canary [srcDir] [workDir] [thresholdsPath]
   * Exit 0 = all gates hold; exit 1 = any breach (each printed).
-  * Reuses workDir's 3× corpus when present; builds it via
-  * [[Inflate.run]] otherwise.
+  * `thresholdsPath` defaults to `CANARY.thresholds` in the process cwd
+  * (the sbt-from-repo-root invocation); pass it explicitly from any
+  * other launch directory. Reuses workDir's 3× corpus when present;
+  * builds it via [[Inflate.run]] otherwise.
   */
 object Canary {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft_canary/sfx3")
+    val thrPath = args.lift(2).getOrElse("CANARY.thresholds")
+    require(new java.io.File(thrPath).isFile,
+      s"Canary: thresholds file not found at '$thrPath' (cwd ${System.getProperty("user.dir")}); " +
+        "pass its path as the third argument when launching outside the repo root")
+    // explicit UTF-8: the forked JVM's default charset is not UTF-8
     val thresholds: Map[String, Double] =
-      scala.io.Source.fromFile("CANARY.thresholds", "UTF-8").getLines()
-        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-        .map { l => val Array(k, v) = l.split("\\s+"); k -> v.toDouble }.toMap
+      scala.util.Using.resource(scala.io.Source.fromFile(thrPath, "UTF-8")) { s =>
+        s.getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map { l => val Array(k, v) = l.split("\\s+"); k -> v.toDouble }.toMap
+      }
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -57,21 +75,36 @@ object Canary {
     spark.range(2000000).selectExpr("sum(id * 2)").collect()
 
     var failed = List.empty[String]
-    def gate(name: String, sec: Double, planIssue: Option[String]): Unit = {
-      val ceil = thresholds.getOrElse(name,
-        { failed ::= s"$name: no committed ceiling"; Double.NaN })
-      val timeOk = !sec.isNaN && !ceil.isNaN && sec <= ceil
-      if (!timeOk) failed ::= f"$name: $sec%.2f s exceeds ceiling $ceil%.2f s"
-      planIssue.foreach { i => failed ::= s"$name: plan regression — $i" }
-      val verdict = if (timeOk && planIssue.isEmpty) "PASS" else "FAIL"
-      println(f"[canary] $name%-28s $sec%7.2f s  ceiling ${ceil}%7.2f  plan ${planIssue.getOrElse("ok")}  $verdict")
+    // value ≤ committed ceiling, in the named unit; a missing ceiling is
+    // ONE failure (the value comparison is skipped — round-12 ADVICE:
+    // no NaN double-report), a present one gates the measured value.
+    def gate(name: String, value: Double, unit: String,
+        planIssues: List[String]): Unit = {
+      val ceil = thresholds.get(name)
+      val timeIssue = ceil match {
+        case None => Some(s"$name: no committed ceiling")
+        case Some(c) if value > c => Some(f"$name: $value%.2f $unit exceeds ceiling $c%.2f $unit")
+        case _ => None
+      }
+      val issues = timeIssue.toList ++ planIssues.map(i => s"$name: plan regression — $i")
+      failed = issues reverse_::: failed
+      val verdict = if (issues.isEmpty) "PASS" else "FAIL"
+      val ceilStr = ceil.map(c => f"$c%10.2f").getOrElse("   MISSING")
+      println(f"[canary] $name%-28s $value%10.2f $unit%-10s ceiling $ceilStr  " +
+        s"plan ${if (planIssues.isEmpty) "ok" else planIssues.mkString("; ")}  $verdict")
     }
 
     // canary 0: the staged-cascade build, cold registry
     graft.ops.Similarity.evictStagedSession(spark)
     val t0 = System.nanoTime()
     graft.ops.Similarity.q135StagingManifest(spark, work).collect()
-    gate("staged_cascade_build", (System.nanoTime() - t0) / 1e9, None)
+    gate("staged_cascade_build", (System.nanoTime() - t0) / 1e9, "s", Nil)
+
+    // canary 0b: deterministic candidate volume of the unigram prefix
+    // join at 3× — the quadratic-candidates pin (registry is warm, so
+    // this measures candidate generation over the staged collapse)
+    gate("cascade_candidate_volume",
+      graft.ops.Similarity.cascadeCandidateCount(spark, work).toDouble, "cands", Nil)
 
     def planCounts(plan: String, pat: String): Int =
       plan.sliding(pat.length).count(_ == pat)
@@ -108,8 +141,12 @@ object Canary {
         ((System.nanoTime() - t) / 1e9, df.queryExecution.executedPlan.toString)
       }
       rep() // warmup (staging is already built; this settles codegen)
-      val (s1, p1) = rep(); val (s2, _) = rep()
-      gate(key, math.min(s1, s2), planCheck(p1))
+      val (s1, p1) = rep(); val (s2, p2) = rep()
+      // plan check on BOTH timed reps (round-12 ADVICE: an AQE strategy
+      // flip between reps must fail even when min() masks its time)
+      val planIssues = Seq(1 -> p1, 2 -> p2).flatMap { case (i, p) =>
+        planCheck(p).map(issue => s"rep $i: $issue") }.toList
+      gate(key, math.min(s1, s2), "s", planIssues)
     }
 
     if (failed.nonEmpty) {

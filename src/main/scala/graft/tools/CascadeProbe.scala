@@ -30,9 +30,14 @@ object CascadeProbe {
     val reps = args.head.toInt
     val dirs = args.tail.toSeq
     require(dirs.nonEmpty, "usage: CascadeProbe <reps> <dir1> [<dir2> ...]")
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS: §2.3's post-fix footnote (a) — the
+    // 10×-at-32 set_pairs point carries one skewed straggler partition
+    // that 128-way hashing removes; the recorded curve should be the
+    // clean one, so the probe takes the partition count from the env.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -50,6 +55,7 @@ object CascadeProbe {
         "unigram_groups" -> (() => Similarity.stagedUnigramGroups(spark, dir)),
         "set_pairs_45" -> (() => Similarity.stagedSetPairs45(spark, dir)),
         "shingle_groups" -> (() => Similarity.stagedShingleGroups(spark, dir)),
+        "shingle_ranked" -> (() => Similarity.stagedShingleRanked(spark, dir)),
         "component_labels" -> (() => Similarity.componentLabels(spark, dir)),
         "ivf_model" -> (() => Similarity.stagedIvfModel(spark, dir)),
         "bpe_merges" -> (() => TrainingData.stagedBpeMerges(spark, dir)),

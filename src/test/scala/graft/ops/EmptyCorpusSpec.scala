@@ -192,6 +192,8 @@ class EmptyCorpusSpec extends SparkSpecBase {
     "q85_small_quantity_revenue", "q96_filtered_global_agg",
     "q153_funnel_timing", "q177_triangle_census", "q190_ab_readout",
     "q229_zipf_fit", "q230_heaps_curve", "q233_event_gini",
+    "q241_sketch_refinement_audit", // (0 labeled, 0 violations) — the
+                                    // audit must SAY clean, not vanish
     // fixed frames: the decile/stage/shard grid exists independent of
     // the data mass that lands in it
     "q235_lorenz_deciles", "q138_shard_skew", "q220_filter_funnel",

@@ -93,4 +93,25 @@ class LshAdvantageSpec extends SparkSpecBase {
     assert(Similarity.q21JaccardNeardup(spark, dir).count() == 0)
     assert(Sketches.q25MinhashNeardup(spark, dir).count() == 0)
   }
+
+  test("candidate-strategy routing: Zipf-like df routes to the prefix join, flat df to banding") {
+    GraftFunctions.register(spark)
+    // the df statistic (Similarity.zipfLikeDf) is PPJoin's pruning
+    // precondition read off the corpus: prefixes prune iff a rare-token
+    // mass exists to fill them. The shared-pool corpus is hapax-
+    // dominated (30 pool tokens at df=100, 3000 unique at df=1) ->
+    // prefix join; the uniform-df corpus has no rare mass (df ~ 40
+    // everywhere) -> banded path.
+    val poolGroups = Similarity.tokenSetGroups(spark, sharedPoolCorpus(100))
+    assert(Similarity.zipfLikeDf(poolGroups),
+      "hapax-dominated corpus must route to the prefix join")
+    val uniGroups = Similarity.tokenSetGroups(spark, uniformDfCorpus(100))
+    assert(!Similarity.zipfLikeDf(uniGroups),
+      "flat-df corpus must route to the banded path")
+    // the synthetic testdata's unigram vocabulary is tiny and dense
+    // (df high everywhere): flat by the statistic -> banded, so q146's
+    // committed behavior on the test corpora is unchanged
+    assert(!Similarity.zipfLikeDf(
+      Similarity.stagedUnigramGroups(spark, "/root/testdata/sf0.001")))
+  }
 }

@@ -37,6 +37,25 @@ class StagedRegistrySpec extends SparkSpecBase {
     assert(survStaged.nonEmpty && survStaged == survInline)
   }
 
+  test("q55 via the staged shingle_ranked remap matches the inline (unranked-entry) cascade") {
+    GraftFunctions.register(spark)
+    val docBytes = Similarity.documentsSizeBytes(spark, sf)
+    // inline leg: rebuild the shingle collapse from the raw corpus and
+    // run the UNSTAGED entry (nearDupPairsFrom computes its own
+    // dfRankedSets remap in-query) — the round-13 staging of the remap
+    // must be output-identical to it
+    val inlineGroups = Similarity.tokenSetGroupsBy(
+      Tables.documents(spark, sf).select(col("doc_id"),
+        call_function("shingle_hashes", split(col("text"), " "), lit(3)).as("toks")))
+      .localCheckpoint(true)
+    val inline = Similarity.nearDupPairsFrom(inlineGroups, 3, 5, docBytes)
+      .collect().map(_.toString).toSeq
+    val staged = Similarity.q55ShingleNeardup(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(staged.nonEmpty, "sf0.001 corpus should contain shingle near-dup pairs")
+    assert(staged == inline)
+  }
+
   test("componentLabels staging table matches an inline CC computation; q108 is its readout") {
     GraftFunctions.register(spark)
     val docBytes = Similarity.documentsSizeBytes(spark, sf)
@@ -237,7 +256,11 @@ class StagedRegistrySpec extends SparkSpecBase {
     assert(m.keySet == Set("bpe_merges", "clean_pack", "component_labels", "coreness",
       "doc_lengths", "dsir_weights", "ivf_model", "pagerank_scores", "pos_postings",
       "prep_deduped", "prep_groups", "prep_pairs_45", "set_pairs_45", "shingle_groups",
-      "sketch_labels", "tf_postings", "unigram_groups"))
+      "shingle_ranked", "sketch_labels", "tf_postings", "unigram_groups"))
+    // shingle_ranked is the canonical-order REMAP of shingle_groups:
+    // identical row set (one per collapsed group), toks re-expressed as
+    // (df ASC, t ASC) ranks
+    assert(m("shingle_ranked") == m("shingle_groups"))
     // pos_postings: one row per RAW split-array element (empties kept)
     assert(m("pos_postings") == graft.Tables.documents(spark, sf)
       .select(org.apache.spark.sql.functions.sum(
