@@ -420,21 +420,79 @@ object Similarity {
     stagedTable(spark, dir, "set_pairs_45")(
       setPairsAbove(stagedUnigramGroups(spark, dir), 4, 5, documentsSizeBytes(spark, dir)))
 
-  /** Deterministic candidate VOLUME of the unigram J ≥ 4/5 prefix join
-    * — the exact quantity the round-12 quadratic grew through (candidate
-    * buckets of Zipf-frequent tokens, SCALING.md §2.3) and the round-13
-    * canary pin against a silent revert of the canonical ordering: the
-    * PRE-fix cascade still passed the wall-time ceiling at 3× (156.9 s
-    * vs the 225 s gate), but its candidate count at 3× is ~an order
-    * over the canonical ordering's, so pinning the COUNT catches the
-    * regression class wall time cannot at this scale. Ranks are a pure
-    * function of (df, t) and the prefix filter is deterministic, so the
-    * count is run-stable — a ceiling on it never flaps. Forces the
-    * prefix-join path explicitly (no smallUniverse routing): the pin
-    * targets candidate generation itself.
+  /** Deterministic EMITTED-candidate count of the unigram J ≥ 4/5
+    * prefix join. Kept for the record and the CandCount tool, but NOT
+    * the canary's pin: measurement (round 13, SCALING.md §6) showed the
+    * emitted count is nearly ORDERING-INVARIANT on the inflated corpus
+    * (canonical 17.0M vs hash-order 17.2M at 3×; 1.31B vs 1.32B at
+    * 30×) — the first-shared-token exactly-once emission yields ~the
+    * same pair set under any order. What the ordering changes is the
+    * work the join performs to emit them — see
+    * [[cascadeBucketStats]], the quantities the canary pins.
     */
   private[graft] def cascadeCandidateCount(spark: SparkSession, dir: String): Long =
     prefixJoinCandidates(stagedUnigramGroups(spark, dir), 4, 5).count()
+
+  /** Deterministic BUCKET statistics of the unigram J ≥ 4/5 prefix
+    * join — over prefix tokens t with bucket size n(t) (sets whose
+    * prefix contains t): the TOTAL evaluated pairings Σ C(n, 2) and
+    * the HOTTEST single bucket max C(n, 2). The total is what the
+    * candidate equi-join pays in aggregate; the max is what a single
+    * task pays, and per-KEY load cannot be split by adding partitions
+    * (SetPairsPart: 128 vs 32 partitions moved the pre-fix 30× join
+    * only 297 → 271 s). Round-13 measurement (SCALING.md §6)
+    * established that on the INFLATED corpus the ordering changes
+    * neither the emitted count nor even the total Σ C(n, 2)
+    * (101.27M hash vs 101.19M canonical at 3×) — the round-12 win was
+    * per-key SKEW: hash order concentrates the same total into a few
+    * giant shared-token buckets whose single-task cost grows with the
+    * square of scale, canonical order spreads it across df-bounded
+    * buckets. So the canary pins BOTH: the total (absolute candidate-
+    * work growth) and the max (the straggler/quadratic-bucket class a
+    * revert brings back). Pure functions of the corpus → run-stable;
+    * one aggregation, no join, cheap at gate time.
+    */
+  private[graft] def cascadeBucketStats(spark: SparkSession, dir: String): (Long, Long) =
+    prefixBucketStats(dfRankedSets(stagedUnigramGroups(spark, dir)), 4, 5)
+
+  private[ops] def prefixBucketStats(ranked: DataFrame, p: Int, q: Int): (Long, Long) = {
+    val r = ranked
+      .withColumn("pre", slice(col("toks"), lit(1), expr(s"sz - (($p*sz + ${q - 1}) div $q) + 1")))
+      .select(explode(col("pre")).as("tok_id"))
+      .groupBy("tok_id").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("v"),
+        coalesce(max(expr("n * (n - 1) div 2")), lit(0L)).as("m"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** The canary's ORDERING PROBE (round-13; the gate that provably
+    * catches a canonical-ordering revert at ANY scale): candidate
+    * count of the prefix join over the deterministic shared-frequent-
+    * pool corpus (LshAdvantageSpec's fixture — 100 docs, 30 tokens
+    * from one shared pool + 30 unique each). Under the canonical
+    * (df ASC, t ASC) ordering the pool tokens sort LAST and never
+    * enter a prefix → 0 candidates; under hash-ordered prefixes the
+    * pool's lowest hashes sit in every prefix → all 4,950 pairs. The
+    * 3× VOLUME pin alone cannot separate the orderings (measured:
+    * 17.0M vs 17.2M at 3× — the inflator's shared-token df quadratic
+    * only dominates past 3×), so the probe carries the ordering
+    * property and the volume pin carries absolute candidate growth.
+    * Self-contained and corpus-free: the fixture builds in-memory,
+    * deterministically, in milliseconds.
+    */
+  private[graft] def orderingProbeCandidates(spark: SparkSession): Long = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = (0 until 100).map { i =>
+      val common = (0 until 30).map(k => s"common$k")
+      val unique = (0 until 30).map(k => s"doc${i}u$k")
+      (i.toLong, (common ++ unique).mkString(" "))
+    }.toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      call_function("shingle_hashes", split(col("text"), " "), lit(1)).as("toks"))
+    prefixJoinCandidates(tokenSetGroupsBy(toks), 4, 5).count()
+  }
 
   /** Data-statistic ROUTING for candidate generation where the caller
     * tolerates sub-unit recall (the sketch label family; round-12
@@ -614,30 +672,34 @@ object Similarity {
     * the quadratic term collapses to the near-dup graph's true density.
     *
     * The rank is assigned WITHOUT a global window: bucket by
-    * (min(df, 1024), t div 2⁵⁵) — monotone in the target order — then
-    * q80's two-level construction (per-bucket row_number + a global
-    * prefix sum over the bucket-count relation). The df=1 hapax mass —
-    * most of a real vocabulary — spreads across the 512 hash buckets
-    * instead of one skewed window partition. Ranks are a pure function
-    * of (df, t): deterministic across runs, no sampling.
+    * (⌊log₂ df⌋, t div 2⁵⁵) and order by the EXACT (df, t) within each
+    * bucket — q80's two-level construction (per-bucket row_number + a
+    * global prefix sum over the bucket-count relation). The df=1 hapax
+    * mass — most of a real vocabulary — spreads across the 512 hash
+    * buckets instead of one skewed window partition. Ranks are a pure
+    * function of (df, t): deterministic across runs, no sampling.
     *
-    * The df CAP is what makes the bucket-count relation's size a
-    * PROVABLE hard bound rather than a corpus-dependent hope (round-12
-    * ADVICE): distinct capped-df values ≤ [[DfRankCap]] and hash
-    * buckets = 512, so `offsets` is ≤ 512·1024 ≈ 524k rows (~13 MB)
-    * for ANY corpus — uncapped, distinct-df count grows up to
-    * √(2·token-instances) (df values are distinct positive integers
-    * summing to the instance count), which at 100 TB breaks both the
-    * forced broadcast and the single-partition prefix-sum window this
-    * construction relies on. Capping is ORDER-SAFE: prefix-filter
-    * correctness (zero false negatives) holds for ANY total order —
-    * only pruning quality depends on it — and tokens with df ≥ 1024
-    * are all deep Zipf-head; rarest-first pruning only needs the RARE
-    * end ordered finely, so above the cap the within-class hash order
-    * costs nothing (a set whose prefix reaches df ≥ 1024 tokens is the
-    * flat-df worst case no ordering helps — see LshAdvantageSpec).
-    * Injectivity is untouched: ranks are still per-(class, bucket)
-    * row_numbers over distinct tokens plus disjoint offsets.
+    * The log₂-BAND bucket key is what makes the bucket-count relation's
+    * size a PROVABLE hard bound rather than a corpus-dependent hope
+    * (round-12 ADVICE): ≤ 64 df bands × 512 hash buckets = 32,768
+    * `offsets` rows for ANY corpus — bucketing on the raw df value
+    * instead leaves distinct-df count growing up to √(2·token-
+    * instances) (df values are distinct positive integers summing to
+    * the instance count), which at 100 TB breaks both the forced
+    * broadcast and the single-partition prefix-sum window this
+    * construction relies on. The band key's ordering loss is bounded
+    * and harmless: rank order is exact-(df, t) within a band and
+    * band-ascending across bands, so two tokens can only be
+    * mis-ordered relative to true df when their dfs sit within one 2×
+    * band AND they land in different hash sub-buckets — a frequency
+    * distinction prefix pruning cannot exploit anyway. (A hard VALUE
+    * cap — min(df, 1024) — was tried first and measured WRONG on the
+    * inflated corpus, where every df exceeds the cap: the whole vocab
+    * collapsed into one class and 'canonical' order silently became
+    * hash order, reintroducing the round-12 quadratic bucket —
+    * SCALING.md §6. The band key keeps full cross-band df resolution
+    * at every scale.) Injectivity is untouched: ranks are per-(band,
+    * bucket) row_numbers over distinct tokens plus disjoint offsets.
     *
     * The remap lives INSIDE candidate generation only: verify reads the
     * original hash-sorted toks, so staged relations, jaccard values,
@@ -650,21 +712,21 @@ object Similarity {
     * STAGED collapse is itself staged (e.g. [[stagedShingleRanked]]) so
     * steady-state queries skip the pass entirely.
     */
-  private[ops] val DfRankCap = 1024L
-
   private[ops] def dfRankedSets(groups: DataFrame): DataFrame = {
     val ranks0 = groups.select(explode(col("toks")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("df"))
-      .withColumn("dfc", least(col("df"), lit(DfRankCap)))
+      // ⌊log₂ df⌋ via the binary-string length: integer-exact at every
+      // band boundary (no float log), df ≥ 1 always
+      .withColumn("db", (length(bin(col("df"))) - 1).cast(LongType))
       .withColumn("tb", expr("t div 36028797018963968L")) // 2^55: 512 hash buckets
-    val wIn = Window.partitionBy("dfc", "tb").orderBy("t")
-    val wBuckets = Window.orderBy("dfc", "tb")
+    val wIn = Window.partitionBy("db", "tb").orderBy("df", "t")
+    val wBuckets = Window.orderBy("db", "tb")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = ranks0.groupBy("dfc", "tb").agg(count(lit(1)).as("n"))
+    val offsets = ranks0.groupBy("db", "tb").agg(count(lit(1)).as("n"))
       .withColumn("off", sum(col("n")).over(wBuckets) - col("n"))
-      .select("dfc", "tb", "off")
+      .select("db", "tb", "off")
     val ranks = ranks0.withColumn("r_in", row_number().over(wIn).cast(LongType))
-      .join(broadcast(offsets), Seq("dfc", "tb"))
+      .join(broadcast(offsets), Seq("db", "tb"))
       .select(col("t"), (col("off") + col("r_in")).as("rank"))
     groups.select(col("gid"), col("sz"), explode(col("toks")).as("t"))
       .join(ranks, "t")

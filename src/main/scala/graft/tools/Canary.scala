@@ -100,11 +100,26 @@ object Canary {
     graft.ops.Similarity.q135StagingManifest(spark, work).collect()
     gate("staged_cascade_build", (System.nanoTime() - t0) / 1e9, "s", Nil)
 
-    // canary 0b: deterministic candidate volume of the unigram prefix
-    // join at 3× — the quadratic-candidates pin (registry is warm, so
-    // this measures candidate generation over the staged collapse)
-    gate("cascade_candidate_volume",
-      graft.ops.Similarity.cascadeCandidateCount(spark, work).toDouble, "cands", Nil)
+    // canary 0b/0c: deterministic BUCKET statistics of the unigram
+    // prefix join at 3× — the quadratic-candidates pins. The TOTAL
+    // evaluated pairings (Σ per-prefix-token C(bucket, 2)) gate
+    // absolute candidate-work growth; the HOTTEST bucket (max
+    // C(bucket, 2)) gates the per-key skew a hash-order revert brings
+    // back — on the inflated corpus the emitted count and even the
+    // total are ordering-invariant (SCALING.md §6), the max is not.
+    val (bSum, bMax) = graft.ops.Similarity.cascadeBucketStats(spark, work)
+    gate("cascade_candidate_volume", bSum.toDouble, "pairings", Nil)
+    gate("cascade_bucket_skew", bMax.toDouble, "pairings", Nil)
+
+    // canary 0c: the ORDERING PROBE — prefix-join candidates over the
+    // deterministic shared-frequent-pool fixture. Canonical ordering
+    // yields 0; a hash-order revert yields all 4,950 (the revert
+    // experiment's trip wire: at 3× the VOLUME pin alone cannot
+    // separate the orderings — 17.0M vs 17.2M measured — because the
+    // inflated corpus's shared-token quadratic only dominates past 3×,
+    // while this probe separates them at any scale, by construction)
+    gate("cascade_order_probe",
+      graft.ops.Similarity.orderingProbeCandidates(spark).toDouble, "cands", Nil)
 
     def planCounts(plan: String, pat: String): Int =
       plan.sliding(pat.length).count(_ == pat)

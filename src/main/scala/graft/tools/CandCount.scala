@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints, for each given corpus dir, the unigram J ≥ 4/5 prefix
+  * join's EMITTED candidate count and its EVALUATED bucket volume
+  * (Σ per-prefix-token C(bucket, 2) — the canary's
+  * `cascade_candidate_volume` pin; see
+  * [[graft.ops.Similarity.cascadeBucketVolume]]). Used to
+  * (re-)baseline the canary ceiling and to record the ordering
+  * divergence curve (SCALING.md §6: the EMITTED count is ordering-
+  * invariant on the inflated corpus; the BUCKET volume is what a
+  * hash-order revert blows up — it, plus the in-memory shared-pool
+  * ordering probe, is what the canary gates).
+  *
+  * Usage: runMain graft.tools.CandCount <dir1> [<dir2> ...]
+  */
+object CandCount {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: CandCount <dir1> [<dir2> ...]")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(f"[candcount] ordering probe: ${graft.ops.Similarity.orderingProbeCandidates(spark)}%,d candidates (canonical = 0)")
+    args.foreach { dir =>
+      var t0 = System.nanoTime()
+      val (v, m) = graft.ops.Similarity.cascadeBucketStats(spark, dir)
+      val tv = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val n = graft.ops.Similarity.cascadeCandidateCount(spark, dir)
+      val tn = (System.nanoTime() - t0) / 1e9
+      println(f"[candcount] $dir%-28s bucket volume $v%,d max $m%,d ($tv%.1f s)  emitted $n%,d ($tn%.1f s)")
+    }
+    spark.stop()
+  }
+}
