@@ -442,8 +442,9 @@ object Audit {
     * tables — a bare groupBy("edge") would drop exactly those edges
     * and break the 'same output, derived identically' contract on the
     * empty-edge degenerate case (round-12 ADVICE). StreamingSpec
-    * proves the two paths row-identical on a drained warehouse replay,
-    * absent-edge case included.
+    * proves the two paths row-identical on a drained warehouse replay;
+    * AuditSpec pins the absent-edge case (empty feed ≡ batch q182 over
+    * an empty warehouse).
     */
   private[graft] def cardinalityReadout(perEdgeKey: DataFrame): DataFrame = {
     import perEdgeKey.sparkSession.implicits._

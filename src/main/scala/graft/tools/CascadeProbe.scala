@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * number measures a query's STEADY STATE with the cascade pre-built;
   * rep 1 of the first stage-consuming query carried the cascade as an
   * unattributed ~110-125 s lump at 10×. This probe isolates it: each of
-  * the 17 staged families from [[graft.ops.Similarity.q135StagingManifest]]'s
+  * the 18 staged families from [[graft.ops.Similarity.q135StagingManifest]]'s
   * fixed inventory is forced individually, in the same dependency order
   * the manifest uses, with the wall time of its eager parquet write
   * recorded — so the output is a per-family build cost at each scale

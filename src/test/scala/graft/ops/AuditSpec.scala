@@ -299,6 +299,19 @@ class AuditSpec extends SparkSpecBase {
     val fd = Audit.q199FdDiscovery(spark, dir).collect()
     assert(fd.length == Audit.FdCandidates.length)
     assert(fd.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L && r.getBoolean(5)))
+    // cardinality readout over an edge-ABSENT feed (round-12 ADVICE):
+    // the streaming readout must emit one all-zero row per DECLARED FK
+    // edge, exactly like batch q182 over the empty warehouse — a bare
+    // groupBy("edge") would drop the silent edges
+    import spark.implicits._
+    val emptyFeed = Seq.empty[(String, Option[Long], Long, Long)]
+      .toDF("edge", "k", "cc", "pc")
+    val readout = Audit.cardinalityReadout(emptyFeed).collect().map(_.toSeq).toSeq
+    val batch182 = Audit.q182JoinCardinality(spark, dir).collect().map(_.toSeq).toSeq
+    assert(readout == batch182,
+      s"empty-feed readout must equal batch q182 over the empty warehouse:\n$readout\nvs\n$batch182")
+    assert(readout.nonEmpty && readout.forall(r =>
+      r.drop(1).take(4).forall(_ == 0L) && r(5) == false && r(6) == false))
   }
 
   test("q199 FD discovery: key FD holds, non-key FD breaks with a counted witness, NULL LHS excluded") {
