@@ -106,6 +106,27 @@ class CascadeInternalsSpec extends SparkSpecBase {
     assert(masked.nonEmpty && masked == general)
   }
 
+  test("prefixBucketStats matches a hand computation; ordering probe separates the orderings") {
+    import spark.implicits._
+    // three ranked sets at threshold 4/5 (prefix length = sz - ceil(4sz/5) + 1):
+    //   g1: toks [1,2,3,4,5]      sz 5  -> prefix len 2 -> prefix {1,2}
+    //   g2: toks [1,2,6,7,8]      sz 5  -> prefix {1,2}
+    //   g3: toks [2,9,10,11,12]   sz 5  -> prefix {2,9}
+    // buckets: tok 1 -> n=2 (C=1), tok 2 -> n=3 (C=3), tok 9 -> n=1 (C=0)
+    // => total 4, max 3
+    val ranked = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L, 5L), 5),
+      (2L, Seq(1L, 2L, 6L, 7L, 8L), 5),
+      (3L, Seq(2L, 9L, 10L, 11L, 12L), 5)).toDF("gid", "toks", "sz")
+    assert(Similarity.prefixBucketStats(ranked, 4, 5) == (4L, 3L))
+    // empty relation: both statistics coalesce to zero, no NPE
+    assert(Similarity.prefixBucketStats(ranked.filter(lit(false)), 4, 5) == (0L, 0L))
+    // the canary's ordering probe: canonical rank order keeps the
+    // shared-pool tokens out of every prefix (0 candidates); the
+    // deliberate hash-order revert measured all 4,950 (SCALING.md §6.1)
+    assert(Similarity.orderingProbeCandidates(spark) == 0L)
+  }
+
   test("general path (>64-token universe): plan uses merge-scan verify; pairs brute-force-exact") {
     val dir = bigVocabFixture()
     graft.functions.GraftFunctions.register(spark)
