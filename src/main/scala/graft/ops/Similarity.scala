@@ -422,13 +422,15 @@ object Similarity {
 
   /** Deterministic EMITTED-candidate count of the unigram J ≥ 4/5
     * prefix join. Kept for the record and the CandCount tool, but NOT
-    * the canary's pin: measurement (round 13, SCALING.md §6) showed the
-    * emitted count is nearly ORDERING-INVARIANT on the inflated corpus
-    * (canonical 17.0M vs hash-order 17.2M at 3×; 1.31B vs 1.32B at
-    * 30×) — the first-shared-token exactly-once emission yields ~the
-    * same pair set under any order. What the ordering changes is the
-    * work the join performs to emit them — see
-    * [[cascadeBucketStats]], the quantities the canary pins.
+    * the canary's pin: per SCALING.md §6.1's table the band-canonical
+    * ordering emits 10.57M vs the hash-order revert's 17.24M at 3× —
+    * only a 1.6× separation, inside a noise-safe gate's headroom —
+    * while at 30× it is 107.1M vs 1,307.7M, far past where a 3× gate
+    * looks. (An earlier "the emitted count is ordering-invariant"
+    * reading came from the df-value-cap run, whose 'canonical' side
+    * had silently degenerated to hash order — see [[dfRankedSets]].)
+    * The statistic that separates the orderings AT 3× is per-key
+    * bucket skew — see [[cascadeBucketStats]], the canary's pins.
     */
   private[graft] def cascadeCandidateCount(spark: SparkSession, dir: String): Long =
     prefixJoinCandidates(stagedUnigramGroups(spark, dir), 4, 5).count()
@@ -440,13 +442,17 @@ object Similarity {
     * candidate equi-join pays in aggregate; the max is what a single
     * task pays, and per-KEY load cannot be split by adding partitions
     * (SetPairsPart: 128 vs 32 partitions moved the pre-fix 30× join
-    * only 297 → 271 s). Round-13 measurement (SCALING.md §6)
-    * established that on the INFLATED corpus the ordering changes
-    * neither the emitted count nor even the total Σ C(n, 2)
-    * (101.27M hash vs 101.19M canonical at 3×) — the round-12 win was
-    * per-key SKEW: hash order concentrates the same total into a few
-    * giant shared-token buckets whose single-task cost grows with the
-    * square of scale, canonical order spreads it across df-bounded
+    * only 297 → 271 s). Round-13 measurement (SCALING.md §6.1's
+    * table) put the ordering's 3× separation on the TOTAL at only
+    * 1.39× (canonical 72.98M vs hash 101.27M Σ C(n, 2)) — inside the
+    * 2× noise-safe gate headroom, so the total alone cannot catch a
+    * revert at 3× (at 30× it is 734.8M vs 5.46B). The statistic that
+    * separates the orderings at 3× is per-key SKEW: hash order
+    * concentrates the pairings into a few giant shared-token buckets
+    * whose single-task cost grows with the square of scale (max
+    * C(n, 2): canonical 4.20M vs hash 16.09M at 3× — a 3.8×
+    * overshoot of the 2× gate — and a scale-flat 5.92M vs 1.16B at
+    * 30×), while canonical order spreads it across df-bounded
     * buckets. So the canary pins BOTH: the total (absolute candidate-
     * work growth) and the max (the straggler/quadratic-bucket class a
     * revert brings back). Pure functions of the corpus → run-stable;
@@ -474,10 +480,13 @@ object Similarity {
     * (df ASC, t ASC) ordering the pool tokens sort LAST and never
     * enter a prefix → 0 candidates; under hash-ordered prefixes the
     * pool's lowest hashes sit in every prefix → all 4,950 pairs. The
-    * 3× VOLUME pin alone cannot separate the orderings (measured:
-    * 17.0M vs 17.2M at 3× — the inflator's shared-token df quadratic
+    * 3× VOLUME pin alone cannot separate the orderings (measured,
+    * SCALING.md §6.1: Σ C(bucket, 2) is 72.98M canonical vs 101.27M
+    * under the hash-order revert at 3× — a 1.39× separation, inside
+    * the 2× gate headroom; the inflator's shared-token df quadratic
     * only dominates past 3×), so the probe carries the ordering
-    * property and the volume pin carries absolute candidate growth.
+    * property, the skew pin carries the quadratic-bucket class, and
+    * the volume pin carries absolute candidate growth.
     * Self-contained and corpus-free: the fixture builds in-memory,
     * deterministically, in milliseconds.
     */

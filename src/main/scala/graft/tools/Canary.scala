@@ -21,17 +21,21 @@ import org.apache.spark.sql.SparkSession
   *    between reps must not hide behind the min-time rep) — q25's
   *    three joins must stay broadcast with zero SMJ/SHJ fallbacks,
   *    q120 must carry neither a CartesianProduct nor a Window;
-  *  - a candidate-VOLUME ceiling (round-12 VERDICT Next #1):
-  *    `cascade_candidate_volume` pins the unigram prefix-join's
-  *    deterministic candidate COUNT at 3×. The quadratic-candidates
-  *    regression class the round-12 fix killed passes the wall-time
-  *    gates at 3× (pre-fix cascade: 156.9 s vs the 225 s ceiling — it
-  *    only melts at 10×+), but its candidate count at 3× is ~an order
-  *    over the canonical ordering's, so the count — a pure function of
-  *    the corpus, zero noise — is the gate that actually catches a
-  *    silent revert of the PPJoin ordering. Proven by experiment: a
-  *    deliberate hash-order revert trips this gate at 3× (SCALING.md
-  *    §6).
+  *  - deterministic CANDIDATE pins (round-12 VERDICT Next #1, round
+  *    13): `cascade_candidate_volume` (Σ per-prefix-token C(bucket,2)
+  *    at 3× — absolute candidate-work growth), `cascade_bucket_skew`
+  *    (the hottest bucket's C(n,2) — the quadratic-bucket/straggler
+  *    class) and `cascade_order_probe` (the in-memory shared-pool
+  *    fixture). The quadratic-candidates regression class the
+  *    round-12 fix killed passes the wall-time gates at 3× (pre-fix
+  *    cascade: 156.9 s vs the 225 s ceiling — it only melts at 10×+),
+  *    and the volume moves just 1.39× at 3× under a hash-order revert
+  *    (inside the 2× gate headroom) — it is the SKEW (16.09M vs the
+  *    8.4M ceiling, a 3.8× overshoot of measured) and the probe
+  *    (4,950 vs 0) that catch a silent revert of the PPJoin ordering,
+  *    pure functions of the corpus with zero noise. Proven by
+  *    experiment: a deliberate hash-order revert trips both at 3×
+  *    while every wall-time gate still passes (SCALING.md §6.1).
   *
   * The one-time staged-cascade build is ITSELF a canary
   * (`staged_cascade_build` — the full 18-family q135 inventory), so
@@ -115,9 +119,11 @@ object Canary {
     // deterministic shared-frequent-pool fixture. Canonical ordering
     // yields 0; a hash-order revert yields all 4,950 (the revert
     // experiment's trip wire: at 3× the VOLUME pin alone cannot
-    // separate the orderings — 17.0M vs 17.2M measured — because the
-    // inflated corpus's shared-token quadratic only dominates past 3×,
-    // while this probe separates them at any scale, by construction)
+    // separate the orderings — Σ C(bucket,2) moves only 72.98M →
+    // 101.27M under the revert, a 1.39× step inside the 2× gate
+    // headroom (SCALING.md §6.1) — because the inflated corpus's
+    // shared-token quadratic only dominates past 3×, while this probe
+    // separates them at any scale, by construction)
     gate("cascade_order_probe",
       graft.ops.Similarity.orderingProbeCandidates(spark).toDouble, "cands", Nil)
 

@@ -3,15 +3,18 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Prints, for each given corpus dir, the unigram J ≥ 4/5 prefix
-  * join's EMITTED candidate count and its EVALUATED bucket volume
-  * (Σ per-prefix-token C(bucket, 2) — the canary's
-  * `cascade_candidate_volume` pin; see
-  * [[graft.ops.Similarity.cascadeBucketVolume]]). Used to
-  * (re-)baseline the canary ceiling and to record the ordering
-  * divergence curve (SCALING.md §6: the EMITTED count is ordering-
-  * invariant on the inflated corpus; the BUCKET volume is what a
-  * hash-order revert blows up — it, plus the in-memory shared-pool
-  * ordering probe, is what the canary gates).
+  * join's EMITTED candidate count and its EVALUATED bucket statistics
+  * (Σ per-prefix-token C(bucket, 2) and the hottest bucket's
+  * C(n, 2) — the canary's `cascade_candidate_volume` /
+  * `cascade_bucket_skew` pins; see
+  * [[graft.ops.Similarity.cascadeBucketStats]]). Used to
+  * (re-)baseline the canary ceilings and to record the ordering
+  * divergence curve (SCALING.md §6.1's table: at 3× a hash-order
+  * revert moves the emitted count 10.57M → 17.24M and the volume
+  * 72.98M → 101.27M — both inside a 2× gate's headroom — while the
+  * max bucket jumps 4.20M → 16.09M, a 3.8× overshoot, and grows
+  * with the square of scale (1.16B at 30×); the skew pin, plus the
+  * in-memory shared-pool ordering probe, is what catches a revert).
   *
   * Usage: runMain graft.tools.CandCount <dir1> [<dir2> ...]
   */
