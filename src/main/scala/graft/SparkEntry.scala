@@ -285,6 +285,8 @@ object SparkEntry {
     "q241_sketch_refinement_audit" -> (Sketches.q241SketchRefinementAudit _),
     "q242_tf_postings_delta_merge" -> (TextOps.q242TfPostingsDeltaMerge _),
     "q243_collapse_delta_merge" -> (Similarity.q243CollapseDeltaMerge _),
+    "q244_set_pairs_delta_merge" -> (Similarity.q244SetPairsDeltaMerge _),
+    "q245_labels_delta_merge" -> (Similarity.q245LabelsDeltaMerge _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -483,6 +485,18 @@ object SparkEntry {
       "SELECT v AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY v"
 
   private def q62OracleSql: String = q62OracleCore + " ORDER BY doc_id"
+
+  // q21's oracle, factored so q244 (the set-pairs delta merge) can
+  // declare the VERBATIM same SQL — merge ≡ recompute is the contract
+  private val q21OracleSql: String =
+    "WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+      "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))*10000 + 0.5)/10000 AS jaccard " +
+      "FROM t a JOIN t b ON a.doc_id < b.doc_id " +
+      "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+      "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8 " +
+      "ORDER BY doc_a, doc_b"
 
   /** The q104/q107 span machinery as a reusable CTE list (shared by
     * q107 and the q109 composition so the span semantics exist
@@ -718,15 +732,7 @@ object SparkEntry {
     "q20_doc_dedup_exact" ->
       ("WITH r AS (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
         "FROM documents) SELECT doc_id, lang, source FROM r WHERE rn = 1 ORDER BY doc_id"),
-    "q21_jaccard_neardup" ->
-      ("WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents) " +
-        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
-        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))*10000 + 0.5)/10000 AS jaccard " +
-        "FROM t a JOIN t b ON a.doc_id < b.doc_id " +
-        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
-        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8 " +
-        "ORDER BY doc_a, doc_b"),
+    "q21_jaccard_neardup" -> q21OracleSql,
     "q22_topk_cosine" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), " +
         "t AS (SELECT vec_id AS tid, embedding AS te FROM embeddings WHERE vec_id >= 5), " +
@@ -3233,6 +3239,12 @@ object SparkEntry {
       (s"WITH $ttGgCtes " +
         "SELECT tt.doc_id, gg.gid AS group_id FROM tt JOIN gg USING (toks) " +
         "ORDER BY tt.doc_id"),
+    // q244/q245: merge ≡ recompute for the cascade's pair and label
+    // families — the oracles are the cold q21/q62 oracles VERBATIM
+    // (the whole point of the delta-merge contract: folding a delta
+    // into staged state answers exactly what a cold rebuild answers)
+    "q244_set_pairs_delta_merge" -> q21OracleSql,
+    "q245_labels_delta_merge" -> q62OracleSql,
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by
