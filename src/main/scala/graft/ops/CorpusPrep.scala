@@ -77,8 +77,10 @@ object CorpusPrep {
   private[graft] def stagedPrepPairs45(spark: SparkSession, dir: String): DataFrame =
     Similarity.stagedTable(spark, dir, "prep_pairs_45") {
       graft.functions.GraftFunctions.register(spark)
-      Similarity.setPairsAbove(stagedPrepGroups(spark, dir), 4, 5,
-        Similarity.documentsSizeBytes(spark, dir))
+      // pair-join partition policy (see stagedSetPairs45): the scrubbed
+      // prep collapse feeds the same candidate+verify join shape
+      Similarity.setPairsOverStagedGroups(spark, dir, "prep_groups",
+        stagedPrepGroups(spark, dir), 4, 5)
     }
 
   /** q67 — scrub → length-gate → exact-dedup → near-dup survivors →

@@ -274,12 +274,17 @@ object Similarity {
     * connectivity is already encoded in the base labels).
     */
   private[graft] def pairsMergeFromTagged(tagged: DataFrame, basePairs: DataFrame,
-      p: Int, q: Int, docBytes: BigInt): (DataFrame, DataFrame) = {
+      p: Int, q: Int, docBytes: BigInt): (DataFrame, DataFrame) =
+    (pairsRemapFromTagged(tagged, basePairs, docBytes),
+      newPairsFromTagged(tagged, p, q, docBytes))
+
+  private def pairsRemapFromTagged(tagged: DataFrame, basePairs: DataFrame,
+      docBytes: BigInt): DataFrame = {
     def side(df: DataFrame): DataFrame =
       if (underBroadcastGate(docBytes)) broadcast(df) else df
     val map = tagged.filter(!col("is_new"))
       .select(col("gid_old"), col("gid"), col("members"))
-    val remapped = basePairs.select(col("ga"), col("gb"), col("jaccard"))
+    basePairs.select(col("ga"), col("gb"), col("jaccard"))
       .join(side(map.select(col("gid_old").as("ga"), col("gid").as("na"),
         col("members").as("ma0"))), "ga")
       .join(side(map.select(col("gid_old").as("gb"), col("gid").as("nb"),
@@ -288,7 +293,28 @@ object Similarity {
         greatest(col("na"), col("nb")).as("gb"), col("jaccard"),
         when(col("na") < col("nb"), col("ma0")).otherwise(col("mb0")).as("ma"),
         when(col("na") < col("nb"), col("mb0")).otherwise(col("ma0")).as("mb"))
-    (remapped, newPairsFromTagged(tagged, p, q, docBytes))
+  }
+
+  /** The whole-cascade delta merge — what a production ingest actually
+    * runs: ONE tagged collapse merge and ONE asymmetric delta join,
+    * shared by all three staged outputs (the per-family [[pairsMerge]]/
+    * [[labelsMerge]] entries each recompute them when called
+    * separately, the right shape for the self-contained declared keys
+    * but not for a pipeline run). Returns (merged groups, merged
+    * pairs, merged doc labels) — the three relations a staging
+    * registry re-materializes per ingest batch. The delta join's
+    * verified new pairs are checkpointed once and feed both the pair
+    * union and the label continuation.
+    */
+  def cascadeMerge(baseGroups: DataFrame, basePairs: DataFrame,
+      baseLabels: DataFrame, deltaDocToks: DataFrame,
+      p: Int, q: Int, docBytes: BigInt): (DataFrame, DataFrame, DataFrame) = {
+    val tagged = staged(collapseMergeTagged(baseGroups, deltaDocToks))
+    val fresh = staged(newPairsFromTagged(tagged, p, q, docBytes))
+    val groups = tagged.select(col("gid"), col("toks"), col("sz"), col("members"))
+    val pairs = pairsRemapFromTagged(tagged, basePairs, docBytes).unionByName(fresh)
+    val labels = labelsMergeFromTagged(tagged, baseLabels, fresh)
+    (groups, pairs, labels)
   }
 
   /** Batch DELTA-MERGE for the component-label family (VERDICT r13
@@ -641,11 +667,78 @@ object Similarity {
     * set), q62/q62b (component edges), q72 (drop classification) and
     * q100 (partner counts): the candidate+verify join — the expensive
     * quadratic stage of the cascade — runs once per corpus, exactly as
-    * a production run stages it.
+    * a production run stages it. Built under the PAIR-JOIN partition
+    * policy ([[pairJoinShufflePartitions]]): pair joins want fine
+    * hashing, fixpoints want coarse (VERDICT r13 Next #4).
     */
   private[graft] def stagedSetPairs45(spark: SparkSession, dir: String): DataFrame =
-    stagedTable(spark, dir, "set_pairs_45")(
-      setPairsAbove(stagedUnigramGroups(spark, dir), 4, 5, documentsSizeBytes(spark, dir)))
+    stagedTable(spark, dir, "set_pairs_45") {
+      setPairsOverStagedGroups(spark, dir, "unigram_groups",
+        stagedUnigramGroups(spark, dir), 4, 5)
+    }
+
+  /** [[setPairsAbove]] over an already-STAGED collapse, built under the
+    * pair-join partition policy: forces the groups build (idempotent),
+    * re-reads its parquet in the policy session, and runs the
+    * candidate+verify join there. Shared by `set_pairs_45` and
+    * `prep_pairs_45`.
+    */
+  private[graft] def setPairsOverStagedGroups(spark: SparkSession, dir: String,
+      groupsKey: String, force: => DataFrame, p: Int, q: Int): DataFrame = {
+    force // the staged groups build, run (or found) in the registry
+    val path = stagedEntries(spark, dir).find(_.key == groupsKey)
+      .getOrElse(throw new IllegalStateException(
+        s"staged '$groupsKey' missing after forcing its build")).path
+    val bytes = documentsSizeBytes(spark, dir)
+    val s2 = pairJoinSession(spark, bytes)
+    setPairsAbove(s2.read.parquet(path), p, q, bytes)
+  }
+
+  /** Shuffle-partition count for the staged PAIR-JOIN builds — the
+    * per-family partition policy (VERDICT r13 Next #4). Round-13's
+    * re-record measured the two staged build classes wanting OPPOSITE
+    * partition counts at 30×: the candidate+verify joins drop their
+    * straggler under 128-way hashing (SetPairsPart; §2.3's clean
+    * curve), while the O(diameter) fixpoints (coreness) pay +50% at
+    * 128 from per-round scheduling on small relations. So the pair
+    * joins size their shuffles from the CORPUS (one partition per
+    * ~160 KB of compressed documents — the join's intermediate
+    * explodes ~100× over the input, so partitions this "small" are
+    * right-sized for the exploded prefix/candidate stream), and once
+    * the corpus outgrows the session setting the fine regime FLOORS
+    * AT 128: the regression class is one hot token's candidate bucket
+    * landing whole in one hash partition, and DeltaProbe measured a
+    * merely proportional count insufficient — the 10× corpus at 39
+    * partitions still pays the straggler (37.3 s) while 125/128 split
+    * it at both 10× and 30× (20.6 s at 30×). Capped at 4096 (a real
+    * cluster raises `spark.graft.pairJoinPartitions` explicitly);
+    * every other staged family keeps the session conf.
+    */
+  private[graft] def pairJoinShufflePartitions(spark: SparkSession,
+      docBytes: BigInt): Int =
+    spark.conf.getOption("spark.graft.pairJoinPartitions").map(_.toInt).getOrElse {
+      val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val byBytes = (docBytes / BigInt(160L << 10)).min(BigInt(4096)).toInt
+      if (byBytes <= session) session else math.max(128, byBytes)
+    }
+
+  /** A cloned session (shared SparkContext, own SQLConf) carrying the
+    * pair-join partition count — staged builds are isolated plan trees
+    * written eagerly to parquet, so giving the build its own session
+    * scopes the conf exactly to that plan; staged inputs are re-read
+    * from their parquet paths in the clone. No clone when the policy
+    * resolves to the session's own setting.
+    */
+  private[graft] def pairJoinSession(spark: SparkSession, docBytes: BigInt): SparkSession = {
+    val parts = pairJoinShufflePartitions(spark, docBytes)
+    if (parts.toString == spark.conf.get("spark.sql.shuffle.partitions")) spark
+    else {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      graft.functions.GraftFunctions.register(s2)
+      s2
+    }
+  }
 
   /** Deterministic EMITTED-candidate count of the unigram J ≥ 4/5
     * prefix join. Kept for the record and the CandCount tool, but NOT
