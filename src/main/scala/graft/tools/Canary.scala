@@ -17,10 +17,18 @@ import org.apache.spark.sql.SparkSession
   *    noise cannot flap the gate but a 3×-at-3× regression trips it);
   *  - PLAN-SHAPE assertions read from EVERY timed rep's executedPlan
   *    (the Q25Part lesson: only the AQE final plan reports the join
-  *    regime that actually executed; round-12 ADVICE: a strategy flip
-  *    between reps must not hide behind the min-time rep) — q25's
-  *    three joins must stay broadcast with zero SMJ/SHJ fallbacks,
-  *    q120 must carry neither a CartesianProduct nor a Window;
+  *    regime that actually executed — which is why each rep executes
+  *    the df's OWN QueryExecution via toRdd: a separate df.count()
+  *    would leave the inspected plan un-finalized, isFinalPlan=false;
+  *    round-12 ADVICE: a strategy flip between reps must not hide
+  *    behind the min-time rep). q25's three joins must stay broadcast
+  *    with zero SMJ/SHJ fallbacks; q120 must carry the top_k_struct
+  *    k-cut and no CartesianProduct; q55 must SCAN the staged
+  *    shingle_ranked remap (no in-query rank window); q62b's readout
+  *    must stay window-free; q213 must keep the TakeOrderedAndProject
+  *    top-k with at most the one legitimate shuffle join; q178 must
+  *    scan exactly its ten source tables (round-13 VERDICT Next #5 —
+  *    every canary now carries at least one plan pin);
   *  - deterministic CANDIDATE pins (round-12 VERDICT Next #1, round
   *    13): `cascade_candidate_volume` (Σ per-prefix-token C(bucket,2)
   *    at 3× — absolute candidate-work growth), `cascade_bucket_skew`
@@ -70,6 +78,10 @@ object Canary {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // scan-metadata strings carry the FULL staging paths (default 100
+      // chars truncates them mid-directory), so staged-scan pins can
+      // grep the table name straight off the plan string
+      .config("spark.sql.maxMetadataStringLength", "500")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (!new java.io.File(s"$work/documents.parquet").exists()) {
@@ -129,6 +141,15 @@ object Canary {
 
     def planCounts(plan: String, pat: String): Int =
       plan.sliding(pat.length).count(_ == pat)
+    // A finalized AdaptiveSparkPlan prints its "== Final Plan ==" section
+    // followed by the static "== Initial Plan ==" skeleton; pins must
+    // read ONLY the final section (counting the full string both
+    // double-counts and can mix a runtime-converted join with its
+    // pre-conversion form — q62b's readout SMJ converts to BHJ at 3×).
+    def finalOnly(plan: String): String = {
+      val i = plan.indexOf("== Initial Plan ==")
+      if (i < 0) plan else plan.substring(0, i)
+    }
     val canaries: Seq[(String, String => Option[String])] = Seq(
       "q25_minhash_neardup" -> { plan: String =>
         if (planCounts(plan, "BroadcastHashJoin") < 3)
@@ -148,10 +169,45 @@ object Canary {
           Some("the bounded-heap k-cut aggregate left the plan")
         else None
       },
-      "q62b_dedup_clusters_star" -> { _: String => None },
-      "q55_shingle_neardup" -> { _: String => None },
-      "q213_blockmax_wand" -> { _: String => None },
-      "q178_merkle_manifest" -> { _: String => None },
+      // round-14 pins for the previously wall-only canaries (VERDICT
+      // r13 Next #5), each chosen from the 3× AQE-final plan:
+      "q62b_dedup_clusters_star" -> { plan: String =>
+        // the star loop runs eagerly outside the readout plan; a
+        // Window reappearing here means a corpus-sized row_number
+        // re-took the label expansion
+        if (plan.contains("Window")) Some("a window reappeared in the readout plan")
+        else None
+      },
+      "q55_shingle_neardup" -> { plan: String =>
+        // steady state must READ the staged rank remap, not recompute
+        // it: the shingle_ranked staging table must be scanned and the
+        // rank construction's row_number window must be absent
+        if (!plan.contains("graft_stage_shingle_ranked"))
+          Some("the staged shingle_ranked scan left the plan (rank remap recomputed in-query)")
+        else if (plan.contains("Window"))
+          Some("a window appeared (the staged remap should carry the ranks)")
+        else None
+      },
+      "q213_blockmax_wand" -> { plan: String =>
+        // the top-20 must stay TakeOrderedAndProject (never a global
+        // sort), the candidate semi-join is the ONE legitimate
+        // shuffle-regime join (postings x surviving doc ids), and the
+        // theta/bound scalar attaches must stay broadcast
+        if (!plan.contains("TakeOrderedAndProject(limit=20"))
+          Some("the top-k left the TakeOrderedAndProject regime")
+        else if (planCounts(plan, "SortMergeJoin") + planCounts(plan, "ShuffledHashJoin") > 1)
+          Some("a bound/theta/scoring join fell back to a shuffle regime")
+        else if (plan.contains("CartesianProduct"))
+          Some("cartesian product appeared")
+        else None
+      },
+      "q178_merkle_manifest" -> { plan: String =>
+        // one scan per source table, exactly ten — a re-read (shared
+        // subplan re-execution) or a dropped table both move the count
+        val scans = planCounts(plan, "FileScan parquet")
+        if (scans != 10) Some(s"expected exactly 10 table scans, saw $scans")
+        else None
+      },
     )
     canaries.foreach { case (key, planCheck) =>
       val q = graft.SparkEntry.queries(key)
@@ -159,14 +215,23 @@ object Canary {
         val t = System.nanoTime()
         val df = q(spark, work)
         df.count()
-        ((System.nanoTime() - t) / 1e9, df.queryExecution.executedPlan.toString)
+        val sec = (System.nanoTime() - t) / 1e9
+        // UNTIMED: execute the df's OWN QueryExecution so its AQE
+        // finalizes (df.count() plans a separate aggregate and leaves
+        // this plan at isFinalPlan=false — the pins would read the
+        // static skeleton, which is exactly the Q25Part failure mode;
+        // a column-pruned count also stays the TIMED action, keeping
+        // every ceiling on its historical measurement basis — toRdd
+        // materializes all output columns and re-based q25 2.3× up)
+        df.queryExecution.toRdd.count()
+        (sec, df.queryExecution.executedPlan.toString)
       }
       rep() // warmup (staging is already built; this settles codegen)
       val (s1, p1) = rep(); val (s2, p2) = rep()
       // plan check on BOTH timed reps (round-12 ADVICE: an AQE strategy
       // flip between reps must fail even when min() masks its time)
       val planIssues = Seq(1 -> p1, 2 -> p2).flatMap { case (i, p) =>
-        planCheck(p).map(issue => s"rep $i: $issue") }.toList
+        planCheck(finalOnly(p)).map(issue => s"rep $i: $issue") }.toList
       gate(key, math.min(s1, s2), "s", planIssues)
     }
 
