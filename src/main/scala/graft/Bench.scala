@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Extract a flat `"field":{"k":1.2,...}` numeric object from a JSON
+    * string — the shape this tool itself emits for `queries`. Query
+    * names contain no quotes/commas/colons (they are the code's own
+    * map keys), so a brace scan + split is exact for our artifacts; a
+    * malformed or foreign file yields an empty map and disables the
+    * compare rather than failing the bench.
+    */
+  private[graft] def flatNumberMap(json: String, field: String): Map[String, Double] = {
+    val marker = "\"" + field + "\":{"
+    val i = json.indexOf(marker)
+    if (i < 0) Map.empty
+    else {
+      val start = i + marker.length
+      val end = json.indexOf('}', start)
+      if (end < 0) Map.empty
+      else json.substring(start, end).split(",").toSeq
+        .flatMap { kv =>
+          val c = kv.lastIndexOf(':')
+          if (c <= 0) None
+          else {
+            val k = kv.substring(0, c).trim.stripPrefix("\"").stripSuffix("\"")
+            scala.util.Try(kv.substring(c + 1).trim.toDouble).toOption.map(k -> _)
+          }
+        }.toMap
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,6 +57,17 @@ object Bench {
     // bounds that tail at ~40% extra wall clock.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Compare-to-prior (VERDICT r13 Next #2): the previous committed
+    // full-suite artifact, read UP FRONT (this run overwrites the file
+    // at the end). Its per-query map selects the movers re-timed in
+    // isolation after the run, so the artifact itself distinguishes
+    // host drift from real regressions — see `movers_isolated` below.
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_FULL_latest.json")
+    val prior: Map[String, Double] = {
+      val f = java.nio.file.Paths.get(priorPath)
+      if (!java.nio.file.Files.isReadable(f)) Map.empty
+      else flatNumberMap(java.nio.file.Files.readString(f), "queries")
+    }
     // Per-query rep spread (max/min over successful reps), published in
     // the JSON: min-of-N rejects pollution WITHIN a query's reps, but
     // when the whole run lands in a loaded window every rep is slow and
@@ -49,7 +87,12 @@ object Bench {
     // rounds) and any cached relations are unpersisted EXPLICITLY —
     // ContextCleaner only reclaims them after their references are
     // GC'd, which can lag several queries behind.
-    def timedRep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // `recordFailure = false` for post-pass/mover extra reps: a query
+    // whose base reps all succeeded has a valid published measurement —
+    // an extra-rep crash is reported on stderr but must not list the
+    // key in `failed` (round-13 ADVICE).
+    def timedRep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        recordFailure: Boolean = true): Double = {
       val t0 = System.nanoTime()
       // A failed rep reports +Inf, not its elapsed-until-failure — a
       // partial duration is not a measurement of the query, and letting
@@ -57,7 +100,7 @@ object Bench {
       // that crashed on one rep and succeeded on another.
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
-          if (!failed.contains(name)) failed += name
+          if (recordFailure && !failed.contains(name)) failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
       }
@@ -84,20 +127,50 @@ object Bench {
       // reported in `failed` but contributes nothing to queries/total
       if (sec.isInfinity) None else Some(name -> sec)
     }.toMap
-    // Post-pass for the run's FIRST keys (VERDICT r12 Next #6): the
-    // first few queries execute while the JVM is still compiling
-    // Spark's own hot paths, and min-of-N over CONSECUTIVE early reps
-    // cannot shed that — observed as a spurious +0.3-0.5 s on q01-q07
-    // in round-over-round full-map diffs, each re-measuring at its
-    // prior value in isolation. One extra rep at the END of the run,
-    // when the JVM is as warm as it will get, folded into each early
-    // key's min — so first-run keys are measured under the same JIT
-    // state as everything else. (~3 s of extra wall clock.)
-    val results = base ++ ordered.take(12).flatMap { case (name, fn) =>
+    // Post-pass for the run's first EarlyKeys keys (VERDICT r12 Next
+    // #6): the first few queries execute while the JVM is still
+    // compiling Spark's own hot paths, and min-of-N over CONSECUTIVE
+    // early reps cannot shed that — observed as a spurious +0.3-0.5 s
+    // on the run's early keys in round-over-round full-map diffs, each
+    // re-measuring at its prior value in isolation. One extra rep at
+    // the END of the run, when the JVM is as warm as it will get,
+    // folded into each early key's min — so first-run keys are
+    // measured under the same JIT state as everything else. (~3 s of
+    // extra wall clock.)
+    val EarlyKeys = 12
+    val postImproved = scala.collection.mutable.Set.empty[String]
+    val results = base ++ ordered.take(EarlyKeys).flatMap { case (name, fn) =>
       if (!base.contains(name)) None else {
-        val sec = timedRep(name, fn)
-        if (sec.isInfinity) None else Some(name -> math.min(base(name), sec))
+        val sec = timedRep(name, fn, recordFailure = false)
+        if (sec.isInfinity) None else {
+          if (sec < base(name)) postImproved += name
+          Some(name -> math.min(base(name), sec))
+        }
       }
+    }
+    // a key whose published min came from the post-pass rep no longer
+    // matches its consecutive-rep spread — drop the stale entry rather
+    // than publish a spread that disagrees with the published time
+    // (round-13 ADVICE)
+    postImproved.foreach(spreads.remove)
+    // Movers re-timed in ISOLATION (VERDICT r13 Next #2): the top
+    // absolute round-over-round movers against the prior committed
+    // artifact get one extra end-of-run rep each, published as
+    // `movers_isolated`. A whole-run host-load swing moves ~everything
+    // together and the isolated re-time lands back near the prior
+    // value; a real regression re-measures at its new value — the
+    // artifact now carries the discrimination a round-over-round diff
+    // needs, without anyone re-running the suite.
+    val movers: Seq[(String, Double)] =
+      if (prior.isEmpty || only.nonEmpty) Seq.empty
+      else results.toSeq
+        .flatMap { case (k, v) => prior.get(k).map(p => (k, v - p)) }
+        .filter { case (_, d) => math.abs(d) >= 0.3 }
+        .sortBy { case (_, d) => -math.abs(d) }
+        .take(8)
+    val moversIsolated = movers.flatMap { case (name, _) =>
+      val sec = timedRep(name, SparkEntry.queries(name), recordFailure = false)
+      if (sec.isInfinity) None else Some(name -> sec)
     }
     // Every interpolated string (query names, failure list, sfDir)
     // goes through the shared encoder: a path or exception-derived
@@ -123,9 +196,17 @@ object Bench {
     // rep failed is absent from `queries`/`total` and listed in `failed`.
     // A partially-failed query contributes its best SUCCESSFUL time and
     // is also listed in `failed`.
+    // movers_isolated: key → {prior, run, isolated} — prior committed
+    // value, this run's published min, and the end-of-run isolated
+    // re-time. isolated ≈ prior ⇒ the run-time delta was host/JIT
+    // drift; isolated ≈ run ⇒ the movement is real.
+    val moverJson = moversIsolated.map { case (k, iso) =>
+      jstr(k) + f""":{"prior":${prior(k)}%.3f,"run":${results(k)}%.3f,"isolated":$iso%.3f}"""
+    }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,""" +
-      f""""rep_spread":$spreadJson,"median_spread":$medianSpread%.3f,"host_loaded":$hostLoaded,"sf":${jstr(sfDir)}}"""
+      f""""rep_spread":$spreadJson,"median_spread":$medianSpread%.3f,"host_loaded":$hostLoaded,""" +
+      s""""movers_isolated":$moverJson,"sf":${jstr(sfDir)}}"""
     // stdout for humans; the file for the driver — sbt prefixes stdout
     // lines with [info], which broke machine parsing of round 1's metric.
     println(json)
