@@ -1987,9 +1987,16 @@ object Similarity {
   private[graft] def stagedCoreness(spark: SparkSession, dir: String): DataFrame =
     stagedTable(spark, dir, "coreness") {
       val e = stagedSetPairs45(spark, dir).select("ga", "gb")
+      // built once, cycled every round — PRE-HASHED on the join key:
+      // localCheckpoint preserves outputPartitioning on the LogicalRDD,
+      // so every round's 2|E|-sized join probe reuses this layout and
+      // only the (vertex-sized) labels side exchanges; the one
+      // unavoidable big exchange per round is the groupBy(v) that moves
+      // each neighbor value to its vertex
       val sym = e.select(col("ga").as("v"), col("gb").as("n"))
         .union(e.select(col("gb").as("v"), col("ga").as("n")))
-        .localCheckpoint(true) // built once, cycled every round
+        .repartition(col("n"))
+        .localCheckpoint(true)
       var cur = sym.groupBy("v").agg(count(lit(1)).cast(LongType).as("c"))
         .localCheckpoint(true)
       // Certain termination bound, not a tuning knob: values start at
@@ -2001,6 +2008,21 @@ object Similarity {
       val maxRounds = sym.count() + 64L
       var changed = 1L
       var rounds = 0L
+      // Full-sweep h-index rounds, ON PURPOSE (round 14): a
+      // frontier-restricted variant (recompute only vertices with a
+      // changed neighbor — value-identical round-for-round) was built
+      // and MEASURED 10.7× SLOWER at 10× (896.6 s vs 83.8 s, same 23
+      // rounds): this graph's h-values keep moving broadly until late,
+      // so the frontier barely shrinks while the restriction pays two
+      // extra 2|E|-sized exchanges per round. The experiment also
+      // surfaced a planner landmine worth recording: localCheckpoint
+      // snapshots the plan's ESTIMATED size onto the LogicalRDD, and a
+      // join-based merge compounds that estimate multiplicatively
+      // round over round until Catalyst multiplies 100-Mbit
+      // BigIntegers in SizeInBytesOnlyStatsPlanVisitor and the driver
+      // wedges single-threaded (observed live via jstack) — iterative
+      // merges must use anti-join + union shapes (hashMinLabels'
+      // pattern), never outer-join + coalesce.
       while (changed > 0 && rounds < maxRounds) {
         val next = sym
           .join(cur.select(col("v").as("n"), col("c").as("nc")), "n")
