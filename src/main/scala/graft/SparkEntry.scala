@@ -287,6 +287,7 @@ object SparkEntry {
     "q243_collapse_delta_merge" -> (Similarity.q243CollapseDeltaMerge _),
     "q244_set_pairs_delta_merge" -> (Similarity.q244SetPairsDeltaMerge _),
     "q245_labels_delta_merge" -> (Similarity.q245LabelsDeltaMerge _),
+    "q246_shingle_pairs_delta_merge" -> (Similarity.q246ShinglePairsDeltaMerge _),
   )
 
   // Shared SQL fragments for the oracle side (mirrors of Det.scala —
@@ -485,6 +486,23 @@ object SparkEntry {
       "SELECT v AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY v"
 
   private def q62OracleSql: String = q62OracleCore + " ORDER BY doc_id"
+
+  // q55's oracle, factored so q246 (the shingle-cascade set-pairs
+  // delta merge) can declare the VERBATIM same SQL — q244's merge ≡
+  // recompute contract on the second cascade. Builds the SAME
+  // word-3-gram sets from raw strings (the engine hashes shingles to
+  // ints — Jaccard is invariant under the injective-w.h.p.
+  // relabeling, same argument as q21's tokens).
+  private val q55OracleSql: String =
+    "WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "s AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') " +
+      "for i in range(1, len(w)-1)]) AS sh FROM wd WHERE len(w) >= 3), " +
+      "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j " +
+      "FROM s a, s b WHERE a.doc_id < b.doc_id) " +
+      s"SELECT doc_a, doc_b, ${rd4("j")} AS jaccard FROM p WHERE j >= 0.6 " +
+      "ORDER BY doc_a, doc_b"
 
   // q21's oracle, factored so q244 (the set-pairs delta merge) can
   // declare the VERBATIM same SQL — merge ≡ recompute is the contract
@@ -953,19 +971,7 @@ object SparkEntry {
       ("SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'fb' THEN 'train' " +
         "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'fd' THEN 'val' " +
         "ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
-    // q55's oracle builds the SAME word-3-gram sets from raw strings
-    // (the engine hashes shingles to ints — Jaccard is invariant under
-    // the injective-w.h.p. relabeling, same argument as q21's tokens)
-    "q55_shingle_neardup" ->
-      ("WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
-        "s AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') " +
-        "for i in range(1, len(w)-1)]) AS sh FROM wd WHERE len(w) >= 3), " +
-        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
-        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j " +
-        "FROM s a, s b WHERE a.doc_id < b.doc_id) " +
-        s"SELECT doc_a, doc_b, ${rd4("j")} AS jaccard FROM p WHERE j >= 0.6 " +
-        "ORDER BY doc_a, doc_b"),
+    "q55_shingle_neardup" -> q55OracleSql,
     "q58_corpus_stats" ->
       ("SELECT source, lang, count(*) AS n_docs, " +
         "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, " +
@@ -3245,6 +3251,8 @@ object SparkEntry {
     // into staged state answers exactly what a cold rebuild answers)
     "q244_set_pairs_delta_merge" -> q21OracleSql,
     "q245_labels_delta_merge" -> q62OracleSql,
+    // q246: the shingle cascade's merge ≡ recompute — q55's SQL verbatim
+    "q246_shingle_pairs_delta_merge" -> q55OracleSql,
   )
 
   /** The q154 integer-PageRank recurrence (no ORDER BY) — shared by
