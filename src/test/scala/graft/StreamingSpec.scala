@@ -541,6 +541,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch, s"stream/batch disorder divergence: $streamed vs $batch")
   }
 
+  test("cascadeIngestStream: a 3-batch drain ends at the batch cascade; a replayed batch folds in empty; state resumes from disk") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val bytes = graft.ops.Similarity.documentsSizeBytes(spark, sf)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val stateDir = tmpDir()
+    val state = new StreamingOps.CascadeIngestState(spark, stateDir, 4, 5, bytes)
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.cascadeIngestStream(
+      ms.toDS().toDF("doc_id", "text"), state, tmpDir())
+    val batches = docs.grouped((docs.size + 2) / 3).toSeq
+    batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    def labelRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val drained = labelRows(state.labels.get)
+    // merged-from-empty streaming state ≡ the cold batch cascade
+    assert(drained.nonEmpty &&
+      drained == labelRows(graft.ops.Similarity.q62DedupClusters(spark, sf)))
+    def pairRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.select("ga", "gb", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val streamedPairs = pairRows(state.pairs.get)
+    val coldPairs = pairRows(graft.ops.Similarity.setPairsAbove(
+      graft.ops.Similarity.tokenSetGroupsBy(
+        graft.ops.Similarity.docTokenSets(spark, sf)), 4, 5, bytes))
+    assert(streamedPairs.nonEmpty && streamedPairs == coldPairs)
+    // at-least-once delivery: replay a whole earlier batch — the
+    // anti-join guard folds it in as an empty delta
+    ms.addData(batches(1): _*); q.processAllAvailable()
+    q.stop()
+    assert(labelRows(state.labels.get) == drained)
+    // restart: a fresh state over the same dir resumes the newest epoch
+    val resumed = new StreamingOps.CascadeIngestState(spark, stateDir, 4, 5, bytes)
+    assert(labelRows(resumed.labels.get) == drained)
+  }
+
   test("postingStream: open-block state carries across the seam; last emission per block equals batch q192") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * ([[Similarity.pairsMerge]] — re-keyed base pairs + ONE asymmetric
   * delta-vs-(base ∪ delta) prefix join, never base×base again) and
   * the component labels ([[Similarity.labelsMerge]] — hash-min over
-  * the contracted super-node graph, sized by the delta). The declared
-  * q242–q245 keys carry the same contract to the driver's DuckDB
+  * the contracted super-node graph, sized by the delta), on BOTH pair
+  * cascades (unigram at 4/5, shingle at 3/5 — the merge machinery is
+  * generic over the token-set column and threshold). The declared
+  * q242–q246 keys carry the same contract to the driver's DuckDB
   * oracle; these tests pin it engine-side, including the cases the
   * even/odd corpus split cannot reach: a delta doc relabeling a base
   * group's gid (with and without edges), a delta group BRIDGING two
@@ -224,5 +226,74 @@ class DeltaMergeSpec extends SparkSpecBase {
     assert(q244.nonEmpty && q244 == rows(Similarity.q21JaccardNeardup(spark, sf)))
     val q245 = rows(Similarity.q245LabelsDeltaMerge(spark, sf))
     assert(q245.nonEmpty && q245 == rows(Similarity.q62DedupClusters(spark, sf)))
+  }
+
+  test("pairsMerge ≡ cold on the SHINGLE cascade (word 3-grams, threshold 3/5)") {
+    // the family-generality claim: the same merge entry point, nothing
+    // changed but the token space and (p, q)
+    GraftFunctions.register(spark)
+    val bytes = Similarity.documentsSizeBytes(spark, sf)
+    val toks = Similarity.shingleDocSets(spark, sf)
+    val base = Similarity.tokenSetGroupsBy(toks.filter(pmod(col("doc_id"), lit(2L)) === 0))
+    val basePairs = Similarity.setPairsAbove(base, 3, 5, bytes)
+    val merged = Similarity.pairsMerge(base, basePairs,
+      toks.filter(pmod(col("doc_id"), lit(2L)) === 1), 3, 5, bytes)
+    val cold = Similarity.setPairsAbove(
+      Similarity.tokenSetGroupsBy(toks), 3, 5, bytes)
+    assert(rows(merged).nonEmpty)
+    assert(rows(merged) == rows(cold))
+  }
+
+  test("q246 declared key equals the cold q55 readout") {
+    GraftFunctions.register(spark)
+    val q246 = rows(Similarity.q246ShinglePairsDeltaMerge(spark, sf))
+    assert(q246.nonEmpty && q246 == rows(Similarity.q55ShingleNeardup(spark, sf)))
+  }
+
+  test("sketchLabelsMerge ≡ cold sketch labels on the real corpus (BANDING route, even/odd split)") {
+    GraftFunctions.register(spark)
+    val bytes = Similarity.documentsSizeBytes(spark, sf)
+    val toks = Similarity.docTokenSets(spark, sf)
+    val base = Similarity.tokenSetGroupsBy(toks.filter(pmod(col("doc_id"), lit(2L)) === 0))
+    // the testdata's unigram vocabulary is dense → flat by the routing
+    // statistic on both the base and the merged corpus (LshAdvantageSpec
+    // pins the full-corpus route): this case exercises the asymmetric
+    // BANDING join
+    assert(!Similarity.zipfLikeDf(base), "fixture must exercise the banding route")
+    val baseLabels = Sketches.sketchLabelsOf(base, bytes)
+    val merged = Sketches.sketchLabelsMerge(base, baseLabels,
+      toks.filter(pmod(col("doc_id"), lit(2L)) === 1), bytes)
+    val cold = Sketches.sketchLabelsOf(Similarity.tokenSetGroupsBy(toks), bytes)
+    assert(rows(merged).nonEmpty)
+    assert(rows(merged) == rows(cold))
+  }
+
+  // hapax-dominated fixture for the PREFIX route: exact-dup group
+  // {10, 11} (toks 1-10) near-dups doc 20 (J = 9/11 ≥ 0.8); ten filler
+  // docs of unique tokens push the rare-df fraction over half; the
+  // delta doc 40 chains a new edge onto doc 20 (J(20,40) = 9/11) while
+  // staying under threshold vs the group (J = 8/12) — the component
+  // extends through the delta, labels continue from the base state.
+  private def zipfSketchBase: Seq[(Long, Seq[Long])] = Seq(
+    10L -> (1L to 10L).toSeq, 11L -> (1L to 10L).toSeq,
+    20L -> ((1L to 9L) :+ 11L).toSeq) ++
+    (0 until 10).map(i => (30L + i) -> (1000L + 100L * i to 1004L + 100L * i).toSeq)
+  private def zipfSketchDelta: Seq[(Long, Seq[Long])] =
+    Seq(40L -> ((1L to 8L) ++ Seq(11L, 12L)).toSeq)
+
+  test("sketchLabelsMerge ≡ cold on a Zipf-like corpus (PREFIX route; delta extends a base component)") {
+    GraftFunctions.register(spark)
+    val base = Similarity.tokenSetGroupsBy(toksDf(zipfSketchBase))
+    assert(Similarity.zipfLikeDf(base), "fixture must exercise the prefix route")
+    val baseLabels = Sketches.sketchLabelsOf(base, BigInt(1))
+    val merged = Sketches.sketchLabelsMerge(base, baseLabels,
+      toksDf(zipfSketchDelta), BigInt(1))
+    val cold = Sketches.sketchLabelsOf(
+      Similarity.tokenSetGroupsBy(toksDf(zipfSketchBase ++ zipfSketchDelta)), BigInt(1))
+    assert(rows(merged) == rows(cold))
+    // the delta doc joined the {10, 11, 20} component through doc 20
+    assert(merged.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+      .filter(_._1 <= 40L).filterNot(t => t._1 >= 30L && t._1 < 40L) ==
+      List((10L, 10L), (11L, 10L), (20L, 10L), (40L, 10L)))
   }
 }
