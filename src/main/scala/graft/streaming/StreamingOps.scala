@@ -256,7 +256,12 @@ object StreamingOps {
       f.delete(): Unit
     }
 
-    private[streaming] def ingest(batchDocs: DataFrame): Unit = synchronized {
+    /** Fold one (doc_id, text) batch into the state — the micro-batch
+      * body of [[cascadeIngestStream]], public so a scheduled BATCH
+      * ingest (the daily-fold deployment q244/q245 demonstrate) can
+      * drive the same state without a stream.
+      */
+    def ingestBatch(batchDocs: DataFrame): Unit = synchronized {
       graft.functions.GraftFunctions.register(spark)
       val toks = Similarity.docTokenSetsOf(batchDocs)
       val next = currentEpoch.map(_ + 1L).getOrElse(0L)
@@ -308,7 +313,7 @@ object StreamingOps {
       checkpointDir: String): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        state.ingest(batch.toDF())
+        state.ingestBatch(batch.toDF())
       }
       .option("checkpointLocation", checkpointDir)
       .start()

@@ -69,6 +69,11 @@ object DeltaProbe {
       (n, best)
     }
 
+    // SPARK_GRAFT_PROBE_SECTIONS=sketch re-measures only the
+    // sketch-label section (the cascade grid is committed in §6.2 —
+    // no need to re-pay it when only the new family needs numbers)
+    val sketchOnly = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS").contains("sketch")
+
     args.foreach { dir =>
       val bytes = documentsSizeBytes(spark, dir)
       // the staged groups relation, through the same parquet round trip
@@ -77,8 +82,9 @@ object DeltaProbe {
       val groupsPath = s"$work/groups_${dir.hashCode & 0x7fffffff}"
       tokenSetGroupsBy(docTokenSets(spark, dir))
         .write.mode("overwrite").parquet(groupsPath)
-      val sPairs = pairJoinSession(spark, bytes)
       val none = keepIds()
+      if (!sketchOnly) {
+      val sPairs = pairJoinSession(spark, bytes)
       val (coldPairsN, coldPairsSec) = timedMin(none) {
         setPairsAbove(sPairs.read.parquet(groupsPath), 4, 5, bytes).count()
       }
@@ -121,6 +127,35 @@ object DeltaProbe {
         require(mpN == coldPairsN && cmN == coldPairsN,
           s"pairsMerge rows $mpN / cascadeMerge rows $cmN != cold $coldPairsN at $dir denom=$denom")
         println(f"[deltaprobe] $dir%-28s delta 1/$denom%-2d: pairsMerge $pairsSec%8.1f s  cascadeMerge(pairs+labels) $cascadeSec%8.1f s")
+        cleanupExcept(none)
+      }
+      }
+
+      // sketch-label family (round 14): cold sketchLabelsOf vs
+      // sketchLabelsMerge at delta 1/16 — candidates route-matched by
+      // the df statistic (the testdata corpus is flat-df at every
+      // scale, so this measures the delta-anchored BANDING join)
+      val (_, coldSkSec) = timedMin(none) {
+        graft.ops.Sketches.sketchLabelsOf(spark.read.parquet(groupsPath), bytes).count()
+      }
+      locally {
+        val toks = docTokenSets(spark, dir)
+        val deltaToks = toks.filter(pmod(col("doc_id"), lit(16L)) === 0).localCheckpoint(true)
+        val base = tokenSetGroupsBy(
+          toks.filter(pmod(col("doc_id"), lit(16L)) =!= 0)).localCheckpoint(true)
+        val baseLabels = graft.ops.Sketches.sketchLabelsOf(base, bytes).localCheckpoint(true)
+        baseLabels.count()
+        val baseState = keepIds()
+        val (_, mSkSec) = timedMin(baseState) {
+          graft.ops.Sketches.sketchLabelsMerge(base, baseLabels, deltaToks, bytes).count()
+        }
+        // merge ≡ recompute at probe scale (row identity, untimed —
+        // label row COUNT is always |docs|, so equality needs except)
+        val diff = graft.ops.Sketches.sketchLabelsMerge(base, baseLabels, deltaToks, bytes)
+          .exceptAll(graft.ops.Sketches.sketchLabelsOf(
+            spark.read.parquet(groupsPath), bytes)).count()
+        require(diff == 0, s"sketchLabelsMerge != cold sketch labels at $dir ($diff rows differ)")
+        println(f"[deltaprobe] $dir%-28s sketch: cold $coldSkSec%8.1f s  sketchLabelsMerge(1/16) $mSkSec%8.1f s")
         cleanupExcept(none)
       }
     }
