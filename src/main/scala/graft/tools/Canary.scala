@@ -121,8 +121,10 @@ object Canary {
     // evaluated pairings (Σ per-prefix-token C(bucket, 2)) gate
     // absolute candidate-work growth; the HOTTEST bucket (max
     // C(bucket, 2)) gates the per-key skew a hash-order revert brings
-    // back — on the inflated corpus the emitted count and even the
-    // total are ordering-invariant (SCALING.md §6), the max is not.
+    // back — at 3× the emitted count and the total move only 1.6× /
+    // 1.39× under a revert (SCALING.md §6.1: 10.57M → 17.24M and
+    // 72.98M → 101.27M), inside a 2× gate's headroom; the max moves
+    // 3.8× and is the statistic that trips.
     val (bSum, bMax) = graft.ops.Similarity.cascadeBucketStats(spark, work)
     gate("cascade_candidate_volume", bSum.toDouble, "pairings", Nil)
     gate("cascade_bucket_skew", bMax.toDouble, "pairings", Nil)

@@ -9,6 +9,12 @@ import org.apache.spark.sql.SparkSession
   * be chosen from exactly this string).
   *
   * Usage: runMain graft.tools.PlanDump <dir> <key1> [<key2> ...]
+  *
+  * With SPARK_GRAFT_PLAN_OUT=<outdir> and SPARK_GRAFT_PLAN_SUFFIX=
+  * <suffix> set, additionally writes each key's `.explain("formatted")`
+  * string (of the SAME executed-and-finalized QueryExecution) to
+  * `<outdir>/<key>_<suffix>.txt` — the committed plan evidence for the
+  * optimization rounds (plans/r14/<key>_{before,after}.txt).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -23,6 +29,8 @@ object PlanDump {
       .config("spark.sql.maxMetadataStringLength", "500") // full scan paths
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val out = sys.env.get("SPARK_GRAFT_PLAN_OUT")
+    val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "before")
     args.tail.foreach { key =>
       val df = graft.SparkEntry.queries(key)(spark, dir)
       // drive THIS QueryExecution (df.count() plans a separate
@@ -30,6 +38,13 @@ object PlanDump {
       df.queryExecution.toRdd.count()
       println(s"===== $key =====")
       println(df.queryExecution.executedPlan.toString)
+      out.foreach { o =>
+        val formatted = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val p = java.nio.file.Paths.get(o)
+        java.nio.file.Files.createDirectories(p)
+        java.nio.file.Files.writeString(p.resolve(s"${key}_$suffix.txt"), formatted)
+      }
     }
     spark.stop()
   }
