@@ -640,7 +640,8 @@ object Similarity {
     *    artifact inventory a production run logs.
     */
   private[graft] final case class StagedEntry(
-      session: String, dir: String, key: String, path: String, rows: Long)
+      session: String, dir: String, key: String, path: String, rows: Long,
+      schema: org.apache.spark.sql.types.StructType)
 
   private val stagingRegistry = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String), scala.concurrent.Promise[StagedEntry]]
@@ -674,9 +675,20 @@ object Similarity {
     spark.conf.getOption("spark.graft.stagingDir")
       .map(new java.io.File(_)).getOrElse(defaultStagingRoot)
 
+  /** Reads supply the schema the registry captured from the post-write
+    * read-back, so a staged consumer never pays parquet footer
+    * inference at DataFrame construction — measured at ~30-50 ms per
+    * `spark.read.parquet` on this host, multiplied by every staged
+    * read of every consumer query per bench rep (q135 alone constructs
+    * all 18 families; see OPTIMIZATION_r14.md, guide §6's
+    * listing/metadata cost). The captured schema is the exact parquet
+    * round-trip schema, nullability included.
+    */
   private[graft] def stagedTable(spark: SparkSession, dir: String, key: String)
-      (build: => DataFrame): DataFrame =
-    spark.read.parquet(stagedEntry(spark, dir, key)(build).path)
+      (build: => DataFrame): DataFrame = {
+    val e = stagedEntry(spark, dir, key)(build)
+    spark.read.schema(e.schema).parquet(e.path)
+  }
 
   private[graft] def stagedEntry(spark: SparkSession, dir: String, key: String)
       (build: => DataFrame): StagedEntry = {
@@ -696,8 +708,9 @@ object Similarity {
         val table = new java.io.File(new java.io.File(stagingRoot(spark), sid),
           f"graft_stage_${key}_${dir.hashCode & 0x7fffffff}%08x")
         build.write.mode("overwrite").parquet(table.toString)
+        val back = spark.read.parquet(table.toString)
         val entry = StagedEntry(sid, dir, key, table.toString,
-          spark.read.parquet(table.toString).count())
+          back.count(), back.schema)
         fresh.success(entry)
         entry
       } catch {
