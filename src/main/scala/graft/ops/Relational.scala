@@ -675,17 +675,36 @@ object Relational {
     val bySupp = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"), unit.as("unit"))
       .groupBy("l_partkey", "l_suppkey")
-      .agg(davg4(col("unit")).as("avg_unit"))
-    // argmin via min-struct (q93's swap): struct ordering compares
-    // avg_unit first, then l_suppkey — the same (min, deterministic
-    // tie-break) witness the old row_number window produced, but as a
-    // partial-aggregable agg: no per-part sort, no window exchange, and
-    // the map side pre-combines before the l_partkey shuffle.
+      // davg4's exact 4-dp decimal, kept in DECIMAL space (the double
+      // cast happens after the argmin below): round-in-decimal is the
+      // same value davg4 publishes, and distinct 4-dp decimals cast to
+      // distinct doubles, so ordering on the decimal == ordering on
+      // davg4's double
+      .agg(round(Det.sumDec(col("unit")) / count(lit(1)), 4)
+        .cast(org.apache.spark.sql.types.DecimalType(19, 4)).as("avg_dec"))
+    // argmin via a DECIMAL(38,0) PACK, not min(struct): a struct-typed
+    // aggregation buffer is not hash-aggregable (UnsafeRow mutable
+    // types only), so the min-struct form planned as SortAggregate —
+    // TWO corpus-sized Sorts (591k + 189k rows here) around the
+    // l_partkey exchange (plans/r14/q88_..._before.txt). Packing
+    // (avg·10⁴)·10¹⁸ + suppkey into one decimal keeps the same
+    // lexicographic (avg_unit, l_suppkey) order — avg ≥ 0 and
+    // integral·10⁴ by construction, suppkey ∈ [0, 10¹⁸) with ~10¹¹ of
+    // slack over any real key space — and a decimal buffer IS mutable,
+    // so both aggregates stay HashAggregate with map-side partials.
+    val packBase = lit(new java.math.BigDecimal(1000000000000000000L)) // 10^18
+    val packed = (col("avg_dec") * lit(10000L)).cast(org.apache.spark.sql.types.DecimalType(20, 0)) *
+      packBase + col("l_suppkey")
     bySupp
       .groupBy("l_partkey")
-      .agg(min(struct(col("avg_unit"), col("l_suppkey"))).as("best"))
+      .agg(min(packed).as("pk"))
       .select(col("l_partkey").as("p_partkey"),
-        col("best.l_suppkey").as("l_suppkey"), col("best.avg_unit").as("avg_unit"))
+        pmod(col("pk"), packBase).cast(LongType).as("l_suppkey"),
+        // unpack the exact 4-dp decimal, then one double cast — decimal
+        // division by 10¹⁸ and 10⁴ is exact here (integral quotient,
+        // then a value representable at the result scale)
+        (((col("pk") - pmod(col("pk"), packBase)) / packBase) / lit(10000L))
+          .cast(org.apache.spark.sql.types.DoubleType).as("avg_unit"))
       .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("s_suppkey"), col("s_name"), col("avg_unit"))

@@ -90,12 +90,21 @@ object TextOps {
           i => array_join(slice(col("w"), (i * 10 + 1).cast("int"), lit(10)), " "))))
       .withColumnRenamed("pos", "block_id")
       .withColumnRenamed("col", "block_text")
+    // first-occurrence witness as a DECIMAL(38,0) pack, not
+    // min(struct): a struct aggregation buffer plans as SortAggregate
+    // (not hash-aggregable), paying two corpus-sized Sorts around the
+    // block_text exchange — q88's finding, same fix. doc_id·10¹² +
+    // block_id preserves the (doc_id, block_id) lexicographic order
+    // exactly (block_id < 10¹² would need a single 10-TB document),
+    // and the decimal buffer keeps both aggregate phases HashAggregate
+    // with the map-side partials the scaladoc's skew argument relies on.
+    val occ = col("doc_id").cast(org.apache.spark.sql.types.DecimalType(26, 0)) *
+      lit(new java.math.BigDecimal(1000000000000L)) + col("block_id")
     val firsts = blocks
       .groupBy("block_text")
-      .agg(min(struct(col("doc_id"), col("block_id"))).as("first_occ"))
+      .agg(min(occ).as("first_occ"))
     blocks.join(firsts, "block_text")
-      .withColumn("kept",
-        struct(col("doc_id"), col("block_id")) === col("first_occ"))
+      .withColumn("kept", occ === col("first_occ"))
       .groupBy("doc_id", "n_blocks")
       .agg(
         sum(col("kept").cast(LongType)).as("n_kept"),
