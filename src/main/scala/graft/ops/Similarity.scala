@@ -1877,15 +1877,49 @@ object Similarity {
     */
   def q157CrossSourceDups(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // GROUP-LEVEL counting (guide §2.3 "aggregate before you shuffle"):
+    // the answer is per-(source, source) COUNTS, so the doc-pair
+    // expansion the previous shape materialized (every within-group
+    // C(n,2) and cross-group |ma|·|mb| pair as a row, then two
+    // doc-level source joins over it) is a pure intermediate — on a
+    // dup-heavy corpus it is quadratic in cluster sizes while the
+    // information needed is the per-group source multiset. Count
+    // arithmetic instead: with c_g(s) = members of group g from source
+    // s, a qualifying pair (ga, gb) contributes c_ga(s)·c_gb(t) doc
+    // pairs to cell (least(s,t), greatest(s,t)); a multi-member group
+    // contributes C(c_g(s), 2) same-source and c_g(s)·c_g(t) (s < t)
+    // cross-source exact pairs. Joins and shuffles are now
+    // group×source-sized, never doc-pair-sized. Output identical (the
+    // oracle is unchanged doc-level SQL).
     val srcs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    expandWithMembers(stagedSetPairs45(spark, dir),
-        stagedUnigramGroups(spark, dir), "jaccard", lit(1.0))
-      .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
-      .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
-      .groupBy(least(col("sa"), col("sb")).as("source_a"),
-        greatest(col("sa"), col("sb")).as("source_b"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum((col("jaccard") === 1.0).cast(LongType)).as("n_exact"))
+    // group×source-sized; fans out to four consumers below — AQE's
+    // exchange reuse dedups the shuffled copies (ReusedExchange in the
+    // final plan), and an eager pin measured no better here
+    val srcCnt = stagedUnigramGroups(spark, dir)
+      .select(col("gid"), explode(col("members")).as("doc_id"))
+      .join(srcs, "doc_id")
+      .groupBy("gid", "source").agg(count(lit(1)).as("cnt"))
+    val cross = stagedSetPairs45(spark, dir).select("ga", "gb", "jaccard")
+      .join(srcCnt.select(col("gid").as("ga"), col("source").as("sa"), col("cnt").as("ca")), "ga")
+      .join(srcCnt.select(col("gid").as("gb"), col("source").as("sb"), col("cnt").as("cb")), "gb")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        (col("ca") * col("cb")).as("n"), col("jaccard"))
+    // one self-join covers both within-group cases: the s = t diagonal
+    // row IS the same-source count (C(c,2), provably integral), s < t
+    // rows the cross-source products
+    val within = srcCnt.as("a")
+      .join(srcCnt.as("b"), col("a.gid") === col("b.gid") && col("a.source") <= col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        when(col("a.source") === col("b.source"),
+            expr("(a.cnt * (b.cnt - 1)) div 2"))
+          .otherwise(col("a.cnt") * col("b.cnt")).as("n"),
+        lit(1.0).as("jaccard"))
+      .filter(col("n") > 0L)
+    cross.unionByName(within)
+      .groupBy("source_a", "source_b")
+      .agg(sum(col("n")).cast(LongType).as("n_pairs"),
+        sum(when(col("jaccard") === 1.0, col("n")).otherwise(0L)).cast(LongType).as("n_exact"))
       .orderBy("source_a", "source_b")
   }
 
@@ -1907,15 +1941,40 @@ object Similarity {
 
   def q160ThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val pairs = expandWithMembers(stagedSetPairs45(spark, dir),
-      stagedUnigramGroups(spark, dir), "jaccard", lit(1.0))
-    val e = pairs.select(col("doc_a"), col("doc_b"), col("jaccard"),
+    import spark.implicits._
+    // GROUP-LEVEL curve (q157's rewrite, guide §2.3): the previous
+    // shape exploded every doc pair × 5 thresholds and ran a
+    // countDistinct over the re-exploded doc ids — doc-pair-sized ×10
+    // rows shuffled for five counts. Count arithmetic over the staged
+    // pair relation instead: a qualifying cross pair contributes
+    // |ma|·|mb| pairs, a multi-member group C(sz, 2) within pairs at
+    // EVERY threshold (their J = 1.0 ≥ any cut in the list); and since
+    // exact-dup groups PARTITION the docs, distinct docs touched =
+    // Σ sz over qualifying groups — no distinct over doc ids at all.
+    // Thresholds the corpus never reaches drop out exactly as before
+    // (n_pairs = 0 ⟺ no qualifying group either).
+    val groups = stagedUnigramGroups(spark, dir)
+      .select(col("gid"), size(col("members")).cast(LongType).as("sz"))
+    val thDf = CurveThresholds.toDF("threshold")
+    val crossTh = stagedSetPairs45(spark, dir)
+      .select(col("ga"), col("gb"), col("jaccard"),
+        (size(col("ma")).cast(LongType) * size(col("mb")).cast(LongType)).as("np"),
         explode(array(CurveThresholds.map(lit(_)): _*)).as("threshold"))
       .filter(col("jaccard") >= col("threshold"))
-    val np = e.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
-    val nd = e.select(col("threshold"),
-        explode(array(col("doc_a"), col("doc_b"))).as("d"))
-      .groupBy("threshold").agg(countDistinct(col("d")).as("n_docs"))
+    val npCross = crossTh.groupBy("threshold").agg(sum(col("np")).as("c"))
+    val multi = groups.filter(col("sz") >= 2L)
+    val withinTotal = multi.agg(sum(expr("(sz * (sz - 1)) div 2")).as("w"))
+    val np = thDf.crossJoin(broadcast(withinTotal))
+      .join(npCross, Seq("threshold"), "left_outer")
+      .select(col("threshold"),
+        (coalesce(col("c"), lit(0L)) + coalesce(col("w"), lit(0L))).cast(LongType).as("n_pairs"))
+      .filter(col("n_pairs") > 0L)
+    val qualGids = crossTh
+      .select(col("threshold"), explode(array(col("ga"), col("gb"))).as("gid"))
+      .union(thDf.crossJoin(multi.select("gid")).select(col("threshold"), col("gid")))
+      .distinct()
+    val nd = qualGids.join(groups, "gid")
+      .groupBy("threshold").agg(sum(col("sz")).cast(LongType).as("n_docs"))
     np.join(nd, "threshold").orderBy("threshold")
   }
 
