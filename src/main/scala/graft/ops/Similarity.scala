@@ -3140,7 +3140,15 @@ object Similarity {
   def q94SemDedup(spark: SparkSession, dir: String): DataFrame = {
     val tau = 0.35
     graft.functions.GraftFunctions.register(spark)
-    val trained = trainIvfModel(spark, dir)
+    // q94's clustering model is the DEFAULT k=8 trainIvfModel (its
+    // published output is a function of exactly that model, so it must
+    // not follow ivf_model's √n-sized nlist) — but retraining it per
+    // call re-ran the 3-iteration × 2-job training loop on every
+    // invocation. Stage it once per (session, corpus) like every other
+    // model artifact; the k-row float relation round-trips parquet
+    // bit-identically (IvfRecallSpec's proof, SemDedupSpec re-pins
+    // output determinism and witness exactness over the staged read).
+    val trained = stagedTable(spark, dir, "semdedup_model")(trainIvfModel(spark, dir))
     val corpus = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val assigned = assignToCentroids(trained, corpus, "vec_id", "embedding")
     val a = assigned.select(col("cid"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
