@@ -1955,23 +1955,23 @@ object Similarity {
     // (n_pairs = 0 ⟺ no qualifying group either).
     val groups = stagedUnigramGroups(spark, dir)
       .select(col("gid"), size(col("members")).cast(LongType).as("sz"))
-    val thDf = CurveThresholds.toDF("threshold")
+    val thArr = array(CurveThresholds.map(lit(_)): _*)
     val crossTh = stagedSetPairs45(spark, dir)
       .select(col("ga"), col("gb"), col("jaccard"),
         (size(col("ma")).cast(LongType) * size(col("mb")).cast(LongType)).as("np"),
-        explode(array(CurveThresholds.map(lit(_)): _*)).as("threshold"))
+        explode(thArr).as("threshold"))
       .filter(col("jaccard") >= col("threshold"))
-    val npCross = crossTh.groupBy("threshold").agg(sum(col("np")).as("c"))
+    // multi-member groups qualify at EVERY threshold in the list (their
+    // within pairs carry J = 1.0); their contributions ride the same
+    // unions via explode — no crossJoin, no nested-loop shape anywhere
     val multi = groups.filter(col("sz") >= 2L)
-    val withinTotal = multi.agg(sum(expr("(sz * (sz - 1)) div 2")).as("w"))
-    val np = thDf.crossJoin(broadcast(withinTotal))
-      .join(npCross, Seq("threshold"), "left_outer")
-      .select(col("threshold"),
-        (coalesce(col("c"), lit(0L)) + coalesce(col("w"), lit(0L))).cast(LongType).as("n_pairs"))
-      .filter(col("n_pairs") > 0L)
+    val np = crossTh.select(col("threshold"), col("np"))
+      .unionByName(multi.select(expr("(sz * (sz - 1)) div 2").as("np"),
+        explode(thArr).as("threshold")).select(col("threshold"), col("np")))
+      .groupBy("threshold").agg(sum(col("np")).cast(LongType).as("n_pairs"))
     val qualGids = crossTh
       .select(col("threshold"), explode(array(col("ga"), col("gb"))).as("gid"))
-      .union(thDf.crossJoin(multi.select("gid")).select(col("threshold"), col("gid")))
+      .unionByName(multi.select(explode(thArr).as("threshold"), col("gid")))
       .distinct()
     val nd = qualGids.join(groups, "gid")
       .groupBy("threshold").agg(sum(col("sz")).cast(LongType).as("n_docs"))
