@@ -732,6 +732,17 @@ object TextOps {
     tf.groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), asc("term")).limit(3)
 
+  /** The deterministic 3-term demo query (top-df terms over the staged
+    * tf postings), STAGED once per (session, corpus): five retrieval
+    * keys (q193, q198, q213, q222, q226) each re-ran the vocabulary
+    * aggregate per call to derive the same 3 rows — a whole job of
+    * fixed cost apiece for a relation that is a pure function of the
+    * corpus. (term, df) are a string + long: exact parquet round trip.
+    */
+  private def stagedQueryTerms(spark: SparkSession, dir: String): DataFrame =
+    Similarity.stagedTable(spark, dir, "query_terms")(
+      topDfTerms(tfRelation(spark, dir)))
+
   /** The Okapi idf term (Lucene's +1 shift) over `df`/`n_docs` cols. */
   private def bm25Idf: Column = {
     import org.apache.spark.sql.types.DoubleType
@@ -772,7 +783,7 @@ object TextOps {
     import org.apache.spark.sql.types.DoubleType
     val d = Tables.documents(spark, dir)
     val tf = tfRelation(spark, dir)
-    val qterms = topDfTerms(tf)
+    val qterms = stagedQueryTerms(spark, dir)
     val dl = stagedDocLengths(spark, dir)
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val avgdl = dl.agg((sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
@@ -798,7 +809,7 @@ object TextOps {
     */
   def q198BooleanAnd(spark: SparkSession, dir: String): DataFrame = {
     val tf = tfRelation(spark, dir)
-    tf.join(broadcast(topDfTerms(tf).select("term")), "term")
+    tf.join(broadcast(stagedQueryTerms(spark, dir).select("term")), "term")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).cast(LongType).as("sum_tf"),
         min(col("tf")).as("min_tf"))
@@ -829,11 +840,11 @@ object TextOps {
     val tf = tfRelation(spark, dir)
     // Spark re-executes shared subplans once per consumer, and this
     // evaluator fans its intermediates out 3-4 ways — the tiny ones
-    // (3-row query, block manifest, one-row θ) pin with EAGER
-    // localCheckpoints (q177's discipline) so the vocab aggregate and
-    // the posting window each run ONCE, not once per consumer; the
-    // corpus-sized relations (tf, dl) come staged instead.
-    val qterms = topDfTerms(tf).localCheckpoint(true)
+    // (block manifest, one-row θ) pin with EAGER localCheckpoints
+    // (q177's discipline) so the posting window runs ONCE, not once
+    // per consumer; the corpus-sized relations (tf, dl) and the 3-row
+    // query come staged instead.
+    val qterms = stagedQueryTerms(spark, dir)
     val dl = stagedDocLengths(spark, dir)
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val avgdl = dl.agg((sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
@@ -1195,7 +1206,7 @@ object TextOps {
     import org.apache.spark.sql.types.DoubleType
     val tf = tfRelation(spark, dir)
     val dl = stagedDocLengths(spark, dir)
-    val cf = tf.join(broadcast(topDfTerms(tf).select("term")), "term")
+    val cf = tf.join(broadcast(stagedQueryTerms(spark, dir).select("term")), "term")
       .groupBy("term").agg(sum(col("tf")).cast(LongType).as("cf"))
     val ctot = dl.agg(sum(col("dl")).cast(LongType).as("c_total"))
     val mu = lit(300.0)
@@ -1243,7 +1254,7 @@ object TextOps {
     import org.apache.spark.sql.types.DoubleType
     val d = Tables.documents(spark, dir)
     val tf = tfRelation(spark, dir)
-    val qterms = topDfTerms(tf).localCheckpoint(true)
+    val qterms = stagedQueryTerms(spark, dir)
     val dl = stagedDocLengths(spark, dir)
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val avgdl = dl.agg((sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
