@@ -891,6 +891,38 @@ object Similarity {
     */
   private[graft] def pairJoinSession(spark: SparkSession, docBytes: BigInt): SparkSession = {
     val parts = pairJoinShufflePartitions(spark, docBytes)
+    sessionWithPartitions(spark, parts)
+  }
+
+  /** Shuffle-partition count for the staged FIXPOINT builds (coreness,
+    * pagerank_scores, component_labels) — the COARSE half of the
+    * per-family partition policy whose fine half is
+    * [[pairJoinShufflePartitions]] (VERDICT r14 Next #6). An
+    * O(diameter)/fixed-iteration loop pays per-round scheduling and
+    * shuffle-file overhead proportional to the partition count on
+    * per-round relations that are SMALL (contracted remnants,
+    * vertex-sized labels), and the 30× grid measured coreness +33%
+    * slower at 128 partitions than at 32 (300.7 s vs 226.2 s,
+    * SCALING.md §2.3/§2.4) — while the below-cores coarse variant is
+    * REFUTED (round-14's q62b A/B: 1-partition rounds 37% slower; job
+    * fixed cost dominates under the core count). Policy: cap the loop
+    * at the context's core count when the session conf is finer; never
+    * move when the session conf is already at/below cores. Local
+    * sessions run shuffle.partitions == cores, so the policy resolves
+    * to the session conf and NO clone is made — the driver's bench
+    * numbers stay comparable by construction.
+    * `spark.graft.fixpointPartitions` overrides on a real cluster.
+    */
+  private[graft] def fixpointShufflePartitions(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.fixpointPartitions").map(_.toInt).getOrElse {
+      val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      math.min(session, math.max(1, spark.sparkContext.defaultParallelism))
+    }
+
+  private[graft] def fixpointSession(spark: SparkSession): SparkSession =
+    sessionWithPartitions(spark, fixpointShufflePartitions(spark))
+
+  private def sessionWithPartitions(spark: SparkSession, parts: Int): SparkSession =
     if (parts.toString == spark.conf.get("spark.sql.shuffle.partitions")) spark
     else {
       val s2 = spark.newSession()
@@ -898,6 +930,18 @@ object Similarity {
       graft.functions.GraftFunctions.register(s2)
       s2
     }
+
+  /** Force `key`'s staged build in the CALLER's session, then read its
+    * parquet back in `session` with the registry's captured schema —
+    * the cross-session input hand-off both partition-policy clones use
+    * (no footer inference, same bytes).
+    */
+  private def stagedReadIn(session: SparkSession, spark: SparkSession, dir: String,
+      key: String)(force: => DataFrame): DataFrame = {
+    force
+    val e = stagedEntries(spark, dir).find(_.key == key).getOrElse(
+      throw new IllegalStateException(s"staged '$key' missing after forcing its build"))
+    session.read.schema(e.schema).parquet(e.path)
   }
 
   /** Deterministic EMITTED-candidate count of the unigram J ≥ 4/5
@@ -1837,7 +1881,10 @@ object Similarity {
   private[graft] def stagedPagerankScores(spark: SparkSession, dir: String): DataFrame =
     stagedTable(spark, dir, "pagerank_scores") {
       graft.functions.GraftFunctions.register(spark)
-      val edges = stagedSetPairs45(spark, dir).select("ga", "gb")
+      // fixpoint partition policy (coarse) — no-op clone locally
+      val s2 = fixpointSession(spark)
+      val edges = stagedReadIn(s2, spark, dir, "set_pairs_45")(
+        stagedSetPairs45(spark, dir)).select("ga", "gb")
       val sym = edges.union(edges.select(col("gb").as("ga"), col("ga").as("gb")))
         .localCheckpoint(true)
       val deg = sym.groupBy("ga").agg(count(lit(1)).as("deg"))
@@ -1907,7 +1954,16 @@ object Similarity {
         (col("ca") * col("cb")).as("n"), col("jaccard"))
     // one self-join covers both within-group cases: the s = t diagonal
     // row IS the same-source count (C(c,2), provably integral), s < t
-    // rows the cross-source products
+    // rows the cross-source products.
+    // NON-NULL-SOURCE ASSUMPTION (round-14 ADVICE): `a.source <=
+    // b.source` evaluates NULL for a null source and drops the row,
+    // where the doc-pair shape this replaced counted a (NULL, s)
+    // within-group pair under (s, s) via least/greatest null-skipping.
+    // documents.source is non-null in every declared corpus (the
+    // generator emits srcN strings; TESTDATA.md) — a corpus that
+    // introduces null sources must coalesce to a sentinel before
+    // srcCnt AND re-derive the oracle the same way, not just widen
+    // this predicate.
     val within = srcCnt.as("a")
       .join(srcCnt.as("b"), col("a.gid") === col("b.gid") && col("a.source") <= col("b.source"))
       .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
@@ -1984,24 +2040,34 @@ object Similarity {
     * TEMPLATE the variants derive from, not the best-written variant;
     * production dedup uses whichever matches its goal, so both are
     * declared). Two staged scans joined — labels (q62's family) and
-    * PageRank scores (q154's) — with the q88 min-struct argmax; no
-    * recompute, no window. Keeper candidates are group representatives
-    * (PageRank's node universe): exact-dup copies carry no score and
-    * never outrank their representative; singleton clusters keep their
-    * only member with a null score.
+    * PageRank scores (q154's) — with the q88 decimal-pack argmax (the
+    * min-STRUCT form it replaces planned SortAggregate; see q136): pr
+    * is a long in 10⁻¹² units, so np = −coalesce(pr, 0) ∈ [−2⁶³+1, 0]
+    * packs losslessly as np·10¹⁸ + doc_id (≥ −9.3·10³⁶, inside
+    * DECIMAL(38,0); monotonic for negative np too) under the q88
+    * doc_id < 10¹⁸ slack argument; the nullable pr itself rides as a
+    * hash-aggregable min_by payload so a missing score stays NULL in
+    * the output. No recompute, no window, map-side partials restored.
+    * Keeper candidates are group representatives (PageRank's node
+    * universe): exact-dup copies carry no score and never outrank
+    * their representative; singleton clusters keep their only member
+    * with a null score.
     */
-  def q155PagerankKeeper(spark: SparkSession, dir: String): DataFrame =
+  def q155PagerankKeeper(spark: SparkSession, dir: String): DataFrame = {
+    val np = -coalesce(col("pr"), lit(0L))
+    val pk = np.cast(org.apache.spark.sql.types.DecimalType(20, 0)) *
+      lit(new java.math.BigDecimal(1000000000000000000L)) + col("doc_id")
     componentLabels(spark, dir)
       .join(stagedPagerankScores(spark, dir).select("doc_id", "pr"),
         Seq("doc_id"), "left_outer")
       .groupBy("cluster_id")
-      .agg(min(struct((-coalesce(col("pr"), lit(0L))).as("np"),
-          col("doc_id").as("doc_id"), col("pr").as("pr"))).as("best"),
+      .agg(min_by(col("doc_id"), pk).as("keep_doc_id"),
+        min_by(col("pr"), pk).as("keep_pr"),
         count(lit(1)).as("csz"))
-      .select(col("cluster_id"), col("best.doc_id").as("keep_doc_id"),
-        col("best.pr").as("keep_pr"),
+      .select(col("cluster_id"), col("keep_doc_id"), col("keep_pr"),
         (col("csz") - lit(1L)).as("n_removed"))
       .orderBy("cluster_id")
+  }
 
   /** q177 — TRIANGLE CENSUS of the near-dup pair graph: vertex/edge
     * counts, wedge count (Σ deg·(deg−1)/2 — the denominator of any
@@ -2035,9 +2101,10 @@ object Similarity {
     val e = stagedSetPairs45(spark, dir).select("ga", "gb")
     val deg = e.select(explode(array(col("ga"), col("gb"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
+    val degSide = adjacencyJoinSide(statSizeBytes(e)) _
     val withDegs = e
-      .join(deg.select(col("v").as("ga"), col("deg").as("da")), "ga")
-      .join(deg.select(col("v").as("gb"), col("deg").as("db")), "gb")
+      .join(degSide(deg.select(col("v").as("ga"), col("deg").as("da"))), "ga")
+      .join(degSide(deg.select(col("v").as("gb"), col("deg").as("db"))), "gb")
     // orient toward the (deg, id)-larger endpoint; ga < gb canonically,
     // so equal degrees keep ga as the source
     val o = withDegs.select(
@@ -2045,10 +2112,16 @@ object Similarity {
       when(col("da") <= col("db"), col("gb")).otherwise(col("ga")).as("dst"))
       .localCheckpoint(true) // consumed by the adjacency build and the edge probe
     val adj = o.groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // same gated attach as [[edgeCommonNeighbors]]: the adjacency (and
+    // degree) sides broadcast explicitly under the gate, take the
+    // sort-merge regime over it — never the planner's BuildLeft of the
+    // per-edge-carries-its-array intermediate (Σ outdeg² rows' worth
+    // of longs on one heap, the q227 OOM class)
+    val side = adjacencyJoinSide(statSizeBytes(e)) _
     val tri = o
-      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(side(adj.select(col("src"), col("nbrs").as("nu"))), Seq("src"))
       // a sink vertex (no out-edges) has no adjacency row → empty set
-      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"), "left_outer")
+      .join(side(adj.select(col("src").as("dst"), col("nbrs").as("nv"))), Seq("dst"), "left_outer")
       .select(expr("CAST(sorted_intersect_count(nu, coalesce(nv, array())) AS BIGINT)").as("t"))
       .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
     deg.agg(count(lit(1)).as("n_vertices"),
@@ -2104,12 +2177,40 @@ object Similarity {
       .union(e.select(col("gb").as("v"), col("ga").as("n")))
       .groupBy("v").agg(sort_array(collect_list(col("n"))).as("nbrs"),
         count(lit(1)).cast(LongType).as("deg"))
-    e.join(adj.select(col("v").as("ga"), col("nbrs").as("na"), col("deg").as("deg_a")), "ga")
-      .join(adj.select(col("v").as("gb"), col("nbrs").as("nb"), col("deg").as("deg_b")), "gb")
+    // GATED adjacency attach (VERDICT r14 Next #2): left to its
+    // estimates the planner BuildLeft-broadcast the OUTPUT of the
+    // first join — an every-edge-carries-its-adjacency-array relation
+    // of Σ deg² ≈ 2·wedges longs (716M wedges at sf0.1: the build hit
+    // the hard 8 GiB broadcast cap in a fresh 28 GB session and OOM'd
+    // an 8 GB one; plans/r15/q227_before_oom.txt). [[adjacencyJoinSide]]
+    // pins the regime instead: adjacency under the broadcast gate
+    // (sized by the staged edge relation's REAL footer stats — the
+    // arrays total 2|E| ids by construction) is broadcast EXPLICITLY
+    // (BuildRight, vertex-sized); over the gate both joins take the
+    // sort-merge regime, where only |E|/|V|-sized relations shuffle
+    // and nothing wedge-sized ever materializes on one heap.
+    val side = adjacencyJoinSide(statSizeBytes(e)) _
+    e.join(side(adj.select(col("v").as("ga"), col("nbrs").as("na"), col("deg").as("deg_a"))), "ga")
+      .join(side(adj.select(col("v").as("gb"), col("nbrs").as("nb"), col("deg").as("deg_b"))), "gb")
       .select(col("ga"), col("gb"),
         expr("CAST(sorted_intersect_count(na, nb) AS BIGINT)").as("cn"),
         col("deg_a"), col("deg_b"))
   }
+
+  /** The join-side policy for vertex-grain adjacency/degree relations
+    * attached onto an edge list (q177/q225/q227's kernel): explicit
+    * broadcast when `edgeBytes` (plan statistics of the staged edge
+    * relation — the adjacency arrays hold exactly 2|E| ids, so the
+    * edge bytes ARE the adjacency bytes up to the gate's 4× expansion
+    * headroom) is under [[underBroadcastGate]]; the sort-merge hint
+    * otherwise. The hint on the OVER-gate branch is load-bearing: with
+    * no hint the planner is free to broadcast the other, wedge-sized
+    * side (per-edge adjacency arrays — Σ deg², quadratic in hub
+    * degrees), the one demonstrated OOM in this repo. SMJ spills
+    * gracefully at any scale (guide §3.1).
+    */
+  private[graft] def adjacencyJoinSide(edgeBytes: BigInt)(df: DataFrame): DataFrame =
+    if (underBroadcastGate(edgeBytes)) broadcast(df) else df.hint("merge")
 
   /** q227 — CLUSTERING COEFFICIENT BY DEGREE, the c(d) curve of the
     * near-dup group graph: per degree class, vertex count,
@@ -2211,7 +2312,11 @@ object Similarity {
     */
   private[graft] def stagedCoreness(spark: SparkSession, dir: String): DataFrame =
     stagedTable(spark, dir, "coreness") {
-      val e = stagedSetPairs45(spark, dir).select("ga", "gb")
+      // runs under the FIXPOINT partition policy (coarse; see
+      // fixpointShufflePartitions) — a no-op clone on local sessions
+      val s2 = fixpointSession(spark)
+      val e = stagedReadIn(s2, spark, dir, "set_pairs_45")(
+        stagedSetPairs45(spark, dir)).select("ga", "gb")
       // built once, cycled every round — PRE-HASHED on the join key:
       // localCheckpoint preserves outputPartitioning on the LogicalRDD,
       // so every round's 2|E|-sized join probe reuses this layout and
@@ -2804,8 +2909,12 @@ object Similarity {
   def componentLabels(spark: SparkSession, dir: String): DataFrame =
     stagedTable(spark, dir, "component_labels") {
       graft.functions.GraftFunctions.register(spark)
-      val groups = stagedUnigramGroups(spark, dir)
-      val edges = stagedSetPairs45(spark, dir).select(col("ga"), col("gb"))
+      // fixpoint partition policy (coarse) — no-op clone locally
+      val s2 = fixpointSession(spark)
+      val groups = stagedReadIn(s2, spark, dir, "unigram_groups")(
+        stagedUnigramGroups(spark, dir))
+      val edges = stagedReadIn(s2, spark, dir, "set_pairs_45")(
+        stagedSetPairs45(spark, dir)).select(col("ga"), col("gb"))
       val (labels, _) = hashMinLabels(groups.select(col("gid")), edges)
       groups.select(explode(col("members")).as("doc_id"), col("gid"))
         .join(labels, Seq("gid"), "left_outer")
@@ -3053,24 +3162,38 @@ object Similarity {
     * whenever the boilerplate crawled first.
     *
     * Scale: the labels are a staged readout (no CC recompute), the
-    * score is row-local, and the argmax is a min-struct aggregation
-    * (q88/q93's swap) — partial-aggregable, no per-cluster sort, no
-    * window exchange. One shuffle on cluster_id.
+    * score is row-local, and the argmax is a hash-aggregable
+    * decimal-pack min_by (q88's swap; the min-STRUCT form it replaces
+    * planned SortAggregate — struct buffers are not UnsafeRow-mutable
+    * — i.e. two cluster-corpus-sized sorts around the exchange).
+    * q28's score is roundD4's 4-dp value in [0, 4], so
+    * round(score·10⁴) recovers the exact integer k the rounding
+    * produced (|score·10⁴ − k| < 10⁻⁸ ≪ 0.5 for 4-dp doubles) and
+    * ordering on ((40000 − k)·10¹⁸ + doc_id) is exactly ordering on
+    * (−score, doc_id) — distinct 4-dp values map to distinct k, no
+    * −0.0 can arise (k is never negated back to a double), and a null
+    * score (impossible for non-null text, kept for exactness) maps to
+    * −1 < every k-key, matching the struct comparator's nulls-first.
+    * The original score rides as a min_by payload (doubles ARE mutable
+    * buffer types), never reconstructed. One shuffle on cluster_id,
+    * map-side partials restored.
     * Oracle: q62's recursive-CTE component truth joined to q28's score
     * formula, row_number argmax.
     */
   def q136ClusterQualityKeeper(spark: SparkSession, dir: String): DataFrame = {
     val scored = TrainingData.qualityScored(Tables.documents(spark, dir))
       .select("doc_id", "score")
+    val k = round(col("score") * lit(10000.0)).cast(LongType)
+    val ordKey = when(col("score").isNull, lit(-1L)).otherwise(lit(40000L) - k)
+    val pk = ordKey.cast(org.apache.spark.sql.types.DecimalType(20, 0)) *
+      lit(new java.math.BigDecimal(1000000000000000000L)) + col("doc_id")
     componentLabels(spark, dir)
       .join(scored, "doc_id")
       .groupBy("cluster_id")
-      // the original score rides in the struct (never negate it back:
-      // -(-0.0) would hand the comparator a -0.0 the oracle writes as 0.0)
-      .agg(min(struct((-col("score")).as("ns"), col("doc_id"), col("score"))).as("best"),
+      .agg(min_by(col("doc_id"), pk).as("keep_doc_id"),
+        min_by(col("score"), pk).as("keep_score"),
         count(lit(1)).as("cluster_size"))
-      .select(col("cluster_id"), col("best.doc_id").as("keep_doc_id"),
-        col("best.score").as("keep_score"),
+      .select(col("cluster_id"), col("keep_doc_id"), col("keep_score"),
         (col("cluster_size") - lit(1L)).as("n_removed"))
       .orderBy("cluster_id")
   }

@@ -894,7 +894,13 @@ object TextOps {
     // whose seed blocks are small partial tail blocks would otherwise
     // prune legitimate winners). Fewer than 20 seeds → θ = -∞, skip
     // nothing — exactness never depends on the seed being lucky.
-    val theta = bm25Score(qp.join(broadcast(seedDocs), Seq("doc_id"), "left_semi"),
+    // score from the CHECKPOINTED query-term postings, not a fresh
+    // tf-scan ⋈ qterms: posts carries exactly qp's rows (plus its
+    // pos/block_id bookkeeping, ignored by the scorer's aggregation),
+    // so both the θ seed pass and q213's final re-score read the
+    // pinned relation — two staged-tf scans and two broadcast joins
+    // fewer per call, identical scores by construction
+    val theta = bm25Score(posts.join(broadcast(seedDocs), Seq("doc_id"), "left_semi"),
         dl, nDocs, avgdl)
       .orderBy(desc("score"), asc("doc_id")).limit(20)
       .agg(when(count(lit(1)) === 20L, min(col("score")))
@@ -967,12 +973,15 @@ object TextOps {
     * skipped the rest (Wand13Spec measures the skip count).
     */
   def q213BlockMaxWand(spark: SparkSession, dir: String): DataFrame = {
-    val (posts, qp, dl, nDocs, avgdl, survival) = wandInternals(spark, dir)
+    val (posts, _, dl, nDocs, avgdl, survival) = wandInternals(spark, dir)
     val candDocs = posts
       .join(broadcast(survival.filter(col("survives")).select("term", "block_id")),
         Seq("term", "block_id"))
       .select("doc_id").distinct()
-    bm25Score(qp.join(candDocs, Seq("doc_id"), "left_semi"), dl, nDocs, avgdl)
+    // the re-score reads the checkpointed posts, not a third tf scan
+    // (see wandInternals' θ pass): every matched term of a candidate
+    // participates exactly as before — posts IS qp row-for-row
+    bm25Score(posts.join(candDocs, Seq("doc_id"), "left_semi"), dl, nDocs, avgdl)
       .orderBy(desc("score"), asc("doc_id"))
       .limit(20)
   }

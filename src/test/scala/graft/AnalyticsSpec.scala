@@ -23,6 +23,33 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("q88 decimal pack near its documented bounds: huge avg_unit and near-10^18 suppkey stay exact") {
+    val dir = tmpDir()
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val bigKey = 999999999999999999L // 10^18 − 1, the pack's suppkey ceiling
+    def li(id: Long, pk: Long, sk: Long, price: Double) =
+      org.apache.spark.sql.Row(id, pk, sk, 1, 1.0, price, 0.0, 0.0, "N", "O", ts)
+    write(dir, "lineitem", df(Tables.lineitemSchema,
+      // part 1: avg_unit 10¹⁴ (the largest power of ten DECIMAL(19,4)
+      // carries; avg·10⁴ = 10¹⁸, under the (20,0) overflow edge at
+      // 10²⁰) on the max-key supplier vs avg 2.0 on supplier 7 — a
+      // silent pack overflow would null the min and skip the cheap
+      // supplier (round-14 ADVICE's failure mode)
+      li(1L, 1L, bigKey, 1.0e14),
+      li(2L, 1L, 7L, 2.0),
+      // part 2: an exact avg tie (3.5) — the suppkey low digits must
+      // decide, and the max key must not corrupt the comparison
+      li(3L, 2L, bigKey, 3.5),
+      li(4L, 2L, 5L, 3.5)))
+    write(dir, "supplier", df(Tables.supplierSchema,
+      org.apache.spark.sql.Row(bigKey, "sMAX", 0, 1.0),
+      org.apache.spark.sql.Row(7L, "s7", 0, 1.0),
+      org.apache.spark.sql.Row(5L, "s5", 0, 1.0)))
+    val out = graft.ops.Relational.q88CheapestSupplierPerPart(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 7L, 2.0), (2L, 5L, 3.5)), out.toSeq)
+  }
+
   test("q176 equi-depth: heavy value owns its bin, light values pack, skipped ids allowed") {
     val dir = tmpDir()
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

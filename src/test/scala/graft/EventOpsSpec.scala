@@ -180,6 +180,25 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out == Map(1L -> 3L, 4L -> 1L, 5L -> 1L), out)
   }
 
+  test("q151 pack bounds: max-long event_id and pre-epoch ts round-trip the DECIMAL(38,0) argmin exactly") {
+    val dir = tmpDir()
+    // the (µs·10¹⁹ + event_id) pack's documented envelope: event_id up
+    // to Long.MaxValue (< 10¹⁹, the base), µs of either sign — a
+    // silent overflow/misorder would surface here as a wrong witness
+    // id or a shifted witness ts
+    writeEvents(dir,
+      // user 1: ts tie at the pack's id extreme — the LOWER id must win
+      (Long.MaxValue, T0, 1L, "A", 0.0, "{}"),
+      (Long.MaxValue - 1L, T0, 1L, "A", 0.0, "{}"),
+      // user 2: pre-epoch event (negative µs) — ts must unpack exactly
+      (5L, -3600L * Ns, 2L, "A", 0.0, "{}"))
+    val out = Events.q151DebounceDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(3).getTime, r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (5L, 2L, -3600L * 1000L, 1L),
+      (Long.MaxValue - 1L, 1L, T0 / 1000000L, 2L)), out.toSeq)
+  }
+
   test("q152 anomalies: outlier beyond 3 sigma flags; sigma-0 type emits null z and never flags") {
     val dir = tmpDir()
     val zeros = (0 until 12).map(i =>

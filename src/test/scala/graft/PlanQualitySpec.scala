@@ -109,6 +109,49 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("argmin/argmax keys stay hash-aggregable: no SortAggregate in q151/q162/q217/q136/q155") {
+    // the round-15 pack/min_by rewrites (the q88/q93 recipe extended
+    // to payload-carrying argmins): a struct or string aggregation
+    // buffer is not UnsafeRow-mutable and silently re-plans the whole
+    // aggregate as SortAggregate — two corpus-sized per-partition
+    // sorts. Decimal pack + long/double min_by payloads keep every
+    // phase HashAggregate; this pin catches a regression re-growing
+    // the struct form.
+    val keys = Seq(
+      "q151" -> graft.ops.Events.q151DebounceDedup(spark, sf),
+      "q162" -> graft.ops.Events.q162SnapshotDiff(spark, sf),
+      "q217" -> graft.ops.Events.q217SessionEntryExit(spark, sf),
+      "q136" -> Similarity.q136ClusterQualityKeeper(spark, sf),
+      "q155" -> Similarity.q155PagerankKeeper(spark, sf))
+    for ((name, df) <- keys) {
+      val p = physical(df)
+      assert(!p.contains("SortAggregate"), s"$name re-grew a SortAggregate:\n$p")
+      assert(p.contains("HashAggregate"), s"$name lost its hash aggregate:\n$p")
+    }
+  }
+
+  test("q225/q227/q177 adjacency attach: broadcast is explicit under the gate, merge-hinted over it") {
+    // under the gate (any test corpus): every adjacency/degree attach
+    // must be BuildRight — the planner left alone BuildLeft-broadcast
+    // the first join's OUTPUT, a per-edge-carries-its-adjacency-array
+    // relation of Σdeg² longs (the demonstrated 8 GiB broadcast-cap
+    // crash at sf0.1; plans/r15/q227_before_oom.txt)
+    val p = physical(Similarity.q225EdgeJaccard(spark, sf))
+    assert(!p.contains("BuildLeft"), s"adjacency attach flipped to BuildLeft:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"under-gate corpus must stay broadcast:\n$p")
+    // over the gate the policy must route to the sort-merge regime —
+    // the hint is load-bearing (no hint readmits the BuildLeft paths)
+    val vals = spark.range(4).selectExpr("id AS ga", "id AS x")
+    val adj = spark.range(4).selectExpr("id AS ga", "id * 2 AS y")
+    val over = physical(vals.join(
+      Similarity.adjacencyJoinSide(BigInt(Long.MaxValue))(adj), "ga"))
+    assert(over.contains("SortMergeJoin"), s"over-gate side must merge-join:\n$over")
+    val under = physical(vals.join(
+      Similarity.adjacencyJoinSide(BigInt(0))(adj), "ga"))
+    assert(under.contains("BroadcastHashJoin") && under.contains("BuildRight"),
+      s"under-gate side must broadcast BuildRight:\n$under")
+  }
+
   test("q13: the groupBy after the window reuses the user_id partitioning (one shuffle)") {
     val p = physical(graft.ops.Events.q13Sessionize(spark, sf))
     // exchanges: one hash(user_id) for the window, one range for the final

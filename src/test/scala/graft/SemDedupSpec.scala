@@ -65,6 +65,21 @@ class SemDedupSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("q94: staged semdedup_model read is identical to a fresh trainIvfModel run") {
+    val dir = clusteredEmbeddings()
+    // the registry memoizes per (session, corpus), so BOTH q94 calls
+    // in the determinism test above read the same staged parquet —
+    // that test no longer distinguishes train-vs-round-trip drift
+    // within a session (round-14 ADVICE). Pin the round trip directly:
+    // the staged read must equal a fresh in-memory training run.
+    val staged = Similarity.stagedTable(spark, dir, "semdedup_model")(
+        Similarity.trainIvfModel(spark, dir)).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val fresh = Similarity.trainIvfModel(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    assert(staged == fresh, "staged model drifted from a fresh training run")
+  }
+
   test("q94: every emitted witness pair re-verifies cosine >= tau brute-force") {
     val dir = clusteredEmbeddings()
     val vecs = Tables.embeddings(spark, dir).collect()
